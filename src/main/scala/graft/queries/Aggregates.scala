@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Aggregation surface (SURVEY.md §2.5, Tier B/C).
+  *
+  * All hash aggregation with partial (map-side) combine is Spark-native:
+  * `groupBy.agg` plans as partial+final HashAggregate with whole-stage
+  * codegen; at 100 TB the partial aggregate collapses the shuffle volume to
+  * |groups| × |partitions| rows, so these scale with group cardinality, not
+  * input size. Rollup/cube expand grouping sets before the same aggregation
+  * machinery.
+  */
+object Aggregates {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  /** Order-independent sum of a double column, rounded to 2 decimals (see
+    * QueryDef docs). Scale 8 sits far below the double→decimal rounding-mode
+    * noise floor (both engines agree to within ~1e-11 per row), so the
+    * decimal sums differ across engines by well under the output rounding. */
+  def dsum(c: Column): Column =
+    round(sum(c.cast(DecimalType(30, 8))).cast("double"), 2)
+
+  /** Unrounded variant for building averages (round the quotient instead). */
+  def dsumRaw(c: Column): Column = sum(c.cast(DecimalType(30, 8))).cast("double")
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q01_pricing_summary",
+      Some("""SELECT l_returnflag, l_linestatus,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_qty,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_base_price,
+        ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_disc_price,
+        ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_charge,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+        COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            dsum(col("l_quantity")).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+            round(dsumRaw(col("l_quantity")) / count(lit(1)), 2).as("avg_qty"),
+            round(dsumRaw(col("l_extendedprice")) / count(lit(1)), 2).as("avg_price"),
+            round(dsumRaw(col("l_discount")) / count(lit(1)), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      }),
+
+    QueryDef(
+      "q02_agg_rollup",
+      Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))),
+
+    QueryDef(
+      "q03_agg_cube",
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_price
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+          .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))),
+
+    QueryDef(
+      "q04_grouping_sets",
+      Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+      }),
+
+    QueryDef(
+      "q05_count_distinct",
+      Some("""SELECT l_returnflag,
+        COUNT(DISTINCT l_orderkey) AS n_orders,
+        COUNT(DISTINCT l_partkey) AS n_parts,
+        COUNT(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            countDistinct(col("l_orderkey")).as("n_orders"),
+            countDistinct(col("l_partkey")).as("n_parts"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("l_returnflag"))),
+
+    QueryDef(
+      "q06_conditional_agg",
+      Some("""SELECT o_orderpriority,
+        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        ROUND(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE), 2) AS open_value
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).cast("long").as("n_finished"),
+            sum(when(col("o_totalprice") > 100000, 1).otherwise(0)).cast("long").as("n_big"),
+            dsum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0)).as("open_value"))
+          .orderBy(col("o_orderpriority"))),
+
+    // HyperLogLog++ sketch — approximate by design, so no SQL oracle (driver
+    // records the weaker rows-only check). At 100 TB this replaces exact
+    // COUNT(DISTINCT) whenever a ±2% answer is acceptable: single pass, no
+    // per-key shuffle, fixed-size sketch merge.
+    QueryDef(
+      "q07_approx_distinct",
+      None,
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+          .orderBy(col("l_returnflag"))),
+
+    QueryDef(
+      "q08_stats_agg",
+      Some("""SELECT l_returnflag,
+        ROUND(MIN(l_extendedprice), 2) AS min_price,
+        ROUND(MAX(l_extendedprice), 2) AS max_price,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+        COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(min(col("l_extendedprice")), 2).as("min_price"),
+            round(max(col("l_extendedprice")), 2).as("max_price"),
+            round(dsumRaw(col("l_extendedprice")) / count(lit(1)), 2).as("avg_price"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag")))
+  )
+}

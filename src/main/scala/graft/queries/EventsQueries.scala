@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+
+/** Event-table queries: JSON payload decode (reference format surface F-x,
+  * SURVEY.md §2.2 — `events.props` is the wire-payload stand-in), plus the
+  * batch equivalents of the streaming semantics in §2.10 (sessionization,
+  * tumbling windows). The streaming variants run in
+  * [[graft.streaming.StreamPipelines]]; these batch twins are what the
+  * DuckDB oracle can check.
+  */
+object EventsQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Payload decode: Spark-side uses from_json (codegen'd JSON path);
+    // oracle extracts the same value with a regex so it needs no DuckDB
+    // JSON extension.
+    QueryDef(
+      "q34_json_decode",
+      Some("""SELECT event_id,
+        CAST(regexp_extract(props, '"k": (-?[0-9]+)', 1) AS INT) AS k
+        FROM events ORDER BY event_id"""),
+      (s, dir) =>
+        t(s, dir, "events").select(
+          col("event_id"),
+          from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+            .getField("k").as("k"))
+          .orderBy(col("event_id"))),
+
+    // Sessionization (30-min inactivity gap) — batch twin of the streaming
+    // session_window aggregation. One shuffle on user_id; the gap test is a
+    // lag() over (user_id, ts) — scales with events per user, not total n.
+    QueryDef(
+      "q40_sessionize",
+      Some("""WITH g AS (
+        SELECT user_id, event_id,
+          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events)
+        SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        t(s, dir, "events")
+          .withColumn("prev_ns", lag(col("ts_ns"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ns").isNull ||
+              col("ts_ns") - col("prev_ns") > 1800L * 1000000000L, 1)
+              .otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_sess")).cast("long").as("n_sessions"),
+            count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      }),
+
+    // Tumbling 1-hour windows by event type — batch twin of the streaming
+    // windowed aggregation. Day/hour extracted as ints so ns-vs-µs timestamp
+    // precision can't leak into the compare.
+    QueryDef(
+      "q41_event_windows",
+      Some("""SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d,
+        CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+        event_type, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2) AS total_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy(
+            dayofmonth(col("ts")).as("d"),
+            hour(col("ts")).as("h"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            Aggregates.dsum(col("value")).as("total_value"))
+          .orderBy(col("d"), col("h"), col("event_type")))
+  )
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.queries.Aggregates.dsum
+
+/** Join surface (SURVEY.md §2.4, Tier B/C — the reference contains zero
+  * joins; this is the relational middle its host pipeline would supply).
+  *
+  * Scale notes (100 TB):
+  *   - dimension tables (region/nation/customer at TPC-H ratios) are
+  *     broadcast — no shuffle of the fact side;
+  *   - fact-fact joins (orders⋈lineitem) shuffle on the join key once and
+  *     AQE splits skewed partitions at runtime;
+  *   - semi/anti joins ship only the key column of the right side;
+  *   - the theta join keeps an equi prefix (nationkey) so it plans as a
+  *     shuffled hash/SMJ with a residual inequality filter, never a
+  *     nested-loop over the full cross product;
+  *   - the as-of join is the union+running-last trick: one shuffle on
+  *     (user_id), one sort, no per-row probes — the standard scalable
+  *     pattern when ranges are unbounded.
+  */
+object Joins {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q10_join_inner",
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+          .orderBy(col("c_mktsegment"))),
+
+    QueryDef(
+      "q11_join_multiway",
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_items,
+        ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+        FROM region
+        JOIN nation   ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders   ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY r_name, n_name ORDER BY r_name, n_name"""),
+      (s, dir) => {
+        val dims = broadcast(
+          t(s, dir, "region")
+            .join(t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+            .join(t(s, dir, "customer"), col("c_nationkey") === col("n_nationkey")))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        o.join(dims, col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+          .orderBy(col("r_name"), col("n_name"))
+      }),
+
+    QueryDef(
+      "q12_join_left",
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_rows,
+        COUNT(o_orderkey) AS n_orders,
+        COUNT(DISTINCT c_custkey) AS n_customers
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left")
+          .groupBy(col("c_mktsegment"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("o_orderkey")).as("n_orders"),
+            countDistinct(col("c_custkey")).as("n_customers"))
+          .orderBy(col("c_mktsegment"))),
+
+    QueryDef(
+      "q13_join_right",
+      Some("""SELECT c_nationkey, COUNT(DISTINCT c_custkey) AS n_customers,
+        COUNT(o_orderkey) AS n_orders
+        FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"), "right")
+          .groupBy(col("c_nationkey"))
+          .agg(
+            countDistinct(col("c_custkey")).as("n_customers"),
+            count(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("c_nationkey"))),
+
+    QueryDef(
+      "q14_join_full",
+      Some("""SELECT COALESCE(c.nk, sp.nk) AS nationkey,
+        COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer
+              WHERE c_acctbal > 9000 GROUP BY c_nationkey) c
+        FULL JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier
+              WHERE s_acctbal > 9000 GROUP BY s_nationkey) sp
+        ON c.nk = sp.nk
+        ORDER BY nationkey"""),
+      (s, dir) => {
+        val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+          .groupBy(col("c_nationkey").as("c_nk")).agg(count(lit(1)).as("n_cust"))
+        val sp = t(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+          .groupBy(col("s_nationkey").as("s_nk")).agg(count(lit(1)).as("n_supp"))
+        c.join(sp, col("c_nk") === col("s_nk"), "full")
+          .select(
+            coalesce(col("c_nk"), col("s_nk")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0)).cast("long").as("n_cust"),
+            coalesce(col("n_supp"), lit(0)).cast("long").as("n_supp"))
+          .orderBy(col("nationkey"))
+      }),
+
+    QueryDef(
+      "q15_join_semi",
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        ORDER BY c_custkey"""),
+      (s, dir) => {
+        val big = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        t(s, dir, "customer")
+          .join(big, col("o_custkey") === col("c_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      }),
+
+    QueryDef(
+      "q16_join_anti",
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy(col("c_custkey"))),
+
+    QueryDef(
+      "q17_join_theta",
+      Some("""SELECT s_nationkey AS nationkey, COUNT(*) AS n_pairs
+        FROM supplier JOIN customer
+        ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+        GROUP BY s_nationkey ORDER BY nationkey"""),
+      (s, dir) =>
+        t(s, dir, "supplier")
+          .join(
+            t(s, dir, "customer"),
+            col("s_nationkey") === col("c_nationkey") && col("s_acctbal") > col("c_acctbal"))
+          .groupBy(col("s_nationkey").as("nationkey"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("nationkey"))),
+
+    // As-of join: for each purchase event, the most recent click by the same
+    // user at or before the purchase. DuckDB has native ASOF JOIN (the
+    // oracle); Spark-side we use the scalable union + running-last pattern:
+    // tag both sides, sort within user by (ts, side), and carry the last
+    // non-null click id forward — one shuffle, one sort, O(n) state.
+    QueryDef(
+      "q18_join_asof",
+      Some("""SELECT p.event_id, c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ns"), col("event_id").as("click_id"),
+            lit(null).cast("long").as("p_id"), lit(0).as("side"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ns"), lit(null).cast("long").as("click_id"),
+            col("event_id").as("p_id"), lit(1).as("side"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("side"), col("click_id"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        clicks.unionByName(purchases)
+          .withColumn("last_click", last(col("click_id"), ignoreNulls = true).over(w))
+          .filter(col("p_id").isNotNull)
+          .select(col("p_id").as("event_id"), col("last_click").as("click_id"))
+          .orderBy(col("event_id"))
+      })
+  )
+}

@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Window-function surface (SURVEY.md §2.6) + sort/limit/top-k (§2.7).
+  *
+  * Scale notes: window partitions shuffle on the partition key once; Spark
+  * spills per-partition frames (`ExternalAppendOnlyUnsafeRowArray`) so wide
+  * frames survive memory pressure. The global top-k (q25) plans as
+  * `TakeOrderedAndProject` — per-partition heaps, no total sort, no single
+  * fat reducer.
+  *
+  * Running sums are computed over DECIMAL so prefix order (deterministic)
+  * is the only thing that matters and both engines agree bit-for-bit.
+  */
+object Windows {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  val all: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "q20_window_ranking",
+      Some("""SELECT * FROM (
+        SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+          ROW_NUMBER() OVER w AS rn,
+          RANK() OVER w AS rnk,
+          DENSE_RANK() OVER w AS drnk,
+          NTILE(4) OVER w AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      ) WHERE rn <= 5 ORDER BY c_mktsegment, rn"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        t(s, dir, "customer")
+          .select(
+            col("c_mktsegment"), col("c_custkey"),
+            round(col("c_acctbal"), 2).as("acctbal"),
+            row_number().over(w).as("rn"),
+            rank().over(w).as("rnk"),
+            dense_rank().over(w).as("drnk"),
+            ntile(4).over(w).as("quartile"))
+          .filter(col("rn") <= 5)
+          .orderBy(col("c_mktsegment"), col("rn"))
+      }),
+
+    QueryDef(
+      "q21_window_analytic",
+      Some("""SELECT o_orderkey, o_custkey,
+        ROUND(LAG(o_totalprice) OVER w, 2) AS prev_price,
+        ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
+        ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_orderkey"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+            round(lead(col("o_totalprice"), 1).over(w), 2).as("next_price"),
+            round(first(col("o_totalprice")).over(w), 2).as("first_price"))
+          .orderBy(col("o_orderkey"))
+      }),
+
+    QueryDef(
+      "q22_window_running",
+      Some("""SELECT o_orderkey, o_custkey,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend,
+        CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_so_far
+        FROM orders ORDER BY o_orderkey"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "orders")
+          .select(
+            col("o_orderkey"), col("o_custkey"),
+            round(sum(col("o_totalprice").cast(DecimalType(30, 8))).over(w)
+              .cast("double"), 2).as("running_spend"),
+            count(lit(1)).over(w).cast("long").as("n_so_far"))
+          .orderBy(col("o_orderkey"))
+      }),
+
+    QueryDef(
+      "q23_window_range_frame",
+      Some("""SELECT o_orderkey,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
+          OVER (PARTITION BY o_custkey
+                ORDER BY date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS trailing_30d
+        FROM orders ORDER BY o_orderkey"""),
+      (s, dir) => {
+        val withDays = t(s, dir, "orders")
+          .withColumn("days", datediff(col("o_orderdate"), lit("1995-01-01").cast("date")))
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("days"))
+          .rangeBetween(-30, 0)
+        withDays
+          .select(
+            col("o_orderkey"),
+            round(sum(col("o_totalprice").cast(DecimalType(30, 8))).over(w)
+              .cast("double"), 2).as("trailing_30d"))
+          .orderBy(col("o_orderkey"))
+      }),
+
+    QueryDef(
+      "q24_topk_per_group",
+      Some("""SELECT * FROM (
+        SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price,
+          ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3
+        ORDER BY o_orderpriority, rn"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(
+            col("o_orderpriority"), col("o_orderkey"),
+            round(col("o_totalprice"), 2).as("price"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy(col("o_orderpriority"), col("rn"))
+      }),
+
+    QueryDef(
+      "q25_top_global",
+      Some("""SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"""),
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 2).as("price"),
+            col("l_extendedprice"))
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+          .limit(100)
+          .drop("l_extendedprice"))
+  )
+}
