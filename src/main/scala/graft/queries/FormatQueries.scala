@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.formats.Decoders
+import graft.functions.AvroExpressions
+import graft.sinks.DocumentSink
+import graft.sources.Tables
+
+/** Wire-format decode + sink round-trip queries (SURVEY.md §2.2 F1–F9,
+  * §2.9 W1). Each query synthesizes the wire payload deterministically
+  * from a test table, runs the engine's decoder, and projects the decoded
+  * fields; the oracle recomputes the expected fields relationally — so the
+  * decode path is checked end-to-end without DuckDB needing the codec.
+  */
+object FormatQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.load(s, dir, n)
+
+  private val customerAvro =
+    """{"type":"record","name":"c","fields":[
+      {"name":"c_custkey","type":"long"},
+      {"name":"c_name","type":"string"},
+      {"name":"c_nationkey","type":"int"},
+      {"name":"c_acctbal","type":"double"}]}"""
+
+  private val supplierAvro =
+    """{"type":"record","name":"s","fields":[
+      {"name":"s_suppkey","type":"long"},
+      {"name":"s_name","type":"string"},
+      {"name":"s_acctbal","type":"double"}]}"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // F3 csv: encode customer rows as csv lines, decode with the declared
+    // schema, project the decoded fields — exact round-trip.
+    QueryDef(
+      "q70_csv_decode",
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM customer ORDER BY c_custkey"""),
+      (s, dir) => {
+        val src = t(s, dir, "customer").select(
+          concat_ws(",", col("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal")).cast("binary").as("value"))
+        Decoders.decode(src, "value", Some("csv"), Some(customerAvro))
+          .orderBy(col("c_custkey"))
+      }),
+
+    // F4 tsv
+    QueryDef(
+      "q71_tsv_decode",
+      Some("""SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier ORDER BY s_suppkey"""),
+      (s, dir) => {
+        val src = t(s, dir, "supplier").select(
+          concat_ws("\t", col("s_suppkey"), col("s_name"),
+            col("s_acctbal")).cast("binary").as("value"))
+        Decoders.decode(src, "value", Some("tsv"), Some(supplierAvro))
+          .orderBy(col("s_suppkey"))
+      }),
+
+    // F2 text (+ F1/F6 binary is the identity version, unit-tested)
+    QueryDef(
+      "q72_text_decode",
+      Some("""SELECT event_id, props AS message, LENGTH(props) AS msg_len
+        FROM events ORDER BY event_id"""),
+      (s, dir) => {
+        val src = t(s, dir, "events")
+          .select(col("event_id"), col("props").cast("binary").as("value"))
+        Decoders.decode(src, "value", Some("text"))
+          .withColumn("msg_len", length(col("message")))
+          .orderBy(col("event_id"))
+      }),
+
+    // F7 clf: synthesize Apache log lines from events, decode, compare
+    // against the relational recomputation.
+    QueryDef(
+      "q73_clf_decode",
+      Some("""SELECT event_id,
+        '10.0.0.' || CAST(user_id % 250 AS VARCHAR) AS host,
+        'frank' AS authuser,
+        'GET /' || event_type || ' HTTP/1.1' AS request,
+        CAST(200 + event_id % 3 AS INT) AS status,
+        CAST(event_id % 1000 AS INT) AS bytes
+        FROM events ORDER BY event_id"""),
+      (s, dir) => {
+        val line = concat(
+          lit("10.0.0."), (col("user_id") % 250).cast("string"),
+          lit(" - frank [01/Jan/2024:00:00:00 +0000] \"GET /"),
+          col("event_type"), lit(" HTTP/1.1\" "),
+          (lit(200) + col("event_id") % 3).cast("string"), lit(" "),
+          (col("event_id") % 1000).cast("string"))
+        val src = t(s, dir, "events")
+          .select(col("event_id"), line.cast("binary").as("value"))
+        Decoders.decode(src, "value", Some("clf"))
+          .select(col("event_id"), col("host"), col("authuser"), col("request"),
+            col("status").cast("int").as("status"),
+            col("bytes").cast("int").as("bytes"))
+          .orderBy(col("event_id"))
+      }),
+
+    // F8 grok
+    QueryDef(
+      "q74_grok_decode",
+      Some("""SELECT event_id,
+        '10.' || CAST(user_id % 200 AS VARCHAR) || '.0.1' AS client,
+        UPPER(event_type) AS method,
+        CAST(event_id % 5000 AS INT) AS duration
+        FROM events ORDER BY event_id"""),
+      (s, dir) => {
+        val line = concat(
+          lit("10."), (col("user_id") % 200).cast("string"), lit(".0.1 "),
+          upper(col("event_type")), lit(" "),
+          (col("event_id") % 5000).cast("string"))
+        val src = t(s, dir, "events")
+          .select(col("event_id"), line.cast("binary").as("value"))
+        Decoders.decode(src, "value", Some("grok"),
+          options = Map("grok.pattern" -> "%{IP:client} %{WORD:method} %{INT:duration}"))
+          .select(col("event_id"), col("client"), col("method"),
+            col("duration").cast("int").as("duration"))
+          .orderBy(col("event_id"))
+      }),
+
+    // F9 syslog (RFC-3164)
+    QueryDef(
+      "q75_syslog_decode",
+      Some("""SELECT event_id,
+        CAST(user_id % 24 AS INT) AS facility,
+        CAST(event_id % 8 AS INT) AS severity,
+        'host' || CAST(user_id AS VARCHAR) AS host,
+        'app' AS tag,
+        CAST(event_id % 100 AS INT) AS pid,
+        'type=' || event_type AS msg
+        FROM events ORDER BY event_id"""),
+      (s, dir) => {
+        val line = concat(
+          lit("<"), (lit(8) * (col("user_id") % 24) + col("event_id") % 8).cast("string"),
+          lit(">Jan  5 10:00:00 host"), col("user_id").cast("string"),
+          lit(" app["), (col("event_id") % 100).cast("string"),
+          lit("]: type="), col("event_type"))
+        val src = t(s, dir, "events")
+          .select(col("event_id"), line.cast("binary").as("value"))
+        Decoders.decode(src, "value", Some("syslog"))
+          .select(col("event_id"),
+            col("facility").cast("int").as("facility"),
+            col("severity").cast("int").as("severity"),
+            col("host"), col("tag"),
+            col("pid").cast("int").as("pid"), col("msg"))
+          .orderBy(col("event_id"))
+      }),
+
+    // F5 avro: encode each row with the native expression, decode it back —
+    // proves both directions without DuckDB touching avro.
+    QueryDef(
+      "q76_avro_roundtrip",
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        FROM customer ORDER BY c_custkey"""),
+      (s, dir) => {
+        val src = t(s, dir, "customer").select(
+          AvroExpressions.to_avro_graft(
+            struct(col("c_custkey"), col("c_name"), col("c_nationkey"),
+              col("c_acctbal")), customerAvro).as("value"))
+        Decoders.decode(src, "value", Some("avro"), Some(customerAvro))
+          .orderBy(col("c_custkey"))
+      }),
+
+    // W1 keyed document sink: write part as keyed JSON documents, read the
+    // documents back, and check the key hoist + body against the source.
+    QueryDef(
+      "q77_doc_sink_roundtrip",
+      Some("""SELECT CAST(p_partkey AS VARCHAR) AS _id, p_name, p_retailprice
+        FROM part ORDER BY _id"""),
+      (s, dir) => {
+        val sinkPath = s"/tmp/graft_sink/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/q77"
+        DocumentSink.write(
+          t(s, dir, "part").select(col("p_partkey"), col("p_name"), col("p_retailprice")),
+          keyField = "p_partkey", path = sinkPath)
+        s.read.schema(StructType(Seq(
+            StructField("_id", StringType),
+            StructField("p_name", StringType),
+            StructField("p_retailprice", DoubleType))))
+          .json(sinkPath)
+          .orderBy(col("_id"))
+      })
+  )
+}
