@@ -15,7 +15,9 @@ object SparkEntry {
   /** The full engine surface, grouped by SURVEY.md §2 sections. */
   def defs: Seq[QueryDef] =
     Aggregates.all ++ Joins.all ++ Windows.all ++ SetOps.all ++
-      Scalars.all ++ EventsQueries.all ++ FormatQueries.all
+      Scalars.all ++ EventsQueries.all ++ FormatQueries.all ++
+      TextAnalysis.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text shingling as a native expression (SURVEY.md §2.12 Tier C).
+  *
+  * Semantics match the declarative form
+  * `array_distinct(transform(sequence(1, size(toks)-n+1), i -> concat_ws(' ',
+  * toks[i..i+n-1])))` — and its DuckDB mirror `list_distinct(list_transform(
+  * generate_series(...)))` — but run as one compiled loop per row. The
+  * higher-order-function form pays per-element interpreted lambda dispatch
+  * (HOFs are CodegenFallback in Spark) which measured ~30× slower on the
+  * dedup pipeline; shingling sits under every near-dup operator, so it gets
+  * the native treatment.
+  *
+  * Also fixes a latent edge of the declarative form: for texts with fewer
+  * than n words, `sequence(1, size-n+1)` would produce a DESCENDING sequence
+  * (Spark's sequence auto-negates the step) and garbage shingles; here short
+  * texts yield an empty array, like DuckDB's `generate_series`.
+  */
+object TextExpressions {
+
+  /** Distinct word n-gram shingles of a whitespace-separated text. */
+  def word_shingles(text: Column, n: Int): Column =
+    bridge.column(WordShinglesExpr(bridge.expression(text), n))
+
+  /** All ordered (i<j) pairs of a sorted array<long> of ids. */
+  def id_pairs(ids: Column): Column =
+    bridge.column(IdPairsExpr(bridge.expression(ids)))
+}
+
+/** array<long> → array<struct<id_a,id_b>>: all ordered pairs (i<j) of a
+  * sorted id list — the pair-generation kernel of the inverted-index
+  * near-dup join. Compiled loop for the same reason as shingling: the HOF
+  * form (flatten ∘ transform ∘ transform) interprets the lambda per pair.
+  * Input lists are DF-capped upstream, so output is bounded at cap². */
+case class IdPairsExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "id_pairs"
+
+  override def nullSafeEval(input: Any): Any = {
+    val ids = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    val n = ids.length
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): IdPairsExpr =
+    copy(child = c)
+}
+
+/** string → array<string>: distinct space-joined word n-grams, in first-
+  * occurrence order. Split semantics = `split(text, " ", -1)` (interior and
+  * trailing empty tokens preserved, matching DuckDB `string_split`). */
+case class WordShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1 && n <= 16, "shingle width in [1,16]")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val m = toks.length - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
+    copy(child = c)
+}

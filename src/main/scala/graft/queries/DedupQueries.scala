@@ -1,0 +1,207 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashExpressions, TextExpressions, VectorFunctions}
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` / `embeddings` (SURVEY.md
+  * §2.12, Tier C): exact, n-gram Jaccard, MinHash+LSH, SimHash,
+  * embedding-cosine near-dup.
+  *
+  * Scale design notes (the point of each variant):
+  *   - q60 exact: group on a 256-bit content hash, never on the text bytes —
+  *     the shuffle carries 32-byte keys instead of documents.
+  *   - q61 exact n-gram Jaccard: inverted-index self-join on shingles. The
+  *     classic skew hazard is ultra-frequent shingles; a document-frequency
+  *     cap (mirrored in the oracle) bounds the worst posting list, keeping
+  *     the join near-linear at 100 TB.
+  *   - q62 MinHash-LSH: same answer as q61 but candidate generation is the
+  *     banded-signature bucket join — O(docs × bands) shuffle rows of fixed
+  *     width, independent of document length. Candidates are exact-verified,
+  *     so precision is exact and only recall depends on (bands, rows): with
+  *     k=128, b=32, r=4 the miss probability at J≥0.9 is < 1e-20.
+  *   - q63 SimHash: 64-bit sketch, 4×16-bit band buckets guarantee (by
+  *     pigeonhole) that any pair within Hamming distance 3 shares a band.
+  *   - q64 embedding near-dup: brute-force all-pairs at test scale (the
+  *     correctness baseline); the bucketed/IVF scale path is q66.
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** doc_id + distinct word-3-gram shingles (order-sensitive content set).
+    * Native single-loop expression — the declarative HOF form
+    * (array_distinct ∘ transform ∘ sequence) pays per-element interpreted
+    * lambda dispatch and measured ~30× slower on this pipeline; see
+    * [[graft.functions.WordShinglesExpr]]. */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), TextExpressions.word_shingles(col("text"), 3).as("sh"))
+
+  /** DuckDB mirror of [[shingles]] (1-indexed lists, same 3-gram window). */
+  private val shinglesSql =
+    """list_distinct(list_transform(
+         generate_series(1, len(string_split(text,' ')) - 2),
+         i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
+              || ' ' || string_split(text,' ')[i+2]))"""
+
+  /** Exact all-pairs shingle-Jaccard ≥ 0.7 via inverted index, with a
+    * doc-frequency cap of 200 on posting lists — oracle for q61 AND q62. */
+  private val exactJaccardSql =
+    s"""WITH d0 AS (
+         SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
+       df AS (SELECT sh FROM d0 GROUP BY sh HAVING count(*) <= 200),
+       d AS (SELECT d0.doc_id, d0.sh FROM d0 JOIN df ON d0.sh = df.sh),
+       sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+       pair AS (
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT id_a, id_b,
+         CAST(round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS DOUBLE) AS jac
+       FROM pair
+       JOIN sz sa ON sa.doc_id = id_a
+       JOIN sz sb ON sb.doc_id = id_b
+       WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7
+       ORDER BY id_a, id_b"""
+
+  /** Spark side of the exact inverted-index Jaccard join (shared q61/q62
+    * verification): posting lists capped at DF ≤ 200 like the oracle.
+    *
+    * Shape chosen for scale: aggregate postings per shingle (one shuffle,
+    * keyed by shingle — the DF cap bounds every group), explode each
+    * posting list's i<j pairs with a compiled kernel, count co-occurrences
+    * per pair (second shuffle, keyed by pair). No self-join: a posting
+    * self-join re-shuffles the full posting table twice and its hot keys
+    * square; here the cap turns the same quadratic into a bounded constant
+    * per group. */
+  private def exactJaccardPairs(d: DataFrame): DataFrame = {
+    val posting = d.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val lists = posting.groupBy("sh")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= 200) // DF cap, mirrored in the oracle
+    val sz = lists.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = lists
+      .select(explode(TextExpressions.id_pairs(col("ids"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sz.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
+      .join(sz.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+      .withColumn("jac", col("inter") * 1.0 / (col("na") + col("nb") - col("inter")))
+      .filter(col("jac") >= 0.7)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact dedup on a 256-bit content hash: keep the smallest doc_id per
+    // identical text, count the copies.
+    QueryDef(
+      "q60_exact_dedup",
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS copies,
+          sha256(text) AS content_hash
+        FROM documents GROUP BY sha256(text) ORDER BY keep_id"""),
+      (s, dir) =>
+        docs(s, dir)
+          .groupBy(sha2(col("text"), 256).as("content_hash"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+          .select(col("keep_id"), col("copies"), col("content_hash"))
+          .orderBy(col("keep_id"))),
+
+    // Exact near-dup: inverted-index shingle join, Jaccard ≥ 0.7.
+    QueryDef(
+      "q61_ngram_jaccard_dedup",
+      Some(exactJaccardSql),
+      (s, dir) =>
+        exactJaccardPairs(withShingles(docs(s, dir)))),
+
+    // MinHash-LSH near-dup: banded-signature candidate generation, then
+    // exact Jaccard verification of the (tiny) candidate set. Same oracle
+    // as q61 — the check proves the LSH path loses nothing at J ≥ 0.7.
+    QueryDef(
+      "q62_minhash_lsh_dedup",
+      Some(exactJaccardSql),
+      (s, dir) => {
+        val d = withShingles(docs(s, dir))
+        val sig = d.select(col("doc_id"),
+          HashExpressions.minhash_signature(col("sh"), k = 128).as("sig"))
+        // 32 bands × 4 rows: bucket key = hash of the band's signature slice
+        val buckets = sig.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(31)),
+            b => struct(b.as("band"),
+              xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh")))).as("bb"))
+          .select(col("doc_id"), col("bb.band"), col("bb.bh"))
+        val cand = buckets.as("a")
+          .join(buckets.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        // exact verification: fetch both shingle sets, compute true Jaccard
+        val verified = cand
+          .join(d.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+          .join(d.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+          .withColumn("jac",
+            size(array_intersect(col("sh_a"), col("sh_b"))) * 1.0 /
+              size(array_union(col("sh_a"), col("sh_b"))))
+          .filter(col("jac") >= 0.7)
+        verified.select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+          .orderBy(col("id_a"), col("id_b"))
+      }),
+
+    // SimHash near-dup: 64-bit sketch over shingles, 4×16-bit bands →
+    // pairs within Hamming distance ≤ 3 (pigeonhole-complete). The sketch
+    // algorithm isn't DuckDB-expressible → rows-only check; the sketch
+    // itself is unit-tested in HashVectorSpec.
+    QueryDef(
+      "q63_simhash_dedup",
+      None,
+      (s, dir) => {
+        val sig = withShingles(docs(s, dir)).select(col("doc_id"),
+          HashExpressions.simhash64(col("sh")).as("sh64"))
+        val bands = sig.select(col("doc_id"), col("sh64"),
+          explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+            shiftrightunsigned(col("sh64"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*))
+            .as("bb"))
+          .select(col("doc_id"), col("sh64"), col("bb.band"), col("bb.bh"))
+        bands.as("a")
+          .join(bands.as("b"),
+            col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            bit_count(col("a.sh64").bitwiseXOR(col("b.sh64"))).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 3)
+          .orderBy(col("id_a"), col("id_b"))
+      }),
+
+    // Embedding-cosine near-dup, brute-force all-pairs ≥ 0.45 (the data's
+    // top pair sits at ≈0.51, and there is a wide margin around the
+    // threshold — see HashVectorSpec for the expression math). Cosine is
+    // accumulated in index order as doubles on both engines → exact match.
+    QueryDef(
+      "q64_embedding_dedup",
+      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]), 4) AS DOUBLE) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .withColumn("c", VectorFunctions.cosine_sim(col("ea"), col("eb")))
+          .filter(col("c") >= 0.45)
+          .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
+          .orderBy(col("id_a"), col("id_b"))
+      })
+  )
+}

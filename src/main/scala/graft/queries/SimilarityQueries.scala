@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+import graft.sources.Tables
+
+/** Similarity search over `embeddings.embedding: array<float>` (SURVEY.md
+  * §2.12, Tier C).
+  *
+  * q65 is the exact baseline: brute-force cosine top-k. The query side is
+  * tiny and broadcast, so the scan side never shuffles — at 100 TB this is
+  * one pass over the corpus with a per-partition top-k (Spark's window +
+  * filter compiles to exactly that under partial aggregation pushdown
+  * [`WindowGroupLimit`]).
+  *
+  * q66 is the scale path: IVF (inverted-file) ANN. Centroids are a
+  * deterministic subset of the corpus (ids 0..7 — at real scale these come
+  * from k-means, but centroid provenance is orthogonal to the operator);
+  * every vector is assigned to its nearest centroid in one broadcast pass,
+  * queries probe their nprobe=2 nearest cells, and only those cells are
+  * reranked exactly. Both stages are broadcast joins — the big side never
+  * shuffles, and the rerank touches |cells probed| / |cells| of the corpus.
+  * The whole pipeline is algebraic, so the DuckDB oracle replays it
+  * exactly — including any recall loss vs q65, which is deliberate and
+  * measurable (IVF is approximate by design).
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact brute-force cosine top-5 for query vectors vec_id < 10.
+    QueryDef(
+      "q65_knn_bruteforce",
+      Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+        s AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+                list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS c
+              FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+        r AS (SELECT qid, nid, c,
+                row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+              FROM s)
+        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, rnk
+        FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("c", VectorFunctions.cosine_sim(col("qe"), col("embedding")))
+        val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id"))
+        scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id").as("nid"),
+            round(col("c"), 4).as("cos"), col("rnk"))
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
+    // IVF ANN: assign corpus to nearest of 8 centroid cells, probe the 2
+    // cells nearest each query, exact-rerank only those cells, top-3.
+    QueryDef(
+      "q66_ann_ivf",
+      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        assign0 AS (SELECT e.vec_id, e.embedding, c.cid,
+                list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) AS cc,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid) AS rn
+              FROM embeddings e, cent c),
+        assign AS (SELECT vec_id, embedding, cid FROM assign0 WHERE rn = 1),
+        probe0 AS (SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid) AS rn
+              FROM embeddings q, cent c WHERE q.vec_id < 10),
+        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
+        cand AS (SELECT p.qid, p.qe, a.vec_id AS nid, a.embedding AS ne
+              FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        rr AS (SELECT qid, nid,
+                list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) AS c,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) DESC, nid) AS rnk
+              FROM cand)
+        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, rnk
+        FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cent = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        // one broadcast pass: nearest centroid per corpus vector
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cc").desc, col("cid"))
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("cc", VectorFunctions.cosine_sim(col("embedding"), col("ce")))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        // queries probe their 2 nearest cells
+        val wProbe = Window.partitionBy(col("qid"))
+          .orderBy(col("qc").desc, col("cid"))
+        val probe = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cent))
+          .withColumn("qc", VectorFunctions.cosine_sim(col("qe"), col("ce")))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("qe"), col("cid"))
+        // rerank only the probed cells, exact cosine, top-3
+        val wRank = Window.partitionBy(col("qid"))
+          .orderBy(col("c").desc, col("nid"))
+        assign.select(col("cid"), col("vec_id").as("nid"), col("embedding").as("ne"))
+          .join(broadcast(probe), Seq("cid"))
+          .filter(col("nid") =!= col("qid"))
+          .withColumn("c", VectorFunctions.cosine_sim(col("qe"), col("ne")))
+          .withColumn("rnk", row_number().over(wRank))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rnk"))
+          .orderBy(col("qid"), col("rnk"))
+      })
+  )
+}

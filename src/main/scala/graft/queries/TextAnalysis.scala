@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.HashExpressions
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table (SURVEY.md §2.12,
+  * Tier C: token counting, quality scoring, language-ID, fingerprinting).
+  *
+  * Everything except the fingerprint is pure builtin column algebra —
+  * whole-stage codegen, no UDFs, embarrassingly parallel (no shuffle until
+  * the final order), so the per-row cost is the only cost at 100 TB and the
+  * DuckDB oracle can mirror each expression exactly.
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Tokens-by-whitespace column (shared by several queries). */
+  private def toks: Column = split(col("text"), " ")
+
+  // Shared stopword list — keep in lockstep with the SQL literals below.
+  private val Stopwords = Seq("the", "a", "of", "and", "in")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Token counting: whitespace tokens plus a BPE-ish regex tokenizer
+    // (letter runs / digit runs / single punctuation marks) — the standard
+    // pre-tokenization shape for LLM corpus accounting.
+    QueryDef(
+      "q50_token_stats",
+      Some("""SELECT doc_id,
+        len(string_split(text, ' ')) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe_tokens,
+        length(text) AS n_chars,
+        CAST(round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE)
+          AS chars_per_token
+        FROM documents ORDER BY doc_id"""),
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          size(toks).as("ws_tokens"),
+          size(regexp_extract_all(col("text"),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars"),
+          round(length(col("text")) * 1.0 / size(toks), 4).as("chars_per_token"))
+          .orderBy(col("doc_id"))),
+
+    // Quality scoring: length / stopword-ratio / mean-word-length /
+    // repetition signals, composed into one score. A row-local filter like
+    // this is the first stage of every corpus-cleaning pipeline: it prunes
+    // before any shuffle happens.
+    QueryDef(
+      "q51_quality_score",
+      Some("""WITH f AS (
+        SELECT doc_id,
+          length(text) AS n_chars,
+          len(string_split(text, ' ')) AS n_toks,
+          len(list_filter(string_split(text, ' '),
+              t -> list_contains(['the','a','of','and','in'], t))) AS n_stop,
+          len(list_distinct(string_split(text, ' '))) AS n_uniq
+        FROM documents)
+        SELECT doc_id, n_chars, n_toks,
+          CAST(round(n_stop * 1.0 / n_toks, 4) AS DOUBLE) AS stop_ratio,
+          CAST(round(n_uniq * 1.0 / n_toks, 4) AS DOUBLE) AS uniq_ratio,
+          CAST(round(
+            0.4 * CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
+            + 0.3 * least(n_stop * 5.0 / n_toks, 1.0)
+            + 0.3 * (n_uniq * 1.0 / n_toks), 4) AS DOUBLE) AS quality
+        FROM f ORDER BY doc_id"""),
+      (s, dir) => {
+        val nToks = size(toks)
+        val nStop = size(filter(toks,
+          t => array_contains(array(Stopwords.map(lit): _*), t)))
+        val nUniq = size(array_distinct(toks))
+        val nChars = length(col("text"))
+        docs(s, dir).select(
+          col("doc_id"),
+          nChars.cast("long").as("n_chars"),
+          nToks.cast("long").as("n_toks"),
+          round(nStop * 1.0 / nToks, 4).as("stop_ratio"),
+          round(nUniq * 1.0 / nToks, 4).as("uniq_ratio"),
+          round(
+            lit(0.4) * when(nChars.between(100, 5000), 1.0).otherwise(0.0)
+              + lit(0.3) * least(nStop * 5.0 / nToks, lit(1.0))
+              + lit(0.3) * (nUniq * 1.0 / nToks), 4).as("quality"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // Language-ID: marker-stopword n-gram heuristic — score each candidate
+    // language by marker-token hits over the token set, argmax with a fixed
+    // precedence order. Row-local; the scoring table is plan-time constant.
+    QueryDef(
+      "q52_lang_id",
+      Some("""WITH sc AS (
+        SELECT doc_id, lang,
+          len(list_filter(string_split(text,' '),
+              t -> list_contains(['the','a','of','and','in'], t))) AS s_en,
+          len(list_filter(string_split(text,' '),
+              t -> list_contains(['der','die','und','ist','das'], t))) AS s_de,
+          len(list_filter(string_split(text,' '),
+              t -> list_contains(['le','la','et','les','des'], t))) AS s_fr
+        FROM documents)
+        SELECT doc_id, lang AS labeled_lang,
+          CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+               WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred_lang,
+          CAST(greatest(s_en, s_de, s_fr) AS BIGINT) AS marker_hits
+        FROM sc ORDER BY doc_id"""),
+      (s, dir) => {
+        def hits(markers: Seq[String]): Column = size(filter(toks,
+          t => array_contains(array(markers.map(lit): _*), t)))
+        val sEn = hits(Stopwords)
+        val sDe = hits(Seq("der", "die", "und", "ist", "das"))
+        val sFr = hits(Seq("le", "la", "et", "les", "des"))
+        docs(s, dir).select(
+          col("doc_id"),
+          col("lang").as("labeled_lang"),
+          when(sEn >= sDe && sEn >= sFr, "en")
+            .when(sDe >= sFr, "de").otherwise("fr").as("pred_lang"),
+          greatest(sEn, sDe, sFr).cast("long").as("marker_hits"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // Document fingerprinting: rolling-hash content identity (custom
+    // Catalyst expression graft.functions.Fingerprint64Expr). The hash
+    // algorithm isn't expressible in DuckDB SQL, so the oracle check is
+    // rows-only; the algebraic properties are unit-tested in
+    // HashVectorSpec, and q60 covers SQL-checkable exact dedup via sha256.
+    QueryDef(
+      "q53_fingerprint",
+      None,
+      (s, dir) =>
+        docs(s, dir).select(
+          col("doc_id"),
+          HashExpressions.fingerprint64(col("text")).as("fp"),
+          HashExpressions.simhash64(toks).as("simhash"))
+          .orderBy(col("doc_id")))
+  )
+}
