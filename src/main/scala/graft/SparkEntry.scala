@@ -17,7 +17,7 @@ object SparkEntry {
     Aggregates.all ++ Joins.all ++ Windows.all ++ SetOps.all ++
       Scalars.all ++ EventsQueries.all ++ FormatQueries.all ++
       TextAnalysis.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,48 @@
+package graft.queries
+
+import graft.streaming.StreamPipelines
+
+/** Oracle-paired entries for the Structured Streaming pipelines
+  * (SURVEY.md §2.10). Each runs a REAL incremental streaming execution
+  * (file source → watermark → stateful op → memory sink, one-shot
+  * AvailableNow trigger); the oracle states the batch-equivalent semantics
+  * the stream must converge to after draining its input.
+  */
+object StreamingQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Streaming twin of q41_event_windows: watermarked tumbling windows.
+    QueryDef(
+      "q80_stream_tumbling",
+      Some("""SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d,
+        CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+        event_type, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2) AS total_value
+        FROM events GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
+      (s, dir) => StreamPipelines.tumblingWindows(s, dir)),
+
+    // Streaming exact dedup on event_id, then per-type distinct counts.
+    QueryDef(
+      "q81_stream_dedup",
+      Some("""SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => StreamPipelines.streamDedup(s, dir)),
+
+    // Streaming sessionization (session_window, 30-min gap) — same session
+    // semantics as the batch lag-based q40_sessionize oracle.
+    QueryDef(
+      "q82_stream_sessionize",
+      Some("""WITH g AS (
+        SELECT user_id, event_id,
+          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                    > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS new_sess
+        FROM events)
+        SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM g GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => StreamPipelines.sessionWindows(s, dir))
+  )
+}

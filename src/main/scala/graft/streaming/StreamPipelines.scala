@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming pipelines over the events table (SURVEY.md §2.10).
+  *
+  * The reference's entire identity is a streaming source feeding a batch
+  * sink (`MapRStreamingSource.java:70-94` → `MapRDBJSONSink.java`); its
+  * DStream micro-batch semantics map to Structured Streaming micro-batches.
+  * Kafka itself isn't reachable in the offline sandbox, so the parquet file
+  * source stands in: same unbounded-table model, same incremental execution,
+  * different connector (`readStream.format("kafka")` swaps in 1:1 — see
+  * [[graft.sources.Tables]] scaladoc for the option mapping).
+  *
+  * Each pipeline runs with `Trigger.AvailableNow` into a named memory sink
+  * and returns the sink table: a real incremental streaming execution whose
+  * final result is deterministically comparable to a batch DuckDB oracle —
+  * that is how the driver's correctness gate covers streaming semantics.
+  *
+  * Scale notes: event-time windowed aggregation shuffles by (window, key)
+  * with map-side partial aggregation; watermarks bound state. On a real
+  * cluster the same code runs with a durable checkpointLocation and RocksDB
+  * state store for state larger than executor memory.
+  */
+object StreamPipelines {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Streaming view of events.parquet (schema from a batch peek — the file
+    * source requires a declared schema, reference parity S4: declared
+    * schemas, `MapRStreamConfig.java:81-87`). */
+  private def eventsStream(s: SparkSession, sfDir: String): DataFrame = {
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
+    s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      // ts arrives as long nanos (TIMESTAMP(NANOS) parquet), normalize to µs
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  }
+
+  /** Run a one-shot (AvailableNow) streaming query into a memory sink and
+    * return the materialized result. */
+  private def runToMemory(s: SparkSession, df: DataFrame,
+      mode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Tumbling 1-hour event-time windows by event type, with a watermark
+    * bounding state. Batch-oracle-equivalent because AvailableNow drains
+    * the full input before the final state flush. */
+  def tumblingWindows(s: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(s, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(30,8)")).as("dec_total"))
+    runToMemory(s, agg, "complete")
+      .select(
+        dayofmonth(col("window.start")).as("d"),
+        hour(col("window.start")).as("h"),
+        col("event_type"), col("n"),
+        round(col("dec_total").cast("double"), 2).as("total_value"))
+      .orderBy(col("d"), col("h"), col("event_type"))
+  }
+
+  /** Streaming exact dedup on event_id (at-least-once source → exactly-once
+    * result, the reference's W1 `_id`-idempotence story, SURVEY.md §2.10)
+    * followed by a windowless aggregation. */
+  def streamDedup(s: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(s, sfDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"))
+    runToMemory(s, agg, "complete")
+      .orderBy(col("event_type"))
+  }
+
+  /** Event-time sessionization: session_window with a 30-minute inactivity
+    * gap per user — the streaming twin of batch q40_sessionize, and the
+    * oracle IS q40's lag-based SQL (identical session semantics). */
+  def sessionWindows(s: SparkSession, sfDir: String): DataFrame = {
+    val sess = eventsStream(s, sfDir)
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_in_session"))
+    runToMemory(s, sess, "complete")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_sessions"),
+        sum(col("n_in_session")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+}
