@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.{VectorAggregates, VectorFunctions}
 import graft.sources.Tables
 
 /** Similarity search over `embeddings.embedding: array<float>` (SURVEY.md
@@ -117,6 +117,26 @@ object SimilarityQueries {
           .filter(col("rnk") <= 3)
           .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rnk"))
           .orderBy(col("qid"), col("rnk"))
-      })
+      }),
+
+    // Per-label centroids via the typed Aggregator UDAF (SURVEY.md §2.11):
+    // partial aggregation means the shuffle carries one (sums, count)
+    // buffer per group per partition — the distributed k-means step that
+    // produces real IVF centroids at scale. Long format (label, dim, mean)
+    // so the oracle compare stays flat.
+    QueryDef(
+      "q56_vector_centroids",
+      Some("""SELECT label, i AS dim,
+          CAST(round(avg(embedding[i]), 4) AS DOUBLE) AS mean_val
+        FROM embeddings, generate_series(1, 64) AS g(i)
+        GROUP BY label, i ORDER BY label, dim"""),
+      (s, dir) =>
+        emb(s, dir)
+          .groupBy(col("label"))
+          .agg(VectorAggregates.vector_mean(col("embedding")).as("c"))
+          .select(col("label"), posexplode(col("c")).as(Seq("pos", "m")))
+          .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+            round(col("m"), 4).as("mean_val"))
+          .orderBy(col("label"), col("dim")))
   )
 }
