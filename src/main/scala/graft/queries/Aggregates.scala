@@ -163,6 +163,66 @@ object Aggregates {
             round(max(col("l_extendedprice")), 2).as("max_price"),
             round(dsumRaw(col("l_extendedprice")) / count(lit(1)), 2).as("avg_price"),
             count(lit(1)).as("n"))
-          .orderBy(col("l_returnflag")))
+          .orderBy(col("l_returnflag"))),
+
+    // Pivot: long → wide on a low-cardinality key. Spark's pivot plans as
+    // one hash aggregation with conditional partials (no per-column passes);
+    // the oracle states the same thing as explicit FILTERed aggregates.
+    QueryDef(
+      "q09_pivot",
+      Some("""SELECT n_name,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 2) AS p1_urgent,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE), 2) AS p2_high,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE), 2) AS p3_medium
+        FROM orders
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name ORDER BY n_name"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("n_nationkey") === col("c_nationkey"))
+          .groupBy(col("n_name"))
+          .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM"))
+          .agg(dsum(col("o_totalprice")))
+          .withColumnRenamed("1-URGENT", "p1_urgent")
+          .withColumnRenamed("2-HIGH", "p2_high")
+          .withColumnRenamed("3-MEDIUM", "p3_medium")
+          .orderBy(col("n_name"))),
+
+    // Ordered string aggregation: collect_list is unordered by contract, so
+    // sort the array before joining — deterministic on any partitioning
+    // (matches the oracle's ORDER BY inside string_agg).
+    QueryDef(
+      "q0a_string_agg",
+      Some("""SELECT c_mktsegment,
+        string_agg(DISTINCT c_nationkey::VARCHAR, ',' ORDER BY c_nationkey::VARCHAR) AS nations
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy(col("c_mktsegment"))
+          .agg(array_join(array_sort(collect_set(col("c_nationkey").cast("string"))), ",")
+            .as("nations"))
+          .orderBy(col("c_mktsegment"))),
+
+    // Exact percentiles (continuous interpolation — Spark `percentile` and
+    // DuckDB `quantile_cont` share the definition). At 100 TB the approx
+    // variant (q07's HLL cousin `percentile_approx`) replaces this; exact
+    // percentile is the correctness anchor.
+    QueryDef(
+      "q0b_percentiles",
+      Some("""SELECT o_orderpriority,
+        ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+            round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+            round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
+          .orderBy(col("o_orderpriority")))
   )
 }
