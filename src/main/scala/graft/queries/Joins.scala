@@ -194,6 +194,32 @@ object Joins {
           .filter(col("p_id").isNotNull)
           .select(col("p_id").as("event_id"), col("last_click").as("click_id"))
           .orderBy(col("event_id"))
+      }),
+
+    // Salted skew join: the manual skew-mitigation pattern for when AQE
+    // can't help (hot key known, both sides too big to broadcast). The
+    // probe side gets a deterministic salt from a unique column; the build
+    // side is replicated across all salts; the join key becomes
+    // (key, salt), spreading each hot key over S partitions. Result is
+    // provably identical to the plain join — which is exactly what the
+    // oracle states.
+    QueryDef(
+      "q19_join_salted",
+      Some("""SELECT p_brand, COUNT(*) AS n,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand"""),
+      (s, dir) => {
+        val S = 8
+        val li = t(s, dir, "lineitem").withColumn("salt",
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(S)).cast("int"))
+        val part = t(s, dir, "part")
+          .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+        li.join(part,
+            li("l_partkey") === part("p_partkey") && li("salt") === part("salt"))
+          .groupBy(col("p_brand"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("p_brand"))
       })
   )
 }
