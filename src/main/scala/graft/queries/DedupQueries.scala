@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{HashExpressions, TextExpressions, VectorFunctions}
+import graft.operators.ConnectedComponents
 import graft.sources.Tables
 
 /** Deduplication operators over `documents` / `embeddings` (SURVEY.md
@@ -48,10 +49,10 @@ object DedupQueries {
          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
               || ' ' || string_split(text,' ')[i+2]))"""
 
-  /** Exact all-pairs shingle-Jaccard ≥ 0.7 via inverted index, with a
-    * doc-frequency cap of 200 on posting lists — oracle for q61 AND q62. */
-  private val exactJaccardSql =
-    s"""WITH d0 AS (
+  /** CTE body computing all pairs with shingle-Jaccard ≥ 0.7 via inverted
+    * index (DF cap 200 on posting lists) — shared by q61/q62/q6a oracles. */
+  private val jaccardPairsCte =
+    s"""d0 AS (
          SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
        df AS (SELECT sh FROM d0 GROUP BY sh HAVING count(*) <= 200),
        d AS (SELECT d0.doc_id, d0.sh FROM d0 JOIN df ON d0.sh = df.sh),
@@ -59,14 +60,19 @@ object DedupQueries {
        pair AS (
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
          FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         GROUP BY 1, 2)
-       SELECT id_a, id_b,
-         CAST(round(inter * 1.0 / (sa.n + sb.n - inter), 4) AS DOUBLE) AS jac
-       FROM pair
-       JOIN sz sa ON sa.doc_id = id_a
-       JOIN sz sb ON sb.doc_id = id_b
-       WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7
-       ORDER BY id_a, id_b"""
+         GROUP BY 1, 2),
+       jp AS (
+         SELECT id_a, id_b, inter * 1.0 / (sa.n + sb.n - inter) AS jac
+         FROM pair
+         JOIN sz sa ON sa.doc_id = id_a
+         JOIN sz sb ON sb.doc_id = id_b
+         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7)"""
+
+  /** Exact all-pairs shingle-Jaccard ≥ 0.7 — oracle for q61 AND q62. */
+  private val exactJaccardSql =
+    s"""WITH $jaccardPairsCte
+       SELECT id_a, id_b, CAST(round(jac, 4) AS DOUBLE) AS jac
+       FROM jp ORDER BY id_a, id_b"""
 
   /** Spark side of the exact inverted-index Jaccard join (shared q61/q62
     * verification): posting lists capped at DF ≤ 200 like the oracle.
@@ -78,7 +84,7 @@ object DedupQueries {
     * self-join re-shuffles the full posting table twice and its hot keys
     * square; here the cap turns the same quadratic into a bounded constant
     * per group. */
-  private def exactJaccardPairs(d: DataFrame): DataFrame = {
+  private[queries] def jaccardPairsRaw(d: DataFrame): DataFrame = {
     val posting = d.select(col("doc_id"), explode(col("sh")).as("sh"))
     val lists = posting.groupBy("sh")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
@@ -94,9 +100,13 @@ object DedupQueries {
       .join(sz.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
       .withColumn("jac", col("inter") * 1.0 / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= 0.7)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  private def exactJaccardPairs(d: DataFrame): DataFrame =
+    jaccardPairsRaw(d)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
       .orderBy(col("id_a"), col("id_b"))
-  }
 
   val all: Seq[QueryDef] = Seq(
 
@@ -179,6 +189,30 @@ object DedupQueries {
           .distinct()
           .filter(col("hamming") <= 3)
           .orderBy(col("id_a"), col("id_b"))
+      }),
+
+    // Near-dup cluster formation: connected components over the Jaccard
+    // pair graph (iterative min-label propagation — see
+    // graft.operators.ConnectedComponents). The oracle replays the
+    // clustering as a recursive-CTE transitive closure. Output: every
+    // clustered doc with its cluster representative (min reachable id).
+    QueryDef(
+      "q6a_dedup_clusters",
+      Some(s"""WITH RECURSIVE $jaccardPairsCte,
+          sym AS (SELECT id_a AS a, id_b AS b FROM jp
+                  UNION ALL SELECT id_b, id_a FROM jp),
+          reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+          SELECT a AS doc_id, min(b) AS component
+          FROM reach GROUP BY a ORDER BY doc_id"""),
+      (s, dir) => {
+        val pairs = jaccardPairsRaw(withShingles(docs(s, dir)))
+          .select(col("id_a"), col("id_b"))
+        ConnectedComponents.run(pairs)
+          .select(col("node").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
       }),
 
     // Embedding-cosine near-dup, brute-force all-pairs ≥ 0.45 (the data's
