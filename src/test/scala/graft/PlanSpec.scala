@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, CartesianProductExec}
+
+/** Plan-quality gates (the 100 TB contract, SURVEY.md §4): these assert the
+  * SHAPE of the physical plans — pushdown reaching the scan, broadcasts
+  * where a dimension is small, shuffle counts bounded, no accidental
+  * cartesian products — so a regression that silently de-optimizes a
+  * pipeline fails CI even while results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    df.queryExecution.executedPlan
+  }
+
+  /** Flatten an (adaptive) plan: unwrap AQE roots, materialized query
+    * stages, and reused exchanges — their subplans aren't `children`. */
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)
+    case qs: QueryStageExec => qs +: collectAll(qs.plan)
+    case r: ReusedExchangeExec => r +: collectAll(r.child)
+    case other =>
+      other +: (other.children.flatMap(collectAll) ++
+        other.subqueries.flatMap(collectAll))
+  }
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, dir)
+
+  test("filter + projection push into the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_orderkey") === 42L)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val scan = executed(df).toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"),
+      s"missing pushed filter:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning failed:\n$scan")
+  }
+
+  test("dimension joins broadcast (q10 customer side)") {
+    val plans = collectAll(executed(q("q10_join_inner")))
+    assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "q10 should broadcast the customer dimension")
+  }
+
+  test("no accidental cartesian products anywhere in the suite's plans") {
+    // equi-join extraction must succeed for every query that has a join;
+    // the two brute-force similarity queries legitimately cross-join a
+    // broadcast side (BroadcastNestedLoop), never CartesianProduct.
+    for (name <- SparkEntry.queries.keys.toSeq.sorted
+         if !name.startsWith("q8")) { // streaming queries run real streams
+      val plans = collectAll(executed(q(name)))
+      assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+        s"$name plans a CartesianProduct")
+    }
+  }
+
+  test("partial aggregation: single-agg query has exactly one shuffle before the sort") {
+    val plans = collectAll(executed(q("q01_pricing_summary")))
+    val shuffles = plans.count(_.isInstanceOf[ShuffleExchangeExec])
+    // one for groupBy, one for the final orderBy range partitioning
+    assert(shuffles <= 2, s"q01 has $shuffles shuffles, expected <= 2")
+  }
+
+  test("LSH dedup: no document payloads cross any exchange") {
+    // the scale invariant: exchanges carry ids/sketches/buckets, never the
+    // raw text (at sf0.001 AQE broadcasts the bucket join — also payload-free)
+    val plans = collectAll(executed(q("q62_minhash_lsh_dedup")))
+    val exchanged = plans.collect {
+      case s: ShuffleExchangeExec => s.child.schema.fieldNames.toSeq
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        b.child.schema.fieldNames.toSeq
+    }
+    assert(exchanged.nonEmpty)
+    assert(!exchanged.exists(_.contains("text")),
+      s"raw document text crossed an exchange: $exchanged")
+  }
+}
