@@ -81,12 +81,19 @@ case class AvroDecodeExpr(child: Expression, schemaJson: String)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
-    val rec = reader.read(null, decoder)
-    val st = dataType
-    InternalRow.fromSeq(st.fields.toSeq.map { f =>
-      AvroExpressions.toCatalyst(rec.get(f.name), f.dataType)
-    })
+    // PERMISSIVE like from_csv/from_json: a truncated or corrupt payload
+    // yields null instead of killing the task — at 100 TB a poison record
+    // must never fail the job
+    try {
+      decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
+      val rec = reader.read(null, decoder)
+      val st = dataType
+      InternalRow.fromSeq(st.fields.toSeq.map { f =>
+        AvroExpressions.toCatalyst(rec.get(f.name), f.dataType)
+      })
+    } catch {
+      case scala.util.control.NonFatal(_) | _: java.io.EOFException => null
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): AvroDecodeExpr =
