@@ -71,6 +71,12 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"q01 has $shuffles shuffles, expected <= 2")
   }
 
+  test("top-k per group plans WindowGroupLimit (partial top-k before shuffle)") {
+    val plans = collectAll(executed(q("q24_topk_per_group")))
+    assert(plans.exists(_.getClass.getSimpleName.contains("WindowGroupLimit")),
+      "q24 should push a group-limit below the window sort")
+  }
+
   test("LSH dedup: no document payloads cross any exchange") {
     // the scale invariant: exchanges carry ids/sketches/buckets, never the
     // raw text (at sf0.001 AQE broadcasts the bucket join — also payload-free)

@@ -39,6 +39,27 @@ class StreamSourceSpec extends SparkSpec {
     }
   }
 
+  test("decode stack is streaming-safe: csv decode on a MemoryStream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.formats.Decoders
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[String]
+    val raw = in.toDF().selectExpr("cast(value as binary) as value")
+    val decoded = Decoders.decode(raw, "value", Some("csv"),
+      Some("""{"type":"record","name":"r","fields":[
+        {"name":"k","type":"string"},{"name":"v","type":"int"}]}"""))
+    val q = decoded.writeStream.format("memory").queryName("dec_stream")
+      .outputMode("append").start()
+    try {
+      in.addData("a,1", "b,2")
+      q.processAllAvailable()
+      val rows = spark.table("dec_stream").orderBy("k").collect()
+      assert(rows.map(r => (r.getString(0), r.getInt(1))).toSeq ==
+        Seq(("a", 1), ("b", 2)))
+    } finally q.stop()
+  }
+
   test("register + listener: lineage records which datasets a query read (S5)") {
     val log = Lineage.installListener(spark)
     val df = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
