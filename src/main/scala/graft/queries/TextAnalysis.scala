@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashExpressions
 import graft.sources.Tables
@@ -121,6 +122,43 @@ object TextAnalysis {
             .when(sDe >= sFr, "de").otherwise("fr").as("pred_lang"),
           greatest(sEn, sDe, sFr).cast("long").as("marker_hits"))
           .orderBy(col("doc_id"))
+      }),
+
+    // TF-IDF: corpus-level term weighting — tf (per doc) × ln(N/df)
+    // (corpus), top-3 terms per doc. Two aggregations: the tf groupBy
+    // shuffles (doc_id, term) pairs; the df table is tiny (vocabulary) and
+    // broadcast back. At 100 TB df/N are corpus statistics computed once
+    // and reused across queries.
+    QueryDef(
+      "q54_tfidf",
+      Some("""WITH tok AS (
+          SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+        dfr AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM documents),
+        scored AS (
+          SELECT doc_id, w, tf * ln((SELECT n FROM n) * 1.0 / df) AS score
+          FROM tf JOIN dfr USING (w)),
+        r AS (SELECT doc_id, w, score,
+                row_number() OVER (PARTITION BY doc_id
+                  ORDER BY score DESC, w) AS rnk
+              FROM scored)
+        SELECT doc_id, w AS term, CAST(round(score, 4) AS DOUBLE) AS tfidf, rnk
+        FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
+      (s, dir) => {
+        val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("w"))
+        val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        val dfr = tok.groupBy(col("w"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs(s, dir).count().toDouble
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+        tf.join(broadcast(dfr), "w")
+          .withColumn("score", col("tf") * log(lit(n) / col("df")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("w").as("term"),
+            round(col("score"), 4).as("tfidf"), col("rnk"))
+          .orderBy(col("doc_id"), col("rnk"))
       }),
 
     // Document fingerprinting: rolling-hash content identity (custom
