@@ -138,5 +138,33 @@ object SimilarityQueries {
           .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
             round(col("m"), 4).as("mean_val"))
           .orderBy(col("label"), col("dim")))
+,
+    // Symmetric int8 quantization of embeddings (the storage/compute
+    // format for large-scale ANN): per-vector scale = 127/max|x|, quantize
+    // with round, measure the round-trip error. Row-local column algebra —
+    // scan-bandwidth-bound at 100 TB; the oracle replays the arithmetic.
+    QueryDef(
+      "q57_vector_quantize",
+      Some("""WITH s AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+            127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
+          FROM embeddings)
+        SELECT vec_id,
+          CAST(round(scale, 4) AS DOUBLE) AS scale_r,
+          CAST(round(list_max(list_transform(e,
+            x -> abs(x - round(x * scale) / scale))), 6) AS DOUBLE) AS max_err
+        FROM s ORDER BY vec_id"""),
+      (s, dir) => {
+        val withScale = emb(s, dir).select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e"))
+          .withColumn("scale",
+            lit(127.0) / array_max(transform(col("e"), x => abs(x))))
+        withScale.select(
+          col("vec_id"),
+          round(col("scale"), 4).as("scale_r"),
+          round(array_max(transform(col("e"),
+            x => abs(x - round(x * col("scale")) / col("scale")))), 6).as("max_err"))
+          .orderBy(col("vec_id"))
+      })
   )
 }
