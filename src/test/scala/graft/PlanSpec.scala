@@ -77,6 +77,31 @@ class PlanSpec extends SparkSpec {
       "q24 should push a group-limit below the window sort")
   }
 
+  test("bucketed tables co-locate: fact-fact join plans with zero shuffles") {
+    import org.apache.spark.sql.functions.col
+    // bucketBy co-partitions both sides on the join key at write time —
+    // the repeated-join answer at 100 TB: pay the shuffle once, reuse forever
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    spark.read.parquet(s"$dir/orders.parquet")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("orders_b")
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("lineitem_b")
+    val joined = spark.table("orders_b")
+      .join(spark.table("lineitem_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(org.apache.spark.sql.functions.count(col("*")).as("n"))
+    val plans = collectAll(executed(joined))
+    val shufflesBeforeAgg = plans.count(_.isInstanceOf[ShuffleExchangeExec])
+    // only the tiny 5-group aggregation may shuffle — the join itself must not
+    assert(shufflesBeforeAgg <= 1,
+      s"bucketed join shuffled ($shufflesBeforeAgg exchanges)")
+    assert(joined.collect().map(_.getLong(1)).sum > 0)
+  }
+
   test("LSH dedup: no document payloads cross any exchange") {
     // the scale invariant: exchanges carry ids/sketches/buckets, never the
     // raw text (at sf0.001 AQE broadcasts the bucket join — also payload-free)
