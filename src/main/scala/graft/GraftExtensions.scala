@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom physical operator: native as-of join (SURVEY.md §2.4)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+
     def reg(name: String, usage: String, builder: FunctionBuilder): Unit =
       ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
 

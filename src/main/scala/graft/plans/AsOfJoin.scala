@@ -1,0 +1,153 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder,
+  UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graft.bridge
+
+/** Native as-of join — the one relational operator in the engine's surface
+  * that Spark's built-ins genuinely can't express as a single operator
+  * (SURVEY.md §2.4: the declarative fallback is the union + running-`last`
+  * window trick, implemented as q18). This is the full custom-operator
+  * stack from the build rules: LogicalPlan node → Strategy → SparkPlan,
+  * activated through [[graft.GraftExtensions]] (`injectPlannerStrategy`).
+  *
+  * Semantics (backward as-of, left outer): for each left row, the right
+  * row with the same key and the greatest time ≤ left time; unmatched left
+  * rows keep nulls on the right — exactly DuckDB's
+  * `ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts`, which is the
+  * oracle.
+  *
+  * Scale: requiredChildDistribution/Ordering let EnsureRequirements plan
+  * ONE hash shuffle per side on the key plus a per-partition sort — after
+  * which the merge is a single forward pass with O(1) state (current right
+  * row per key). Equivalent work to a sort-merge join; no window state, no
+  * union blow-up, and AQE still handles the exchanges.
+  */
+case class AsOfJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Planner strategy turning the logical node into the physical merge. */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // one shuffle per side on the equi keys…
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // …then sort within partitions by (key, time) so the merge is one pass
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val keyTypes = lKeys.map(_.dataType)
+    val timeType = lTime.dataType
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+      val lTimeEval = UnsafeProjection.create(Seq(lTime), leftOut)
+      val rTimeEval = UnsafeProjection.create(Seq(rTime), rightOut)
+      val keyOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(keyTypes)
+      val timeOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .createNaturalAscendingOrdering(Seq(timeType))
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val outProj = UnsafeProjection.create(output, leftOut ++ rightOut)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+
+      // current candidate: last right row seen with key == matchKey
+      var matchKey: InternalRow = null
+      var matchRow: InternalRow = null
+
+      lIter.map { lRow =>
+        val lk = lKeyProj(lRow).copy()
+        val lt = lTimeEval(lRow).copy()
+        // advance the right side while its (key, time) ≤ (lk, lt)
+        var advancing = true
+        while (advancing && rBuf.hasNext) {
+          val head = rBuf.head
+          val hk = rKeyProj(head)
+          val kc = keyOrd.compare(hk, lk)
+          if (kc < 0) {
+            rBuf.next() // behind on key: discard, reset any stale match
+          } else if (kc == 0 && timeOrd.compare(rTimeEval(head), lt) <= 0) {
+            matchKey = hk.copy()
+            matchRow = rBuf.next().copy()
+          } else {
+            advancing = false
+          }
+        }
+        val matched = matchRow != null && matchKey != null &&
+          keyOrd.compare(matchKey.asInstanceOf[InternalRow], lk) == 0
+        outProj(joined(lRow, if (matched) matchRow else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API: backward as-of left join. */
+object AsOfJoinOps {
+  def asofJoin(spark: SparkSession, l: DataFrame, r: DataFrame,
+      lKey: String, rKey: String, lTime: String, rTime: String): DataFrame = {
+    val lPlan = bridge.logicalPlan(l)
+    val rPlan = bridge.logicalPlan(r)
+    def resolve(p: LogicalPlan, n: String): Expression =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found"))
+    bridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
+      Seq(resolve(lPlan, lKey)), Seq(resolve(rPlan, rKey)),
+      resolve(lPlan, lTime), resolve(rPlan, rTime)))
+  }
+}

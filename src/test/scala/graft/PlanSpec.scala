@@ -83,6 +83,16 @@ class PlanSpec extends SparkSpec {
     // the repeated-join answer at 100 TB: pay the shuffle once, reuse forever
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // dirs persist — remove them so the test is re-runnable
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
     spark.read.parquet(s"$dir/orders.parquet")
       .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .mode("overwrite").saveAsTable("orders_b")
