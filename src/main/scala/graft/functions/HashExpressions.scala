@@ -2,11 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
-import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Sketch/fingerprint expressions for near-duplicate detection at scale
@@ -39,9 +38,26 @@ object HashExpressions {
       s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
 }
 
+
+/** Keeps whole-stage codegen alive around a Scala-implemented expression:
+  * emits a call to this expression's `nullSafeEval` through a reference
+  * object instead of falling back to interpreted mode for the whole stage
+  * (CodegenFallback poisons every sibling expression in the stage).
+  */
+trait RefObjCodegen { self: UnaryExpression =>
+  protected def refObjGenCode(ctx: CodegenContext, ev: ExprCode,
+      javaType: String): ExprCode = {
+    val ref = ctx.addReferenceObj("graftExpr", self)
+    self.nullSafeCodeGen(ctx, ev,
+      c => s"${ev.value} = ($javaType) $ref.nullSafeEval($c);")
+  }
+}
+
 /** array<string> → array<long>: k-permutation MinHash signature. */
 case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefObjCodegen {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    refObjGenCode(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData")
   require(k > 0 && k <= 1024, "k in (0, 1024]")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -79,7 +95,9 @@ case class MinHashSignatureExpr(child: Expression, k: Int, seed: Long)
 
 /** array<string> → long: 64-bit SimHash (sign of per-bit vote sums). */
 case class SimHash64Expr(child: Expression, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefObjCodegen {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    refObjGenCode(ctx, ev, "java.lang.Long")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -111,7 +129,9 @@ case class SimHash64Expr(child: Expression, seed: Long)
 /** string → long: polynomial rolling hash over UTF-8 bytes,
   * base 1000003 mod 2^61-1 (Karp–Rabin style document fingerprint). */
 case class Fingerprint64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefObjCodegen {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    refObjGenCode(ctx, ev, "java.lang.Long")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "fingerprint64"

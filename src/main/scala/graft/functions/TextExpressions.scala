@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types._
@@ -41,7 +41,9 @@ object TextExpressions {
   * form (flatten ∘ transform ∘ transform) interprets the lambda per pair.
   * Input lists are DF-capped upstream, so output is bounded at cap². */
 case class IdPairsExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefObjCodegen {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    refObjGenCode(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData")
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -77,7 +79,9 @@ case class IdPairsExpr(child: Expression)
   * occurrence order. Split semantics = `split(text, " ", -1)` (interior and
   * trailing empty tokens preserved, matching DuckDB `string_split`). */
 case class WordShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with RefObjCodegen {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    refObjGenCode(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData")
   require(n >= 1 && n <= 16, "shingle width in [1,16]")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
