@@ -28,6 +28,10 @@ object GraftSession {
     // default; read as long nanos and normalize in Tables.load.
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+    // one-shot AvailableNow drains don't benefit from aggressive state-store
+    // housekeeping; long maintenance pauses showed up as multi-10s outliers
+    .config("spark.sql.streaming.stateStore.maintenanceInterval", "600s")
+    .config("spark.sql.streaming.minBatchesToRetain", "2")
     .config("spark.sql.ui.explainMode", "formatted")
     .config("spark.ui.enabled", "false")
 
