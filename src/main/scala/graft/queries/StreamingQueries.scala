@@ -52,6 +52,26 @@ object StreamingQueries {
       Some("""SELECT user_id, COUNT(*) AS n_events,
         ROUND(MAX(value), 2) AS max_value
         FROM events GROUP BY user_id ORDER BY user_id"""),
-      (s, dir) => StreamPipelines.statefulUserTotals(s, dir))
+      (s, dir) => StreamPipelines.statefulUserTotals(s, dir)),
+
+    // Stream-static enrichment join (per-micro-batch broadcast dimension).
+    QueryDef(
+      "q84_stream_static_join",
+      Some("""SELECT c_mktsegment, COUNT(*) AS n_events
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+      (s, dir) => StreamPipelines.streamStaticJoin(s, dir)),
+
+    // Watermarked stream-stream interval join (state bounded to the
+    // 1-hour range) — drained result equals the batch interval join.
+    QueryDef(
+      "q85_stream_stream_join",
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        ORDER BY purchase_id, click_id"""),
+      (s, dir) => StreamPipelines.streamStreamJoin(s, dir))
   )
 }

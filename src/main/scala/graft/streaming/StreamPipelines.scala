@@ -123,6 +123,43 @@ object StreamPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** Stream-static join: the streaming fact side joins a static dimension
+    * snapshot — no state, the dimension is broadcast per micro-batch.
+    * The standard enrichment topology at scale. */
+  def streamStaticJoin(s: SparkSession, sfDir: String): DataFrame = {
+    val customers = s.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = eventsStream(s, sfDir)
+      .join(customers, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"))
+    runToMemory(s, joined, "complete")
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Stream-stream interval join: purchases matched to same-user clicks in
+    * the preceding hour. Both sides watermarked; the time-range condition
+    * bounds join state to one hour per key — the canonical watermarked
+    * stream-stream join. Drained result equals the batch interval join. */
+  def streamStreamJoin(s: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(s, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+    runToMemory(s, joined, "append")
+      .select(col("purchase_id"), col("click_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Event-time sessionization: session_window with a 30-minute inactivity
     * gap per user — the streaming twin of batch q40_sessionize, and the
     * oracle IS q40's lag-based SQL (identical session semantics). */
