@@ -99,7 +99,10 @@ case class AsOfJoinExec(
       val timeOrd = org.apache.spark.sql.catalyst.expressions.RowOrdering
         .createNaturalAscendingOrdering(Seq(timeType))
       val nullRight = new GenericInternalRow(rightOut.length)
-      val outProj = UnsafeProjection.create(output, leftOut ++ rightOut)
+      // bind against NULLABLE right attributes: unmatched lefts emit a
+      // null row on the right, so non-nullable binding would read garbage
+      val outProj = UnsafeProjection.create(output,
+        leftOut ++ rightOut.map(_.withNullability(true)))
       val joined = new JoinedRow
       val rBuf = rIter.buffered
 

@@ -60,6 +60,15 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("string keys work through the generic key ordering") {
+    val lt = Seq(("u1", 100L, 1L), ("u2", 100L, 2L)).toDF("k", "t", "id")
+    val rt = Seq(("u1", 90L, 10L), ("u2", 110L, 20L)).toDF("rk", "rt", "rid")
+    val out = AsOfJoinOps.asofJoin(spark, lt, rt, "k", "rk", "t", "rt")
+      .select(col("k"), col("rid")).orderBy(col("k")).collect()
+    assert(out(0) == Row("u1", 10L))
+    assert(out(1) == Row("u2", null))
+  }
+
   test("plan: one shuffle per side, no window or union fallback") {
     val lt = Seq((1L, 100L, "a")).toDF("k", "t", "lv")
     val rt = Seq((1L, 50L, "r")).toDF("rk", "rt", "rv")

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.ConnectedComponents
+
+/** Property: the distributed min-label propagation agrees with a
+  * driver-side union-find on random graphs (including chains longer than
+  * one round of propagation, multiple components, and self-loops).
+  */
+class ConnectedComponentsPropSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private val graphGen: Gen[Seq[(Long, Long)]] = for {
+    nNodes <- Gen.choose(2, 60)
+    nEdges <- Gen.choose(1, 80)
+    edges <- Gen.listOfN(nEdges, for {
+      a <- Gen.choose(0L, nNodes.toLong)
+      b <- Gen.choose(0L, nNodes.toLong)
+    } yield (a, b))
+  } yield edges
+
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    LazyList.iterate(Seed(9L))(_.next).take(n)
+      .flatMap(s => g.apply(Gen.Parameters.default, s)).toList
+
+  test("property: 15 random graphs match driver-side union-find") {
+    for ((edges, i) <- samples(graphGen, 15).zipWithIndex) {
+      val df = edges.toDF("id_a", "id_b")
+      val got = ConnectedComponents.run(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find roots are min-ids too (we union toward the smaller root)
+      val want = unionFind(edges)
+      assert(got == want, s"graph #$i: $edges\n got=$got\nwant=$want")
+    }
+  }
+
+  test("a long chain converges (diameter > a few rounds)") {
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val got = ConnectedComponents.run(chain.toDF("id_a", "id_b")).collect()
+    assert(got.forall(_.getLong(1) == 0L), "all chain nodes label to 0")
+    assert(got.length == 41)
+  }
+}
