@@ -161,6 +161,32 @@ object TextAnalysis {
           .orderBy(col("doc_id"), col("rnk"))
       }),
 
+    // Deterministic stratified sampling: a balanced n-per-language subset
+    // chosen by a shared integer hash (Knuth multiplicative) so the same
+    // sample falls out on any engine, any partitioning, any run — the
+    // reproducible-corpus-subset primitive of training-data curation.
+    // One shuffle (the per-stratum window); at scale the same pattern
+    // runs as a window over (stratum, hash) with WindowGroupLimit pushdown.
+    QueryDef(
+      "q55_stratified_sample",
+      Some("""WITH h AS (
+          SELECT doc_id, lang,
+            (doc_id * 2654435761) % 4294967296 AS hkey
+          FROM documents),
+        r AS (SELECT doc_id, lang, hkey,
+                row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rnk
+              FROM h)
+        SELECT lang, doc_id, rnk FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
+        docs(s, dir)
+          .withColumn("hkey", (col("doc_id") * 2654435761L) % 4294967296L)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("lang"), col("doc_id"), col("rnk"))
+          .orderBy(col("lang"), col("rnk"))
+      }),
+
     // Document fingerprinting: rolling-hash content identity (custom
     // Catalyst expression graft.functions.Fingerprint64Expr). The hash
     // algorithm isn't expressible in DuckDB SQL, so the oracle check is
