@@ -139,6 +139,44 @@ object SimilarityQueries {
             round(col("m"), 4).as("mean_val"))
           .orderBy(col("label"), col("dim")))
 ,
+    // One Lloyd (k-means) iteration: assign every vector to its nearest
+    // seed centroid, then recompute centroids as the elementwise mean of
+    // each cell — vector_mean's real job. This is the centroid-refinement
+    // step a production IVF index runs a handful of times at build time;
+    // one broadcast pass + one partial-aggregated shuffle per iteration.
+    QueryDef(
+      "q58_kmeans_step",
+      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid) AS rn
+              FROM embeddings e, cent c),
+        a AS (SELECT vec_id, embedding, cid FROM a0 WHERE rn = 1)
+        SELECT cid, i AS dim,
+          CAST(round(avg(embedding[i]), 4) AS DOUBLE) AS c_mean,
+          count(*) AS n_members
+        FROM a, generate_series(1, 64) AS g(i)
+        GROUP BY cid, i ORDER BY cid, dim"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cent = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val wAssign = Window.partitionBy(col("vec_id"))
+          .orderBy(col("cc").desc, col("cid"))
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("cc", VectorFunctions.cosine_sim(col("embedding"), col("ce")))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("embedding"), col("cid"))
+        assign.groupBy(col("cid"))
+          .agg(VectorAggregates.vector_mean(col("embedding")).as("c"),
+            count(lit(1)).as("n_members"))
+          .select(col("cid"), posexplode(col("c")).as(Seq("pos", "m")), col("n_members"))
+          .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
+            round(col("m"), 4).as("c_mean"), col("n_members"))
+          .orderBy(col("cid"), col("dim"))
+      }),
+
     // Symmetric int8 quantization of embeddings (the storage/compute
     // format for large-scale ANN): per-vector scale = 127/max|x|, quantize
     // with round, measure the round-trip error. Row-local column algebra —
