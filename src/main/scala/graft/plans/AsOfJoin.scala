@@ -37,7 +37,8 @@ case class AsOfJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    toleranceNs: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -50,8 +51,8 @@ case class AsOfJoin(
 /** Planner strategy turning the logical node into the physical merge. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -62,7 +63,11 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    toleranceNs: Option[Long] = None) extends BinaryExecNode {
+  require(toleranceNs.isEmpty ||
+    leftTime.dataType == org.apache.spark.sql.types.LongType,
+    "tolerance requires long-typed time columns")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -106,9 +111,11 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val rBuf = rIter.buffered
 
+      val tol = toleranceNs
       // current candidate: last right row seen with key == matchKey
       var matchKey: InternalRow = null
       var matchRow: InternalRow = null
+      var matchTime: Long = Long.MinValue
 
       lIter.map { lRow =>
         val lk = lKeyProj(lRow).copy()
@@ -123,13 +130,15 @@ case class AsOfJoinExec(
             rBuf.next() // behind on key: discard, reset any stale match
           } else if (kc == 0 && timeOrd.compare(rTimeEval(head), lt) <= 0) {
             matchKey = hk.copy()
+            if (tol.isDefined) matchTime = rTimeEval(head).getLong(0)
             matchRow = rBuf.next().copy()
           } else {
             advancing = false
           }
         }
         val matched = matchRow != null && matchKey != null &&
-          keyOrd.compare(matchKey.asInstanceOf[InternalRow], lk) == 0
+          keyOrd.compare(matchKey.asInstanceOf[InternalRow], lk) == 0 &&
+          tol.forall(t => lt.getLong(0) - matchTime <= t)
         outProj(joined(lRow, if (matched) matchRow else nullRight))
       }
     }
@@ -143,7 +152,8 @@ case class AsOfJoinExec(
 /** DataFrame-level API: backward as-of left join. */
 object AsOfJoinOps {
   def asofJoin(spark: SparkSession, l: DataFrame, r: DataFrame,
-      lKey: String, rKey: String, lTime: String, rTime: String): DataFrame = {
+      lKey: String, rKey: String, lTime: String, rTime: String,
+      toleranceNs: Option[Long] = None): DataFrame = {
     val lPlan = bridge.logicalPlan(l)
     val rPlan = bridge.logicalPlan(r)
     def resolve(p: LogicalPlan, n: String): Expression =
@@ -151,6 +161,6 @@ object AsOfJoinOps {
         throw new IllegalArgumentException(s"column $n not found"))
     bridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       Seq(resolve(lPlan, lKey)), Seq(resolve(rPlan, rKey)),
-      resolve(lPlan, lTime), resolve(rPlan, rTime)))
+      resolve(lPlan, lTime), resolve(rPlan, rTime), toleranceNs))
   }
 }

@@ -221,6 +221,31 @@ object Joins {
           .orderBy(col("event_id"))
       }),
 
+    // As-of with tolerance (pandas merge_asof(tolerance=...)): matches
+    // further back than 30 minutes are nulled. The oracle expresses the
+    // same thing as ASOF + a CASE on the matched gap.
+    QueryDef(
+      "q1c_join_asof_tolerance",
+      Some("""SELECT p.event_id,
+          CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE THEN c.event_id END AS click_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_ns"), col("event_id"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts_ns").as("c_ts"),
+            col("event_id").as("click_id"))
+        graft.plans.AsOfJoinOps
+          .asofJoin(s, purchases, clicks, "user_id", "c_user", "ts_ns", "c_ts",
+            toleranceNs = Some(1800L * 1000000000L))
+          .select(col("event_id"), col("click_id"))
+          .orderBy(col("event_id"))
+      }),
+
     // Salted skew join: the manual skew-mitigation pattern for when AQE
     // can't help (hot key known, both sides too big to broadcast). The
     // probe side gets a deterministic salt from a unique column; the build

@@ -69,6 +69,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1) == Row("u2", null))
   }
 
+  test("tolerance: matches older than the max gap become null") {
+    val lt = Seq((1L, 1000L, "a"), (1L, 5000L, "b")).toDF("k", "t", "lv")
+    val rt = Seq((1L, 900L, "r900")).toDF("rk", "rt", "rv")
+    val out = AsOfJoinOps
+      .asofJoin(spark, lt, rt, "k", "rk", "t", "rt", toleranceNs = Some(500L))
+      .select(col("t"), col("rv")).orderBy(col("t")).collect()
+    assert(out(0) == Row(1000L, "r900")) // gap 100 <= 500
+    assert(out(1) == Row(5000L, null))   // gap 4100 > 500
+  }
+
   test("plan: one shuffle per side, no window or union fallback") {
     val lt = Seq((1L, 100L, "a")).toDF("k", "t", "lv")
     val rt = Seq((1L, 50L, "r")).toDF("rk", "rt", "rv")
