@@ -38,7 +38,8 @@ case class AsOfJoin(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceNs: Option[Long] = None) extends BinaryNode {
+    toleranceNs: Option[Long] = None,
+    forward: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -51,8 +52,8 @@ case class AsOfJoin(
 /** Planner strategy turning the logical node into the physical merge. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -64,7 +65,8 @@ case class AsOfJoinExec(
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
-    toleranceNs: Option[Long] = None) extends BinaryExecNode {
+    toleranceNs: Option[Long] = None,
+    forward: Boolean = false) extends BinaryExecNode {
   require(toleranceNs.isEmpty ||
     leftTime.dataType == org.apache.spark.sql.types.LongType,
     "tolerance requires long-typed time columns")
@@ -112,7 +114,9 @@ case class AsOfJoinExec(
       val rBuf = rIter.buffered
 
       val tol = toleranceNs
-      // current candidate: last right row seen with key == matchKey
+      // backward: candidate = LAST right row with time ≤ left time (consumed
+      // as we pass it). forward: candidate = FIRST right row with
+      // time ≥ left time (peeked, not consumed — later lefts may share it).
       var matchKey: InternalRow = null
       var matchRow: InternalRow = null
       var matchTime: Long = Long.MinValue
@@ -120,25 +124,38 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKeyProj(lRow).copy()
         val lt = lTimeEval(lRow).copy()
-        // advance the right side while its (key, time) ≤ (lk, lt)
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val head = rBuf.head
           val hk = rKeyProj(head)
           val kc = keyOrd.compare(hk, lk)
           if (kc < 0) {
-            rBuf.next() // behind on key: discard, reset any stale match
-          } else if (kc == 0 && timeOrd.compare(rTimeEval(head), lt) <= 0) {
+            rBuf.next() // behind on key: discard
+          } else if (!forward && kc == 0 &&
+              timeOrd.compare(rTimeEval(head), lt) <= 0) {
             matchKey = hk.copy()
             if (tol.isDefined) matchTime = rTimeEval(head).getLong(0)
             matchRow = rBuf.next().copy()
+          } else if (forward && kc == 0 &&
+              timeOrd.compare(rTimeEval(head), lt) < 0) {
+            rBuf.next() // forward: rights strictly before left are dead
           } else {
             advancing = false
           }
         }
-        val matched = matchRow != null && matchKey != null &&
-          keyOrd.compare(matchKey.asInstanceOf[InternalRow], lk) == 0 &&
-          tol.forall(t => lt.getLong(0) - matchTime <= t)
+        val matched =
+          if (forward) {
+            // peek: head is the first right with key ≥ lk and time ≥ lt
+            if (rBuf.hasNext && keyOrd.compare(rKeyProj(rBuf.head), lk) == 0) {
+              matchRow = rBuf.head
+              if (tol.isDefined) matchTime = rTimeEval(rBuf.head).getLong(0)
+              tol.forall(t => matchTime - lt.getLong(0) <= t)
+            } else false
+          } else {
+            matchRow != null && matchKey != null &&
+              keyOrd.compare(matchKey.asInstanceOf[InternalRow], lk) == 0 &&
+              tol.forall(t => lt.getLong(0) - matchTime <= t)
+          }
         outProj(joined(lRow, if (matched) matchRow else nullRight))
       }
     }
@@ -153,7 +170,7 @@ case class AsOfJoinExec(
 object AsOfJoinOps {
   def asofJoin(spark: SparkSession, l: DataFrame, r: DataFrame,
       lKey: String, rKey: String, lTime: String, rTime: String,
-      toleranceNs: Option[Long] = None): DataFrame = {
+      toleranceNs: Option[Long] = None, forward: Boolean = false): DataFrame = {
     val lPlan = bridge.logicalPlan(l)
     val rPlan = bridge.logicalPlan(r)
     def resolve(p: LogicalPlan, n: String): Expression =
@@ -161,6 +178,6 @@ object AsOfJoinOps {
         throw new IllegalArgumentException(s"column $n not found"))
     bridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       Seq(resolve(lPlan, lKey)), Seq(resolve(rPlan, rKey)),
-      resolve(lPlan, lTime), resolve(rPlan, rTime), toleranceNs))
+      resolve(lPlan, lTime), resolve(rPlan, rTime), toleranceNs, forward))
   }
 }

@@ -246,6 +246,30 @@ object Joins {
           .orderBy(col("event_id"))
       }),
 
+    // Forward as-of: each click matched to the NEXT purchase by the same
+    // user (time-to-conversion analysis). Same native operator, forward
+    // direction; DuckDB ASOF with a flipped inequality is the oracle.
+    QueryDef(
+      "q1d_join_asof_forward",
+      Some("""SELECT c.event_id, p.event_id AS next_purchase_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+        ORDER BY c.event_id"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts_ns"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("ts_ns").as("p_ts"),
+            col("event_id").as("next_purchase_id"))
+        graft.plans.AsOfJoinOps
+          .asofJoin(s, clicks, purchases, "user_id", "p_user", "ts_ns", "p_ts",
+            forward = true)
+          .select(col("event_id"), col("next_purchase_id"))
+          .orderBy(col("event_id"))
+      }),
+
     // Salted skew join: the manual skew-mitigation pattern for when AQE
     // can't help (hot key known, both sides too big to broadcast). The
     // probe side gets a deterministic salt from a unique column; the build

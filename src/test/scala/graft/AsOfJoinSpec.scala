@@ -79,6 +79,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(1) == Row(5000L, null))   // gap 4100 > 500
   }
 
+  test("forward direction takes the smallest right time >= left time") {
+    val lt = Seq((1L, 100L, "a"), (1L, 151L, "b"), (2L, 100L, "c"))
+      .toDF("k", "t", "lv").repartition(3)
+    val rt = Seq((1L, 150L, "r150"), (1L, 250L, "r250")).toDF("rk", "rt", "rv")
+    val out = AsOfJoinOps
+      .asofJoin(spark, lt, rt, "k", "rk", "t", "rt", forward = true)
+      .select(col("k"), col("t"), col("rv")).orderBy(col("k"), col("t")).collect()
+    assert(out(0) == Row(1L, 100L, "r150")) // next right at/after 100
+    assert(out(1) == Row(1L, 151L, "r250")) // 150 already passed
+    assert(out(2) == Row(2L, 100L, null))   // no rights for key 2
+  }
+
   test("plan: one shuffle per side, no window or union fallback") {
     val lt = Seq((1L, 100L, "a")).toDF("k", "t", "lv")
     val rt = Seq((1L, 50L, "r")).toDF("rk", "rt", "rv")
