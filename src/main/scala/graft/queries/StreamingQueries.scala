@@ -72,6 +72,22 @@ object StreamingQueries {
           ON p.user_id = c.user_id
          AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         ORDER BY purchase_id, click_id"""),
-      (s, dir) => StreamPipelines.streamStreamJoin(s, dir))
+      (s, dir) => StreamPipelines.streamStreamJoin(s, dir)),
+
+    // Sliding 2h/1h windows: the oracle assigns each event to its two
+    // overlapping window starts explicitly. Window starts whose span falls
+    // entirely before the first event exist on neither side (no rows).
+    QueryDef(
+      "q86_stream_sliding",
+      Some("""WITH w AS (
+          SELECT event_type,
+            unnest([date_trunc('hour', ts),
+                    date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart
+          FROM events)
+        SELECT CAST(EXTRACT(day FROM wstart) AS INT) AS d,
+          CAST(EXTRACT(hour FROM wstart) AS INT) AS h,
+          event_type, COUNT(*) AS n
+        FROM w GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
+      (s, dir) => StreamPipelines.slidingWindows(s, dir))
   )
 }

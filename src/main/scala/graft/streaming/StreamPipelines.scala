@@ -123,6 +123,22 @@ object StreamPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** Sliding event-time windows (2-hour width, 1-hour slide): every event
+    * contributes to two overlapping windows. Watermark bounds open-window
+    * state to width + lateness. */
+  def slidingWindows(s: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(s, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, agg, "complete")
+      .select(
+        dayofmonth(col("window.start")).as("d"),
+        hour(col("window.start")).as("h"),
+        col("event_type"), col("n"))
+      .orderBy(col("d"), col("h"), col("event_type"))
+  }
+
   /** Stream-static join: the streaming fact side joins a static dimension
     * snapshot — no state, the dimension is broadcast per micro-batch.
     * The standard enrichment topology at scale. */

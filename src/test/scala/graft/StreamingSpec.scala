@@ -67,6 +67,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState event-time timeout evicts idle keys") {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val out = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .as[(Timestamp, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (String, String)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (k, rows, state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.single((k, "EXPIRED"))
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            // expire 20 minutes of event time after the latest update
+            state.setTimeoutTimestamp(
+              state.getCurrentWatermarkMs() + 20 * 60 * 1000)
+            Iterator.single((k, s"n=$n"))
+          }
+      }.toDF("k", "status")
+    val q = out.writeStream.format("memory").queryName("timeout_test")
+      .outputMode("append").start()
+    try {
+      in.addData((ts("10:00"), "u1"))
+      q.processAllAvailable()
+      // push watermark far past u1's timeout; u1 gets evicted with EXPIRED
+      in.addData((ts("12:00"), "u2"))
+      q.processAllAvailable()
+      in.addData((ts("14:00"), "u2"))
+      q.processAllAvailable()
+      val st = spark.table("timeout_test").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(st.contains(("u1", "EXPIRED")), s"no eviction event in $st")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses replays inside the horizon") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
