@@ -88,6 +88,15 @@ object StreamingQueries {
           CAST(EXTRACT(hour FROM wstart) AS INT) AS h,
           event_type, COUNT(*) AS n
         FROM w GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
-      (s, dir) => StreamPipelines.slidingWindows(s, dir))
+      (s, dir) => StreamPipelines.slidingWindows(s, dir)),
+
+    // Reference-topology parity pipeline: stream → keyed document sink →
+    // read back. The `_id` count proves the key hoist is lossless.
+    QueryDef(
+      "q87_stream_doc_sink",
+      Some("""SELECT event_type, COUNT(*) AS n,
+          COUNT(DISTINCT event_id) AS n_ids
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => StreamPipelines.streamToDocSink(s, dir))
   )
 }

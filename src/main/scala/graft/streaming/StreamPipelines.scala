@@ -123,6 +123,26 @@ object StreamPipelines {
       .orderBy(col("user_id"))
   }
 
+  /** The reference's exact topology, end to end: stream source → keyed
+    * JSON-document sink (`_id` hoisted, key dropped from body —
+    * `MapRDBJSONSink.java:140-146`) via foreachBatch, then read the sink
+    * back and aggregate. This is the parity pipeline of SURVEY.md §7.1,
+    * executed as a real incremental stream. */
+  def streamToDocSink(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_sink")
+      .toFile.getAbsolutePath
+    val q = graft.sinks.DocumentSink.writeStream(
+      eventsStream(s, sfDir).drop("ts_ns"), // ns long is redundant with ts
+      keyField = "event_id",
+      path = s"$tmp/out", checkpoint = s"$tmp/ckpt", format = "parquet")
+    q.awaitTermination()
+    val back = s.read.parquet(s"$tmp/out/batch_*")
+    back.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("_id")).as("n_ids"))
+      .orderBy(col("event_type"))
+  }
+
   /** Sliding event-time windows (2-hour width, 1-hour slide): every event
     * contributes to two overlapping windows. Watermark bounds open-window
     * state to width + lateness. */
