@@ -39,7 +39,8 @@ case class AsOfJoin(
     leftTime: Expression,
     rightTime: Expression,
     toleranceNs: Option[Long] = None,
-    forward: Boolean = false) extends BinaryNode {
+    forward: Boolean = false,
+    useBroadcast: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -52,8 +53,11 @@ case class AsOfJoin(
 /** Planner strategy turning the logical node into the physical merge. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, fwd) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tol, fwd, bcast) =>
+      if (bcast)
+        AsOfJoinBroadcastExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, fwd) :: Nil
+      else
+        AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -166,11 +170,116 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Broadcast variant: the right side is dimension-sized, so it ships to
+  * every executor as a per-key sorted timeline and the left side does a
+  * binary search per row — NO shuffle and NO sort of the (100 TB) left
+  * side. This is the second physical strategy for the same logical
+  * operator; callers pick it when they know the right side is small (a
+  * planner with stats would choose automatically, like broadcast-vs-SMJ).
+  * Requires long-backed time columns (LongType/TimestampType).
+  */
+case class AsOfJoinBroadcastExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    toleranceNs: Option[Long],
+    forward: Boolean) extends BinaryExecNode {
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+  require(Seq(leftTime.dataType, rightTime.dataType).forall(t =>
+    t == LongType || t == TimestampType || t == TimestampNTZType),
+    "broadcast as-of requires long-backed time columns")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution,
+    org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+      org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val rel = right.asInstanceOf[SparkPlan]
+      .executeBroadcast[Array[InternalRow]]()
+    val leftOut = left.output
+    val rightOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val tol = toleranceNs
+    val fwd = forward
+    left.execute().mapPartitions { lIter =>
+      val lKeyProj = UnsafeProjection.create(lKeys, leftOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOut)
+      // build the per-key sorted timeline from the broadcast rows
+      val byKey = new java.util.HashMap[InternalRow,
+        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+      for (row <- rel.value) {
+        val k = rKeyProj(row).copy()
+        var buf = byKey.get(k)
+        if (buf == null) {
+          buf = scala.collection.mutable.ArrayBuffer.empty
+          byKey.put(k, buf)
+        }
+        buf.append((rTimeProj(row).getLong(0), row.copy()))
+      }
+      val sorted = new java.util.HashMap[InternalRow, (Array[Long], Array[InternalRow])]()
+      byKey.forEach { (k, buf) =>
+        val s = buf.sortBy(_._1)
+        sorted.put(k, (s.map(_._1).toArray, s.map(_._2).toArray))
+      }
+      val nullRight = new GenericInternalRow(rightOut.length)
+      val outProj = UnsafeProjection.create(output,
+        leftOut ++ rightOut.map(_.withNullability(true)))
+      val joined = new JoinedRow
+
+      lIter.map { lRow =>
+        val entry = sorted.get(lKeyProj(lRow))
+        var m: InternalRow = null
+        if (entry != null) {
+          val (times, rows) = entry
+          val lt = lTimeProj(lRow).getLong(0)
+          if (!fwd) {
+            // rightmost index with times(i) <= lt
+            var lo = 0; var hi = times.length - 1; var idx = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) <= lt) { idx = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (idx >= 0 && tol.forall(t => lt - times(idx) <= t)) m = rows(idx)
+          } else {
+            // leftmost index with times(i) >= lt
+            var lo = 0; var hi = times.length - 1; var idx = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (times(mid) >= lt) { idx = mid; hi = mid - 1 } else lo = mid + 1
+            }
+            if (idx >= 0 && tol.forall(t => times(idx) - lt <= t)) m = rows(idx)
+          }
+        }
+        outProj(joined(lRow, if (m != null) m else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinBroadcastExec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** DataFrame-level API: backward as-of left join. */
 object AsOfJoinOps {
   def asofJoin(spark: SparkSession, l: DataFrame, r: DataFrame,
       lKey: String, rKey: String, lTime: String, rTime: String,
-      toleranceNs: Option[Long] = None, forward: Boolean = false): DataFrame = {
+      toleranceNs: Option[Long] = None, forward: Boolean = false,
+      broadcastRight: Boolean = false): DataFrame = {
     val lPlan = bridge.logicalPlan(l)
     val rPlan = bridge.logicalPlan(r)
     def resolve(p: LogicalPlan, n: String): Expression =
@@ -178,6 +287,7 @@ object AsOfJoinOps {
         throw new IllegalArgumentException(s"column $n not found"))
     bridge.ofRows(spark, AsOfJoin(lPlan, rPlan,
       Seq(resolve(lPlan, lKey)), Seq(resolve(rPlan, rKey)),
-      resolve(lPlan, lTime), resolve(rPlan, rTime), toleranceNs, forward))
+      resolve(lPlan, lTime), resolve(rPlan, rTime), toleranceNs, forward,
+      broadcastRight))
   }
 }

@@ -270,6 +270,29 @@ object Joins {
           .orderBy(col("event_id"))
       }),
 
+    // Broadcast as-of: the orders timeline is dimension-sized, so it ships
+    // whole to every executor and the event side is aligned by binary
+    // search — zero shuffle, zero sort of the big side. Output is the
+    // matched time (not an order id): o_orderdate has day granularity, so
+    // ties among same-day orders would make any id column nondeterministic.
+    QueryDef(
+      "q1e_join_asof_broadcast",
+      Some("""SELECT e.event_id, o.o_orderdate AS last_order_date
+        FROM events e
+        ASOF LEFT JOIN orders o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        ORDER BY e.event_id"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("ts"), col("event_id"))
+        val orders = t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderdate"))
+        graft.plans.AsOfJoinOps
+          .asofJoin(s, ev, orders, "user_id", "o_custkey", "ts", "o_orderdate",
+            broadcastRight = true)
+          .select(col("event_id"), col("o_orderdate").as("last_order_date"))
+          .orderBy(col("event_id"))
+      }),
+
     // Salted skew join: the manual skew-mitigation pattern for when AQE
     // can't help (hot key known, both sides too big to broadcast). The
     // probe side gets a deterministic salt from a unique column; the build

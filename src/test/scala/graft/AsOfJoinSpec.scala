@@ -91,6 +91,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2) == Row(2L, 100L, null))   // no rights for key 2
   }
 
+  test("broadcast variant: same answers, no shuffle of the left side") {
+    val l = for (k <- 1L to 20L; t <- Seq(10L, 20L, 30L)) yield (k, t, s"l$k-$t")
+    val r = for (k <- 1L to 20L if k % 2 == 0) yield (k, 15L, s"r$k")
+    val lt = l.toDF("k", "t", "lv").repartition(5)
+    val rt = r.toDF("rk", "rt", "rv")
+    val shuffled = AsOfJoinOps.asofJoin(spark, lt, rt, "k", "rk", "t", "rt")
+      .select(col("k"), col("t"), col("rv"))
+    val bcast = AsOfJoinOps.asofJoin(spark, lt, rt, "k", "rk", "t", "rt",
+      broadcastRight = true)
+      .select(col("k"), col("t"), col("rv"))
+    assert(bcast.collect().toSet == shuffled.collect().toSet)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoinBroadcast"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"left side shuffled in broadcast variant:\n$plan")
+    // forward + broadcast agree with forward + shuffle too
+    val fs = AsOfJoinOps.asofJoin(spark, lt, rt, "k", "rk", "t", "rt",
+      forward = true).select(col("k"), col("t"), col("rv"))
+    val fb = AsOfJoinOps.asofJoin(spark, lt, rt, "k", "rk", "t", "rt",
+      forward = true, broadcastRight = true).select(col("k"), col("t"), col("rv"))
+    assert(fb.collect().toSet == fs.collect().toSet)
+  }
+
   test("plan: one shuffle per side, no window or union fallback") {
     val lt = Seq((1L, 100L, "a")).toDF("k", "t", "lv")
     val rt = Seq((1L, 50L, "r")).toDF("rk", "rt", "rv")
