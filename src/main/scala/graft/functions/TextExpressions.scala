@@ -30,6 +30,11 @@ object TextExpressions {
   def word_shingles(text: Column, n: Int): Column =
     bridge.column(WordShinglesExpr(bridge.expression(text), n))
 
+  /** All word n-grams INCLUDING repeats — for frequency profiles, where
+    * dedup would corrupt the counts. */
+  def word_shingles_all(text: Column, n: Int): Column =
+    bridge.column(WordShinglesExpr(bridge.expression(text), n, distinct = false))
+
   /** All ordered (i<j) pairs of a sorted array<long> of ids. */
   def id_pairs(ids: Column): Column =
     bridge.column(IdPairsExpr(bridge.expression(ids)))
@@ -78,7 +83,7 @@ case class IdPairsExpr(child: Expression)
 /** string → array<string>: distinct space-joined word n-grams, in first-
   * occurrence order. Split semantics = `split(text, " ", -1)` (interior and
   * trailing empty tokens preserved, matching DuckDB `string_split`). */
-case class WordShinglesExpr(child: Expression, n: Int)
+case class WordShinglesExpr(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with RefObjCodegen {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     refObjGenCode(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData")
@@ -91,7 +96,8 @@ case class WordShinglesExpr(child: Expression, n: Int)
     val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     val m = toks.length - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val acc = new java.util.LinkedHashSet[String](m * 2)
+    val all = if (distinct) null else new Array[Any](m)
     val sb = new java.lang.StringBuilder(64)
     var i = 0
     while (i < m) {
@@ -102,11 +108,13 @@ case class WordShinglesExpr(child: Expression, n: Int)
         sb.append(toks(i + j))
         j += 1
       }
-      seen.add(sb.toString)
+      if (distinct) acc.add(sb.toString)
+      else all(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
+    if (!distinct) return new GenericArrayData(all)
+    val out = new Array[Any](acc.size)
+    val it = acc.iterator()
     var k = 0
     while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
     new GenericArrayData(out)

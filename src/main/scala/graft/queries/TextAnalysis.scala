@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.HashExpressions
+import graft.functions.{HashExpressions, TextExpressions}
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.12,
@@ -186,6 +186,28 @@ object TextAnalysis {
           .select(col("lang"), col("doc_id"), col("rnk"))
           .orderBy(col("lang"), col("rnk"))
       }),
+
+    // Corpus n-gram frequency profile: top-20 word bigrams — the corpus
+    // statistic behind contamination checks and boilerplate detection.
+    // Classic two-level aggregation: explode → count → global top-k
+    // (TakeOrderedAndProject, no full sort at scale).
+    QueryDef(
+      "q59_ngram_profile",
+      Some("""WITH toks AS (
+          SELECT string_split(text, ' ') AS t FROM documents),
+        bi AS (
+          SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1])) AS bigram
+          FROM toks)
+        SELECT bigram, COUNT(*) AS n FROM bi
+        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""),
+      (s, dir) =>
+        docs(s, dir)
+          .select(TextExpressions.word_shingles_all(col("text"), 2).as("bis"))
+          .select(explode(col("bis")).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20)),
 
     // Document fingerprinting: rolling-hash content identity (custom
     // Catalyst expression graft.functions.Fingerprint64Expr). The hash
