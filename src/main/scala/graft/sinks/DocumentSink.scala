@@ -33,11 +33,19 @@ object DocumentSink {
     df.select((col(keyField).cast("string").as("_id") +: body.map(col)): _*)
   }
 
-  /** Batch write as JSON documents (nulls omitted, reference `:131`). */
+  /** Batch write as JSON documents (nulls omitted, reference `:131`).
+    *
+    * @param targetFileRows cap on rows per output file (small-files
+    *   control: at 100 TB an unbounded writer fans out one file per task,
+    *   and a later repartition stage would shuffle the world; capping via
+    *   `maxRecordsPerFile` splits inside each task instead — no shuffle).
+    */
   def write(df: DataFrame, keyField: String, path: String,
-      format: String = "json", mode: String = "overwrite"): Unit = {
+      format: String = "json", mode: String = "overwrite",
+      targetFileRows: Option[Long] = None): Unit = {
     val docs = toDocuments(df, keyField)
-    val w = docs.write.mode(mode)
+    val w0 = docs.write.mode(mode)
+    val w = targetFileRows.fold(w0)(n => w0.option("maxRecordsPerFile", n))
     format match {
       case "json" => w.option("ignoreNullFields", "true").json(path)
       case "parquet" => w.parquet(path)

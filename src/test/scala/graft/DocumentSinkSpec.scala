@@ -53,4 +53,16 @@ class DocumentSinkSpec extends SparkSpec {
     assert(docs.count() == 2)
     assert(docs.columns.sorted.toSeq == Seq("_id", "name"))
   }
+
+  test("targetFileRows caps rows per output file (small-files control)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val out = java.nio.file.Files.createTempDirectory("sink_cap").toString
+    graft.sinks.DocumentSink.write(df.coalesce(1), "id", out,
+      format = "parquet", targetFileRows = Some(25L))
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 4, s"expected >=4 files, got ${files.length}")
+    assert(spark.read.parquet(out).count() == 100)
+  }
 }
