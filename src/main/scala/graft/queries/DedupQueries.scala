@@ -191,6 +191,26 @@ object DedupQueries {
           .orderBy(col("id_a"), col("id_b"))
       }),
 
+    // Incremental dedup: which documents of a new ingestion batch carry
+    // content never seen in the prior snapshot — anti-join on the content
+    // hash, the continuous-pipeline twin of q60. At 100 TB the snapshot
+    // side is a hash-only table (32-byte rows), bucketable by hash prefix.
+    QueryDef(
+      "q6b_incremental_dedup",
+      Some("""SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id >= 250
+          AND sha256(d.text) NOT IN (
+            SELECT sha256(text) FROM documents WHERE doc_id < 250)
+        ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val all = docs(s, dir).withColumn("h", sha2(col("text"), 256))
+        val snapshot = all.filter(col("doc_id") < 250).select(col("h"))
+        all.filter(col("doc_id") >= 250)
+          .join(snapshot, Seq("h"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      }),
+
     // Near-dup cluster formation: connected components over the Jaccard
     // pair graph (iterative min-label propagation — see
     // graft.operators.ConnectedComponents). The oracle replays the
