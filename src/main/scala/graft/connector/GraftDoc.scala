@@ -1,0 +1,77 @@
+package graft.connector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.sinks.DocumentSink
+
+/** User API over the `graft-doc` DataSource V2 table ([[GraftDocDataSource]]).
+  *
+  * A `graft-doc` table is the engine's stand-in for the reference's keyed
+  * JSON-document store: documents keyed by `_id`, write = upsert, read =
+  * latest version per key. `log` exposes the raw version history (every
+  * commit, like a CDC feed); `snapshot` is the upsert-resolved table a
+  * consumer reads; `compact` bounds read amplification by folding history
+  * into a single base commit.
+  */
+object GraftDoc {
+
+  /** Batch upsert: hoist `keyField` to `_id` (reference
+    * `MapRDBJSONSink.java:140-146`) and append a commit.
+    * `overwrite = true` truncates the log first (a fresh table). */
+  def write(df: DataFrame, keyField: String, path: String,
+      overwrite: Boolean = false, targetFileRows: Option[Long] = None): Unit = {
+    val w = DocumentSink.toDocuments(df, keyField).write
+      .format("graft-doc")
+      .mode(if (overwrite) "overwrite" else "append")
+    targetFileRows.foreach(n => w.option(GraftDocLog.TargetFileRowsOpt, n.toString))
+    w.save(path)
+  }
+
+  /** Streaming upsert through the connector's StreamingWrite: each
+    * micro-batch is one commit, idempotent per (queryId, epochId) — the
+    * exactly-once topology of SURVEY.md §7.1 as a real `writeStream`
+    * `format("graft-doc")`, no foreachBatch. */
+  def writeStream(df: DataFrame, keyField: String, path: String,
+      checkpoint: String): StreamingQuery =
+    DocumentSink.toDocuments(df, keyField).writeStream
+      .format("graft-doc")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start(path)
+
+  /** Raw version log: every document version ever committed, with its
+    * `_commit` sequence. Scan-only — no shuffle. */
+  def log(spark: SparkSession, path: String): DataFrame =
+    spark.read.format("graft-doc").load(path)
+
+  /** Upsert-resolved view: the latest version of each `_id`. One hash
+    * shuffle on `_id` (the floor for any upsert resolution); everything
+    * upstream is a pruned parallel file scan. Intra-commit duplicate
+    * `_id`s are a writer contract violation (the reference store would
+    * apply them in arbitrary put order); dedupe upstream if the batch can
+    * carry them. */
+  def snapshot(spark: SparkSession, path: String): DataFrame = {
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col(GraftDocLog.CommitCol).desc)
+    log(spark, path)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", GraftDocLog.CommitCol)
+  }
+
+  /** Fold the whole log into one base commit and drop older commits:
+    * bounds the scan cost and the merge-on-read window after many
+    * streaming epochs. Crash-safe ordering — the compacted base is
+    * committed before old commits are dropped, and `snapshot` stays
+    * correct at every intermediate state (the base outranks everything
+    * it absorbed). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val snap = snapshot(spark, path)
+    snap.write.format("graft-doc").mode("append").save(path)
+    GraftDocLog.dropCommitsBelow(path, GraftDocLog.latestCommitSeq(path))
+  }
+}

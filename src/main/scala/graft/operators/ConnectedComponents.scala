@@ -34,12 +34,18 @@ object ConnectedComponents {
     while (!converged && round < maxRounds) {
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      // the `changed` flag rides inside the SAME materializing job as the
+      // round's join+agg (the eager localCheckpoint); the convergence
+      // probe below then only reads cached blocks — isEmpty stops at the
+      // first cached partition with a changed row, so each round costs
+      // one real job plus a cache probe, not a recompute.
       val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("next_label"))
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
+          (col("nbr_label") < col("label")).as("changed"))
         .localCheckpoint()
-      converged = next.filter(col("next_label") < col("label")).isEmpty
-      labels = next.select(col("node"), col("next_label").as("label"))
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("node"), col("label"))
       round += 1
     }
     labels.select(col("node"), col("label").as("component"))

@@ -108,6 +108,16 @@ object DedupQueries {
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Exact all-pairs cosine ≥ 0.45 — oracle for q64 AND q6c (shared, so
+    * the bucketed path must reproduce the brute-force answer bit-exactly). */
+  private val embeddingPairsSql =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
+               b.embedding::DOUBLE[]), 4) AS DOUBLE) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+        ORDER BY id_a, id_b"""
+
   val all: Seq[QueryDef] = Seq(
 
     // Exact dedup on a 256-bit content hash: keep the smallest doc_id per
@@ -241,17 +251,76 @@ object DedupQueries {
     // accumulated in index order as doubles on both engines → exact match.
     QueryDef(
       "q64_embedding_dedup",
-      Some("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
-               b.embedding::DOUBLE[]), 4) AS DOUBLE) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
-        ORDER BY id_a, id_b"""),
+      Some(embeddingPairsSql),
       (s, dir) => {
         val e = emb(s, dir)
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
         a.join(b, col("id_a") < col("id_b"))
+          .withColumn("c", VectorFunctions.cosine_sim(col("ea"), col("eb")))
+          .filter(col("c") >= 0.45)
+          .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
+          .orderBy(col("id_a"), col("id_b"))
+      }),
+
+    // Bucketed embedding near-dup — q64's scale path, SAME oracle (so the
+    // check proves zero recall loss at the threshold).
+    //
+    // Candidate generation is IVF-cell blocking with triangle-inequality
+    // cell probing, reusing the q66 machinery: every vector joins its
+    // nearest-centroid cell; each cell keeps its radius r_c = max member
+    // distance; a vector probes every cell with ||v - c|| ≤ t + r_c
+    // (unit vectors: ||x-y|| = sqrt(2-2cos)). For any pair (a,b) with
+    // ||a-b|| ≤ t: ||b - c(a)|| ≤ ||b-a|| + ||a-c(a)|| ≤ t + r_c(a), so b
+    // provably probes a's cell — recall is DETERMINISTICALLY exact, which
+    // a hash-exact oracle requires.
+    //
+    // Why not hyperplane-LSH (the q62 pattern): at cos ≥ 0.45 the angle is
+    // ~63°, so a random hyperplane agrees on a qualifying pair w.p. 0.649
+    // vs 0.5 for an unrelated pair — measured on this data the pair
+    // spectrum is continuous through the threshold (max non-pair 0.4494),
+    // and no (bands, rows) config yields both ~1e-8 miss at 0.45 and
+    // meaningful pruning. Banded sketches are for the high-similarity
+    // regime (q62, J ≥ 0.7); the low-threshold dense regime needs an
+    // exact blocker. On clustered real corpora the probe radius collapses
+    // candidates to cell-local pairs; on structure-free data it degrades
+    // gracefully toward all pairs — but through shuffled hash joins
+    // blocked on cell, never a BroadcastNestedLoop, so the plan survives
+    // inputs that no longer fit one executor.
+    QueryDef(
+      "q6c_embedding_dedup_bucketed",
+      Some(embeddingPairsSql),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, dir)
+        val cent = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val t = math.sqrt(2.0 - 2.0 * 0.45) // cos 0.45 ⇔ dist 1.0488 (unit vectors)
+        // nearest-centroid assignment (one broadcast pass, as q66)
+        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("dist",
+            sqrt(lit(2.0) - lit(2.0) * VectorFunctions.cosine_sim(col("embedding"), col("ce"))))
+          .withColumn("rn", row_number().over(wAssign))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid"), col("dist"))
+        val radius = assign.groupBy(col("cid")).agg(max(col("dist")).as("r"))
+        // triangle-inequality multi-probe: v probes cell c iff dist(v,c) ≤ t + r_c
+        val probes = e.crossJoin(broadcast(cent.join(radius, "cid")))
+          .withColumn("dist",
+            sqrt(lit(2.0) - lit(2.0) * VectorFunctions.cosine_sim(col("embedding"), col("ce"))))
+          .filter(col("dist") <= lit(t) + col("r"))
+          .select(col("vec_id").as("probe_id"), col("cid"))
+        // cell-blocked candidates (equi-join on cell), then exact verify
+        val cand = assign.select(col("cid"), col("vec_id").as("member_id"))
+          .join(probes, "cid")
+          .filter(col("member_id") =!= col("probe_id"))
+          .select(least(col("member_id"), col("probe_id")).as("id_a"),
+            greatest(col("member_id"), col("probe_id")).as("id_b"))
+          .distinct()
+        cand
+          .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+          .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
           .withColumn("c", VectorFunctions.cosine_sim(col("ea"), col("eb")))
           .filter(col("c") >= 0.45)
           .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))

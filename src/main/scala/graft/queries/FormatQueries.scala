@@ -174,16 +174,17 @@ object FormatQueries {
       Some("""SELECT CAST(p_partkey AS VARCHAR) AS _id, p_name, p_retailprice
         FROM part ORDER BY _id"""),
       (s, dir) => {
+        // Through the DSv2 connector (format("graft-doc")): base write,
+        // then an overlapping re-write of the same documents — the
+        // snapshot must still equal the part table, which proves the
+        // upsert-by-_id resolution inside an oracle-checked query.
         val sinkPath = s"/tmp/graft_sink/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/q77"
-        DocumentSink.write(
-          t(s, dir, "part").select(col("p_partkey"), col("p_name"), col("p_retailprice")),
-          keyField = "p_partkey", path = sinkPath)
-        s.read.schema(StructType(Seq(
-            StructField("_id", StringType),
-            StructField("p_name", StringType),
-            StructField("p_retailprice", DoubleType))))
-          .json(sinkPath)
-          .orderBy(col("_id"))
+        val docs = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        graft.connector.GraftDoc.write(docs, "p_partkey", sinkPath, overwrite = true)
+        graft.connector.GraftDoc.write(docs.filter(col("p_partkey") <= 100),
+          "p_partkey", sinkPath)
+        graft.connector.GraftDoc.snapshot(s, sinkPath).orderBy(col("_id"))
       })
   )
 }

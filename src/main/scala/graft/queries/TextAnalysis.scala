@@ -150,10 +150,14 @@ object TextAnalysis {
         val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
         val dfr = tok.groupBy(col("w"))
           .agg(countDistinct(col("doc_id")).as("df"))
-        val n = docs(s, dir).count().toDouble
+        // corpus size as a one-row broadcast aggregate, NOT a driver-side
+        // count(): the whole query stays one lazy plan, documents is
+        // scanned once, and Catalyst can reuse the scan across subtrees
+        val nDf = docs(s, dir).agg(count(lit(1)).cast("double").as("n_docs"))
         val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
         tf.join(broadcast(dfr), "w")
-          .withColumn("score", col("tf") * log(lit(n) / col("df")))
+          .crossJoin(broadcast(nDf))
+          .withColumn("score", col("tf") * log(col("n_docs") / col("df")))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
           .select(col("doc_id"), col("w").as("term"),

@@ -142,21 +142,23 @@ object StreamPipelines {
 
   /** The reference's exact topology, end to end: stream source → keyed
     * JSON-document sink (`_id` hoisted, key dropped from body —
-    * `MapRDBJSONSink.java:140-146`) via foreachBatch, then read the sink
-    * back and aggregate. This is the parity pipeline of SURVEY.md §7.1,
-    * executed as a real incremental stream. */
+    * `MapRDBJSONSink.java:140-146`) through the DSv2 `graft-doc`
+    * StreamingWrite (one commit per micro-batch, idempotent per epoch),
+    * then read the upsert-resolved snapshot back and aggregate. This is
+    * the parity pipeline of SURVEY.md §7.1, executed as a real
+    * incremental stream into a real connector. */
   def streamToDocSink(s: SparkSession, sfDir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_doc_sink")
       .toFile.getAbsolutePath
     withStreamShufflePartitions(s, 8) {
-      val q = graft.sinks.DocumentSink.writeStream(
+      val q = graft.connector.GraftDoc.writeStream(
         eventsStream(s, sfDir).drop("ts_ns"), // ns long is redundant with ts
         keyField = "event_id",
-        path = s"$tmp/out", checkpoint = s"$tmp/ckpt", format = "parquet")
+        path = s"$tmp/out", checkpoint = s"$tmp/ckpt")
       q.awaitTermination()
     }
-    val back = s.read.parquet(s"$tmp/out/batch_*")
-    back.groupBy(col("event_type"))
+    graft.connector.GraftDoc.snapshot(s, s"$tmp/out")
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         countDistinct(col("_id")).as("n_ids"))
       .orderBy(col("event_type"))

@@ -64,6 +64,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q6c bucketed embedding dedup: big side never nested-loops against itself") {
+    // the only BroadcastNestedLoop inputs are the 8-row centroid side
+    // (IVF assignment/probing, as q66); the candidate-pair join itself and
+    // the verify joins must be hash equi-joins blocked on cell / id.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plans = collectAll(executed(q("q6c_embedding_dedup_bucketed")))
+    val bnl = plans.collect { case j: BroadcastNestedLoopJoinExec => j }
+    bnl.foreach { j =>
+      val broadcastSide = j.children.flatMap(collectAll).collectFirst {
+        case b: BroadcastExchangeExec => collectAll(b).map(_.toString).mkString
+        case qs: QueryStageExec if qs.plan.isInstanceOf[BroadcastExchangeExec] =>
+          collectAll(qs.plan).map(_.toString).mkString
+      }.getOrElse(fail(s"BNLJ without broadcast side: $j"))
+      assert(broadcastSide.contains("vec_id") && broadcastSide.contains("8"),
+        s"BNLJ must broadcast the 8-row centroid side, got:\n$broadcastSide")
+    }
+    // candidate + verify joins are equi hash joins
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    assert(plans.exists(p => p.isInstanceOf[BroadcastHashJoinExec] ||
+      p.isInstanceOf[ShuffledHashJoinExec] || p.isInstanceOf[SortMergeJoinExec]),
+      "q6c candidate path should contain hash equi-joins")
+  }
+
   test("partial aggregation: single-agg query has exactly one shuffle before the sort") {
     val plans = collectAll(executed(q("q01_pricing_summary")))
     val shuffles = plans.count(_.isInstanceOf[ShuffleExchangeExec])
