@@ -132,19 +132,34 @@ object Aggregates {
             dsum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0)).as("open_value"))
           .orderBy(col("o_orderpriority"))),
 
-    // HyperLogLog++ sketch — approximate by design, so no SQL oracle (driver
-    // records the weaker rows-only check). At 100 TB this replaces exact
-    // COUNT(DISTINCT) whenever a ±2% answer is acceptable: single pass, no
-    // per-key shuffle, fixed-size sketch merge.
+    // HyperLogLog++ sketch. At 100 TB this replaces exact COUNT(DISTINCT)
+    // whenever a ±2% answer is acceptable: single pass, no per-key
+    // shuffle, fixed-size sketch merge. The estimate itself isn't
+    // DuckDB-replayable, but it IS deterministic (HLL registers combine
+    // by max — partition-order independent), so the query emits the exact
+    // counts plus within-relative-error flags and the oracle states the
+    // flags must be true: the error bound becomes a hash-exact check.
     QueryDef(
       "q07_approx_distinct",
-      None,
+      Some("""SELECT l_returnflag,
+          COUNT(DISTINCT l_orderkey) AS exact_orders,
+          COUNT(DISTINCT l_partkey) AS exact_parts,
+          true AS orders_within_5pct,
+          true AS parts_within_5pct
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+            countDistinct(col("l_orderkey")).as("exact_orders"),
+            countDistinct(col("l_partkey")).as("exact_parts"),
+            approx_count_distinct(col("l_orderkey"), 0.02).as("a_o"),
+            approx_count_distinct(col("l_partkey"), 0.02).as("a_p"))
+          .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+            (abs(col("a_o") - col("exact_orders")) <=
+              col("exact_orders") * 0.05).as("orders_within_5pct"),
+            (abs(col("a_p") - col("exact_parts")) <=
+              col("exact_parts") * 0.05).as("parts_within_5pct"))
           .orderBy(col("l_returnflag"))),
 
     QueryDef(

@@ -118,6 +118,12 @@ object DedupQueries {
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         ORDER BY id_a, id_b"""
 
+  /** Fixed materialization path for q63's two-stage oracle: `oracleSql`
+    * is a static map, so the oracle's `read_parquet` path cannot vary
+    * with sfDir — each Verify/Bench run overwrites it, and the driver's
+    * DuckDB compare runs immediately after the dump it checks. */
+  private val q63SketchPath = "/tmp/graft_sketch/q63_sketches.parquet"
+
   val all: Seq[QueryDef] = Seq(
 
     // Exact dedup on a 256-bit content hash: keep the smallest doc_id per
@@ -177,14 +183,26 @@ object DedupQueries {
 
     // SimHash near-dup: 64-bit sketch over shingles, 4×16-bit bands →
     // pairs within Hamming distance ≤ 3 (pigeonhole-complete). The sketch
-    // algorithm isn't DuckDB-expressible → rows-only check; the sketch
-    // itself is unit-tested in HashVectorSpec.
+    // computation isn't DuckDB-expressible, so the check is two-stage:
+    // the query materializes the sketches to a fixed path, computes the
+    // pairs through the BANDED path over that materialized table, and the
+    // oracle brute-forces all-pairs Hamming ≤ 3 over the same file —
+    // hash-equality proves the banding recalls every qualifying pair
+    // (the pigeonhole completeness claim, machine-checked). The sketch
+    // internals stay unit-tested in HashVectorSpec.
     QueryDef(
       "q63_simhash_dedup",
-      None,
+      Some(s"""WITH s AS (SELECT * FROM read_parquet('$q63SketchPath/*.parquet'))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.sh64, b.sh64)) AS INT) AS hamming
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh64, b.sh64)) <= 3
+        ORDER BY id_a, id_b"""),
       (s, dir) => {
-        val sig = withShingles(docs(s, dir)).select(col("doc_id"),
-          HashExpressions.simhash64(col("sh")).as("sh64"))
+        withShingles(docs(s, dir))
+          .select(col("doc_id"), HashExpressions.simhash64(col("sh")).as("sh64"))
+          .write.mode("overwrite").parquet(q63SketchPath)
+        val sig = s.read.parquet(q63SketchPath)
         val bands = sig.select(col("doc_id"), col("sh64"),
           explode(array((0 until 4).map(b => struct(lit(b).as("band"),
             shiftrightunsigned(col("sh64"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*))

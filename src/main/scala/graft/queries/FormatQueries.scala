@@ -169,6 +169,26 @@ object FormatQueries {
 
     // W1 keyed document sink: write part as keyed JSON documents, read the
     // documents back, and check the key hoist + body against the source.
+    // F1 raw / null-schema mode (reference MapRStreamConfig.java:83: absent
+    // schema → the payload lands in a single default field; widget default
+    // `MapRStream-streamingsource.json:70-79`). The engine's raw mode is
+    // format = None → one binary `message` column; the query proves the
+    // bytes pass through untouched by hashing them against the source text.
+    QueryDef(
+      "q78_raw_decode",
+      Some("""SELECT event_id, props AS message_text,
+          sha256(props) AS payload_hash
+        FROM events ORDER BY event_id"""),
+      (s, dir) => {
+        val src = t(s, dir, "events").select(col("event_id"),
+          col("props").cast("binary").as("value"))
+        Decoders.decode(src, "value", format = None)
+          .select(col("event_id"),
+            col("message").cast("string").as("message_text"),
+            sha2(col("message"), 256).as("payload_hash"))
+          .orderBy(col("event_id"))
+      }),
+
     QueryDef(
       "q77_doc_sink_roundtrip",
       Some("""SELECT CAST(p_partkey AS VARCHAR) AS _id, p_name, p_retailprice

@@ -220,12 +220,20 @@ object TextAnalysis {
     // HashVectorSpec, and q60 covers SQL-checkable exact dedup via sha256.
     QueryDef(
       "q53_fingerprint",
-      None,
+      // The 61-bit rolling fingerprint isn't DuckDB-computable, but its
+      // JOB is checkable: grouping by fingerprint must induce exactly the
+      // equivalence classes of grouping by the full text (deterministic +
+      // collision-free on the corpus). The oracle states the text-side
+      // partition; the query derives the same partition from fingerprints
+      // alone — a hash-exact check of the sketch's contract.
+      Some("""SELECT min(doc_id) AS keep_id, count(*) AS copies
+        FROM documents GROUP BY text ORDER BY keep_id"""),
       (s, dir) =>
-        docs(s, dir).select(
-          col("doc_id"),
-          HashExpressions.fingerprint64(col("text")).as("fp"),
-          HashExpressions.simhash64(toks).as("simhash"))
-          .orderBy(col("doc_id")))
+        docs(s, dir)
+          .select(col("doc_id"), HashExpressions.fingerprint64(col("text")).as("fp"))
+          .groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
+          .select(col("keep_id"), col("copies"))
+          .orderBy(col("keep_id")))
   )
 }

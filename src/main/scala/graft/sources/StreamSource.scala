@@ -57,17 +57,53 @@ object StreamSource {
     ) ++ cfg.minPartitions.map("minPartitions" -> _.toString)
   }
 
-  /** Open the stream and decode the payload per the declared format —
-    * returns a streaming DataFrame of metadata columns (topic, partition,
-    * offset, timestamp, key) plus the decoded fields. */
-  def read(spark: SparkSession, cfg: StreamConfig): DataFrame = {
-    val raw = kafkaOptions(cfg)
-      .foldLeft(spark.readStream.format("kafka")) { case (r, (k, v)) => r.option(k, v) }
-      .load()
+  /** The exact record schema Spark's Kafka source emits (its documented
+    * connector contract, stable across Spark versions). Everything
+    * downstream of `load()` consumes THIS shape and nothing else — which
+    * is what makes the pipeline testable without a broker
+    * ([[decodeWire]]) and lets `format("kafka")` drop in unchanged where
+    * the connector jar is present. */
+  val wireSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("key", BinaryType),
+      StructField("value", BinaryType),
+      StructField("topic", StringType),
+      StructField("partition", IntegerType),
+      StructField("offset", LongType),
+      StructField("timestamp", TimestampType),
+      StructField("timestampType", IntegerType)))
+  }
+
+  /** The full post-`load()` pipeline over a wire-shaped frame (batch or
+    * streaming — the decode is pure column algebra, identical in both):
+    * metadata projection, payload decode per the declared format, lineage
+    * registration. `read` is exactly `kafka load() andThen decodeWire`.
+    *
+    * The sandbox ships no spark-sql-kafka jar (zero egress), so no Kafka
+    * path can execute here; `KafkaWireContractSpec` drives this method
+    * with a MemoryStream declared in [[wireSchema]] shape instead — a
+    * wire-format contract test, per the documented fallback. */
+  def decodeWire(raw: DataFrame, cfg: StreamConfig): DataFrame = {
+    val expected = wireSchema.fieldNames.toSet
+    val got = raw.columns.toSet
+    require(expected.subsetOf(got),
+      s"not a Kafka wire frame: missing ${(expected -- got).mkString(",")}")
+    val projected = raw
       .select("key", "topic", "partition", "offset", "timestamp", "value")
-    val decoded = Decoders.decode(raw,
+    val decoded = Decoders.decode(projected,
       format = cfg.format, avroSchema = cfg.avroSchemaJson, options = cfg.options)
     Lineage.register(decoded, cfg.referenceName)
     decoded
   }
+
+  /** Open the stream and decode the payload per the declared format —
+    * returns a streaming DataFrame of metadata columns (topic, partition,
+    * offset, timestamp, key) plus the decoded fields. */
+  def read(spark: SparkSession, cfg: StreamConfig): DataFrame =
+    decodeWire(
+      kafkaOptions(cfg)
+        .foldLeft(spark.readStream.format("kafka")) { case (r, (k, v)) => r.option(k, v) }
+        .load(),
+      cfg)
 }

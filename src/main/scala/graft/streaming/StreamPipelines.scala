@@ -107,34 +107,45 @@ object StreamPipelines {
   }
 
   /** Custom per-key state via flatMapGroupsWithState (SURVEY.md §2.10):
-    * a running per-user accumulator (event count, value sum, max value)
-    * that emits its current state every micro-batch. After draining the
-    * input the latest emission per user equals the batch aggregate — which
-    * is what the oracle states. State is one fixed-width tuple per user
-    * (bounded; with event-time timeouts for unbounded key spaces at scale).
-    */
+    * a running per-user accumulator (event count, max value) that emits
+    * ONCE per key, on event-time timeout — each update batch extends the
+    * timeout to just past the current watermark, so the group flushes
+    * exactly when the watermark passes its last activity (here: the final
+    * drain batch). Output volume is #keys, not #keys × #batches, and
+    * there is no post-hoc dedup window — the at-scale emission pattern
+    * (the every-batch variant multiplies sink load by the batch count).
+    * State is one fixed-width tuple per user; the timeout also bounds
+    * state for unbounded key spaces. */
   def statefulUserTotals(s: SparkSession, sfDir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // the event-time (watermarked) column must survive projection all the
+    // way into groupByKey, or the watermark — and with it event-time
+    // timeouts — is silently projected away
     val ev = eventsStream(s, sfDir)
-      .select(col("user_id").as[Long], col("value").as[Double])
-    val updated = ev.groupByKey(_._1)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as[Long], col("value").as[Double],
+        col("ts").as[java.sql.Timestamp])
+    val finals = ev.groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (user: Long, rows: Iterator[(Long, Double)],
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user: Long, rows: Iterator[(Long, Double, java.sql.Timestamp)],
             state: GroupState[(Long, Double)]) =>
-          var (n, mx) = state.getOption.getOrElse((0L, Double.MinValue))
-          rows.foreach { case (_, v) => n += 1; mx = math.max(mx, v) }
-          state.update((n, mx))
-          Iterator.single((user, n, mx))
+          if (state.hasTimedOut) {
+            val (n, mx) = state.get
+            state.remove()
+            Iterator.single((user, n, mx))
+          } else {
+            var (n, mx) = state.getOption.getOrElse((0L, Double.MinValue))
+            rows.foreach { case (_, v, _) => n += 1; mx = math.max(mx, v) }
+            state.update((n, mx))
+            // flush as soon as the watermark moves past this batch
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+            Iterator.empty
+          }
       }
       .toDF("user_id", "n_events", "max_value")
-    // keep only each user's final emission (AvailableNow may run many
-    // micro-batches; the last state per user is the drained total)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("user_id")).orderBy(col("n_events").desc)
-    runToMemory(s, updated, "append")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    runToMemory(s, finals, "append")
       .select(col("user_id"), col("n_events"),
         round(col("max_value"), 2).as("max_value"))
       .orderBy(col("user_id"))
