@@ -58,20 +58,46 @@ object StreamPipelines {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** One-shot drains are ephemeral — the result lands in a memory sink and
+    * the checkpoint is discarded — so there is nothing to make durable;
+    * placing the checkpoint on tmpfs removes the state store's per-commit
+    * file sync from the drain (measured: the q85 stream-stream join spends
+    * ~8 of its 10 s committing ~40k buffered join rows through 8
+    * partitions × 4 internal stores to disk). Durable-checkpoint behavior
+    * is covered where it matters: `StreamRecoverySpec` / `ScaleStateSpec`
+    * use explicit on-disk checkpoints and restart from them. A production
+    * query sets a durable (object-store) checkpointLocation instead. */
+  private def ephemeralCheckpoint(name: String): java.io.File = {
+    val shm = new java.io.File("/dev/shm")
+    val root = if (shm.isDirectory && shm.canWrite) shm
+      else new java.io.File(System.getProperty("java.io.tmpdir"))
+    val dir = new java.io.File(root, s"graft_ckpt_${name}_${System.nanoTime()}")
+    dir.mkdirs()
+    dir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   /** Run a one-shot (AvailableNow) streaming query into a memory sink and
     * return the materialized result. */
   private def runToMemory(s: SparkSession, df: DataFrame,
       mode: String): DataFrame = {
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val ckpt = ephemeralCheckpoint(name)
     withStreamShufflePartitions(s, 8) {
       val q = df.writeStream
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
+    deleteRecursively(ckpt)
     s.table(name)
   }
 

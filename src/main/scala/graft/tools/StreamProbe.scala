@@ -22,7 +22,7 @@ object StreamProbe {
       }
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
-    val targets = Seq("q80_stream_tumbling", "q81_stream_dedup", "q84_stream_static_join")
+    val targets = Seq("q85_stream_stream_join", "q82_stream_sessionize")
     targets.foreach { name =>
       val t0 = System.nanoTime()
       val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
