@@ -263,6 +263,39 @@ object DedupQueries {
           .orderBy(col("doc_id"))
       }),
 
+    // Canonical-corpus materialization — the dedup pipeline's actual
+    // deliverable: detect near-dup pairs (q61 machinery) → cluster (q6a
+    // machinery) → drop every clustered document except its cluster
+    // representative (min id). The anti-join keys are (doc_id) only, so
+    // at 100 TB the drop list is a narrow table and the corpus body never
+    // shuffles — the survivors stream straight to the sink.
+    QueryDef(
+      "q6d_canonical_corpus",
+      Some(s"""WITH RECURSIVE $jaccardPairsCte,
+          sym AS (SELECT id_a AS a, id_b AS b FROM jp
+                  UNION ALL SELECT id_b, id_a FROM jp),
+          reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          comp AS (SELECT a AS doc_id, min(b) AS component
+                   FROM reach GROUP BY a)
+          SELECT d.doc_id, d.lang FROM documents d
+          WHERE d.doc_id NOT IN
+            (SELECT doc_id FROM comp WHERE doc_id <> component)
+          ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = jaccardPairsRaw(withShingles(d))
+          .select(col("id_a"), col("id_b"))
+        val drops = ConnectedComponents.run(pairs)
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        d.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+          .orderBy(col("doc_id"))
+      }),
+
     // Embedding-cosine near-dup, brute-force all-pairs ≥ 0.45 (the data's
     // top pair sits at ≈0.51, and there is a wide margin around the
     // threshold — see HashVectorSpec for the expression math). Cosine is

@@ -214,10 +214,8 @@ object TextAnalysis {
           .limit(20)),
 
     // Document fingerprinting: rolling-hash content identity (custom
-    // Catalyst expression graft.functions.Fingerprint64Expr). The hash
-    // algorithm isn't expressible in DuckDB SQL, so the oracle check is
-    // rows-only; the algebraic properties are unit-tested in
-    // HashVectorSpec, and q60 covers SQL-checkable exact dedup via sha256.
+    // Catalyst expression graft.functions.Fingerprint64Expr); algebraic
+    // properties unit-tested in HashVectorSpec.
     QueryDef(
       "q53_fingerprint",
       // The 61-bit rolling fingerprint isn't DuckDB-computable, but its
@@ -234,6 +232,70 @@ object TextAnalysis {
           .groupBy(col("fp"))
           .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("copies"))
           .select(col("keep_id"), col("copies"))
-          .orderBy(col("keep_id")))
+          .orderBy(col("keep_id"))),
+
+    // Document chunking with overlap (window 50 tokens, stride 40): the
+    // standard training-prep splitter. Pure row-local column algebra —
+    // sequence → posexplode → slice — no UDF, no shuffle until the final
+    // order; at 100 TB chunking is scan-bandwidth-bound and the output
+    // partitioning inherits the input's. Chunk text compared verbatim
+    // against the oracle's list-slice reconstruction.
+    QueryDef(
+      "q5a_chunking",
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start FROM t)
+        SELECT doc_id, CAST(start // 40 AS INT) AS chunk_idx,
+          CAST(len(list_slice(toks, start + 1, start + 50)) AS INT) AS n_tokens,
+          array_to_string(list_slice(toks, start + 1, start + 50), ' ') AS chunk_text
+        FROM s ORDER BY doc_id, chunk_idx"""),
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"), col("toks"),
+            posexplode(sequence(lit(0), size(col("toks")) - 1, lit(40)))
+              .as(Seq("chunk_idx", "start")))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(slice(col("toks"), col("start") + 1, lit(50))).as("n_tokens"),
+            array_join(slice(col("toks"), col("start") + 1, lit(50)), " ")
+              .as("chunk_text"))
+          .orderBy(col("doc_id"), col("chunk_idx"))),
+
+    // PII redaction: emails and long digit runs replaced by placeholder
+    // tags, with per-doc redaction counts. The PII is synthesized
+    // deterministically into the text on both engines so the scrubber has
+    // something real to match. Row-local regexp algebra (Java regex and
+    // RE2 agree on this conservative pattern subset); the first stage of
+    // any compliance pass over a training corpus, and it runs before any
+    // shuffle.
+    QueryDef(
+      "q5b_pii_redaction",
+      Some("""WITH withpii AS (
+          SELECT doc_id,
+            text || ' contact user' || doc_id || '@example.com or +1'
+                 || (1000000 + doc_id * 7919) AS t
+          FROM documents)
+        SELECT doc_id,
+          CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(t, '[0-9]{6,}')) AS INT) AS n_longnums,
+          regexp_replace(regexp_replace(t,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{6,}', '<NUM>', 'g') AS redacted
+        FROM withpii ORDER BY doc_id"""),
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val numRe = "[0-9]{6,}"
+        docs(s, dir)
+          .select(col("doc_id"),
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or +1"),
+              (lit(1000000) + col("doc_id") * 7919).cast("string")).as("t"))
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+            size(regexp_extract_all(col("t"), lit(numRe), lit(0))).as("n_longnums"),
+            regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+              numRe, "<NUM>").as("redacted"))
+          .orderBy(col("doc_id"))
+      })
   )
 }
