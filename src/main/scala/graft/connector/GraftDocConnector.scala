@@ -385,6 +385,27 @@ object GraftDocLog {
     if (truncateFirst)
       commitDirs(fs, root).foreach { case (_, d) => fs.delete(d, true) }
 
+    // schema stability across commits: an append whose fields differ from
+    // the table's recorded schema would silently corrupt every later read
+    // (the scan parses documents with the recorded schema), so reject it
+    // here — the write-side schema validation the reference performs at
+    // configure time (W3), enforced at the log boundary.
+    val schemaPathCheck = new Path(root, SchemaFile)
+    if (!truncateFirst && fs.exists(schemaPathCheck)) {
+      val recorded = schemaFromJson(readFile(fs, schemaPathCheck))
+      val rec = recorded.fields.map(f => f.name -> f.dataType).toSeq
+      val got = schema.fields.map(f => f.name -> f.dataType).toSeq
+      if (rec != got) {
+        fs.delete(staging, true)
+        throw new IllegalArgumentException(
+          s"graft-doc: append schema ${schema.simpleString} does not match " +
+            s"table schema ${recorded.simpleString} at $tablePath " +
+            "(overwrite to redefine the table)")
+      }
+    } else if (truncateFirst && fs.exists(schemaPathCheck)) {
+      fs.delete(schemaPathCheck, false) // truncate redefines the table schema
+    }
+
     val seq = commitDirs(fs, root).lastOption.map(_._1).getOrElse(0L) + 1
     writeFile(fs, new Path(staging, ManifestFile),
       s"""{"queryId":"$queryId","epochId":$epochId}""", overwrite = true)

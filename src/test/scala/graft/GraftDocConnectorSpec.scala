@@ -138,6 +138,21 @@ class GraftDocConnectorSpec extends SparkSpec {
     assert(GraftDoc.log(spark, dir).count() == 3)
   }
 
+  test("append with a different schema is rejected; overwrite redefines") {
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", dir)
+    val e = intercept[Exception] {
+      GraftDoc.write(Seq((2L, 5.0)).toDF("k", "score"), "k", dir)
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    // the failed append must not have committed anything
+    assert(GraftDoc.log(spark, dir).count() == 1)
+    // overwrite legitimately redefines the table schema
+    GraftDoc.write(Seq((2L, 5.0)).toDF("k", "score"), "k", dir, overwrite = true)
+    assert(GraftDoc.log(spark, dir).columns.toSeq ==
+      Seq("_id", "score", "_commit"))
+  }
+
   test("nulls omitted from stored documents (reference :131 null guard)") {
     val dir = tmp()
     GraftDoc.write(Seq((1L, Some("x")), (2L, None)).toDF("k", "name"), "k", dir)
