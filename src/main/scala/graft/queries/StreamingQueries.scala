@@ -90,6 +90,34 @@ object StreamingQueries {
         FROM w GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
       (s, dir) => StreamPipelines.slidingWindows(s, dir)),
 
+    // Stream-stream LEFT OUTER interval join: null-padded rows emit only
+    // after the watermark proves no match can arrive; both engines bound
+    // the purchase side to 4h before corpus end (batch post-filter) (outer flush horizon).
+    QueryDef(
+      "q88_stream_outer_join",
+      Some("""WITH mx AS (SELECT max(ts) AS m FROM events),
+        p AS (SELECT user_id AS pu, ts AS pts, event_id AS purchase_id
+              FROM events WHERE event_type = 'purchase'
+                AND ts < (SELECT m - INTERVAL 4 HOUR FROM mx)),
+        c AS (SELECT user_id AS cu, ts AS cts, event_id AS click_id
+              FROM events WHERE event_type = 'click')
+        SELECT purchase_id, click_id
+        FROM p LEFT JOIN c ON pu = cu
+          AND cts >= pts - INTERVAL 1 HOUR AND cts <= pts
+        ORDER BY purchase_id, click_id NULLS FIRST"""),
+      (s, dir) => StreamPipelines.streamStreamOuterJoin(s, dir)),
+
+    // Spark 4 transformWithState (typed ValueState + event-time timers,
+    // RocksDB-backed): same per-user totals contract — and the same
+    // oracle — as the flatMapGroupsWithState q83, proving the two state
+    // APIs agree.
+    QueryDef(
+      "q89_stream_tws_stateful",
+      Some("""SELECT user_id, COUNT(*) AS n_events,
+        ROUND(MAX(value), 2) AS max_value
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      (s, dir) => StreamPipelines.statefulUserTotalsTws(s, dir)),
+
     // Reference-topology parity pipeline: stream → keyed document sink →
     // read back. The `_id` count proves the key hoist is lossless.
     QueryDef(

@@ -254,6 +254,84 @@ object StreamPipelines {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: purchases keep a row even
+    * when no same-user click precedes them within the hour — the
+    * null-padded result can only emit once the watermark proves no
+    * matching click can still arrive, which is the semantics that
+    * distinguishes outer from inner stream joins. Determinism contract:
+    * outer results for rows near the end of input never flush (the
+    * watermark stops at max event time − delay), so the drained result is
+    * bounded to purchases at least 4 h before the corpus end. The bound
+    * must be a BATCH post-filter on the drained output: filtering the
+    * purchase stream before the join is self-defeating — it lowers that
+    * stream's own watermark, which drags the global watermark (the min of
+    * both sides) down with it and un-flushes the rows just inside the new
+    * horizon. Measured flush threshold here is within 1 h below the
+    * watermark (max − 2 h delay), so max − 4 h leaves a full hour of
+    * margin. */
+  def streamStreamOuterJoin(s: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(s, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "2 hours")
+    val joined = purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+    val horizon = s.read.parquet(s"$sfDir/events.parquet")
+      .agg((max(timestamp_micros(expr("ts div 1000"))) -
+        expr("INTERVAL 4 HOURS")).as("h_end"))
+    runToMemory(s, joined.select(col("purchase_id"), col("click_id"), col("p_ts")),
+        "append")
+      .crossJoin(broadcast(horizon))
+      .filter(col("p_ts") < col("h_end"))
+      .select(col("purchase_id"), col("click_id"))
+      .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+  }
+
+  /** Per-user totals through Spark 4's transformWithState — the
+    * successor API to flatMapGroupsWithState (typed ValueState handles,
+    * explicit timers, TTL support, RocksDB-backed). Same contract as
+    * [[statefulUserTotals]] and the SAME oracle: accumulate per key,
+    * re-arm an event-time timer to watermark+1 each batch, emit exactly
+    * once when the watermark passes the key's last activity. */
+  def statefulUserTotalsTws(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val ev = eventsStream(s, sfDir)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as[Long], col("value").as[Double],
+        col("ts").as[java.sql.Timestamp])
+    val finals = ev.groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor(),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "n_events", "max_value")
+    // transformWithState requires the RocksDB state store provider
+    val out = withConf(s, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+      runToMemory(s, finals, "append")
+    }
+    out.select(col("user_id"), col("n_events"),
+      round(col("max_value"), 2).as("max_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private def withConf[T](s: SparkSession, key: String, value: String)(f: => T): T = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try f
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** Event-time sessionization: session_window with a 30-minute inactivity
     * gap per user — the streaming twin of batch q40_sessionize, and the
     * oracle IS q40's lag-based SQL (identical session semantics). */
