@@ -47,9 +47,8 @@ object AvroExpressions {
     case (b: ByteBuffer, BinaryType) =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
     case (b: Array[Byte], BinaryType) => b
+    // covers Avro's GenericData.Array too (it implements java.util.List)
     case (a: java.util.Collection[_], ArrayType(et, _)) =>
-      new GenericArrayData(a.asScala.map(toCatalyst(_, et)).toArray)
-    case (a: GenericData.Array[_], ArrayType(et, _)) =>
       new GenericArrayData(a.asScala.map(toCatalyst(_, et)).toArray)
     case (x, _) => x // boolean/int/long/float/double pass through
   }

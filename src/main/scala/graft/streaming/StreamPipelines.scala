@@ -166,7 +166,7 @@ object StreamPipelines {
             rows.foreach { case (_, v, _) => n += 1; mx = math.max(mx, v) }
             state.update((n, mx))
             // flush as soon as the watermark moves past this batch
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
             Iterator.empty
           }
       }

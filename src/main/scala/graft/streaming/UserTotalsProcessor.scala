@@ -29,7 +29,7 @@ class UserTotalsProcessor
     // keep exactly one live timer per key, re-armed past the current
     // watermark each time the key sees data
     getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-    getHandle.registerTimer(tv.getCurrentWatermarkInMs + 1)
+    getHandle.registerTimer(tv.getCurrentWatermarkInMs() + 1)
     Iterator.empty
   }
 
