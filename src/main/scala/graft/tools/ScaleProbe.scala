@@ -59,6 +59,28 @@ object ScaleProbe {
       .distinct()
     time(s"minhash-lsh candidates (${copies}x)")(println(s"[scale]   pairs=${cand.count()}"))
 
+    // exact dedup (q60 path): shuffle carries 32-byte hashes only
+    time(s"exact dedup (${copies}x)")(
+      println(s"[scale]   groups=" + docs
+        .groupBy(sha2(col("text"), 256)).agg(count(lit(1))).count()))
+
+    // chunking (q5a path): row-local, scan-bound
+    time(s"chunking (${copies}x)")(
+      println(s"[scale]   chunks=" + docs
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(posexplode(sequence(lit(0), size(col("toks")) - 1, lit(40))))
+        .count()))
+
+    // graft-doc write + snapshot (q77 path): task-rolled files, MOR window
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_scale_sink")
+      .toFile.getAbsolutePath
+    time(s"graft-doc write+snapshot (${copies}x)") {
+      graft.connector.GraftDoc.write(docs, "doc_id", sinkDir,
+        overwrite = true, targetFileRows = Some(200000L))
+      println(s"[scale]   snapshot=" +
+        graft.connector.GraftDoc.snapshot(spark, sinkDir).count())
+    }
+
     // IVF ANN probe (the scale path of q66): assign all vectors to 64 cells
     val cent = emb.filter(col("vec_id") < 64)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
