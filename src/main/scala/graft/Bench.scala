@@ -46,7 +46,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures a bounded tail of this process's output, and the
+    // per-query map makes this line long enough to get head-truncated by
+    // that capture (it happened two rounds running). Persist the full line
+    // in-repo first, then print it — the artifact survives any truncation.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL_r03.json"), line + "\n")
+    catch { case _: Throwable => () }
+    // stop Spark BEFORE printing so its shutdown noise cannot land after
+    // the line and push its head past the capture window
     spark.stop()
+    println(line)
   }
 }

@@ -12,12 +12,21 @@ import graft.queries._
   */
 object SparkEntry {
 
+  /** The scale-factor directory the driver's correctness gate verifies at;
+    * [[oracleSql]] is built against it by default. Oracle statements that
+    * embed run-scoped materialization paths (q63's two-stage sketch check)
+    * derive them from this — `Verify` passes its actual sfDir through
+    * [[oracleSqlFor]] so the dumped SQL always matches the run. */
+  val DefaultVerifySf = "/root/testdata/sf0.01"
+
   /** The full engine surface, grouped by SURVEY.md §2 sections. */
-  def defs: Seq[QueryDef] =
+  def defsFor(sfDir: String): Seq[QueryDef] =
     Aggregates.all ++ Joins.all ++ Windows.all ++ SetOps.all ++
       Scalars.all ++ EventsQueries.all ++ FormatQueries.all ++
-      TextAnalysis.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      TextAnalysis.all ++ DedupQueries.all(sfDir) ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ StreamingQueries.all
+
+  def defs: Seq[QueryDef] = defsFor(DefaultVerifySf)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -29,6 +38,11 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    defs.flatMap(d => d.oracle.map(sql => d.name -> sql)).toMap
+  def oracleSql: Map[String, String] = oracleSqlFor(DefaultVerifySf)
+
+  /** Oracle SQL with run-scoped materialization paths derived from the
+    * given sfDir (used by `Verify` so a sf0.1 bench and a sf0.01 verify
+    * can never read each other's staged files). */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    defsFor(sfDir).flatMap(d => d.oracle.map(sql => d.name -> sql)).toMap
 }

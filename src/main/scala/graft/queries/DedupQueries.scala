@@ -118,13 +118,18 @@ object DedupQueries {
         WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
         ORDER BY id_a, id_b"""
 
-  /** Fixed materialization path for q63's two-stage oracle: `oracleSql`
-    * is a static map, so the oracle's `read_parquet` path cannot vary
-    * with sfDir — each Verify/Bench run overwrites it, and the driver's
-    * DuckDB compare runs immediately after the dump it checks. */
-  private val q63SketchPath = "/tmp/graft_sketch/q63_sketches.parquet"
+  /** Materialization path for q63's two-stage oracle, derived from the
+    * scale-factor directory so runs against different sfDirs (a Verify at
+    * sf0.01 while a Bench runs sf0.1) write and read disjoint files. The
+    * run closure derives it from its runtime `dir` argument; the oracle
+    * SQL embeds the same path at [[all]] construction time (Verify dumps
+    * `SparkEntry.oracleSqlFor(sfDir)`, so the two always agree). */
+  private[queries] def q63SketchPath(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"/tmp/graft_sketch/$tag/q63_sketches.parquet"
+  }
 
-  val all: Seq[QueryDef] = Seq(
+  def all(sfDir: String): Seq[QueryDef] = Seq(
 
     // Exact dedup on a 256-bit content hash: keep the smallest doc_id per
     // identical text, count the copies.
@@ -192,7 +197,7 @@ object DedupQueries {
     // internals stay unit-tested in HashVectorSpec.
     QueryDef(
       "q63_simhash_dedup",
-      Some(s"""WITH s AS (SELECT * FROM read_parquet('$q63SketchPath/*.parquet'))
+      Some(s"""WITH s AS (SELECT * FROM read_parquet('${q63SketchPath(sfDir)}/*.parquet'))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
           CAST(bit_count(xor(a.sh64, b.sh64)) AS INT) AS hamming
         FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -201,8 +206,8 @@ object DedupQueries {
       (s, dir) => {
         withShingles(docs(s, dir))
           .select(col("doc_id"), HashExpressions.simhash64(col("sh")).as("sh64"))
-          .write.mode("overwrite").parquet(q63SketchPath)
-        val sig = s.read.parquet(q63SketchPath)
+          .write.mode("overwrite").parquet(q63SketchPath(dir))
+        val sig = s.read.parquet(q63SketchPath(dir))
         val bands = sig.select(col("doc_id"), col("sh64"),
           explode(array((0 until 4).map(b => struct(lit(b).as("band"),
             shiftrightunsigned(col("sh64"), b * 16).bitwiseAND(0xFFFFL).as("bh"))): _*))

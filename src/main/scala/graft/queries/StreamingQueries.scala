@@ -12,14 +12,21 @@ object StreamingQueries {
 
   val all: Seq[QueryDef] = Seq(
 
-    // Streaming twin of q41_event_windows: watermarked tumbling windows.
+    // Streaming twin of q41_event_windows: watermarked tumbling windows,
+    // append mode (each window emits once on watermark close). Both
+    // engines bound the result to windows ending ≥ 1 h below the final
+    // watermark (max ts − 1 h delay) — the deterministically-flushed set.
     QueryDef(
       "q80_stream_tumbling",
-      Some("""SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d,
+      Some("""WITH mx AS (SELECT max(ts) AS m FROM events)
+        SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d,
         CAST(EXTRACT(hour FROM ts) AS INT) AS h,
         event_type, COUNT(*) AS n,
         ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2) AS total_value
-        FROM events GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
+        FROM events
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              < (SELECT m - INTERVAL 2 HOUR FROM mx)
+        GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
       (s, dir) => StreamPipelines.tumblingWindows(s, dir)),
 
     // Streaming exact dedup on event_id, then per-type distinct counts.
@@ -30,19 +37,30 @@ object StreamingQueries {
       (s, dir) => StreamPipelines.streamDedup(s, dir)),
 
     // Streaming sessionization (session_window, 30-min gap) — same session
-    // semantics as the batch lag-based q40_sessionize oracle.
+    // semantics as the batch lag-based q40_sessionize oracle, append mode
+    // (a session emits once when the watermark proves it closed). Both
+    // engines keep sessions whose end (last event + 30 min gap) sits
+    // ≥ 30 min below the final watermark (max ts − 30 min delay).
     QueryDef(
       "q82_stream_sessionize",
       Some("""WITH g AS (
-        SELECT user_id, event_id,
+        SELECT user_id, event_id, ts,
           CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                     > INTERVAL 30 MINUTE
                THEN 1 ELSE 0 END AS new_sess
-        FROM events)
-        SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
-               COUNT(*) AS n_events
-        FROM g GROUP BY user_id ORDER BY user_id"""),
+        FROM events),
+        sn AS (SELECT user_id, ts,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+               FROM g),
+        sess AS (SELECT user_id, sid, COUNT(*) AS n, MAX(ts) AS last_ts
+                 FROM sn GROUP BY user_id, sid),
+        mx AS (SELECT max(ts) AS m FROM events)
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(n) AS BIGINT) AS n_events
+        FROM sess
+        WHERE last_ts + INTERVAL 30 MINUTE < (SELECT m - INTERVAL 1 HOUR FROM mx)
+        GROUP BY user_id ORDER BY user_id"""),
       (s, dir) => StreamPipelines.sessionWindows(s, dir)),
 
     // Custom per-key streaming state (flatMapGroupsWithState): the drained
@@ -77,9 +95,12 @@ object StreamingQueries {
     // Sliding 2h/1h windows: the oracle assigns each event to its two
     // overlapping window starts explicitly. Window starts whose span falls
     // entirely before the first event exist on neither side (no rows).
+    // Append mode: both engines keep windows ending ≥ 1 h below the final
+    // watermark (max ts − 1 h delay).
     QueryDef(
       "q86_stream_sliding",
-      Some("""WITH w AS (
+      Some("""WITH mx AS (SELECT max(ts) AS m FROM events),
+        w AS (
           SELECT event_type,
             unnest([date_trunc('hour', ts),
                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS wstart
@@ -87,18 +108,25 @@ object StreamingQueries {
         SELECT CAST(EXTRACT(day FROM wstart) AS INT) AS d,
           CAST(EXTRACT(hour FROM wstart) AS INT) AS h,
           event_type, COUNT(*) AS n
-        FROM w GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
+        FROM w
+        WHERE wstart + INTERVAL 2 HOUR < (SELECT m - INTERVAL 2 HOUR FROM mx)
+        GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
       (s, dir) => StreamPipelines.slidingWindows(s, dir)),
 
     // Stream-stream LEFT OUTER interval join: null-padded rows emit only
-    // after the watermark proves no match can arrive; both engines bound
-    // the purchase side to 4h before corpus end (batch post-filter) (outer flush horizon).
+    // after the watermark proves no match can arrive. The global watermark
+    // is min over both branches of (branch max ts − 2 h delay), so both
+    // engines bound the purchase side to least(max click ts, max purchase
+    // ts) − 3 h (batch post-filter; 2 h delay + 1 h flush margin).
     QueryDef(
       "q88_stream_outer_join",
-      Some("""WITH mx AS (SELECT max(ts) AS m FROM events),
+      Some("""WITH mx AS (SELECT least(
+                max(ts) FILTER (WHERE event_type = 'click'),
+                max(ts) FILTER (WHERE event_type = 'purchase')) AS m
+              FROM events),
         p AS (SELECT user_id AS pu, ts AS pts, event_id AS purchase_id
               FROM events WHERE event_type = 'purchase'
-                AND ts < (SELECT m - INTERVAL 4 HOUR FROM mx)),
+                AND ts < (SELECT m - INTERVAL 3 HOUR FROM mx)),
         c AS (SELECT user_id AS cu, ts AS cts, event_id AS click_id
               FROM events WHERE event_type = 'click')
         SELECT purchase_id, click_id

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.util.concurrent.atomic.AtomicInteger
@@ -101,16 +101,34 @@ object StreamPipelines {
     s.table(name)
   }
 
-  /** Tumbling 1-hour event-time windows by event type, with a watermark
-    * bounding state. Batch-oracle-equivalent because AvailableNow drains
-    * the full input before the final state flush. */
+  /** Batch-side event-time ceiling used to bound append-mode drains to
+    * the deterministically-flushed region: `max(ts over pred) - margin`.
+    * Applied as a POST-filter on the drained output, never on the stream —
+    * filtering a stream lowers its own max event time, drags the
+    * watermark down and un-flushes rows just inside the horizon. */
+  private def horizonEnd(s: SparkSession, sfDir: String, margin: String,
+      pred: Column = lit(true)): DataFrame =
+    s.read.parquet(s"$sfDir/events.parquet")
+      .agg((max(when(pred, timestamp_micros(expr("ts div 1000"))))
+        - expr(s"INTERVAL $margin")).as("h_end"))
+
+  /** Tumbling 1-hour event-time windows by event type. Append output mode:
+    * a window row is emitted exactly once, when the watermark passes its
+    * end — the state store holds only open windows (watermark-evicted),
+    * which is the 100 TB execution shape; complete mode would re-emit and
+    * retain every window forever. Determinism contract: the final
+    * watermark stops at max event time − 1 h, so windows ending above it
+    * never flush — the drained result is post-filtered (batch side, both
+    * engines) to windows ending ≥ 1 h below that watermark. */
   def tumblingWindows(s: SparkSession, sfDir: String): DataFrame = {
     val agg = eventsStream(s, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(30,8)")).as("dec_total"))
-    runToMemory(s, agg, "complete")
+    runToMemory(s, agg, "append")
+      .crossJoin(broadcast(horizonEnd(s, sfDir, "2 HOURS")))
+      .filter(col("window.end") < col("h_end"))
       .select(
         dayofmonth(col("window.start")).as("d"),
         hour(col("window.start")).as("h"),
@@ -120,15 +138,28 @@ object StreamPipelines {
   }
 
   /** Streaming exact dedup on event_id (at-least-once source → exactly-once
-    * result, the reference's W1 `_id`-idempotence story, SURVEY.md §2.10)
-    * followed by a windowless aggregation. */
+    * result, the reference's W1 `_id`-idempotence story, SURVEY.md §2.10).
+    * The stateful operator is the dedup alone — it emits each first-seen
+    * row immediately (append mode), and the per-type rollup runs as a
+    * BATCH aggregation over the drained output. The round-2 shape
+    * aggregated inside the stream, which forced complete mode and
+    * unbounded group state.
+    *
+    * `dropDuplicatesWithinWatermark`, not plain `dropDuplicates`: with
+    * the dedup key alone (no event-time column in the subset) the plain
+    * operator never evicts its seen-key state — it grows with every key
+    * ever seen. The WithinWatermark variant expires a key once the
+    * watermark passes its event time + delay, which is exactly the
+    * at-least-once replay window (a source retries within the delay, not
+    * hours later), so state is bounded by the delay's key arrival rate. */
   def streamDedup(s: SparkSession, sfDir: String): DataFrame = {
-    val agg = eventsStream(s, sfDir)
+    val dedup = eventsStream(s, sfDir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("event_id")
+    runToMemory(s, dedup, "append")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"))
-    runToMemory(s, agg, "complete")
       .orderBy(col("event_type"))
   }
 
@@ -171,9 +202,16 @@ object StreamPipelines {
           }
       }
       .toDF("user_id", "n_events", "max_value")
+    // Combine emissions per key in the drained output: a key that goes
+    // quiescent for longer than the watermark delay mid-stream and then
+    // reappears flushes more than once (each flush covering a disjoint
+    // slice of its events), so sum/max recombine the slices exactly; for
+    // a single-batch drain this is the identity. Without it a multi-
+    // micro-batch drain would emit duplicate user_id rows.
     runToMemory(s, finals, "append")
-      .select(col("user_id"), col("n_events"),
-        round(col("max_value"), 2).as("max_value"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        round(max(col("max_value")), 2).as("max_value"))
       .orderBy(col("user_id"))
   }
 
@@ -202,14 +240,18 @@ object StreamPipelines {
   }
 
   /** Sliding event-time windows (2-hour width, 1-hour slide): every event
-    * contributes to two overlapping windows. Watermark bounds open-window
-    * state to width + lateness. */
+    * contributes to two overlapping windows. Append mode — watermark
+    * bounds open-window state to width + lateness and each window emits
+    * once on close; drained result post-filtered (both engines) to
+    * windows ending ≥ 1 h below the final watermark. */
   def slidingWindows(s: SparkSession, sfDir: String): DataFrame = {
     val agg = eventsStream(s, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    runToMemory(s, agg, "complete")
+    runToMemory(s, agg, "append")
+      .crossJoin(broadcast(horizonEnd(s, sfDir, "2 HOURS")))
+      .filter(col("window.end") < col("h_end"))
       .select(
         dayofmonth(col("window.start")).as("d"),
         hour(col("window.start")).as("h"),
@@ -218,16 +260,19 @@ object StreamPipelines {
   }
 
   /** Stream-static join: the streaming fact side joins a static dimension
-    * snapshot — no state, the dimension is broadcast per micro-batch.
-    * The standard enrichment topology at scale. */
+    * snapshot — completely stateless, the dimension is broadcast per
+    * micro-batch, every joined row emits immediately (append mode). The
+    * enrichment rollup runs as a BATCH aggregation over the drained
+    * output (round 2 aggregated in-stream, forcing complete mode). */
   def streamStaticJoin(s: SparkSession, sfDir: String): DataFrame = {
     val customers = s.read.parquet(s"$sfDir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val joined = eventsStream(s, sfDir)
       .join(customers, col("user_id") === col("c_custkey"))
+      .select(col("c_mktsegment"))
+    runToMemory(s, joined, "append")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"))
-    runToMemory(s, joined, "complete")
       .orderBy(col("c_mktsegment"))
   }
 
@@ -266,9 +311,13 @@ object StreamPipelines {
     * purchase stream before the join is self-defeating — it lowers that
     * stream's own watermark, which drags the global watermark (the min of
     * both sides) down with it and un-flushes the rows just inside the new
-    * horizon. Measured flush threshold here is within 1 h below the
-    * watermark (max − 2 h delay), so max − 4 h leaves a full hour of
-    * margin. */
+    * horizon. The global watermark is the MIN over both branches of (that
+    * branch's max event time − 2 h delay) — at sparse scale factors the
+    * click stream can end hours before the purchase stream, so the
+    * horizon must anchor to `least(max click ts, max purchase ts)`, not
+    * the global max (measured at sf0.001: null rows flush up to the
+    * min-side watermark exactly; anchoring to the global max missed a
+    * purchase 3.6 h below it). The −3 h = 2 h delay + 1 h flush margin. */
   def streamStreamOuterJoin(s: SparkSession, sfDir: String): DataFrame = {
     val ev = eventsStream(s, sfDir)
     val clicks = ev.filter(col("event_type") === "click")
@@ -285,8 +334,11 @@ object StreamPipelines {
         col("c_ts") <= col("p_ts"),
       "left_outer")
     val horizon = s.read.parquet(s"$sfDir/events.parquet")
-      .agg((max(timestamp_micros(expr("ts div 1000"))) -
-        expr("INTERVAL 4 HOURS")).as("h_end"))
+      .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+      .agg((least(
+        max(when(col("event_type") === "click", col("tsx"))),
+        max(when(col("event_type") === "purchase", col("tsx"))))
+        - expr("INTERVAL 3 HOURS")).as("h_end"))
     runToMemory(s, joined.select(col("purchase_id"), col("click_id"), col("p_ts")),
         "append")
       .crossJoin(broadcast(horizon))
@@ -317,8 +369,10 @@ object StreamPipelines {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       runToMemory(s, finals, "append")
     }
-    out.select(col("user_id"), col("n_events"),
-      round(col("max_value"), 2).as("max_value"))
+    // combine per-key partial flushes exactly as in [[statefulUserTotals]]
+    out.groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        round(max(col("max_value")), 2).as("max_value"))
       .orderBy(col("user_id"))
   }
 
@@ -333,14 +387,21 @@ object StreamPipelines {
   }
 
   /** Event-time sessionization: session_window with a 30-minute inactivity
-    * gap per user — the streaming twin of batch q40_sessionize, and the
-    * oracle IS q40's lag-based SQL (identical session semantics). */
+    * gap per user — the streaming twin of batch q40_sessionize, same
+    * session semantics as the lag-based oracle. Append mode: a session
+    * emits once, when the watermark proves it can no longer be extended
+    * (passes last-event + gap); state holds only open sessions. The
+    * per-user rollup is a BATCH aggregation over the drained sessions,
+    * post-filtered (both engines) to sessions whose end sits ≥ 30 min
+    * below the final watermark (max event time − 30 min delay). */
   def sessionWindows(s: SparkSession, sfDir: String): DataFrame = {
     val sess = eventsStream(s, sfDir)
       .withWatermark("ts", "30 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n_in_session"))
-    runToMemory(s, sess, "complete")
+    runToMemory(s, sess, "append")
+      .crossJoin(broadcast(horizonEnd(s, sfDir, "1 HOUR")))
+      .filter(col("session_window.end") < col("h_end"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).cast("long").as("n_sessions"),
         sum(col("n_in_session")).as("n_events"))

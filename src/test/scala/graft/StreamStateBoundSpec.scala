@@ -1,0 +1,127 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Scale contract for the append-mode streaming drains (the q80/q81/q82/
+  * q84/q86 shapes in [[graft.streaming.StreamPipelines]]): state must hold
+  * only OPEN work — windows/sessions/keys the watermark hasn't closed —
+  * not the full history. Each test replays a stream 10× longer than the
+  * open horizon and asserts `stateOperators.numRowsTotal` (post-batch,
+  * post-eviction store size) stays bounded near the open set while total
+  * emitted results keep growing. Complete-mode drains fail these bounds
+  * by construction (state = every group ever seen), which is why round 3
+  * retired them.
+  */
+class StreamStateBoundSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  private def hourTs(h: Double): Timestamp =
+    new Timestamp(base + (h * 3600 * 1000).toLong)
+
+  /** Max numRowsTotal reported across the query's whole progress history. */
+  private def maxStateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
+
+  test("tumbling windows (q80 shape): state ~ open windows, not total windows") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val agg = in.toDF().toDF("ts", "k")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("sb_win")
+      .outputMode("append").start()
+    try {
+      val chunks = 10; val winPerChunk = 10 // 100 one-hour windows total
+      for (c <- 0 until chunks) {
+        in.addData((0 until winPerChunk).map(w => (hourTs(c * winPerChunk + w), "k")): _*)
+        q.processAllAvailable()
+      }
+      val total = chunks * winPerChunk
+      val bound = winPerChunk + 5 // one batch's new windows + watermark tail
+      assert(maxStateRows(q) <= bound,
+        s"state ${maxStateRows(q)} rows exceeds open-window bound $bound (total windows $total)")
+      // everything below the final watermark was emitted exactly once
+      val emitted = spark.table("sb_win").count()
+      assert(emitted >= total - 2 && emitted < total,
+        s"emitted $emitted of $total windows")
+    } finally q.stop()
+  }
+
+  test("dedup (q81 shape): seen-key state is evicted past the watermark delay") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val dedup = in.toDF().toDF("ts", "id")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+    val q = dedup.writeStream.format("memory").queryName("sb_dedup")
+      .outputMode("append").start()
+    try {
+      val chunks = 10; val idsPerChunk = 100 // chunk spans 1h of event time
+      for (c <- 0 until chunks) {
+        in.addData((0 until idsPerChunk).map { i =>
+          (hourTs(c + i.toDouble / idsPerChunk), s"id_${c}_$i")
+        }: _*)
+        q.processAllAvailable()
+      }
+      val total = chunks * idsPerChunk
+      // open horizon = watermark delay (1h) + the in-flight chunk ≈ 2 chunks
+      val bound = 3L * idsPerChunk
+      assert(maxStateRows(q) <= bound,
+        s"dedup state ${maxStateRows(q)} exceeds $bound (total keys $total)")
+      assert(spark.table("sb_dedup").count() == total) // all unique ids emitted
+    } finally q.stop()
+  }
+
+  test("session windows (q82 shape): state ~ open sessions") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val sess = in.toDF().toDF("ts", "u")
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("u"))
+      .agg(count(lit(1)).as("n"))
+    val q = sess.writeStream.format("memory").queryName("sb_sess")
+      .outputMode("append").start()
+    try {
+      // hourly events per user → every event is its own session (gap 30m);
+      // 10 chunks × 10 sessions × 2 users = 200 sessions total
+      val chunks = 10; val sessPerChunk = 10
+      for (c <- 0 until chunks) {
+        in.addData((0 until sessPerChunk).flatMap { i =>
+          val h = c * sessPerChunk + i
+          Seq((hourTs(h), "u1"), (hourTs(h), "u2"))
+        }: _*)
+        q.processAllAvailable()
+      }
+      val total = chunks * sessPerChunk * 2
+      val bound = (sessPerChunk + 3) * 2L // one batch's sessions + tail, per user
+      assert(maxStateRows(q) <= bound,
+        s"session state ${maxStateRows(q)} exceeds $bound (total sessions $total)")
+      val emitted = spark.table("sb_sess").count()
+      assert(emitted >= total - 4 && emitted < total,
+        s"emitted $emitted of $total sessions")
+    } finally q.stop()
+  }
+
+  test("stream-static join (q84 shape) is stateless") {
+    implicit val sql = spark.sqlContext
+    val dim = Seq((1L, "A"), (2L, "B")).toDF("k", "seg")
+    val in = MemoryStream[(Timestamp, Long)]
+    val joined = in.toDF().toDF("ts", "k").join(dim, "k").select(col("seg"))
+    val q = joined.writeStream.format("memory").queryName("sb_ssj")
+      .outputMode("append").start()
+    try {
+      for (c <- 0 until 5) {
+        in.addData((0 until 20).map(i => (hourTs(c), (i % 2 + 1).toLong)): _*)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0),
+        "stream-static join must carry no state store rows")
+      assert(spark.table("sb_ssj").count() == 100)
+    } finally q.stop()
+  }
+}
