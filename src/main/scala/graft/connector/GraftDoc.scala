@@ -68,10 +68,28 @@ object GraftDoc {
     * streaming epochs. Crash-safe ordering — the compacted base is
     * committed before old commits are dropped, and `snapshot` stays
     * correct at every intermediate state (the base outranks everything
-    * it absorbed). */
+    * it absorbed).
+    *
+    * Only commits that existed BEFORE compaction started (seq ≤ the
+    * captured pre-write horizon) are dropped — a commit racing in while
+    * the base is being written is never deleted. The base locates itself
+    * by a unique manifest tag instead of re-listing for "latest", so a
+    * racer landing after the base can't be mistaken for it. Note the
+    * residual semantic caveat of any single-table compactor: a racer
+    * committing between the snapshot read and the base rename is
+    * preserved but outranked by the base until the next compaction folds
+    * it; run compaction from the table's single writer (the reference's
+    * own operating model) when strict recency matters. Streaming replay
+    * protection survives compaction: the per-query epoch high-watermark
+    * lives in `_epochs/`, outside the folded commit dirs. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val snap = snapshot(spark, path)
-    snap.write.format("graft-doc").mode("append").save(path)
-    GraftDocLog.dropCommitsBelow(path, GraftDocLog.latestCommitSeq(path))
+    val before = GraftDocLog.latestCommitSeq(path)
+    val tag = java.util.UUID.randomUUID().toString
+    snapshot(spark, path).write.format("graft-doc").mode("append")
+      .option(GraftDocLog.CommitTagOpt, tag).save(path)
+    GraftDocLog.findCommitSeqByTag(path, tag).getOrElse(
+      throw new IllegalStateException(
+        s"graft-doc: compaction base commit (tag $tag) not found under $path"))
+    GraftDocLog.dropCommitsBelow(path, before + 1)
   }
 }

@@ -1,22 +1,26 @@
 package graft.connector
 
 import java.util.UUID
+import java.util.concurrent.atomic.AtomicLong
 
+import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.graft.docjson
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** `graft-doc`: a DataSource V2 keyed JSON-document table with
   * upsert-by-`_id` semantics — the engine's re-expression of the
@@ -32,25 +36,39 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   *  - every write lands as an immutable `commit_<seq>_<uuid>/` directory
   *    of JSON-line part files (task writers → `_staging/`, atomic driver
-  *    rename on commit — files never appear partially);
-  *  - the scan exposes every document version plus a `_commit` column;
+  *    rename on commit — files never appear partially); the sequence
+  *    number is claimed through an atomic create of a `_claim_<seq>`
+  *    marker, so CONCURRENT writers (separate drivers) race on the claim
+  *    and the loser re-seqs and retries — both commits survive;
+  *  - every part file's row count and `_id` min/max land in the commit
+  *    manifest, giving the scan file-level skipping for `_id` and
+  *    `_commit` predicates (the reference store's point-read-by-key
+  *    semantics, `MapRDBJSONSink.java:96,140-146`, re-expressed as
+  *    pushdown + pruning);
+  *  - the scan exposes every document version plus a `_commit` column,
+  *    splits large files into byte-range partitions (newline-aligned, the
+  *    classic text-split protocol) so a few big commits still parallelize;
   *  - [[GraftDoc.snapshot]] resolves latest-document-per-`_id` (one
   *    hash shuffle on `_id`, the minimum any upsert resolution costs);
   *  - [[GraftDoc.compact]] folds history into a single base commit so
   *    read amplification stays bounded.
   *
-  * Streaming writes are idempotent per `(queryId, epochId)` — a replayed
-  * micro-batch (at-least-once source) finds its manifest already
-  * committed and becomes a no-op, giving exactly-once table contents:
-  * the reference's idempotence argument, made explicit in the commit
-  * protocol instead of relying on store-side put semantics.
+  * Streaming writes are idempotent per `(queryId, epochId)`: each query's
+  * committed-epoch HIGH WATERMARK lives in `_epochs/<queryId>` and is read
+  * in O(1) per commit — not by scanning every manifest (which would be
+  * O(#commits) reads per commit, a long-running-stream killer on object
+  * stores). The manifest still records (queryId, epochId) as the crash-
+  * consistent source of truth: if the watermark file is missing or stale
+  * (crash between commit rename and watermark update), the commit path
+  * falls back to scanning only the manifests ABOVE the recorded watermark
+  * seq — normally zero files. `_epochs/` lives outside the commit dirs,
+  * so replay protection survives [[GraftDoc.compact]] folding manifests.
   *
-  * Scale: writers are per-task and roll files at `targetFileRows` (no
-  * shuffle for small-files control); commit is an O(#files) driver
-  * rename; the scan prunes columns (JSON parser skips unrequested
-  * fields) and parallelizes per file. Executors obtain the FileSystem
-  * from the Hadoop classpath configuration — the same mechanism as any
-  * Hadoop OutputFormat, so `file://`, `hdfs://`, object stores all work.
+  * All FileSystem access uses the Spark session's Hadoop configuration
+  * (driver: `sessionState.newHadoopConf()`; tasks: the same conf shipped
+  * inside the serialized reader/writer factories), so `spark.hadoop.*`
+  * settings — object-store credentials, endpoints, custom FS impls —
+  * apply to the table path exactly as they do to any Spark data source.
   */
 class GraftDocDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-doc"
@@ -81,7 +99,8 @@ class GraftDocTable(docSchema: StructType, path: String)
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftDocScanBuilder(docSchema, path)
+    new GraftDocScanBuilder(docSchema, path,
+      options.getLong(GraftDocLog.MaxSplitBytesOpt, GraftDocLog.DefaultSplitBytes))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     GraftDocLog.validateWriteSchema(info.schema())
@@ -91,40 +110,143 @@ class GraftDocTable(docSchema: StructType, path: String)
 
 // ---------------------------------------------------------------- read side
 
-class GraftDocScanBuilder(docSchema: StructType, path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+/** Hadoop Configuration with Java serialization, so task-side readers and
+  * writers see the driver session's `spark.hadoop.*` settings (the
+  * standard DSv2 pattern; Spark's own SerializableConfiguration is
+  * `private[spark]`). */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+class GraftDocScanBuilder(docSchema: StructType, path: String, splitBytes: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   // table schema already carries _commit when it came from inferSchema;
   // add it if the caller handed a bare document schema
   private val fullSchema =
     if (docSchema.fieldNames.contains(GraftDocLog.CommitCol)) docSchema
     else docSchema.add(StructField(GraftDocLog.CommitCol, LongType, nullable = false))
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new Scan with Batch {
-    override def readSchema(): StructType = required
-    override def toBatch: Batch = this
+  /** `_id` and `_commit` predicates prune whole files (manifest min/max
+    * for `_id`, the partition's own sequence for `_commit`). All filters
+    * are returned as residual — Spark re-evaluates them post-scan (the
+    * Parquet contract), so pruning is a pure optimization that can never
+    * change results. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(GraftDocFilters.supported)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
 
-    override def planInputPartitions(): Array[InputPartition] =
-      GraftDocLog.listCommitFiles(path).map { case (seq, file) =>
-        GraftDocInputPartition(file, seq): InputPartition
-      }.toArray
+  override def build(): Scan =
+    new GraftDocScan(required, path, pushed, splitBytes,
+      new SerializableHadoopConf(GraftDocLog.hadoopConf()))
+}
 
-    override def createReaderFactory(): PartitionReaderFactory =
-      new GraftDocReaderFactory(required.json)
+/** Conjunctive file-level pruning over the pushed filter set. */
+private[connector] object GraftDocFilters {
+  private val Id = "_id"
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(c, _) => c == Id || c == GraftDocLog.CommitCol
+    case In(c, _) => c == Id || c == GraftDocLog.CommitCol
+    case GreaterThan(c, _) => c == Id || c == GraftDocLog.CommitCol
+    case GreaterThanOrEqual(c, _) => c == Id || c == GraftDocLog.CommitCol
+    case LessThan(c, _) => c == Id || c == GraftDocLog.CommitCol
+    case LessThanOrEqual(c, _) => c == Id || c == GraftDocLog.CommitCol
+    case _ => false
+  }
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue())
+    case _ => None
+  }
+
+  /** Binary (UTF-8 byte) string order — the order Spark's own string
+    * comparisons use, and the order the writer computes min/max in. */
+  private def cmp(a: String, b: String): Int =
+    UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+
+  def commitOk(filters: Array[Filter], seq: Long): Boolean = filters.forall {
+    case EqualTo(GraftDocLog.CommitCol, v) => asLong(v).forall(_ == seq)
+    case In(GraftDocLog.CommitCol, vs) => vs.exists(v => asLong(v).forall(_ == seq))
+    case GreaterThan(GraftDocLog.CommitCol, v) => asLong(v).forall(seq > _)
+    case GreaterThanOrEqual(GraftDocLog.CommitCol, v) => asLong(v).forall(seq >= _)
+    case LessThan(GraftDocLog.CommitCol, v) => asLong(v).forall(seq < _)
+    case LessThanOrEqual(GraftDocLog.CommitCol, v) => asLong(v).forall(seq <= _)
+    case _ => true
+  }
+
+  /** File passes when every `_id` predicate can hold somewhere inside the
+    * file's [minId, maxId] range; files with no recorded stats always
+    * pass. */
+  def idOk(filters: Array[Filter], minId: Option[String],
+      maxId: Option[String]): Boolean = (minId, maxId) match {
+    case (Some(mn), Some(mx)) => filters.forall {
+      case EqualTo(Id, v: String) => cmp(v, mn) >= 0 && cmp(v, mx) <= 0
+      case In(Id, vs) => vs.exists {
+        case v: String => cmp(v, mn) >= 0 && cmp(v, mx) <= 0
+        case _ => true
+      }
+      case GreaterThan(Id, v: String) => cmp(mx, v) > 0
+      case GreaterThanOrEqual(Id, v: String) => cmp(mx, v) >= 0
+      case LessThan(Id, v: String) => cmp(mn, v) < 0
+      case LessThanOrEqual(Id, v: String) => cmp(mn, v) <= 0
+      case _ => true
+    }
+    case _ => true
   }
 }
 
-case class GraftDocInputPartition(file: String, commitSeq: Long) extends InputPartition
+class GraftDocScan(required: StructType, path: String, pushed: Array[Filter],
+    splitBytes: Long, conf: SerializableHadoopConf) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-doc $path, PushedFilters: [${pushed.mkString(", ")}]"
 
-class GraftDocReaderFactory(requiredSchemaJson: String)
-    extends PartitionReaderFactory {
+  /** File-level skip on `_commit` (each file belongs to exactly one
+    * commit) and `_id` (manifest min/max), then byte-range splits so a
+    * few large commit files still spread across the cluster. */
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftDocLog.listCommitFileInfos(path)
+      .filter(fi => GraftDocFilters.commitOk(pushed, fi.seq) &&
+        GraftDocFilters.idOk(pushed, fi.minId, fi.maxId))
+      .flatMap { fi =>
+        val n = math.max(1L, (fi.bytes + splitBytes - 1) / splitBytes)
+        (0L until n).map { i =>
+          GraftDocInputPartition(fi.path, fi.seq, i * splitBytes,
+            math.min(splitBytes, fi.bytes - i * splitBytes)): InputPartition
+        }
+      }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftDocReaderFactory(required.json, conf)
+}
+
+case class GraftDocInputPartition(file: String, commitSeq: Long,
+    start: Long, length: Long) extends InputPartition
+
+class GraftDocReaderFactory(requiredSchemaJson: String,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftDocInputPartition]
-    val required = graft.connector.GraftDocLog.schemaFromJson(requiredSchemaJson)
+    val required = GraftDocLog.schemaFromJson(requiredSchemaJson)
     // parse only the document fields Spark asked for (JSON column pruning:
     // the parser skips every other key), then place them — plus _commit —
     // in Spark's required order.
@@ -134,16 +256,16 @@ class GraftDocReaderFactory(requiredSchemaJson: String)
       required.fields.map(f => docIndex.getOrElse(f.name, -1))
 
     new PartitionReader[InternalRow] {
-      private val fs = new Path(p.file).getFileSystem(new Configuration())
-      private val in = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(new Path(p.file)), "UTF-8"))
+      private val fs = new Path(p.file).getFileSystem(conf.value)
+      private val lines = new RangeLineReader(
+        fs.open(new Path(p.file)), p.start, p.length)
       private val parser = new docjson.RowJsonReader(docPart)
       private var pending: Iterator[InternalRow] = Iterator.empty
       private var current: InternalRow = _
 
       override def next(): Boolean = {
         while (!pending.hasNext) {
-          val line = in.readLine()
+          val line = lines.readLine()
           if (line == null) return false
           if (line.nonEmpty) pending = parser.fromJson(line)
         }
@@ -162,9 +284,50 @@ class GraftDocReaderFactory(requiredSchemaJson: String)
       }
 
       override def get(): InternalRow = current
-      override def close(): Unit = in.close()
+      override def close(): Unit = lines.close()
     }
   }
+}
+
+/** Newline-aligned byte-range reader (the classic text-split protocol): a
+  * split owns every line whose first byte lies in [start, start+length);
+  * it reads past its end to finish the final straddling line, and a
+  * non-leading split seeks to start−1 and discards through the first
+  * newline — together the two rules parse every line exactly once across
+  * splits. */
+private[connector] final class RangeLineReader(
+    in: org.apache.hadoop.fs.FSDataInputStream, start: Long, length: Long) {
+  private val end = start + length
+  private var pos = if (start == 0) 0L else start - 1
+  private val buffered = {
+    in.seek(pos)
+    new java.io.BufferedInputStream(in, 64 * 1024)
+  }
+  private val lineBuf = new java.io.ByteArrayOutputStream(256)
+  if (start > 0) consumeLine() // remainder of the previous split's line
+
+  /** Consume one line (through its newline); false at EOF with no bytes. */
+  private def consumeLine(): Boolean = {
+    lineBuf.reset()
+    var b = buffered.read()
+    if (b < 0) return false
+    while (b >= 0 && b != '\n') {
+      lineBuf.write(b)
+      pos += 1
+      b = buffered.read()
+    }
+    if (b == '\n') pos += 1
+    true
+  }
+
+  /** Next owned line, or null when the split is exhausted. */
+  def readLine(): String = {
+    if (pos >= end) return null // next line would start past our range
+    if (!consumeLine()) return null
+    new String(lineBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def close(): Unit = buffered.close()
 }
 
 // --------------------------------------------------------------- write side
@@ -177,17 +340,20 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
   override def build(): Write = new Write {
     private val targetFileRows =
       Option(info.options.get(GraftDocLog.TargetFileRowsOpt)).map(_.toLong)
+    private val commitTag = Option(info.options.get(GraftDocLog.CommitTagOpt))
 
     override def toBatch: BatchWrite = new BatchWrite {
       private val writeId = UUID.randomUUID().toString
 
       override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
         new GraftDocWriterFactory(
-          GraftDocLog.stagingDir(path, writeId), info.schema().json, targetFileRows)
+          GraftDocLog.stagingDir(path, writeId), info.schema().json, targetFileRows,
+          new SerializableHadoopConf(GraftDocLog.hadoopConf()))
 
       override def commit(messages: Array[WriterCommitMessage]): Unit =
         GraftDocLog.finalizeCommit(path, GraftDocLog.stagingDir(path, writeId),
-          info.schema(), info.queryId(), epochId = -1L, truncateFirst)
+          info.schema(), info.queryId(), epochId = -1L, truncateFirst,
+          GraftDocLog.statsOf(messages), commitTag)
 
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         GraftDocLog.deleteDir(GraftDocLog.stagingDir(path, writeId))
@@ -200,14 +366,16 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
 
       override def createStreamingWriterFactory(pInfo: PhysicalWriteInfo): StreamingDataWriterFactory =
         new GraftDocStreamingWriterFactory(
-          GraftDocLog.stagingDir(path, writeId), info.schema().json, targetFileRows)
+          GraftDocLog.stagingDir(path, writeId), info.schema().json, targetFileRows,
+          new SerializableHadoopConf(GraftDocLog.hadoopConf()))
 
-      // Idempotent per (queryId, epochId): a replayed micro-batch finds its
-      // manifest already in the log and is dropped — exactly-once contents
-      // over an at-least-once source.
+      // Idempotent per (queryId, epochId): a replayed micro-batch is
+      // detected against the query's epoch high-watermark (O(1) read) and
+      // dropped — exactly-once contents over an at-least-once source.
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         GraftDocLog.finalizeCommit(path, epochDir(epochId), info.schema(),
-          info.queryId(), epochId, truncateFirst = false)
+          info.queryId(), epochId, truncateFirst = false,
+          GraftDocLog.statsOf(messages), commitTag)
 
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         GraftDocLog.deleteDir(epochDir(epochId))
@@ -216,58 +384,91 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
 }
 
 class GraftDocWriterFactory(stagingDir: String, schemaJson: String,
-    targetFileRows: Option[Long]) extends DataWriterFactory {
+    targetFileRows: Option[Long], conf: SerializableHadoopConf)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDocDataWriter(stagingDir, partitionId, taskId, schemaJson, targetFileRows)
+    new GraftDocDataWriter(stagingDir, partitionId, taskId, schemaJson,
+      targetFileRows, conf)
 }
 
 class GraftDocStreamingWriterFactory(stagingDir: String, schemaJson: String,
-    targetFileRows: Option[Long]) extends StreamingDataWriterFactory {
+    targetFileRows: Option[Long], conf: SerializableHadoopConf)
+    extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDocDataWriter(s"$stagingDir/epoch_$epochId", partitionId, taskId,
-      schemaJson, targetFileRows)
+      schemaJson, targetFileRows, conf)
 }
+
+/** Per-part-file stats recorded in the commit manifest; the scan's
+  * file-skip index for `_id` point reads and range scans. */
+case class GraftDocFileStat(name: String, rows: Long,
+    minId: Option[String], maxId: Option[String])
 
 /** Task-side writer: serializes rows to JSON lines, rolling to a new part
   * file every `targetFileRows` rows (small-files/large-files control with
-  * zero shuffle — the file boundary is task-local). */
+  * zero shuffle — the file boundary is task-local), and tracking each
+  * file's row count and `_id` min/max for the manifest. */
 class GraftDocDataWriter(stagingDir: String, partitionId: Int, taskId: Long,
-    schemaJson: String, targetFileRows: Option[Long])
-    extends DataWriter[InternalRow] {
+    schemaJson: String, targetFileRows: Option[Long],
+    conf: SerializableHadoopConf) extends DataWriter[InternalRow] {
 
-  private val schema = graft.connector.GraftDocLog.schemaFromJson(schemaJson)
+  private val schema = GraftDocLog.schemaFromJson(schemaJson)
   private val json = new docjson.RowJsonWriter(schema)
-  private val fs = new Path(stagingDir).getFileSystem(new Configuration())
+  private val fs = new Path(stagingDir).getFileSystem(conf.value)
+  // _id is the leading string column for document writes (W3 validation);
+  // tolerate arbitrary schemas (no stats) so the writer stays general
+  private val idOrdinal =
+    if (schema.fields.headOption.exists(f =>
+      f.name == "_id" && f.dataType == StringType)) 0 else -1
   private var out: java.io.BufferedWriter = _
+  private var curFile: Path = _
   private var fileIdx = 0
   private var rowsInFile = 0L
-  private var totalRows = 0L
-  private val written = scala.collection.mutable.ArrayBuffer.empty[Path]
+  private var minId: UTF8String = _
+  private var maxId: UTF8String = _
+  private val stats = ArrayBuffer.empty[GraftDocFileStat]
+  private val written = ArrayBuffer.empty[Path]
+
+  private def sealFile(): Unit = {
+    if (out != null) {
+      out.close()
+      stats += GraftDocFileStat(curFile.getName, rowsInFile,
+        Option(minId).map(_.toString), Option(maxId).map(_.toString))
+    }
+    out = null
+    rowsInFile = 0L
+    minId = null
+    maxId = null
+  }
 
   private def roll(): Unit = {
-    if (out != null) out.close()
-    val f = new Path(stagingDir,
+    sealFile()
+    curFile = new Path(stagingDir,
       f"part-$partitionId%05d-$taskId-$fileIdx%04d.jsonl")
-    written += f
+    written += curFile
     out = new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(fs.create(f, true), "UTF-8"))
+      new java.io.OutputStreamWriter(fs.create(curFile, true), "UTF-8"))
     fileIdx += 1
-    rowsInFile = 0L
   }
 
   override def write(row: InternalRow): Unit = {
     if (out == null || targetFileRows.exists(rowsInFile >= _)) roll()
+    if (idOrdinal >= 0 && !row.isNullAt(idOrdinal)) {
+      // clone: the UTF8String points into a buffer the row reuses
+      val id = row.getUTF8String(idOrdinal).clone()
+      if (minId == null || id.compareTo(minId) < 0) minId = id
+      if (maxId == null || id.compareTo(maxId) > 0) maxId = id
+    }
     out.write(json.toJson(row))
     out.write('\n')
     rowsInFile += 1
-    totalRows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    if (out != null) out.close()
+    sealFile()
     json.close()
-    GraftDocCommitMessage(totalRows)
+    GraftDocCommitMessage(stats.toSeq)
   }
 
   override def abort(): Unit = {
@@ -278,7 +479,8 @@ class GraftDocDataWriter(stagingDir: String, partitionId: Int, taskId: Long,
   override def close(): Unit = ()
 }
 
-case class GraftDocCommitMessage(rows: Long) extends WriterCommitMessage
+case class GraftDocCommitMessage(files: Seq[GraftDocFileStat])
+    extends WriterCommitMessage
 
 // ------------------------------------------------------------- log protocol
 
@@ -292,7 +494,26 @@ object GraftDocLog {
   val SchemaFile = "_schema.json"
   val ManifestFile = "_manifest.json"
   val TargetFileRowsOpt = "targetFileRows"
-  private val CommitRe = "commit_([0-9]{9})_.*".r
+  val CommitTagOpt = "commitTag"
+  val MaxSplitBytesOpt = "maxSplitBytes"
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+  private val EpochsDir = "_epochs"
+  // widths beyond 9 digits still parse (zero-padding only keeps the
+  // common range lexicographically ordered)
+  private val CommitRe = "commit_([0-9]+)_.*".r
+
+  /** Fallback-path instrumentation: manifests read on the epoch-replay
+    * check. Stays at zero while the high-watermark file is present and
+    * current — the O(1) contract `GraftDocConnectorSpec` asserts. */
+  private[graft] val fallbackManifestReads = new AtomicLong(0L)
+
+  /** The active session's Hadoop configuration (carries `spark.hadoop.*`
+    * overrides — object-store credentials, custom FS impls); plain
+    * classpath configuration only when no session exists (tests,
+    * tooling). */
+  def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
   def requirePath(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
@@ -310,7 +531,7 @@ object GraftDocLog {
 
   private def fsFor(p: String): (FileSystem, Path) = {
     val hp = new Path(p)
-    (hp.getFileSystem(new Configuration()), hp)
+    (hp.getFileSystem(hadoopConf()), hp)
   }
 
   def stagingDir(tablePath: String, writeId: String): String =
@@ -324,22 +545,92 @@ object GraftDocLog {
   def readSchema(tablePath: String): Option[StructType] = {
     val (fs, p) = fsFor(s"$tablePath/$SchemaFile")
     if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(graft.connector.GraftDocLog.schemaFromJson(
-        new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)))
-      finally in.close()
-    }
+    else Some(schemaFromJson(readFile(fs, p)))
   }
 
+  def statsOf(messages: Array[WriterCommitMessage]): Seq[GraftDocFileStat] =
+    messages.toSeq.collect { case m: GraftDocCommitMessage => m.files }.flatten
+
+  // ----------------------------------------------------------- tiny JSON
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  private def junstr(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'u' => b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o => b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  private val QStr = "(?:[^\"\\\\]|\\\\.)*"
+  private val QueryIdRe = ("\"queryId\":\"(" + QStr + ")\"").r
+  private val EpochIdRe = "\"epochId\":(-?[0-9]+)".r
+  private val TagRe = ("\"tag\":\"(" + QStr + ")\"").r
+  private val FileEntryRe =
+    ("\\{\"name\":\"(" + QStr + ")\",\"rows\":([0-9]+)" +
+      "(?:,\"minId\":\"(" + QStr + ")\",\"maxId\":\"(" + QStr + ")\")?\\}").r
+
+  private def manifestJson(queryId: String, epochId: Long, tag: Option[String],
+      stats: Seq[GraftDocFileStat]): String = {
+    val files = stats.map { f =>
+      val ids = (f.minId, f.maxId) match {
+        case (Some(lo), Some(hi)) => s""","minId":${jstr(lo)},"maxId":${jstr(hi)}"""
+        case _ => ""
+      }
+      s"""{"name":${jstr(f.name)},"rows":${f.rows}$ids}"""
+    }.mkString("[", ",", "]")
+    val tagPart = tag.map(t => s""","tag":${jstr(t)}""").getOrElse("")
+    s"""{"queryId":${jstr(queryId)},"epochId":$epochId$tagPart,"files":$files}"""
+  }
+
+  // ---------------------------------------------------------------- listing
+
   /** (commitSeq, file) for every part file in the log, commit order. */
-  def listCommitFiles(tablePath: String): Seq[(Long, String)] = {
+  def listCommitFiles(tablePath: String): Seq[(Long, String)] =
+    listCommitFileInfos(tablePath).map(fi => fi.seq -> fi.path)
+
+  case class CommitFileInfo(seq: Long, path: String, bytes: Long,
+      minId: Option[String], maxId: Option[String])
+
+  /** Every part file with its commit seq, byte length, and (when the
+    * manifest recorded them) `_id` min/max — the scan's planning input. */
+  def listCommitFileInfos(tablePath: String): Seq[CommitFileInfo] = {
     val (fs, root) = fsFor(tablePath)
     if (!fs.exists(root)) return Seq.empty
     commitDirs(fs, root).flatMap { case (seq, dir) =>
+      val m = new Path(dir, ManifestFile)
+      val statRange: Map[String, (Option[String], Option[String])] =
+        if (!fs.exists(m)) Map.empty
+        else FileEntryRe.findAllMatchIn(readFile(fs, m)).map { mm =>
+          junstr(mm.group(1)) ->
+            (Option(mm.group(3)).map(junstr), Option(mm.group(4)).map(junstr))
+        }.toMap
       fs.listStatus(dir).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".jsonl"))
-        .map(s => seq -> s.getPath.toString)
+        .map { s =>
+          val (lo, hi) = statRange.getOrElse(s.getPath.getName, (None, None))
+          CommitFileInfo(seq, s.getPath.toString, s.getLen, lo, hi)
+        }
     }
   }
 
@@ -365,25 +656,90 @@ object GraftDocLog {
     finally in.close()
   }
 
+  // -------------------------------------------------- epoch high-watermark
+
+  private def epochHwPath(root: Path, queryId: String): Path =
+    new Path(new Path(root, EpochsDir),
+      queryId.replaceAll("[^A-Za-z0-9._-]", "_"))
+
+  /** (highest committed epochId, the commit seq it landed at). */
+  private def readEpochHw(fs: FileSystem, root: Path,
+      queryId: String): Option[(Long, Long)] = {
+    val p = epochHwPath(root, queryId)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val txt = readFile(fs, p)
+        for {
+          e <- EpochIdRe.findFirstMatchIn(txt).map(_.group(1).toLong)
+          s <- "\"seq\":([0-9]+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        } yield (e, s)
+      }
+    } catch { case _: Exception => None } // torn write → fall back to scan
+  }
+
+  private def writeEpochHw(fs: FileSystem, root: Path, queryId: String,
+      epochId: Long, seq: Long): Unit = {
+    fs.mkdirs(new Path(root, EpochsDir))
+    // single writer per queryId (the query's own driver), so a plain
+    // overwrite suffices; a torn file degrades to the manifest fallback
+    writeFile(fs, epochHwPath(root, queryId),
+      s"""{"epochId":$epochId,"seq":$seq}""", overwrite = true)
+  }
+
+  /** O(1) epoch-replay check: the high-watermark file answers most
+    * replays in one read; only commits ABOVE the recorded watermark seq
+    * (normally none) have their manifests scanned — covering the crash
+    * window between commit rename and watermark update. */
+  private def epochAlreadyCommitted(fs: FileSystem, root: Path,
+      queryId: String, epochId: Long): Boolean = {
+    val hw = readEpochHw(fs, root, queryId)
+    if (hw.exists(epochId <= _._1)) return true
+    val fromSeq = hw.map(_._2).getOrElse(0L)
+    val found = commitDirs(fs, root).filter(_._1 > fromSeq).find { case (_, dir) =>
+      val m = new Path(dir, ManifestFile)
+      fs.exists(m) && {
+        fallbackManifestReads.incrementAndGet()
+        val txt = readFile(fs, m)
+        QueryIdRe.findFirstMatchIn(txt).exists(mm => junstr(mm.group(1)) == queryId) &&
+          EpochIdRe.findFirstMatchIn(txt).exists(_.group(1).toLong == epochId)
+      }
+    }
+    // repair the watermark so the next replay check is O(1) again
+    found.foreach { case (seq, _) => writeEpochHw(fs, root, queryId, epochId, seq) }
+    found.isDefined
+  }
+
+  // -------------------------------------------------------------- commit
+
   /** Atomically publish a staged write as the next commit.
     *
-    * Single-writer-per-table protocol (like the reference's single sink
-    * job per table): seq assignment is driver-side; concurrent writers
-    * would need a lock/log service on top, which the layout permits but
-    * this round does not ship.
-    */
+    * Concurrent writers (separate drivers on one table) are safe: the
+    * sequence number is claimed by an atomic `create(overwrite=false)` of
+    * a `_claim_<seq>` marker — exactly one writer wins a given seq; the
+    * loser advances and retries, so both commits land with distinct seqs.
+    * (On stores without atomic create-exclusive — S3 without a consistency
+    * layer — pair the table with a coordinating log service, as every
+    * log-structured format does.) In-JVM callers are additionally
+    * serialized by `synchronized`, which keeps the common single-driver
+    * case free of claim contention. */
   def finalizeCommit(tablePath: String, stagingDir: String, schema: StructType,
-      queryId: String, epochId: Long, truncateFirst: Boolean): Unit = synchronized {
+      queryId: String, epochId: Long, truncateFirst: Boolean,
+      stats: Seq[GraftDocFileStat] = Nil,
+      tag: Option[String] = None): Unit = synchronized {
     val (fs, root) = fsFor(tablePath)
     val staging = new Path(stagingDir)
     fs.mkdirs(staging) // zero-row writes still commit (empty batch is a commit)
 
-    if (epochId >= 0 && committedEpochs(fs, root).contains((queryId, epochId))) {
+    if (epochId >= 0 && epochAlreadyCommitted(fs, root, queryId, epochId)) {
       fs.delete(staging, true) // replayed micro-batch: already in the log
       return
     }
-    if (truncateFirst)
+    if (truncateFirst) {
       commitDirs(fs, root).foreach { case (_, d) => fs.delete(d, true) }
+      claimFiles(fs, root).foreach(fs.delete(_, false))
+      fs.delete(new Path(root, EpochsDir), true)
+    }
 
     // schema stability across commits: an append whose fields differ from
     // the table's recorded schema would silently corrupt every later read
@@ -406,32 +762,58 @@ object GraftDocLog {
       fs.delete(schemaPathCheck, false) // truncate redefines the table schema
     }
 
-    val seq = commitDirs(fs, root).lastOption.map(_._1).getOrElse(0L) + 1
     writeFile(fs, new Path(staging, ManifestFile),
-      s"""{"queryId":"$queryId","epochId":$epochId}""", overwrite = true)
+      manifestJson(queryId, epochId, tag, stats), overwrite = true)
     val schemaPath = new Path(root, SchemaFile)
     if (!fs.exists(schemaPath))
       writeFile(fs, schemaPath, schema.json, overwrite = false)
-    val target = new Path(root, f"commit_$seq%09d_${staging.getName}")
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"graft-doc: commit rename failed: $staging -> $target")
+
+    // claim-CAS loop: win a seq via atomic create-exclusive, then rename
+    var seq = commitDirs(fs, root).lastOption.map(_._1).getOrElse(0L) + 1
+    var committed = false
+    var attempts = 0
+    while (!committed) {
+      val won =
+        try { fs.create(new Path(root, f"_claim_$seq%09d"), false).close(); true }
+        catch { case _: java.io.IOException => false } // claimed by a racer
+      if (won) {
+        val target = new Path(root, f"commit_$seq%09d_${staging.getName}")
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(
+            s"graft-doc: commit rename failed: $staging -> $target")
+        committed = true
+      } else {
+        attempts += 1
+        if (attempts > 4096) throw new java.io.IOException(
+          s"graft-doc: could not claim a commit seq under $tablePath after $attempts attempts")
+        seq += 1
+      }
+    }
+    if (epochId >= 0) writeEpochHw(fs, root, queryId, epochId, seq)
     // prune an empty _staging/<writeId> parent left by streaming epochs
     val parent = staging.getParent
     if (parent.getName != "_staging" && fs.exists(parent) &&
         fs.listStatus(parent).isEmpty) fs.delete(parent, false)
   }
 
-  private def committedEpochs(fs: FileSystem, root: Path): Set[(String, Long)] =
-    commitDirs(fs, root).flatMap { case (_, dir) =>
-      val m = new Path(dir, ManifestFile)
-      if (!fs.exists(m)) None
-      else {
-        val txt = readFile(fs, m)
-        val q = "\"queryId\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1))
-        val e = "\"epochId\":(-?[0-9]+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
-        for (qq <- q; ee <- e if ee >= 0) yield (qq, ee)
-      }
-    }.toSet
+  private def claimFiles(fs: FileSystem, root: Path): Seq[Path] =
+    fs.listStatus(root).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("_claim_"))
+      .map(_.getPath)
+
+  /** Seq of the commit whose manifest carries `tag` (compaction uses this
+    * to locate its own base commit instead of guessing from a re-list). */
+  def findCommitSeqByTag(tablePath: String, tag: String): Option[Long] = {
+    val (fs, root) = fsFor(tablePath)
+    if (!fs.exists(root)) return None
+    commitDirs(fs, root).reverseIterator.collectFirst {
+      case (seq, dir) if {
+        val m = new Path(dir, ManifestFile)
+        fs.exists(m) &&
+          TagRe.findFirstMatchIn(readFile(fs, m)).exists(mm => junstr(mm.group(1)) == tag)
+      } => seq
+    }
+  }
 
   /** Drop every commit strictly below `keepFrom` (compaction cleanup). */
   def dropCommitsBelow(tablePath: String, keepFrom: Long): Unit = {

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.connector.{GraftDoc, GraftDocLog, GraftDocWriteBuilder}
+import graft.connector.{GraftDoc, GraftDocLog, GraftDocScan, GraftDocWriteBuilder}
 
 /** DSv2 keyed-document connector (`format("graft-doc")`): upsert-by-`_id`,
   * commit log, streaming epoch idempotence, column pruning, compaction.
@@ -160,5 +160,173 @@ class GraftDocConnectorSpec extends SparkSpec {
     val lines = files.flatMap(f => scala.io.Source.fromFile(
       f.stripPrefix("file:")).getLines()).sorted
     assert(lines == Seq("""{"_id":"1","name":"x"}""", """{"_id":"2"}"""))
+  }
+
+  // -------------------------------------------------- round-3 scale items
+
+  private def batchScan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.head
+
+  test("point _id read prunes to the files whose manifest range can match") {
+    val dir = tmp()
+    // three single-file commits with disjoint _id ranges (manifest min/max)
+    GraftDoc.write(Seq((100L, "a"), (199L, "b")).toDF("k", "name").coalesce(1), "k", dir)
+    GraftDoc.write(Seq((200L, "c"), (299L, "d")).toDF("k", "name").coalesce(1), "k", dir)
+    GraftDoc.write(Seq((300L, "e"), (399L, "f")).toDF("k", "name").coalesce(1), "k", dir)
+    val all = spark.read.format("graft-doc").load(dir)
+    assert(batchScan(all).inputPartitions.length == 3)
+
+    val point = all.filter(col("_id") === "250")
+    val scan = batchScan(point)
+    // pushed filter is visible in the scan and prunes to a strict subset
+    assert(scan.scan.asInstanceOf[GraftDocScan].description()
+      .contains("EqualTo(_id,250)"))
+    assert(scan.inputPartitions.length == 1,
+      s"expected 1 surviving file, got ${scan.inputPartitions.length}")
+    assert(point.select("name").as[String].collect().isEmpty) // 250 not present
+    assert(all.filter(col("_id") === "299").select("name").as[String]
+      .collect().toSeq == Seq("d"))
+  }
+
+  test("_commit predicate skips whole commits at planning time") {
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "v1")).toDF("k", "name"), "k", dir)
+    GraftDoc.write(Seq((1L, "v2")).toDF("k", "name"), "k", dir)
+    GraftDoc.write(Seq((1L, "v3")).toDF("k", "name"), "k", dir)
+    val df = spark.read.format("graft-doc").load(dir)
+      .filter(col("_commit") >= 3)
+    assert(batchScan(df).inputPartitions.length == 1)
+    assert(df.select("name").as[String].collect().toSeq == Seq("v3"))
+  }
+
+  test("size-based split planning parallelizes one large commit file") {
+    val dir = tmp()
+    val df = spark.range(1000).select(col("id").as("k"),
+      concat(lit("name_"), col("id")).as("name"))
+    GraftDoc.write(df, "k", dir) // one task → one large-ish file
+    val whole = spark.read.format("graft-doc").load(dir)
+    val split = spark.read.format("graft-doc")
+      .option(GraftDocLog.MaxSplitBytesOpt, "2048").load(dir)
+    assert(batchScan(split).inputPartitions.length > 5,
+      s"expected many byte-range splits, got ${batchScan(split).inputPartitions.length}")
+    // exactly-once line ownership across split boundaries
+    assert(split.count() == 1000)
+    assert(split.select("_id").distinct().count() == 1000)
+    assert(split.agg(sum(col("_id").cast("long"))).as[Long].head() ==
+      whole.agg(sum(col("_id").cast("long"))).as[Long].head())
+  }
+
+  test("epoch replay check is O(1): no manifest reads with a current watermark") {
+    val dir = tmp()
+    val docSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("n", LongType)))
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+      override def queryId(): String = "query-flat"
+      override def schema(): StructType = docSchema
+    }
+    val w = new GraftDocWriteBuilder(info, dir).build().toStreaming
+    val pInfo = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    GraftDocLog.fallbackManifestReads.set(0L)
+    (0L until 20L).foreach { epoch =>
+      val task = w.createStreamingWriterFactory(pInfo).createWriter(0, 0L, epoch)
+      task.write(InternalRow(UTF8String.fromString(s"id$epoch"), epoch))
+      w.commit(epoch, Array(task.commit()))
+    }
+    // 20 epochs → 20 commits; the replay check never re-read old manifests
+    assert(GraftDocLog.fallbackManifestReads.get() == 0L,
+      s"commit path read ${GraftDocLog.fallbackManifestReads.get()} manifests — not O(1)")
+    assert(GraftDoc.log(spark, dir).count() == 20)
+    // replay of an old epoch: O(1) high-watermark hit, no new commit
+    val task = w.createStreamingWriterFactory(pInfo).createWriter(0, 0L, 5L)
+    task.write(InternalRow(UTF8String.fromString("id5"), 5L))
+    w.commit(5L, Array(task.commit()))
+    assert(GraftDoc.log(spark, dir).count() == 20)
+    assert(GraftDocLog.fallbackManifestReads.get() == 0L)
+  }
+
+  test("crash window: missing watermark file falls back to manifests and repairs") {
+    val dir = tmp()
+    val docSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("n", LongType)))
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+      override def queryId(): String = "query-crash"
+      override def schema(): StructType = docSchema
+    }
+    val w = new GraftDocWriteBuilder(info, dir).build().toStreaming
+    val pInfo = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    def epoch(e: Long): Unit = {
+      val t = w.createStreamingWriterFactory(pInfo).createWriter(0, 0L, e)
+      t.write(InternalRow(UTF8String.fromString(s"id$e"), e))
+      w.commit(e, Array(t.commit()))
+    }
+    epoch(0L); epoch(1L)
+    // simulate a crash between commit rename and watermark update
+    import java.nio.file.{Files => JFiles, Paths}
+    val hw = Paths.get(dir, "_epochs")
+    JFiles.list(hw).forEach(p => JFiles.delete(p))
+    // replay of epoch 1 must still be detected (manifest fallback)...
+    epoch(1L)
+    assert(GraftDoc.log(spark, dir).count() == 2)
+    // ...and the watermark is repaired: the next replay is O(1) again
+    GraftDocLog.fallbackManifestReads.set(0L)
+    epoch(1L)
+    assert(GraftDocLog.fallbackManifestReads.get() == 0L)
+    assert(GraftDoc.log(spark, dir).count() == 2)
+  }
+
+  test("streaming replay protection survives compaction (_epochs outlives manifests)") {
+    val dir = tmp()
+    val docSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("n", LongType)))
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+      override def queryId(): String = "query-compact"
+      override def schema(): StructType = docSchema
+    }
+    val w = new GraftDocWriteBuilder(info, dir).build().toStreaming
+    val pInfo = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    def epoch(e: Long): Unit = {
+      val t = w.createStreamingWriterFactory(pInfo).createWriter(0, 0L, e)
+      t.write(InternalRow(UTF8String.fromString(s"id$e"), e))
+      w.commit(e, Array(t.commit()))
+    }
+    epoch(0L); epoch(1L); epoch(2L)
+    GraftDoc.compact(spark, dir) // folds the three epoch manifests away
+    val before = GraftDoc.snapshot(spark, dir).count()
+    epoch(2L) // replayed micro-batch AFTER compaction: must still no-op
+    assert(GraftDocLog.latestCommitSeq(dir) == 4) // 3 epochs + base, no 5th
+    assert(GraftDoc.snapshot(spark, dir).count() == before)
+  }
+
+  test("two concurrent writers both commit with distinct seqs") {
+    val dir = tmp()
+    GraftDoc.write(Seq((0L, "seed")).toDF("k", "name"), "k", dir)
+    val t1 = new Thread(() =>
+      GraftDoc.write(Seq((1L, "w1a"), (2L, "w1b")).toDF("k", "name"), "k", dir))
+    val t2 = new Thread(() =>
+      GraftDoc.write(Seq((3L, "w2a"), (4L, "w2b")).toDF("k", "name"), "k", dir))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val seqs = GraftDocLog.listCommitFiles(dir).map(_._1).distinct.sorted
+    assert(seqs.size == 3, s"expected 3 distinct commit seqs, got $seqs")
+    assert(GraftDoc.snapshot(spark, dir).count() == 5) // all rows survived
+  }
+
+  test("claim CAS: a seq claimed by another process forces re-seq, not corruption") {
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", dir) // seq 1
+    // simulate a racing driver that claimed seq 2 but hasn't renamed yet
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(dir, "_claim_000000002"))
+    GraftDoc.write(Seq((2L, "b")).toDF("k", "name"), "k", dir)
+    // the writer lost the claim for 2 and landed at 3; nothing was lost
+    assert(GraftDocLog.latestCommitSeq(dir) == 3)
+    assert(GraftDoc.snapshot(spark, dir).orderBy("_id")
+      .select("name").as[String].collect().toSeq == Seq("a", "b"))
   }
 }
