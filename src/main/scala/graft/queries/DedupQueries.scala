@@ -349,14 +349,21 @@ object DedupQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val e = emb(s, dir)
-        val cent = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        // adaptive cell count k = ceil(sqrt(N)) — see SimilarityQueries.centroids
+        val cent = SimilarityQueries.centroids(e)
         val t = math.sqrt(2.0 - 2.0 * 0.45) // cos 0.45 ⇔ dist 1.0488 (unit vectors)
+        // 2−2cos clamped at 0: a vector scored against ITSELF (centroids
+        // are corpus members) can see cos = 1 + 2 ulp, and sqrt of the
+        // tiny negative is NaN — which silently assigns the centroid to a
+        // far cell and inflates that cell's radius to ~max distance,
+        // wrecking probe pruning (found by the clustered ScaleProbe).
+        def distTo(cos: Column): Column =
+          sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cos))
         // nearest-centroid assignment (one broadcast pass, as q66)
         val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
         val assign = e.crossJoin(broadcast(cent))
           .withColumn("dist",
-            sqrt(lit(2.0) - lit(2.0) * VectorFunctions.cosine_sim(col("embedding"), col("ce"))))
+            distTo(VectorFunctions.cosine_sim(col("embedding"), col("ce"))))
           .withColumn("rn", row_number().over(wAssign))
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("cid"), col("dist"))
@@ -364,7 +371,7 @@ object DedupQueries {
         // triangle-inequality multi-probe: v probes cell c iff dist(v,c) ≤ t + r_c
         val probes = e.crossJoin(broadcast(cent.join(radius, "cid")))
           .withColumn("dist",
-            sqrt(lit(2.0) - lit(2.0) * VectorFunctions.cosine_sim(col("embedding"), col("ce"))))
+            distTo(VectorFunctions.cosine_sim(col("embedding"), col("ce"))))
           .filter(col("dist") <= lit(t) + col("r"))
           .select(col("vec_id").as("probe_id"), col("cid"))
         // cell-blocked candidates (equi-join on cell), then exact verify

@@ -16,8 +16,9 @@ import graft.sources.Tables
   * [`WindowGroupLimit`]).
   *
   * q66 is the scale path: IVF (inverted-file) ANN. Centroids are a
-  * deterministic subset of the corpus (ids 0..7 — at real scale these come
-  * from k-means, but centroid provenance is orthogonal to the operator);
+  * deterministic subset of the corpus (the first ceil(√N) ids — at real
+  * scale these come from k-means, but centroid provenance is orthogonal
+  * to the operator; see [[centroids]] for why k scales with N);
   * every vector is assigned to its nearest centroid in one broadcast pass,
   * queries probe their nprobe=2 nearest cells, and only those cells are
   * reranked exactly. Both stages are broadcast joins — the big side never
@@ -30,6 +31,27 @@ object SimilarityQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "embeddings")
+
+  /** Adaptive IVF cell count k = ceil(√N): cell count grows with the
+    * corpus so per-cell population stays ~√N and cell-blocked pairing
+    * (q6c) stays sub-quadratic — a fixed k would fatten every cell
+    * linearly and trend the pair join quadratic at scale. N is computed
+    * INSIDE the plan (broadcast one-row aggregate — no driver-side
+    * count, the q54 lesson) and the oracle replays the same k via a
+    * scalar subquery; ceil∘sqrt of an exact integer count is
+    * bit-identical on both engines. Centroid PROVENANCE stays the
+    * deterministic id prefix — at real scale the ids come from k-means
+    * (q58 is the refinement step), which is orthogonal to the operator
+    * shape. */
+  private[queries] val centSql =
+    """cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+         WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM embeddings))"""
+
+  private[graft] def centroids(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(
+        e.agg(ceil(sqrt(count(lit(1)))).cast("long").as("k"))))
+      .filter(col("vec_id") < col("k"))
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
   val all: Seq[QueryDef] = Seq(
 
@@ -59,11 +81,12 @@ object SimilarityQueries {
           .orderBy(col("qid"), col("rnk"))
       }),
 
-    // IVF ANN: assign corpus to nearest of 8 centroid cells, probe the 2
-    // cells nearest each query, exact-rerank only those cells, top-3.
+    // IVF ANN: assign corpus to nearest of ceil(sqrt(N)) centroid cells,
+    // probe the 2 cells nearest each query, exact-rerank those cells,
+    // top-3.
     QueryDef(
       "q66_ann_ivf",
-      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      Some(s"""WITH $centSql,
         assign0 AS (SELECT e.vec_id, e.embedding, c.cid,
                 list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) AS cc,
                 row_number() OVER (PARTITION BY e.vec_id
@@ -86,8 +109,7 @@ object SimilarityQueries {
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
-        val cent = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val cent = centroids(e)
         // one broadcast pass: nearest centroid per corpus vector
         val wAssign = Window.partitionBy(col("vec_id"))
           .orderBy(col("cc").desc, col("cid"))
@@ -154,7 +176,7 @@ object SimilarityQueries {
       // to. 1e-9 is far below any real cluster-separation margin and far
       // above double accumulation noise (~1e-15), so the quantized argmax
       // is identical on both engines.
-      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+      Some(s"""WITH $centSql,
         a0 AS (SELECT e.vec_id, e.embedding, c.cid,
                 row_number() OVER (PARTITION BY e.vec_id
                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
@@ -167,8 +189,7 @@ object SimilarityQueries {
         GROUP BY cid, i ORDER BY cid, dim"""),
       (s, dir) => {
         val e = emb(s, dir)
-        val cent = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+        val cent = centroids(e)
         val wAssign = Window.partitionBy(col("vec_id"))
           .orderBy(col("cc").desc, col("cid"))
         val assign = e.crossJoin(broadcast(cent))

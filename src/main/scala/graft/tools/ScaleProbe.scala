@@ -81,9 +81,9 @@ object ScaleProbe {
         graft.connector.GraftDoc.snapshot(spark, sinkDir).count())
     }
 
-    // IVF ANN probe (the scale path of q66): assign all vectors to 64 cells
-    val cent = emb.filter(col("vec_id") < 64)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    // IVF ANN probe (the scale path of q66): adaptive k = ceil(sqrt(N))
+    // cells, exactly the q66/q58/q6c centroid rule
+    val cent = graft.queries.SimilarityQueries.centroids(emb)
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cid"))
     val assign = emb.crossJoin(broadcast(cent))
       .withColumn("cc", VectorFunctions.cosine_sim(col("embedding"), col("ce")))
@@ -91,6 +91,60 @@ object ScaleProbe {
       .select(col("vec_id"), col("cid"))
     time(s"ivf assignment (${copies}x)")(
       println(s"[scale]   cells=${assign.groupBy("cid").count().count()}"))
+
+    // q6c bucketed embedding dedup: cell-blocked candidate generation with
+    // triangle-inequality probing at adaptive k. Two regimes, as the
+    // operator's scaladoc documents:
+    //  - the raw sf0.1 vectors are ISOTROPIC (structure-free), the
+    //    provable worst case: cell radii approach sqrt(2), every vector
+    //    probes every cell, and candidates degrade toward all pairs —
+    //    through cell-blocked hash joins, never a nested loop (measured
+    //    1x: 2.0M candidates = all pairs; growth tracks N^2 because the
+    //    TRUE-pair spectrum of random vectors offers nothing to prune);
+    //  - a CLUSTERED corpus (real dedup workloads: near-dup families) is
+    //    where blocking earns its keep — cells align with clusters, radii
+    //    stay small, probes prune, and candidates track true-pair mass.
+    //    The probe builds one deterministically: blend every vector 90%
+    //    toward its anchor (vec_id mod 40) and renormalize.
+    val anchors = 40
+    val anchorVecs = emb.filter(col("vec_id") < anchors)
+      .select((col("vec_id") % anchors).as("aid"), col("embedding").as("ae"))
+    val clustered = emb.withColumn("aid", col("vec_id") % anchors)
+      .join(broadcast(anchorVecs), "aid")
+      .withColumn("blend", zip_with(col("embedding"), col("ae"),
+        (v, w) => v * lit(0.1) + w * lit(0.9)))
+      .withColumn("nrm",
+        sqrt(aggregate(col("blend"), lit(0.0), (acc, x) => acc + x * x)))
+      .select(col("vec_id"),
+        transform(col("blend"), x => (x / col("nrm")).cast("float")).as("embedding"))
+      .cache()
+    val cCent = graft.queries.SimilarityQueries.centroids(clustered)
+    val t = math.sqrt(2.0 - 2.0 * 0.45)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val assign6c = clustered.crossJoin(broadcast(cCent))
+      .withColumn("dist", sqrt(greatest(lit(0.0),
+        lit(2.0) - lit(2.0) * VectorFunctions.cosine_sim(col("embedding"), col("ce")))))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid"), col("dist"))
+    val radius = assign6c.groupBy(col("cid")).agg(max(col("dist")).as("r"))
+    val probes = clustered.crossJoin(broadcast(cCent.join(radius, "cid")))
+      .withColumn("dist", sqrt(greatest(lit(0.0),
+        lit(2.0) - lit(2.0) * VectorFunctions.cosine_sim(col("embedding"), col("ce")))))
+      .filter(col("dist") <= lit(t) + col("r"))
+      .select(col("vec_id").as("probe_id"), col("cid"))
+    val cand6c = assign6c.select(col("cid"), col("vec_id").as("member_id"))
+      .join(probes, "cid")
+      .filter(col("member_id") =!= col("probe_id"))
+      .select(least(col("member_id"), col("probe_id")).as("id_a"),
+        greatest(col("member_id"), col("probe_id")).as("id_b"))
+      .distinct()
+    time(s"q6c clustered candidates (${copies}x)") {
+      val n = clustered.count()
+      val c = cand6c.count()
+      println(f"[scale]   n=$n candidates=$c allPairs=${n * (n - 1) / 2} " +
+        f"fraction=${c.toDouble / (n.toDouble * (n - 1) / 2)}%.4f")
+    }
 
     spark.stop()
   }

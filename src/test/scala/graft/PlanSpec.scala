@@ -65,9 +65,10 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q6c bucketed embedding dedup: big side never nested-loops against itself") {
-    // the only BroadcastNestedLoop inputs are the 8-row centroid side
-    // (IVF assignment/probing, as q66); the candidate-pair join itself and
-    // the verify joins must be hash equi-joins blocked on cell / id.
+    // the only BroadcastNestedLoop inputs are the ~sqrt(N)-row centroid
+    // side and the one-row adaptive-k aggregate (IVF assignment/probing,
+    // as q66); the candidate-pair join itself and the verify joins must
+    // be hash equi-joins blocked on cell / id.
     import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val plans = collectAll(executed(q("q6c_embedding_dedup_bucketed")))
@@ -78,8 +79,10 @@ class PlanSpec extends SparkSpec {
         case qs: QueryStageExec if qs.plan.isInstanceOf[BroadcastExchangeExec] =>
           collectAll(qs.plan).map(_.toString).mkString
       }.getOrElse(fail(s"BNLJ without broadcast side: $j"))
-      assert(broadcastSide.contains("vec_id") && broadcastSide.contains("8"),
-        s"BNLJ must broadcast the 8-row centroid side, got:\n$broadcastSide")
+      val centroidSide = broadcastSide.contains("vec_id")
+      val kScalarSide = broadcastSide.contains("count(1)")
+      assert(centroidSide || kScalarSide,
+        s"BNLJ must broadcast the centroid side or the one-row k aggregate, got:\n$broadcastSide")
     }
     // candidate + verify joins are equi hash joins
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
