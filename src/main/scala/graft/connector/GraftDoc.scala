@@ -48,6 +48,19 @@ object GraftDoc {
   def log(spark: SparkSession, path: String): DataFrame =
     spark.read.format("graft-doc").load(path)
 
+  /** Streaming view of the version log (CDC): each micro-batch delivers
+    * the commits in (lastOffset, latest], exactly once, in commit order —
+    * `readStream.format("graft-doc")`. `maxCommitsPerTrigger` (option)
+    * bounds admission per micro-batch. See [[GraftDocScan.toMicroBatchStream]]
+    * for the compaction/truncation caveats of tailing a log store. */
+  def readStream(spark: SparkSession, path: String,
+      maxCommitsPerTrigger: Option[Long] = None): DataFrame = {
+    val r = spark.readStream.format("graft-doc")
+    maxCommitsPerTrigger.foreach(m =>
+      r.option(GraftDocLog.MaxCommitsPerTriggerOpt, m.toString))
+    r.load(path)
+  }
+
   /** Upsert-resolved view: the latest version of each `_id`. One hash
     * shuffle on `_id` (the floor for any upsert resolution); everything
     * upstream is a pruned parallel file scan. Intra-commit duplicate

@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.graft.docjson
@@ -96,11 +97,13 @@ class GraftDocTable(docSchema: StructType, path: String)
   override def schema(): StructType = docSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftDocScanBuilder(docSchema, path,
-      options.getLong(GraftDocLog.MaxSplitBytesOpt, GraftDocLog.DefaultSplitBytes))
+      options.getLong(GraftDocLog.MaxSplitBytesOpt, GraftDocLog.DefaultSplitBytes),
+      Option(options.get(GraftDocLog.MaxCommitsPerTriggerOpt)).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     GraftDocLog.validateWriteSchema(info.schema())
@@ -127,7 +130,8 @@ final class SerializableHadoopConf(@transient var value: Configuration)
   }
 }
 
-class GraftDocScanBuilder(docSchema: StructType, path: String, splitBytes: Long)
+class GraftDocScanBuilder(docSchema: StructType, path: String, splitBytes: Long,
+    maxCommitsPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   // table schema already carries _commit when it came from inferSchema;
@@ -154,7 +158,7 @@ class GraftDocScanBuilder(docSchema: StructType, path: String, splitBytes: Long)
 
   override def build(): Scan =
     new GraftDocScan(required, path, pushed, splitBytes,
-      new SerializableHadoopConf(GraftDocLog.hadoopConf()))
+      new SerializableHadoopConf(GraftDocLog.hadoopConf()), maxCommitsPerTrigger)
 }
 
 /** Conjunctive file-level pruning over the pushed filter set. */
@@ -213,17 +217,15 @@ private[connector] object GraftDocFilters {
 }
 
 class GraftDocScan(required: StructType, path: String, pushed: Array[Filter],
-    splitBytes: Long, conf: SerializableHadoopConf) extends Scan with Batch {
+    splitBytes: Long, conf: SerializableHadoopConf,
+    maxCommitsPerTrigger: Option[Long] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-doc $path, PushedFilters: [${pushed.mkString(", ")}]"
 
-  /** File-level skip on `_commit` (each file belongs to exactly one
-    * commit) and `_id` (manifest min/max), then byte-range splits so a
-    * few large commit files still spread across the cluster. */
-  override def planInputPartitions(): Array[InputPartition] =
-    GraftDocLog.listCommitFileInfos(path)
+  private def partitionsFor(fis: Seq[GraftDocLog.CommitFileInfo]): Array[InputPartition] =
+    fis
       .filter(fi => GraftDocFilters.commitOk(pushed, fi.seq) &&
         GraftDocFilters.idOk(pushed, fi.minId, fi.maxId))
       .flatMap { fi =>
@@ -234,8 +236,83 @@ class GraftDocScan(required: StructType, path: String, pushed: Array[Filter],
         }
       }.toArray
 
+  /** File-level skip on `_commit` (each file belongs to exactly one
+    * commit) and `_id` (manifest min/max), then byte-range splits so a
+    * few large commit files still spread across the cluster. */
+  override def planInputPartitions(): Array[InputPartition] =
+    partitionsFor(GraftDocLog.listCommitFileInfos(path))
+
+  /** Micro-batch slice: the files of commits in (start, end]. */
+  private[connector] def streamPartitions(startSeq: Long, endSeq: Long): Array[InputPartition] =
+    partitionsFor(GraftDocLog.listCommitFileInfos(path)
+      .filter(fi => fi.seq > startSeq && fi.seq <= endSeq))
+
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftDocReaderFactory(required.json, conf)
+
+  /** Streaming read of the commit log — the table's CDC feed (every
+    * document version, in commit order), the source role of the
+    * reference pair closed over our own sink's log. Offsets are commit
+    * sequence numbers: exactly-once, replayable, totally ordered. A
+    * micro-batch reads the commits in (start, end]; `maxCommitsPerTrigger`
+    * caps admission per batch. Caveats of tailing a log-structured store:
+    * don't `compact` or truncate a table while a reader tails it — the
+    * fold lands as a regular commit (readers see absorbed versions
+    * re-emitted, consistent for upsert consumers but redundant), and
+    * truncation restarts the seq line a checkpointed reader has already
+    * passed. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftDocMicroBatchStream(this, path, maxCommitsPerTrigger)
+}
+
+case class GraftDocOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+class GraftDocMicroBatchStream(scan: GraftDocScan, path: String,
+    maxCommitsPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  // AvailableNow contract: pin the target at query start so the drain
+  // terminates even while writers keep committing
+  @volatile private var availableNowTarget: Option[Long] = None
+  private def latestSeq: Long = GraftDocLog.latestCommitSeq(path)
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestSeq)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): Offset = GraftDocOffset(0L)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftDocOffset].seq
+    val cap = availableNowTarget.getOrElse(latestSeq)
+    val end = maxCommitsPerTrigger.map(m => math.min(cap, s + m)).getOrElse(cap)
+    GraftDocOffset(math.max(s, end))
+  }
+
+  override def reportLatestOffset(): Offset = GraftDocOffset(latestSeq)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftDocOffset].seq
+    val e = end.asInstanceOf[GraftDocOffset].seq
+    scan.streamPartitions(s, e)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    scan.createReaderFactory()
+
+  override def deserializeOffset(json: String): Offset =
+    GraftDocOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = () // nothing to release source-side
+  override def stop(): Unit = ()
 }
 
 case class GraftDocInputPartition(file: String, commitSeq: Long,
@@ -496,6 +573,7 @@ object GraftDocLog {
   val TargetFileRowsOpt = "targetFileRows"
   val CommitTagOpt = "commitTag"
   val MaxSplitBytesOpt = "maxSplitBytes"
+  val MaxCommitsPerTriggerOpt = "maxCommitsPerTrigger"
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
   private val EpochsDir = "_epochs"
   // widths beyond 9 digits still parse (zero-padding only keeps the

@@ -146,6 +146,16 @@ object StreamingQueries {
         FROM events GROUP BY user_id ORDER BY user_id"""),
       (s, dir) => StreamPipelines.statefulUserTotalsTws(s, dir)),
 
+    // graft-doc as a streaming SOURCE: the commit log tailed as CDC, one
+    // commit per micro-batch, drained rows rolled up in batch. Events are
+    // keyed by event_id (unique), so the version count per type equals
+    // the batch count per type.
+    QueryDef(
+      "q8a_doc_cdc_source",
+      Some("""SELECT event_type, COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => StreamPipelines.docCdcSource(s, dir)),
+
     // Reference-topology parity pipeline: stream → keyed document sink →
     // read back. The `_id` count proves the key hoist is lossless.
     QueryDef(

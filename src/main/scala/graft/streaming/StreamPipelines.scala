@@ -386,6 +386,32 @@ object StreamPipelines {
     }
   }
 
+  /** The reference pair closed over our own connector in BOTH roles:
+    * events land in a `graft-doc` table across three batch commits
+    * (disjoint id ranges), then `readStream.format("graft-doc")` tails
+    * the commit log as a CDC source — one commit per micro-batch
+    * (`maxCommitsPerTrigger=1`), offsets checkpointed by commit seq —
+    * and the drained version rows are rolled up in batch. Stateless
+    * stream (append mode, no aggregation in-flight), so the drain is
+    * exactly the log contents, exactly once. */
+  def docCdcSource(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_cdc")
+      .toFile.getAbsolutePath
+    val ev = s.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    (0 until 3).foreach { r =>
+      graft.connector.GraftDoc.write(
+        ev.filter(pmod(col("event_id"), lit(3)) === r), "event_id", s"$tmp/tbl")
+    }
+    val cdc = graft.connector.GraftDoc
+      .readStream(s, s"$tmp/tbl", maxCommitsPerTrigger = Some(1L))
+      .select(col("event_type"))
+    runToMemory(s, cdc, "append")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   /** Event-time sessionization: session_window with a 30-minute inactivity
     * gap per user — the streaming twin of batch q40_sessionize, same
     * session semantics as the lag-based oracle. Append mode: a session

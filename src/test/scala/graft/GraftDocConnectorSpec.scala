@@ -305,6 +305,46 @@ class GraftDocConnectorSpec extends SparkSpec {
     assert(GraftDoc.snapshot(spark, dir).count() == before)
   }
 
+  test("readStream format(graft-doc): incremental CDC mirrored into a second table") {
+    val src = tmp()
+    val dst = tmp()
+    val ckpt = tmp()
+    GraftDoc.write(Seq((1L, "a"), (2L, "b")).toDF("k", "name"), "k", src) // seq 1
+    GraftDoc.write(Seq((3L, "c")).toDF("k", "name"), "k", src)            // seq 2
+    GraftDoc.write(Seq((4L, "d"), (1L, "a2")).toDF("k", "name"), "k", src) // seq 3
+
+    // CDC source → keyed document sink: the reference's source+sink pair
+    // closed over our own connector in both roles. Upsert-by-_id on the
+    // mirror reproduces the source's snapshot exactly.
+    def drain(): Long = {
+      val q = GraftDoc.readStream(spark, src, maxCommitsPerTrigger = Some(1L))
+        .select(col("_id"), col("name"))
+        .writeStream.format("graft-doc")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+      q.recentProgress.count(_.numInputRows > 0)
+    }
+    // one commit per micro-batch: three data batches, all versions moved
+    assert(drain() == 3)
+    assert(GraftDoc.log(spark, dst).count() == 5) // every version, exactly once
+    def snap(p: String) = GraftDoc.snapshot(spark, p).orderBy("_id")
+      .select("_id", "name").as[(String, String)].collect().toSeq
+    assert(snap(dst) == snap(src))
+    assert(snap(dst) == Seq("1" -> "a2", "2" -> "b", "3" -> "c", "4" -> "d"))
+
+    // restart from the same checkpoint: nothing new → no data batches
+    assert(drain() == 0)
+    assert(GraftDoc.log(spark, dst).count() == 5)
+    // a new commit after restart is picked up incrementally, exactly once
+    GraftDoc.write(Seq((5L, "e")).toDF("k", "name"), "k", src) // seq 4
+    assert(drain() == 1)
+    assert(GraftDoc.log(spark, dst).count() == 6)
+    assert(snap(dst) == snap(src))
+  }
+
   test("two concurrent writers both commit with distinct seqs") {
     val dir = tmp()
     GraftDoc.write(Seq((0L, "seed")).toDF("k", "name"), "k", dir)
