@@ -371,40 +371,68 @@ class GraftDocReaderFactory(requiredSchemaJson: String,
   * it reads past its end to finish the final straddling line, and a
   * non-leading split seeks to start−1 and discards through the first
   * newline — together the two rules parse every line exactly once across
-  * splits. */
+  * splits. Scans a 64 KiB buffer for newlines directly (no per-byte
+  * stream calls — this sits on the q77/q87 hot read path). */
 private[connector] final class RangeLineReader(
     in: org.apache.hadoop.fs.FSDataInputStream, start: Long, length: Long) {
   private val end = start + length
   private var pos = if (start == 0) 0L else start - 1
-  private val buffered = {
-    in.seek(pos)
-    new java.io.BufferedInputStream(in, 64 * 1024)
-  }
-  private val lineBuf = new java.io.ByteArrayOutputStream(256)
+  in.seek(pos)
+  private val buf = new Array[Byte](64 * 1024)
+  private var bufLen = 0
+  private var bufPos = 0
+  private var line = new Array[Byte](256)
   if (start > 0) consumeLine() // remainder of the previous split's line
 
-  /** Consume one line (through its newline); false at EOF with no bytes. */
-  private def consumeLine(): Boolean = {
-    lineBuf.reset()
-    var b = buffered.read()
-    if (b < 0) return false
-    while (b >= 0 && b != '\n') {
-      lineBuf.write(b)
-      pos += 1
-      b = buffered.read()
+  private def fill(): Boolean = {
+    bufLen = in.read(buf)
+    bufPos = 0
+    bufLen > 0
+  }
+
+  /** Consume one line through its newline; returns the line's byte
+    * length, or -1 at EOF with no bytes. */
+  private def consumeLine(): Int = {
+    var n = 0
+    var done = false
+    var sawAny = false
+    while (!done) {
+      if (bufPos >= bufLen && !fill()) {
+        if (!sawAny) return -1
+        done = true
+      } else {
+        sawAny = true
+        var i = bufPos
+        while (i < bufLen && buf(i) != '\n') i += 1
+        val chunk = i - bufPos
+        if (n + chunk > line.length) {
+          val grown = new Array[Byte](math.max(line.length * 2, n + chunk))
+          System.arraycopy(line, 0, grown, 0, n)
+          line = grown
+        }
+        System.arraycopy(buf, bufPos, line, n, chunk)
+        n += chunk
+        pos += chunk
+        bufPos = i
+        if (i < bufLen) { // hit the newline
+          bufPos += 1
+          pos += 1
+          done = true
+        }
+      }
     }
-    if (b == '\n') pos += 1
-    true
+    n
   }
 
   /** Next owned line, or null when the split is exhausted. */
   def readLine(): String = {
     if (pos >= end) return null // next line would start past our range
-    if (!consumeLine()) return null
-    new String(lineBuf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    val n = consumeLine()
+    if (n < 0) return null
+    new String(line, 0, n, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  def close(): Unit = buffered.close()
+  def close(): Unit = in.close()
 }
 
 // --------------------------------------------------------------- write side
