@@ -18,7 +18,7 @@ import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, 
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.graft.docjson
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, StringStartsWith}
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -172,6 +172,7 @@ private[connector] object GraftDocFilters {
     case GreaterThanOrEqual(c, _) => c == Id || c == GraftDocLog.CommitCol
     case LessThan(c, _) => c == Id || c == GraftDocLog.CommitCol
     case LessThanOrEqual(c, _) => c == Id || c == GraftDocLog.CommitCol
+    case StringStartsWith(c, _) => c == Id // key-prefix scan (reference store range read)
     case _ => false
   }
 
@@ -210,6 +211,12 @@ private[connector] object GraftDocFilters {
       case GreaterThanOrEqual(Id, v: String) => cmp(mx, v) >= 0
       case LessThan(Id, v: String) => cmp(mn, v) < 0
       case LessThanOrEqual(Id, v: String) => cmp(mn, v) <= 0
+      // ids with prefix p form [p, succ(p)) in binary order: a file
+      // overlaps iff mx >= p and mn is below that interval's end —
+      // i.e. mn < p or mn itself carries the prefix
+      case StringStartsWith(Id, p: String) =>
+        cmp(mx, p) >= 0 && (cmp(mn, p) <= 0 ||
+          UTF8String.fromString(mn).startsWith(UTF8String.fromString(p)))
       case _ => true
     }
     case _ => true

@@ -190,6 +190,18 @@ class GraftDocConnectorSpec extends SparkSpec {
       .collect().toSeq == Seq("d"))
   }
 
+  test("_id prefix scan prunes by manifest range (key-prefix read)") {
+    val dir = tmp()
+    GraftDoc.write(Seq((100L, "a"), (199L, "b")).toDF("k", "name").coalesce(1), "k", dir)
+    GraftDoc.write(Seq((200L, "c"), (299L, "d")).toDF("k", "name").coalesce(1), "k", dir)
+    GraftDoc.write(Seq((300L, "e"), (399L, "f")).toDF("k", "name").coalesce(1), "k", dir)
+    val pre = spark.read.format("graft-doc").load(dir)
+      .filter(col("_id").startsWith("2"))
+    assert(batchScan(pre).inputPartitions.length == 1,
+      s"prefix scan should touch 1 file, got ${batchScan(pre).inputPartitions.length}")
+    assert(pre.select("name").as[String].collect().toSet == Set("c", "d"))
+  }
+
   test("_commit predicate skips whole commits at planning time") {
     val dir = tmp()
     GraftDoc.write(Seq((1L, "v1")).toDF("k", "name"), "k", dir)
