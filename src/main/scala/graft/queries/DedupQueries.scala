@@ -301,6 +301,81 @@ object DedupQueries {
           .orderBy(col("doc_id"))
       }),
 
+    // The training-corpus pipeline end to end, one query — the deliverable
+    // every piece above exists for: quality-gate (≥ 30 tokens) → exact
+    // dedup (min doc_id per content hash) → near-dup drop (Jaccard
+    // clusters, keep representative) → chunk survivors (50-token windows,
+    // stride 40) → write chunks to a graft-doc table keyed by
+    // doc_chunk → read the snapshot back and summarize. The oracle
+    // replays the relational pipeline; the sink roundtrip is
+    // content-identity (unique keys, upsert-resolved), so hash equality
+    // also proves the store moved every chunk losslessly. Scale shape:
+    // every stage is already individually proven (q51/q60/q6a/q5a/q77);
+    // the composition adds no new shuffle beyond its parts, and the
+    // corpus body still never shuffles (gate/dedup join on doc_id only).
+    QueryDef(
+      "q6e_corpus_build",
+      Some(s"""WITH RECURSIVE $jaccardPairsCte,
+          sym AS (SELECT id_a AS a, id_b AS b FROM jp
+                  UNION ALL SELECT id_b, id_a FROM jp),
+          reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          comp AS (SELECT a AS doc_id, min(b) AS component
+                   FROM reach GROUP BY a),
+          gate AS (SELECT doc_id, text FROM documents
+                   WHERE len(string_split(text, ' ')) >= 30),
+          exact AS (SELECT min(doc_id) AS keep_id
+                    FROM gate GROUP BY sha256(text)),
+          survivors AS (
+            SELECT g.doc_id, g.text FROM gate g
+            JOIN exact e ON g.doc_id = e.keep_id
+            WHERE g.doc_id NOT IN
+              (SELECT doc_id FROM comp WHERE doc_id <> component)),
+          t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM survivors),
+          st AS (SELECT doc_id, toks,
+                   unnest(range(0, len(toks), 40)) AS start FROM t),
+          ch AS (SELECT doc_id,
+                   len(list_slice(toks, start + 1, start + 50)) AS n_tokens
+                 FROM st)
+          SELECT doc_id, COUNT(*) AS n_chunks,
+            CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+          FROM ch GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val gate = d.filter(size(split(col("text"), " ")) >= 30)
+          .select(col("doc_id"), col("text"))
+        val exactKeep = gate.groupBy(sha2(col("text"), 256).as("h"))
+          .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+        val drops = ConnectedComponents.run(
+            jaccardPairsRaw(withShingles(d)).select(col("id_a"), col("id_b")))
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as("doc_id"))
+        val survivors = gate
+          .join(exactKeep, Seq("doc_id"), "left_semi")
+          .join(drops, Seq("doc_id"), "left_anti")
+        val chunks = survivors
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+          .select(col("doc_id"), col("toks"),
+            posexplode(sequence(lit(0), size(col("toks")) - 1, lit(40)))
+              .as(Seq("chunk_idx", "start")))
+          .select(
+            concat(col("doc_id"), lit("_"), col("chunk_idx")).as("chunk_key"),
+            col("doc_id"), col("chunk_idx"),
+            size(slice(col("toks"), col("start") + 1, lit(50))).as("n_tokens"),
+            array_join(slice(col("toks"), col("start") + 1, lit(50)), " ")
+              .as("chunk_text"))
+        val tbl = java.nio.file.Files.createTempDirectory("graft_corpus")
+          .toFile.getAbsolutePath
+        graft.connector.GraftDoc.write(chunks, "chunk_key", tbl, overwrite = true)
+        graft.connector.GraftDoc.snapshot(s, tbl)
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("n_tokens")).as("total_tokens"))
+          .orderBy(col("doc_id"))
+      }),
+
     // Embedding-cosine near-dup, brute-force all-pairs ≥ 0.45 (the data's
     // top pair sits at ≈0.51, and there is a wide margin around the
     // threshold — see HashVectorSpec for the expression math). Cosine is

@@ -156,6 +156,21 @@ object StreamingQueries {
         FROM events GROUP BY event_type ORDER BY event_type"""),
       (s, dir) => StreamPipelines.docCdcSource(s, dir)),
 
+    // CDC source + event-time stack: watermarked tumbling windows over
+    // the commit-log stream, one commit per micro-batch (multi-batch
+    // watermark progression), append mode, q80's horizon contract.
+    QueryDef(
+      "q8b_cdc_windowed",
+      Some("""WITH mx AS (SELECT max(ts) AS m FROM events)
+        SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d,
+        CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+        event_type, COUNT(*) AS n
+        FROM events
+        WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+              < (SELECT m - INTERVAL 2 HOUR FROM mx)
+        GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
+      (s, dir) => StreamPipelines.docCdcWindowed(s, dir)),
+
     // Reference-topology parity pipeline: stream → keyed document sink →
     // read back. The `_id` count proves the key hoist is lossless.
     QueryDef(

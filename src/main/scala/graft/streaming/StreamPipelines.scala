@@ -412,6 +412,43 @@ object StreamPipelines {
       .orderBy(col("event_type"))
   }
 
+  /** CDC feed composed with event-time semantics: the graft-doc table
+    * carries (event_id, ts, event_type) across three commits; the CDC
+    * stream tails it one commit per micro-batch, so the WATERMARK
+    * advances across multiple real micro-batches (unlike the one-shot
+    * file drains) while the tumbling-window aggregation emits each
+    * window once in append mode. Proves the connector source supports
+    * the full streaming-semantics stack, not just stateless relay. */
+  def docCdcWindowed(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_cdcw")
+      .toFile.getAbsolutePath
+    val ev = s.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+    // commits split by TIME (day-of-month tertiles), the realistic CDC
+    // layout: commit order correlates with event time, so the watermark
+    // advances progressively across micro-batches instead of jumping to
+    // the end after batch one and declaring later commits late
+    Seq(col("d") <= 10, col("d").between(11, 20), col("d") > 20).foreach { p =>
+      graft.connector.GraftDoc.write(
+        ev.withColumn("d", dayofmonth(col("ts"))).filter(p).drop("d"),
+        "event_id", s"$tmp/tbl")
+    }
+    val agg = graft.connector.GraftDoc
+      .readStream(s, s"$tmp/tbl", maxCommitsPerTrigger = Some(1L))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, agg, "append")
+      .crossJoin(broadcast(horizonEnd(s, sfDir, "2 HOURS")))
+      .filter(col("window.end") < col("h_end"))
+      .select(
+        dayofmonth(col("window.start")).as("d"),
+        hour(col("window.start")).as("h"),
+        col("event_type"), col("n"))
+      .orderBy(col("d"), col("h"), col("event_type"))
+  }
+
   /** Event-time sessionization: session_window with a 30-minute inactivity
     * gap per user — the streaming twin of batch q40_sessionize, same
     * session semantics as the lag-based oracle. Append mode: a session
