@@ -434,14 +434,16 @@ object DedupQueries {
         // wrecking probe pruning (found by the clustered ScaleProbe).
         def distTo(cos: Column): Column =
           sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cos))
-        // nearest-centroid assignment (one broadcast pass, as q66)
-        val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+        // nearest-centroid assignment (one broadcast pass, as q66) —
+        // argmin as a hash aggregate: min over struct(dist, cid) picks
+        // the closest cell (ties to the smaller cid) with map-side
+        // partial combine, one shuffle row per vector instead of k
         val assign = e.crossJoin(broadcast(cent))
           .withColumn("dist",
             distTo(VectorFunctions.cosine_sim(col("embedding"), col("ce"))))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("cid"), col("dist"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
         val radius = assign.groupBy(col("cid")).agg(max(col("dist")).as("r"))
         // triangle-inequality multi-probe: v probes cell c iff dist(v,c) ≤ t + r_c
         val probes = e.crossJoin(broadcast(cent.join(radius, "cid")))

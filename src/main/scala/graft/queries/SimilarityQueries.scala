@@ -110,13 +110,16 @@ object SimilarityQueries {
       (s, dir) => {
         val e = emb(s, dir)
         val cent = centroids(e)
-        // one broadcast pass: nearest centroid per corpus vector
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cc").desc, col("cid"))
+        // one broadcast pass: nearest centroid per corpus vector. Argmax
+        // as a hash aggregate (map-side partial combine: the shuffle
+        // carries one row per vector, not k) — tie-break (cc DESC, cid
+        // ASC) identical to the oracle's row_number ordering.
         val assign = e.crossJoin(broadcast(cent))
           .withColumn("cc", VectorFunctions.cosine_sim(col("embedding"), col("ce")))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
+          .groupBy(col("vec_id"))
+          .agg(
+            max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"),
+            first(col("embedding")).as("embedding")) // constant per vec_id
           .select(col("vec_id"), col("embedding"), col("cid"))
         // queries probe their 2 nearest cells
         val wProbe = Window.partitionBy(col("qid"))
@@ -190,14 +193,19 @@ object SimilarityQueries {
       (s, dir) => {
         val e = emb(s, dir)
         val cent = centroids(e)
-        val wAssign = Window.partitionBy(col("vec_id"))
-          .orderBy(col("cc").desc, col("cid"))
+        // argmax as a hash aggregate (max_by over (score, -cid)), not a
+        // row_number window: partial aggregation collapses the k
+        // candidate rows per vector map-side, so the shuffle carries one
+        // row per vector instead of k — the difference between O(N) and
+        // O(N·k) exchange volume at scale. Tie-break identical to the
+        // oracle's (round(cc,9) DESC, cid ASC).
         val assign = e.crossJoin(broadcast(cent))
           .withColumn("cc",
             round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
-          .withColumn("rn", row_number().over(wAssign))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("embedding"), col("cid"))
+          .groupBy(col("vec_id"))
+          .agg(
+            max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"),
+            first(col("embedding")).as("embedding")) // constant per vec_id
         assign.groupBy(col("cid"))
           .agg(VectorAggregates.vector_mean(col("embedding")).as("c"),
             count(lit(1)).as("n_members"))
