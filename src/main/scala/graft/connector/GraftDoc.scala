@@ -61,19 +61,42 @@ object GraftDoc {
     r.load(path)
   }
 
-  /** Upsert-resolved view: the latest version of each `_id`. One hash
-    * shuffle on `_id` (the floor for any upsert resolution); everything
-    * upstream is a pruned parallel file scan. Intra-commit duplicate
-    * `_id`s are a writer contract violation (the reference store would
-    * apply them in arbitrary put order); dedupe upstream if the batch can
-    * carry them. */
+  /** Delete documents by key: a TOMBSTONE commit carrying only the
+    * `_id`s (distributed write through the same DSv2 path — a delete set
+    * can be millions of keys). `snapshot` excludes a key whose latest
+    * version is a tombstone; `compact` then physically purges the
+    * deleted documents' bytes (the base commit is built from the
+    * tombstone-resolved snapshot) — the right-to-be-forgotten flow for a
+    * training corpus: delete → logically gone now, physically gone at
+    * the next compaction. */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    require(ids.columns.length == 1,
+      s"delete expects a single key column, got ${ids.columns.mkString(",")}")
+    ids.select(col(ids.columns.head).cast("string").as("_id"))
+      .write.format("graft-doc")
+      .option(GraftDocLog.TombstoneOpt, "true")
+      .mode("append").save(path)
+  }
+
+  /** Upsert-resolved view: the latest version of each `_id`, minus keys
+    * whose latest version is a tombstone. One hash shuffle on `_id` (the
+    * floor for any upsert resolution); everything upstream is a pruned
+    * parallel file scan; the tombstone-seq set is a tiny driver-side
+    * manifest read baked into the plan as a literal filter. Intra-commit
+    * duplicate `_id`s are a writer contract violation (the reference
+    * store would apply them in arbitrary put order); dedupe upstream if
+    * the batch can carry them. */
   def snapshot(spark: SparkSession, path: String): DataFrame = {
     val w = Window.partitionBy(col("_id"))
       .orderBy(col(GraftDocLog.CommitCol).desc)
-    log(spark, path)
+    val tomb = GraftDocLog.tombstoneSeqs(path)
+    val latest = log(spark, path)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", GraftDocLog.CommitCol)
+    val live =
+      if (tomb.isEmpty) latest
+      else latest.filter(!col(GraftDocLog.CommitCol).isInCollection(tomb))
+    live.drop("__rn", GraftDocLog.CommitCol)
   }
 
   /** Fold the whole log into one base commit and drop older commits:

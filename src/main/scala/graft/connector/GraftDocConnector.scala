@@ -453,6 +453,8 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
     private val targetFileRows =
       Option(info.options.get(GraftDocLog.TargetFileRowsOpt)).map(_.toLong)
     private val commitTag = Option(info.options.get(GraftDocLog.CommitTagOpt))
+    private val tombstone =
+      Option(info.options.get(GraftDocLog.TombstoneOpt)).exists(_.toBoolean)
 
     override def toBatch: BatchWrite = new BatchWrite {
       private val writeId = UUID.randomUUID().toString
@@ -465,7 +467,7 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
       override def commit(messages: Array[WriterCommitMessage]): Unit =
         GraftDocLog.finalizeCommit(path, GraftDocLog.stagingDir(path, writeId),
           info.schema(), info.queryId(), epochId = -1L, truncateFirst,
-          GraftDocLog.statsOf(messages), commitTag)
+          GraftDocLog.statsOf(messages), commitTag, tombstone)
 
       override def abort(messages: Array[WriterCommitMessage]): Unit =
         GraftDocLog.deleteDir(GraftDocLog.stagingDir(path, writeId))
@@ -609,6 +611,7 @@ object GraftDocLog {
   val CommitTagOpt = "commitTag"
   val MaxSplitBytesOpt = "maxSplitBytes"
   val MaxCommitsPerTriggerOpt = "maxCommitsPerTrigger"
+  val TombstoneOpt = "tombstone"
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
   private val EpochsDir = "_epochs"
   // widths beyond 9 digits still parse (zero-padding only keeps the
@@ -704,7 +707,7 @@ object GraftDocLog {
       "(?:,\"minId\":\"(" + QStr + ")\",\"maxId\":\"(" + QStr + ")\")?\\}").r
 
   private def manifestJson(queryId: String, epochId: Long, tag: Option[String],
-      stats: Seq[GraftDocFileStat]): String = {
+      stats: Seq[GraftDocFileStat], tombstone: Boolean): String = {
     val files = stats.map { f =>
       val ids = (f.minId, f.maxId) match {
         case (Some(lo), Some(hi)) => s""","minId":${jstr(lo)},"maxId":${jstr(hi)}"""
@@ -713,7 +716,8 @@ object GraftDocLog {
       s"""{"name":${jstr(f.name)},"rows":${f.rows}$ids}"""
     }.mkString("[", ",", "]")
     val tagPart = tag.map(t => s""","tag":${jstr(t)}""").getOrElse("")
-    s"""{"queryId":${jstr(queryId)},"epochId":$epochId$tagPart,"files":$files}"""
+    val tombPart = if (tombstone) ""","tombstone":true""" else ""
+    s"""{"queryId":${jstr(queryId)},"epochId":$epochId$tagPart$tombPart,"files":$files}"""
   }
 
   // ---------------------------------------------------------------- listing
@@ -839,7 +843,8 @@ object GraftDocLog {
   def finalizeCommit(tablePath: String, stagingDir: String, schema: StructType,
       queryId: String, epochId: Long, truncateFirst: Boolean,
       stats: Seq[GraftDocFileStat] = Nil,
-      tag: Option[String] = None): Unit = synchronized {
+      tag: Option[String] = None,
+      tombstone: Boolean = false): Unit = synchronized {
     val (fs, root) = fsFor(tablePath)
     val staging = new Path(stagingDir)
     fs.mkdirs(staging) // zero-row writes still commit (empty batch is a commit)
@@ -856,30 +861,55 @@ object GraftDocLog {
 
     // schema stability across commits: an append whose fields differ from
     // the table's recorded schema would silently corrupt every later read
-    // (the scan parses documents with the recorded schema), so reject it
-    // here — the write-side schema validation the reference performs at
-    // configure time (W3), enforced at the log boundary.
+    // (the scan parses documents with the recorded schema), so it is
+    // rejected here — the write-side schema validation the reference
+    // performs at configure time (W3), enforced at the log boundary.
+    // ADDITIVE evolution is the one admitted change: an append carrying
+    // every recorded field (same name+type, any order) plus new NULLABLE
+    // fields advances the recorded schema to the union — old documents
+    // read null for the new fields (the JSON parser yields null for
+    // absent keys), exactly merge-on-read evolution semantics.
+    // Tombstone commits carry only `_id` and skip the check entirely.
     val schemaPathCheck = new Path(root, SchemaFile)
-    if (!truncateFirst && fs.exists(schemaPathCheck)) {
+    var evolveTo: Option[StructType] = None
+    if (!tombstone && !truncateFirst && fs.exists(schemaPathCheck)) {
       val recorded = schemaFromJson(readFile(fs, schemaPathCheck))
       val rec = recorded.fields.map(f => f.name -> f.dataType).toSeq
       val got = schema.fields.map(f => f.name -> f.dataType).toSeq
       if (rec != got) {
-        fs.delete(staging, true)
-        throw new IllegalArgumentException(
-          s"graft-doc: append schema ${schema.simpleString} does not match " +
-            s"table schema ${recorded.simpleString} at $tablePath " +
-            "(overwrite to redefine the table)")
+        val gotByName = schema.fields.map(f => f.name -> f).toMap
+        val carriesAllRecorded = rec.forall { case (n, t) =>
+          gotByName.get(n).exists(_.dataType == t)
+        }
+        // new fields are recorded as NULLABLE whatever the writer
+        // declared: documents from before the evolution read null there
+        val newFields = schema.fields
+          .filterNot(f => rec.exists(_._1 == f.name))
+          .map(_.copy(nullable = true))
+        if (!carriesAllRecorded) {
+          fs.delete(staging, true)
+          throw new IllegalArgumentException(
+            s"graft-doc: append schema ${schema.simpleString} does not match " +
+              s"table schema ${recorded.simpleString} at $tablePath " +
+              "(additive new fields evolve the schema; dropping or retyping " +
+              "recorded fields requires overwrite)")
+        }
+        evolveTo = Some(StructType(recorded.fields ++ newFields))
       }
     } else if (truncateFirst && fs.exists(schemaPathCheck)) {
       fs.delete(schemaPathCheck, false) // truncate redefines the table schema
     }
 
     writeFile(fs, new Path(staging, ManifestFile),
-      manifestJson(queryId, epochId, tag, stats), overwrite = true)
+      manifestJson(queryId, epochId, tag, stats, tombstone), overwrite = true)
     val schemaPath = new Path(root, SchemaFile)
-    if (!fs.exists(schemaPath))
-      writeFile(fs, schemaPath, schema.json, overwrite = false)
+    if (!fs.exists(schemaPath)) {
+      if (!tombstone) writeFile(fs, schemaPath, schema.json, overwrite = false)
+      else { fs.delete(staging, true)
+        throw new IllegalArgumentException(
+          s"graft-doc: cannot delete from non-existent table $tablePath") }
+    }
+    evolveTo.foreach(u => writeFile(fs, schemaPath, u.json, overwrite = true))
 
     // claim-CAS loop: win a seq via atomic create-exclusive, then rename
     var seq = commitDirs(fs, root).lastOption.map(_._1).getOrElse(0L) + 1
@@ -913,6 +943,19 @@ object GraftDocLog {
     fs.listStatus(root).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("_claim_"))
       .map(_.getPath)
+
+  /** Commit seqs whose manifests are tombstone (delete) commits — tiny,
+    * read driver-side at snapshot-plan construction. */
+  def tombstoneSeqs(tablePath: String): Set[Long] = {
+    val (fs, root) = fsFor(tablePath)
+    if (!fs.exists(root)) return Set.empty
+    commitDirs(fs, root).collect {
+      case (seq, dir) if {
+        val m = new Path(dir, ManifestFile)
+        fs.exists(m) && readFile(fs, m).contains("\"tombstone\":true")
+      } => seq
+    }.toSet
+  }
 
   /** Seq of the commit whose manifest carries `tag` (compaction uses this
     * to locate its own base commit instead of guessing from a re-list). */

@@ -205,6 +205,26 @@ object FormatQueries {
         graft.connector.GraftDoc.write(docs.filter(col("p_partkey") <= 100),
           "p_partkey", sinkPath)
         graft.connector.GraftDoc.snapshot(s, sinkPath).orderBy(col("_id"))
+      }),
+
+    // Tombstone deletes: write every part document, delete the keys
+    // divisible by 7 (a distributed tombstone commit), and read the
+    // snapshot — deleted keys must be gone, everything else intact. The
+    // compliance flow for a keyed training corpus (logically gone at the
+    // tombstone, physically purged by the next compaction; the spec
+    // covers the purge half).
+    QueryDef(
+      "q79_doc_deletes",
+      Some("""SELECT CAST(p_partkey AS VARCHAR) AS _id, p_name, p_retailprice
+        FROM part WHERE p_partkey % 7 <> 0 ORDER BY _id"""),
+      (s, dir) => {
+        val sinkPath = s"/tmp/graft_sink/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/q79"
+        val docs = t(s, dir, "part")
+          .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+        graft.connector.GraftDoc.write(docs, "p_partkey", sinkPath, overwrite = true)
+        graft.connector.GraftDoc.delete(s, sinkPath,
+          docs.filter(pmod(col("p_partkey"), lit(7)) === 0).select("p_partkey"))
+        graft.connector.GraftDoc.snapshot(s, sinkPath).orderBy(col("_id"))
       })
   )
 }

@@ -357,6 +357,59 @@ class GraftDocConnectorSpec extends SparkSpec {
     assert(snap(dst) == snap(src))
   }
 
+  test("tombstone delete: snapshot excludes, re-insert resurrects, compact purges bytes") {
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name"), "k", dir)
+    GraftDoc.delete(spark, dir, Seq(2L).toDF("k"))
+    assert(GraftDoc.snapshot(spark, dir).orderBy("_id")
+      .select("_id").as[String].collect().toSeq == Seq("1", "3"))
+    // log still shows the tombstone version (null body, later commit)
+    assert(GraftDoc.log(spark, dir).count() == 4)
+    // a later re-insert of the deleted key wins over the tombstone
+    GraftDoc.write(Seq((2L, "b2")).toDF("k", "name"), "k", dir)
+    assert(GraftDoc.snapshot(spark, dir).orderBy("_id")
+      .select("_id", "name").as[(String, String)].collect().toSeq ==
+      Seq("1" -> "a", "2" -> "b2", "3" -> "c"))
+    // delete again, then compact: the bytes are physically gone
+    GraftDoc.delete(spark, dir, Seq(2L).toDF("k"))
+    GraftDoc.compact(spark, dir)
+    assert(GraftDoc.snapshot(spark, dir).orderBy("_id")
+      .select("_id").as[String].collect().toSeq == Seq("1", "3"))
+    val bytes = GraftDocLog.listCommitFiles(dir).map(_._2)
+      .flatMap(f => scala.io.Source.fromFile(f.stripPrefix("file:")).getLines())
+    assert(!bytes.exists(_.contains("b2")), s"purged value still on disk: $bytes")
+    assert(GraftDoc.log(spark, dir).count() == 2) // base holds only live docs
+  }
+
+  test("deleting from a non-existent table is rejected") {
+    val e = intercept[Exception] {
+      GraftDoc.delete(spark, tmp(), Seq(1L).toDF("k"))
+    }
+    assert(e.getMessage.contains("non-existent"), e.getMessage)
+  }
+
+  test("additive schema evolution: new nullable field appends; old docs read null") {
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", dir)
+    // append with an extra nullable column evolves the recorded schema
+    GraftDoc.write(Seq((2L, "b", 7.5)).toDF("k", "name", "score"), "k", dir)
+    val snap = GraftDoc.snapshot(spark, dir).orderBy("_id")
+    assert(snap.columns.toSeq == Seq("_id", "name", "score"))
+    val rows = snap.select("_id", "name", "score")
+      .as[(String, String, Option[Double])].collect().toSeq
+    assert(rows == Seq(("1", "a", None), ("2", "b", Some(7.5))))
+    // dropping a recorded field is still rejected (not additive)
+    val e = intercept[Exception] {
+      GraftDoc.write(Seq((3L, 1.0)).toDF("k", "other"), "k", dir)
+    }
+    assert(e.getMessage.contains("additive"), e.getMessage)
+    // type change on an existing field is rejected too
+    val e2 = intercept[Exception] {
+      GraftDoc.write(Seq((3L, 42L, 1.0)).toDF("k", "name", "score"), "k", dir)
+    }
+    assert(e2.getMessage.contains("additive"), e2.getMessage)
+  }
+
   test("two concurrent writers both commit with distinct seqs") {
     val dir = tmp()
     GraftDoc.write(Seq((0L, "seed")).toDF("k", "name"), "k", dir)
