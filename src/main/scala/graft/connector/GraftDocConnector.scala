@@ -380,7 +380,7 @@ class GraftDocReaderFactory(requiredSchemaJson: String,
   * newline — together the two rules parse every line exactly once across
   * splits. Scans a 64 KiB buffer for newlines directly (no per-byte
   * stream calls — this sits on the q77/q87 hot read path). */
-private[connector] final class RangeLineReader(
+private[graft] final class RangeLineReader(
     in: org.apache.hadoop.fs.FSDataInputStream, start: Long, length: Long) {
   private val end = start + length
   private var pos = if (start == 0) 0L else start - 1

@@ -230,6 +230,29 @@ class GraftDocConnectorSpec extends SparkSpec {
       whole.agg(sum(col("_id").cast("long"))).as[Long].head())
   }
 
+  test("RangeLineReader: exactly-once lines for every split size and boundary") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.Path
+    // lines of assorted lengths (incl. 1-char and long) — every byte
+    // offset becomes a split boundary for some split size below
+    val lines = Seq("a", "bb", "", "ccccccccccccccccccccccccc", "dd", "e",
+      "ffffffff", "g" * 100, "hh")
+    val f = java.nio.file.Files.createTempFile("graft_rlr", ".jsonl")
+    java.nio.file.Files.writeString(f, lines.mkString("", "\n", "\n"))
+    val p = new Path(f.toUri)
+    val fs = p.getFileSystem(new Configuration())
+    val total = fs.getFileStatus(p).getLen
+    for (split <- Seq(1L, 2L, 3L, 5L, 7L, 11L, 16L, 33L, 64L, total)) {
+      val got = (0L until (total + split - 1) / split).flatMap { i =>
+        val r = new graft.connector.RangeLineReader(
+          fs.open(p), i * split, math.min(split, total - i * split))
+        try Iterator.continually(r.readLine()).takeWhile(_ != null).toList
+        finally r.close()
+      }
+      assert(got == lines, s"split=$split: $got")
+    }
+  }
+
   test("epoch replay check is O(1): no manifest reads with a current watermark") {
     val dir = tmp()
     val docSchema = StructType(Seq(
