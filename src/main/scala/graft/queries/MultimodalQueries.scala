@@ -48,6 +48,43 @@ object MultimodalQueries {
     }
   }
 
+  /** resize + feature-extract output: fixed-size thumbnail provenance and
+    * the dominant histogram bin of the payload bytes. */
+  final case class MediaFeat(doc_id: Long, thumb_len: Long,
+      thumb_checksum: String, top_bin: Long, top_freq_ppm: Long)
+
+  /** STUB resize + feature-extract — the two remaining media stages of
+    * the pipeline seam. A real implementation decodes and downscales
+    * pixels / runs an encoder here; the stub derives a deterministic
+    * stride-sampled "thumbnail" (≤ 64 bytes, the resize shape: binary in
+    * → smaller binary out) and a 16-bin high-nibble byte histogram (the
+    * feature-extract shape: binary in → fixed-width vector out). The
+    * expensive init (here a MessageDigest; in production codec tables /
+    * model weights / GPU handles) happens once per PARTITION — the
+    * reason the seam is mapPartitions, not a per-row UDF. */
+  def resizeFeatureStub(rows: Iterator[MediaIn]): Iterator[MediaFeat] = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256") // per-partition init
+    rows.map { m =>
+      val n = m.payload.length
+      val stride = math.max(1, (n + 63) / 64)
+      val thumbHex = (0 until n by stride)
+        .map(i => f"${m.payload(i) & 0xFF}%02X").mkString
+      val sum = digest.digest(thumbHex.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      digest.reset()
+      val hist = new Array[Long](16)
+      var i = 0
+      while (i < n) { hist((m.payload(i) & 0xF0) >> 4) += 1; i += 1 }
+      var top = 0
+      var bi = 1
+      while (bi < 16) { if (hist(bi) > hist(top)) top = bi; bi += 1 }
+      // parts-per-million as exact integer floor division — no doubles,
+      // so the oracle compare can't hit a float-rounding boundary
+      MediaFeat(m.doc_id, (n + stride - 1) / stride, sum, top,
+        if (n == 0) 0L else hist(top) * 1000000L / n)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Binary payload + flat metadata projection: checksum, size, fake
@@ -99,6 +136,53 @@ object MultimodalQueries {
               sequence(lit(0), (col("n_sampled") - 1).cast("int")),
               j => col("hx").substr(j * 128 + 1, lit(32)))), 256).as("sample_checksum"))
           .orderBy(col("doc_id"))),
+
+    // resize + feature-extract through the mapPartitions seam: stride
+    // "thumbnail" (binary → smaller binary, checksummed) and the dominant
+    // 16-bin byte-histogram feature (binary → fixed-width vector),
+    // per-partition digest init. The oracle replays both from the hex
+    // view: high nibbles are the odd hex chars, the thumbnail is the hex
+    // pairs at stride positions.
+    QueryDef(
+      "q6f_media_features",
+      Some("""WITH h AS (
+          SELECT doc_id, hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS n
+          FROM documents WHERE octet_length(encode(text)) > 0),
+        c AS (
+          SELECT doc_id, n, bin,
+            len(list_filter(generate_series(1, n),
+              i -> substring(hx, (i-1)*2 + 1, 1)
+                   = substring('0123456789ABCDEF', bin + 1, 1))) AS cnt
+          FROM h, (SELECT unnest(generate_series(0, 15)) AS bin)),
+        top AS (
+          SELECT doc_id, n, bin, cnt,
+            row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bin) AS rn
+          FROM c),
+        th AS (
+          SELECT doc_id, n, hx,
+            greatest(1, (n + 63) // 64) AS stride
+          FROM h)
+        SELECT t.doc_id,
+          CAST((t.n + t.stride - 1) // t.stride AS BIGINT) AS thumb_len,
+          sha256(array_to_string(list_transform(
+            generate_series(0, CAST((t.n + t.stride - 1) // t.stride AS INT) - 1),
+            j -> substring(t.hx, CAST(j * t.stride AS INT) * 2 + 1, 2)), '')) AS thumb_checksum,
+          CAST(p.bin AS BIGINT) AS top_bin,
+          CAST(p.cnt * 1000000 // t.n AS BIGINT) AS top_freq_ppm
+        FROM th t JOIN top p ON p.doc_id = t.doc_id AND p.rn = 1
+        ORDER BY t.doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .filter(octet_length(encode(col("text"), "UTF-8")) > 0)
+          .select(col("doc_id"), col("source"),
+            encode(col("text"), "UTF-8").as("payload"))
+          .as[MediaIn]
+          .mapPartitions(resizeFeatureStub)
+          .toDF()
+          .orderBy(col("doc_id"))
+      }),
 
     // The mapPartitions decode seam, end to end: binary in → typed metadata
     // out → relational aggregation over the decoded struct. The oracle
