@@ -51,10 +51,14 @@ object Bench {
     // The driver captures a bounded tail of this process's output, and the
     // per-query map makes this line long enough to get head-truncated by
     // that capture (it happened two rounds running). Persist the full line
-    // in-repo first, then print it — the artifact survives any truncation.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL_r03.json"), line + "\n")
-    catch { case _: Throwable => () }
+    // next to the build first, then print it — the artifact survives any
+    // truncation. Path derives from the working directory so the bench
+    // works from any checkout; a failed write is reported, not swallowed.
+    val artifact = java.nio.file.Paths.get(
+      sys.props.getOrElse("user.dir", "."), "BENCH_LOCAL_r03.json")
+    try java.nio.file.Files.writeString(artifact, line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] WARNING: could not write $artifact: $e") }
     // stop Spark BEFORE printing so its shutdown noise cannot land after
     // the line and push its head past the capture window
     spark.stop()

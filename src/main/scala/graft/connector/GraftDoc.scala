@@ -89,8 +89,15 @@ object GraftDoc {
   def snapshot(spark: SparkSession, path: String): DataFrame = {
     val w = Window.partitionBy(col("_id"))
       .orderBy(col(GraftDocLog.CommitCol).desc)
-    val tomb = GraftDocLog.tombstoneSeqs(path)
+    // one consistent listing: the scan is pinned to commits ≤ the seq the
+    // tombstone set was read at, so a write or delete landing between
+    // plan construction and execution is wholly invisible (point-in-time
+    // snapshot) rather than surfacing a tombstone as a null-body row.
+    // The `_commit <=` bound is pushed down and prunes later commits'
+    // files at planning time.
+    val (asOfSeq, tomb) = GraftDocLog.tableState(path)
     val latest = log(spark, path)
+      .filter(col(GraftDocLog.CommitCol) <= asOfSeq)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
     val live =

@@ -249,10 +249,11 @@ class GraftDocScan(required: StructType, path: String, pushed: Array[Filter],
   override def planInputPartitions(): Array[InputPartition] =
     partitionsFor(GraftDocLog.listCommitFileInfos(path))
 
-  /** Micro-batch slice: the files of commits in (start, end]. */
+  /** Micro-batch slice: the files of commits in (start, end] — listed by
+    * range, so a tailing reader's per-batch planning cost tracks the
+    * slice, not the table's full history. */
   private[connector] def streamPartitions(startSeq: Long, endSeq: Long): Array[InputPartition] =
-    partitionsFor(GraftDocLog.listCommitFileInfos(path)
-      .filter(fi => fi.seq > startSeq && fi.seq <= endSeq))
+    partitionsFor(GraftDocLog.listCommitFileInfosInRange(path, startSeq, endSeq))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftDocReaderFactory(required.json, conf)
@@ -282,9 +283,15 @@ class GraftDocMicroBatchStream(scan: GraftDocScan, path: String,
     with SupportsTriggerAvailableNow {
 
   // AvailableNow contract: pin the target at query start so the drain
-  // terminates even while writers keep committing
+  // terminates even while writers keep committing.
+  // Offsets never advance past an in-flight claim (a concurrent writer
+  // whose commit rename hasn't landed yet): once a checkpoint records an
+  // offset above a pending seq, that commit would be skipped forever.
+  // Claims older than the grace window are crashed writers — their seq
+  // can never fill (the claim file blocks reuse) — and are stepped over.
+  private val ClaimGraceMs = 60000L
   @volatile private var availableNowTarget: Option[Long] = None
-  private def latestSeq: Long = GraftDocLog.latestCommitSeq(path)
+  private def latestSeq: Long = GraftDocLog.safeLatestSeq(path, ClaimGraceMs)
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(latestSeq)
@@ -489,7 +496,7 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
       override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         GraftDocLog.finalizeCommit(path, epochDir(epochId), info.schema(),
           info.queryId(), epochId, truncateFirst = false,
-          GraftDocLog.statsOf(messages), commitTag)
+          GraftDocLog.statsOf(messages), commitTag, tombstone)
 
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         GraftDocLog.deleteDir(epochDir(epochId))
@@ -731,24 +738,81 @@ object GraftDocLog {
 
   /** Every part file with its commit seq, byte length, and (when the
     * manifest recorded them) `_id` min/max — the scan's planning input. */
-  def listCommitFileInfos(tablePath: String): Seq[CommitFileInfo] = {
+  def listCommitFileInfos(tablePath: String): Seq[CommitFileInfo] =
+    listCommitFileInfosInRange(tablePath, 0L, Long.MaxValue)
+
+  /** Range-sliced listing: manifests and part files are read only for
+    * commits with fromExcl < seq ≤ toIncl (the seq is in the dir name, so
+    * out-of-range commits cost nothing beyond the root listStatus) — a
+    * tailing CDC reader plans each micro-batch in O(slice), not O(log). */
+  def listCommitFileInfosInRange(tablePath: String, fromExcl: Long,
+      toIncl: Long): Seq[CommitFileInfo] = {
     val (fs, root) = fsFor(tablePath)
     if (!fs.exists(root)) return Seq.empty
-    commitDirs(fs, root).flatMap { case (seq, dir) =>
-      val m = new Path(dir, ManifestFile)
-      val statRange: Map[String, (Option[String], Option[String])] =
-        if (!fs.exists(m)) Map.empty
-        else FileEntryRe.findAllMatchIn(readFile(fs, m)).map { mm =>
-          junstr(mm.group(1)) ->
-            (Option(mm.group(3)).map(junstr), Option(mm.group(4)).map(junstr))
-        }.toMap
-      fs.listStatus(dir).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".jsonl"))
-        .map { s =>
-          val (lo, hi) = statRange.getOrElse(s.getPath.getName, (None, None))
-          CommitFileInfo(seq, s.getPath.toString, s.getLen, lo, hi)
-        }
-    }
+    commitDirs(fs, root)
+      .filter { case (seq, _) => seq > fromExcl && seq <= toIncl }
+      .flatMap { case (seq, dir) =>
+        val m = new Path(dir, ManifestFile)
+        val statRange: Map[String, (Option[String], Option[String])] =
+          if (!fs.exists(m)) Map.empty
+          else FileEntryRe.findAllMatchIn(readFile(fs, m)).map { mm =>
+            junstr(mm.group(1)) ->
+              (Option(mm.group(3)).map(junstr), Option(mm.group(4)).map(junstr))
+          }.toMap
+        fs.listStatus(dir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".jsonl"))
+          .map { s =>
+            val (lo, hi) = statRange.getOrElse(s.getPath.getName, (None, None))
+            CommitFileInfo(seq, s.getPath.toString, s.getLen, lo, hi)
+          }
+      }
+  }
+
+  /** Highest commit seq a READER may safely advance to: the youngest
+    * claim without its commit dir marks an in-flight commit whose rename
+    * hasn't landed — advancing past it would permanently skip that seq
+    * once a checkpoint records the offset. Claims older than `graceMs`
+    * with no dir are crashed writers (their seq will never fill; the
+    * claim file blocks reuse) and are skipped so a dead claim cannot
+    * stall the stream forever. */
+  def safeLatestSeq(tablePath: String, graceMs: Long): Long = {
+    val (fs, root) = fsFor(tablePath)
+    if (!fs.exists(root)) return 0L
+    val statuses = fs.listStatus(root).toSeq
+    val dirSeqs = statuses.collect {
+      case s if s.isDirectory => s.getPath.getName match {
+        case CommitRe(q) => Some(q.toLong)
+        case _ => None
+      }
+    }.flatten.toSet
+    val latest = if (dirSeqs.isEmpty) 0L else dirSeqs.max
+    val now = System.currentTimeMillis()
+    val inFlight = statuses.collect {
+      case s if s.isFile && s.getPath.getName.startsWith("_claim_") &&
+          now - s.getModificationTime < graceMs =>
+        s.getPath.getName.stripPrefix("_claim_").toLong
+    }.filterNot(dirSeqs.contains)
+    inFlight.filter(_ <= latest).minOption.map(_ - 1).getOrElse(latest)
+  }
+
+  /** One-pass consistent view for snapshot construction: (latest commit
+    * seq, tombstone commit seqs). Reading both in a single listing and
+    * pinning the scan to `_commit <= latestSeq` makes `snapshot` a
+    * point-in-time read — a delete or write landing between plan
+    * construction and execution is invisible instead of half-visible
+    * (the tombstone set and the file list can never disagree). */
+  def tableState(tablePath: String): (Long, Set[Long]) = {
+    val (fs, root) = fsFor(tablePath)
+    if (!fs.exists(root)) return (0L, Set.empty)
+    val dirs = commitDirs(fs, root)
+    val latest = dirs.lastOption.map(_._1).getOrElse(0L)
+    val tomb = dirs.collect {
+      case (seq, dir) if {
+        val m = new Path(dir, ManifestFile)
+        fs.exists(m) && readFile(fs, m).contains("\"tombstone\":true")
+      } => seq
+    }.toSet
+    (latest, tomb)
   }
 
   private def commitDirs(fs: FileSystem, root: Path): Seq[(Long, Path)] =
@@ -871,7 +935,7 @@ object GraftDocLog {
     // absent keys), exactly merge-on-read evolution semantics.
     // Tombstone commits carry only `_id` and skip the check entirely.
     val schemaPathCheck = new Path(root, SchemaFile)
-    var evolveTo: Option[StructType] = None
+    var evolves = false
     if (!tombstone && !truncateFirst && fs.exists(schemaPathCheck)) {
       val recorded = schemaFromJson(readFile(fs, schemaPathCheck))
       val rec = recorded.fields.map(f => f.name -> f.dataType).toSeq
@@ -881,11 +945,6 @@ object GraftDocLog {
         val carriesAllRecorded = rec.forall { case (n, t) =>
           gotByName.get(n).exists(_.dataType == t)
         }
-        // new fields are recorded as NULLABLE whatever the writer
-        // declared: documents from before the evolution read null there
-        val newFields = schema.fields
-          .filterNot(f => rec.exists(_._1 == f.name))
-          .map(_.copy(nullable = true))
         if (!carriesAllRecorded) {
           fs.delete(staging, true)
           throw new IllegalArgumentException(
@@ -894,7 +953,7 @@ object GraftDocLog {
               "(additive new fields evolve the schema; dropping or retyping " +
               "recorded fields requires overwrite)")
         }
-        evolveTo = Some(StructType(recorded.fields ++ newFields))
+        evolves = true // union is computed after the seq claim is won
       }
     } else if (truncateFirst && fs.exists(schemaPathCheck)) {
       fs.delete(schemaPathCheck, false) // truncate redefines the table schema
@@ -909,21 +968,48 @@ object GraftDocLog {
         throw new IllegalArgumentException(
           s"graft-doc: cannot delete from non-existent table $tablePath") }
     }
-    evolveTo.foreach(u => writeFile(fs, schemaPath, u.json, overwrite = true))
 
     // claim-CAS loop: win a seq via atomic create-exclusive, then rename
     var seq = commitDirs(fs, root).lastOption.map(_._1).getOrElse(0L) + 1
     var committed = false
     var attempts = 0
     while (!committed) {
+      val claim = new Path(root, f"_claim_$seq%09d")
       val won =
-        try { fs.create(new Path(root, f"_claim_$seq%09d"), false).close(); true }
+        try { fs.create(claim, false).close(); true }
         catch { case _: java.io.IOException => false } // claimed by a racer
-      if (won) {
+      if (won && commitDirs(fs, root).exists(_._1 == seq)) {
+        // stale win: the original claimant already renamed its commit and
+        // released the claim while we were working from an older listing —
+        // the seq is occupied by a DIR now; release and move past it.
+        // (Safe against double-commit: only a claim holder creates the
+        // seq's dir, we hold the claim, and the previous holder finished.)
+        fs.delete(claim, false)
+        attempts += 1
+        seq += 1
+      } else if (won) {
+        if (evolves) {
+          // schema union written only after the claim is won, against a
+          // FRESH read of the recorded schema — a racer that evolved the
+          // table while we validated is absorbed instead of overwritten.
+          // (The residual window is two winners past this re-read
+          // simultaneously; full serialization needs a metastore lock,
+          // which a file-only log deliberately does not ship.)
+          val recordedNow = schemaFromJson(readFile(fs, schemaPath))
+          val newFields = schema.fields
+            .filterNot(f => recordedNow.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true)) // pre-evolution docs read null
+          if (newFields.nonEmpty)
+            writeFile(fs, schemaPath,
+              StructType(recordedNow.fields ++ newFields).json, overwrite = true)
+        }
         val target = new Path(root, f"commit_$seq%09d_${staging.getName}")
         if (!fs.rename(staging, target))
           throw new java.io.IOException(
             s"graft-doc: commit rename failed: $staging -> $target")
+        // the commit dir now occupies the seq; the claim has served its
+        // arbitration purpose and would otherwise accumulate forever
+        fs.delete(claim, false)
         committed = true
       } else {
         attempts += 1
@@ -943,19 +1029,6 @@ object GraftDocLog {
     fs.listStatus(root).toSeq
       .filter(s => s.isFile && s.getPath.getName.startsWith("_claim_"))
       .map(_.getPath)
-
-  /** Commit seqs whose manifests are tombstone (delete) commits — tiny,
-    * read driver-side at snapshot-plan construction. */
-  def tombstoneSeqs(tablePath: String): Set[Long] = {
-    val (fs, root) = fsFor(tablePath)
-    if (!fs.exists(root)) return Set.empty
-    commitDirs(fs, root).collect {
-      case (seq, dir) if {
-        val m = new Path(dir, ManifestFile)
-        fs.exists(m) && readFile(fs, m).contains("\"tombstone\":true")
-      } => seq
-    }.toSet
-  }
 
   /** Seq of the commit whose manifest carries `tag` (compaction uses this
     * to locate its own base commit instead of guessing from a re-list). */

@@ -102,14 +102,15 @@ object StreamPipelines {
   }
 
   /** Batch-side event-time ceiling used to bound append-mode drains to
-    * the deterministically-flushed region: `max(ts over pred) - margin`.
-    * Applied as a POST-filter on the drained output, never on the stream —
-    * filtering a stream lowers its own max event time, drags the
-    * watermark down and un-flushes rows just inside the horizon. */
-  private def horizonEnd(s: SparkSession, sfDir: String, margin: String,
-      pred: Column = lit(true)): DataFrame =
+    * the deterministically-flushed region: `max(ts) - margin`. Applied as
+    * a POST-filter on the drained output, never on the stream — filtering
+    * a stream lowers its own max event time, drags the watermark down and
+    * un-flushes rows just inside the horizon. (Multi-branch pipelines
+    * like q88 must instead anchor to the MIN over each branch's own max —
+    * built inline there, not expressible as a single max-minus-margin.) */
+  private def horizonEnd(s: SparkSession, sfDir: String, margin: String): DataFrame =
     s.read.parquet(s"$sfDir/events.parquet")
-      .agg((max(when(pred, timestamp_micros(expr("ts div 1000"))))
+      .agg((max(timestamp_micros(expr("ts div 1000")))
         - expr(s"INTERVAL $margin")).as("h_end"))
 
   /** Tumbling 1-hour event-time windows by event type. Append output mode:

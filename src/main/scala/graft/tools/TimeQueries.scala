@@ -7,6 +7,10 @@ import org.apache.spark.sql.SparkSession
   * the per-query slice of Bench for local iteration. */
 object TimeQueries {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: TimeQueries <prefix>[,<prefix>...] [sfDir]")
+      sys.exit(2)
+    }
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val prefixes = args(0).split(",").toSeq
     val spark: SparkSession = GraftSession.configure(

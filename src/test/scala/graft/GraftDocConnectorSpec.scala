@@ -457,4 +457,43 @@ class GraftDocConnectorSpec extends SparkSpec {
     assert(GraftDoc.snapshot(spark, dir).orderBy("_id")
       .select("name").as[String].collect().toSeq == Seq("a", "b"))
   }
+
+  test("successful commits release their claim markers (no unbounded root growth)") {
+    val dir = tmp()
+    (1 to 5).foreach(i => GraftDoc.write(Seq((i.toLong, s"v$i")).toDF("k", "name"), "k", dir))
+    val claims = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("_claim_"))
+    assert(claims.isEmpty, s"stale claims: ${claims.map(_.getName).toSeq}")
+  }
+
+  test("reader offsets never advance past an in-flight claim (no skipped commits)") {
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", dir) // seq 1
+    // in-flight writer: claim for seq 2 exists, commit dir not yet renamed
+    val claim = java.nio.file.Paths.get(dir, "_claim_000000002")
+    java.nio.file.Files.createFile(claim)
+    GraftDoc.write(Seq((3L, "c")).toDF("k", "name"), "k", dir) // lands at seq 3
+    // a reader must hold at seq 1: advancing to 3 would checkpoint past
+    // the pending seq 2 and lose it forever
+    assert(GraftDocLog.safeLatestSeq(dir, graceMs = 60000L) == 1L)
+    // crashed writer: once the claim ages past the grace window its seq
+    // can never fill, and readers step over the gap
+    claim.toFile.setLastModified(System.currentTimeMillis() - 120000L)
+    assert(GraftDocLog.safeLatestSeq(dir, graceMs = 60000L) == 3L)
+  }
+
+  test("snapshot is a point-in-time view: concurrent delete cannot surface a phantom row") {
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a"), (2L, "b")).toDF("k", "name"), "k", dir)
+    val snap = GraftDoc.snapshot(spark, dir) // plan pinned at seq 1
+    GraftDoc.delete(spark, dir, Seq(2L).toDF("k")) // tombstone at seq 2
+    // the pinned plan still sees the pre-delete world — both rows, no
+    // null-body tombstone row
+    val rows = snap.orderBy("_id").select("_id", "name")
+      .as[(String, String)].collect().toSeq
+    assert(rows == Seq("1" -> "a", "2" -> "b"))
+    // a snapshot built after the delete sees it applied
+    assert(GraftDoc.snapshot(spark, dir).select("_id").as[String]
+      .collect().toSeq == Seq("1"))
+  }
 }
