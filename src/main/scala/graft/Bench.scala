@@ -15,16 +15,21 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     // streaming-machinery warmup (state store managers, offset log codecs,
-    // micro-batch executor JIT) so q80 measures the pipeline, not the init
+    // micro-batch executor JIT) so q80 measures the pipeline, not the
+    // init — in the same append-mode watermark-eviction shape the
+    // measured drains run, so the flush-batch path is warmed too
     locally {
+      import org.apache.spark.sql.functions._
       val tmp = java.nio.file.Files.createTempDirectory("graft_warm").toFile
       val q = spark.readStream
         .schema(spark.read.parquet(s"$sfDir/region.parquet").schema)
         .option("pathGlobFilter", "region.parquet")
         .parquet(sfDir)
-        .groupBy("r_regionkey").count()
+        .withColumn("ts", timestamp_micros(col("r_regionkey") * 3600L * 1000000L))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour")).count()
         .writeStream.format("memory").queryName("graft_warmup")
-        .outputMode("complete")
+        .outputMode("append")
         .option("checkpointLocation", tmp.getAbsolutePath)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
