@@ -51,8 +51,11 @@ object GraftDoc {
   /** Streaming view of the version log (CDC): each micro-batch delivers
     * the commits in (lastOffset, latest], exactly once, in commit order —
     * `readStream.format("graft-doc")`. `maxCommitsPerTrigger` (option)
-    * bounds admission per micro-batch. See [[GraftDocScan.toMicroBatchStream]]
-    * for the compaction/truncation caveats of tailing a log store. */
+    * bounds admission per micro-batch. Tombstone commits surface as rows
+    * with the `_id` set and every document field null — a consumer that
+    * must distinguish deletes joins `GraftDocLog.tableState`'s tombstone
+    * seqs on `_commit`. See [[GraftDocScan.toMicroBatchStream]] for the
+    * compaction/truncation caveats of tailing a log store. */
   def readStream(spark: SparkSession, path: String,
       maxCommitsPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream.format("graft-doc")

@@ -800,7 +800,9 @@ object GraftDocLog {
     * pinning the scan to `_commit <= latestSeq` makes `snapshot` a
     * point-in-time read — a delete or write landing between plan
     * construction and execution is invisible instead of half-visible
-    * (the tombstone set and the file list can never disagree). */
+    * (the tombstone set and the file list can never disagree). Cost is
+    * one manifest read per live commit dir; compaction folds those to
+    * one, which is what keeps this O(1) on a maintained table. */
   def tableState(tablePath: String): (Long, Set[Long]) = {
     val (fs, root) = fsFor(tablePath)
     if (!fs.exists(root)) return (0L, Set.empty)
