@@ -91,6 +91,15 @@ class PlanSpec extends SparkSpec {
       "q6c candidate path should contain hash equi-joins")
   }
 
+  test("q6e corpus pipeline: every join is an equi join (no cartesian anywhere)") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plans = collectAll(executed(q("q6e_corpus_build")))
+    assert(!plans.exists(p => p.isInstanceOf[BroadcastNestedLoopJoinExec] ||
+      p.isInstanceOf[CartesianProductExec]),
+      "q6e must compose only hash/sort-merge equi joins — the corpus body " +
+        "and the chunk stream never meet a nested loop")
+  }
+
   test("partial aggregation: single-agg query has exactly one shuffle before the sort") {
     val plans = collectAll(executed(q("q01_pricing_summary")))
     val shuffles = plans.count(_.isInstanceOf[ShuffleExchangeExec])
