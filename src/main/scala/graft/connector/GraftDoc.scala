@@ -51,16 +51,22 @@ object GraftDoc {
   /** Streaming view of the version log (CDC): each micro-batch delivers
     * the commits in (lastOffset, latest], exactly once, in commit order —
     * `readStream.format("graft-doc")`. `maxCommitsPerTrigger` (option)
-    * bounds admission per micro-batch. Tombstone commits surface as rows
-    * with the `_id` set and every document field null — a consumer that
-    * must distinguish deletes joins `GraftDocLog.tableState`'s tombstone
-    * seqs on `_commit`. See [[GraftDocScan.toMicroBatchStream]] for the
+    * bounds admission per micro-batch by commit count; the standard
+    * `maxRowsPerTrigger` / `maxFilesPerTrigger` options bound it by row /
+    * file budget through Spark's own `ReadLimit` plumbing. With
+    * `withOp = true` the rows carry an `_op` change-type column
+    * (`insert` | `delete`) — deletes as first-class CDC events, decoded
+    * from the commit dir name at zero per-row storage cost. (Without it,
+    * tombstone commits surface as rows with `_id` set and every document
+    * field null.) See [[GraftDocScan.toMicroBatchStream]] for the
     * compaction/truncation caveats of tailing a log store. */
   def readStream(spark: SparkSession, path: String,
-      maxCommitsPerTrigger: Option[Long] = None): DataFrame = {
+      maxCommitsPerTrigger: Option[Long] = None,
+      withOp: Boolean = false): DataFrame = {
     val r = spark.readStream.format("graft-doc")
     maxCommitsPerTrigger.foreach(m =>
       r.option(GraftDocLog.MaxCommitsPerTriggerOpt, m.toString))
+    if (withOp) r.option(GraftDocLog.WithOpOpt, "true")
     r.load(path)
   }
 

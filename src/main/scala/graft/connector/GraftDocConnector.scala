@@ -82,7 +82,14 @@ class GraftDocDataSource extends TableProvider with DataSourceRegister {
         "(pass .schema(...) or write the table first)"))
     // reads expose the commit sequence alongside the document fields —
     // the recency column GraftDoc.snapshot resolves upserts with
-    doc.add(StructField(GraftDocLog.CommitCol, LongType, nullable = false))
+    val withCommit =
+      doc.add(StructField(GraftDocLog.CommitCol, LongType, nullable = false))
+    // opt-in `_op` change-type column (insert|delete): first-class CDC
+    // deletes — the flag rides the commit dir name, so it costs the scan
+    // nothing (no manifest read, no per-row storage)
+    if (options.getBoolean(GraftDocLog.WithOpOpt, false))
+      withCommit.add(StructField(GraftDocLog.OpCol, StringType, nullable = false))
+    else withCommit
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -101,9 +108,7 @@ class GraftDocTable(docSchema: StructType, path: String)
       TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftDocScanBuilder(docSchema, path,
-      options.getLong(GraftDocLog.MaxSplitBytesOpt, GraftDocLog.DefaultSplitBytes),
-      Option(options.get(GraftDocLog.MaxCommitsPerTriggerOpt)).map(_.toLong))
+    new GraftDocScanBuilder(docSchema, path, GraftDocReadConf.from(options))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     GraftDocLog.validateWriteSchema(info.schema())
@@ -130,8 +135,29 @@ final class SerializableHadoopConf(@transient var value: Configuration)
   }
 }
 
-class GraftDocScanBuilder(docSchema: StructType, path: String, splitBytes: Long,
-    maxCommitsPerTrigger: Option[Long] = None)
+/** Read-side options, resolved once at scan-builder construction. */
+private[connector] case class GraftDocReadConf(
+    splitBytes: Long,
+    maxCommitsPerTrigger: Option[Long],
+    maxRowsPerTrigger: Option[Long],
+    maxFilesPerTrigger: Option[Long],
+    claimGraceMs: Long)
+
+private[connector] object GraftDocReadConf {
+  def from(options: CaseInsensitiveStringMap): GraftDocReadConf = GraftDocReadConf(
+    options.getLong(GraftDocLog.MaxSplitBytesOpt, GraftDocLog.DefaultSplitBytes),
+    Option(options.get(GraftDocLog.MaxCommitsPerTriggerOpt)).map(_.toLong),
+    Option(options.get(GraftDocLog.MaxRowsPerTriggerOpt)).map(_.toLong),
+    Option(options.get(GraftDocLog.MaxFilesPerTriggerOpt)).map(_.toLong),
+    options.getLong(GraftDocLog.ClaimGraceMsOpt, GraftDocLog.DefaultClaimGraceMs))
+
+  val default: GraftDocReadConf = GraftDocReadConf(
+    GraftDocLog.DefaultSplitBytes, None, None, None,
+    GraftDocLog.DefaultClaimGraceMs)
+}
+
+class GraftDocScanBuilder(docSchema: StructType, path: String,
+    readConf: GraftDocReadConf = GraftDocReadConf.default)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   // table schema already carries _commit when it came from inferSchema;
@@ -157,8 +183,8 @@ class GraftDocScanBuilder(docSchema: StructType, path: String, splitBytes: Long,
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GraftDocScan(required, path, pushed, splitBytes,
-      new SerializableHadoopConf(GraftDocLog.hadoopConf()), maxCommitsPerTrigger)
+    new GraftDocScan(required, path, pushed,
+      new SerializableHadoopConf(GraftDocLog.hadoopConf()), readConf)
 }
 
 /** Conjunctive file-level pruning over the pushed filter set. */
@@ -224,8 +250,9 @@ private[connector] object GraftDocFilters {
 }
 
 class GraftDocScan(required: StructType, path: String, pushed: Array[Filter],
-    splitBytes: Long, conf: SerializableHadoopConf,
-    maxCommitsPerTrigger: Option[Long] = None) extends Scan with Batch {
+    conf: SerializableHadoopConf,
+    readConf: GraftDocReadConf = GraftDocReadConf.default) extends Scan with Batch {
+  private val splitBytes = readConf.splitBytes
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -239,21 +266,33 @@ class GraftDocScan(required: StructType, path: String, pushed: Array[Filter],
         val n = math.max(1L, (fi.bytes + splitBytes - 1) / splitBytes)
         (0L until n).map { i =>
           GraftDocInputPartition(fi.path, fi.seq, i * splitBytes,
-            math.min(splitBytes, fi.bytes - i * splitBytes)): InputPartition
+            math.min(splitBytes, fi.bytes - i * splitBytes),
+            fi.tombstone): InputPartition
         }
       }.toArray
 
+  // `_id` min/max stats live in commit manifests; reading them is only
+  // worth a driver FS round-trip per commit when an `_id` predicate was
+  // actually pushed. Everything else — snapshot planning, CDC batches,
+  // full scans — plans from the root listing alone (ZERO manifest reads).
+  private val needsIdStats = pushed.exists(_.references.contains("_id"))
+
   /** File-level skip on `_commit` (each file belongs to exactly one
-    * commit) and `_id` (manifest min/max), then byte-range splits so a
-    * few large commit files still spread across the cluster. */
+    * commit, and the seq rides the dir name — pruned commits' files are
+    * never even listed) and `_id` (manifest min/max, read only when an
+    * `_id` predicate is pushed), then byte-range splits so a few large
+    * commit files still spread across the cluster. */
   override def planInputPartitions(): Array[InputPartition] =
-    partitionsFor(GraftDocLog.listCommitFileInfos(path))
+    partitionsFor(GraftDocLog.listCommitFileInfosInRange(path, 0L, Long.MaxValue,
+      withStats = needsIdStats,
+      seqOk = seq => GraftDocFilters.commitOk(pushed, seq)))
 
   /** Micro-batch slice: the files of commits in (start, end] — listed by
     * range, so a tailing reader's per-batch planning cost tracks the
     * slice, not the table's full history. */
   private[connector] def streamPartitions(startSeq: Long, endSeq: Long): Array[InputPartition] =
-    partitionsFor(GraftDocLog.listCommitFileInfosInRange(path, startSeq, endSeq))
+    partitionsFor(GraftDocLog.listCommitFileInfosInRange(path, startSeq, endSeq,
+      withStats = needsIdStats))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftDocReaderFactory(required.json, conf)
@@ -270,7 +309,7 @@ class GraftDocScan(required: StructType, path: String, pushed: Array[Filter],
     * truncation restarts the seq line a checkpointed reader has already
     * passed. */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new GraftDocMicroBatchStream(this, path, maxCommitsPerTrigger)
+    new GraftDocMicroBatchStream(this, path, readConf)
 }
 
 case class GraftDocOffset(seq: Long) extends Offset {
@@ -278,25 +317,43 @@ case class GraftDocOffset(seq: Long) extends Offset {
 }
 
 class GraftDocMicroBatchStream(scan: GraftDocScan, path: String,
-    maxCommitsPerTrigger: Option[Long])
+    readConf: GraftDocReadConf)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxFiles, ReadMaxRows}
 
   // AvailableNow contract: pin the target at query start so the drain
   // terminates even while writers keep committing.
   // Offsets never advance past an in-flight claim (a concurrent writer
   // whose commit rename hasn't landed yet): once a checkpoint records an
   // offset above a pending seq, that commit would be skipped forever.
-  // Claims older than the grace window are crashed writers — their seq
-  // can never fill (the claim file blocks reuse) — and are stepped over.
-  private val ClaimGraceMs = 60000L
+  // Claims older than the grace window (`claimGraceMs` stream option,
+  // default 5 min) are crashed writers — their seq can never fill (the
+  // claim file blocks reuse) — and are stepped over. The window is the
+  // stream's tolerance for writer stalls AND cross-machine clock skew
+  // (the comparison is store mtime vs this reader's clock); writers fence
+  // their own renames at half this window (`GraftDocLog.finalizeCommit`),
+  // so a rename can only land on a seq readers still hold for.
+  private val maxCommitsPerTrigger = readConf.maxCommitsPerTrigger
   @volatile private var availableNowTarget: Option[Long] = None
-  private def latestSeq: Long = GraftDocLog.safeLatestSeq(path, ClaimGraceMs)
+  private def latestSeq: Long = GraftDocLog.safeLatestSeq(path, readConf.claimGraceMs)
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(latestSeq)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Row/file budgets from the standard trigger options, expressed through
+    * Spark's own ReadLimit plumbing so `latestOffset` composes with any
+    * limit a trigger passes. */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = Seq(
+      readConf.maxRowsPerTrigger.map(n => ReadLimit.maxRows(n)),
+      readConf.maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))).flatten
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def initialOffset(): Offset = GraftDocOffset(0L)
 
@@ -307,8 +364,42 @@ class GraftDocMicroBatchStream(scan: GraftDocScan, path: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[GraftDocOffset].seq
     val cap = availableNowTarget.getOrElse(latestSeq)
-    val end = maxCommitsPerTrigger.map(m => math.min(cap, s + m)).getOrElse(cap)
-    GraftDocOffset(math.max(s, end))
+    val optCap = maxCommitsPerTrigger.map(m => math.min(cap, s + m)).getOrElse(cap)
+    GraftDocOffset(math.max(s, limitedEnd(limit, s, optCap)))
+  }
+
+  /** Resolve a ReadLimit to an end seq in (s, cap]. Row/file budgets walk
+    * the slice's manifests (range-priced listing — O(slice), not O(log))
+    * and always admit at least one commit so the stream can't stall.
+    * ReadMinRows has no holding semantics here (a log source can't wait
+    * for data that isn't committed); it reads as allAvailable. */
+  private def limitedEnd(limit: ReadLimit, s: Long, cap: Long): Long = limit match {
+    case c: CompositeReadLimit => c.getReadLimits.map(l => limitedEnd(l, s, cap)).min
+    case r: ReadMaxRows => admit(s, cap, r.maxRows(), Long.MaxValue)
+    case f: ReadMaxFiles => admit(s, cap, Long.MaxValue, f.maxFiles().toLong)
+    case _: ReadAllAvailable => cap
+    case _ => cap
+  }
+
+  private def admit(s: Long, cap: Long, rowBudget: Long, fileBudget: Long): Long = {
+    if (cap <= s) return cap
+    val bySeq = GraftDocLog.listCommitFileInfosInRange(path, s, cap)
+      .groupBy(_.seq).toSeq.sortBy(_._1)
+    var rows = 0L
+    var files = 0L
+    var end = s
+    var i = 0
+    while (i < bySeq.length) {
+      val (seq, fis) = bySeq(i)
+      val r = rows + fis.map(_.rows).sum
+      val f = files + fis.length
+      if (end > s && (r > rowBudget || f > fileBudget)) return end
+      rows = r; files = f; end = seq
+      if (rows >= rowBudget || files >= fileBudget) return end
+      i += 1
+    }
+    // an empty slice (all commits in range pruned/absent) still advances
+    if (bySeq.isEmpty) cap else end
   }
 
   override def reportLatestOffset(): Offset = GraftDocOffset(latestSeq)
@@ -330,21 +421,30 @@ class GraftDocMicroBatchStream(scan: GraftDocScan, path: String,
 }
 
 case class GraftDocInputPartition(file: String, commitSeq: Long,
-    start: Long, length: Long) extends InputPartition
+    start: Long, length: Long, tombstone: Boolean = false) extends InputPartition
 
 class GraftDocReaderFactory(requiredSchemaJson: String,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  private val CommitOrd = -1
+  private val OpOrd = -2
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftDocInputPartition]
     val required = GraftDocLog.schemaFromJson(requiredSchemaJson)
     // parse only the document fields Spark asked for (JSON column pruning:
-    // the parser skips every other key), then place them — plus _commit —
-    // in Spark's required order.
-    val docPart = StructType(required.filter(_.name != GraftDocLog.CommitCol))
+    // the parser skips every other key), then place them — plus the
+    // metadata columns _commit / _op — in Spark's required order.
+    val docPart = StructType(required.filter(f =>
+      f.name != GraftDocLog.CommitCol && f.name != GraftDocLog.OpCol))
     val docIndex = docPart.fieldNames.zipWithIndex.toMap
-    val outPlan: Array[Int] = // >=0: doc field index; -1: _commit
-      required.fields.map(f => docIndex.getOrElse(f.name, -1))
+    val outPlan: Array[Int] = // >=0: doc field index; <0: metadata column
+      required.fields.map(f =>
+        if (f.name == GraftDocLog.CommitCol) CommitOrd
+        else if (f.name == GraftDocLog.OpCol) OpOrd
+        else docIndex(f.name))
+    // the change type is a per-PARTITION constant (the tombstone flag is
+    // encoded in the commit dir name) — zero per-row cost
+    val opVal = UTF8String.fromString(if (p.tombstone) "delete" else "insert")
 
     new PartitionReader[InternalRow] {
       private val fs = new Path(p.file).getFileSystem(conf.value)
@@ -365,7 +465,8 @@ class GraftDocReaderFactory(requiredSchemaJson: String,
         var i = 0
         while (i < outPlan.length) {
           out.update(i,
-            if (outPlan(i) < 0) p.commitSeq
+            if (outPlan(i) == CommitOrd) p.commitSeq
+            else if (outPlan(i) == OpOrd) opVal
             else if (doc.isNullAt(outPlan(i))) null
             else doc.get(outPlan(i), docPart.fields(outPlan(i)).dataType))
           i += 1
@@ -612,23 +713,53 @@ object GraftDocLog {
     org.apache.spark.sql.types.DataType.fromJson(json).asInstanceOf[StructType]
 
   val CommitCol = "_commit"
+  val OpCol = "_op"
   val SchemaFile = "_schema.json"
   val ManifestFile = "_manifest.json"
   val TargetFileRowsOpt = "targetFileRows"
   val CommitTagOpt = "commitTag"
   val MaxSplitBytesOpt = "maxSplitBytes"
   val MaxCommitsPerTriggerOpt = "maxCommitsPerTrigger"
+  val MaxRowsPerTriggerOpt = "maxRowsPerTrigger"
+  val MaxFilesPerTriggerOpt = "maxFilesPerTrigger"
+  val ClaimGraceMsOpt = "claimGraceMs"
+  val WithOpOpt = "withOp"
   val TombstoneOpt = "tombstone"
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
+  /** Reader tolerance for an in-flight writer (claim created, commit
+    * rename not yet landed) before the claim is judged crashed and
+    * stepped over. The comparison is store mtime vs the READER's clock,
+    * so the window must absorb cross-machine clock skew on top of writer
+    * stalls; writers fence their own renames at half this window
+    * ([[finalizeCommit]]), leaving the other half as the skew + rename
+    * budget. Override per stream with the `claimGraceMs` option. */
+  val DefaultClaimGraceMs: Long = 5 * 60 * 1000L
+  /** Writer-side rename fence: half the reader grace window. Readers may
+    * RAISE `claimGraceMs` freely; configuring it BELOW the default breaks
+    * the fence invariant (a fenced writer could still land a rename after
+    * an impatient reader stepped over it). Test-overridable. */
+  @volatile private[graft] var writerFenceMs: Long = DefaultClaimGraceMs / 2
+  /** Test hook: one-shot stall injected between winning a claim and the
+    * writer-fence check — simulates a GC pause / slow object store on the
+    * claim-to-rename path. */
+  private[graft] val postClaimStallMsForTest = new AtomicLong(0L)
   private val EpochsDir = "_epochs"
   // widths beyond 9 digits still parse (zero-padding only keeps the
-  // common range lexicographically ordered)
-  private val CommitRe = "commit_([0-9]+)_.*".r
+  // common range lexicographically ordered); the optional `t` marks a
+  // TOMBSTONE commit — riding the dir name means delete discovery costs
+  // snapshot planning zero manifest reads (same O(1) treatment the epoch
+  // watermark gives replay checks)
+  private val CommitRe = "commit_([0-9]+)(t?)_.*".r
 
   /** Fallback-path instrumentation: manifests read on the epoch-replay
     * check. Stays at zero while the high-watermark file is present and
     * current — the O(1) contract `GraftDocConnectorSpec` asserts. */
   private[graft] val fallbackManifestReads = new AtomicLong(0L)
+
+  /** Every manifest read anywhere in the log protocol (planning,
+    * admission, replay fallback) — the counting-FS instrument behind the
+    * O(1)-manifest-reads specs for snapshot planning. */
+  private[graft] val manifestReads = new AtomicLong(0L)
 
   /** The active session's Hadoop configuration (carries `spark.hadoop.*`
     * overrides — object-store credentials, custom FS impls); plain
@@ -733,37 +864,44 @@ object GraftDocLog {
   def listCommitFiles(tablePath: String): Seq[(Long, String)] =
     listCommitFileInfos(tablePath).map(fi => fi.seq -> fi.path)
 
-  case class CommitFileInfo(seq: Long, path: String, bytes: Long,
-      minId: Option[String], maxId: Option[String])
+  case class CommitFileInfo(seq: Long, path: String, bytes: Long, rows: Long,
+      minId: Option[String], maxId: Option[String], tombstone: Boolean)
 
   /** Every part file with its commit seq, byte length, and (when the
-    * manifest recorded them) `_id` min/max — the scan's planning input. */
+    * manifest recorded them) row count and `_id` min/max — the scan's
+    * planning input. */
   def listCommitFileInfos(tablePath: String): Seq[CommitFileInfo] =
     listCommitFileInfosInRange(tablePath, 0L, Long.MaxValue)
 
   /** Range-sliced listing: manifests and part files are read only for
-    * commits with fromExcl < seq ≤ toIncl (the seq is in the dir name, so
-    * out-of-range commits cost nothing beyond the root listStatus) — a
-    * tailing CDC reader plans each micro-batch in O(slice), not O(log). */
+    * commits with fromExcl < seq ≤ toIncl AND `seqOk(seq)` (the seq is in
+    * the dir name, so pruned commits cost nothing beyond the root
+    * listStatus) — a tailing CDC reader plans each micro-batch in
+    * O(slice), not O(log), and a `_commit`-bounded batch scan never even
+    * lists pruned commits' files. `withStats = false` skips the manifest
+    * read entirely (rows report 0, `_id` min/max report unknown) — the
+    * right mode when no pushed filter needs `_id` stats, which makes
+    * snapshot planning O(0) manifest reads. */
   def listCommitFileInfosInRange(tablePath: String, fromExcl: Long,
-      toIncl: Long): Seq[CommitFileInfo] = {
+      toIncl: Long, withStats: Boolean = true,
+      seqOk: Long => Boolean = _ => true): Seq[CommitFileInfo] = {
     val (fs, root) = fsFor(tablePath)
     if (!fs.exists(root)) return Seq.empty
-    commitDirs(fs, root)
-      .filter { case (seq, _) => seq > fromExcl && seq <= toIncl }
-      .flatMap { case (seq, dir) =>
+    commitDirsFlagged(fs, root)
+      .filter { case (seq, _, _) => seq > fromExcl && seq <= toIncl && seqOk(seq) }
+      .flatMap { case (seq, tomb, dir) =>
         val m = new Path(dir, ManifestFile)
-        val statRange: Map[String, (Option[String], Option[String])] =
-          if (!fs.exists(m)) Map.empty
+        val stat: Map[String, (Long, Option[String], Option[String])] =
+          if (!withStats || !fs.exists(m)) Map.empty
           else FileEntryRe.findAllMatchIn(readFile(fs, m)).map { mm =>
-            junstr(mm.group(1)) ->
-              (Option(mm.group(3)).map(junstr), Option(mm.group(4)).map(junstr))
+            junstr(mm.group(1)) -> ((mm.group(2).toLong,
+              Option(mm.group(3)).map(junstr), Option(mm.group(4)).map(junstr)))
           }.toMap
         fs.listStatus(dir).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".jsonl"))
           .map { s =>
-            val (lo, hi) = statRange.getOrElse(s.getPath.getName, (None, None))
-            CommitFileInfo(seq, s.getPath.toString, s.getLen, lo, hi)
+            val (rows, lo, hi) = stat.getOrElse(s.getPath.getName, (0L, None, None))
+            CommitFileInfo(seq, s.getPath.toString, s.getLen, rows, lo, hi, tomb)
           }
       }
   }
@@ -781,7 +919,7 @@ object GraftDocLog {
     val statuses = fs.listStatus(root).toSeq
     val dirSeqs = statuses.collect {
       case s if s.isDirectory => s.getPath.getName match {
-        case CommitRe(q) => Some(q.toLong)
+        case CommitRe(q, _) => Some(q.toLong)
         case _ => None
       }
     }.flatten.toSet
@@ -801,30 +939,33 @@ object GraftDocLog {
     * point-in-time read — a delete or write landing between plan
     * construction and execution is invisible instead of half-visible
     * (the tombstone set and the file list can never disagree). Cost is
-    * one manifest read per live commit dir; compaction folds those to
-    * one, which is what keeps this O(1) on a maintained table. */
+    * ONE root listing and ZERO manifest reads: the tombstone flag rides
+    * the commit dir name (`commit_<seq>t_<uuid>`), so delete discovery
+    * on a long-unmaintained table (thousands of CDC epochs, no
+    * compaction) stays flat instead of paying O(#commits) driver FS
+    * round-trips — `GraftDocConnectorSpec` pins this with a
+    * manifest-read counter over 50 epochs. */
   def tableState(tablePath: String): (Long, Set[Long]) = {
     val (fs, root) = fsFor(tablePath)
     if (!fs.exists(root)) return (0L, Set.empty)
-    val dirs = commitDirs(fs, root)
-    val latest = dirs.lastOption.map(_._1).getOrElse(0L)
-    val tomb = dirs.collect {
-      case (seq, dir) if {
-        val m = new Path(dir, ManifestFile)
-        fs.exists(m) && readFile(fs, m).contains("\"tombstone\":true")
-      } => seq
-    }.toSet
-    (latest, tomb)
+    val dirs = commitDirsFlagged(fs, root)
+    (dirs.lastOption.map(_._1).getOrElse(0L),
+      dirs.collect { case (seq, true, _) => seq }.toSet)
   }
 
-  private def commitDirs(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+  /** (seq, isTombstone, dir) for every commit dir, ascending seq — both
+    * flags decoded from the dir name alone (no file reads). */
+  private def commitDirsFlagged(fs: FileSystem, root: Path): Seq[(Long, Boolean, Path)] =
     fs.listStatus(root).toSeq.collect {
       case s if s.isDirectory =>
         s.getPath.getName match {
-          case CommitRe(seq) => Some(seq.toLong -> s.getPath)
+          case CommitRe(seq, t) => Some((seq.toLong, t.nonEmpty, s.getPath))
           case _ => None
         }
     }.flatten.sortBy(_._1)
+
+  private def commitDirs(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    commitDirsFlagged(fs, root).map { case (seq, _, dir) => seq -> dir }
 
   private def writeFile(fs: FileSystem, p: Path, content: String,
       overwrite: Boolean): Unit = {
@@ -834,9 +975,29 @@ object GraftDocLog {
   }
 
   private def readFile(fs: FileSystem, p: Path): String = {
+    if (p.getName == ManifestFile) manifestReads.incrementAndGet()
     val in = fs.open(p)
     try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     finally in.close()
+  }
+
+  /** Atomic file replacement: write a temp sibling, then a rename that
+    * OVERWRITES the target in one step (`FileContext` rename semantics;
+    * plain `FileSystem.create(overwrite = true)` truncates in place, so a
+    * concurrent reader can observe a torn file). Both the temp write and
+    * the rename go through `FileContext` — its local implementation is
+    * checksum-free, so no stale `.crc` sibling survives the rename to
+    * poison later checksummed reads. */
+  private def writeFileAtomic(fs: FileSystem, p: Path, content: String): Unit = {
+    val qp = fs.makeQualified(p)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(qp.toUri, hadoopConf())
+    val tmp = new Path(qp.getParent, s".${qp.getName}.tmp-${UUID.randomUUID().toString}")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fc.rename(tmp, qp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   // -------------------------------------------------- epoch high-watermark
@@ -864,10 +1025,12 @@ object GraftDocLog {
   private def writeEpochHw(fs: FileSystem, root: Path, queryId: String,
       epochId: Long, seq: Long): Unit = {
     fs.mkdirs(new Path(root, EpochsDir))
-    // single writer per queryId (the query's own driver), so a plain
-    // overwrite suffices; a torn file degrades to the manifest fallback
-    writeFile(fs, epochHwPath(root, queryId),
-      s"""{"epochId":$epochId,"seq":$seq}""", overwrite = true)
+    // single writer per queryId (the query's own driver); the atomic
+    // temp+rename means a concurrent replay check can never observe a
+    // torn file (and the manifest fallback still covers a crash between
+    // commit rename and this update)
+    writeFileAtomic(fs, epochHwPath(root, queryId),
+      s"""{"epochId":$epochId,"seq":$seq}""")
   }
 
   /** O(1) epoch-replay check: the high-watermark file answers most
@@ -895,6 +1058,11 @@ object GraftDocLog {
 
   // -------------------------------------------------------------- commit
 
+  /** Commit locks scoped PER TABLE PATH: two tables never serialize
+    * against each other; same-table in-JVM writers still do (which keeps
+    * the common single-driver case free of claim contention). */
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Atomically publish a staged write as the next commit.
     *
     * Concurrent writers (separate drivers on one table) are safe: the
@@ -903,14 +1071,21 @@ object GraftDocLog {
     * loser advances and retries, so both commits land with distinct seqs.
     * (On stores without atomic create-exclusive — S3 without a consistency
     * layer — pair the table with a coordinating log service, as every
-    * log-structured format does.) In-JVM callers are additionally
-    * serialized by `synchronized`, which keeps the common single-driver
-    * case free of claim contention. */
+    * log-structured format does.)
+    *
+    * Writer-side FENCE: a streaming reader steps over claims older than
+    * its grace window ([[safeLatestSeq]]); if this writer stalls (GC
+    * pause, slow store) long enough that its rename could land on a seq
+    * readers no longer hold for — half the default window, measured on
+    * the writer's own monotonic clock, so clock skew cannot widen it —
+    * it abandons the claim and re-seqs, making a skipped-forever commit
+    * structurally impossible rather than merely unlikely. */
   def finalizeCommit(tablePath: String, stagingDir: String, schema: StructType,
       queryId: String, epochId: Long, truncateFirst: Boolean,
       stats: Seq[GraftDocFileStat] = Nil,
       tag: Option[String] = None,
-      tombstone: Boolean = false): Unit = synchronized {
+      tombstone: Boolean = false): Unit =
+    tableLocks.computeIfAbsent(tablePath, _ => new Object).synchronized {
     val (fs, root) = fsFor(tablePath)
     val staging = new Path(stagingDir)
     fs.mkdirs(staging) // zero-row writes still commit (empty batch is a commit)
@@ -977,6 +1152,7 @@ object GraftDocLog {
     var attempts = 0
     while (!committed) {
       val claim = new Path(root, f"_claim_$seq%09d")
+      val claimedAtNs = System.nanoTime()
       val won =
         try { fs.create(claim, false).close(); true }
         catch { case _: java.io.IOException => false } // claimed by a racer
@@ -990,29 +1166,54 @@ object GraftDocLog {
         attempts += 1
         seq += 1
       } else if (won) {
+        val stall = postClaimStallMsForTest.getAndSet(0L)
+        if (stall > 0) Thread.sleep(stall)
         if (evolves) {
           // schema union written only after the claim is won, against a
           // FRESH read of the recorded schema — a racer that evolved the
           // table while we validated is absorbed instead of overwritten.
           // (The residual window is two winners past this re-read
           // simultaneously; full serialization needs a metastore lock,
-          // which a file-only log deliberately does not ship.)
+          // which a file-only log deliberately does not ship.) Atomic
+          // temp+rename replacement: a concurrent reader can never
+          // observe a torn schema file.
           val recordedNow = schemaFromJson(readFile(fs, schemaPath))
           val newFields = schema.fields
             .filterNot(f => recordedNow.fieldNames.contains(f.name))
             .map(_.copy(nullable = true)) // pre-evolution docs read null
           if (newFields.nonEmpty)
-            writeFile(fs, schemaPath,
-              StructType(recordedNow.fields ++ newFields).json, overwrite = true)
+            writeFileAtomic(fs, schemaPath,
+              StructType(recordedNow.fields ++ newFields).json)
         }
-        val target = new Path(root, f"commit_$seq%09d_${staging.getName}")
-        if (!fs.rename(staging, target))
-          throw new java.io.IOException(
-            s"graft-doc: commit rename failed: $staging -> $target")
-        // the commit dir now occupies the seq; the claim has served its
-        // arbitration purpose and would otherwise accumulate forever
-        fs.delete(claim, false)
-        committed = true
+        // WRITER FENCE (checked on this writer's own monotonic clock, so
+        // cross-machine clock skew cannot widen it): if more than half
+        // the grace window elapsed between claiming this seq and reaching
+        // the rename — GC pause, slow store, FS retries — a reader may be
+        // about to step over the claim, and a rename landing after that
+        // would be skipped forever. Abandon instead: LEAVE the claim file
+        // (it blocks the seq from fresh re-claims that would land a
+        // commit on a stepped-over seq; a later committer GCs it) and
+        // retry on a fresh seq. The residual exposure is one rename
+        // latency past the check, which the reader-side window's other
+        // half absorbs along with clock skew.
+        val elapsedMs = (System.nanoTime() - claimedAtNs) / 1000000L
+        if (elapsedMs > writerFenceMs) {
+          attempts += 1
+          if (attempts > 4096) throw new java.io.IOException(
+            s"graft-doc: writer fence kept abandoning seqs under $tablePath " +
+              s"($attempts attempts; last elapsed ${elapsedMs}ms > fence ${writerFenceMs}ms)")
+          seq += 1
+        } else {
+          val tomb = if (tombstone) "t" else ""
+          val target = new Path(root, f"commit_$seq%09d$tomb%s_${staging.getName}")
+          if (!fs.rename(staging, target))
+            throw new java.io.IOException(
+              s"graft-doc: commit rename failed: $staging -> $target")
+          // the commit dir now occupies the seq; the claim has served its
+          // arbitration purpose and would otherwise accumulate forever
+          fs.delete(claim, false)
+          committed = true
+        }
       } else {
         attempts += 1
         if (attempts > 4096) throw new java.io.IOException(
@@ -1021,6 +1222,22 @@ object GraftDocLog {
       }
     }
     if (epochId >= 0) writeEpochHw(fs, root, queryId, epochId, seq)
+    // GC leaked claims (crashed or fenced-out writers): any claim older
+    // than the grace window whose seq is at or below OUR committed dir can
+    // never be legitimately claimed again (seq claiming always starts
+    // above the latest commit dir), so removing it is safe and keeps the
+    // table root from accumulating markers forever. Racing deletes with
+    // another committer's GC is harmless — delete is idempotent here.
+    try {
+      val cutoff = System.currentTimeMillis() - DefaultClaimGraceMs
+      fs.listStatus(root).foreach { s =>
+        val n = s.getPath.getName
+        if (s.isFile && n.startsWith("_claim_") &&
+            n.stripPrefix("_claim_").toLong < seq &&
+            s.getModificationTime < cutoff)
+          fs.delete(s.getPath, false)
+      }
+    } catch { case _: Exception => () } // GC is best-effort housekeeping
     // prune an empty _staging/<writeId> parent left by streaming epochs
     val parent = staging.getParent
     if (parent.getName != "_staging" && fs.exists(parent) &&

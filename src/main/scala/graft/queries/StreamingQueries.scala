@@ -30,6 +30,17 @@ object StreamingQueries {
       (s, dir) => StreamPipelines.tumblingWindows(s, dir)),
 
     // Streaming exact dedup on event_id, then per-type distinct counts.
+    // CONTRACT (duplicate locality): the stream side uses
+    // dropDuplicatesWithinWatermark — seen-key state is evicted once the
+    // watermark passes an id's first-occurrence event time, so only
+    // duplicates arriving within the 1h watermark delay of their first
+    // occurrence are suppressed. The oracle is a GLOBAL distinct; the two
+    // agree exactly when every duplicate event_id recurs within 1h of
+    // event time of its first occurrence (true of this dataset: event_ids
+    // are unique). A corpus with wider-spread duplicates needs either a
+    // wider watermark or a batch dedup pass — bounded state is the point
+    // of the streaming form, and unbounded-gap dedup is impossible with
+    // bounded state.
     QueryDef(
       "q81_stream_dedup",
       Some("""SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
@@ -170,6 +181,23 @@ object StreamingQueries {
               < (SELECT m - INTERVAL 2 HOUR FROM mx)
         GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
       (s, dir) => StreamPipelines.docCdcWindowed(s, dir)),
+
+    // CDC deletes as first-class events: `withOp = true` stamps every
+    // drained row with its change type (insert | delete, decoded from the
+    // commit dir name — zero per-row storage). Two insert commits carry
+    // every event exactly once; the tombstone commit carries every 10th
+    // event_id — so the per-op counts are batch-derivable from events.
+    QueryDef(
+      "q8c_cdc_ops",
+      Some("""SELECT 'delete' AS op, COUNT(*) AS n,
+          COUNT(DISTINCT CAST(event_id AS VARCHAR)) AS n_ids
+        FROM events WHERE event_id % 10 = 0
+        UNION ALL
+        SELECT 'insert' AS op, COUNT(*) AS n,
+          COUNT(DISTINCT CAST(event_id AS VARCHAR)) AS n_ids
+        FROM events
+        ORDER BY op"""),
+      (s, dir) => StreamPipelines.docCdcOps(s, dir)),
 
     // Reference-topology parity pipeline: stream → keyed document sink →
     // read back. The `_id` count proves the key hoist is lossless.

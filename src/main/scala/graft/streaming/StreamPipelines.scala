@@ -450,6 +450,36 @@ object StreamPipelines {
       .orderBy(col("d"), col("h"), col("event_type"))
   }
 
+  /** Deletes as FIRST-CLASS CDC events: the graft-doc table takes two
+    * insert commits and one tombstone commit (`GraftDoc.delete`), then the
+    * CDC stream tails it with `withOp = true` — every row carries an `_op`
+    * change-type column (`insert` | `delete`) decoded from the commit dir
+    * name, so a downstream consumer (a mirror, an index, a cache) applies
+    * deletes without cross-referencing the table's tombstone state. One
+    * commit per micro-batch; the per-op rollup is a batch aggregation over
+    * the drained log and must match the batch-derived write/delete
+    * history exactly. */
+  def docCdcOps(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_cdco")
+      .toFile.getAbsolutePath
+    val ev = s.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    (0 until 2).foreach { r =>
+      graft.connector.GraftDoc.write(
+        ev.filter(pmod(col("event_id"), lit(2)) === r), "event_id", s"$tmp/tbl")
+    }
+    // deterministic delete set: every 10th event id
+    graft.connector.GraftDoc.delete(s, s"$tmp/tbl",
+      ev.filter(pmod(col("event_id"), lit(10)) === 0).select(col("event_id")))
+    val cdc = graft.connector.GraftDoc
+      .readStream(s, s"$tmp/tbl", maxCommitsPerTrigger = Some(1L), withOp = true)
+      .select(col("_op").as("op"), col("_id"))
+    runToMemory(s, cdc, "append")
+      .groupBy(col("op"))
+      .agg(count(lit(1)).as("n"), count_distinct(col("_id")).as("n_ids"))
+      .orderBy(col("op"))
+  }
+
   /** Event-time sessionization: session_window with a 30-minute inactivity
     * gap per user — the streaming twin of batch q40_sessionize, same
     * session semantics as the lag-based oracle. Append mode: a session
