@@ -39,6 +39,21 @@ object Bench {
     // Locale.ROOT pins the decimal point against locale-dependent commas
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // Contention sentinel: a fixed CPU-bound calibration query measured
+    // immediately before and after the full run. On an idle machine the
+    // two agree within noise; concurrent JVMs (another sbt test, a second
+    // bench) inflate the second reading. A >2x disagreement stamps
+    // "contended": true into the artifact so a garbage measurement
+    // self-flags instead of silently masquerading as a regression (the
+    // round-3 driver artifact — 207s vs the 89s idle re-run — is the
+    // motivating incident).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(200000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // JIT the sentinel itself so calib0 isn't warmup-skewed
+    val calib0 = calibrate()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -48,19 +63,30 @@ object Bench {
       System.err.println(s"[bench] $name ${r3(dt)}")
       name -> dt
     }
+    val calib1 = calibrate()
+    val contended = calib1 > calib0 * 2.0 || calib0 > calib1 * 2.0
+    if (contended) System.err.println(
+      s"[bench] WARNING: contended run — calibration ${r3(calib0)}s vs " +
+        s"${r3(calib1)}s; timings in this artifact are not comparable")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","calib_start_sec":${r3(calib0)},""" +
+        s""""calib_end_sec":${r3(calib1)},"contended":$contended}"""
     // The driver captures a bounded tail of this process's output, and the
     // per-query map makes this line long enough to get head-truncated by
     // that capture (it happened two rounds running). Persist the full line
     // next to the build first, then print it — the artifact survives any
     // truncation. Path derives from the working directory so the bench
     // works from any checkout; a failed write is reported, not swallowed.
+    // Filename is round-neutral (override with -Dbench.out=...) so a new
+    // round can't silently overwrite a mislabeled artifact.
     val artifact = java.nio.file.Paths.get(
-      sys.props.getOrElse("user.dir", "."), "BENCH_LOCAL_r03.json")
+      sys.props.getOrElse("bench.out",
+        java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."),
+          "BENCH_LOCAL.json").toString))
     try java.nio.file.Files.writeString(artifact, line + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] WARNING: could not write $artifact: $e") }

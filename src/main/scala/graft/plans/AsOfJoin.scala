@@ -30,6 +30,14 @@ import org.apache.spark.sql.graft.bridge
   * which the merge is a single forward pass with O(1) state (current right
   * row per key). Equivalent work to a sort-merge join; no window state, no
   * union blow-up, and AQE still handles the exchanges.
+  *
+  * Column pruning: the node's `references` derives from its key/time
+  * expressions only, so Catalyst's generic ColumnPruning case
+  * (`Project(_, child)` over any node) pushes projections through it —
+  * `SELECT two cols FROM asof_join(wide, wide)` reads only
+  * key + time + referenced columns at each parquet scan, no custom rule
+  * needed. Gated in `PlanSpec` ("native as-of join: unused wide columns
+  * pruned down to the parquet scan").
   */
 case class AsOfJoin(
     left: LogicalPlan,

@@ -148,6 +148,36 @@ class PlanSpec extends SparkSpec {
     assert(joined.collect().map(_.getLong(1)).sum > 0)
   }
 
+  test("native as-of join: unused wide columns pruned down to the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    // NO manual pre-projection: both sides enter the custom node with all
+    // six event columns; only 2 output columns are referenced. The gate:
+    // Catalyst's generic ColumnPruning must push projections through the
+    // custom AsOfJoin logical node (its `references` exposes just
+    // keys + times), so each parquet scan reads only key/time/filter/
+    // output columns — never `props`/`value`.
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_ns", col("ts").cast("long"))
+    val l = ev.filter(col("event_type") === "purchase")
+    val r = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_ns").as("c_ts"),
+        col("event_id").as("click_id"), col("props").as("c_props"),
+        col("value").as("c_value"))
+    val out = graft.plans.AsOfJoinOps
+      .asofJoin(spark, l, r, "user_id", "c_user", "ts_ns", "c_ts")
+      .select(col("event_id"), col("click_id"))
+    val scans = collectAll(executed(out)).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 2, s"expected 2 parquet scans, got ${scans.size}")
+    for (s <- scans) {
+      val read = s.requiredSchema.fieldNames.toSet
+      assert(!read.contains("props") && !read.contains("value"),
+        s"as-of join scan reads unreferenced wide columns: $read")
+    }
+    assert(out.count() > 0)
+  }
+
   test("LSH dedup: no document payloads cross any exchange") {
     // the scale invariant: exchanges carry ids/sketches/buckets, never the
     // raw text (at sf0.001 AQE broadcasts the bucket join — also payload-free)
