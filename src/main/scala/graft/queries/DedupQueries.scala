@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.{HashExpressions, TextExpressions, VectorFunctions}
+import graft.functions.{BloomFunctions, HashExpressions, TextExpressions, VectorFunctions}
 import graft.operators.ConnectedComponents
 import graft.sources.Tables
 
@@ -242,6 +242,46 @@ object DedupQueries {
           .join(snapshot, Seq("h"), "left_anti")
           .select(col("doc_id"), col("lang"))
           .orderBy(col("doc_id"))
+      }),
+
+    // Incremental dedup, Bloom scale path — same semantics (and same
+    // oracle) as q6b, but membership against the snapshot is tested by a
+    // Bloom filter built as a distributed aggregate and carried in-plan as
+    // a scalar subquery (graft.functions.BloomFunctions; Spark's own
+    // runtime-filter expressions, here surfaced as an operator).
+    //
+    // Why this is the 100 TB shape: the plain anti join shuffles EVERY
+    // incoming row's hash; here rows the filter rules out — in append-mostly
+    // ingest, almost all of them — are settled at scan time by a codegen'd
+    // bit-test against a broadcast-sized sketch (~10 bits per snapshot key),
+    // and only Bloom-positive candidates (true dups + the ~1% false-positive
+    // tail) reach the exact confirm anti join. No false negatives by
+    // construction (equal text ⇒ equal xxhash64 ⇒ filter hit), and the
+    // confirm join removes false positives, so the result is bit-identical
+    // to q6b — which is exactly what the shared oracle asserts.
+    QueryDef(
+      "q6g_bloom_incremental_dedup",
+      Some("""SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id >= 250
+          AND sha256(d.text) NOT IN (
+            SELECT sha256(text) FROM documents WHERE doc_id < 250)
+        ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val all = docs(s, dir).withColumn("h", sha2(col("text"), 256))
+        val snapshot = all.filter(col("doc_id") < 250).select(col("h"))
+        val incoming = all.filter(col("doc_id") >= 250)
+        // ~10 bits/key ≈ 1% fpp; sized generously for the test corpus.
+        val bloom = snapshot
+          .agg(BloomFunctions.bloom_agg(col("h"), 10000L, 100000L).as("bf"))
+          .scalar()
+        val flagged = incoming
+          .withColumn("cand", BloomFunctions.might_contain(bloom, col("h")))
+        val novel = flagged.filter(!col("cand"))
+          .select(col("doc_id"), col("lang"))
+        val confirmed = flagged.filter(col("cand"))
+          .join(snapshot, Seq("h"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+        novel.unionByName(confirmed).orderBy(col("doc_id"))
       }),
 
     // Near-dup cluster formation: connected components over the Jaccard

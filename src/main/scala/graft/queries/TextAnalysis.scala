@@ -296,6 +296,88 @@ object TextAnalysis {
             regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
               numRe, "<NUM>").as("redacted"))
           .orderBy(col("doc_id"))
+      }),
+
+    // Repetition-based quality filters — the Gopher/MassiveText repetition
+    // rules (duplicate-n-gram fraction, most-frequent-n-gram fraction)
+    // adapted to word bigrams. Counts shuffle on (doc_id, gram), so the
+    // aggregation key embeds the doc id and the work is embarrassingly
+    // parallel across documents: no skew, no global state, and only gram
+    // COUNTS cross the exchange (never document bodies). Both fractions are
+    // integer-count ratios, so the double division is bit-identical across
+    // engines.
+    QueryDef(
+      "q5d_quality_repetition",
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks),
+        c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+        m AS (SELECT doc_id, SUM(c) AS total, MAX(c) AS mx,
+                SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+              FROM c GROUP BY doc_id)
+        SELECT doc_id,
+          ROUND(CAST(mx AS DOUBLE) / CAST(total AS DOUBLE), 4) AS top_2gram_frac,
+          ROUND(CAST(dup AS DOUBLE) / CAST(total AS DOUBLE), 4) AS dup_2gram_frac,
+          (CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) > 0.5) AS repetitive
+        FROM m ORDER BY doc_id"""),
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"),
+            explode(TextExpressions.word_shingles_all(col("text"), 2)).as("g"))
+          .groupBy(col("doc_id"), col("g"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("c")).as("total"),
+            max(col("c")).as("mx"),
+            sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup"))
+          .select(col("doc_id"),
+            round(col("mx").cast("double") / col("total").cast("double"), 4)
+              .as("top_2gram_frac"),
+            round(col("dup").cast("double") / col("total").cast("double"), 4)
+              .as("dup_2gram_frac"),
+            (col("dup").cast("double") / col("total").cast("double") > 0.5)
+              .as("repetitive"))
+          .orderBy(col("doc_id"))),
+
+    // Benchmark decontamination: flag corpus documents sharing any word
+    // 8-gram with a held-out benchmark set (the standard n-gram-overlap
+    // decontamination rule, n scaled to this corpus's ~50-word docs). The
+    // benchmark partition (doc_id % 20 = 7) stands in for an eval suite.
+    // Scale shape: only distinct GRAMS are joined (document bodies never
+    // shuffle), and the benchmark gram set — small by construction, eval
+    // suites are MBs not TBs — is broadcast, so the corpus side never
+    // shuffles at all: scan → explode → broadcast-hash-join → partial count.
+    QueryDef(
+      "q5e_decontamination",
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(t) - 7),
+            i -> array_to_string(t[i:i+7], ' ')))) AS g
+          FROM toks),
+        b AS (SELECT DISTINCT g FROM g WHERE doc_id % 20 = 7)
+        SELECT c.doc_id, COUNT(*) AS n_shared
+        FROM g c JOIN b USING (g)
+        WHERE c.doc_id % 20 <> 7
+        GROUP BY c.doc_id ORDER BY c.doc_id"""),
+      (s, dir) => {
+        val grams = docs(s, dir)
+          .select(col("doc_id"),
+            explode(TextExpressions.word_shingles(col("text"), 8)).as("g"))
+        val bench = grams.filter(col("doc_id") % 20 === 7)
+          .select(col("g")).distinct()
+        grams.filter(col("doc_id") % 20 =!= 7)
+          .join(broadcast(bench), Seq("g"))
+          .groupBy(col("doc_id"))
+          // grams are distinct per doc (word_shingles dedups), so the
+          // match count IS the distinct shared-gram count.
+          .agg(count(lit(1)).as("n_shared"))
+          .orderBy(col("doc_id"))
       })
   )
 }

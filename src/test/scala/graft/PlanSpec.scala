@@ -191,4 +191,36 @@ class PlanSpec extends SparkSpec {
     assert(!exchanged.exists(_.contains("text")),
       s"raw document text crossed an exchange: $exchanged")
   }
+
+  test("q5e decontamination: benchmark gram set broadcasts; corpus side never shuffles") {
+    val plans = collectAll(executed(q("q5e_decontamination")))
+    assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "benchmark gram set should broadcast-hash-join against the corpus grams")
+    // the only shuffle allowed is the per-doc count aggregation + final sort —
+    // corpus gram rows must meet the benchmark via broadcast, not exchange
+    val shuffled = plans.collect { case s: ShuffleExchangeExec =>
+      s.child.schema.fieldNames.toSeq }
+    assert(!shuffled.exists(f => f.contains("g") && f.contains("doc_id")),
+      s"corpus (doc_id, gram) rows crossed a shuffle — benchmark join didn't broadcast: $shuffled")
+  }
+
+  test("q6g bloom dedup: filter built once in-plan as a subquery, one confirm anti join") {
+    val executedPlan = executed(q("q6g_bloom_incremental_dedup"))
+    val s = executedPlan.toString
+    assert(s.contains("might_contain"), s"bloom probe missing from plan:\n$s")
+    assert(s.contains("bloom_filter_agg"), s"bloom build missing from plan:\n$s")
+    val plans = collectAll(executedPlan)
+    // exactly one subquery builds the bloom (scalar subquery, reused by both
+    // branches) — the sketch is an in-plan aggregate, not a driver collect
+    val bloomBuilds = plans.count(_.toString.startsWith("Subquery"))
+    assert(bloomBuilds >= 1, "bloom should be built by an in-plan scalar subquery")
+    // one anti join total: the novel branch (bloom-negative rows) joins nothing
+    val antiJoins = plans.count { p =>
+      val n = p.nodeName.toLowerCase
+      p.toString.contains("LeftAnti") &&
+        (n.contains("join") || n.contains("hashjoin"))
+    }
+    assert(antiJoins == 1,
+      s"expected exactly one confirm anti join, found $antiJoins")
+  }
 }
