@@ -259,6 +259,14 @@ object DedupQueries {
     // construction (equal text ⇒ equal xxhash64 ⇒ filter hit), and the
     // confirm join removes false positives, so the result is bit-identical
     // to q6b — which is exactly what the shared oracle asserts.
+    //
+    // Operating envelope (measured, SCALE_PROBE.md round 4): the win is the
+    // incoming-side exchange reduction (~8× rows in the append-mostly
+    // probe), so use this path when incoming ≫ snapshot and the snapshot
+    // exceeds the broadcast threshold. Anti-case: a snapshot as large as
+    // the incoming batch still pays its full shuffle in the confirm join —
+    // there the prefilter buys nothing and q6b's plain anti join is the
+    // right plan.
     QueryDef(
       "q6g_bloom_incremental_dedup",
       Some("""SELECT d.doc_id, d.lang FROM documents d

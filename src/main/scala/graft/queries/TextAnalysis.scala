@@ -378,6 +378,83 @@ object TextAnalysis {
           // match count IS the distinct shared-gram count.
           .agg(count(lit(1)).as("n_shared"))
           .orderBy(col("doc_id"))
+      }),
+
+    // Sequence packing — the training-prep step after chunking: chunks are
+    // concatenated in corpus order and chopped into fixed-capacity training
+    // sequences (capacity 128 tokens here; 2k–8k in practice). A chunk
+    // belongs to the sequence its FIRST token lands in (concat-and-chop, the
+    // standard GPT-style packing; straddles are the tokenizer's problem).
+    // Scale shape: packing is per-SHARD (doc_id mod 8), so the running-sum
+    // window parallelizes across shards instead of forcing one global sort —
+    // at 100 TB the shard count scales with the cluster and each shard's
+    // pack is an independent window over its own partition. Pure integer
+    // arithmetic end-to-end, so the oracle matches exactly.
+    QueryDef(
+      "q5f_sequence_packing",
+      Some("""WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 40)) AS start FROM t),
+        c AS (SELECT doc_id, CAST(start // 40 AS INT) AS chunk_idx,
+                len(list_slice(toks, start + 1, start + 50)) AS n_tokens,
+                doc_id % 8 AS shard
+              FROM s),
+        p AS (SELECT shard, doc_id, chunk_idx, n_tokens,
+                SUM(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY doc_id, chunk_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM c)
+        SELECT shard, CAST((cum - n_tokens) // 128 AS BIGINT) AS seq_id,
+          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        FROM p GROUP BY shard, seq_id ORDER BY shard, seq_id"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("shard"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs(s, dir)
+          .select(col("doc_id"), toks.as("toks"))
+          .select(col("doc_id"), col("toks"),
+            posexplode(sequence(lit(0), size(col("toks")) - 1, lit(40)))
+              .as(Seq("chunk_idx", "start")))
+          .select(col("doc_id"), col("chunk_idx"),
+            size(slice(col("toks"), col("start") + 1, lit(50))).as("n_tokens"),
+            pmod(col("doc_id"), lit(8)).as("shard"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("shard"),
+            floor((col("cum") - col("n_tokens")) / 128).as("seq_id"),
+            col("n_tokens"))
+          .groupBy(col("shard"), col("seq_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("n_tokens")).cast("long").as("seq_tokens"))
+          .orderBy(col("shard"), col("seq_id"))
+      }),
+
+    // Per-source document cap — the web-domain capping rule of corpus
+    // curation: keep at most 5 documents per source, preferring longer
+    // ones (doc_id tiebreak keeps it deterministic). Plans as
+    // WindowGroupLimit (same operator family as q24): each partition keeps
+    // a running top-5 BEFORE the shuffle, so the exchange carries at most
+    // 5 rows per (partition, source) — at 100 TB the cap happens at scan
+    // side, not after a full sort of the corpus.
+    QueryDef(
+      "q5g_source_cap",
+      Some("""WITH r AS (
+          SELECT doc_id, source, n_chars,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+          FROM documents)
+        SELECT source, doc_id, n_chars, rk
+        FROM r WHERE rk <= 5 ORDER BY source, rk"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        docs(s, dir)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
+          .orderBy(col("source"), col("rk"))
       })
   )
 }

