@@ -199,6 +199,26 @@ object StreamingQueries {
         ORDER BY op"""),
       (s, dir) => StreamPipelines.docCdcOps(s, dir)),
 
+    // Streaming corpus ingestion: CDC tail → stateless quality gate →
+    // keyed upsert sink → snapshot. The source history rewrites docs
+    // 100–199 with a longer body in a later commit; since the v2 body is
+    // strictly longer, the last passing version is v2 exactly when v2
+    // passes the gate — so the oracle takes the updated text for 100–199
+    // and gates once. Cross-version dedup costs zero stream state (the
+    // sink's upsert resolves it).
+    QueryDef(
+      "q8d_stream_ingest",
+      Some("""WITH eff AS (
+          SELECT doc_id, lang,
+            CASE WHEN doc_id BETWEEN 100 AND 199
+                 THEN 'updated ' || text ELSE text END AS t
+          FROM documents WHERE doc_id < 500)
+        SELECT lang, COUNT(*) AS n_docs,
+          CAST(SUM(length(t)) AS BIGINT) AS sum_chars
+        FROM eff WHERE length(t) >= 100
+        GROUP BY lang ORDER BY lang"""),
+      (s, dir) => StreamPipelines.docStreamIngest(s, dir)),
+
     // Reference-topology parity pipeline: stream → keyed document sink →
     // read back. The `_id` count proves the key hoist is lossless.
     QueryDef(

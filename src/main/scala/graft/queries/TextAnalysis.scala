@@ -455,6 +455,41 @@ object TextAnalysis {
           .filter(col("rk") <= 5)
           .select(col("source"), col("doc_id"), col("n_chars"), col("rk"))
           .orderBy(col("source"), col("rk"))
-      })
+      }),
+
+    // Corpus mixing — weighted mixture sampling to hit per-source target
+    // rates (the "mix web : books : code at 70:20:10" step of every
+    // training run). Sampling is a DETERMINISTIC hash-Bernoulli on the
+    // doc id (Knuth multiplicative hash mod 100 vs the source's weight):
+    // no RNG state, so the sample is reproducible row-locally at any
+    // cluster size, stable under retries/speculative execution, and
+    // exactly replayable by the oracle in integer arithmetic. Row-local
+    // filter → prunes before any shuffle, like every gate in the corpus
+    // pipeline.
+    QueryDef(
+      "q5h_corpus_mix",
+      Some("""WITH w AS (
+          SELECT doc_id, source,
+            CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 80
+                 WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+                 ELSE 20 END AS weight
+          FROM documents)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+          CAST(MIN(doc_id) AS BIGINT) AS first_id,
+          CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        FROM w WHERE (doc_id * 2654435761) % 100 < weight
+        GROUP BY source ORDER BY source"""),
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), col("source"),
+            when(col("source").isin("src0", "src1", "src2", "src3", "src4"), 80)
+              .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), 50)
+              .otherwise(20).as("weight"))
+          .filter(pmod(col("doc_id") * 2654435761L, lit(100)) < col("weight"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"),
+            min(col("doc_id")).as("first_id"),
+            sum(col("doc_id")).cast("long").as("id_sum"))
+          .orderBy(col("source")))
   )
 }

@@ -480,6 +480,53 @@ object StreamPipelines {
       .orderBy(col("op"))
   }
 
+  /** Streaming corpus ingestion end-to-end — the training-data topology
+    * composed from proven stages: a source table's CDC tail (multi-batch,
+    * one commit per trigger) → stateless quality gate → keyed UPSERT into
+    * a second graft-doc table (exactly-once per epoch) → snapshot rollup.
+    * Deduplication across re-delivered versions needs NO stream state at
+    * all: the sink's upsert-by-`_id` semantics resolve them (last commit
+    * wins), which is the scale answer — a billion-key "seen" state store
+    * would be the wrong tool when the store itself is keyed.
+    *
+    * The source history includes an UPDATE window (docs 100–199 rewritten
+    * with a longer body in a later commit), so the oracle proves
+    * last-write-wins ordering survives the stream: the final corpus holds
+    * the v2 text exactly where v2 passed the gate. */
+  def docStreamIngest(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_ingest")
+      .toFile.getAbsolutePath
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), col("text"), col("lang"))
+    // three source commits: two insert halves + one update window
+    graft.connector.GraftDoc.write(
+      docs.filter(col("doc_id") < 250), "doc_id", s"$tmp/src")
+    graft.connector.GraftDoc.write(
+      docs.filter(col("doc_id") >= 250), "doc_id", s"$tmp/src")
+    graft.connector.GraftDoc.write(
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+        .withColumn("text", concat(lit("updated "), col("text"))),
+      "doc_id", s"$tmp/src")
+    withStreamShufflePartitions(s, 8) {
+      val cdc = graft.connector.GraftDoc
+        .readStream(s, s"$tmp/src", maxCommitsPerTrigger = Some(1L),
+          withOp = true)
+        .filter(col("_op") === "insert")          // tombstones: not ingests
+        .filter(length(col("text")) >= 100)       // stateless quality gate
+        .select(col("_id"), col("text"), col("lang"))
+      val q = graft.connector.GraftDoc.writeStream(
+        cdc, keyField = "_id",
+        path = s"$tmp/corpus", checkpoint = s"$tmp/ckpt")
+      q.awaitTermination()
+    }
+    graft.connector.GraftDoc.snapshot(s, s"$tmp/corpus")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Event-time sessionization: session_window with a 30-minute inactivity
     * gap per user — the streaming twin of batch q40_sessionize, same
     * session semantics as the lag-based oracle. Append mode: a session
