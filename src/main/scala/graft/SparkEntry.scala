@@ -23,7 +23,7 @@ object SparkEntry {
   def defsFor(sfDir: String): Seq[QueryDef] =
     Aggregates.all ++ Joins.all ++ Windows.all ++ SetOps.all ++
       Scalars.all ++ EventsQueries.all ++ FormatQueries.all ++
-      TextAnalysis.all ++ DedupQueries.all(sfDir) ++ SimilarityQueries.all ++
+      TextAnalysis.all ++ DedupQueries.all(sfDir) ++ SimilarityQueries.all(sfDir) ++
       MultimodalQueries.all ++ StreamingQueries.all
 
   def defs: Seq[QueryDef] = defsFor(DefaultVerifySf)

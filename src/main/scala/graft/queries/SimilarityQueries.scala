@@ -53,7 +53,16 @@ object SimilarityQueries {
       .filter(col("vec_id") < col("k"))
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
 
-  val all: Seq[QueryDef] = Seq(
+  /** Materialization root for q5i's persisted index, derived from the
+    * scale-factor directory (the q63 rule: concurrent runs against
+    * different sfDirs write and read disjoint files; Verify dumps
+    * `SparkEntry.oracleSqlFor(sfDir)` so query and oracle always agree). */
+  private[queries] def q5iIndexPath(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"/tmp/graft_index/$tag/q5i_ivf"
+  }
+
+  def all(sfDir: String): Seq[QueryDef] = Seq(
 
     // Exact brute-force cosine top-5 for query vectors vec_id < 10.
     QueryDef(
@@ -348,6 +357,82 @@ object SimilarityQueries {
           round(array_max(transform(col("e"),
             x => abs(x - round(x * col("scale")) / col("scale")))), 6).as("max_err"))
           .orderBy(col("vec_id"))
+      }),
+
+    // ANN index persistence — the build/serve split every production
+    // vector store runs: the IVF index (centroids + cell memberships, IDS
+    // ONLY — corpus vectors stay in the corpus table) is built once,
+    // PERSISTED, and queries are answered from the persisted index
+    // without touching the build pipeline. Serve-side scale shape: the
+    // centroid table (√N rows) broadcasts; candidate cells come from the
+    // membership index by equi join; the rerank fetches only the probed
+    // cells' vectors by id join — the corpus is never scanned beyond
+    // those fetches, and every join is an equi join. The oracle reads the
+    // SAME persisted artifacts (q63's materialized-oracle rule) and
+    // replays probe + rerank, so it also proves the persistence
+    // round-trip is lossless. Results are identical to q66 by
+    // construction (same cells, same rerank).
+    QueryDef(
+      "q5i_ann_index_persist",
+      Some(s"""WITH ic AS (
+          SELECT * FROM read_parquet('${q5iIndexPath(sfDir)}/cent/*.parquet')),
+        ia AS (
+          SELECT * FROM read_parquet('${q5iIndexPath(sfDir)}/assign/*.parquet')),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id < 10),
+        probe0 AS (SELECT q.qid, q.qe, ic.cid,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY list_cosine_similarity(q.qe::DOUBLE[], ic.ce::DOUBLE[]) DESC,
+                ic.cid) AS rn
+          FROM q, ic),
+        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
+        cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
+          FROM probe p JOIN ia a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        rr AS (SELECT c.qid, c.nid,
+            list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]) AS c0,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+                c.nid) AS rnk
+          FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
+        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, rnk
+        FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val p = q5iIndexPath(dir)
+        // BUILD: persist centroids + memberships (the q66 assignment rule:
+        // argmax as a map-side-combining hash aggregate, tie cc DESC, cid
+        // ASC)
+        val cent = centroids(e)
+        e.crossJoin(broadcast(cent))
+          .withColumn("cc", VectorFunctions.cosine_sim(col("embedding"), col("ce")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"))
+          .write.mode("overwrite").parquet(s"$p/assign")
+        cent.write.mode("overwrite").parquet(s"$p/cent")
+        // SERVE: from the persisted index only
+        val ic = s.read.parquet(s"$p/cent")
+        val ia = s.read.parquet(s"$p/assign")
+        val wProbe = Window.partitionBy(col("qid"))
+          .orderBy(col("qc").desc, col("cid"))
+        val probe = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(ic))
+          .withColumn("qc", VectorFunctions.cosine_sim(col("qe"), col("ce")))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("qe"), col("cid"))
+        val wRank = Window.partitionBy(col("qid"))
+          .orderBy(col("c").desc, col("nid"))
+        ia.join(broadcast(probe), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qe"), col("vec_id").as("nid"))
+          .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+            Seq("nid"))
+          .withColumn("c", VectorFunctions.cosine_sim(col("qe"), col("ne")))
+          .withColumn("rnk", row_number().over(wRank))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rnk"))
+          .orderBy(col("qid"), col("rnk"))
       })
   )
 }
