@@ -144,12 +144,27 @@ private[connector] case class GraftDocReadConf(
     claimGraceMs: Long)
 
 private[connector] object GraftDocReadConf {
-  def from(options: CaseInsensitiveStringMap): GraftDocReadConf = GraftDocReadConf(
-    options.getLong(GraftDocLog.MaxSplitBytesOpt, GraftDocLog.DefaultSplitBytes),
-    Option(options.get(GraftDocLog.MaxCommitsPerTriggerOpt)).map(_.toLong),
-    Option(options.get(GraftDocLog.MaxRowsPerTriggerOpt)).map(_.toLong),
-    Option(options.get(GraftDocLog.MaxFilesPerTriggerOpt)).map(_.toLong),
-    options.getLong(GraftDocLog.ClaimGraceMsOpt, GraftDocLog.DefaultClaimGraceMs))
+  def from(options: CaseInsensitiveStringMap): GraftDocReadConf = {
+    val grace =
+      options.getLong(GraftDocLog.ClaimGraceMsOpt, GraftDocLog.DefaultClaimGraceMs)
+    // The fence invariant is code, not convention: readers stepping over
+    // claims sooner than 2× the writer fence reopen the skipped-forever
+    // window the fence closed (a fenced writer may legitimately rename up
+    // to fence ms after claiming). Raising the grace is always safe;
+    // lowering it below the invariant is rejected at option-resolution
+    // time rather than surfacing as silent data loss under clock skew.
+    require(grace >= 2 * GraftDocLog.writerFenceMs,
+      s"${GraftDocLog.ClaimGraceMsOpt}=$grace ms is below twice the writer " +
+        s"fence (${GraftDocLog.writerFenceMs} ms); a reader could step over " +
+        "a live claim whose rename still lands. Raise the option (or lower " +
+        "the fence in tests).")
+    GraftDocReadConf(
+      options.getLong(GraftDocLog.MaxSplitBytesOpt, GraftDocLog.DefaultSplitBytes),
+      Option(options.get(GraftDocLog.MaxCommitsPerTriggerOpt)).map(_.toLong),
+      Option(options.get(GraftDocLog.MaxRowsPerTriggerOpt)).map(_.toLong),
+      Option(options.get(GraftDocLog.MaxFilesPerTriggerOpt)).map(_.toLong),
+      grace)
+  }
 
   val default: GraftDocReadConf = GraftDocReadConf(
     GraftDocLog.DefaultSplitBytes, None, None, None,
@@ -383,23 +398,27 @@ class GraftDocMicroBatchStream(scan: GraftDocScan, path: String,
 
   private def admit(s: Long, cap: Long, rowBudget: Long, fileBudget: Long): Long = {
     if (cap <= s) return cap
-    val bySeq = GraftDocLog.listCommitFileInfosInRange(path, s, cap)
-      .groupBy(_.seq).toSeq.sortBy(_._1)
+    // lazy walk, one commit at a time: returning early stops the iterator,
+    // so a reader 10k commits behind pays listing/manifest I/O only for
+    // the commits it ADMITS, not the whole backlog — and a file-only
+    // budget skips manifests entirely (rows price from manifests; file
+    // counts price from the dir listing alone)
+    val slices = GraftDocLog.commitFileSlices(path, s, cap,
+      withStats = rowBudget != Long.MaxValue)
     var rows = 0L
     var files = 0L
     var end = s
-    var i = 0
-    while (i < bySeq.length) {
-      val (seq, fis) = bySeq(i)
+    var any = false
+    for ((seq, fis) <- slices) {
+      any = true
       val r = rows + fis.map(_.rows).sum
       val f = files + fis.length
       if (end > s && (r > rowBudget || f > fileBudget)) return end
       rows = r; files = f; end = seq
       if (rows >= rowBudget || files >= fileBudget) return end
-      i += 1
     }
     // an empty slice (all commits in range pruned/absent) still advances
-    if (bySeq.isEmpty) cap else end
+    if (!any) cap else end
   }
 
   override def reportLatestOffset(): Offset = GraftDocOffset(latestSeq)
@@ -605,12 +624,12 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
         // is exactly the writer that otherwise grows the log without
         // bound (round-3 verdict). Compacting from the stream's own
         // commit thread IS the "single writer runs the compactor"
-        // operating model; the count check is one root listStatus.
+        // operating model; GraftDoc.maintain is the single place the
+        // threshold policy lives (one root listStatus, then compact).
         autoCompactCommits.foreach { n =>
-          if (GraftDocLog.liveCommitCount(path) > n)
-            org.apache.spark.sql.SparkSession.getActiveSession
-              .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-              .foreach(s => GraftDoc.compact(s, path))
+          org.apache.spark.sql.SparkSession.getActiveSession
+            .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+            .foreach(s => GraftDoc.maintain(s, path, n))
         }
       }
 
@@ -731,6 +750,17 @@ object GraftDocLog {
   val OpCol = "_op"
   val SchemaFile = "_schema.json"
   val ManifestFile = "_manifest.json"
+  /** Log-format version marker, written once when a table is CREATED.
+    * Version 2 = the tombstone flag rides the commit dir name
+    * (`commit_<seq>t_<uuid>`), so delete discovery needs no manifest
+    * reads. Tables WITHOUT the marker predate the flag (their tombstone
+    * commits are flagged only inside the manifest), so [[tableState]]
+    * falls back to the legacy manifest scan for them — deleted documents
+    * must never resurface just because the discovery fast-path got
+    * faster. A legacy table keeps its legacy planning cost until
+    * truncated (truncate empties the log and stamps the marker). */
+  val FormatFile = "_format"
+  val FormatVersion = "2"
   val TargetFileRowsOpt = "targetFileRows"
   val CommitTagOpt = "commitTag"
   val MaxSplitBytesOpt = "maxSplitBytes"
@@ -900,12 +930,24 @@ object GraftDocLog {
     * snapshot planning O(0) manifest reads. */
   def listCommitFileInfosInRange(tablePath: String, fromExcl: Long,
       toIncl: Long, withStats: Boolean = true,
-      seqOk: Long => Boolean = _ => true): Seq[CommitFileInfo] = {
+      seqOk: Long => Boolean = _ => true): Seq[CommitFileInfo] =
+    commitFileSlices(tablePath, fromExcl, toIncl, withStats, seqOk)
+      .flatMap(_._2).toSeq
+
+  /** Lazy per-commit view of [[listCommitFileInfosInRange]]: ONE root
+    * listing up front, then file listings (and manifests, only when
+    * `withStats`) read commit by commit as the iterator is consumed —
+    * so a consumer that stops early (streaming admission against a
+    * row/file budget) pays for the commits it admits, not the whole
+    * backlog behind the checkpoint. */
+  def commitFileSlices(tablePath: String, fromExcl: Long,
+      toIncl: Long, withStats: Boolean = true,
+      seqOk: Long => Boolean = _ => true): Iterator[(Long, Seq[CommitFileInfo])] = {
     val (fs, root) = fsFor(tablePath)
-    if (!fs.exists(root)) return Seq.empty
-    commitDirsFlagged(fs, root)
+    if (!fs.exists(root)) return Iterator.empty
+    commitDirsFlagged(fs, root).iterator
       .filter { case (seq, _, _) => seq > fromExcl && seq <= toIncl && seqOk(seq) }
-      .flatMap { case (seq, tomb, dir) =>
+      .map { case (seq, tomb, dir) =>
         val m = new Path(dir, ManifestFile)
         val stat: Map[String, (Long, Option[String], Option[String])] =
           if (!withStats || !fs.exists(m)) Map.empty
@@ -913,7 +955,7 @@ object GraftDocLog {
             junstr(mm.group(1)) -> ((mm.group(2).toLong,
               Option(mm.group(3)).map(junstr), Option(mm.group(4)).map(junstr)))
           }.toMap
-        fs.listStatus(dir).toSeq
+        seq -> fs.listStatus(dir).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".jsonl"))
           .map { s =>
             val (rows, lo, hi) = stat.getOrElse(s.getPath.getName, (0L, None, None))
@@ -965,8 +1007,25 @@ object GraftDocLog {
     val (fs, root) = fsFor(tablePath)
     if (!fs.exists(root)) return (0L, Set.empty)
     val dirs = commitDirsFlagged(fs, root)
-    (dirs.lastOption.map(_._1).getOrElse(0L),
-      dirs.collect { case (seq, true, _) => seq }.toSet)
+    val latest = dirs.lastOption.map(_._1).getOrElse(0L)
+    val flagged = dirs.collect { case (seq, true, _) => seq }.toSet
+    if (dirs.isEmpty || fs.exists(new Path(root, FormatFile)))
+      (latest, flagged)
+    else {
+      // legacy (pre-marker) table: tombstone commits carry the flag only
+      // in their manifest — scan the unflagged ones so old deletes never
+      // resurface (O(#commits), the cost this table format always paid)
+      val legacy = dirs.collect {
+        case (seq, false, dir) =>
+          val m = new Path(dir, ManifestFile)
+          try {
+            if (fs.exists(m) && readFile(fs, m).contains("\"tombstone\":true"))
+              Some(seq)
+            else None
+          } catch { case _: Exception => None }
+      }.flatten.toSet
+      (latest, flagged ++ legacy)
+    }
   }
 
   /** Live commit-dir count — one root listStatus, no file reads; the
@@ -1122,6 +1181,13 @@ object GraftDocLog {
       claimFiles(fs, root).foreach(fs.delete(_, false))
       fs.delete(new Path(root, EpochsDir), true)
     }
+    // stamp the format version on table CREATION only (no commits yet —
+    // fresh table or just truncated): a legacy table must never gain the
+    // marker while legacy commits remain, or their manifest-flagged
+    // tombstones would go undiscovered (see [[FormatFile]])
+    val formatMarker = new Path(root, FormatFile)
+    if (!fs.exists(formatMarker) && commitDirs(fs, root).isEmpty)
+      writeFile(fs, formatMarker, FormatVersion, overwrite = true)
 
     // schema stability across commits: an append whose fields differ from
     // the table's recorded schema would silently corrupt every later read
@@ -1245,14 +1311,20 @@ object GraftDocLog {
       }
     }
     if (epochId >= 0) writeEpochHw(fs, root, queryId, epochId, seq)
-    // GC leaked claims (crashed or fenced-out writers): any claim older
-    // than the grace window whose seq is at or below OUR committed dir can
-    // never be legitimately claimed again (seq claiming always starts
-    // above the latest commit dir), so removing it is safe and keeps the
-    // table root from accumulating markers forever. Racing deletes with
-    // another committer's GC is harmless — delete is idempotent here.
+    // GC leaked claims (crashed or fenced-out writers): any claim whose
+    // seq is below OUR committed dir can never be legitimately claimed
+    // again (seq claiming always starts above the latest commit dir), so
+    // removing it is safe once its writer is certainly not about to
+    // rename. GC exists only to stop markers accumulating forever, so it
+    // uses a cutoff 6× the grace window — a LIVE writer's claim (which
+    // renames within the fence, ≤ grace/2 on its own monotonic clock) is
+    // deleted early only if this committer's wall clock disagrees with
+    // the store's mtime clock by more than 5.5 grace windows (>27 min at
+    // defaults) — far beyond any NTP-managed skew, vs the single window
+    // the old cutoff tolerated. Racing deletes with another committer's
+    // GC is harmless — delete is idempotent here.
     try {
-      val cutoff = System.currentTimeMillis() - DefaultClaimGraceMs
+      val cutoff = System.currentTimeMillis() - 6 * DefaultClaimGraceMs
       fs.listStatus(root).foreach { s =>
         val n = s.getPath.getName
         if (s.isFile && n.startsWith("_claim_") &&

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Coalesce, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
@@ -39,9 +39,17 @@ object BloomFunctions {
       Literal(numBits)).toAggregateExpression())
 
   /** True iff the Bloom filter `bloom` (a binary Column — scalar subquery
-    * or literal) might contain xxhash64(c). False ⇒ definitely absent. */
+    * or literal) might contain xxhash64(c). False ⇒ definitely absent.
+    *
+    * A NULL filter — what `bloom_agg` yields over an EMPTY build side —
+    * means "nothing was ever inserted", so the verdict is coalesced to
+    * false rather than propagating NULL (which would silently drop every
+    * row from BOTH branches of a prefilter split: the empty-snapshot
+    * bootstrap case of incremental dedup). */
   def might_contain(bloom: Column, c: Column): Column =
-    bridge.column(BloomFilterMightContain(
-      bridge.expression(bloom),
-      bridge.expression(xxhash64(c))))
+    bridge.column(Coalesce(Seq(
+      BloomFilterMightContain(
+        bridge.expression(bloom),
+        bridge.expression(xxhash64(c))),
+      Literal(false))))
 }

@@ -27,6 +27,16 @@ class BloomFunctionsSpec extends SparkSpec {
     assert(falsePos < 50L, s"false-positive count $falsePos out of 1000")
   }
 
+  test("empty build side: NULL filter coalesces to definitely-absent, not row loss") {
+    val incoming = (0L until 100L).map(i => s"k-$i").toDF("k")
+    val empty = incoming.filter(lit(false))
+    val bloom = empty.agg(bloom_agg(col("k"), 10L, 100L).as("bf")).scalar()
+    // every row is bloom-negative (nothing was ever inserted) — the
+    // bootstrap case of incremental dedup must keep the whole batch
+    assert(incoming.filter(!might_contain(bloom, col("k"))).count() === 100L)
+    assert(incoming.filter(might_contain(bloom, col("k"))).count() === 0L)
+  }
+
   test("prefilter + exact confirm == plain anti join, bit-identical") {
     val all = (0L until 2000L).map(i => (i, s"text-${i % 1500}")).toDF("id", "t")
     val snapshot = all.filter($"id" < 1000).select($"t")

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, PhysicalWriteInfo}
 import org.apache.spark.sql.functions._
@@ -404,6 +406,35 @@ class GraftDocConnectorSpec extends SparkSpec {
     assert(GraftDoc.log(spark, dir).count() == 2) // base holds only live docs
   }
 
+  test("legacy (pre-marker) tables: manifest-flagged tombstones still excluded") {
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name"), "k", dir)
+    GraftDoc.delete(spark, dir, Seq(2L).toDF("k"))
+    // rewrite the on-disk layout to the PRE-FLAG format: drop the version
+    // marker and strip the 't' from the tombstone commit's dir name, so
+    // the flag survives only inside the manifest — exactly what a table
+    // written before the dir-name flag looks like
+    val root = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.deleteIfExists(root.resolve(GraftDocLog.FormatFile))
+    val tombDir = java.nio.file.Files.list(root).iterator().asScala
+      .find(p => p.getFileName.toString.matches("commit_[0-9]+t_.*"))
+      .getOrElse(fail("expected a flagged tombstone commit dir"))
+    java.nio.file.Files.move(tombDir,
+      root.resolve(tombDir.getFileName.toString
+        .replaceFirst("(commit_[0-9]+)t_", "$1_")))
+    // fast path alone would resurface doc 2; the legacy fallback must not
+    assert(GraftDocLog.tableState(dir)._2 == Set(2L),
+      "legacy fallback should discover the manifest-flagged tombstone")
+    assert(GraftDoc.snapshot(spark, dir).orderBy("_id")
+      .select("_id").as[String].collect().toSeq == Seq("1", "3"),
+      "legacy tombstone commit resurfaced a deleted document")
+    // and a NEW table carries the marker, keeping the O(1) fast path
+    val fresh = tmp()
+    GraftDoc.write(Seq((9L, "z")).toDF("k", "name"), "k", fresh)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(fresh, GraftDocLog.FormatFile)))
+  }
+
   test("deleting from a non-existent table is rejected") {
     val e = intercept[Exception] {
       GraftDoc.delete(spark, tmp(), Seq(1L).toDF("k"))
@@ -571,11 +602,13 @@ class GraftDocConnectorSpec extends SparkSpec {
   test("a later committer garbage-collects stale claims below its seq") {
     val dir = tmp()
     GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", dir) // seq 1
-    // a crashed writer's leaked claim, well past the grace window
+    // a crashed writer's leaked claim, well past the GC cutoff (6× the
+    // grace window — the skew headroom that keeps GC from ever deleting a
+    // LIVE writer's claim)
     val stale = java.nio.file.Paths.get(dir, "_claim_000000002")
     java.nio.file.Files.createFile(stale)
     stale.toFile.setLastModified(
-      System.currentTimeMillis() - GraftDocLog.DefaultClaimGraceMs - 60000L)
+      System.currentTimeMillis() - 6 * GraftDocLog.DefaultClaimGraceMs - 60000L)
     // next write loses seq 2 to the dead claim, lands at 3, then GCs it
     GraftDoc.write(Seq((2L, "b")).toDF("k", "name"), "k", dir)
     assert(GraftDocLog.latestCommitSeq(dir) == 3L)
