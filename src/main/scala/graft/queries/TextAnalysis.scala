@@ -490,6 +490,54 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_sampled"),
             min(col("doc_id")).as("first_id"),
             sum(col("doc_id")).cast("long").as("id_sum"))
-          .orderBy(col("source")))
+          .orderBy(col("source"))),
+
+    // Boilerplate detection — the corpus-frequency rule (C4/CCNet): a
+    // 2-gram appearing in more than 5% of ALL documents is boilerplate
+    // (navigation chrome, license headers, templates), and each document
+    // is scored by its boilerplate-gram fraction. Two-pass shape built
+    // for scale: pass 1 computes document frequency per DISTINCT gram
+    // (shuffle carries grams + counts, never bodies); the high-DF set —
+    // tiny by construction, DF > 5% caps it at 20 grams per corpus-wide
+    // distinct gram budget — broadcasts back for the per-doc score. The
+    // 5% threshold is integer arithmetic (df * 20 > N, N computed
+    // in-plan), so no float boundary can split the engines.
+    QueryDef(
+      "q5j_boilerplate",
+      Some("""WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        g AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+            generate_series(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i+1]))) AS g
+          FROM toks),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        dfq AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g),
+        b AS (SELECT g FROM dfq, n WHERE df * 20 > n),
+        j AS (SELECT gg.doc_id,
+                CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END AS is_b
+              FROM g gg LEFT JOIN b ON gg.g = b.g)
+        SELECT doc_id, COUNT(*) AS n_grams,
+          CAST(SUM(is_b) AS BIGINT) AS n_boiler,
+          ROUND(CAST(SUM(is_b) AS DOUBLE) / COUNT(*), 4) AS boiler_frac
+        FROM j GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val grams = docs(s, dir)
+          .select(col("doc_id"),
+            explode(TextExpressions.word_shingles(col("text"), 2)).as("g"))
+        val nDocs = docs(s, dir).agg(count(lit(1)).as("n"))
+        val boiler = grams.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") * 20 > col("n"))
+          .select(col("g"), lit(1).as("is_b"))
+        grams.join(broadcast(boiler), Seq("g"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("is_b"), lit(0))).cast("long").as("n_boiler"))
+          .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+            round(col("n_boiler").cast("double") / col("n_grams"), 4)
+              .as("boiler_frac"))
+          .orderBy(col("doc_id"))
+      })
   )
 }
