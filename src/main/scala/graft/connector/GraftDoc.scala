@@ -161,5 +161,13 @@ object GraftDoc {
       throw new IllegalStateException(
         s"graft-doc: compaction base commit (tag $tag) not found under $path"))
     GraftDocLog.dropCommitsBelow(path, before + 1)
+    // Compaction is the format-migration point: every commit at or below
+    // the horizon is folded into the just-written base (current format,
+    // tombstones purged) and racers past the horizon were written by
+    // current code too — so the table is now provably flag-era and can be
+    // stamped with the `_format` marker. A legacy or marker-less table
+    // thereby upgrades to O(1) tombstone discovery on its first
+    // compaction instead of paying the manifest-scan fallback forever.
+    GraftDocLog.stampFormatMarker(path)
   }
 }

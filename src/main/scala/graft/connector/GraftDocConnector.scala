@@ -991,6 +991,15 @@ object GraftDocLog {
     inFlight.filter(_ <= latest).minOption.map(_ - 1).getOrElse(latest)
   }
 
+  /** Stamp the `_format` version marker unconditionally — called by
+    * compaction, the point at which a legacy table's pre-flag commits
+    * have provably been folded away (see [[GraftDoc.compact]]). */
+  def stampFormatMarker(tablePath: String): Unit = {
+    val (fs, root) = fsFor(tablePath)
+    if (fs.exists(root))
+      writeFile(fs, new Path(root, FormatFile), FormatVersion, overwrite = true)
+  }
+
   /** One-pass consistent view for snapshot construction: (latest commit
     * seq, tombstone commit seqs). Reading both in a single listing and
     * pinning the scan to `_commit <= latestSeq` makes `snapshot` a
@@ -1014,15 +1023,19 @@ object GraftDocLog {
     else {
       // legacy (pre-marker) table: tombstone commits carry the flag only
       // in their manifest — scan the unflagged ones so old deletes never
-      // resurface (O(#commits), the cost this table format always paid)
+      // resurface (O(#commits), the cost this table format always paid).
+      // A missing or unreadable manifest fails LOUDLY: degrading to
+      // "not a tombstone" on a transient I/O error would silently
+      // resurface deleted documents — the exact corruption this fallback
+      // exists to prevent. The caller can retry; the store cannot
+      // un-delete.
       val legacy = dirs.collect {
         case (seq, false, dir) =>
           val m = new Path(dir, ManifestFile)
-          try {
-            if (fs.exists(m) && readFile(fs, m).contains("\"tombstone\":true"))
-              Some(seq)
-            else None
-          } catch { case _: Exception => None }
+          if (!fs.exists(m)) throw new java.io.IOException(
+            s"graft-doc: legacy commit $dir has no $ManifestFile; cannot " +
+              "determine its tombstone state (snapshot would be unsafe)")
+          if (readFile(fs, m).contains("\"tombstone\":true")) Some(seq) else None
       }.flatten.toSet
       (latest, flagged ++ legacy)
     }

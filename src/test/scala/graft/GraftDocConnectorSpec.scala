@@ -428,6 +428,13 @@ class GraftDocConnectorSpec extends SparkSpec {
     assert(GraftDoc.snapshot(spark, dir).orderBy("_id")
       .select("_id").as[String].collect().toSeq == Seq("1", "3"),
       "legacy tombstone commit resurfaced a deleted document")
+    // compaction is the migration point: folds the legacy commits away,
+    // stamps the marker, deletes still hold, fast path from here on
+    GraftDoc.compact(spark, dir)
+    assert(java.nio.file.Files.exists(root.resolve(GraftDocLog.FormatFile)),
+      "compaction should stamp the format marker")
+    assert(GraftDoc.snapshot(spark, dir).orderBy("_id")
+      .select("_id").as[String].collect().toSeq == Seq("1", "3"))
     // and a NEW table carries the marker, keeping the O(1) fast path
     val fresh = tmp()
     GraftDoc.write(Seq((9L, "z")).toDF("k", "name"), "k", fresh)
