@@ -623,6 +623,61 @@ class GraftDocConnectorSpec extends SparkSpec {
       "stale claim below the committed seq should have been GC'd")
   }
 
+  test("stress: concurrent writers + live snapshot readers, then maintenance") {
+    val dir = tmp()
+    // 4 writers, disjoint key ranges, 6 sequential commits each — every
+    // commit seq is arbitrated through the claim-CAS path under real
+    // thread contention; the last value per key is deterministic.
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    // seed the table (schema + first commit) so readers never race the
+    // table's very existence — only its contents
+    GraftDoc.write(Seq((9999L, "seed")).toDF("k", "name"), "k", dir)
+    val writers = (0 until 4).map { w =>
+      new Thread(() => {
+        try {
+          for (r <- 0 until 6) {
+            val rows = (0 until 10).map(i => (w * 1000L + i, s"w$w-r$r"))
+            GraftDoc.write(rows.toDF("k", "name"), "k", dir)
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    // 2 readers snapshotting while writers commit: every read must be a
+    // consistent point-in-time view — never a torn/failed plan, and every
+    // surfaced value is one its key's writer actually committed
+    val readers = (0 until 2).map { _ =>
+      new Thread(() => {
+        try {
+          for (_ <- 0 until 8) {
+            val rows = GraftDoc.snapshot(spark, dir)
+              .select("_id", "name").as[(String, String)].collect()
+            rows.foreach { case (id, v) =>
+              if (id != "9999") {
+                val w = id.toLong / 1000
+                assert(v.matches(s"w$w-r[0-5]"), s"key $id holds foreign value $v")
+              }
+            }
+          }
+        } catch { case t: Throwable => failures.add(t) }
+      })
+    }
+    (writers ++ readers).foreach(_.start())
+    (writers ++ readers).foreach(_.join())
+    assert(failures.isEmpty, s"concurrent ops failed: ${failures.peek()}")
+    // quiescent: full last-write-wins state, 25 commits arbitrated cleanly
+    assert(GraftDocLog.latestCommitSeq(dir) == 25L)
+    def state(): Map[String, String] = GraftDoc.snapshot(spark, dir)
+      .select("_id", "name").as[(String, String)].collect().toMap
+    val expect = (for (w <- 0 until 4; i <- 0 until 10)
+      yield s"${w * 1000 + i}" -> s"w$w-r5").toMap + ("9999" -> "seed")
+    assert(state() == expect)
+    // maintenance (single-writer model: run quiescent) folds the log and
+    // preserves exactly that state
+    GraftDoc.maintain(spark, dir, 1)
+    assert(state() == expect)
+    assert(GraftDocLog.liveCommitCount(dir) == 1)
+  }
+
   test("CDC ReadLimit: maxRowsPerTrigger / maxFilesPerTrigger bound each batch") {
     val src = tmp()
     // four single-file commits of 2 rows each
