@@ -219,6 +219,19 @@ object StreamingQueries {
         GROUP BY lang ORDER BY lang"""),
       (s, dir) => StreamPipelines.docStreamIngest(s, dir)),
 
+    // Continuous incremental dedup: a CDC tail of new documents
+    // anti-joined (stream-static, STATELESS) against the historical
+    // corpus's content hashes — the streaming twin of batch q6b, whose
+    // oracle shape this reuses rolled up by language.
+    QueryDef(
+      "q8e_stream_incremental_dedup",
+      Some("""SELECT lang, COUNT(*) AS n_novel FROM documents d
+        WHERE doc_id >= 250
+          AND sha256(text) NOT IN (
+            SELECT sha256(text) FROM documents WHERE doc_id < 250)
+        GROUP BY lang ORDER BY lang"""),
+      (s, dir) => StreamPipelines.docStreamIncrementalDedup(s, dir)),
+
     // Reference-topology parity pipeline: stream → keyed document sink →
     // read back. The `_id` count proves the key hoist is lossless.
     QueryDef(

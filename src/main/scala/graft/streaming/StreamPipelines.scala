@@ -277,6 +277,42 @@ object StreamPipelines {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Continuous incremental dedup — the streaming twin of batch q6b: a
+    * CDC tail of newly-ingested documents is anti-joined against the
+    * HISTORICAL corpus snapshot's content hashes, passing only
+    * never-seen-before content downstream. Stream-static anti join is
+    * STATELESS (the static side is planned per micro-batch; no watermark,
+    * no state store) — at 100 TB the static side is a hash-only table
+    * (32-byte rows) and the q6g Bloom sketch is the scan-side prefilter
+    * for it; the streaming semantics live here, the prefilter algebra is
+    * proven batch-side by q6g's shared oracle. */
+  def docStreamIncrementalDedup(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_incr")
+      .toFile.getAbsolutePath
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    // incoming batches: docs ≥ 250 land in the ingest table in two commits
+    val incoming = docs.filter(col("doc_id") >= 250)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    // historical corpus: content hashes only (the 100 TB shape)
+    val seen = docs.filter(col("doc_id") < 250)
+      .select(sha2(col("text"), 256).as("h"))
+    withStreamShufflePartitions(s, 8) {
+      val novel = graft.connector.GraftDoc
+        .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+        .withColumn("h", sha2(col("text"), 256))
+        .join(seen, Seq("h"), "left_anti")
+        .select(col("lang"))
+      runToMemory(s, novel, "append")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_novel"))
+        .orderBy(col("lang"))
+    }
+  }
+
   /** Stream-stream interval join: purchases matched to same-user clicks in
     * the preceding hour. Both sides watermarked; the time-range condition
     * bounds join state to one hour per key — the canonical watermarked
