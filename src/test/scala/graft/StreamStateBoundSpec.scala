@@ -124,4 +124,26 @@ class StreamStateBoundSpec extends SparkSpec {
       assert(spark.table("sb_ssj").count() == 100)
     } finally q.stop()
   }
+
+  test("stream-static ANTI join (q8e shape) is stateless and filters correctly") {
+    implicit val sql = spark.sqlContext
+    // historical "seen" set: even keys — the corpus-hash side of q8e
+    val seen = (0L until 100L by 2).toDF("k")
+    val in = MemoryStream[(Timestamp, Long)]
+    val novel = in.toDF().toDF("ts", "k").join(seen, Seq("k"), "left_anti")
+    val q = novel.writeStream.format("memory").queryName("sb_anti")
+      .outputMode("append").start()
+    try {
+      for (c <- 0 until 5) {
+        in.addData((0 until 20).map(i => (hourTs(c), i.toLong)): _*)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0),
+        "stream-static anti join must carry no state store rows")
+      // each batch: 20 keys, the 10 odd ones pass — dedup against history
+      // costs zero stream state at ANY corpus size
+      assert(spark.table("sb_anti").count() == 50)
+      assert(spark.table("sb_anti").select("k").as[Long].collect().forall(_ % 2 == 1))
+    } finally q.stop()
+  }
 }
