@@ -48,6 +48,13 @@ object ConnectedComponents {
       labels = next.select(col("node"), col("label"))
       round += 1
     }
+    // a silent non-converged result would be WRONG components (clusters
+    // split at the round horizon) — fail loudly instead; rounds needed =
+    // graph diameter, so a legitimate deep graph just needs a higher cap
+    if (!converged) throw new IllegalStateException(
+      s"ConnectedComponents did not converge in $maxRounds rounds " +
+        "(graph diameter exceeds the cap); raise maxRounds — a truncated " +
+        "result would silently split components")
     labels.select(col("node"), col("label").as("component"))
   }
 }

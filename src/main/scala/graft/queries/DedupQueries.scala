@@ -124,10 +124,8 @@ object DedupQueries {
     * run closure derives it from its runtime `dir` argument; the oracle
     * SQL embeds the same path at [[all]] construction time (Verify dumps
     * `SparkEntry.oracleSqlFor(sfDir)`, so the two always agree). */
-  private[queries] def q63SketchPath(sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"/tmp/graft_sketch/$tag/q63_sketches.parquet"
-  }
+  private[queries] def q63SketchPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "q63_sketches.parquet")
 
   def all(sfDir: String): Seq[QueryDef] = Seq(
 
@@ -159,7 +157,19 @@ object DedupQueries {
       "q62_minhash_lsh_dedup",
       Some(exactJaccardSql),
       (s, dir) => {
-        val d = withShingles(docs(s, dir))
+        // DF ≤ 200 capped shingle view — the SAME cap the shared oracle
+        // applies, enforced at every stage: signatures approximate, and
+        // verification computes, the CAPPED Jaccard measure. Without
+        // this, one corpus-frequent boilerplate shingle (DF > 200) would
+        // silently diverge the full-set verify from the oracle's capped
+        // Jaccard — and signatures over full sets would approximate a
+        // different measure than the one verified.
+        val posting = withShingles(docs(s, dir))
+          .select(col("doc_id"), explode(col("sh")).as("s1"))
+        val kept = posting.groupBy("s1").agg(count(lit(1)).as("df0"))
+          .filter(col("df0") <= 200).select("s1")
+        val d = posting.join(kept, "s1")
+          .groupBy("doc_id").agg(collect_set(col("s1")).as("sh"))
         val sig = d.select(col("doc_id"),
           HashExpressions.minhash_signature(col("sh"), k = 128).as("sig"))
         // 32 bands × 4 rows: bucket key = hash of the band's signature slice
@@ -403,19 +413,13 @@ object DedupQueries {
         val survivors = gate
           .join(exactKeep, Seq("doc_id"), "left_semi")
           .join(drops, Seq("doc_id"), "left_anti")
-        val chunks = survivors
-          .select(col("doc_id"), split(col("text"), " ").as("toks"))
-          .select(col("doc_id"), col("toks"),
-            posexplode(sequence(lit(0), size(col("toks")) - 1, lit(40)))
-              .as(Seq("chunk_idx", "start")))
+        val chunks = TextAnalysis.tokenChunks(survivors)
           .select(
             concat(col("doc_id"), lit("_"), col("chunk_idx")).as("chunk_key"),
             col("doc_id"), col("chunk_idx"),
-            size(slice(col("toks"), col("start") + 1, lit(50))).as("n_tokens"),
-            array_join(slice(col("toks"), col("start") + 1, lit(50)), " ")
-              .as("chunk_text"))
-        val tbl = java.nio.file.Files.createTempDirectory("graft_corpus")
-          .toFile.getAbsolutePath
+            size(col("chunk_toks")).as("n_tokens"),
+            array_join(col("chunk_toks"), " ").as("chunk_text"))
+        val tbl = graft.TempDirs.create("graft_corpus")
         graft.connector.GraftDoc.write(chunks, "chunk_key", tbl, overwrite = true)
         graft.connector.GraftDoc.snapshot(s, tbl)
           .groupBy(col("doc_id"))

@@ -198,7 +198,7 @@ object FormatQueries {
         // then an overlapping re-write of the same documents — the
         // snapshot must still equal the part table, which proves the
         // upsert-by-_id resolution inside an oracle-checked query.
-        val sinkPath = s"/tmp/graft_sink/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/q77"
+        val sinkPath = QueryDef.materializePath(dir, "q77")
         val docs = t(s, dir, "part")
           .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         graft.connector.GraftDoc.write(docs, "p_partkey", sinkPath, overwrite = true)
@@ -218,7 +218,7 @@ object FormatQueries {
       Some("""SELECT CAST(p_partkey AS VARCHAR) AS _id, p_name, p_retailprice
         FROM part WHERE p_partkey % 7 <> 0 ORDER BY _id"""),
       (s, dir) => {
-        val sinkPath = s"/tmp/graft_sink/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/q79"
+        val sinkPath = QueryDef.materializePath(dir, "q79")
         val docs = t(s, dir, "part")
           .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
         graft.connector.GraftDoc.write(docs, "p_partkey", sinkPath, overwrite = true)

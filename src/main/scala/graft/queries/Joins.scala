@@ -171,6 +171,14 @@ object Joins {
     // oracle); Spark-side we use the scalable union + running-last pattern:
     // tag both sides, sort within user by (ts, side), and carry the last
     // non-null click id forward — one shuffle, one sort, O(n) state.
+    //
+    // Tie contract (q18 and the q1b-q1e native family): right-side
+    // timestamps are unique per user in this dataset (nanosecond event
+    // times), so the engines never have to agree on WHICH of two
+    // equal-timestamp clicks wins — DuckDB's ASOF pick among exact ties is
+    // unspecified while this pattern takes the larger click_id. Data with
+    // colliding (user, ts) pairs must pre-aggregate the right side (e.g.
+    // max(click_id) per (user, ts)) on BOTH engines to pin the tie.
     QueryDef(
       "q18_join_asof",
       Some("""SELECT p.event_id, c.event_id AS click_id

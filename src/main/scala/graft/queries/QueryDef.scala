@@ -26,4 +26,15 @@ object QueryDef {
     * expression at decimal scale 8, rounded to 2 decimals as double. */
   def dsumSql(expr: String, alias: String): String =
     s"ROUND(CAST(SUM(CAST($expr AS DECIMAL(30,8))) AS DOUBLE), 2) AS $alias"
+
+  /** Materialization root for queries that write run artifacts (two-stage
+    * oracles, sink tables), keyed by sfDir so concurrent runs against
+    * different directories never collide. One sanitizer for every site:
+    * it PRESERVES '.', '-' and '_' — collapsing them (an earlier variant
+    * used `[^a-zA-Z0-9]`) would map distinct dirs like `sf0.1` and
+    * `sf0-1` to the same key and let concurrent runs clobber each other. */
+  def materializePath(sfDir: String, name: String): String = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"/tmp/graft_mat/$tag/$name"
+  }
 }

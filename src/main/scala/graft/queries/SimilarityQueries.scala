@@ -57,10 +57,8 @@ object SimilarityQueries {
     * scale-factor directory (the q63 rule: concurrent runs against
     * different sfDirs write and read disjoint files; Verify dumps
     * `SparkEntry.oracleSqlFor(sfDir)` so query and oracle always agree). */
-  private[queries] def q5iIndexPath(sfDir: String): String = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-    s"/tmp/graft_index/$tag/q5i_ivf"
-  }
+  private[queries] def q5iIndexPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "q5i_ivf")
 
   def all(sfDir: String): Seq[QueryDef] = Seq(
 
@@ -69,7 +67,7 @@ object SimilarityQueries {
       "q65_knn_bruteforce",
       Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         s AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
-                list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS c
+                round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c
               FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
         r AS (SELECT qid, nid, c,
                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
@@ -81,7 +79,8 @@ object SimilarityQueries {
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-          .withColumn("c", VectorFunctions.cosine_sim(col("qe"), col("embedding")))
+          .withColumn("c",
+            round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 9))
         val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id"))
         scored.withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
@@ -97,22 +96,22 @@ object SimilarityQueries {
       "q66_ann_ivf",
       Some(s"""WITH $centSql,
         assign0 AS (SELECT e.vec_id, e.embedding, c.cid,
-                list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) AS cc,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) AS cc,
                 row_number() OVER (PARTITION BY e.vec_id
-                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid) AS rn
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
               FROM embeddings e, cent c),
         assign AS (SELECT vec_id, embedding, cid FROM assign0 WHERE rn = 1),
         probe0 AS (SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
                 row_number() OVER (PARTITION BY q.vec_id
-                  ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid) AS rn
+                  ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
               FROM embeddings q, cent c WHERE q.vec_id < 10),
         probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
         cand AS (SELECT p.qid, p.qe, a.vec_id AS nid, a.embedding AS ne
               FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
         rr AS (SELECT qid, nid,
-                list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) AS c,
+                round(list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]), 9) AS c,
                 row_number() OVER (PARTITION BY qid
-                  ORDER BY list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]) DESC, nid) AS rnk
+                  ORDER BY round(list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]), 9) DESC, nid) AS rnk
               FROM cand)
         SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
@@ -122,9 +121,14 @@ object SimilarityQueries {
         // one broadcast pass: nearest centroid per corpus vector. Argmax
         // as a hash aggregate (map-side partial combine: the shuffle
         // carries one row per vector, not k) — tie-break (cc DESC, cid
-        // ASC) identical to the oracle's row_number ordering.
+        // ASC) identical to the oracle's row_number ordering. Every
+        // ranking score is quantized (round 9) before comparison — the
+        // q58 cross-engine ULP rule: codegen'd cosine and DuckDB's
+        // list_cosine_similarity can differ in the last ULP, which would
+        // flip a near-tie argmax and change the probed cells.
         val assign = e.crossJoin(broadcast(cent))
-          .withColumn("cc", VectorFunctions.cosine_sim(col("embedding"), col("ce")))
+          .withColumn("cc",
+            round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
           .groupBy(col("vec_id"))
           .agg(
             max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"),
@@ -136,7 +140,8 @@ object SimilarityQueries {
         val probe = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
           .crossJoin(broadcast(cent))
-          .withColumn("qc", VectorFunctions.cosine_sim(col("qe"), col("ce")))
+          .withColumn("qc",
+            round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
           .withColumn("rn", row_number().over(wProbe))
           .filter(col("rn") <= 2)
           .select(col("qid"), col("qe"), col("cid"))
@@ -146,7 +151,8 @@ object SimilarityQueries {
         assign.select(col("cid"), col("vec_id").as("nid"), col("embedding").as("ne"))
           .join(broadcast(probe), Seq("cid"))
           .filter(col("nid") =!= col("qid"))
-          .withColumn("c", VectorFunctions.cosine_sim(col("qe"), col("ne")))
+          .withColumn("c",
+            round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9))
           .withColumn("rnk", row_number().over(wRank))
           .filter(col("rnk") <= 3)
           .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rnk"))
@@ -382,16 +388,16 @@ object SimilarityQueries {
               FROM embeddings WHERE vec_id < 10),
         probe0 AS (SELECT q.qid, q.qe, ic.cid,
             row_number() OVER (PARTITION BY q.qid
-              ORDER BY list_cosine_similarity(q.qe::DOUBLE[], ic.ce::DOUBLE[]) DESC,
+              ORDER BY round(list_cosine_similarity(q.qe::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
                 ic.cid) AS rn
           FROM q, ic),
         probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
         cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
           FROM probe p JOIN ia a ON a.cid = p.cid AND a.vec_id <> p.qid),
         rr AS (SELECT c.qid, c.nid,
-            list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]) AS c0,
+            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c0,
             row_number() OVER (PARTITION BY c.qid
-              ORDER BY list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+              ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
                 c.nid) AS rnk
           FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
         SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, rnk
@@ -404,7 +410,8 @@ object SimilarityQueries {
         // ASC)
         val cent = centroids(e)
         e.crossJoin(broadcast(cent))
-          .withColumn("cc", VectorFunctions.cosine_sim(col("embedding"), col("ce")))
+          .withColumn("cc",
+            round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
           .groupBy(col("vec_id"))
           .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"))
           .write.mode("overwrite").parquet(s"$p/assign")
@@ -417,7 +424,8 @@ object SimilarityQueries {
         val probe = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
           .crossJoin(broadcast(ic))
-          .withColumn("qc", VectorFunctions.cosine_sim(col("qe"), col("ce")))
+          .withColumn("qc",
+            round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
           .withColumn("rn", row_number().over(wProbe))
           .filter(col("rn") <= 2)
           .select(col("qid"), col("qe"), col("cid"))
@@ -428,7 +436,8 @@ object SimilarityQueries {
           .select(col("qid"), col("qe"), col("vec_id").as("nid"))
           .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
             Seq("nid"))
-          .withColumn("c", VectorFunctions.cosine_sim(col("qe"), col("ne")))
+          .withColumn("c",
+            round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9))
           .withColumn("rnk", row_number().over(wRank))
           .filter(col("rnk") <= 3)
           .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rnk"))

@@ -22,6 +22,22 @@ object TextAnalysis {
   /** Tokens-by-whitespace column (shared by several queries). */
   private def toks: Column = split(col("text"), " ")
 
+  /** Shared 50/40 token chunker — THE chunking rule of this engine, used
+    * by q5a (chunk text), q5f (sequence packing), and q6e (corpus build,
+    * `DedupQueries`). One definition so the window/stride can never
+    * silently diverge between the operator that proves the semantics and
+    * the pipelines that compose it. Input needs (doc_id, text); output is
+    * (doc_id, chunk_idx, chunk_toks) with chunk_toks = tokens
+    * [chunk_idx·40, chunk_idx·40+50). Row-local: sequence → posexplode →
+    * slice, no shuffle. */
+  private[queries] def tokenChunks(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(40)))
+          .as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        slice(col("toks"), col("start") + 1, lit(50)).as("chunk_toks"))
+
   // Shared stopword list — keep in lockstep with the SQL literals below.
   private val Stopwords = Seq("the", "a", "of", "and", "in")
 
@@ -249,15 +265,10 @@ object TextAnalysis {
           array_to_string(list_slice(toks, start + 1, start + 50), ' ') AS chunk_text
         FROM s ORDER BY doc_id, chunk_idx"""),
       (s, dir) =>
-        docs(s, dir)
-          .select(col("doc_id"), toks.as("toks"))
-          .select(col("doc_id"), col("toks"),
-            posexplode(sequence(lit(0), size(col("toks")) - 1, lit(40)))
-              .as(Seq("chunk_idx", "start")))
+        tokenChunks(docs(s, dir))
           .select(col("doc_id"), col("chunk_idx"),
-            size(slice(col("toks"), col("start") + 1, lit(50))).as("n_tokens"),
-            array_join(slice(col("toks"), col("start") + 1, lit(50)), " ")
-              .as("chunk_text"))
+            size(col("chunk_toks")).as("n_tokens"),
+            array_join(col("chunk_toks"), " ").as("chunk_text"))
           .orderBy(col("doc_id"), col("chunk_idx"))),
 
     // PII redaction: emails and long digit runs replaced by placeholder
@@ -412,13 +423,9 @@ object TextAnalysis {
         val w = Window.partitionBy(col("shard"))
           .orderBy(col("doc_id"), col("chunk_idx"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        docs(s, dir)
-          .select(col("doc_id"), toks.as("toks"))
-          .select(col("doc_id"), col("toks"),
-            posexplode(sequence(lit(0), size(col("toks")) - 1, lit(40)))
-              .as(Seq("chunk_idx", "start")))
+        tokenChunks(docs(s, dir))
           .select(col("doc_id"), col("chunk_idx"),
-            size(slice(col("toks"), col("start") + 1, lit(50))).as("n_tokens"),
+            size(col("chunk_toks")).as("n_tokens"),
             pmod(col("doc_id"), lit(8)).as("shard"))
           .withColumn("cum", sum(col("n_tokens")).over(w))
           .select(col("shard"),

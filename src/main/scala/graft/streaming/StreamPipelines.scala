@@ -81,23 +81,34 @@ object StreamPipelines {
     f.delete()
   }
 
+  // memory-sink tables drained by earlier runToMemory calls: each new
+  // drain drops its predecessors' temp views so the driver doesn't hold
+  // every historical result set for the session's lifetime (the current
+  // drain's table must survive until its caller consumes it, so cleanup
+  // is one call deferred)
+  private val drainedViews = new java.util.concurrent.ConcurrentLinkedQueue[String]
+
   /** Run a one-shot (AvailableNow) streaming query into a memory sink and
     * return the materialized result. */
   private def runToMemory(s: SparkSession, df: DataFrame,
       mode: String): DataFrame = {
+    var prev = drainedViews.poll()
+    while (prev != null) { s.catalog.dropTempView(prev); prev = drainedViews.poll() }
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val ckpt = ephemeralCheckpoint(name)
-    withStreamShufflePartitions(s, 8) {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt.getAbsolutePath)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    deleteRecursively(ckpt)
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt) // a failed drain must not leak /dev/shm
+    drainedViews.add(name)
     s.table(name)
   }
 
@@ -224,8 +235,7 @@ object StreamPipelines {
     * the parity pipeline of SURVEY.md §7.1, executed as a real
     * incremental stream into a real connector. */
   def streamToDocSink(s: SparkSession, sfDir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_sink")
-      .toFile.getAbsolutePath
+    val tmp = graft.TempDirs.create("graft_doc_sink")
     withStreamShufflePartitions(s, 8) {
       val q = graft.connector.GraftDoc.writeStream(
         eventsStream(s, sfDir).drop("ts_ns"), // ns long is redundant with ts
@@ -287,8 +297,7 @@ object StreamPipelines {
     * for it; the streaming semantics live here, the prefilter algebra is
     * proven batch-side by q6g's shared oracle. */
   def docStreamIncrementalDedup(s: SparkSession, sfDir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_incr")
-      .toFile.getAbsolutePath
+    val tmp = graft.TempDirs.create("graft_doc_incr")
     val docs = s.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"), col("lang"))
     // incoming batches: docs ≥ 250 land in the ingest table in two commits
@@ -432,8 +441,7 @@ object StreamPipelines {
     * stream (append mode, no aggregation in-flight), so the drain is
     * exactly the log contents, exactly once. */
   def docCdcSource(s: SparkSession, sfDir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_cdc")
-      .toFile.getAbsolutePath
+    val tmp = graft.TempDirs.create("graft_doc_cdc")
     val ev = s.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"), col("event_type"), col("user_id"))
     (0 until 3).foreach { r =>
@@ -457,8 +465,7 @@ object StreamPipelines {
     * window once in append mode. Proves the connector source supports
     * the full streaming-semantics stack, not just stateless relay. */
   def docCdcWindowed(s: SparkSession, sfDir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_cdcw")
-      .toFile.getAbsolutePath
+    val tmp = graft.TempDirs.create("graft_doc_cdcw")
     val ev = s.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"),
         timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
@@ -496,8 +503,7 @@ object StreamPipelines {
     * the drained log and must match the batch-derived write/delete
     * history exactly. */
   def docCdcOps(s: SparkSession, sfDir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_cdco")
-      .toFile.getAbsolutePath
+    val tmp = graft.TempDirs.create("graft_doc_cdco")
     val ev = s.read.parquet(s"$sfDir/events.parquet")
       .select(col("event_id"), col("event_type"), col("user_id"))
     (0 until 2).foreach { r =>
@@ -530,8 +536,7 @@ object StreamPipelines {
     * last-write-wins ordering survives the stream: the final corpus holds
     * the v2 text exactly where v2 passed the gate. */
   def docStreamIngest(s: SparkSession, sfDir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_doc_ingest")
-      .toFile.getAbsolutePath
+    val tmp = graft.TempDirs.create("graft_doc_ingest")
     val docs = s.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("doc_id") < 500)
       .select(col("doc_id"), col("text"), col("lang"))
