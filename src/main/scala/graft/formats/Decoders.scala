@@ -71,11 +71,21 @@ object Decoders {
       case Some("grok") =>
         val pattern = options.getOrElse("grok.pattern",
           throw new IllegalArgumentException("grok requires options(grok.pattern)"))
-        LogFormats.compileGrok(pattern)._2.zip(LogFormats.grok(v.cast("string"), pattern))
+        LogFormats.grokNamed(v.cast("string"), pattern)
       case Some(other) =>
         throw new IllegalArgumentException(
           s"unsupported format: $other (reference widget enumerates ${Formats.mkString(",")})")
     }
+    // a decoded field shadowing a pass-through column (e.g. an Avro field
+    // named "timestamp" vs the wire metadata column) would yield a
+    // duplicate-name DataFrame that only fails LATER, on the first
+    // ambiguous reference — reject it here, at the root cause
+    val clash = decoded.map(_._1).toSet
+      .intersect(df.columns.filterNot(_ == valueCol).toSet)
+    require(clash.isEmpty,
+      s"decoded field name(s) ${clash.mkString(", ")} collide with " +
+        "pass-through columns; rename the metadata columns or the schema " +
+        "fields before decoding")
     df.select(meta ++ decoded.map { case (n, c) => c.as(n) }: _*)
   }
 

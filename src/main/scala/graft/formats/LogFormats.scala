@@ -1,14 +1,18 @@
 package graft.formats
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.bridge
+
+import graft.functions.RegexGroupsExpr
 
 /** Log-line decoders for the reference's clf / grok / syslog wire formats
   * (SURVEY.md §2.2 F7–F9; admissible formats listed in reference
   * `widgets/MapRStream-streamingsource.json:48-58`).
   *
-  * All three compile to `regexp_extract` column expressions — codegen'd
-  * builtins, no UDF closures, pattern compiled once per query plan. The
+  * All three decode through ONE `RegexGroupsExpr` per line — a single
+  * regex execution per record shared by every extracted column via
+  * whole-stage codegen's subexpression elimination (N separate
+  * `regexp_extract(line, re, i)` trees would each re-run the regex). The
   * reference instead instantiated a reflective CDAP `RecordFormat` per
   * executor (`MapRStreamingSource.java:174-181`).
   */
@@ -24,24 +28,32 @@ object LogFormats {
     "host" -> 1, "ident" -> 2, "authuser" -> 3, "ts" -> 4, "request" -> 5,
     "status" -> 6, "bytes" -> 7, "referer" -> 8, "agent" -> 9)
 
+  private def groups(line: Column, regex: String, n: Int): Column =
+    bridge.column(RegexGroupsExpr(bridge.expression(line), regex, n))
+
   /** Decode a CLF line into one column per field (status/bytes as strings;
     * callers cast). */
-  def clf(line: Column): Seq[Column] =
-    ClfFields.map { case (n, i) => regexp_extract(line, ClfRegex, i).as(n) }
+  def clf(line: Column): Seq[Column] = {
+    val g = groups(line, ClfRegex, 9)
+    ClfFields.map { case (n, i) => g.getItem(i - 1).as(n) }
+  }
 
   /** RFC-3164 syslog: <pri>MMM dd HH:mm:ss host tag[pid]: msg. */
   val SyslogRegex: String =
     "^<(\\d+)>(\\w{3}\\s+\\d+ \\d{2}:\\d{2}:\\d{2}) (\\S+) " +
       "([^:\\[\\s]+)(?:\\[(\\d+)\\])?: (.*)$"
 
-  def syslog(line: Column): Seq[Column] = Seq(
-    (regexp_extract(line, SyslogRegex, 1).cast("int") / 8).cast("int").as("facility"),
-    (regexp_extract(line, SyslogRegex, 1).cast("int") % 8).as("severity"),
-    regexp_extract(line, SyslogRegex, 2).as("log_ts"),
-    regexp_extract(line, SyslogRegex, 3).as("host"),
-    regexp_extract(line, SyslogRegex, 4).as("tag"),
-    regexp_extract(line, SyslogRegex, 5).as("pid"),
-    regexp_extract(line, SyslogRegex, 6).as("msg"))
+  def syslog(line: Column): Seq[Column] = {
+    val g = groups(line, SyslogRegex, 6)
+    Seq(
+      (g.getItem(0).cast("int") / 8).cast("int").as("facility"),
+      (g.getItem(0).cast("int") % 8).as("severity"),
+      g.getItem(1).as("log_ts"),
+      g.getItem(2).as("host"),
+      g.getItem(3).as("tag"),
+      g.getItem(4).as("pid"),
+      g.getItem(5).as("msg"))
+  }
 
   /** Minimal grok pattern library (the common subset; extend as needed).
     * Sub-patterns are non-capturing so group indices = order of `%{..}`. */
@@ -81,11 +93,12 @@ object LogFormats {
     (sb.toString, names.toSeq)
   }
 
-  /** Decode a line with a grok pattern into one column per named capture. */
-  def grok(line: Column, pattern: String): Seq[Column] = {
+  /** Decode a line with a grok pattern: (name, column) per named capture —
+    * pattern compiled ONCE (callers previously compiled again just for the
+    * names). */
+  def grokNamed(line: Column, pattern: String): Seq[(String, Column)] = {
     val (regex, names) = compileGrok(pattern)
-    names.zipWithIndex.map { case (n, i) =>
-      regexp_extract(line, regex, i + 1).as(n)
-    }
+    val g = groups(line, regex, names.length)
+    names.zipWithIndex.map { case (n, i) => n -> g.getItem(i).as(n) }
   }
 }

@@ -67,7 +67,10 @@ object AvroExpressions {
 case class AvroDecodeExpr(child: Expression, schemaJson: String)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: StructType =
+  // resolved ONCE and cached: dataType is called on the per-row decode
+  // path below, and re-parsing the Avro-JSON (Jackson readTree + full
+  // StructType reconstruction) per record would dominate the decode cost
+  @transient override lazy val dataType: StructType =
     AvroSchemaBridge.structTypeFromAvroJson(schemaJson).get
   override def nullable: Boolean = true
   override def prettyName: String = "from_avro_graft"

@@ -61,6 +61,14 @@ case class IdPairsExpr(child: Expression)
     val ids = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       .toLongArray()
     val n = ids.length
+    // fail FAST with a clear message rather than trusting the upstream DF
+    // cap: past ~65k ids the pair count overflows Int (n·(n−1)/2), which
+    // would surface as a NegativeArraySizeException deep in a task — or
+    // worse, a wrapped-positive size silently truncating pair generation
+    require(n <= 65536,
+      s"id_pairs: posting list of $n ids would generate ${n.toLong * (n - 1) / 2} " +
+        "pairs — apply a DF cap upstream (bucket lists this hot indicate a " +
+        "skewed key, not a near-dup family)")
     val out = new Array[Any](n * (n - 1) / 2)
     var k = 0
     var i = 0
@@ -121,5 +129,47 @@ case class WordShinglesExpr(child: Expression, n: Int, distinct: Boolean = true)
   }
 
   override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
+    copy(child = c)
+}
+
+/** One-pass multi-group regex extraction: string → array<string> of ALL
+  * capture groups from a SINGLE Matcher run. `regexp_extract` parity: no
+  * match, or a non-participating optional group, yields "" — but where N
+  * separate `regexp_extract(line, re, i)` calls execute the same regex N
+  * times per row (each is a distinct expression tree, so nothing can be
+  * shared), the N `getItem(i)` projections over THIS one expression share
+  * a single subtree that whole-stage codegen's subexpression elimination
+  * evaluates once. That turns the clf/syslog/grok decoders (9/6/k groups)
+  * into one regex execution per record — the hot-path cost the reference's
+  * per-record `RecordFormat` paid reflectively. */
+case class RegexGroupsExpr(child: Expression, regex: String, numGroups: Int)
+    extends UnaryExpression with RefObjCodegen {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    refObjGenCode(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData")
+  require(numGroups > 0, "numGroups must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "regex_groups"
+
+  @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
+
+  override def nullSafeEval(input: Any): Any = {
+    val m = pattern.matcher(input.toString)
+    val out = new Array[Any](numGroups)
+    if (m.find()) { // find(), like Spark's RegExpExtract
+      var i = 0
+      while (i < numGroups) {
+        val g = m.group(i + 1)
+        out(i) = UTF8String.fromString(if (g == null) "" else g)
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < numGroups) { out(i) = UTF8String.fromString(""); i += 1 }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): RegexGroupsExpr =
     copy(child = c)
 }

@@ -23,7 +23,11 @@ object VectorAggregates {
     override def zero: Buf = (Array.empty[Double], 0L)
 
     override def reduce(b: Buf, v: Array[Float]): Buf = {
-      if (v == null) return b
+      // zero-length vectors contribute nothing — including to the count.
+      // Counting them (while merge drops empty-sums partials) would make
+      // the mean depend on which partition the empty vector landed in:
+      // same data, different divisor per task layout.
+      if (v == null || v.isEmpty) return b
       val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
       var i = 0
       val n = math.min(sums.length, v.length)

@@ -123,7 +123,11 @@ case class AsOfJoinExec(
       val outProj = UnsafeProjection.create(output,
         leftOut ++ rightOut.map(_.withNullability(true)))
       val joined = new JoinedRow
-      val rBuf = rIter.buffered
+      // NULL right times are dropped up front: a row with no time can
+      // never be a well-defined as-of match (DuckDB ASOF `l.ts >= r.ts`
+      // is never true on NULL) — and with nulls-first sort ordering it
+      // would otherwise sit FIRST in its key group and match everything
+      val rBuf = rIter.filter(r => !rTimeEval(r).isNullAt(0)).buffered
 
       val tol = toleranceNs
       // backward: candidate = LAST right row with time ≤ left time (consumed
@@ -136,6 +140,11 @@ case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKeyProj(lRow).copy()
         val lt = lTimeEval(lRow).copy()
+        // a NULL left time has no as-of point: emit unmatched. Without
+        // this guard, a match retained from a PREVIOUS left row of the
+        // same key would leak into the null-time row's output.
+        if (lt.isNullAt(0)) outProj(joined(lRow, nullRight))
+        else {
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val head = rBuf.head
@@ -169,6 +178,7 @@ case class AsOfJoinExec(
               tol.forall(t => lt.getLong(0) - matchTime <= t)
           }
         outProj(joined(lRow, if (matched) matchRow else nullRight))
+        }
       }
     }
   }
@@ -186,6 +196,28 @@ case class AsOfJoinExec(
   * planner with stats would choose automatically, like broadcast-vs-SMJ).
   * Requires long-backed time columns (LongType/TimestampType).
   */
+object AsOfJoinBroadcastExec {
+  private type Index =
+    java.util.HashMap[InternalRow, (Array[Long], Array[InternalRow])]
+  // executor-side index cache keyed by the broadcast value's IDENTITY in
+  // a weak map: the broadcast manager caches one value object per
+  // executor, so all tasks share one index build, and GC of the broadcast
+  // releases the index with it. A benign double-build race (two first
+  // tasks) resolves to whichever finishes last — both are equivalent.
+  private val indexCache =
+    new java.util.WeakHashMap[AnyRef, Index]()
+
+  private[plans] def indexFor(key: AnyRef, build: () => Index): Index = {
+    indexCache.synchronized {
+      val hit = indexCache.get(key)
+      if (hit != null) return hit
+    }
+    val built = build()
+    indexCache.synchronized { indexCache.put(key, built) }
+    built
+  }
+}
+
 case class AsOfJoinBroadcastExec(
     left: SparkPlan,
     right: SparkPlan,
@@ -226,23 +258,34 @@ case class AsOfJoinBroadcastExec(
       val rKeyProj = UnsafeProjection.create(rKeys, rightOut)
       val lTimeProj = UnsafeProjection.create(Seq(lTime), leftOut)
       val rTimeProj = UnsafeProjection.create(Seq(rTime), rightOut)
-      // build the per-key sorted timeline from the broadcast rows
-      val byKey = new java.util.HashMap[InternalRow,
-        scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
-      for (row <- rel.value) {
-        val k = rKeyProj(row).copy()
-        var buf = byKey.get(k)
-        if (buf == null) {
-          buf = scala.collection.mutable.ArrayBuffer.empty
-          byKey.put(k, buf)
+      // per-key sorted timeline, built ONCE PER BROADCAST VALUE per
+      // executor (identity-keyed weak cache) — not once per task: a 10k-
+      // partition left side over a 1M-row broadcast would otherwise
+      // re-hash and re-sort the right side 10k times. NULL right times
+      // are dropped at build (no time = no well-defined as-of match;
+      // indexing them as epoch-0 would fabricate matches).
+      val sorted = AsOfJoinBroadcastExec.indexFor(rel.value, { () =>
+        val byKey = new java.util.HashMap[InternalRow,
+          scala.collection.mutable.ArrayBuffer[(Long, InternalRow)]]()
+        for (row <- rel.value) {
+          val t = rTimeProj(row)
+          if (!t.isNullAt(0)) {
+            val k = rKeyProj(row).copy()
+            var buf = byKey.get(k)
+            if (buf == null) {
+              buf = scala.collection.mutable.ArrayBuffer.empty
+              byKey.put(k, buf)
+            }
+            buf.append((t.getLong(0), row.copy()))
+          }
         }
-        buf.append((rTimeProj(row).getLong(0), row.copy()))
-      }
-      val sorted = new java.util.HashMap[InternalRow, (Array[Long], Array[InternalRow])]()
-      byKey.forEach { (k, buf) =>
-        val s = buf.sortBy(_._1)
-        sorted.put(k, (s.map(_._1).toArray, s.map(_._2).toArray))
-      }
+        val out = new java.util.HashMap[InternalRow, (Array[Long], Array[InternalRow])]()
+        byKey.forEach { (k, buf) =>
+          val s = buf.sortBy(_._1)
+          out.put(k, (s.map(_._1).toArray, s.map(_._2).toArray))
+        }
+        out
+      })
       val nullRight = new GenericInternalRow(rightOut.length)
       val outProj = UnsafeProjection.create(output,
         leftOut ++ rightOut.map(_.withNullability(true)))
@@ -251,9 +294,11 @@ case class AsOfJoinBroadcastExec(
       lIter.map { lRow =>
         val entry = sorted.get(lKeyProj(lRow))
         var m: InternalRow = null
-        if (entry != null) {
+        val ltRow = lTimeProj(lRow)
+        // NULL left time: no as-of point, emit unmatched
+        if (entry != null && !ltRow.isNullAt(0)) {
           val (times, rows) = entry
-          val lt = lTimeProj(lRow).getLong(0)
+          val lt = ltRow.getLong(0)
           if (!fwd) {
             // rightmost index with times(i) <= lt
             var lo = 0; var hi = times.length - 1; var idx = -1

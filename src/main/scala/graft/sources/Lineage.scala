@@ -52,21 +52,27 @@ object Lineage {
     Option(registry.get(sessionKey(spark)))
       .map(_.asScala.toMap).getOrElse(Map.empty)
 
-  /** Install the lineage listener; returns the sink list the caller can
-    * inspect. Each completed action records which registered datasets the
-    * query read (matched by temp-view name in the analyzed plan). */
+  // sessions that already carry the lineage listener — re-installing
+  // would double-log every event into the same shared list
+  private val installed = ConcurrentHashMap.newKeySet[String]()
+
+  /** Install the lineage listener (idempotent per session); returns the
+    * sink list the caller can inspect. Each completed action records
+    * which registered datasets the query read — matched by EXACT
+    * SubqueryAlias identifier, not substring (a view named `parts` must
+    * not produce lineage for `part`). */
   def installListener(spark: SparkSession): java.util.List[(String, String)] = {
     val log = events.computeIfAbsent(sessionKey(spark),
       _ => java.util.Collections.synchronizedList(new java.util.ArrayList()))
+    if (!installed.add(sessionKey(spark))) return log
     spark.listenerManager.register(new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
         val names = Option(registry.get(sessionKey(qe.sparkSession)))
           .map(_.keySet().asScala.toSet).getOrElse(Set.empty)
         val referenced = qe.analyzed.collect {
-          case p if names.exists(n => p.nodeName == "SubqueryAlias" &&
-            p.argString(100).contains(n)) =>
-            names.filter(n => p.argString(100).contains(n))
-        }.flatten.toSet
+          case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+              if names.contains(a.alias) => a.alias
+        }.toSet
         referenced.foreach(n => log.add(n -> funcName))
       }
       override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
