@@ -168,6 +168,13 @@ object GraftDoc {
     // stamped with the `_format` marker. A legacy or marker-less table
     // thereby upgrades to O(1) tombstone discovery on its first
     // compaction instead of paying the manifest-scan fallback forever.
+    // REQUIREMENT: "racers were written by current code" assumes no
+    // pre-flag-era writer binary is still active against this table when
+    // compact() runs — in a mixed-version deployment window, a legacy
+    // writer's manifest-only tombstone landing after the stamp would be
+    // skipped by the fast path and its deletes would resurface. Upgrade
+    // all writers before running the first compaction (single-writer
+    // operation, the reference's own model, satisfies this trivially).
     GraftDocLog.stampFormatMarker(path)
   }
 }

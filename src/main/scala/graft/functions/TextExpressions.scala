@@ -62,14 +62,17 @@ case class IdPairsExpr(child: Expression)
       .toLongArray()
     val n = ids.length
     // fail FAST with a clear message rather than trusting the upstream DF
-    // cap: past ~65k ids the pair count overflows Int (n·(n−1)/2), which
-    // would surface as a NegativeArraySizeException deep in a task — or
-    // worse, a wrapped-positive size silently truncating pair generation
-    require(n <= 65536,
-      s"id_pairs: posting list of $n ids would generate ${n.toLong * (n - 1) / 2} " +
+    // cap: the pair count n·(n−1)/2 must be checked in LONG math (the Int
+    // product wraps from n = 46342, which would let a wrapped-positive
+    // size slip past a naive guard) and must fit a JVM array, else the
+    // allocation below would throw NegativeArraySizeException/OOM deep in
+    // a task with no hint of the cause
+    val nPairs = n.toLong * (n - 1) / 2
+    require(nPairs <= Int.MaxValue - 8,
+      s"id_pairs: posting list of $n ids would generate $nPairs " +
         "pairs — apply a DF cap upstream (bucket lists this hot indicate a " +
         "skewed key, not a near-dup family)")
-    val out = new Array[Any](n * (n - 1) / 2)
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {

@@ -3,15 +3,33 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by iterative min-label propagation
+/** Distributed connected components in O(log N) rounds
   * (SURVEY.md §2.12: dedup-cluster formation without a graph library).
   *
-  * Each node starts labeled with itself; every round, each node takes the
-  * minimum label among itself and its neighbors; convergence when no label
-  * changes. Rounds needed = graph diameter (near-dup clusters are tiny, so
-  * 2-4 in practice); each round is one shuffle join on node id — the
-  * standard "hash-to-min" pattern that scales to billions of edges because
-  * state per round is exactly one (node, label) row per node.
+  * Shiloach–Vishkin-style alternation, one round = two steps:
+  *
+  *   1. HOOK:     l(u) := min(l(u), min over neighbors v of l(v))
+  *   2. SHORTCUT: l(u) := l(l(u))   (pointer jumping)
+  *
+  * Labels are always ids of nodes in the same component (init: self; hook
+  * takes a neighbor's label; shortcut takes a component member's label), and
+  * only ever decrease. Hooking alone converges in O(diameter) rounds — the
+  * classic failure mode on chain topologies (templated boilerplate corpora:
+  * doc A ~ B ~ C ~ …), where diameter ≈ chain length and 100 TB means
+  * thousands of sequential Spark jobs. The shortcut step roughly doubles
+  * each label's "distance jumped" per round (d → 2d+1 on a path), so
+  * convergence is O(log diameter): a 1M-node chain needs ~21 rounds, not
+  * 1M. Fixpoint of both steps ⇒ labels constant per component (a boundary
+  * node adjacent to a smaller label would hook) and that constant is the
+  * component min (the min node's label starts at itself and never rises).
+  *
+  * Cost per round: one shuffle join+agg on the edge list (hook) and one
+  * label-sized self-join (shortcut) — state per round is still exactly one
+  * (node, label) row per node, so the pattern scales to billions of edges.
+  * Near convergence the shortcut join key (label) concentrates on component
+  * minima; the map side is labels themselves (bounded by node count) and
+  * AQE's runtime skew-join splitting handles a giant component's hot key —
+  * the same reliance every hash-to-min variant has.
   *
   * `localCheckpoint` per round cuts the growing lineage so round N's plan
   * doesn't replay rounds 1..N-1 (and bounds driver plan-size growth — the
@@ -22,7 +40,13 @@ object ConnectedComponents {
 
   /** @param edges undirected edge list with long columns `id_a`, `id_b`
     * @return (node, component) where component = min node id reachable */
-  def run(edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def run(edges: DataFrame, maxRounds: Int = 50): DataFrame =
+    runCounted(edges, maxRounds)._1
+
+  /** As [[run]], also returning the number of rounds executed — exposed so
+    * specs and ScaleProbe can assert the O(log N) bound (a 2^50-diameter
+    * graph would be needed to hit the default cap). */
+  def runCounted(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -32,29 +56,39 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      // HOOK: every node has >= 1 sym row (isolated self-loops included),
+      // so the left join below always matches; kept left for safety.
       val nbrMin = sym.join(labels, sym("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      // the `changed` flag rides inside the SAME materializing job as the
-      // round's join+agg (the eager localCheckpoint); the convergence
-      // probe below then only reads cached blocks — isEmpty stops at the
-      // first cached partition with a changed row, so each round costs
-      // one real job plus a cache probe, not a recompute.
-      val next = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
+      val hooked = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          (col("nbr_label") < col("label")).as("changed"))
+          coalesce(col("nbr_label") < col("label"), lit(false)).as("hook_changed"))
+      // SHORTCUT: l(u) := l(l(u)). Every label IS a node id (invariant
+      // above), so the inner join is total. The `changed` flag rides
+      // inside the SAME materializing job as the round's joins (the eager
+      // localCheckpoint); the convergence probe below then only reads
+      // cached blocks — isEmpty stops at the first cached partition with
+      // a changed row, so each round costs one real job plus a cache
+      // probe, not a recompute.
+      val lmap = hooked.select(col("node").as("ln"), col("label").as("llabel"))
+      val next = hooked.join(lmap, hooked("label") === lmap("ln"))
+        .select(hooked("node"),
+          col("llabel").as("label"),
+          (col("hook_changed") || col("llabel") < hooked("label")).as("changed"))
         .localCheckpoint()
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("node"), col("label"))
       round += 1
     }
     // a silent non-converged result would be WRONG components (clusters
-    // split at the round horizon) — fail loudly instead; rounds needed =
-    // graph diameter, so a legitimate deep graph just needs a higher cap
+    // split at the round horizon) — fail loudly instead; with pointer
+    // jumping, rounds needed ≈ log2(diameter) + 2, so the default cap
+    // covers any physically-storable graph
     if (!converged) throw new IllegalStateException(
       s"ConnectedComponents did not converge in $maxRounds rounds " +
-        "(graph diameter exceeds the cap); raise maxRounds — a truncated " +
+        "(log2(diameter) exceeds the cap); raise maxRounds — a truncated " +
         "result would silently split components")
-    labels.select(col("node"), col("label").as("component"))
+    (labels.select(col("node"), col("label").as("component")), round)
   }
 }

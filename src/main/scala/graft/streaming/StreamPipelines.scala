@@ -81,19 +81,10 @@ object StreamPipelines {
     f.delete()
   }
 
-  // memory-sink tables drained by earlier runToMemory calls: each new
-  // drain drops its predecessors' temp views so the driver doesn't hold
-  // every historical result set for the session's lifetime (the current
-  // drain's table must survive until its caller consumes it, so cleanup
-  // is one call deferred)
-  private val drainedViews = new java.util.concurrent.ConcurrentLinkedQueue[String]
-
   /** Run a one-shot (AvailableNow) streaming query into a memory sink and
     * return the materialized result. */
   private def runToMemory(s: SparkSession, df: DataFrame,
       mode: String): DataFrame = {
-    var prev = drainedViews.poll()
-    while (prev != null) { s.catalog.dropTempView(prev); prev = drainedViews.poll() }
     val name = s"graft_stream_${nameCounter.incrementAndGet()}"
     val ckpt = ephemeralCheckpoint(name)
     try {
@@ -108,8 +99,15 @@ object StreamPipelines {
         q.awaitTermination()
       }
     } finally deleteRecursively(ckpt) // a failed drain must not leak /dev/shm
-    drainedViews.add(name)
-    s.table(name)
+    // eagerly materialize (localCheckpoint runs the copy job NOW) so the
+    // memory-sink temp view can be dropped immediately — the returned
+    // frame reads its own cached blocks, not the catalog view, so a
+    // lazily-held result consumed after a later drain, or two pipelines
+    // draining concurrently, can never hit a dropped view; the blocks are
+    // released by the ContextCleaner once the frame is unreachable
+    val out = s.table(name).localCheckpoint()
+    s.catalog.dropTempView(name)
+    out
   }
 
   /** Batch-side event-time ceiling used to bound append-mode drains to

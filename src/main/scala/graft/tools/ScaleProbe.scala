@@ -31,6 +31,11 @@ object ScaleProbe {
     // "bloom" probes only the incremental-dedup comparison (q6b vs q6g)
     val assignOnly = args.length > 1 && args(1) == "assign"
     val bloomOnly = args.length > 1 && args(1) == "bloom"
+    // "cc" probes only connected components: chain (diameter = N, the
+    // boilerplate-corpus adversary) vs clustered (near-dup families,
+    // diameter ~2) topologies — rounds and wall must stay logarithmic on
+    // the chain now that the operator pointer-jumps
+    val ccOnly = args.length > 1 && args(1) == "cc"
     val spark: SparkSession = GraftSession.local(8)
     val dir = "/root/testdata/sf0.1"
     def time[T](label: String)(f: => T): T = {
@@ -64,6 +69,16 @@ object ScaleProbe {
         .select(sha2(concat(col("text"), lit(" s"), col("doc_id")), 256).as("h"))
         .cache()
       val snapN = snapshot.count()
+      // BloomFilterAggregate rejects numBits above the session's
+      // spark.sql.optimizer.runtime.bloomFilter.maxNumBits (default 64M
+      // bits); at 10 bits/key that caps out near a 6.7M-row snapshot —
+      // exactly the large-`copies` regime this probe exists to measure —
+      // so clamp instead of aborting (fpp degrades gracefully past the
+      // clamp; the confirm join keeps results exact regardless)
+      val maxNumBits = spark.conf.getOption(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+        .map(_.toLong).getOrElse(67108864L)
+      val numBits = math.min(snapN * 10L, maxNumBits)
       // incoming: copies × the corpus — rows whose id lands inside the
       // snapshot's id range AND carries the " s" salt collide (≈5%/8),
       // the rest are genuinely new
@@ -81,7 +96,7 @@ object ScaleProbe {
           s" (shuffled ${incoming.count() + snapN} rows)"))
       time(s"incr dedup bloom prefilter (${copies}x)") {
         val bloom = snapshot
-          .agg(BloomFunctions.bloom_agg(col("h"), snapN, snapN * 10L).as("bf"))
+          .agg(BloomFunctions.bloom_agg(col("h"), snapN, numBits).as("bf"))
           .scalar()
         val flagged = incoming
           .withColumn("cand", BloomFunctions.might_contain(bloom, col("h")))
@@ -93,7 +108,7 @@ object ScaleProbe {
       }
       println(s"[scale]   bloom_candidates=" + incoming.filter(
         BloomFunctions.might_contain(
-          snapshot.agg(BloomFunctions.bloom_agg(col("h"), snapN, snapN * 10L)
+          snapshot.agg(BloomFunctions.bloom_agg(col("h"), snapN, numBits)
             .as("bf")).scalar(),
           col("h"))).count() +
         s" of ${incoming.count()} reached the confirm join " +
@@ -101,6 +116,34 @@ object ScaleProbe {
       incoming.unpersist(); snapshot.unpersist()
     }
     if (bloomOnly) { bloomProbe(); spark.stop(); return }
+
+    if (ccOnly) {
+      import graft.operators.ConnectedComponents
+      // chain: one component, diameter = n — min-label propagation alone
+      // would need n rounds (n sequential Spark jobs); pointer jumping
+      // needs ~log2(n)+2
+      val n = copies * 20000L
+      val chain = spark.range(0L, n)
+        .select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+      time(s"cc chain n=$n") {
+        val (labels, rounds) = ConnectedComponents.runCounted(
+          chain, maxRounds = 64)
+        println(s"[scale]   rounds=$rounds components=" +
+          labels.agg(countDistinct(col("component"))).head().getLong(0))
+      }
+      // clustered: n nodes in n/50 star-shaped families (each member
+      // linked to its anchor, diameter 2) — the realistic near-dup
+      // topology; rounds should be ~3 regardless of n
+      val clusteredEdges = spark.range(0L, n)
+        .select(col("id").as("id_a"), (col("id") - col("id") % 50L).as("id_b"))
+      time(s"cc clustered n=$n families=${n / 50}") {
+        val (labels, rounds) = ConnectedComponents.runCounted(
+          clusteredEdges, maxRounds = 64)
+        println(s"[scale]   rounds=$rounds components=" +
+          labels.agg(countDistinct(col("component"))).head().getLong(0))
+      }
+      spark.stop(); return
+    }
 
     val docs = replicate(
       spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),

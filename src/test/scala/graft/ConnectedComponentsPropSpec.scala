@@ -54,4 +54,37 @@ class ConnectedComponentsPropSpec extends SparkSpec {
     assert(got.forall(_.getLong(1) == 0L), "all chain nodes label to 0")
     assert(got.length == 41)
   }
+
+  test("O(log N) rounds on a path graph (diameter 250, the boilerplate-chain adversary)") {
+    // A templated-document chain A~B~C~… has diameter ≈ chain length; min-
+    // label propagation alone needs one round per hop (250 here). Pointer
+    // jumping must land in ≈ log2(diameter) + small-constant rounds — the
+    // 2*log2(N) bound below is the verdict's acceptance line and would
+    // fail immediately (250 > 16) without the shortcut step.
+    val n = 250L
+    val chain = (0L until n).map(i => (i, i + 1))
+    val (labels, rounds) =
+      ConnectedComponents.runCounted(chain.toDF("id_a", "id_b"))
+    val got = labels.collect()
+    assert(got.length == n + 1)
+    assert(got.forall(_.getLong(1) == 0L), "all chain nodes label to 0")
+    val bound = 2 * (math.log(n + 1.0) / math.log(2.0)).ceil.toInt
+    assert(rounds <= bound, s"path of ${n + 1} nodes took $rounds rounds (> 2*log2 bound $bound)")
+  }
+
+  test("chain labeled from the far end (worst-case min placement) still O(log N)") {
+    // min id at one END of the chain (ids descending) — information has to
+    // travel the full diameter; also mixes in a second component and a
+    // self-loop to guard the isolated/multi-component paths.
+    val n = 200L
+    val chain = (0L until n).map(i => (n - i, n - i - 1)) // n~n-1, ..., 1~0
+    val extra = Seq((1000L, 1001L), (2000L, 2000L))
+    val (labels, rounds) =
+      ConnectedComponents.runCounted((chain ++ extra).toDF("id_a", "id_b"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to n).forall(got(_) == 0L))
+    assert(got(1000L) == 1000L && got(1001L) == 1000L && got(2000L) == 2000L)
+    val bound = 2 * (math.log(n + 1.0) / math.log(2.0)).ceil.toInt
+    assert(rounds <= bound, s"$rounds rounds > bound $bound")
+  }
 }
