@@ -749,6 +749,20 @@ object GraftDocLog {
   val CommitCol = "_commit"
   val OpCol = "_op"
   val SchemaFile = "_schema.json"
+  /** Additive schema evolution is APPEND-ONLY: each evolving writer
+    * publishes its new columns as a numbered delta file
+    * (`_schema_d<n>.json`, create-exclusive — the same primitive the
+    * commit claim CAS uses), and the recorded schema is the FOLD of the
+    * base [[SchemaFile]] plus every parseable delta in filename order
+    * (first occurrence of a name wins). Two concurrent evolving writers
+    * therefore CANNOT lose each other's columns — there is no
+    * read-modify-write of shared state to race on, each writer only ever
+    * creates its own file (closes the round-4 two-winner window that the
+    * old single-file union rewrite left open). A torn/in-flight delta is
+    * skipped by readers until its writer finishes; the writer loops until
+    * the fold visibly contains its fields before its data commit renames,
+    * so no committed document ever carries a column the fold lacks. */
+  val SchemaDeltaPrefix = "_schema_d"
   val ManifestFile = "_manifest.json"
   /** Log-format version marker, written once when a table is CREATED.
     * Version 2 = the tombstone flag rides the commit dir name
@@ -843,9 +857,89 @@ object GraftDocLog {
   }
 
   def readSchema(tablePath: String): Option[StructType] = {
-    val (fs, p) = fsFor(s"$tablePath/$SchemaFile")
-    if (!fs.exists(p)) None
-    else Some(schemaFromJson(readFile(fs, p)))
+    val (fs, root) = fsFor(tablePath)
+    foldedSchema(fs, root)
+  }
+
+  private val SchemaDeltaRe = (SchemaDeltaPrefix + "([0-9]{9})\\.json").r
+
+  /** All schema-delta files under the table root, sorted by version —
+    * including torn/unparseable ones (callers picking the next free slot
+    * must never reuse a crashed writer's number). */
+  private def schemaDeltaFiles(fs: FileSystem, root: Path): Seq[(Long, Path)] =
+    fs.listStatus(root).toSeq.collect {
+      case s if s.isFile =>
+        s.getPath.getName match {
+          case SchemaDeltaRe(v) => Some(v.toLong -> s.getPath)
+          case _ => None
+        }
+    }.flatten.sortBy(_._1)
+
+  /** The recorded table schema: base [[SchemaFile]] folded with every
+    * PARSEABLE delta in version order, first occurrence of a field name
+    * winning. Unparseable deltas are in-flight or crashed writers — their
+    * fields become visible when (iff) the file completes; their writers
+    * do not rename a data commit until then (see [[publishSchemaDelta]]),
+    * so skipping them here can never hide a committed document's column. */
+  def foldedSchema(fs: FileSystem, root: Path): Option[StructType] = {
+    val basePath = new Path(root, SchemaFile)
+    if (!fs.exists(basePath)) None
+    else {
+      var fields = schemaFromJson(readFile(fs, basePath)).fields.toSeq
+      schemaDeltaFiles(fs, root).foreach { case (_, p) =>
+        (try Some(schemaFromJson(readFile(fs, p)))
+        catch { case scala.util.control.NonFatal(_) => None }).foreach { d =>
+          val have = fields.map(_.name).toSet
+          fields = fields ++ d.fields.filterNot(f => have(f.name))
+        }
+      }
+      Some(StructType(fields))
+    }
+  }
+
+  /** Publish `newFields` as a schema delta and loop until the fold
+    * visibly contains them. Create-exclusive on a numbered slot is the
+    * only write — no shared file is ever rewritten, so two concurrent
+    * evolving writers both land (the loser of a slot just takes the next
+    * one). A racer publishing the SAME column name with a DIFFERENT type
+    * is a genuine user conflict and fails crisply here, before this
+    * writer's data commit; same-name-same-type racers dedup in the fold. */
+  /** Test/tooling entry: evolve a table's recorded schema without a data
+    * commit (also what a metadata-only ALTER would call). */
+  private[graft] def publishSchemaDelta(tablePath: String,
+      newFields: Seq[StructField]): Unit = {
+    val (fs, root) = fsFor(tablePath)
+    publishSchemaDelta(fs, root, newFields)
+  }
+
+  private def publishSchemaDelta(fs: FileSystem, root: Path,
+      newFields: Seq[StructField]): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      val folded = foldedSchema(fs, root).getOrElse(throw new IllegalStateException(
+        s"graft-doc: schema base vanished under $root during evolution"))
+      val byName = folded.fields.map(f => f.name -> f.dataType).toMap
+      newFields.foreach { f =>
+        byName.get(f.name).foreach { t =>
+          if (t != f.dataType) throw new IllegalArgumentException(
+            s"graft-doc: concurrent schema evolution conflict on column " +
+              s"'${f.name}' — a racing writer recorded type ${t.simpleString}, " +
+              s"this writer carries ${f.dataType.simpleString}")
+        }
+      }
+      val missing = newFields.filterNot(f => byName.contains(f.name))
+      if (missing.isEmpty) done = true
+      else {
+        val next = schemaDeltaFiles(fs, root).lastOption.map(_._1).getOrElse(0L) + 1
+        val p = new Path(root, f"$SchemaDeltaPrefix$next%09d.json")
+        try writeFile(fs, p, StructType(missing).json, overwrite = false)
+        catch { case _: java.io.IOException => () } // slot taken — re-fold, retry
+        attempts += 1
+        if (attempts > 4096) throw new java.io.IOException(
+          s"graft-doc: could not publish schema delta under $root after $attempts attempts")
+      }
+    }
   }
 
   def statsOf(messages: Array[WriterCommitMessage]): Seq[GraftDocFileStat] =
@@ -1202,40 +1296,58 @@ object GraftDocLog {
     if (!fs.exists(formatMarker) && commitDirs(fs, root).isEmpty)
       writeFile(fs, formatMarker, FormatVersion, overwrite = true)
 
-    // schema stability across commits: an append whose fields differ from
-    // the table's recorded schema would silently corrupt every later read
-    // (the scan parses documents with the recorded schema), so it is
+    // schema stability across commits: an append whose fields conflict
+    // with the table's recorded schema would silently corrupt every later
+    // read (the scan parses documents with the recorded schema), so it is
     // rejected here — the write-side schema validation the reference
     // performs at configure time (W3), enforced at the log boundary.
-    // ADDITIVE evolution is the one admitted change: an append carrying
-    // every recorded field (same name+type, any order) plus new NULLABLE
-    // fields advances the recorded schema to the union — old documents
-    // read null for the new fields (the JSON parser yields null for
-    // absent keys), exactly merge-on-read evolution semantics.
+    // ADDITIVE evolution is the one admitted change; new NULLABLE fields
+    // are published as append-only delta files (see [[SchemaDeltaPrefix]])
+    // and old documents read null for them (the JSON parser yields null
+    // for absent keys), exactly merge-on-read evolution semantics.
     // Tombstone commits carry only `_id` and skip the check entirely.
     val schemaPathCheck = new Path(root, SchemaFile)
-    var evolves = false
     if (!tombstone && !truncateFirst && fs.exists(schemaPathCheck)) {
-      val recorded = schemaFromJson(readFile(fs, schemaPathCheck))
-      val rec = recorded.fields.map(f => f.name -> f.dataType).toSeq
-      val got = schema.fields.map(f => f.name -> f.dataType).toSeq
-      if (rec != got) {
-        val gotByName = schema.fields.map(f => f.name -> f).toMap
-        val carriesAllRecorded = rec.forall { case (n, t) =>
-          gotByName.get(n).exists(_.dataType == t)
-        }
-        if (!carriesAllRecorded) {
-          fs.delete(staging, true)
-          throw new IllegalArgumentException(
-            s"graft-doc: append schema ${schema.simpleString} does not match " +
-              s"table schema ${recorded.simpleString} at $tablePath " +
-              "(additive new fields evolve the schema; dropping or retyping " +
-              "recorded fields requires overwrite)")
-        }
-        evolves = true // union is computed after the seq claim is won
+      // Append admission, three rules (merge-on-read evolution):
+      //  1. every BASE field (the table-creation schema) must be carried
+      //     with its recorded type — dropping/retyping the core schema is
+      //     not additive and requires overwrite;
+      //  2. no carried field may RETYPE any recorded field (base or
+      //     evolved) — a retype would corrupt parses of existing docs;
+      //  3. evolved (delta-added) fields MAY be omitted: they are
+      //     nullable by construction, and an append that omits one reads
+      //     null for it — the same merge-on-read rule that lets OLD docs
+      //     read null for NEW fields. This is what admits two writers
+      //     racing distinct evolutions from the same base: each omits
+      //     only the other's delta field, never a base field.
+      val base = schemaFromJson(readFile(fs, schemaPathCheck))
+      val recorded = foldedSchema(fs, root).get
+      val gotByName = schema.fields.map(f => f.name -> f).toMap
+      val carriesAllBase = base.fields.forall(bf =>
+        gotByName.get(bf.name).exists(_.dataType == bf.dataType))
+      val recByName = recorded.fields.map(f => f.name -> f.dataType).toMap
+      val retypes = schema.fields.exists(f =>
+        recByName.get(f.name).exists(_ != f.dataType))
+      if (!carriesAllBase || retypes) {
+        fs.delete(staging, true)
+        throw new IllegalArgumentException(
+          s"graft-doc: append schema ${schema.simpleString} does not match " +
+            s"table schema ${recorded.simpleString} at $tablePath " +
+            "(additive new fields evolve the schema; dropping or retyping " +
+            "recorded fields requires overwrite)")
       }
+      // publish any new columns NOW, before any commit lands: append-only
+      // delta files make concurrent evolution lost-update-free (see
+      // [[SchemaDeltaPrefix]]); if this writer subsequently fails to
+      // commit, the extra column stays recorded and reads null — the
+      // benign direction (pre-evolution docs read null anyway)
+      val newFields = schema.fields
+        .filterNot(f => recorded.fieldNames.contains(f.name))
+        .map(_.copy(nullable = true)).toSeq // pre-evolution docs read null
+      if (newFields.nonEmpty) publishSchemaDelta(fs, root, newFields)
     } else if (truncateFirst && fs.exists(schemaPathCheck)) {
       fs.delete(schemaPathCheck, false) // truncate redefines the table schema
+      schemaDeltaFiles(fs, root).foreach { case (_, p) => fs.delete(p, false) }
     }
 
     writeFile(fs, new Path(staging, ManifestFile),
@@ -1270,23 +1382,6 @@ object GraftDocLog {
       } else if (won) {
         val stall = postClaimStallMsForTest.getAndSet(0L)
         if (stall > 0) Thread.sleep(stall)
-        if (evolves) {
-          // schema union written only after the claim is won, against a
-          // FRESH read of the recorded schema — a racer that evolved the
-          // table while we validated is absorbed instead of overwritten.
-          // (The residual window is two winners past this re-read
-          // simultaneously; full serialization needs a metastore lock,
-          // which a file-only log deliberately does not ship.) Atomic
-          // temp+rename replacement: a concurrent reader can never
-          // observe a torn schema file.
-          val recordedNow = schemaFromJson(readFile(fs, schemaPath))
-          val newFields = schema.fields
-            .filterNot(f => recordedNow.fieldNames.contains(f.name))
-            .map(_.copy(nullable = true)) // pre-evolution docs read null
-          if (newFields.nonEmpty)
-            writeFileAtomic(fs, schemaPath,
-              StructType(recordedNow.fields ++ newFields).json)
-        }
         // WRITER FENCE (checked on this writer's own monotonic clock, so
         // cross-machine clock skew cannot widen it): if more than half
         // the grace window elapsed between claiming this seq and reaching

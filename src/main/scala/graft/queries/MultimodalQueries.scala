@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
 /** Multimodal-column operators (SURVEY.md §2.12, Tier C): media as opaque
-  * `binary` payload columns + typed metadata, with decode / frame-sample
-  * as deterministic stubs (no image/audio libs in this container — the
-  * Spark-side plumbing is the deliverable; the stub marks the seam where a
-  * real decoder drops in).
+  * `binary` payload columns + typed metadata. q67–q69/q6f run the pipeline
+  * through deterministic stub codecs (the historical seam queries); q6h
+  * runs it through a REAL image codec — `javax.imageio` PNG encode +
+  * decode, pure JDK — so the "multimodal columns" path exercises an actual
+  * container format end to end: synthesized PNG bytes in a binary column,
+  * decoded back to pixels inside the mapPartitions seam, with the oracle
+  * replaying the deterministic pixel arithmetic exactly.
   *
   * The payload here is `encode(text)` because the test corpus has no real
   * media; the reference's own type bridge already moves opaque `bytes`
@@ -85,7 +88,106 @@ object MultimodalQueries {
     }
   }
 
+  /** real-PNG row: doc provenance + genuine PNG container bytes. */
+  final case class MediaImage(doc_id: Long, png: Array[Byte])
+
+  /** real-decode output: dimensions + exact per-channel pixel sums. */
+  final case class ImageStats(doc_id: Long, width: Long, height: Long,
+      n_px: Long, r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** Deterministic image spec for doc_id: small RGB grid whose pixels are
+    * integer functions of (id, x, y) — the oracle replays the same
+    * arithmetic in SQL, so a lossless codec round-trip is the ONLY way the
+    * decoded sums can match. */
+  private def imgWidth(id: Long): Int = (8 + id % 17).toInt
+  private def imgHeight(id: Long): Int = (8 + (id * 3) % 13).toInt
+  private def pxR(id: Long, x: Int, y: Int): Int = ((id + 7L * x + 13L * y) % 256).toInt
+  private def pxG(id: Long, x: Int, y: Int): Int = ((5L * id + 11L * x + 3L * y) % 256).toInt
+  private def pxB(id: Long, x: Int, y: Int): Int = ((2L * id + x.toLong * y) % 256).toInt
+
+  /** Synthesize a genuine PNG (BufferedImage + ImageIO — pure JDK, no
+    * external libs) with the deterministic pixels above. This is the
+    * "fixture generator" a real corpus replaces with actual media bytes. */
+  def synthesizePng(id: Long): Array[Byte] = {
+    val (w, h) = (imgWidth(id), imgHeight(id))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (pxR(id, x, y) << 16) | (pxG(id, x, y) << 8) | pxB(id, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decoder behind the mapPartitions seam: `ImageIO.read` parses the
+    * PNG container (signature, IHDR, zlib-inflated scanlines) and yields
+    * pixels; the stats are exact integers over the decoded values. ImageIO
+    * plugin discovery (its expensive init) happens once per JVM/partition,
+    * not per row — the seam contract the stub queries established. */
+  def decodeImages(rows: Iterator[MediaImage]): Iterator[ImageStats] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-partition init: no disk-backed streams
+    rows.map { m =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+      require(img != null, s"doc ${m.doc_id}: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          rs += (rgb >> 16) & 0xFF; gs += (rgb >> 8) & 0xFF; bs += rgb & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(m.doc_id, w.toLong, h.toLong, w.toLong * h, rs, gs, bs)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
+
+    // REAL image decode through the seam: synthesize genuine PNGs into a
+    // binary column, decode them with javax.imageio, emit exact integer
+    // dimension + channel-sum stats. The oracle replays the deterministic
+    // pixel arithmetic — it can only match if the PNG container round-trip
+    // (encode → binary column → decode) is lossless, which is precisely
+    // the "multimodal columns" claim. Row-local (no joins/shuffles until
+    // the final sort): scales with scan bandwidth like any decode stage.
+    QueryDef(
+      "q6h_image_decode",
+      Some("""WITH g AS (
+          SELECT doc_id,
+                 8 + doc_id % 17 AS w,
+                 8 + (doc_id * 3) % 13 AS h
+          FROM documents)
+        SELECT doc_id,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST(w * h AS BIGINT) AS n_px,
+          CAST(list_sum(list_transform(generate_series(0, CAST(w*h - 1 AS INT)),
+            i -> (doc_id + 7*(i % w) + 13*(i // w)) % 256)) AS BIGINT) AS r_sum,
+          CAST(list_sum(list_transform(generate_series(0, CAST(w*h - 1 AS INT)),
+            i -> (5*doc_id + 11*(i % w) + 3*(i // w)) % 256)) AS BIGINT) AS g_sum,
+          CAST(list_sum(list_transform(generate_series(0, CAST(w*h - 1 AS INT)),
+            i -> (2*doc_id + (i % w)*(i // w)) % 256)) AS BIGINT) AS b_sum
+        FROM g ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => MediaImage(id, synthesizePng(id))))
+          .mapPartitions(decodeImages)
+          .toDF()
+          .orderBy(col("doc_id"))
+      }),
 
     // Binary payload + flat metadata projection: checksum, size, fake
     // dimensions. Binary stays out of the compared projection (SURVEY.md

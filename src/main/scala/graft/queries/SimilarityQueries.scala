@@ -60,6 +60,69 @@ object SimilarityQueries {
   private[queries] def q5iIndexPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "q5i_ivf")
 
+  /** q5l: the same build/serve split as q5i, but the index is built from
+    * k-means-REFINED centroids ([[kmeansIterations]]) instead of the
+    * id-prefix seeds. */
+  private[queries] def q5lIndexPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "q5l_ivf_refined")
+
+  /** Fixed-round Lloyd refinement (the full k-means index build q58 is
+    * one step of): assign → recompute, `iters` times, seeded by
+    * [[centroids]]. Returns (refined centroids (cid, ce), last
+    * assignment (vec_id, cid, embedding)).
+    *
+    * Cross-engine determinism at every round (the q58 ULP discipline,
+    * iterated): the argmax is quantized (round 9) per round, and each
+    * recomputed centroid is quantized round(mean,10) THEN cast to float
+    * before it feeds the next round — mean accumulation order differs
+    * between engines (and across Spark partitionings) by ~1e-13, so the
+    * round-10 step lands both engines on bit-identical doubles, and the
+    * float cast (IEEE round-to-nearest, deterministic) hands the next
+    * round bit-identical inputs. Without the quantization, round-N's
+    * ULP noise compounds into round-N+1's argmax and a boundary vector
+    * flips cells on one engine only.
+    *
+    * Scale shape per round: one broadcast of √N centroids + one
+    * map-side-combining hash aggregate (one shuffled row per vector) +
+    * one √N-row centroid aggregate; `localCheckpoint` cuts lineage per
+    * round (the ConnectedComponents driver-loop pattern) so round T's
+    * plan doesn't replay rounds 1..T-1. */
+  private[graft] def kmeansIterations(e: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    var cent = centroids(e)
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      assign = e.crossJoin(broadcast(cent))
+        .withColumn("cc",
+          round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"),
+          first(col("embedding")).as("embedding")) // constant per vec_id
+      cent = assign.groupBy(col("cid"))
+        .agg(VectorAggregates.vector_mean(col("embedding")).as("m"))
+        .select(col("cid"),
+          transform(col("m"), x => round(x, 10).cast("float")).as("ce"))
+        .localCheckpoint()
+    }
+    (cent, assign)
+  }
+
+  /** The 3-round unrolled oracle algebra for [[kmeansIterations]]:
+    * assign (round-9 quantized argmax) → per-dim mean (round-10) →
+    * float-cast list, three times. `list(x ORDER BY dim)` reassembles the
+    * per-dim means into the next round's centroid vectors. */
+  private def kmeansRoundSql(prev: String, i: Int): String =
+    s"""a${i}_0 AS (SELECT e.vec_id, e.embedding, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC,
+              c.cid) AS rn
+        FROM embeddings e, $prev c),
+      a$i AS (SELECT vec_id, embedding, cid FROM a${i}_0 WHERE rn = 1),
+      c${i}l AS (SELECT a.cid, g.i AS dim,
+          round(avg(a.embedding[g.i]), 10) AS m, count(*) AS n_members
+        FROM a$i a, generate_series(1, 64) AS g(i) GROUP BY a.cid, g.i),
+      c$i AS (SELECT cid, list(m::FLOAT ORDER BY dim) AS ce FROM c${i}l GROUP BY cid)"""
+
   def all(sfDir: String): Seq[QueryDef] = Seq(
 
     // Exact brute-force cosine top-5 for query vectors vec_id < 10.
@@ -417,6 +480,108 @@ object SimilarityQueries {
           .write.mode("overwrite").parquet(s"$p/assign")
         cent.write.mode("overwrite").parquet(s"$p/cent")
         // SERVE: from the persisted index only
+        val ic = s.read.parquet(s"$p/cent")
+        val ia = s.read.parquet(s"$p/assign")
+        val wProbe = Window.partitionBy(col("qid"))
+          .orderBy(col("qc").desc, col("cid"))
+        val probe = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(ic))
+          .withColumn("qc",
+            round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("qe"), col("cid"))
+        val wRank = Window.partitionBy(col("qid"))
+          .orderBy(col("c").desc, col("nid"))
+        ia.join(broadcast(probe), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("qe"), col("vec_id").as("nid"))
+          .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+            Seq("nid"))
+          .withColumn("c",
+            round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9))
+          .withColumn("rnk", row_number().over(wRank))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rnk"))
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
+    // Full k-means index build: three Lloyd rounds (q58 iterated), the
+    // driver-loop + localCheckpoint pattern. Output = final centroids in
+    // long format + member counts, exactly the shape q58 emits for one
+    // round; the oracle unrolls all three rounds with the identical
+    // quantization at every stage, so any cross-round drift (a boundary
+    // vector flipping cells on one engine) breaks the hash compare.
+    QueryDef(
+      "q5k_kmeans_build",
+      Some(s"""WITH $centSql,
+        ${kmeansRoundSql("cent", 1)},
+        ${kmeansRoundSql("c1", 2)},
+        ${kmeansRoundSql("c2", 3)}
+        SELECT cid, dim,
+          CAST(round(m, 4) AS DOUBLE) + 0 AS c_mean,
+          n_members
+        FROM c3l ORDER BY cid, dim"""),
+      (s, dir) => {
+        val (_, lastAssign) = kmeansIterations(emb(s, dir), 3)
+        lastAssign.groupBy(col("cid"))
+          .agg(VectorAggregates.vector_mean(col("embedding")).as("m"),
+            count(lit(1)).as("n_members"))
+          .select(col("cid"),
+            posexplode(transform(col("m"), x => round(round(x, 10), 4))).as(Seq("pos", "cm")),
+            col("n_members"))
+          // `+ 0` normalizes IEEE negative zero (the q56/q58 rule)
+          .select(col("cid"), (col("pos") + 1).cast("long").as("dim"),
+            (col("cm") + lit(0.0)).as("c_mean"), col("n_members"))
+          .orderBy(col("cid"), col("dim"))
+      }),
+
+    // q5i with a REFINED index: the persisted IVF index is built from the
+    // 3-round k-means centroids instead of the id-prefix seeds — the
+    // production build path (q5k) feeding the production serve path
+    // (q5i). The oracle reads the SAME persisted artifacts and replays
+    // probe + rerank, proving the refined index round-trips losslessly;
+    // serve-side plan is identical to q5i (broadcast centroids, equi-join
+    // memberships, rerank fetches probed cells only).
+    QueryDef(
+      "q5l_ann_index_refined",
+      Some(s"""WITH ic AS (
+          SELECT * FROM read_parquet('${q5lIndexPath(sfDir)}/cent/*.parquet')),
+        ia AS (
+          SELECT * FROM read_parquet('${q5lIndexPath(sfDir)}/assign/*.parquet')),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id < 10),
+        probe0 AS (SELECT q.qid, q.qe, ic.cid,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY round(list_cosine_similarity(q.qe::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
+                ic.cid) AS rn
+          FROM q, ic),
+        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
+        cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
+          FROM probe p JOIN ia a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        rr AS (SELECT c.qid, c.nid,
+            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c0,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
+                c.nid) AS rnk
+          FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
+        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, rnk
+        FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val p = q5lIndexPath(dir)
+        // BUILD: refined centroids, then one final assignment against them
+        // (the q66/q5i argmax rule), both persisted
+        val (cent, _) = kmeansIterations(e, 3)
+        e.crossJoin(broadcast(cent))
+          .withColumn("cc",
+            round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"))
+          .write.mode("overwrite").parquet(s"$p/assign")
+        cent.write.mode("overwrite").parquet(s"$p/cent")
+        // SERVE: from the persisted index only (identical to q5i)
         val ic = s.read.parquet(s"$p/cent")
         val ia = s.read.parquet(s"$p/assign")
         val wProbe = Window.partitionBy(col("qid"))

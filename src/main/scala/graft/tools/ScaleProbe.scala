@@ -36,6 +36,10 @@ object ScaleProbe {
     // diameter ~2) topologies — rounds and wall must stay logarithmic on
     // the chain now that the operator pointer-jumps
     val ccOnly = args.length > 1 && args(1) == "cc"
+    // "kmeans" probes the per-iteration cost of the full index build
+    // (q5k): each Lloyd round is one broadcast + one hash-agg shuffle, so
+    // rounds should cost the same and scale linearly in N
+    val kmeansOnly = args.length > 1 && args(1) == "kmeans"
     val spark: SparkSession = GraftSession.local(8)
     val dir = "/root/testdata/sf0.1"
     def time[T](label: String)(f: => T): T = {
@@ -116,6 +120,28 @@ object ScaleProbe {
       incoming.unpersist(); snapshot.unpersist()
     }
     if (bloomOnly) { bloomProbe(); spark.stop(); return }
+
+    if (kmeansOnly) {
+      import graft.queries.SimilarityQueries
+      val embK = replicate(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", copies, 1000000L)
+        .cache()
+      println(s"[scale] kmeans probe: vectors=${embK.count()} (copies=$copies)")
+      // per-iteration cost: each round = broadcast(√N centroids) + one
+      // map-side-combining hash agg (one shuffled row per vector) + a
+      // √N-row centroid agg. Cumulative wall for T=1,2,3 rounds should
+      // grow LINEARLY — superlinear growth would mean lineage leaking
+      // through the per-round localCheckpoint (every round is
+      // materialized inside kmeansIterations, so each T is an honest
+      // fresh build of that depth).
+      (1 to 3).foreach { t =>
+        time(s"kmeans build, $t iteration(s) (${copies}x)") {
+          val (c, _) = SimilarityQueries.kmeansIterations(embK, t)
+          println(s"[scale]   cells=${c.count()}")
+        }
+      }
+      embK.unpersist(); spark.stop(); return
+    }
 
     if (ccOnly) {
       import graft.operators.ConnectedComponents

@@ -471,6 +471,95 @@ class GraftDocConnectorSpec extends SparkSpec {
     assert(e2.getMessage.contains("additive"), e2.getMessage)
   }
 
+  test("concurrent schema evolution: distinct columns from racing writers ALL survive") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", dir)
+    // Drive the CAS primitive directly from racing threads (the public
+    // write path serializes in-JVM on the table lock, hiding the
+    // cross-driver interleave): all four "writers" read the SAME base
+    // schema, then publish concurrently — the round-4 two-winner race was
+    // exactly two unions from the same base, last atomic rename dropping
+    // the other's column. Append-only deltas make every column survive
+    // regardless of interleave.
+    val cols = Seq("c_w0" -> LongType, "c_w1" -> DoubleType,
+      "c_w2" -> StringType, "c_w3" -> BooleanType)
+    val gate = new java.util.concurrent.CyclicBarrier(cols.size)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = cols.map { case (n, t) => new Thread(() => {
+      try { gate.await(); GraftDocLog.publishSchemaDelta(dir,
+        Seq(StructField(n, t, nullable = true))) }
+      catch { case e: Throwable => errs.add(e) }
+    }) }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"racing evolution threw: ${errs.peek()}")
+    val recorded = GraftDocLog.readSchema(dir).get
+    cols.foreach { case (n, t) =>
+      assert(recorded.fields.exists(f => f.name == n && f.dataType == t),
+        s"column $n lost by racing evolution; recorded=${recorded.simpleString}")
+    }
+    // and the table still reads: old doc yields null for every new column
+    val snap = GraftDoc.snapshot(spark, dir)
+    assert(cols.forall { case (n, _) => snap.columns.contains(n) })
+    assert(snap.filter(col("c_w0").isNull && col("c_w2").isNull).count() == 1)
+  }
+
+  test("schema evolution via racing public writes: both columns recorded, data intact") {
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val t1 = new Thread(() => try GraftDoc.write(
+      Seq((2L, "b", 7.5)).toDF("k", "name", "score"), "k", dir)
+      catch { case e: Throwable => errs.add(e) })
+    val t2 = new Thread(() => try GraftDoc.write(
+      Seq((3L, "c", "en")).toDF("k", "name", "lang"), "k", dir)
+      catch { case e: Throwable => errs.add(e) })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"concurrent evolving writes threw: ${errs.peek()}")
+    val snap = GraftDoc.snapshot(spark, dir).orderBy("_id")
+    assert(snap.columns.toSet == Set("_id", "name", "score", "lang"))
+    assert(snap.count() == 3)
+    assert(snap.filter(col("_id") === "2").select("score")
+      .as[Option[Double]].head().contains(7.5))
+    assert(snap.filter(col("_id") === "3").select("lang")
+      .as[Option[String]].head().contains("en"))
+  }
+
+  test("schema delta protocol: slot collision, torn delta, late completion, type conflict") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", dir)
+    // a torn delta (crashed mid-write) occupies slot 1: readers skip it,
+    // the next publisher takes slot 2 — the junk never blocks the log
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_schema_d000000001.json"),
+      "{\"type\":\"str".getBytes) // truncated JSON
+    GraftDocLog.publishSchemaDelta(dir,
+      Seq(StructField("extra", LongType, nullable = true)))
+    val rec1 = GraftDocLog.readSchema(dir).get
+    assert(rec1.fieldNames.toSeq == Seq("_id", "name", "extra"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "_schema_d000000002.json")),
+      "publisher must skip the torn slot, not reuse it")
+    // the "crashed" writer completes late: its column appears in the fold
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_schema_d000000001.json"),
+      StructType(Seq(StructField("late", DoubleType, nullable = true)))
+        .json.getBytes)
+    val rec2 = GraftDocLog.readSchema(dir).get
+    // fold order = slot order: the late slot-1 column sits before slot-2's
+    assert(rec2.fieldNames.toSeq == Seq("_id", "name", "late", "extra"))
+    // same column name, different type, from a racer = crisp conflict
+    val e = intercept[IllegalArgumentException] {
+      GraftDocLog.publishSchemaDelta(dir,
+        Seq(StructField("late", StringType, nullable = true)))
+    }
+    assert(e.getMessage.contains("conflict"), e.getMessage)
+    // overwrite truncates the evolution history along with the base
+    GraftDoc.write(Seq((9L, "z")).toDF("k", "name"), "k", dir, overwrite = true)
+    assert(GraftDocLog.readSchema(dir).get.fieldNames.toSeq == Seq("_id", "name"))
+  }
+
   test("two concurrent writers both commit with distinct seqs") {
     val dir = tmp()
     GraftDoc.write(Seq((0L, "seed")).toDF("k", "name"), "k", dir)
