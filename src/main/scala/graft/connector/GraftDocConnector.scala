@@ -322,7 +322,14 @@ class GraftDocScan(required: StructType, path: String, pushed: Array[Filter],
     * fold lands as a regular commit (readers see absorbed versions
     * re-emitted, consistent for upsert consumers but redundant), and
     * truncation restarts the seq line a checkpointed reader has already
-    * passed. */
+    * passed. Additive schema evolution UNDER a running reader is safe:
+    * Structured Streaming fixes the query's schema at start (a Spark
+    * architecture invariant), so the running drain keeps its old
+    * projection — post-evolution documents still flow (the JSON parser
+    * skips the keys the old schema lacks; nothing stalls or errors) and
+    * the new column becomes visible on the next (re)start, which infers
+    * the union schema from the log and reads null for pre-evolution
+    * documents (spec: "CDC drain across an additive evolution"). */
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftDocMicroBatchStream(this, path, readConf)
 }

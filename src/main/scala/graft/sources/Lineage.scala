@@ -2,7 +2,11 @@ package graft.sources
 
 import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExprId, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.util.QueryExecutionListener
 import scala.jdk.CollectionConverters._
 
@@ -78,5 +82,94 @@ object Lineage {
       override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
     })
     log
+  }
+
+  // ------------------------------------------------------- column lineage
+
+  /** COLUMN-level provenance (SURVEY.md §2.1 S5, the metadata half a
+    * pipeline platform needs beyond dataset-level lineage): for each
+    * output column of `df`, the set of (sourceDataset, sourceColumn)
+    * pairs it derives from — computed by walking the RESOLVED logical
+    * plan's expression references, so it needs no user bookkeeping and
+    * survives renames, aggregates, windows and multiway joins. Driver-side
+    * plan analysis only: nothing here touches data or executors. */
+  def columnLineage(df: DataFrame): Map[String, Set[(String, String)]] = {
+    val plan = df.queryExecution.analyzed
+    val m = walk(plan)
+    plan.output.map(a => a.name -> m.getOrElse(a.exprId, Set.empty)).toMap
+  }
+
+  /** Human name for a relation leaf: table name for DSv2, file/dir
+    * basename (extension stripped) for file relations. */
+  private def leafName(p: LogicalPlan): String = p match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        val base = fs.location.rootPaths.headOption
+          .map(_.getName).getOrElse("file")
+        base.replaceAll("\\.[A-Za-z0-9]+$", "")
+      case r => r.toString
+    }
+    case d: DataSourceV2Relation => d.table.name()
+    case _: LocalRelation => "local"
+    case other => other.nodeName
+  }
+
+  /** exprId → source columns, bottom-up over the resolved plan. Nodes
+    * that only re-arrange rows (Filter/Sort/Join/Limit/...) pass their
+    * children's map through; nodes that DEFINE attributes (Project/
+    * Aggregate/Window/Generate) map each new attribute to the union of
+    * its expression's references' lineage. Unknown nodes fall back to
+    * that same conservative rule for any attribute their children didn't
+    * define. */
+  private def walk(plan: LogicalPlan): Map[ExprId, Set[(String, String)]] = {
+    def refsOf(e: Expression, cm: Map[ExprId, Set[(String, String)]]) =
+      e.references.toSeq.flatMap(r => cm.getOrElse(r.exprId, Set.empty)).toSet
+    def define(named: Seq[NamedExpression],
+        cm: Map[ExprId, Set[(String, String)]]) =
+      cm ++ named.map(ne => ne.toAttribute.exprId -> refsOf(ne, cm))
+    plan match {
+      case l: LeafNode =>
+        val n = leafName(l)
+        l.output.map(a => a.exprId -> Set(n -> a.name)).toMap
+      case SubqueryAlias(id, child) =>
+        val cm = walk(child)
+        // a registered view / .as(...) DIRECTLY over a leaf (temp views
+        // wrap it in a View node) rebrands the source name; an alias over
+        // a computed subtree keeps the real per-leaf provenance
+        // (rebranding it would hide multi-source views behind one name)
+        def leafish(p: LogicalPlan): Boolean = p match {
+          case _: LeafNode => true
+          case v: View => leafish(v.child)
+          case _ => false
+        }
+        if (leafish(child))
+          cm.map { case (k, v) => k -> v.map { case (_, c) => id.name -> c } }
+        else cm
+      case v: View => walk(v.child)
+      case p: Project => define(p.projectList, walk(p.child))
+      case a: Aggregate => define(a.aggregateExpressions, walk(a.child))
+      case w: Window =>
+        define(w.windowExpressions, walk(w.child)) ++ walk(w.child)
+      case g: Generate =>
+        val cm = walk(g.child)
+        cm ++ g.generatorOutput.map(a => a.exprId -> refsOf(g.generator, cm))
+      case u: Union =>
+        val cms = u.children.map(walk)
+        val merged = cms.foldLeft(Map.empty[ExprId, Set[(String, String)]])(_ ++ _)
+        merged ++ u.output.zipWithIndex.map { case (a, i) =>
+          a.exprId -> u.children.zip(cms).flatMap { case (c, m) =>
+            m.getOrElse(c.output(i).exprId, Set.empty)
+          }.toSet
+        }
+      case other =>
+        val cm = other.children.map(walk)
+          .foldLeft(Map.empty[ExprId, Set[(String, String)]])(_ ++ _)
+        // attributes minted by nodes with no dedicated case (Expand's
+        // grouping id, object operators, ...): conservatively derive from
+        // everything the node references
+        lazy val nodeRefs = other.expressions.flatMap(e => refsOf(e, cm)).toSet
+        cm ++ other.output.filterNot(a => cm.contains(a.exprId))
+          .map(a => a.exprId -> nodeRefs)
+    }
   }
 }

@@ -382,6 +382,55 @@ class GraftDocConnectorSpec extends SparkSpec {
     assert(snap(dst) == snap(src))
   }
 
+  test("CDC drain across an additive evolution: old-schema stream keeps flowing, restart surfaces the union") {
+    val src = tmp()
+    val ckpt = tmp()
+    GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", src)
+    // continuous reader whose schema was inferred BEFORE the evolution:
+    // Structured Streaming fixes a query's analyzed schema at start (a
+    // Spark architecture invariant, not a connector choice), so the test
+    // pins what CAN hold mid-stream: post-evolution documents flow
+    // through the old projection without restart or error — the stored
+    // docs carry an extra JSON key the parser skips — and nothing stalls
+    // or drops.
+    val q = GraftDoc.readStream(spark, src)
+      .select(col("_id"), col("name"))
+      .writeStream.format("memory").queryName("cdc_evo")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("cdc_evo").count() == 1)
+      // additive evolution lands while the stream runs...
+      GraftDoc.write(Seq((2L, "b", 7.5)).toDF("k", "name", "score"), "k", src)
+      q.processAllAvailable()
+      // ...and the running old-schema drain surfaces the new document
+      assert(spark.table("cdc_evo").orderBy("_id")
+        .select("_id", "name").as[(String, String)].collect().toSeq ==
+        Seq("1" -> "a", "2" -> "b"))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("cdc_evo")
+    }
+    // a restarted reader infers the UNION schema and reads null for the
+    // pre-evolution document's new column — the documented restart path
+    val q2 = GraftDoc.readStream(spark, src)
+      .select(col("_id"), col("name"), col("score"))
+      .writeStream.format("memory").queryName("cdc_evo2")
+      .outputMode("append")
+      .option("checkpointLocation", tmp())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    try {
+      assert(spark.table("cdc_evo2").orderBy("_id")
+        .select("_id", "name", "score")
+        .as[(String, String, Option[Double])].collect().toSeq ==
+        Seq(("1", "a", None), ("2", "b", Some(7.5))))
+    } finally spark.catalog.dropTempView("cdc_evo2")
+  }
+
   test("tombstone delete: snapshot excludes, re-insert resurrects, compact purges bytes") {
     val dir = tmp()
     GraftDoc.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name"), "k", dir)
