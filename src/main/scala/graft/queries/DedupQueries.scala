@@ -517,6 +517,63 @@ object DedupQueries {
           .filter(col("c") >= 0.45)
           .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
           .orderBy(col("id_a"), col("id_b"))
+      }),
+
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
+    // cluster the embedding space (the q66 IVF cells), pick one
+    // representative per cell (min vec_id — SemDeDup keeps one point per
+    // semantic-duplicate group; the deterministic choice makes the oracle
+    // exact), and drop every other member whose cosine to its cell's
+    // representative clears the threshold. Different operator than q64:
+    // near-dup PAIR generation compares all qualifying pairs; SemDeDup
+    // compares each vector to ONE anchor per cell — O(N) comparisons
+    // after assignment, the shape that scales to deduplicating web-crawl
+    // embeddings. Scale: assignment is the usual broadcast + hash-agg
+    // pass; the rep join is an equi join on cid against a √N-row
+    // broadcast side; verdicts are row-local. Threshold 0.45 = the
+    // corpus's near-dup line (q64), so drops actually occur on this data.
+    QueryDef(
+      "q6i_semantic_dedup",
+      Some(s"""WITH ${SimilarityQueries.centSql},
+        a0 AS (SELECT e.vec_id, e.embedding, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+              FROM embeddings e, cent c),
+        a AS (SELECT vec_id, embedding, cid FROM a0 WHERE rn = 1),
+        rep AS (SELECT cid, min(vec_id) AS rep_id FROM a GROUP BY cid),
+        scored AS (SELECT a.vec_id, a.cid, r.rep_id,
+                round(list_cosine_similarity(a.embedding::DOUBLE[], re.embedding::DOUBLE[]), 9) AS c
+              FROM a JOIN rep r ON r.cid = a.cid
+              JOIN embeddings re ON re.vec_id = r.rep_id)
+        SELECT vec_id, cid, rep_id,
+          CAST(round(c, 4) AS DOUBLE) + 0 AS cos_to_rep,
+          (vec_id = rep_id OR c < 0.45) AS kept
+        FROM scored ORDER BY vec_id"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cent = SimilarityQueries.centroids(e)
+        // nearest-cell assignment: the q66 argmax rule (round-9 quantized,
+        // map-side-combining hash aggregate)
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("cc",
+            round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
+          .groupBy(col("vec_id"))
+          .agg(
+            max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"),
+            first(col("embedding")).as("embedding"))
+        // one representative per cell; its vector fetched by equi join
+        // (√N rows — broadcast side of the member join)
+        val rep = assign.groupBy(col("cid")).agg(min(col("vec_id")).as("rep_id"))
+          .join(e.select(col("vec_id").as("rep_id"), col("embedding").as("rep_e")),
+            Seq("rep_id"))
+        assign
+          .join(broadcast(rep), Seq("cid"))
+          .withColumn("c",
+            round(VectorFunctions.cosine_sim(col("embedding"), col("rep_e")), 9))
+          .select(col("vec_id"), col("cid"), col("rep_id"),
+            (round(col("c"), 4) + lit(0.0)).as("cos_to_rep"),
+            (col("vec_id") === col("rep_id") || col("c") < 0.45).as("kept"))
+          .orderBy(col("vec_id"))
       })
   )
 }

@@ -107,6 +107,52 @@ object SimilarityQueries {
     (cent, assign)
   }
 
+  /** q5m: the q5i index plus an INCREMENTAL update batch — the delta is
+    * assigned against the persisted centroids (no rebuild) and appended
+    * to the memberships. */
+  private[queries] def q5mIndexPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "q5m_ivf_update")
+
+  /** The q66 assignment rule as a helper: nearest centroid per vector,
+    * argmax as a map-side-combining hash aggregate (one shuffled row per
+    * vector), round-9 quantized scores, tie-break (cc DESC, cid ASC). */
+  private def assignTo(v: DataFrame, cent: DataFrame): DataFrame =
+    v.crossJoin(broadcast(cent))
+      .withColumn("cc",
+        round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"))
+
+  /** Serve stage shared by every persisted-index query (q5i/q5l/q5m):
+    * probe the 2 cells nearest each query (centroids broadcast), fetch
+    * candidates from the membership index by equi join, exact-rerank
+    * only those cells' vectors (fetched by id join), top-3. */
+  private def ivfServe(e: DataFrame, ic: DataFrame, ia: DataFrame): DataFrame = {
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("qc").desc, col("cid"))
+    val probe = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(ic))
+      .withColumn("qc",
+        round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("qe"), col("cid"))
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("c").desc, col("nid"))
+    ia.join(broadcast(probe), Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qe"), col("vec_id").as("nid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+        Seq("nid"))
+      .withColumn("c",
+        round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** The 3-round unrolled oracle algebra for [[kmeansIterations]]:
     * assign (round-9 quantized argmax) → per-dim mean (round-10) →
     * float-cast list, three times. `list(x ORDER BY dim)` reassembles the
@@ -468,43 +514,13 @@ object SimilarityQueries {
       (s, dir) => {
         val e = emb(s, dir)
         val p = q5iIndexPath(dir)
-        // BUILD: persist centroids + memberships (the q66 assignment rule:
-        // argmax as a map-side-combining hash aggregate, tie cc DESC, cid
-        // ASC)
+        // BUILD: persist centroids + memberships ([[assignTo]], the q66
+        // assignment rule)
         val cent = centroids(e)
-        e.crossJoin(broadcast(cent))
-          .withColumn("cc",
-            round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"))
-          .write.mode("overwrite").parquet(s"$p/assign")
+        assignTo(e, cent).write.mode("overwrite").parquet(s"$p/assign")
         cent.write.mode("overwrite").parquet(s"$p/cent")
         // SERVE: from the persisted index only
-        val ic = s.read.parquet(s"$p/cent")
-        val ia = s.read.parquet(s"$p/assign")
-        val wProbe = Window.partitionBy(col("qid"))
-          .orderBy(col("qc").desc, col("cid"))
-        val probe = e.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-          .crossJoin(broadcast(ic))
-          .withColumn("qc",
-            round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
-          .withColumn("rn", row_number().over(wProbe))
-          .filter(col("rn") <= 2)
-          .select(col("qid"), col("qe"), col("cid"))
-        val wRank = Window.partitionBy(col("qid"))
-          .orderBy(col("c").desc, col("nid"))
-        ia.join(broadcast(probe), Seq("cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("qe"), col("vec_id").as("nid"))
-          .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
-            Seq("nid"))
-          .withColumn("c",
-            round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9))
-          .withColumn("rnk", row_number().over(wRank))
-          .filter(col("rnk") <= 3)
-          .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rnk"))
-          .orderBy(col("qid"), col("rnk"))
+        ivfServe(e, s.read.parquet(s"$p/cent"), s.read.parquet(s"$p/assign"))
       }),
 
     // Full k-means index build: three Lloyd rounds (q58 iterated), the
@@ -574,21 +590,132 @@ object SimilarityQueries {
         // BUILD: refined centroids, then one final assignment against them
         // (the q66/q5i argmax rule), both persisted
         val (cent, _) = kmeansIterations(e, 3)
-        e.crossJoin(broadcast(cent))
+        assignTo(e, cent).write.mode("overwrite").parquet(s"$p/assign")
+        cent.write.mode("overwrite").parquet(s"$p/cent")
+        // SERVE: from the persisted index only (identical to q5i)
+        ivfServe(e, s.read.parquet(s"$p/cent"), s.read.parquet(s"$p/assign"))
+      }),
+
+    // Incremental index maintenance — the operation a production vector
+    // store runs continuously: new vectors arrive, get assigned against
+    // the EXISTING persisted centroids (no rebuild, cost O(|delta|·k)),
+    // and their memberships append to the index. Build side: 90% of the
+    // corpus (vec_id % 10 != 0) is the standing index; the other 10% is
+    // the update batch, assigned by reading the persisted centroids
+    // back. The oracle reads the persisted centroids + base memberships,
+    // RECOMPUTES the delta assignment from the raw table (so a wrong
+    // update-path assignment cannot hide behind persistence), unions,
+    // and replays the serve — results must equal a serve over the
+    // combined memberships.
+    QueryDef(
+      "q5m_ann_index_update",
+      Some(s"""WITH ic AS (
+          SELECT * FROM read_parquet('${q5mIndexPath(sfDir)}/cent/*.parquet')),
+        base AS (
+          SELECT * FROM read_parquet('${q5mIndexPath(sfDir)}/assign_base/*.parquet')),
+        d0 AS (SELECT e.vec_id, ic.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
+                ic.cid) AS rn
+          FROM embeddings e, ic WHERE e.vec_id % 10 = 0),
+        ia AS (SELECT vec_id, cid FROM base
+               UNION ALL SELECT vec_id, cid FROM d0 WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id < 10),
+        probe0 AS (SELECT q.qid, q.qe, ic.cid,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY round(list_cosine_similarity(q.qe::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
+                ic.cid) AS rn
+          FROM q, ic),
+        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
+        cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
+          FROM probe p JOIN ia a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        rr AS (SELECT c.qid, c.nid,
+            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c0,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
+                c.nid) AS rnk
+          FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
+        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, rnk
+        FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val p = q5mIndexPath(dir)
+        val existing = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        val delta = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+        // BUILD the standing index over the existing 90% (adaptive k
+        // from the FULL corpus size, so the cell geometry matches what a
+        // steady-state index would hold)
+        val cent = centroids(e)
+        assignTo(existing, cent).write.mode("overwrite")
+          .parquet(s"$p/assign_base")
+        cent.write.mode("overwrite").parquet(s"$p/cent")
+        // UPDATE: assign ONLY the delta batch, against the PERSISTED
+        // centroids read back from the index — the incremental cost is
+        // O(|delta|·k), the standing memberships are never touched
+        val ic = s.read.parquet(s"$p/cent")
+        assignTo(delta, ic).write.mode("overwrite")
+          .parquet(s"$p/assign_delta")
+        // SERVE from the combined memberships
+        val ia = s.read.parquet(s"$p/assign_base")
+          .unionByName(s.read.parquet(s"$p/assign_delta"))
+        ivfServe(e, ic, ia)
+      }),
+
+    // ANN recall evaluation — the measurement operator every approximate
+    // index needs beside it: recall@3 of the IVF serve (q66's algebra)
+    // against the exact brute-force top-3 (q65's), per query, as ONE
+    // query. Integer output (hits + ppm floor-division) so the compare
+    // is exact. Scale shape: the exact side is the one full corpus pass
+    // (that is what "measure recall" costs); the IVF side is the usual
+    // broadcast pipeline; the overlap join is 10×3 rows.
+    QueryDef(
+      "q5n_ann_recall",
+      Some(s"""WITH $centSql,
+        assign0 AS (SELECT e.vec_id, e.embedding, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+              FROM embeddings e, cent c),
+        assign AS (SELECT vec_id, embedding, cid FROM assign0 WHERE rn = 1),
+        probe0 AS (SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+              FROM embeddings q, cent c WHERE q.vec_id < 10),
+        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
+        cand AS (SELECT p.qid, p.qe, a.vec_id AS nid, a.embedding AS ne
+              FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        rr AS (SELECT qid, nid,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY round(list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]), 9) DESC, nid) AS rnk
+              FROM cand),
+        ivf AS (SELECT qid, nid FROM rr WHERE rnk <= 3),
+        ex0 AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+                row_number() OVER (PARTITION BY q.vec_id
+                  ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
+              FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+              WHERE q.vec_id < 10),
+        ex AS (SELECT qid, nid FROM ex0 WHERE rnk <= 3)
+        SELECT ex.qid AS qid,
+          CAST(count(ivf.nid) AS BIGINT) AS n_hits,
+          CAST(count(ivf.nid) * 1000000 // 3 AS BIGINT) AS recall_ppm
+        FROM ex LEFT JOIN ivf ON ivf.qid = ex.qid AND ivf.nid = ex.nid
+        GROUP BY ex.qid ORDER BY ex.qid"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cent = centroids(e)
+        // IVF top-3 (exactly q66's stages)
+        val assign = e.crossJoin(broadcast(cent))
           .withColumn("cc",
             round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
           .groupBy(col("vec_id"))
-          .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"))
-          .write.mode("overwrite").parquet(s"$p/assign")
-        cent.write.mode("overwrite").parquet(s"$p/cent")
-        // SERVE: from the persisted index only (identical to q5i)
-        val ic = s.read.parquet(s"$p/cent")
-        val ia = s.read.parquet(s"$p/assign")
+          .agg(
+            max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"),
+            first(col("embedding")).as("embedding"))
         val wProbe = Window.partitionBy(col("qid"))
           .orderBy(col("qc").desc, col("cid"))
         val probe = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-          .crossJoin(broadcast(ic))
+          .crossJoin(broadcast(cent))
           .withColumn("qc",
             round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
           .withColumn("rn", row_number().over(wProbe))
@@ -596,17 +723,34 @@ object SimilarityQueries {
           .select(col("qid"), col("qe"), col("cid"))
         val wRank = Window.partitionBy(col("qid"))
           .orderBy(col("c").desc, col("nid"))
-        ia.join(broadcast(probe), Seq("cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("qe"), col("vec_id").as("nid"))
-          .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
-            Seq("nid"))
+        val ivf = assign
+          .select(col("cid"), col("vec_id").as("nid"), col("embedding").as("ne"))
+          .join(broadcast(probe), Seq("cid"))
+          .filter(col("nid") =!= col("qid"))
           .withColumn("c",
             round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9))
           .withColumn("rnk", row_number().over(wRank))
           .filter(col("rnk") <= 3)
-          .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rnk"))
-          .orderBy(col("qid"), col("rnk"))
+          .select(col("qid"), col("nid"))
+        // exact top-3 (q65's stages at k=3)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val wEx = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id"))
+        val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("c",
+            round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 9))
+          .withColumn("rnk", row_number().over(wEx))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("vec_id").as("nid"))
+        exact.as("x")
+          .join(ivf.as("i"),
+            col("x.qid") === col("i.qid") && col("x.nid") === col("i.nid"),
+            "left")
+          .groupBy(col("x.qid").as("qid"))
+          .agg(count(col("i.nid")).as("n_hits"))
+          .select(col("qid"), col("n_hits"),
+            expr("CAST(n_hits * 1000000 div 3 AS BIGINT)").as("recall_ppm"))
+          .orderBy(col("qid"))
       })
   )
 }
