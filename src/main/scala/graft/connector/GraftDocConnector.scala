@@ -904,13 +904,6 @@ object GraftDocLog {
     }
   }
 
-  /** Publish `newFields` as a schema delta and loop until the fold
-    * visibly contains them. Create-exclusive on a numbered slot is the
-    * only write — no shared file is ever rewritten, so two concurrent
-    * evolving writers both land (the loser of a slot just takes the next
-    * one). A racer publishing the SAME column name with a DIFFERENT type
-    * is a genuine user conflict and fails crisply here, before this
-    * writer's data commit; same-name-same-type racers dedup in the fold. */
   /** Test/tooling entry: evolve a table's recorded schema without a data
     * commit (also what a metadata-only ALTER would call). */
   private[graft] def publishSchemaDelta(tablePath: String,
@@ -919,6 +912,13 @@ object GraftDocLog {
     publishSchemaDelta(fs, root, newFields)
   }
 
+  /** Publish `newFields` as a schema delta and loop until the fold
+    * visibly contains them. Create-exclusive on a numbered slot is the
+    * only write — no shared file is ever rewritten, so two concurrent
+    * evolving writers both land (the loser of a slot just takes the next
+    * one). A racer publishing the SAME column name with a DIFFERENT type
+    * is a genuine user conflict and fails crisply here, before this
+    * writer's data commit; same-name-same-type racers dedup in the fold. */
   private def publishSchemaDelta(fs: FileSystem, root: Path,
       newFields: Seq[StructField]): Unit = {
     var attempts = 0

@@ -148,8 +148,10 @@ object Lineage {
       case v: View => walk(v.child)
       case p: Project => define(p.projectList, walk(p.child))
       case a: Aggregate => define(a.aggregateExpressions, walk(a.child))
-      case w: Window =>
-        define(w.windowExpressions, walk(w.child)) ++ walk(w.child)
+      // define() already carries the child map through, so windowed
+      // plans stay one walk per node (a second walk here would double
+      // per Window level — exponential on deeply-windowed plans)
+      case w: Window => define(w.windowExpressions, walk(w.child))
       case g: Generate =>
         val cm = walk(g.child)
         cm ++ g.generatorOutput.map(a => a.exprId -> refsOf(g.generator, cm))

@@ -204,6 +204,24 @@ class PlanSpec extends SparkSpec {
       s"corpus (doc_id, gram) rows crossed a shuffle — benchmark join didn't broadcast: $shuffled")
   }
 
+  test("q6i semantic dedup: no cartesian; rep vectors meet members via broadcast") {
+    val plans = collectAll(executed(q("q6i_semantic_dedup")))
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "SemDeDup must stay on broadcast/equi joins")
+    // the anchor comparison is member-vs-ONE-rep: the rep side (√N rows +
+    // vectors) must broadcast, never shuffle the corpus against it
+    assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "cell-rep join should be a broadcast hash join")
+  }
+
+  test("q5m index update: serve joins are equi/broadcast; no cartesian") {
+    val plans = collectAll(executed(q("q5m_ann_index_update")))
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "incremental-index serve must stay on broadcast/equi joins")
+    assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "probe/memberships should meet via broadcast hash joins")
+  }
+
   test("q6g bloom dedup: filter built once in-plan as a subquery, one confirm anti join") {
     val executedPlan = executed(q("q6g_bloom_incremental_dedup"))
     val s = executedPlan.toString
