@@ -56,7 +56,11 @@ object Bench {
     val calib0 = calibrate()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a throwing query must not fail the whole bench (the correctness
+      // gate owns pass/fail) but it must be VISIBLE — a silent catch
+      // would record a tiny "timing" for a query that never ran
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // per-query progress on stderr: if the final stdout line is ever
       // truncated downstream, the timings survive in the captured log

@@ -49,9 +49,11 @@ object DedupQueries {
          i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]
               || ' ' || string_split(text,' ')[i+2]))"""
 
-  /** CTE body computing all pairs with shingle-Jaccard ≥ 0.7 via inverted
-    * index (DF cap 200 on posting lists) — shared by q61/q62/q6a oracles. */
-  private val jaccardPairsCte =
+  /** CTE body computing per-pair shingle-intersection counts + set sizes
+    * via inverted index (DF cap 200 on posting lists) — the shared
+    * candidate machinery under Jaccard (jp), containment (q5p) and
+    * edit-distance-verify (q5q) oracles. */
+  private val pairCountsCte =
     s"""d0 AS (
          SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
        df AS (SELECT sh FROM d0 GROUP BY sh HAVING count(*) <= 200),
@@ -61,12 +63,19 @@ object DedupQueries {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
          FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
          GROUP BY 1, 2),
-       jp AS (
-         SELECT id_a, id_b, inter * 1.0 / (sa.n + sb.n - inter) AS jac
+       pc AS (
+         SELECT id_a, id_b, inter, sa.n AS na, sb.n AS nb
          FROM pair
          JOIN sz sa ON sa.doc_id = id_a
-         JOIN sz sb ON sb.doc_id = id_b
-         WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7)"""
+         JOIN sz sb ON sb.doc_id = id_b)"""
+
+  /** CTE body: all pairs with shingle-Jaccard ≥ 0.7 — shared by
+    * q61/q62/q6a/q6d/q6e/q5o oracles. */
+  private val jaccardPairsCte =
+    s"""$pairCountsCte,
+       jp AS (
+         SELECT id_a, id_b, inter * 1.0 / (na + nb - inter) AS jac
+         FROM pc WHERE inter * 1.0 / (na + nb - inter) >= 0.7)"""
 
   /** Exact all-pairs shingle-Jaccard ≥ 0.7 — oracle for q61 AND q62. */
   private val exactJaccardSql =
@@ -84,7 +93,9 @@ object DedupQueries {
     * self-join re-shuffles the full posting table twice and its hot keys
     * square; here the cap turns the same quadratic into a bounded constant
     * per group. */
-  private[queries] def jaccardPairsRaw(d: DataFrame): DataFrame = {
+  /** (id_a, id_b, inter, na, nb) for every co-occurring pair — the shared
+    * Spark side of [[pairCountsCte]]. */
+  private def pairCounts(d: DataFrame): DataFrame = {
     val posting = d.select(col("doc_id"), explode(col("sh")).as("sh"))
     val lists = posting.groupBy("sh")
       .agg(sort_array(collect_list("doc_id")).as("ids"))
@@ -98,10 +109,13 @@ object DedupQueries {
     pairs
       .join(sz.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sz.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
+  }
+
+  private[queries] def jaccardPairsRaw(d: DataFrame): DataFrame =
+    pairCounts(d)
       .withColumn("jac", col("inter") * 1.0 / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= 0.7)
       .select(col("id_a"), col("id_b"), col("jac"))
-  }
 
   private def exactJaccardPairs(d: DataFrame): DataFrame =
     jaccardPairsRaw(d)
@@ -324,6 +338,122 @@ object DedupQueries {
         ConnectedComponents.run(pairs)
           .select(col("node").as("doc_id"), col("component"))
           .orderBy(col("doc_id"))
+      }),
+
+    // Dedup-AWARE train/val/test split — the assignment rule that keeps
+    // evaluation honest: hashing each DOCUMENT into a split leaks
+    // near-duplicates across train and test (the classic contamination
+    // vector benchmark decontamination (q5e) exists to catch after the
+    // fact); hashing each CLUSTER assigns every near-dup family
+    // atomically, so leakage is structurally impossible. Split = Knuth
+    // multiplicative hash of the cluster representative (the q5h
+    // deterministic-Bernoulli rule: pure integer arithmetic, identical
+    // on both engines, reproducible at any cluster size), 80/10/10.
+    // Scale: the decision rides the narrow (doc_id, component) table —
+    // document bodies never shuffle; singleton docs take their own id
+    // as representative (no join amplification).
+    QueryDef(
+      "q5o_dedup_split",
+      Some(s"""WITH RECURSIVE $jaccardPairsCte,
+          sym AS (SELECT id_a AS a, id_b AS b FROM jp
+                  UNION ALL SELECT id_b, id_a FROM jp),
+          reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a),
+          comp AS (SELECT a AS doc_id, min(b) AS component
+                   FROM reach GROUP BY a),
+          alldocs AS (SELECT d.doc_id,
+                coalesce(c.component, d.doc_id) AS component
+              FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+          bk AS (SELECT doc_id, component,
+                (component * 2654435761) % 100 AS bucket FROM alldocs)
+          SELECT doc_id, component,
+            CASE WHEN bucket < 80 THEN 'train'
+                 WHEN bucket < 90 THEN 'val'
+                 ELSE 'test' END AS split
+          FROM bk ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = jaccardPairsRaw(withShingles(d))
+          .select(col("id_a"), col("id_b"))
+        val cc = ConnectedComponents.run(pairs)
+          .select(col("node").as("doc_id"), col("component"))
+        d.select(col("doc_id"))
+          .join(cc, Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+          .withColumn("bucket", pmod(col("component") * 2654435761L, lit(100)))
+          .select(col("doc_id"), col("component"),
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test").as("split"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // Containment dedup — the SUBSTRING-duplicate class Jaccard
+    // structurally misses: when a short document is quoted inside a long
+    // one, |A∩B|/|A∪B| dilutes toward |A|/|B| (a 100-word doc inside a
+    // 2000-word doc has Jaccard ≈ 0.05) while the containment
+    // coefficient |A∩B|/min(|A|,|B|) reads ≈ 1. Same inverted-index
+    // candidate machinery as q61 (one shuffle keyed by shingle, DF cap,
+    // compiled pair kernel — bodies never shuffle), different verdict
+    // fraction. Both fractions are one exact-integer division, so the
+    // engines agree bit-for-bit.
+    QueryDef(
+      "q5p_containment_dedup",
+      Some(s"""WITH $pairCountsCte
+          SELECT id_a, id_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+            CAST(round(inter * 1.0 / least(na, nb), 4) AS DOUBLE) AS containment
+          FROM pc WHERE inter * 1.0 / least(na, nb) >= 0.9
+          ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        pairCounts(withShingles(docs(s, dir)))
+          .withColumn("containment",
+            col("inter") * 1.0 / least(col("na"), col("nb")))
+          .filter(col("containment") >= 0.9)
+          .select(col("id_a"), col("id_b"), col("na"), col("nb"),
+            round(col("containment"), 4).as("containment"))
+          .orderBy(col("id_a"), col("id_b"))),
+
+    // Edit-distance verification — the fuzzy-dedup pipeline's exact
+    // second stage: cheap set-overlap candidates (loose Jaccard ≥ 0.35
+    // bar, same inverted index) verified by character-level Levenshtein,
+    // the measure that catches small in-place edits (typo fixes,
+    // template variable substitution) which shingle overlap only
+    // approximates. Both engines implement unit-cost Levenshtein — the
+    // integers agree exactly, and the normalized similarity is one
+    // integer division. Scale: the O(len²) DP runs ONLY on candidate
+    // pairs (bounded by the DF-capped index, never all pairs), and the
+    // texts are fetched by narrow id equi-joins.
+    QueryDef(
+      "q5q_editdist_dedup",
+      Some(s"""WITH $pairCountsCte,
+          cand AS (SELECT id_a, id_b FROM pc
+                   WHERE inter * 1.0 / (na + nb - inter) >= 0.35),
+          v AS (SELECT c.id_a, c.id_b,
+                  levenshtein(da.text, db.text) AS lev,
+                  greatest(len(da.text), len(db.text)) AS mx
+                FROM cand c
+                JOIN documents da ON da.doc_id = c.id_a
+                JOIN documents db ON db.doc_id = c.id_b)
+          SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
+            CAST(round(1.0 - lev * 1.0 / mx, 4) AS DOUBLE) AS sim,
+            (1.0 - lev * 1.0 / mx) >= 0.98 AS is_dup
+          FROM v ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val cand = pairCounts(withShingles(d))
+          .filter(col("inter") * 1.0 / (col("na") + col("nb") - col("inter")) >= 0.35)
+          .select(col("id_a"), col("id_b"))
+        cand
+          .join(d.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+          .join(d.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+          .withColumn("lev", levenshtein(col("ta"), col("tb")).cast("long"))
+          .withColumn("mx", greatest(length(col("ta")), length(col("tb"))))
+          .select(col("id_a"), col("id_b"), col("lev"),
+            round(lit(1.0) - col("lev") * 1.0 / col("mx"), 4).as("sim"),
+            ((lit(1.0) - col("lev") * 1.0 / col("mx")) >= 0.98).as("is_dup"))
+          .orderBy(col("id_a"), col("id_b"))
       }),
 
     // Canonical-corpus materialization — the dedup pipeline's actual
