@@ -133,6 +133,31 @@ object GraftDoc {
     live.drop("__rn", GraftDocLog.CommitCol)
   }
 
+  /** Upsert-resolved LIVE view — the dimension-table form for
+    * stream-static joins. Unlike [[snapshot]], which pins `_commit ≤
+    * asOf` and the tombstone set as plan literals at CONSTRUCTION time
+    * (point-in-time isolation, W1f — and therefore a FROZEN static side:
+    * a dimension update landing mid-stream never reaches later
+    * micro-batches), this view resolves recency and deletes entirely
+    * IN-PLAN: latest version per `_id` by window, tombstones dropped via
+    * the `_op` change-type column. DSv2 batch scans re-plan per
+    * micro-batch, so each batch lists the log fresh and a dimension
+    * upsert/delete landing while the stream runs IS visible to the next
+    * batch — the refresh semantics a slowly-changing dimension needs
+    * (spec: "stream-static join: … mid-stream"). Trade-off vs snapshot:
+    * no cross-query repeatable-read pin; each micro-batch reads the
+    * then-latest state (each batch is internally consistent — one
+    * planning pass per batch). */
+  def liveView(spark: SparkSession, path: String): DataFrame = {
+    val w = Window.partitionBy(col("_id"))
+      .orderBy(col(GraftDocLog.CommitCol).desc)
+    spark.read.format("graft-doc")
+      .option(GraftDocLog.WithOpOpt, "true").load(path)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(GraftDocLog.OpCol) =!= "delete")
+      .drop("__rn", GraftDocLog.CommitCol, GraftDocLog.OpCol)
+  }
+
   /** Fold the whole log into one base commit and drop older commits:
     * bounds the scan cost and the merge-on-read window after many
     * streaming epochs. Crash-safe ordering — the compacted base is

@@ -431,6 +431,56 @@ class GraftDocConnectorSpec extends SparkSpec {
     } finally spark.catalog.dropTempView("cdc_evo2")
   }
 
+  test("stream-static join: snapshot() static side is point-in-time PINNED; liveView() refreshes mid-stream") {
+    // The dimension-refresh question every streaming pipeline hits, both
+    // answers pinned as contract:
+    //  - snapshot() bakes `_commit <= asOf` + the tombstone set as plan
+    //    LITERALS at construction (W1f point-in-time isolation), so as a
+    //    static side it is deliberately FROZEN — a dimension update
+    //    landing mid-stream never changes later micro-batches;
+    //  - liveView() resolves recency/deletes entirely in-plan, and DSv2
+    //    batch scans re-plan per micro-batch, so later batches DO see
+    //    dimension commits landing while the stream runs.
+    val dim = tmp()
+    val src = tmp()
+    GraftDoc.write(Seq((1L, "bronze")).toDF("k", "tier"), "k", dim)
+    GraftDoc.write(Seq((100L, 1L)).toDF("k", "user"), "k", src) // event 1
+    def drainWith(dimDf: org.apache.spark.sql.DataFrame, name: String,
+        midStreamEventId: Long): Map[String, Option[String]] = {
+      val q = GraftDoc.readStream(spark, src)
+        .select(col("_id").as("event_id"), col("user").cast("string").as("user_key"))
+        .join(dimDf, Seq("user_key"), "left")
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tmp())
+        .start()
+      try {
+        q.processAllAvailable()
+        // dimension UPDATE + a fresh event, both while the stream runs
+        GraftDoc.write(Seq((1L, "gold")).toDF("k", "tier"), "k", dim)
+        GraftDoc.write(Seq((midStreamEventId, 1L)).toDF("k", "user"), "k", src)
+        q.processAllAvailable()
+        spark.table(name)
+          .select("event_id", "tier").as[(String, Option[String])]
+          .collect().toMap
+      } finally { q.stop(); spark.catalog.dropTempView(name) }
+    }
+    val pinned = drainWith(GraftDoc.snapshot(spark, dim)
+      .select(col("_id").as("user_key"), col("tier")), "dimpin", 201L)
+    // snapshot(): every event joins the tier recorded when the frame was
+    // BUILT — the mid-stream 'gold' upsert is invisible (repeatable read)
+    assert(pinned("100").contains("bronze") && pinned("201").contains("bronze"),
+      s"snapshot() static side must stay pinned: $pinned")
+    // reset the dimension for the live variant's first batch
+    GraftDoc.write(Seq((1L, "bronze")).toDF("k", "tier"), "k", dim)
+    val live = drainWith(GraftDoc.liveView(spark, dim)
+      .select(col("_id").as("user_key"), col("tier")), "dimliv", 301L)
+    // batch 1 (events 100+201 replayed fresh) joined bronze; the
+    // mid-stream event joined the refreshed gold
+    assert(live("100").contains("bronze") && live("301").contains("gold"),
+      s"liveView() static side must refresh mid-stream: $live")
+  }
+
   test("tombstone delete: snapshot excludes, re-insert resurrects, compact purges bytes") {
     val dir = tmp()
     GraftDoc.write(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "name"), "k", dir)
