@@ -238,6 +238,84 @@ object Aggregates {
             round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
             round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
             round(expr("percentile(o_totalprice, 0.99)"), 2).as("p99"))
-          .orderBy(col("o_orderpriority")))
+          .orderBy(col("o_orderpriority"))),
+
+    // Approximate percentiles — the SKETCH path q0b's exact operator
+    // cannot take at 100 TB: exact percentile buffers every value per
+    // group; approx_percentile (Greenwald-Khanna) keeps a bounded sketch
+    // whose partial buffers merge map-side, so the shuffle carries one
+    // sketch per group per partition regardless of row count. Error-bound
+    // oracle (the q07 HLL pattern): the sketch value must land inside the
+    // exact ±0.02-RANK band around each target quantile — at accuracy
+    // 10000 the guaranteed rank error is n/10000 (≤ 0.0001 of rank at any
+    // test SF), so the band holds with 200x margin; the oracle emits the
+    // same `true` flags plus the exact p50 anchor.
+    QueryDef(
+      "q0c_approx_percentiles",
+      Some("""SELECT o_orderpriority,
+        ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+        true AS p50_in_band, true AS p90_in_band, true AS p99_in_band
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50_exact"),
+            expr("approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)")
+              .as("ap"),
+            expr("percentile(o_totalprice, array(0.48D, 0.52D, 0.88D, 0.92D, 0.97D, 1.0D))")
+              .as("bands"))
+          .select(col("o_orderpriority"), col("p50_exact"),
+            (col("ap")(0) >= col("bands")(0) && col("ap")(0) <= col("bands")(1))
+              .as("p50_in_band"),
+            (col("ap")(1) >= col("bands")(2) && col("ap")(1) <= col("bands")(3))
+              .as("p90_in_band"),
+            (col("ap")(2) >= col("bands")(4) && col("ap")(2) <= col("bands")(5))
+              .as("p99_in_band"))
+          .orderBy(col("o_orderpriority"))),
+
+    // Count-Min-Sketch frequency estimation — the sketch Spark builds
+    // distributed (`count_min_sketch`: TypedImperativeAggregate, one
+    // serialized sketch per partition crosses the exchange) but only
+    // reads back driver-side; [[graft.functions.CmsFunctions]] keeps the
+    // probe in-plan (sketch as scalar subquery, the q6g Bloom pattern).
+    // Error-bound oracle (the q07 rule): for the 20 most frequent
+    // tokens, the estimate can NEVER undercount (a structural CMS
+    // guarantee) and must stay within 3·eps·N above the exact count —
+    // deterministic with the fixed seed, so the flags are stable, and
+    // the exact counts anchor the compare. At 100 TB this is the
+    // frequency operator: the exact per-token groupBy here is the test
+    // oracle, the sketch is what ships.
+    QueryDef(
+      "q0d_cms_token_freq",
+      Some("""WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        c AS (SELECT token, count(*) AS exact_count FROM tok GROUP BY token),
+        r AS (SELECT token, exact_count,
+                row_number() OVER (ORDER BY exact_count DESC, token) AS rn
+              FROM c)
+        SELECT token, CAST(exact_count AS BIGINT) AS exact_count,
+          true AS no_undercount, true AS within_eps
+        FROM r WHERE rn <= 20 ORDER BY exact_count DESC, token"""),
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import graft.functions.CmsFunctions
+        val tok = t(s, dir, "documents")
+          .select(explode(split(col("text"), " ")).as("token"))
+        val sketch = tok
+          .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"))
+          .scalar()
+        val total = tok.agg(count(lit(1)).as("n")).scalar()
+        val w = Window.orderBy(col("exact_count").desc, col("token"))
+        tok.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .withColumn("est", CmsFunctions.cms_estimate(sketch, col("token")))
+          .select(col("token"), col("exact_count"),
+            (col("est") >= col("exact_count")).as("no_undercount"),
+            (col("est") <= col("exact_count") +
+              ceil(lit(0.003) * total).cast("long")).as("within_eps"))
+          .orderBy(col("exact_count").desc, col("token"))
+      })
   )
 }
