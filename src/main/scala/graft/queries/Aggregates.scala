@@ -305,16 +305,19 @@ object Aggregates {
         val sketch = tok
           .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"))
           .scalar()
-        val total = tok.agg(count(lit(1)).as("n")).scalar()
         val w = Window.orderBy(col("exact_count").desc, col("token"))
+        // N (total tokens) = sum of the group counts — a window over the
+        // ALREADY-GROUPED rows (|distinct tokens|, tiny), not a third
+        // full corpus scan; the ranking window is global anyway
         tok.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+          .withColumn("total", sum(col("exact_count")).over(Window.partitionBy()))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 20)
           .withColumn("est", CmsFunctions.cms_estimate(sketch, col("token")))
           .select(col("token"), col("exact_count"),
             (col("est") >= col("exact_count")).as("no_undercount"),
             (col("est") <= col("exact_count") +
-              ceil(lit(0.003) * total).cast("long")).as("within_eps"))
+              ceil(lit(0.003) * col("total")).cast("long")).as("within_eps"))
           .orderBy(col("exact_count").desc, col("token"))
       })
   )
