@@ -884,20 +884,39 @@ object GraftDocLog {
 
   /** The recorded table schema: base [[SchemaFile]] folded with every
     * PARSEABLE delta in version order, first occurrence of a field name
-    * winning. Unparseable deltas are in-flight or crashed writers — their
-    * fields become visible when (iff) the file completes; their writers
-    * do not rename a data commit until then (see [[publishSchemaDelta]]),
-    * so skipping them here can never hide a committed document's column. */
+    * winning among same-type duplicates. Unparseable deltas are in-flight
+    * or crashed writers — their fields become visible when (iff) the file
+    * completes; their writers do not rename a data commit until then (see
+    * [[publishSchemaDelta]]), so skipping them here can never hide a
+    * committed document's column.
+    *
+    * TYPE conflicts are checked HERE, not only at publish time: a torn
+    * delta that completes late — after a racing writer's publish-time
+    * check could no longer see it — may carry the same column name with a
+    * different type. Publish-time checks only see parseable deltas, so
+    * fold time is the one place every completed delta is finally visible;
+    * silently letting slot order win would retroactively retype a later
+    * writer's already-committed column. Readers fail crisply instead. */
   def foldedSchema(fs: FileSystem, root: Path): Option[StructType] = {
     val basePath = new Path(root, SchemaFile)
     if (!fs.exists(basePath)) None
     else {
       var fields = schemaFromJson(readFile(fs, basePath)).fields.toSeq
-      schemaDeltaFiles(fs, root).foreach { case (_, p) =>
+      schemaDeltaFiles(fs, root).foreach { case (v, p) =>
         (try Some(schemaFromJson(readFile(fs, p)))
         catch { case scala.util.control.NonFatal(_) => None }).foreach { d =>
-          val have = fields.map(_.name).toSet
-          fields = fields ++ d.fields.filterNot(f => have(f.name))
+          val byName = fields.map(f => f.name -> f.dataType).toMap
+          d.fields.foreach { f =>
+            byName.get(f.name).foreach { t =>
+              if (t != f.dataType) throw new IllegalStateException(
+                s"graft-doc: schema delta $v under $root retypes column " +
+                  s"'${f.name}' (${t.simpleString} -> ${f.dataType.simpleString})" +
+                  " — two evolving writers committed conflicting types " +
+                  "(one delta likely completed after the other's conflict " +
+                  "check ran); resolve by removing the conflicting delta file")
+            }
+          }
+          fields = fields ++ d.fields.filterNot(f => byName.contains(f.name))
         }
       }
       Some(StructType(fields))

@@ -298,26 +298,38 @@ object Aggregates {
           true AS no_undercount, true AS within_eps
         FROM r WHERE rn <= 20 ORDER BY exact_count DESC, token"""),
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         import graft.functions.CmsFunctions
         val tok = t(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("token"))
         val sketch = tok
           .agg(expr("count_min_sketch(token, 0.001d, 0.99d, 42)").as("cms"))
           .scalar()
-        val w = Window.orderBy(col("exact_count").desc, col("token"))
-        // N (total tokens) = sum of the group counts — a window over the
-        // ALREADY-GROUPED rows (|distinct tokens|, tiny), not a third
-        // full corpus scan; the ranking window is global anyway
-        tok.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
-          .withColumn("total", sum(col("exact_count")).over(Window.partitionBy()))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 20)
-          .withColumn("est", CmsFunctions.cms_estimate(sketch, col("token")))
+        val grouped = tok.groupBy(col("token")).agg(count(lit(1)).as("exact_count"))
+        // N (total tokens) rides in-plan as a scalar subquery — the same
+        // idiom that carries the sketch — so no row of the grouped
+        // vocabulary ever needs a global window. Top-20 via orderBy+limit
+        // plans TakeOrderedAndProject: per-partition top-k, then a driver
+        // merge of k·partitions rows. At a 100 TB corpus the distinct
+        // vocabulary is 10^8–10^9 rows; an empty-partitioning Window here
+        // would funnel all of them through one task.
+        // total = corpus token count, NOT sum over the grouped vocabulary:
+        // as a scalar subquery the latter would re-run the full groupBy
+        // (second vocabulary shuffle); count() is one scan of map-side
+        // partial counts merged into a single row
+        val total = tok.agg(count(lit(1)).as("n")).scalar()
+        // ONE projection above the limit (cms_estimate inlined per flag —
+        // 2 probes × 20 rows): a two-level projection can't collapse
+        // (duplicating the probe) and a stacked Project breaks the
+        // Limit(Project(Sort)) pattern, degrading TakeOrderedAndProject
+        // back to a full global range-sort of the vocabulary
+        def est = CmsFunctions.cms_estimate(sketch, col("token"))
+        grouped
+          .orderBy(col("exact_count").desc, col("token"))
+          .limit(20)
           .select(col("token"), col("exact_count"),
-            (col("est") >= col("exact_count")).as("no_undercount"),
-            (col("est") <= col("exact_count") +
-              ceil(lit(0.003) * col("total")).cast("long")).as("within_eps"))
+            (est >= col("exact_count")).as("no_undercount"),
+            (est <= col("exact_count") +
+              ceil(lit(0.003) * total).cast("long")).as("within_eps"))
           .orderBy(col("exact_count").desc, col("token"))
       })
   )

@@ -349,6 +349,11 @@ object DedupQueries {
     // multiplicative hash of the cluster representative (the q5h
     // deterministic-Bernoulli rule: pure integer arithmetic, identical
     // on both engines, reproducible at any cluster size), 80/10/10.
+    // The representative id is first reduced mod the prime 1000003 so
+    // the Knuth multiply stays under 2.7e15 — far inside signed-64 —
+    // at ANY id scale: Spark would silently wrap a larger product while
+    // DuckDB raises a BIGINT overflow, i.e. the engines would diverge
+    // exactly on the web-scale corpora (ids > ~3.4e9) the split targets.
     // Scale: the decision rides the narrow (doc_id, component) table —
     // document bodies never shuffle; singleton docs take their own id
     // as representative (no join amplification).
@@ -367,7 +372,8 @@ object DedupQueries {
                 coalesce(c.component, d.doc_id) AS component
               FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
           bk AS (SELECT doc_id, component,
-                (component * 2654435761) % 100 AS bucket FROM alldocs)
+                ((component % 1000003) * 2654435761) % 100 AS bucket
+              FROM alldocs)
           SELECT doc_id, component,
             CASE WHEN bucket < 80 THEN 'train'
                  WHEN bucket < 90 THEN 'val'
@@ -382,7 +388,8 @@ object DedupQueries {
         d.select(col("doc_id"))
           .join(cc, Seq("doc_id"), "left")
           .withColumn("component", coalesce(col("component"), col("doc_id")))
-          .withColumn("bucket", pmod(col("component") * 2654435761L, lit(100)))
+          .withColumn("bucket",
+            pmod((col("component") % 1000003L) * 2654435761L, lit(100)))
           .select(col("doc_id"), col("component"),
             when(col("bucket") < 80, "train")
               .when(col("bucket") < 90, "val")

@@ -10,6 +10,12 @@ package graft.tools
   *     are unusable (the calibration sentinel disagreed >2× across the
   *     run), and treating them as regressions OR as passes would both be
   *     wrong;
+  *   - a query the artifact records as FAILED (Bench writes -1 for a
+  *     query that threw) fails the gate — a crash is worse than a
+  *     regression, never invisible;
+  *   - a baseline query MISSING from the artifact entirely fails the
+  *     gate — a query that silently vanished from the suite must not
+  *     pass by omission;
   *   - a per-query ratio > 2.0× vs baseline fails the gate, but only when
   *     the measured time also exceeds 1.0 s absolute — sub-second jitter
   *     is noise, not signal (streaming drains occasionally spike on
@@ -17,7 +23,10 @@ package graft.tools
   *   - queries missing from the baseline (new this round) are reported
   *     informationally and pass — they get a baseline entry at the next
   *     re-baselining;
-  *   - the suite total is held to the same 2× rule.
+  *   - the suite TOTAL is held to the same 2× rule, computed over the
+  *     INTERSECTION of query sets (per-query times summed on both
+  *     sides), so new queries' time can never push the total comparison
+  *     past 2× against an older, smaller baseline.
   *
   * Usage: `sbt "runMain graft.tools.BenchGate [benchJson] [baselineMd]"`
   * (defaults: BENCH_LOCAL.json, BASELINE_LOCAL.md in the repo root).
@@ -30,51 +39,70 @@ object BenchGate {
       f"$query: $gotSec%.3fs vs baseline $baseSec%.3fs (${ratio}%.2fx > 2x)"
   }
 
-  private val QueryTimeRe = """"(q[0-9a-z][0-9a-z_]*)":([0-9.]+)""".r
-  private val ContendedRe = """"contended":(true|false)""".r
-  private val TotalRe = """"metric":"total","value":([0-9.]+)""".r
-  private val BaselineRowRe = """\|\s*(q[0-9a-z][0-9a-z_]*)\s*\|\s*([0-9.]+)\s*\|""".r
-  private val BaselineTotalRe = """Total:\s*([0-9.]+)\s*s""".r
+  /** Gate outcome for an accepted (uncontended) artifact. The gate
+    * passes iff `violations`, `failedQueries` and `missingQueries` are
+    * ALL empty; `newQueries` is informational. */
+  final case class GateResult(
+      violations: Seq[Violation],
+      newQueries: Seq[String],
+      failedQueries: Seq[String],
+      missingQueries: Seq[String]) {
+    def pass: Boolean =
+      violations.isEmpty && failedQueries.isEmpty && missingQueries.isEmpty
+  }
 
-  def parseBench(json: String): (Map[String, Double], Option[Double], Boolean) = {
+  // optional leading '-' so Bench's -1 failure sentinel parses instead of
+  // silently vanishing from the artifact (a crashed query must be seen)
+  private val QueryTimeRe = """"(q[0-9a-z][0-9a-z_]*)":(-?[0-9.]+)""".r
+  private val ContendedRe = """"contended":(true|false)""".r
+  private val BaselineRowRe = """\|\s*(q[0-9a-z][0-9a-z_]*)\s*\|\s*([0-9.]+)\s*\|""".r
+
+  def parseBench(json: String): (Map[String, Double], Boolean) = {
     val qs = QueryTimeRe.findAllMatchIn(json)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    val total = TotalRe.findFirstMatchIn(json).map(_.group(1).toDouble)
     val contended = ContendedRe.findFirstMatchIn(json).exists(_.group(1) == "true")
-    (qs, total, contended)
+    (qs, contended)
   }
 
-  def parseBaseline(md: String): (Map[String, Double], Option[Double]) = {
-    val qs = BaselineRowRe.findAllMatchIn(md)
+  def parseBaseline(md: String): Map[String, Double] =
+    BaselineRowRe.findAllMatchIn(md)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
-    (qs, BaselineTotalRe.findFirstMatchIn(md).map(_.group(1).toDouble))
-  }
 
-  /** Left(reason) = artifact refused; Right((violations, newQueries)). */
-  def check(benchJson: String, baselineMd: String)
-      : Either[String, (Seq[Violation], Seq[String])] = {
-    val (got, gotTotal, contended) = parseBench(benchJson)
+  /** Left(reason) = artifact refused; Right = graded result. */
+  def check(benchJson: String, baselineMd: String): Either[String, GateResult] = {
+    val (got, contended) = parseBench(benchJson)
     if (contended) return Left(
       "artifact is stamped \"contended\": true — the calibration sentinel " +
         "disagreed >2x across the run; re-measure on an idle machine " +
         "(a contended run can neither pass nor fail the gate)")
     if (got.isEmpty) return Left("no per-query timings found in the artifact")
-    val (base, baseTotal) = parseBaseline(baselineMd)
+    val base = parseBaseline(baselineMd)
     if (base.isEmpty) return Left("no baseline rows parsed")
-    val violations = got.toSeq.sorted.flatMap { case (q, sec) =>
+    val failed = got.filter(_._2 < 0).keys.toSeq.sorted
+    val ok = got -- failed
+    val violations = ok.toSeq.sorted.flatMap { case (q, sec) =>
       base.get(q) match {
         case Some(b) if sec > b * 2.0 && sec > 1.0 => Some(Violation(q, b, sec))
         case _ => None
       }
     }
-    val totalViolation = for {
-      t <- gotTotal; b <- baseTotal
-      // totals only comparable on the shared query set: scale the
-      // baseline total by the measured share of baseline queries present
-      if got.keySet.intersect(base.keySet).size == base.size && t > b * 2.0
-    } yield Violation("TOTAL", b, t)
-    Right((violations ++ totalViolation,
-      got.keys.filterNot(base.contains).toSeq.sorted))
+    // TOTAL over the intersection: sum each side's per-query values for
+    // the queries both sides measured — comparable regardless of how
+    // many queries were added since the baseline was cut
+    val shared = ok.keySet.intersect(base.keySet)
+    val totalViolation =
+      if (shared.isEmpty) None
+      else {
+        val gotSum = shared.toSeq.map(ok).sum
+        val baseSum = shared.toSeq.map(base).sum
+        if (gotSum > baseSum * 2.0) Some(Violation("TOTAL", baseSum, gotSum))
+        else None
+      }
+    Right(GateResult(
+      violations ++ totalViolation,
+      got.keys.filterNot(base.contains).toSeq.sorted,
+      failed,
+      base.keys.filterNot(got.contains).toSeq.sorted))
   }
 
   def main(args: Array[String]): Unit = {
@@ -86,16 +114,19 @@ object BenchGate {
       case Left(refusal) =>
         System.err.println(s"[bench-gate] REFUSED: $refusal")
         sys.exit(2)
-      case Right((violations, newQs)) =>
-        if (newQs.nonEmpty) println(
-          s"[bench-gate] ${newQs.size} queries not in baseline (new this " +
-            s"round, informational): ${newQs.mkString(", ")}")
-        if (violations.isEmpty) {
-          println(s"[bench-gate] PASS: no uncontended per-query ratio > 2x")
-        } else {
-          violations.foreach(v => System.err.println(s"[bench-gate] FAIL: $v"))
-          sys.exit(1)
-        }
+      case Right(r) =>
+        if (r.newQueries.nonEmpty) println(
+          s"[bench-gate] ${r.newQueries.size} queries not in baseline (new this " +
+            s"round, informational): ${r.newQueries.mkString(", ")}")
+        r.failedQueries.foreach(q => System.err.println(
+          s"[bench-gate] FAIL: $q recorded as FAILED (-1) in the artifact"))
+        r.missingQueries.foreach(q => System.err.println(
+          s"[bench-gate] FAIL: baseline query $q missing from the artifact"))
+        r.violations.foreach(v => System.err.println(s"[bench-gate] FAIL: $v"))
+        if (r.pass) {
+          println(s"[bench-gate] PASS: no uncontended per-query ratio > 2x, " +
+            "no failed or vanished queries")
+        } else sys.exit(1)
     }
   }
 }

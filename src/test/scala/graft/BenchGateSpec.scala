@@ -5,8 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.tools.BenchGate
 
 /** The bench regression gate itself: seeded slowdowns must fail, jitter
-  * and new queries must not, contended artifacts must be refused. No
-  * SparkSession — pure artifact parsing/diffing. */
+  * and new queries must not, contended artifacts must be refused, and a
+  * query that crashed (-1) or vanished from the artifact must be loud.
+  * No SparkSession — pure artifact parsing/diffing. */
 class BenchGateSpec extends AnyFunSuite {
 
   private val baseline =
@@ -27,21 +28,22 @@ class BenchGateSpec extends AnyFunSuite {
       s""""calib_start_sec":0.2,"calib_end_sec":0.21,"contended":$contended}"""
 
   test("clean run within 2x passes") {
-    val Right((violations, newQs)) = BenchGate.check(bench(2.1, 3.4, 0.3), baseline)
-    assert(violations.isEmpty, violations.mkString("; "))
-    assert(newQs.isEmpty)
+    val Right(r) = BenchGate.check(bench(2.1, 3.4, 0.3), baseline)
+    assert(r.pass, r)
+    assert(r.newQueries.isEmpty)
   }
 
   test("a seeded 3x slowdown on a >1s query fails the gate") {
-    val Right((violations, _)) = BenchGate.check(bench(6.1, 3.0, 0.2), baseline)
-    assert(violations.map(_.query) == Seq("q01_pricing_summary"))
-    assert(violations.head.ratio > 3.0)
+    val Right(r) = BenchGate.check(bench(6.1, 3.0, 0.2), baseline)
+    assert(r.violations.map(_.query) == Seq("q01_pricing_summary"))
+    assert(r.violations.head.ratio > 3.0)
+    assert(!r.pass)
   }
 
   test("sub-second jitter is not a regression even at >2x ratio") {
     // q0a 0.20 -> 0.55 is 2.75x but under the 1s absolute floor
-    val Right((violations, _)) = BenchGate.check(bench(2.0, 3.0, 0.55), baseline)
-    assert(violations.isEmpty, violations.mkString("; "))
+    val Right(r) = BenchGate.check(bench(2.0, 3.0, 0.55), baseline)
+    assert(r.pass, r)
   }
 
   test("contended artifacts are refused, not graded") {
@@ -51,11 +53,46 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("queries missing from the baseline are informational, not failures") {
-    val Right((violations, newQs)) =
+    val Right(r) =
       BenchGate.check(bench(2.0, 3.0, 0.2, extra = ""","q6h_image_decode":9.9"""),
         baseline)
-    assert(violations.isEmpty)
-    assert(newQs == Seq("q6h_image_decode"))
+    assert(r.pass, r)
+    assert(r.newQueries == Seq("q6h_image_decode"))
+  }
+
+  test("a query recorded as FAILED (-1) fails the gate visibly") {
+    // Bench writes -1 for a query that threw; the old [0-9.]+ regex
+    // silently dropped it and the crash passed the gate with no signal
+    val json = bench(2.0, 3.0, 0.2)
+      .replace(""""q80_stream_tumbling":3.0""", """"q80_stream_tumbling":-1""")
+    val Right(r) = BenchGate.check(json, baseline)
+    assert(r.failedQueries == Seq("q80_stream_tumbling"))
+    assert(!r.pass)
+    // and the failed query must not double-report as a ratio violation
+    assert(!r.violations.exists(_.query == "q80_stream_tumbling"))
+  }
+
+  test("a baseline query absent from the artifact fails the gate") {
+    val json =
+      """{"metric":"total","value":5.0,"unit":"sec",""" +
+        """"queries":{"q01_pricing_summary":2.0,"q0a_string_agg":0.2},""" +
+        """"sf":"sf0.1","contended":false}"""
+    val Right(r) = BenchGate.check(json, baseline)
+    assert(r.missingQueries == Seq("q80_stream_tumbling"))
+    assert(!r.pass)
+  }
+
+  test("TOTAL compares sums over the intersection, so new queries cannot false-fail it") {
+    // 3 baseline queries at healthy ratios + a huge NEW query: the naive
+    // artifact-total (17.1s) vs baseline-total (10.0 - wait, 5.2) check
+    // would flag; the intersection sum (5.3 vs 5.2) must not
+    val Right(r) =
+      BenchGate.check(bench(2.1, 3.0, 0.2, extra = ""","q99_new_heavy":11.8"""),
+        baseline)
+    assert(r.pass, r)
+    // and a genuine across-the-board slowdown still fails TOTAL
+    val Right(r2) = BenchGate.check(bench(4.5, 6.5, 0.45), baseline)
+    assert(r2.violations.exists(_.query == "TOTAL"), r2)
   }
 
   test("the committed artifacts pass the gate end to end") {
@@ -63,7 +100,7 @@ class BenchGateSpec extends AnyFunSuite {
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
     val res = BenchGate.check(read("BENCH_LOCAL.json"), read("BASELINE_LOCAL.md"))
     assert(res.isRight, res)
-    val Right((violations, _)) = res
-    assert(violations.isEmpty, violations.mkString("; "))
+    val Right(r) = res
+    assert(r.pass, r)
   }
 }

@@ -659,6 +659,29 @@ class GraftDocConnectorSpec extends SparkSpec {
     assert(GraftDocLog.readSchema(dir).get.fieldNames.toSeq == Seq("_id", "name"))
   }
 
+  test("schema delta protocol: late-completing torn delta with a conflicting type fails at fold time") {
+    import org.apache.spark.sql.types._
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", dir)
+    // writer A crashes mid-write on slot 1 (torn — invisible to checks)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_schema_d000000001.json"),
+      "{\"type\":\"str".getBytes)
+    // writer B publishes 'dup' as LONG in slot 2; its publish-time
+    // conflict check cannot see the torn slot-1 delta — passes cleanly
+    GraftDocLog.publishSchemaDelta(dir,
+      Seq(StructField("dup", LongType, nullable = true)))
+    // writer A completes LATE with 'dup' as STRING: slot order would put
+    // it FIRST in the fold, retroactively retyping B's committed column.
+    // The fold must refuse, not let slot order silently win.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_schema_d000000001.json"),
+      StructType(Seq(StructField("dup", StringType, nullable = true)))
+        .json.getBytes)
+    val e = intercept[IllegalStateException] { GraftDocLog.readSchema(dir) }
+    assert(e.getMessage.contains("retypes column 'dup'"), e.getMessage)
+  }
+
   test("two concurrent writers both commit with distinct seqs") {
     val dir = tmp()
     GraftDoc.write(Seq((0L, "seed")).toDF("k", "name"), "k", dir)

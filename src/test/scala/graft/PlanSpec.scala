@@ -113,6 +113,23 @@ class PlanSpec extends SparkSpec {
       "q24 should push a group-limit below the window sort")
   }
 
+  test("q0d has no global (empty-partitioning) window; top-20 is TakeOrderedAndProject") {
+    // the 100 TB hazard: a Window with empty partitionSpec funnels the
+    // full distinct vocabulary (10^8+ rows at scale) through ONE task.
+    // q0d must carry its corpus total as a scalar subquery and take its
+    // top-20 via per-partition top-k + driver merge instead.
+    val plans = collectAll(executed(q("q0d_cms_token_freq")))
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"q0d plans ${globalWindows.size} empty-partitioning Window node(s) — " +
+        "single-task at scale")
+    assert(plans.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      "q0d's top-20 should plan TakeOrderedAndProject (per-partition top-k)")
+  }
+
   test("bucketed tables co-locate: fact-fact join plans with zero shuffles") {
     import org.apache.spark.sql.functions.col
     // bucketBy co-partitions both sides on the join key at write time —
