@@ -91,4 +91,58 @@ object ConnectedComponents {
         "result would silently split components")
     (labels.select(col("node"), col("label").as("component")), round)
   }
+
+  /** INCREMENTAL connected components: merge a batch of NEW edges into a
+    * standing `(node, component)` label table without re-running CC over
+    * the corpus — the streaming twin of [[run]] (a near-dup pair arriving
+    * via CDC should cost O(|delta|), not O(|corpus|)).
+    *
+    * Algebra: a standing component behaves as ONE super-node (its id — by
+    * construction the min member id). Each delta edge (a, b) therefore
+    * reduces to an edge between comp(a) and comp(b), where comp(x) is x's
+    * persisted label, or x itself when x is new. Running [[run]] on that
+    * REDUCED graph — O(|delta|) nodes, never the corpus — yields a merge
+    * mapping old-component → merged-component, and since every reduced
+    * node id is the min of its members, the merged min is the true global
+    * min: exactly what full CC over the union graph would assign.
+    *
+    * Cost shape at 100 TB: the reduced CC and the endpoint-label lookup
+    * touch O(|delta|) rows; the only corpus-sized operation is the final
+    * relabel, a BROADCAST hash join of the (tiny, ≤ 2·|delta| row) merge
+    * mapping against the standing labels — no shuffle of the label table,
+    * no edge re-scan. Components untouched by the delta map to themselves
+    * (the mapping drops identity rows, so their join misses and coalesce
+    * keeps the old label).
+    *
+    * @param labels standing assignment `(node, component)` — must be a
+    *   true CC fixpoint (component = min reachable id), e.g. [[run]]'s
+    *   output or a previous [[incremental]] result
+    * @param deltaEdges new undirected edges `(id_a, id_b)`; endpoints not
+    *   present in `labels` are admitted as new nodes
+    * @return merged `(node, component)` covering labels ∪ delta endpoints
+    */
+  def incremental(labels: DataFrame, deltaEdges: DataFrame): DataFrame = {
+    val ends = deltaEdges.select(col("id_a").as("n"))
+      .unionByName(deltaEdges.select(col("id_b").as("n")))
+      .distinct()
+    val endComp = ends
+      .join(labels.select(col("node").as("n"), col("component")), Seq("n"), "left")
+      .select(col("n"), coalesce(col("component"), col("n")).as("comp"))
+      .localCheckpoint() // consumed 3× below; never recompute the lookup
+    val compEdges = deltaEdges
+      .join(endComp.select(col("n").as("id_a"), col("comp").as("ca")), Seq("id_a"))
+      .join(endComp.select(col("n").as("id_b"), col("comp").as("cb")), Seq("id_b"))
+      .select(col("ca").as("id_a"), col("cb").as("id_b"))
+    val merged = run(compEdges) // reduced graph: O(|delta|) nodes
+    val mapping = merged
+      .select(col("node").as("component"), col("component").as("merged"))
+      .filter(col("component") =!= col("merged")) // identity rows add nothing
+    val newRows = endComp
+      .join(labels, endComp("n") === labels("node"), "left_anti")
+      .select(col("n").as("node"), col("comp").as("component"))
+    labels.unionByName(newRows)
+      .join(broadcast(mapping), Seq("component"), "left")
+      .select(col("node"),
+        coalesce(col("merged"), col("component")).as("component"))
+  }
 }

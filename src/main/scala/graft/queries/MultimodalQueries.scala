@@ -7,11 +7,13 @@ import graft.sources.Tables
 /** Multimodal-column operators (SURVEY.md §2.12, Tier C): media as opaque
   * `binary` payload columns + typed metadata. q67–q69/q6f run the pipeline
   * through deterministic stub codecs (the historical seam queries); q6h
-  * runs it through a REAL image codec — `javax.imageio` PNG encode +
-  * decode, pure JDK — so the "multimodal columns" path exercises an actual
-  * container format end to end: synthesized PNG bytes in a binary column,
-  * decoded back to pixels inside the mapPartitions seam, with the oracle
-  * replaying the deterministic pixel arithmetic exactly.
+  * runs it through a REAL image codec (`javax.imageio` PNG encode+decode)
+  * and q6j through a REAL audio codec (`javax.sound.sampled` RIFF/WAVE
+  * PCM) — both pure JDK — so the "multimodal columns" path exercises
+  * actual container formats end to end: synthesized media bytes in a
+  * binary column, decoded back to pixels/samples inside the mapPartitions
+  * seam, with the oracle replaying the deterministic arithmetic exactly.
+  * VIDEO remains the one documented synthetic seam (no pure-JDK codec).
   *
   * The payload here is `encode(text)` because the test corpus has no real
   * media; the reference's own type bridge already moves opaque `bytes`
@@ -152,6 +154,88 @@ object MultimodalQueries {
     }
   }
 
+  /** real-WAV row: doc provenance + genuine WAV container bytes. */
+  final case class MediaAudio(doc_id: Long, wav: Array[Byte])
+
+  /** real-decode output: exact integer sample stats per clip. */
+  final case class AudioStats(doc_id: Long, n_frames: Long, channels: Long,
+      ch0_sum: Long, ch1_sum: Long, peak: Long)
+
+  /** Deterministic audio spec for doc_id: short 16-bit PCM clip (mono for
+    * even ids, stereo for odd) whose samples are integer functions of
+    * (id, channel, frame) — the oracle replays the same arithmetic in SQL,
+    * so only a lossless container round-trip can match. */
+  private def audioFrames(id: Long): Int = (64 + id % 97).toInt
+  private def audioChannels(id: Long): Int = (1 + id % 2).toInt
+  private def sampleVal(id: Long, ch: Int, i: Int): Int =
+    (((31L * id + 17L * ch + 7L * i) % 65536L) - 32768L).toInt
+
+  /** Synthesize a genuine WAV (RIFF container via `javax.sound.sampled` —
+    * pure JDK, no external libs) holding the deterministic PCM above.
+    * This is the fixture generator a real corpus replaces with actual
+    * recordings; everything downstream operates on the container bytes. */
+  def synthesizeWav(id: Long): Array[Byte] = {
+    val n = audioFrames(id)
+    val ch = audioChannels(id)
+    val pcm = new Array[Byte](n * ch * 2)
+    var i = 0
+    while (i < n) {
+      var c = 0
+      while (c < ch) {
+        val v = sampleVal(id, c, i)
+        val off = (i * ch + c) * 2
+        pcm(off) = (v & 0xFF).toByte // 16-bit little-endian signed
+        pcm(off + 1) = ((v >> 8) & 0xFF).toByte
+        c += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, ch,
+      /* signed = */ true, /* bigEndian = */ false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL decoder behind the mapPartitions seam: `AudioSystem` parses the
+    * RIFF/WAVE container (chunks, fmt header, PCM data) and yields frames;
+    * the stats are exact integers over the decoded samples. Like the
+    * image path, provider discovery happens once per partition, not per
+    * row — the seam contract. */
+  def decodeAudio(rows: Iterator[MediaAudio]): Iterator[AudioStats] = {
+    rows.map { m =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.wav))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"doc ${m.doc_id}: expected 16-bit little-endian PCM, got $fmt")
+      val ch = fmt.getChannels
+      val data = ais.readAllBytes()
+      ais.close()
+      val nFrames = data.length / (2 * ch)
+      var s0 = 0L
+      var s1 = 0L
+      var peak = 0L
+      var i = 0
+      while (i < nFrames) {
+        var c = 0
+        while (c < ch) {
+          val off = (i * ch + c) * 2
+          val v = ((data(off) & 0xFF) | (data(off + 1) << 8)).toShort.toLong
+          if (c == 0) s0 += v else s1 += v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          c += 1
+        }
+        i += 1
+      }
+      AudioStats(m.doc_id, nFrames.toLong, ch.toLong, s0, s1, peak)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // REAL image decode through the seam: synthesize genuine PNGs into a
@@ -185,6 +269,53 @@ object MultimodalQueries {
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map(id => MediaImage(id, synthesizePng(id))))
           .mapPartitions(decodeImages)
+          .toDF()
+          .orderBy(col("doc_id"))
+      }),
+
+    // REAL audio decode through the seam (the q6h playbook applied to
+    // sound): synthesize genuine RIFF/WAVE clips — 16-bit PCM, mono for
+    // even doc_ids, stereo for odd, deterministic samples — into a binary
+    // column, decode them with javax.sound.sampled, emit exact integer
+    // frame counts / per-channel sums / peak amplitude. The oracle
+    // replays the sample arithmetic; a match requires the WAV container
+    // round-trip (encode → binary column → decode) to be lossless,
+    // including channel interleaving and the 16-bit little-endian frame
+    // layout. Row-local like every decode stage: scan-bandwidth-bound,
+    // no shuffle until the final sort. With q6h (images) this leaves
+    // VIDEO as the one documented synthetic seam (q69/q6f) — no pure-JDK
+    // video codec exists.
+    QueryDef(
+      "q6j_audio_decode",
+      Some("""WITH g AS (
+          SELECT doc_id,
+                 CAST(64 + doc_id % 97 AS INT) AS n,
+                 CAST(1 + doc_id % 2 AS INT) AS ch
+          FROM documents),
+        s AS (
+          SELECT doc_id, n, ch,
+            list_transform(generate_series(0, n - 1),
+              i -> (31*doc_id + 7*i) % 65536 - 32768) AS c0,
+            CASE WHEN ch = 2 THEN list_transform(generate_series(0, n - 1),
+              i -> (31*doc_id + 17 + 7*i) % 65536 - 32768)
+            ELSE CAST([] AS BIGINT[]) END AS c1
+          FROM g)
+        SELECT doc_id,
+          CAST(n AS BIGINT) AS n_frames,
+          CAST(ch AS BIGINT) AS channels,
+          CAST(list_sum(c0) AS BIGINT) AS ch0_sum,
+          CAST(coalesce(list_sum(c1), 0) AS BIGINT) AS ch1_sum,
+          CAST(greatest(
+            list_max(list_transform(c0, x -> abs(x))),
+            coalesce(list_max(list_transform(c1, x -> abs(x))), 0))
+            AS BIGINT) AS peak
+        FROM s ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => MediaAudio(id, synthesizeWav(id))))
+          .mapPartitions(decodeAudio)
           .toDF()
           .orderBy(col("doc_id"))
       }),

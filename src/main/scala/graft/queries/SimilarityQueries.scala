@@ -124,10 +124,16 @@ object SimilarityQueries {
       .agg(max_by(col("cid"), struct(col("cc"), (-col("cid")).as("nc"))).as("cid"))
 
   /** Serve stage shared by every persisted-index query (q5i/q5l/q5m):
-    * probe the 2 cells nearest each query (centroids broadcast), fetch
-    * candidates from the membership index by equi join, exact-rerank
-    * only those cells' vectors (fetched by id join), top-3. */
-  private def ivfServe(e: DataFrame, ic: DataFrame, ia: DataFrame): DataFrame = {
+    * probe the `nprobe` cells nearest each query (centroids broadcast),
+    * fetch candidates from the membership index by equi join, exact-rerank
+    * only those cells' vectors (fetched by id join), top-`topK`.
+    *
+    * `nprobe` is the recall-vs-cost dial every IVF deployment tunes:
+    * candidates (and serve cost) grow ~linearly with it while recall
+    * saturates — ScaleProbe's `annsweep` mode measures the operating
+    * curve (the oracle queries pin nprobe=2, the default). */
+  private[graft] def ivfServe(e: DataFrame, ic: DataFrame, ia: DataFrame,
+      nprobe: Int = 2, topK: Int = 3): DataFrame = {
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("qc").desc, col("cid"))
     val probe = e.filter(col("vec_id") < 10)
@@ -136,7 +142,7 @@ object SimilarityQueries {
       .withColumn("qc",
         round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
       .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= 2)
+      .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qe"), col("cid"))
     val wRank = Window.partitionBy(col("qid"))
       .orderBy(col("c").desc, col("nid"))
@@ -148,9 +154,29 @@ object SimilarityQueries {
       .withColumn("c",
         round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9))
       .withColumn("rnk", row_number().over(wRank))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= topK)
       .select(col("qid"), col("nid"), round(col("c"), 4).as("cos"), col("rnk"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** q5n's exact side as a helper for the annsweep probe: brute-force
+    * top-`k` per query (vec_id < 10), the recall denominator. */
+  private[graft] def exactTopK(e: DataFrame, k: Int): DataFrame = {
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("c",
+        round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 9))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("nid"))
+  }
+
+  /** One assignTo exposure for the probe (build the membership index). */
+  private[graft] def buildIndex(e: DataFrame): (DataFrame, DataFrame) = {
+    val cent = centroids(e)
+    (cent, assignTo(e, cent))
   }
 
   /** The 3-round unrolled oracle algebra for [[kmeansIterations]]:

@@ -93,10 +93,62 @@ object Lineage {
     * plan's expression references, so it needs no user bookkeeping and
     * survives renames, aggregates, windows and multiway joins. Driver-side
     * plan analysis only: nothing here touches data or executors. */
-  def columnLineage(df: DataFrame): Map[String, Set[(String, String)]] = {
-    val plan = df.queryExecution.analyzed
-    val m = walk(plan)
-    plan.output.map(a => a.name -> m.getOrElse(a.exprId, Set.empty)).toMap
+  def columnLineage(df: DataFrame): Map[String, Set[(String, String)]] =
+    columnLineageOfPlan(df.queryExecution.analyzed)
+
+  /** [[columnLineage]] over an already-analyzed plan — the entry the
+    * STREAMING capture path uses (a micro-batch's analyzed plan arrives
+    * via [[QueryExecutionListener]], not wrapped in a DataFrame). Write
+    * commands (batch `df.write`, streaming `WriteToMicroBatchDataSource`)
+    * output no attributes; provenance is reported for the written QUERY,
+    * so the descent below unwraps to the first output-bearing node. */
+  def columnLineageOfPlan(plan: LogicalPlan): Map[String, Set[(String, String)]] = {
+    def reportable(p: LogicalPlan): LogicalPlan =
+      if (p.output.nonEmpty || p.children.isEmpty) p
+      else reportable(p.children.find(_.output.nonEmpty).getOrElse(p.children.head))
+    val target = reportable(plan)
+    val m = walk(target)
+    target.output.map(a => a.name -> m.getOrElse(a.exprId, Set.empty)).toMap
+  }
+
+  /** Column lineage for STREAMING drains (SURVEY.md §2.1 S5, the
+    * streaming half): every completed micro-batch notifies the session's
+    * [[QueryExecutionListener]] bus with its analyzed plan; this capture
+    * walks that plan with the same machinery as the batch path, so a CDC
+    * drain reports per-output-column provenance to the source table's
+    * columns (`graft-doc:<path>` leaves keep their table identity in the
+    * micro-batch plan — DSv2 streaming relations survive into
+    * IncrementalExecution). Listener delivery is ASYNC (Spark's listener
+    * bus): call [[ColumnLineageCapture.await]] after
+    * `processAllAvailable` rather than reading `results` immediately. */
+  final class ColumnLineageCapture extends QueryExecutionListener {
+    private val captured = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[Map[String, Set[(String, String)]]]())
+    def results: Seq[Map[String, Set[(String, String)]]] = captured.asScala.toList
+    /** Poll until at least `n` lineage maps arrived (listener bus is
+      * async); returns them or what arrived inside the timeout. */
+    def await(n: Int, timeoutMs: Long = 20000L): Seq[Map[String, Set[(String, String)]]] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (captured.size() < n && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      results
+    }
+    override def onSuccess(funcName: String, qe: QueryExecution,
+        durationNs: Long): Unit = {
+      val m = columnLineageOfPlan(qe.analyzed)
+      if (m.nonEmpty) captured.add(m)
+    }
+    override def onFailure(funcName: String, qe: QueryExecution,
+        ex: Exception): Unit = ()
+  }
+
+  /** Register a [[ColumnLineageCapture]] on the session and return it.
+    * NOT idempotent by design — each caller owns its capture; unregister
+    * with `spark.listenerManager.unregister` when done. */
+  def captureColumnLineage(spark: SparkSession): ColumnLineageCapture = {
+    val c = new ColumnLineageCapture
+    spark.listenerManager.register(c)
+    c
   }
 
   /** Human name for a relation leaf: table name for DSv2, file/dir
@@ -110,6 +162,15 @@ object Lineage {
       case r => r.toString
     }
     case d: DataSourceV2Relation => d.table.name()
+    // streaming leaves: pre-start plans carry StreamingRelationV2; the
+    // per-micro-batch analyzed plan (IncrementalExecution) carries the
+    // DSv2 scan relation — both still know their table
+    case s: org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2ScanRelation =>
+      s.relation.table.name()
+    case s: org.apache.spark.sql.execution.datasources.v2.StreamingDataSourceV2Relation =>
+      s.table.name()
+    case s: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2 =>
+      s.table.name()
     case _: LocalRelation => "local"
     case other => other.nodeName
   }

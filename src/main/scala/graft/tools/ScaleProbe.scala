@@ -40,6 +40,11 @@ object ScaleProbe {
     // (q5k): each Lloyd round is one broadcast + one hash-agg shuffle, so
     // rounds should cost the same and scale linearly in N
     val kmeansOnly = args.length > 1 && args(1) == "kmeans"
+    // "annsweep" probes the IVF recall-vs-cost curve (nprobe sweep at two
+    // corpus scales); "deltacc" probes incremental CC (cost must scale
+    // with |delta|, not |corpus|)
+    val annsweepOnly = args.length > 1 && args(1) == "annsweep"
+    val deltaccOnly = args.length > 1 && args(1) == "deltacc"
     val spark: SparkSession = GraftSession.local(8)
     val dir = "/root/testdata/sf0.1"
     def time[T](label: String)(f: => T): T = {
@@ -141,6 +146,75 @@ object ScaleProbe {
         }
       }
       embK.unpersist(); spark.stop(); return
+    }
+
+    if (annsweepOnly) {
+      import graft.queries.SimilarityQueries
+      // recall-vs-cost operating curve for the IVF serve path: candidates
+      // (and serve cost) grow ~linearly with nprobe while recall
+      // saturates — this table is the tuning evidence a 100 TB operator
+      // reads before picking nprobe. Two corpus scales: cell count k=⌈√N⌉
+      // grows with N, so the same nprobe probes a smaller FRACTION of the
+      // corpus at the larger scale (recall at fixed nprobe usually drops;
+      // the dial must be re-read per deployment, which is the point).
+      for (scale <- Seq(1, copies).distinct) {
+        val e = replicate(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", scale, 1000000L).cache()
+        val n = e.count()
+        val (cent, assign) = SimilarityQueries.buildIndex(e)
+        val centC = cent.cache(); val assignC = assign.cache()
+        val k = centC.count(); assignC.count() // build once, off the clock
+        val exact = SimilarityQueries.exactTopK(e, 3).cache()
+        exact.count()
+        for (nprobe <- Seq(1, 2, 4, 8)) {
+          time(s"annsweep n=$n cells=$k nprobe=$nprobe") {
+            val served = SimilarityQueries
+              .ivfServe(e, centC, assignC, nprobe = nprobe, topK = 3)
+            val hits = served.select(col("qid"), col("nid"))
+              .join(exact, Seq("qid", "nid")).count()
+            val denom = exact.count()
+            println(f"[scale]   recall@3=${hits * 1000000L / denom}ppm " +
+              f"($hits/$denom)")
+          }
+        }
+        exact.unpersist(); centC.unpersist(); assignC.unpersist(); e.unpersist()
+      }
+      spark.stop(); return
+    }
+
+    if (deltaccOnly) {
+      import graft.operators.ConnectedComponents
+      // incremental CC: merged-label cost must scale with |delta|, not
+      // |corpus| — the q6k contract. Standing graph: n nodes in star
+      // families of 50 (the near-dup topology); delta: d edges joining
+      // adjacent families (forcing real merges, worst case for the
+      // reduced graph). Full re-run cost on the union graph is the
+      // comparison line.
+      val n = copies * 20000L
+      val standing = spark.range(0L, n)
+        .select(col("id").as("id_a"), (col("id") - col("id") % 50L).as("id_b"))
+      val labels = ConnectedComponents.run(standing).cache()
+      println(s"[scale] deltacc standing: n=$n labels=${labels.count()}")
+      for (d <- Seq(100L, 1000L, 10000L)) {
+        // delta edge j: family-anchor 50·j ~ family-anchor 50·(j+1)
+        val delta = spark.range(0L, d)
+          .select((col("id") * 50L).as("id_a"), ((col("id") + 1L) * 50L).as("id_b"))
+        time(s"deltacc incremental |delta|=$d (n=$n)") {
+          val merged = ConnectedComponents.incremental(labels, delta)
+          println(s"[scale]   components=" +
+            merged.agg(countDistinct(col("component"))).head().getLong(0))
+        }
+      }
+      val union = standing.unionByName(
+        spark.range(0L, 10000L)
+          .select((col("id") * 50L).as("id_a"), ((col("id") + 1L) * 50L).as("id_b")))
+      time(s"deltacc FULL re-run on union graph (n=$n, comparison line)") {
+        val (full, rounds) = ConnectedComponents.runCounted(union, maxRounds = 64)
+        println(s"[scale]   rounds=$rounds components=" +
+          full.agg(countDistinct(col("component"))).head().getLong(0))
+      }
+      labels.unpersist(); spark.stop(); return
     }
 
     if (ccOnly) {

@@ -58,4 +58,47 @@ class ColumnLineageSpec extends SparkSpec {
     assert(lin("who") ==
       Set("crm_customers" -> "c_name", "supplier" -> "s_name"))
   }
+
+  test("streaming: a CDC drain reports per-column provenance to the graft-doc table's columns") {
+    import spark.implicits._
+    import graft.connector.GraftDoc
+    // the streaming half of S5: every micro-batch notifies the session's
+    // QueryExecutionListener bus with its analyzed plan; the capture
+    // walks it with the same machinery as the batch path. The DSv2
+    // streaming scan relation keeps the table identity (graft-doc:<path>)
+    // inside IncrementalExecution, so provenance points at the CDC
+    // SOURCE TABLE's columns, through renames and expressions.
+    val src = java.nio.file.Files.createTempDirectory("lin_cdc_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("lin_cdc_ckpt").toString
+    GraftDoc.write(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "name", "score"), "k", src)
+    val cap = Lineage.captureColumnLineage(spark)
+    try {
+      val q = GraftDoc.readStream(spark, src)
+        .select(
+          col("_id").as("doc_key"),
+          upper(col("name")).as("uname"),
+          (col("score") * 2).as("dscore"))
+        .writeStream.format("memory").queryName("lin_cdc_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // listener bus is async; other session actions may interleave —
+      // poll for the micro-batch map, identified by its output columns
+      val deadline = System.nanoTime() + 20000000000L
+      var found: Option[Map[String, Set[(String, String)]]] = None
+      while (found.isEmpty && System.nanoTime() < deadline) {
+        found = cap.results.find(_.contains("doc_key"))
+        if (found.isEmpty) Thread.sleep(100)
+      }
+      val lin = found.getOrElse(
+        fail(s"no micro-batch column lineage captured; got: ${cap.results}"))
+      val tn = s"graft-doc:$src"
+      assert(lin("doc_key") == Set(tn -> "_id"))
+      assert(lin("uname") == Set(tn -> "name"))
+      assert(lin("dscore") == Set(tn -> "score"))
+    } finally spark.listenerManager.unregister(cap)
+  }
 }

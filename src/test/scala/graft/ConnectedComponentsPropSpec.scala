@@ -87,4 +87,45 @@ class ConnectedComponentsPropSpec extends SparkSpec {
     val bound = 2 * (math.log(n + 1.0) / math.log(2.0)).ceil.toInt
     assert(rounds <= bound, s"$rounds rounds > bound $bound")
   }
+
+  test("property: incremental merge equals full CC on the union graph (12 random splits)") {
+    // the q6k contract: persisted labels + delta edges merged with
+    // `incremental` must be indistinguishable from re-running CC from
+    // scratch — for ANY split of the edge stream, including deltas that
+    // chain several standing components, touch only new nodes, introduce
+    // nodes with ids SMALLER than a standing component's min (the merged
+    // min must drop), or duplicate standing edges.
+    for ((edges, i) <- samples(graphGen, 12).zipWithIndex) {
+      val k = i % 4 // vary the split fraction across cases (0%..75% base)
+      val (base, delta) = edges.zipWithIndex.partition(_._2 % 4 < k)
+      val baseDf = base.map(_._1).toDF("id_a", "id_b")
+      val deltaDf = delta.map(_._1).toDF("id_a", "id_b")
+      val standing = ConnectedComponents.run(baseDf)
+      val got = ConnectedComponents.incremental(standing, deltaDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = unionFind(edges)
+      assert(got == want, s"split #$i (base=${base.size}, delta=${delta.size}): " +
+        s"$edges\n got=$got\nwant=$want")
+    }
+  }
+
+  test("incremental with an empty delta is the identity") {
+    val edges = Seq((0L, 1L), (1L, 2L), (5L, 6L))
+    val standing = ConnectedComponents.run(edges.toDF("id_a", "id_b"))
+    val got = ConnectedComponents.incremental(
+      standing, Seq.empty[(Long, Long)].toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("incremental: a new node with a smaller id lowers the merged component min") {
+    // standing component {10,11,12} (min 10); delta edge 5~12 must
+    // relabel the WHOLE standing family to 5, not just the endpoint
+    val standing = ConnectedComponents.run(
+      Seq((10L, 11L), (11L, 12L)).toDF("id_a", "id_b"))
+    val got = ConnectedComponents.incremental(
+      standing, Seq((5L, 12L)).toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> 5L, 10L -> 5L, 11L -> 5L, 12L -> 5L))
+  }
 }
