@@ -71,7 +71,7 @@ object DedupQueries {
 
   /** CTE body: all pairs with shingle-Jaccard ≥ 0.7 — shared by
     * q61/q62/q6a/q6d/q6e/q5o oracles. */
-  private val jaccardPairsCte =
+  private[queries] val jaccardPairsCte =
     s"""$pairCountsCte,
        jp AS (
          SELECT id_a, id_b, inter * 1.0 / (na + nb - inter) AS jac
@@ -110,6 +110,13 @@ object DedupQueries {
       .join(sz.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n", "na"), "id_a")
       .join(sz.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
   }
+
+  /** The corpus's Jaccard-0.7 pair graph as a bare (id_a, id_b) edge
+    * list — the shared input of the cluster-formation family (q6a/q6k
+    * batch, the q8f streaming drain). */
+  private[graft] def jaccardPairEdges(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsRaw(withShingles(docs(s, dir)))
+      .select(col("id_a"), col("id_b"))
 
   private[queries] def jaccardPairsRaw(d: DataFrame): DataFrame =
     pairCounts(d)
@@ -380,6 +387,87 @@ object DedupQueries {
           .write.mode("overwrite").parquet(p)
         ConnectedComponents.incremental(s.read.parquet(p), deltaEdges)
           .select(col("node").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // LINE-level dedup (the C4/web-corpus cleaning rule the DOCUMENT-level
+    // family can't express: boilerplate SPANS repeat across documents that
+    // are not near-dups of each other). "Lines" here are non-overlapping
+    // 8-word windows (the corpus has no newlines; same rule, fixed span);
+    // a window occurring more than once corpus-wide is removed EVERYWHERE
+    // except its first occurrence (min (doc_id, pos) — C4's "all but one").
+    // The tail (< 8 words) is outside every window, deterministically.
+    //
+    // Scale shape — the reason this isn't a groupBy on window TEXT: the
+    // occurrence-decision shuffle carries only (doc_id, pos, 64-bit hash)
+    // tuples, and what joins BACK to the corpus is the per-doc DROPPED
+    // position list — bounded by the duplicate rate (~5% here), so the
+    // reassembly join broadcasts its small side and document bodies
+    // never cross an exchange: text is re-windowed and reassembled
+    // row-locally by indexing the original word array with the surviving
+    // positions. (Joining the KEPT decisions back instead would make the
+    // small side corpus-sized and force a body shuffle.) The oracle
+    // groups by the window text itself — identical grouping unless
+    // xxhash64 collides, the same accepted trade every hash-keyed dedup
+    // here makes (q60 sha256, q62 band hashes).
+    QueryDef(
+      "q6l_line_dedup",
+      Some("""WITH w0 AS (
+          SELECT doc_id, string_split(text,' ') AS ws,
+                 unnest(generate_series(0, len(string_split(text,' '))//8 - 1)) AS pos
+          FROM documents),
+        w AS (SELECT doc_id, pos,
+                array_to_string(ws[pos*8+1 : pos*8+8], ' ') AS win
+              FROM w0),
+        d AS (SELECT win, count(*) AS cnt,
+                min(doc_id * 100000 + pos) AS first_key
+              FROM w GROUP BY win),
+        k AS (SELECT w.doc_id, w.pos, w.win
+              FROM w JOIN d ON w.win = d.win
+              WHERE d.cnt = 1 OR w.doc_id * 100000 + w.pos = d.first_key),
+        nw AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY doc_id),
+        kept AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(win, ' ' ORDER BY pos) AS cleaned_text
+                 FROM k GROUP BY doc_id)
+        SELECT nw.doc_id,
+          CAST(nw.n_windows AS BIGINT) AS n_windows,
+          CAST(coalesce(kept.n_kept, 0) AS BIGINT) AS n_kept,
+          coalesce(kept.cleaned_text, '') AS cleaned_text
+        FROM nw LEFT JOIN kept ON kept.doc_id = nw.doc_id
+        ORDER BY nw.doc_id"""),
+      (s, dir) => {
+        val ws = split(col("text"), " ")
+        val base = docs(s, dir)
+          .select(col("doc_id"), ws.as("ws"),
+            (size(ws) / 8).cast("int").as("nwin"))
+          .filter(col("nwin") >= 1)
+        // decision stream: hash per window — the only thing shuffled
+        val w = base.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), col("nwin") - 1),
+              i => xxhash64(array_join(slice(col("ws"), i * 8 + 1, lit(8)), " ")))))
+          .withColumnRenamed("pos", "pos").withColumnRenamed("col", "h")
+        val key = col("doc_id") * 100000L + col("pos")
+        val d = w.groupBy(col("h"))
+          .agg(count(lit(1)).as("cnt"), min(key).as("first_key"))
+        // only the DROPS come back to the corpus (duplicate-rate-bounded)
+        val dropPos = w.join(d, Seq("h"))
+          .filter(col("cnt") > 1 && key =!= col("first_key"))
+          .groupBy(col("doc_id"))
+          .agg(collect_set(col("pos")).as("dropped"))
+        // reassembly: row-local re-window + index by surviving positions
+        base
+          .join(dropPos, Seq("doc_id"), "left")
+          .withColumn("dropped",
+            coalesce(col("dropped"), array().cast("array<int>")))
+          .withColumn("kept",
+            filter(sequence(lit(0), col("nwin") - 1),
+              p => !array_contains(col("dropped"), p)))
+          .select(col("doc_id"),
+            col("nwin").cast("long").as("n_windows"),
+            size(col("kept")).cast("long").as("n_kept"),
+            array_join(transform(col("kept"),
+              p => array_join(slice(col("ws"), p * 8 + 1, lit(8)), " ")), " ")
+              .as("cleaned_text"))
           .orderBy(col("doc_id"))
       }),
 

@@ -232,6 +232,26 @@ object StreamingQueries {
         GROUP BY lang ORDER BY lang"""),
       (s, dir) => StreamPipelines.docStreamIncrementalDedup(s, dir)),
 
+    // Continuous incremental near-dup CLUSTERING: CDC-arriving pair edges
+    // folded into persisted (node, component) labels per micro-batch via
+    // ConnectedComponents.incremental (foreachBatch; O(|batch|) reduced
+    // CC + broadcast relabel, never a corpus re-run). The oracle is
+    // from-scratch CC over the WHOLE pair graph — the drained label
+    // table must be indistinguishable from a full batch run (q6a/q6k's
+    // closure, now reached through a real two-batch streaming execution).
+    QueryDef(
+      "q8f_stream_cc_incremental",
+      Some(s"""WITH RECURSIVE ${DedupQueries.jaccardPairsCte},
+          sym AS (SELECT id_a AS a, id_b AS b FROM jp
+                  UNION ALL SELECT id_b, id_a FROM jp),
+          reach(a, b) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a)
+          SELECT a AS doc_id, min(b) AS component
+          FROM reach GROUP BY a ORDER BY doc_id"""),
+      (s, dir) => StreamPipelines.docStreamIncrementalClusters(s, dir)),
+
     // Reference-topology parity pipeline: stream → keyed document sink →
     // read back. The `_id` count proves the key hoist is lossless.
     QueryDef(

@@ -533,6 +533,72 @@ object StreamPipelines {
     * with a longer body in a later commit), so the oracle proves
     * last-write-wins ordering survives the stream: the final corpus holds
     * the v2 text exactly where v2 passed the gate. */
+  /** CONTINUOUS incremental near-dup clustering (q8f) — the streaming
+    * closure of the q6a/q6k family: near-dup pair edges arrive through a
+    * CDC tail (a graft-doc edge table written in two commits), and every
+    * micro-batch folds its edges into the persisted (node, component)
+    * label table with [[graft.operators.ConnectedComponents.incremental]]
+    * — O(|batch|) reduced-graph CC + one broadcast relabel per batch,
+    * never a corpus re-run. foreachBatch is the right sink shape: the
+    * merge is a multi-step batch computation (read persisted labels →
+    * merge → persist next version) keyed by batchId, exactly what
+    * foreachBatch exists for; label versions are immutable files, so a
+    * replayed batch (stream restart) rewrites the SAME next version
+    * rather than corrupting the current one — idempotent by layout.
+    *
+    * The pair stream is the corpus's Jaccard pair graph split by arrival
+    * (the q6k rule: both-old endpoints = standing graph, any-new = the
+    * CDC delta, two commits). The final drained label table must equal
+    * from-scratch CC over the whole pair graph — the oracle. */
+  def docStreamIncrementalClusters(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.ConnectedComponents
+    val tmp = graft.TempDirs.create("graft_doc_cc_stream")
+    val pairs = graft.queries.DedupQueries.jaccardPairEdges(s, sfDir)
+      .localCheckpoint()
+    def isNew(c: Column) = pmod(c, lit(10)) === 0
+    val standing = pairs.filter(!isNew(col("id_a")) && !isNew(col("id_b")))
+    val delta = pairs.filter(isNew(col("id_a")) || isNew(col("id_b")))
+    // standing labels: batch CC, persisted as version 0
+    ConnectedComponents.run(standing)
+      .write.mode("overwrite").parquet(s"$tmp/labels_v0")
+    // the CDC edge table: delta edges land in TWO commits (ids are < 1e6
+    // at every test SF, so the packed edge key is collision-free)
+    val keyed = delta.select(
+      (col("id_a") * 1000000L + col("id_b")).as("edge_key"),
+      col("id_a"), col("id_b"))
+    graft.connector.GraftDoc.write(
+      keyed.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 0),
+      "edge_key", s"$tmp/edges")
+    graft.connector.GraftDoc.write(
+      keyed.filter(pmod(col("id_a") + col("id_b"), lit(2)) === 1),
+      "edge_key", s"$tmp/edges")
+    val version = new AtomicInteger(0)
+    val ckpt = ephemeralCheckpoint("cc_incr")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/edges", maxCommitsPerTrigger = Some(1L))
+          .select(col("id_a"), col("id_b"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val v = version.get()
+            val cur = s.read.parquet(s"$tmp/labels_v$v")
+            ConnectedComponents.incremental(cur, batch)
+              .write.mode("overwrite").parquet(s"$tmp/labels_v${v + 1}")
+            version.incrementAndGet()
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    s.read.parquet(s"$tmp/labels_v${version.get()}")
+      .select(col("node").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
   def docStreamIngest(s: SparkSession, sfDir: String): DataFrame = {
     val tmp = graft.TempDirs.create("graft_doc_ingest")
     val docs = s.read.parquet(s"$sfDir/documents.parquet")

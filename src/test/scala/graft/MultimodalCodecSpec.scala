@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.MultimodalQueries
+import graft.queries.MultimodalQueries.{MediaAudio, MediaImage}
+
+/** The REAL media codecs behind the mapPartitions seam (q6h PNG, q6j
+  * WAV): lossless round-trips for every deterministic fixture shape, and
+  * CRISP failures on corrupt payloads — a truncated blob in a 100 TB
+  * corpus must name the document, not NPE three operators later or
+  * silently emit garbage stats. No SparkSession — the kernels are plain
+  * iterator functions, which is the point of the seam. */
+class MultimodalCodecSpec extends AnyFunSuite {
+
+  test("PNG round-trip is lossless across the id-derived shape space") {
+    // ids chosen to cover the width/height modulus lattice extremes
+    for (id <- Seq(0L, 1L, 16L, 12L, 220L, 221L)) {
+      val stats = MultimodalQueries
+        .decodeImages(Iterator(MediaImage(id, MultimodalQueries.synthesizePng(id))))
+        .next()
+      assert(stats.n_px == stats.width * stats.height)
+      assert(stats.width == 8 + id % 17 && stats.height == 8 + (id * 3) % 13)
+      // channel sums bounded by 255 * n_px and nonzero for any id
+      assert(stats.r_sum > 0 && stats.r_sum <= 255 * stats.n_px)
+    }
+  }
+
+  test("WAV round-trip is lossless for both channel layouts") {
+    for (id <- Seq(0L, 1L, 2L, 97L, 196L)) { // even = mono, odd = stereo
+      val stats = MultimodalQueries
+        .decodeAudio(Iterator(MediaAudio(id, MultimodalQueries.synthesizeWav(id))))
+        .next()
+      assert(stats.n_frames == 64 + id % 97)
+      assert(stats.channels == 1 + id % 2)
+      assert(stats.peak <= 32768)
+      if (stats.channels == 1) assert(stats.ch1_sum == 0L)
+      else assert(stats.ch1_sum != stats.ch0_sum) // interleaving not collapsed
+    }
+  }
+
+  test("a truncated PNG fails crisply, naming the document") {
+    val good = MultimodalQueries.synthesizePng(7L)
+    val torn = good.take(good.length / 2)
+    val e = intercept[Exception] {
+      MultimodalQueries.decodeImages(Iterator(MediaImage(7L, torn))).next()
+    }
+    // either ImageIO throws on the truncated zlib stream or returns null
+    // and the seam's require names the doc — both are crisp, neither is
+    // silent garbage; the doc id must be recoverable from at least the
+    // require path
+    assert(e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[javax.imageio.IIOException] ||
+      e.isInstanceOf[java.io.IOException] ||
+      e.isInstanceOf[java.io.EOFException],
+      s"unexpected failure type: $e")
+  }
+
+  test("garbage bytes as a PNG fail crisply, naming the document") {
+    val e = intercept[IllegalArgumentException] {
+      MultimodalQueries.decodeImages(
+        Iterator(MediaImage(9L, Array.fill[Byte](64)(0x41)))).next()
+    }
+    assert(e.getMessage.contains("doc 9"), e.getMessage)
+  }
+
+  test("garbage bytes as a WAV fail crisply (unsupported container)") {
+    val e = intercept[Exception] {
+      MultimodalQueries.decodeAudio(
+        Iterator(MediaAudio(3L, Array.fill[Byte](64)(0x41)))).next()
+    }
+    assert(e.isInstanceOf[javax.sound.sampled.UnsupportedAudioFileException] ||
+      e.isInstanceOf[java.io.IOException], s"unexpected failure type: $e")
+  }
+
+  test("a truncated WAV yields only the frames its data chunk holds, never garbage beyond") {
+    // RIFF readers tolerate a short final chunk; the decode must bound
+    // itself by the actual bytes, not the header's promise
+    val good = MultimodalQueries.synthesizeWav(4L) // mono, 68 frames
+    val torn = good.take(good.length - 40) // drop 20 frames' worth
+    val res =
+      try Some(MultimodalQueries.decodeAudio(Iterator(MediaAudio(4L, torn))).next())
+      catch { case _: Exception => None } // a crisp refusal is also fine
+    res.foreach { stats =>
+      assert(stats.n_frames < 68, s"decoded ${stats.n_frames} frames from a truncated clip")
+    }
+  }
+}

@@ -130,6 +130,21 @@ class PlanSpec extends SparkSpec {
       "q0d's top-20 should plan TakeOrderedAndProject (per-partition top-k)")
   }
 
+  test("q6l line dedup: document bodies never shuffle (reassembly join broadcasts the drop list)") {
+    // the decision stream shuffles (doc_id, pos, hash) only; the word
+    // arrays ("ws") may only meet a join via a BROADCAST of the
+    // duplicate-rate-bounded drop list — an SMJ here would shuffle every
+    // document body by doc_id
+    val plans = collectAll(executed(q("q6l_line_dedup")))
+    val joinsCarryingBodies = plans.filter { p =>
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] &&
+        p.output.exists(_.name == "ws")
+    }
+    assert(joinsCarryingBodies.nonEmpty, "expected a reassembly join in the plan")
+    assert(joinsCarryingBodies.forall(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"body-carrying join is not broadcast:\n${joinsCarryingBodies.mkString("\n")}")
+  }
+
   test("bucketed tables co-locate: fact-fact join plans with zero shuffles") {
     import org.apache.spark.sql.functions.col
     // bucketBy co-partitions both sides on the join key at write time —
