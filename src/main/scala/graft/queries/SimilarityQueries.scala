@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorAggregates, VectorFunctions}
@@ -777,6 +777,101 @@ object SimilarityQueries {
           .select(col("qid"), col("n_hits"),
             expr("CAST(n_hits * 1000000 div 3 AS BIGINT)").as("recall_ppm"))
           .orderBy(col("qid"))
+      }),
+
+    // Product quantization + asymmetric-distance search (PQ/ADC — the
+    // memory-compression half of a production IVF-PQ index: a 64-dim
+    // float vector becomes EIGHT 4-bit codes, 256 bytes → 8, and queries
+    // score candidates from per-subspace dot-product LOOKUP TABLES
+    // without touching raw vectors). Subspaces j=0..7 over dims
+    // [8j+1, 8j+8]; the 16-code codebook per subspace takes the id-prefix
+    // seed rule (the centSql provenance — k-means refinement q5k is
+    // orthogonal); encode = argmin squared-L2 to the codebook; ADC score
+    // of (q, v) = Σⱼ dot(qⱼ, codebook[j][codeⱼ(v)]), top-5 per query.
+    //
+    // Cross-engine determinism: squared-L2 and dot are EXPLICIT 8-term
+    // left-associated chains (no list_sum/aggregate whose reduction
+    // order is an engine choice), rounded at 9; the 8-subspace ADC sum
+    // crosses a GROUP BY, so it rides the decimal(30,12) idiom (exact on
+    // round-9 inputs — reduction-order-proof); final score rounded at 4
+    // and the ranking orders by the ROUNDED score.
+    //
+    // Scale shape: the codebook is 128 rows (broadcast); encoding is one
+    // corpus pass (explode ×8, broadcast join, map-side-combining argmin
+    // — one shuffled row per (vector, subspace)); the query side joins
+    // codes against a 10×128-row broadcast lookup table and aggregates
+    // (qid, nid) partial sums map-side. Raw vectors never shuffle.
+    QueryDef(
+      "q5s_pq_adc",
+      {
+        def l2 (s: String, c: String) = (1 to 8)
+          .map(i => s"($s[$i]-$c[$i])*($s[$i]-$c[$i])").mkString(" + ")
+        def dot(s: String, c: String) = (1 to 8)
+          .map(i => s"$s[$i]*$c[$i]").mkString(" + ")
+        Some(s"""WITH js AS (SELECT unnest(generate_series(0, 7)) AS j),
+          sub AS (SELECT vec_id, j,
+                    list_transform(embedding[j*8+1 : j*8+8], x -> x::DOUBLE) AS svec
+                  FROM embeddings, js),
+          cb AS (SELECT j, vec_id AS code, svec AS cvec
+                 FROM sub WHERE vec_id < 16),
+          d2 AS (SELECT s.vec_id, s.j, cb.code,
+                   round(${l2("s.svec", "cb.cvec")}, 9) AS d2
+                 FROM sub s JOIN cb ON cb.j = s.j),
+          codes AS (SELECT vec_id, j, code FROM (
+                   SELECT vec_id, j, code,
+                     row_number() OVER (PARTITION BY vec_id, j
+                       ORDER BY d2, code) AS rn FROM d2) WHERE rn = 1),
+          dotq AS (SELECT q.vec_id AS qid, cb.j, cb.code,
+                     round(${dot("q.svec", "cb.cvec")}, 9) AS dq
+                   FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 10),
+          adc AS (SELECT d.qid, c.vec_id AS nid,
+                    round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc
+                  FROM codes c JOIN dotq d ON d.j = c.j AND d.code = c.code
+                  WHERE c.vec_id <> d.qid GROUP BY 1, 2),
+          r AS (SELECT qid, nid, adc,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY adc DESC, nid) AS rnk FROM adc)
+          SELECT qid, nid, CAST(adc AS DOUBLE) AS adc, rnk
+          FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")
+      },
+      (s, dir) => {
+        val e = emb(s, dir)
+        def chain(f: (Column, Column) => Column)(a: Column, b: Column): Column =
+          (1 to 8).map(i => f(element_at(a, i), element_at(b, i)))
+            .reduceLeft(_ + _)
+        val l2 = chain((x, y) => (x - y) * (x - y)) _
+        val dot = chain(_ * _) _
+        val sub = e.select(col("vec_id"),
+            explode(array((0 to 7).map { j =>
+              struct(lit(j).as("j"),
+                transform(slice(col("embedding"), j * 8 + 1, 8),
+                  x => x.cast("double")).as("svec"))
+            }: _*)).as("x"))
+          .select(col("vec_id"), col("x.j").as("j"), col("x.svec").as("svec"))
+        val cb = sub.filter(col("vec_id") < 16)
+          .select(col("j"), col("vec_id").as("code"), col("svec").as("cvec"))
+        val codes = sub
+          .join(broadcast(cb), Seq("j"))
+          .withColumn("d2", round(l2(col("svec"), col("cvec")), 9))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(max_by(col("code"),
+            struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("code"))
+        val dotq = sub.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("j"), col("svec"))
+          .join(broadcast(cb), Seq("j"))
+          .withColumn("dq", round(dot(col("svec"), col("cvec")), 9))
+          .select(col("qid"), col("j"), col("code"), col("dq"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
+        codes
+          .join(broadcast(dotq), Seq("j", "code"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id").as("nid"))
+          .agg(round(sum(col("dq").cast("decimal(30,12)")).cast("double"), 4)
+            .as("adc"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("nid"), col("adc"), col("rnk"))
+          .orderBy(col("qid"), col("rnk"))
       })
   )
 }

@@ -181,6 +181,76 @@ object TextAnalysis {
           .orderBy(col("doc_id"), col("rnk"))
       }),
 
+    // BM25 ranking — the RETRIEVAL twin of q54's TF-IDF (the scoring
+    // function that backs corpus search / hard-negative mining / quality
+    // retrieval passes): idf · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    // k1=1.2 b=0.75, top-10 docs per query term. Cross-engine parity
+    // discipline: every constant is the same literal on both sides
+    // (0.25, 0.75, 2.2, 1.2 — never a computed 1−b), the expression tree
+    // associates identically, corpus stats (N, avgdl) divide exact
+    // integer sums once, and ordering uses the ROUNDED score (q54's ln
+    // precedent, one step stricter). Scale shape: tf is computed
+    // ROW-LOCALLY against the fixed term set (no token-explode shuffle —
+    // the q54 path shuffles every (doc, term) pair; here only matching
+    // (doc_id, term, tf, dl) rows exist at all), df is a |terms|-row
+    // broadcast, corpus stats a one-row broadcast, and the per-term
+    // top-10 window takes the WindowGroupLimit partial-top-k path.
+    QueryDef(
+      "q5r_bm25",
+      Some("""WITH dd AS (
+          SELECT doc_id, string_split(text,' ') AS ws,
+                 len(string_split(text,' ')) AS dl
+          FROM documents),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                 CAST(sum(len(string_split(text,' '))) AS DOUBLE) / count(*) AS avgdl
+               FROM documents),
+        t AS (SELECT doc_id, dl, term,
+                len(list_filter(ws, w -> w = term)) AS tf
+              FROM dd, (SELECT unnest(['batch','join','scan','stream','window']) AS term) terms),
+        tp AS (SELECT * FROM t WHERE tf > 0),
+        dfr AS (SELECT term, count(*) AS df FROM tp GROUP BY term),
+        sc AS (SELECT tp.term, tp.doc_id,
+                 round(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+                   * (tp.tf * 2.2)
+                   / (tp.tf + 1.2 * (0.25 + 0.75 * tp.dl / st.avgdl)), 4) AS s4
+               FROM tp JOIN dfr USING (term) CROSS JOIN st),
+        r AS (SELECT term, doc_id, s4,
+                row_number() OVER (PARTITION BY term
+                  ORDER BY s4 DESC, doc_id) AS rnk
+              FROM sc)
+        SELECT term, doc_id, CAST(s4 AS DOUBLE) AS bm25, rnk
+        FROM r WHERE rnk <= 10 ORDER BY term, rnk"""),
+      (s, dir) => {
+        val terms = Seq("batch", "join", "scan", "stream", "window")
+        val d = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("ws"))
+          .withColumn("dl", size(col("ws")))
+        val stats = d.agg(count(lit(1)).cast("double").as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        val t = d.select(col("doc_id"), col("dl"),
+            explode(array(terms.map { tm =>
+              struct(lit(tm).as("term"),
+                size(filter(col("ws"), w => w === tm)).as("tf"))
+            }: _*)).as("x"))
+          .select(col("doc_id"), col("dl"), col("x.term").as("term"),
+            col("x.tf").as("tf"))
+          .filter(col("tf") > 0)
+        val dfr = t.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy(col("term"))
+          .orderBy(col("s4").desc, col("doc_id"))
+        t.join(broadcast(dfr), "term")
+          .crossJoin(broadcast(stats))
+          .withColumn("s4",
+            round(log(lit(1.0) +
+                (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+              * (col("tf") * 2.2)
+              / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 4))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("term"), col("doc_id"), col("s4").as("bm25"), col("rnk"))
+          .orderBy(col("term"), col("rnk"))
+      }),
+
     // Deterministic stratified sampling: a balanced n-per-language subset
     // chosen by a shared integer hash (Knuth multiplicative) so the same
     // sample falls out on any engine, any partitioning, any run — the
