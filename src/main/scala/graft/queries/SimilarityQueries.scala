@@ -836,42 +836,155 @@ object SimilarityQueries {
       },
       (s, dir) => {
         val e = emb(s, dir)
-        def chain(f: (Column, Column) => Column)(a: Column, b: Column): Column =
-          (1 to 8).map(i => f(element_at(a, i), element_at(b, i)))
-            .reduceLeft(_ + _)
-        val l2 = chain((x, y) => (x - y) * (x - y)) _
-        val dot = chain(_ * _) _
-        val sub = e.select(col("vec_id"),
-            explode(array((0 to 7).map { j =>
-              struct(lit(j).as("j"),
-                transform(slice(col("embedding"), j * 8 + 1, 8),
-                  x => x.cast("double")).as("svec"))
-            }: _*)).as("x"))
-          .select(col("vec_id"), col("x.j").as("j"), col("x.svec").as("svec"))
-        val cb = sub.filter(col("vec_id") < 16)
-          .select(col("j"), col("vec_id").as("code"), col("svec").as("cvec"))
-        val codes = sub
-          .join(broadcast(cb), Seq("j"))
-          .withColumn("d2", round(l2(col("svec"), col("cvec")), 9))
-          .groupBy(col("vec_id"), col("j"))
-          .agg(max_by(col("code"),
-            struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("code"))
-        val dotq = sub.filter(col("vec_id") < 10)
-          .select(col("vec_id").as("qid"), col("j"), col("svec"))
-          .join(broadcast(cb), Seq("j"))
-          .withColumn("dq", round(dot(col("svec"), col("cvec")), 9))
-          .select(col("qid"), col("j"), col("code"), col("dq"))
+        val sub = pqSub(e)
+        val cb = pqCodebook(sub)
         val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
-        codes
-          .join(broadcast(dotq), Seq("j", "code"))
+        pqCodes(sub, cb)
+          .join(broadcast(pqDotq(sub, cb)), Seq("j", "code"))
           .filter(col("vec_id") =!= col("qid"))
           .groupBy(col("qid"), col("vec_id").as("nid"))
-          .agg(round(sum(col("dq").cast("decimal(30,12)")).cast("double"), 4)
-            .as("adc"))
+          .agg(pqAdcSum.as("adc"))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 5)
           .select(col("qid"), col("nid"), col("adc"), col("rnk"))
           .orderBy(col("qid"), col("rnk"))
+      }),
+
+    // IVF-PQ — the PRODUCTION composition of the two halves (q66's cell
+    // probe × q5s's code scoring): queries probe their nprobe=2 nearest
+    // cells, and the probed cells' candidates are scored from the PQ
+    // lookup tables — raw candidate vectors are never touched at serve
+    // time, which is the whole point of PQ (the serve path reads 8 bytes
+    // per candidate, not 256). Top-3 per query by ADC score. Scale
+    // shape: centroids + probe + the 10×128 lookup table broadcast; the
+    // candidate→codes join is an equi join on vector id (in a stored
+    // index the codes live cell-partitioned next to the memberships, the
+    // q5i layout, making the fetch partition-local); ADC partial sums
+    // combine map-side. The oracle replays probe, encode and
+    // lookup-table sum exactly — approximation included, the q66 rule.
+    QueryDef(
+      "q5t_ivfpq",
+      {
+        def l2 (s: String, c: String) = (1 to 8)
+          .map(i => s"($s[$i]-$c[$i])*($s[$i]-$c[$i])").mkString(" + ")
+        def dot(s: String, c: String) = (1 to 8)
+          .map(i => s"$s[$i]*$c[$i]").mkString(" + ")
+        Some(s"""WITH $centSql,
+          assign0 AS (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+                FROM embeddings e, cent c),
+          assign AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
+          probe0 AS (SELECT q.vec_id AS qid, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+                FROM embeddings q, cent c WHERE q.vec_id < 10),
+          probe AS (SELECT qid, cid FROM probe0 WHERE rn <= 2),
+          js AS (SELECT unnest(generate_series(0, 7)) AS j),
+          sub AS (SELECT vec_id, j,
+                    list_transform(embedding[j*8+1 : j*8+8], x -> x::DOUBLE) AS svec
+                  FROM embeddings, js),
+          cb AS (SELECT j, vec_id AS code, svec AS cvec
+                 FROM sub WHERE vec_id < 16),
+          d2 AS (SELECT s.vec_id, s.j, cb.code,
+                   round(${l2("s.svec", "cb.cvec")}, 9) AS d2
+                 FROM sub s JOIN cb ON cb.j = s.j),
+          codes AS (SELECT vec_id, j, code FROM (
+                   SELECT vec_id, j, code,
+                     row_number() OVER (PARTITION BY vec_id, j
+                       ORDER BY d2, code) AS rn FROM d2) WHERE rn = 1),
+          dotq AS (SELECT q.vec_id AS qid, cb.j, cb.code,
+                     round(${dot("q.svec", "cb.cvec")}, 9) AS dq
+                   FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 10),
+          cand AS (SELECT p.qid, a.vec_id AS nid
+                   FROM probe p JOIN assign a
+                     ON a.cid = p.cid AND a.vec_id <> p.qid),
+          adc AS (SELECT cd.qid, cd.nid,
+                    round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc
+                  FROM cand cd
+                  JOIN codes c ON c.vec_id = cd.nid
+                  JOIN dotq d ON d.qid = cd.qid AND d.j = c.j AND d.code = c.code
+                  GROUP BY 1, 2),
+          r AS (SELECT qid, nid, adc,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY adc DESC, nid) AS rnk FROM adc)
+          SELECT qid, nid, CAST(adc AS DOUBLE) AS adc, rnk
+          FROM r WHERE rnk <= 3 ORDER BY qid, rnk""")
+      },
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cent = centroids(e)
+        val assign = assignTo(e, cent) // (vec_id, cid)
+        val wProbe = Window.partitionBy(col("qid"))
+          .orderBy(col("qc").desc, col("cid"))
+        val probe = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cent))
+          .withColumn("qc",
+            round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("cid"))
+        val sub = pqSub(e)
+        val cb = pqCodebook(sub)
+        val cand = assign.join(broadcast(probe), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
+        cand
+          .join(pqCodes(sub, cb), cand("nid") === col("vec_id"))
+          .join(broadcast(pqDotq(sub, cb)), Seq("qid", "j", "code"))
+          .groupBy(col("qid"), col("nid"))
+          .agg(pqAdcSum.as("adc"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("nid"), col("adc"), col("rnk"))
+          .orderBy(col("qid"), col("rnk"))
       })
   )
+
+  // ------------------------------------------------------------ PQ pieces
+  // shared by q5s (pure ADC) and q5t (IVF-PQ): explicit 8-term
+  // left-associated chains (reduction order is NOT an engine choice),
+  // round-9 intermediates, decimal sum across the one GROUP BY.
+
+  private def chain8(f: (Column, Column) => Column)(a: Column, b: Column): Column =
+    (1 to 8).map(i => f(element_at(a, i), element_at(b, i))).reduceLeft(_ + _)
+
+  /** (vec_id, j, svec): 8-dim double subvectors, subspaces j = 0..7. */
+  private[graft] def pqSub(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(array((0 to 7).map { j =>
+          struct(lit(j).as("j"),
+            transform(slice(col("embedding"), j * 8 + 1, 8),
+              x => x.cast("double")).as("svec"))
+        }: _*)).as("x"))
+      .select(col("vec_id"), col("x.j").as("j"), col("x.svec").as("svec"))
+
+  /** (j, code, cvec): 16 codes per subspace from the id-prefix seeds. */
+  private[graft] def pqCodebook(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < 16)
+      .select(col("j"), col("vec_id").as("code"), col("svec").as("cvec"))
+
+  /** (vec_id, j, code): argmin squared-L2 encode, tie → code asc. */
+  private[graft] def pqCodes(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.join(broadcast(cb), Seq("j"))
+      .withColumn("d2",
+        round(chain8((x, y) => (x - y) * (x - y))(col("svec"), col("cvec")), 9))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(max_by(col("code"),
+        struct((-col("d2")).as("nd"), (-col("code")).as("nc"))).as("code"))
+
+  /** (qid, j, code, dq): the per-query ADC lookup table (10×128 rows). */
+  private[graft] def pqDotq(sub: DataFrame, cb: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("j"), col("svec"))
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("dq", round(chain8(_ * _)(col("svec"), col("cvec")), 9))
+      .select(col("qid"), col("j"), col("code"), col("dq"))
+
+  /** The 8-subspace ADC sum: decimal (reduction-order-proof on round-9
+    * inputs), rounded to 4 as the comparable score. */
+  private[graft] def pqAdcSum: Column =
+    round(sum(col("dq").cast("decimal(30,12)")).cast("double"), 4)
 }

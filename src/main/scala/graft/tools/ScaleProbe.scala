@@ -45,6 +45,8 @@ object ScaleProbe {
     // with |delta|, not |corpus|)
     val annsweepOnly = args.length > 1 && args(1) == "annsweep"
     val deltaccOnly = args.length > 1 && args(1) == "deltacc"
+    // "pq" probes ADC lookup-table scoring recall vs exact dot top-5
+    val pqOnly = args.length > 1 && args(1) == "pq"
     val spark: SparkSession = GraftSession.local(8)
     val dir = "/root/testdata/sf0.1"
     def time[T](label: String)(f: => T): T = {
@@ -179,6 +181,78 @@ object ScaleProbe {
           }
         }
         exact.unpersist(); centC.unpersist(); assignC.unpersist(); e.unpersist()
+      }
+      spark.stop(); return
+    }
+
+    if (pqOnly) {
+      import graft.queries.SimilarityQueries
+      // PQ/ADC honesty: recall@5 of lookup-table scoring vs the exact
+      // DOT-product top-5 (ADC approximates dot, so dot is the fair
+      // denominator), at two corpus scales — the q5n-style measurement
+      // the compression claim needs: 32x smaller candidates buy HOW much
+      // ranking loss?
+      for (scale <- Seq(1, copies).distinct) {
+        val e = replicate(
+          spark.read.parquet(s"$dir/embeddings.parquet"),
+          "vec_id", scale, 1000000L).cache()
+        val n = e.count()
+        val sub = SimilarityQueries.pqSub(e).cache()
+        val cb = SimilarityQueries.pqCodebook(sub).cache()
+        sub.count(); cb.count() // build off the clock
+        // exact dot top-5 via the same subspace frame (identical algebra
+        // to the ADC side except codes are the vector's OWN subvectors)
+        val exactDot = sub.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("j"), col("svec").as("qvec"))
+          .join(sub.select(col("vec_id").as("nid"), col("j"),
+            col("svec").as("nvec")), Seq("j"))
+          .filter(col("nid") =!= col("qid"))
+          .withColumn("dq", round(
+            (1 to 8).map(i =>
+              element_at(col("qvec"), i) * element_at(col("nvec"), i))
+              .reduceLeft(_ + _), 9))
+          .groupBy(col("qid"), col("nid"))
+          .agg(SimilarityQueries.pqAdcSum.as("adc"))
+        val wEx = Window.partitionBy(col("qid"))
+          .orderBy(col("adc").desc, col("nid"))
+        val exact = exactDot.withColumn("rnk", row_number().over(wEx))
+          .filter(col("rnk") <= 5).select(col("qid"), col("nid")).cache()
+        exact.count()
+        def measure(label: String, book: DataFrame): Unit =
+          time(s"pq adc n=$n $label (codes = 8 bytes/vector vs 256 raw)") {
+            val codes = SimilarityQueries.pqCodes(sub, book)
+            val dotq = SimilarityQueries.pqDotq(sub, book)
+            val wAdc = Window.partitionBy(col("qid"))
+              .orderBy(col("adc").desc, col("nid"))
+            val adcTop = codes
+              .join(broadcast(dotq), Seq("j", "code"))
+              .filter(col("vec_id") =!= col("qid"))
+              .groupBy(col("qid"), col("vec_id").as("nid"))
+              .agg(SimilarityQueries.pqAdcSum.as("adc"))
+              .withColumn("rnk", row_number().over(wAdc))
+              .filter(col("rnk") <= 5).select(col("qid"), col("nid"))
+            val hits = adcTop.join(exact, Seq("qid", "nid")).count()
+            val denom = exact.count()
+            println(f"[scale]   adc_recall@5=${hits * 1000000L / denom}ppm ($hits/$denom)")
+          }
+        measure("seed codebook", cb)
+        // one Lloyd round per subspace: new code vector = mean of its
+        // members' subvectors — the training dial production PQ turns
+        // (k-means per subspace); recall delta vs the raw id-prefix
+        // seeds is the measurement
+        val refined = SimilarityQueries.pqCodes(sub, cb)
+          .join(sub, Seq("vec_id", "j"))
+          .select(col("j"), col("code"), posexplode(col("svec")))
+          .groupBy(col("j"), col("code"), col("pos"))
+          .agg(avg(col("col")).as("m"))
+          .groupBy(col("j"), col("code"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m")).as("cvec"))
+          .cache()
+        refined.count()
+        measure("1-round refined codebook", refined)
+        refined.unpersist()
+        exact.unpersist(); cb.unpersist(); sub.unpersist(); e.unpersist()
       }
       spark.stop(); return
     }
