@@ -133,11 +133,22 @@ object SimilarityQueries {
     * saturates — ScaleProbe's `annsweep` mode measures the operating
     * curve (the oracle queries pin nprobe=2, the default). */
   private[graft] def ivfServe(e: DataFrame, ic: DataFrame, ia: DataFrame,
+      nprobe: Int = 2, topK: Int = 3): DataFrame =
+    ivfServeFor(
+      e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+      e, ic, ia, nprobe, topK)
+
+  /** [[ivfServe]] for an EXPLICIT query frame `q` = (qid, qe) — the entry
+    * the streaming serve path (q8g) feeds one CDC micro-batch of queries
+    * at a time; the persisted index and the corpus are untouched between
+    * batches. */
+  private[graft] def ivfServeFor(q: DataFrame, e: DataFrame,
+      ic: DataFrame, ia: DataFrame,
       nprobe: Int = 2, topK: Int = 3): DataFrame = {
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("qc").desc, col("cid"))
-    val probe = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probe = q
       .crossJoin(broadcast(ic))
       .withColumn("qc",
         round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
@@ -939,6 +950,99 @@ object SimilarityQueries {
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
           .select(col("qid"), col("nid"), col("adc"), col("rnk"))
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
+    // Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack &
+    // Clarke SIGIR'09) — the standard production shape for combining a
+    // lexical index with a vector index: each system contributes only
+    // its RANK (top-20 here), fused as sum of 1/(60+rank), so neither
+    // score scale needs calibrating against the other. Lexical side =
+    // token-set Jaccard via the inverted-index pattern (corpus tokens
+    // equi-joined to the 10 broadcast query-token lists — only docs
+    // sharing a token ever materialize, q61's machinery, never a
+    // corpus×queries nested loop); vector side = exact cosine ranking
+    // (q65's contract; swap in ivfServe for the approximate serve at
+    // scale — fusion is rank-only, so the two sides compose freely).
+    // Scale shape: one token-explode scan + one corpus scan, both
+    // rankings per-query top-k windows (WindowGroupLimit pushes the
+    // rank filter partition-local), and the fusion full-outer join
+    // touches ≤ 40 rows per query. RRF scores are two-term sums of
+    // 1/(60+r) over integer ranks in fixed order — deterministic
+    // doubles on any engine.
+    QueryDef(
+      "q5u_hybrid_rrf",
+      Some("""WITH dtok AS (
+          SELECT doc_id, unnest(list_distinct(string_split(text,' '))) AS tok
+          FROM documents),
+        qtok AS (SELECT doc_id AS qid, tok FROM dtok WHERE doc_id < 10),
+        dn AS (SELECT doc_id, count(*) AS dn FROM dtok GROUP BY doc_id),
+        ov AS (SELECT q.qid, d.doc_id AS nid, count(*) AS ov
+               FROM dtok d JOIN qtok q ON q.tok = d.tok AND d.doc_id <> q.qid
+               GROUP BY 1, 2),
+        jac AS (SELECT ov.qid, ov.nid,
+                  round(CAST(ov.ov AS DOUBLE) / (dq.dn + dd.dn - ov.ov), 9) AS j
+                FROM ov JOIN dn dd ON dd.doc_id = ov.nid
+                        JOIN dn dq ON dq.doc_id = ov.qid),
+        rt AS (SELECT qid, nid, rt FROM (
+                 SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                   ORDER BY j DESC, nid) AS rt FROM jac) WHERE rt <= 20),
+        rv AS (SELECT qid, nid, rv FROM (
+                 SELECT q.vec_id AS qid, e.vec_id AS nid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
+                       e.vec_id) AS rv
+                 FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+                 WHERE q.vec_id < 10) WHERE rv <= 20),
+        f AS (SELECT coalesce(rt.qid, rv.qid) AS qid,
+                coalesce(rt.nid, rv.nid) AS nid,
+                round(coalesce(1.0 / (60 + rt.rt), 0)
+                    + coalesce(1.0 / (60 + rv.rv), 0), 9) AS rrf
+              FROM rt FULL JOIN rv ON rv.qid = rt.qid AND rv.nid = rt.nid),
+        r AS (SELECT qid, nid, rrf, row_number() OVER (PARTITION BY qid
+                ORDER BY rrf DESC, nid) AS rnk FROM f)
+        SELECT qid, nid, CAST(rrf AS DOUBLE) AS rrf, rnk
+        FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""),
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+        val qt = d.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("qid"), col("tok").as("qtok"))
+        val dn = d.groupBy(col("doc_id")).agg(count(lit(1)).as("dn"))
+        val ov = d.join(broadcast(qt),
+            col("tok") === col("qtok") && col("doc_id") =!= col("qid"))
+          .groupBy(col("qid"), col("doc_id").as("nid"))
+          .agg(count(lit(1)).as("ov"))
+        val wT = Window.partitionBy(col("qid")).orderBy(col("j").desc, col("nid"))
+        val rt = ov
+          .join(dn.select(col("doc_id").as("nid"), col("dn").as("ddn")), Seq("nid"))
+          .join(broadcast(dn.filter(col("doc_id") < 10)
+            .select(col("doc_id").as("qid"), col("dn").as("qdn"))), Seq("qid"))
+          .withColumn("j", round(col("ov").cast("double") /
+            (col("qdn") + col("ddn") - col("ov")), 9))
+          .withColumn("rt", row_number().over(wT))
+          .filter(col("rt") <= 20)
+          .select(col("qid"), col("nid"), col("rt"))
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val wV = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+        val rv = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("c",
+            round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 9))
+          .select(col("qid"), col("vec_id").as("nid"), col("c"))
+          .withColumn("rv", row_number().over(wV))
+          .filter(col("rv") <= 20)
+          .select(col("qid"), col("nid"), col("rv"))
+        val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("nid"))
+        rt.join(rv, Seq("qid", "nid"), "full_outer")
+          .withColumn("rrf", round(
+            coalesce(lit(1.0) / (col("rt") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("rv") + 60), lit(0.0)), 9))
+          .withColumn("rnk", row_number().over(wF))
+          .filter(col("rnk") <= 10)
+          .select(col("qid"), col("nid"), col("rrf"), col("rnk"))
           .orderBy(col("qid"), col("rnk"))
       })
   )

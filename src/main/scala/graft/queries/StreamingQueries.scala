@@ -252,6 +252,39 @@ object StreamingQueries {
           FROM reach GROUP BY a ORDER BY doc_id"""),
       (s, dir) => StreamPipelines.docStreamIncrementalClusters(s, dir)),
 
+    // Streaming ANN serve: queries arrive as a CDC stream and each
+    // micro-batch is answered from the PERSISTED IVF index (q5i's
+    // build/serve split with the serve half online — the shape of a
+    // vector-search service consuming its query log). The oracle replays
+    // index build + probe + rerank over all 10 queries in one batch —
+    // the drained, batch-at-a-time results must be indistinguishable
+    // from a single batch serve (same cells, same rerank, q66's rule).
+    QueryDef(
+      "q8g_stream_ann_serve",
+      Some(s"""WITH ${SimilarityQueries.centSql},
+        assign0 AS (SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+              FROM embeddings e, cent c),
+        assign AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id < 10),
+        probe0 AS (SELECT q.qid, q.qe, c.cid,
+                row_number() OVER (PARTITION BY q.qid
+                  ORDER BY round(list_cosine_similarity(q.qe::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+              FROM q, cent c),
+        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
+        cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
+              FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        rr AS (SELECT c.qid, c.nid,
+                round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c0,
+                row_number() OVER (PARTITION BY c.qid
+                  ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC, c.nid) AS rnk
+              FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
+        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, rnk
+        FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
+      (s, dir) => StreamPipelines.docStreamAnnServe(s, dir)),
+
     // Reference-topology parity pipeline: stream → keyed document sink →
     // read back. The `_id` count proves the key hoist is lossless.
     QueryDef(

@@ -599,6 +599,53 @@ object StreamPipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** q8g: streaming ANN serve from a PERSISTED index — the online half of
+    * the q5i build/serve split. The IVF index (centroids + cell
+    * memberships) is built once and persisted; queries then ARRIVE as a
+    * CDC stream (two commits, odd ids then even) and every micro-batch is
+    * answered by [[graft.queries.SimilarityQueries.ivfServeFor]] against
+    * the persisted index — probe cost is O(|batch| · √N), the standing
+    * corpus is touched only through the probed cells' id joins, and the
+    * build pipeline never re-runs. Per-batch results land in
+    * batch-id-keyed files (overwrite), so a replayed batch rewrites the
+    * same file — idempotent by layout, the labels_v<N> rule. */
+  def docStreamAnnServe(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.SimilarityQueries
+    val tmp = graft.TempDirs.create("graft_ann_serve_stream")
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val (cent, assign) = SimilarityQueries.buildIndex(e)
+    cent.write.mode("overwrite").parquet(s"$tmp/cent")
+    assign.write.mode("overwrite").parquet(s"$tmp/assign")
+    val q = e.filter(col("vec_id") < 10)
+    graft.connector.GraftDoc.write(
+      q.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", s"$tmp/queries")
+    graft.connector.GraftDoc.write(
+      q.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", s"$tmp/queries")
+    val ic = s.read.parquet(s"$tmp/cent")
+    val ia = s.read.parquet(s"$tmp/assign")
+    val ckpt = ephemeralCheckpoint("ann_serve")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val stream = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/queries", maxCommitsPerTrigger = Some(1L))
+          // the sink hoisted vec_id into the string `_id` key (P2's rule)
+          .select(col("_id").cast("long").as("qid"), col("embedding").as("qe"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            SimilarityQueries.ivfServeFor(batch, e, ic, ia)
+              .write.mode("overwrite").parquet(s"$tmp/served_b$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        stream.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    s.read.parquet(s"$tmp/served_b*")
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   def docStreamIngest(s: SparkSession, sfDir: String): DataFrame = {
     val tmp = graft.TempDirs.create("graft_doc_ingest")
     val docs = s.read.parquet(s"$sfDir/documents.parquet")

@@ -145,6 +145,20 @@ class PlanSpec extends SparkSpec {
       s"body-carrying join is not broadcast:\n${joinsCarryingBodies.mkString("\n")}")
   }
 
+  test("q5u hybrid RRF: no cartesian product; token join broadcasts the query side") {
+    // the lexical side must be the inverted-index shape: corpus tokens
+    // equi-joined to the BROADCAST query-token lists (only docs sharing a
+    // token materialize). A CartesianProduct anywhere means a
+    // corpus×queries nested loop leaked in — quadratic at scale. (The
+    // vector side's BroadcastNestedLoopJoin over the 10 broadcast query
+    // vectors is q65's sanctioned scan shape, not a cartesian.)
+    val plans = collectAll(executed(q("q5u_hybrid_rrf")))
+    assert(!plans.exists(_.getClass.getSimpleName.contains("CartesianProduct")),
+      "q5u plans a CartesianProduct — corpus-side nested loop")
+    assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "q5u's token-overlap join should be a BroadcastHashJoin on tok")
+  }
+
   test("bucketed tables co-locate: fact-fact join plans with zero shuffles") {
     import org.apache.spark.sql.functions.col
     // bucketBy co-partitions both sides on the join key at write time —
