@@ -331,6 +331,123 @@ object Aggregates {
             (est <= col("exact_count") +
               ceil(lit(0.003) * total).cast("long")).as("within_eps"))
           .orderBy(col("exact_count").desc, col("token"))
+      }),
+
+    // Mergeable HLL sketches AS DATA (DataSketches HllSketch via
+    // `hll_sketch_agg`/`hll_union_agg`) — the two-level rollup shape that
+    // makes 100 TB distinct-counting cheap: build one fixed-size sketch
+    // per (lang, source) partition, then answer the per-lang question by
+    // UNIONING the stored sketches — no re-scan of the corpus, no
+    // per-key shuffle of raw values. This is the operational difference
+    // from q07's approx_count_distinct (which computes one estimate and
+    // throws the sketch away): here the sketch is a column you can
+    // persist with the partition and fold into any coarser rollup later
+    // (per-day → per-month, per-source → corpus). Oracle rule = q07's:
+    // HLL register merge is max-based and order-independent, so the
+    // estimate is deterministic and the ±5% band (lgConfigK=12 → ~1.6%
+    // RSE, band is 3σ) becomes a hash-exact `true` flag; the exact
+    // counts anchor the compare.
+    QueryDef(
+      "q0e_hll_sketch_union",
+      Some("""WITH tok AS (
+          SELECT lang, source, unnest(string_split(text, ' ')) AS tok
+          FROM documents)
+        SELECT lang,
+          CAST(COUNT(DISTINCT tok) AS BIGINT) AS exact_tokens,
+          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_parts,
+          true AS within_5pct
+        FROM tok GROUP BY lang ORDER BY lang"""),
+      (s, dir) => {
+        val tok = t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            explode(split(col("text"), " ")).as("tok"))
+        val parts = tok.groupBy(col("lang"), col("source"))
+          .agg(hll_sketch_agg(col("tok"), lit(12)).as("sk"))
+        val merged = parts.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_parts"),
+            hll_sketch_estimate(hll_union_agg(col("sk"), lit(false))).as("est"))
+        val exact = tok.groupBy(col("lang"))
+          .agg(countDistinct(col("tok")).as("exact_tokens"))
+        exact.join(merged, Seq("lang"))
+          .select(col("lang"), col("exact_tokens"), col("n_parts"),
+            (abs(col("est") - col("exact_tokens")) <=
+              col("exact_tokens") * 0.05).as("within_5pct"))
+          .orderBy(col("lang"))
+      }),
+
+    // Theta-sketch funnel algebra — the set OPERATIONS HLL structurally
+    // cannot do: "users who did A and also B" (intersection), "A but
+    // never B" (difference), three-stage funnels. Theta sketches (KMV
+    // family) keep a bounded sample of hashed keys, so intersection /
+    // difference / union compose on the FIXED-SIZE sketches — at 100 TB
+    // each audience is one single-pass sketch build (TypedImperative
+    // partial per partition crossing the exchange), and every funnel
+    // question after that is sketch algebra with zero re-scans; audiences
+    // can be persisted per day/segment and intersected across any later
+    // question. The exact sides here are the test oracle (the q0d rule:
+    // exact groupBy is the oracle, the sketch is what ships). Estimates
+    // are deterministic (KMV retention is a pure function of the hash
+    // set), and at these cardinalities (≪ k=4096) the sketches are in
+    // exact mode, so the ±5% flags pin with zero slack.
+    QueryDef(
+      "q0f_theta_funnel",
+      Some("""WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click' AND value > 150),
+        b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 120),
+        c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error' AND value > 100)
+        SELECT
+          CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+          CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+          CAST((SELECT count(*) FROM c) AS BIGINT) AS exact_c,
+          CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT) AS exact_ab,
+          CAST((SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS BIGINT) AS exact_a_not_b,
+          CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b
+            INTERSECT SELECT * FROM c)) AS BIGINT) AS exact_abc,
+          true AS ab_within_5pct, true AS a_not_b_within_5pct, true AS abc_within_5pct
+        ORDER BY exact_a"""),
+      (s, dir) => {
+        val tagged = t(s, dir, "events")
+          .select(col("user_id"),
+            when(col("event_type") === "click" && col("value") > 150, "a")
+              .when(col("event_type") === "purchase" && col("value") > 120, "b")
+              .when(col("event_type") === "error" && col("value") > 100, "c")
+              .as("tag"))
+          .filter(col("tag").isNotNull)
+        // sketch side: one bounded sketch per audience, pivoted to a row
+        val sk = tagged.groupBy(col("tag"))
+          .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+          .groupBy().pivot("tag", Seq("a", "b", "c")).agg(first(col("sk")))
+          .toDF("a_sk", "b_sk", "c_sk")
+        // exact side: per-user tag sets, then one aggregate of membership
+        // predicates (set ops as boolean algebra — no INTERSECT re-scans)
+        val exact = tagged.groupBy(col("user_id"))
+          .agg(collect_set(col("tag")).as("tags"))
+          .agg(
+            sum(when(array_contains(col("tags"), "a"), 1L).otherwise(0L)).as("exact_a"),
+            sum(when(array_contains(col("tags"), "b"), 1L).otherwise(0L)).as("exact_b"),
+            sum(when(array_contains(col("tags"), "c"), 1L).otherwise(0L)).as("exact_c"),
+            sum(when(array_contains(col("tags"), "a") &&
+              array_contains(col("tags"), "b"), 1L).otherwise(0L)).as("exact_ab"),
+            sum(when(array_contains(col("tags"), "a") &&
+              !array_contains(col("tags"), "b"), 1L).otherwise(0L)).as("exact_a_not_b"),
+            sum(when(array_contains(col("tags"), "a") &&
+              array_contains(col("tags"), "b") &&
+              array_contains(col("tags"), "c"), 1L).otherwise(0L)).as("exact_abc"))
+        exact.crossJoin(broadcast(sk))
+          .withColumn("est_ab",
+            expr("theta_sketch_estimate(theta_intersection(a_sk, b_sk))"))
+          .withColumn("est_a_not_b",
+            expr("theta_sketch_estimate(theta_difference(a_sk, b_sk))"))
+          .withColumn("est_abc", expr(
+            "theta_sketch_estimate(theta_intersection(theta_intersection(a_sk, b_sk), c_sk))"))
+          .select(col("exact_a"), col("exact_b"), col("exact_c"),
+            col("exact_ab"), col("exact_a_not_b"), col("exact_abc"),
+            (abs(col("est_ab") - col("exact_ab")) <=
+              col("exact_ab") * 0.05).as("ab_within_5pct"),
+            (abs(col("est_a_not_b") - col("exact_a_not_b")) <=
+              col("exact_a_not_b") * 0.05).as("a_not_b_within_5pct"),
+            (abs(col("est_abc") - col("exact_abc")) <=
+              col("exact_abc") * 0.05).as("abc_within_5pct"))
+          .orderBy(col("exact_a"))
       })
   )
 }

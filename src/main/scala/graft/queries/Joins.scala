@@ -301,6 +301,52 @@ object Joins {
           .orderBy(col("event_id"))
       }),
 
+    // Range join (point-in-interval) via fixed-width binning — the join
+    // family's remaining scale gap: q17's theta join keeps an equi prefix,
+    // but a PURE range predicate ("which campaign windows contain this
+    // click?") has none, and the naive condition plans as a nested loop
+    // over the cross product. graft.operators.RangeJoin explodes each
+    // interval onto the 1-hour bins it overlaps, maps each point to its
+    // one bin, and equi-joins on the bin id with the exact range as a
+    // residual filter — a plain shuffled hash join on an integer key
+    // (O(points + intervals·bins/interval) shuffled rows). Intervals here
+    // are 1-5h attribution windows opened by every 97th purchase; the
+    // LEFT join back to the interval table keeps zero-click windows in
+    // the result (the operator's inner pairs alone would drop them).
+    // Plan gate: PlanSpec asserts no CartesianProduct and no
+    // BroadcastNestedLoopJoin anywhere in q1f's executed plan.
+    QueryDef(
+      "q1f_join_range",
+      Some("""WITH iv AS (
+          SELECT event_id AS iv_id, epoch_ns(ts) AS lo,
+                 epoch_ns(ts) + (1 + event_id % 5) * 3600000000000 AS hi
+          FROM events WHERE event_type = 'purchase' AND event_id % 97 = 0),
+        pts AS (SELECT epoch_ns(ts) AS p_ts, event_id AS p_id
+                FROM events WHERE event_type = 'click')
+        SELECT iv.iv_id, count(p.p_id) AS n_clicks,
+               CAST(coalesce(sum(p.p_id), 0) AS BIGINT) AS sum_click_ids
+        FROM iv LEFT JOIN pts p ON p.p_ts >= iv.lo AND p.p_ts < iv.hi
+        GROUP BY iv.iv_id ORDER BY iv_id"""),
+      (s, dir) => {
+        val hourNs = 3600000000000L
+        val ev = t(s, dir, "events")
+        val iv = ev
+          .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+          .select(col("event_id").as("iv_id"), col("ts_ns").as("lo"),
+            (col("ts_ns") + (col("event_id") % 5 + 1) * hourNs).as("hi"))
+        val pts = ev.filter(col("event_type") === "click")
+          .select(col("ts_ns").as("p_ts"), col("event_id").as("p_id"))
+        val pairs = graft.operators.RangeJoin
+          .pointInInterval(iv, "lo", "hi", pts, "p_ts", binWidth = hourNs)
+        val counts = pairs.groupBy(col("iv_id"))
+          .agg(count(lit(1)).as("n"), sum(col("p_id")).as("sids"))
+        iv.join(counts, Seq("iv_id"), "left")
+          .select(col("iv_id"),
+            coalesce(col("n"), lit(0L)).as("n_clicks"),
+            coalesce(col("sids"), lit(0L)).as("sum_click_ids"))
+          .orderBy(col("iv_id"))
+      }),
+
     // Salted skew join: the manual skew-mitigation pattern for when AQE
     // can't help (hot key known, both sides too big to broadcast). The
     // probe side gets a deterministic salt from a unique column; the build

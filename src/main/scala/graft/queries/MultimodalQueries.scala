@@ -236,6 +236,113 @@ object MultimodalQueries {
     }
   }
 
+  /** real-animation row: doc provenance + genuine multi-frame GIF bytes. */
+  final case class MediaVideo(doc_id: Long, gif: Array[Byte])
+
+  /** frame-sampled decode output: exact integer stats over every 2nd frame. */
+  final case class VideoStats(doc_id: Long, n_frames: Long, width: Long,
+      height: Long, n_sampled: Long, sampled_sum: Long, peak: Long)
+
+  /** Deterministic animation spec for doc_id: 2-5 frames of a small
+    * grayscale grid whose pixels are integer functions of (id, frame, x, y)
+    * — the oracle replays the same arithmetic, so a lossless multi-frame
+    * container round-trip is the ONLY way the sampled sums can match. */
+  private def vidFrames(id: Long): Int = (2 + id % 4).toInt
+  private def vidWidth(id: Long): Int = (6 + id % 9).toInt
+  private def vidHeight(id: Long): Int = (6 + (id * 3) % 7).toInt
+  private def vidPx(id: Long, f: Int, x: Int, y: Int): Int =
+    ((id + 11L * f + 7L * x + 13L * y) % 256).toInt
+
+  /** Synthesize a genuine animated GIF (multi-image GIF89a stream via the
+    * JDK's ImageIO GIF writer — pure JDK, no external libs) holding the
+    * deterministic frames above. The pixel data is written through a
+    * 256-entry grayscale palette whose index EQUALS its gray value, so
+    * GIF's palette indirection is the identity map and the round-trip is
+    * lossless by construction (an RGB source would get quantized to
+    * whatever palette the writer derives — not replayable). GIF is the
+    * one multi-frame container the JDK can both write and read, which
+    * makes it the honest stand-in for the video frame-sampling path;
+    * true video codecs (H.264 etc.) remain the documented synthetic seam
+    * (q69/q6f). */
+  def synthesizeGif(id: Long): Array[Byte] = {
+    val (w, h, nf) = (vidWidth(id), vidHeight(id), vidFrames(id))
+    val gray = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, vidPx(id, f, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decoder behind the mapPartitions seam, with the
+    * frame-SAMPLING access pattern (every 2nd frame) that makes video
+    * pipelines cheap: `getNumImages` walks the container's frame index,
+    * but pixel decode runs only for sampled frames — the skipped-frame
+    * I/O saving is the whole point of sampling at 100 TB. Stats are exact
+    * integers over the decoded gray values (the grayscale palette maps
+    * index -> (g,g,g), so any RGB channel recovers the written value). */
+  def decodeVideo(rows: Iterator[MediaVideo]): Iterator[VideoStats] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { m =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(m.gif))
+      try {
+        reader.setInput(iis, /* seekForwardOnly = */ false)
+        val nf = reader.getNumImages(/* allowSearch = */ true)
+        require(nf > 0, s"doc ${m.doc_id}: payload holds no decodable frames")
+        var (w, h) = (0L, 0L)
+        var (nSampled, sampledSum, peak) = (0L, 0L, 0L)
+        var f = 0
+        while (f < nf) {
+          if (f % 2 == 0) {
+            val img = reader.read(f)
+            w = img.getWidth.toLong; h = img.getHeight.toLong
+            nSampled += 1
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = (img.getRGB(x, y) & 0xFF).toLong
+                sampledSum += v
+                if (v > peak) peak = v
+                x += 1
+              }
+              y += 1
+            }
+          }
+          f += 1
+        }
+        VideoStats(m.doc_id, nf.toLong, w, h, nSampled, sampledSum, peak)
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // REAL image decode through the seam: synthesize genuine PNGs into a
@@ -316,6 +423,49 @@ object MultimodalQueries {
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map(id => MediaAudio(id, synthesizeWav(id))))
           .mapPartitions(decodeAudio)
+          .toDF()
+          .orderBy(col("doc_id"))
+      }),
+
+    // REAL multi-frame decode + frame sampling through the seam: genuine
+    // animated GIFs (the one multi-frame container the JDK can write AND
+    // read) into a binary column, every 2nd frame decoded, exact integer
+    // pixel stats over the sampled frames. This is q68's frame-sampling
+    // shape carried by a real container: the reader walks the frame index
+    // but decodes ONLY sampled frames — the decode-cost saving that makes
+    // sampling worthwhile on a 100 TB video corpus. The oracle replays
+    // the per-frame pixel arithmetic; a match requires the multi-frame
+    // round-trip (palette-exact encode → binary column → per-frame
+    // decode) to be lossless frame-by-frame. True video codecs (H.264)
+    // stay the documented synthetic seam — no pure-JDK decoder exists.
+    QueryDef(
+      "q6m_gif_frames",
+      Some("""WITH g AS (
+          SELECT doc_id,
+                 CAST(2 + doc_id % 4 AS INT) AS nf,
+                 CAST(6 + doc_id % 9 AS INT) AS w,
+                 CAST(6 + (doc_id * 3) % 7 AS INT) AS h
+          FROM documents)
+        SELECT doc_id,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+          CAST(list_sum(list_transform(generate_series(0, (nf - 1) // 2),
+            j -> list_sum(list_transform(generate_series(0, CAST(w*h - 1 AS INT)),
+              i -> (doc_id + 11*(2*j) + 7*(i % w) + 13*(i // w)) % 256))))
+            AS BIGINT) AS sampled_sum,
+          CAST(list_max(list_transform(generate_series(0, (nf - 1) // 2),
+            j -> list_max(list_transform(generate_series(0, CAST(w*h - 1 AS INT)),
+              i -> (doc_id + 11*(2*j) + 7*(i % w) + 13*(i // w)) % 256))))
+            AS BIGINT) AS peak
+        FROM g ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => MediaVideo(id, synthesizeGif(id))))
+          .mapPartitions(decodeVideo)
           .toDF()
           .orderBy(col("doc_id"))
       }),

@@ -569,6 +569,116 @@ object TextAnalysis {
             sum(col("doc_id")).cast("long").as("id_sum"))
           .orderBy(col("source"))),
 
+    // Temperature-based upsampling — the epoch-expansion half of corpus
+    // mixing (q5h gates sources DOWN; this one replicates scarce sources
+    // UP, the multilingual temperature-sampling rule: sampling weight
+    // ∝ n^α with α = 0.3, realized as an upsample factor
+    // (n_max/n_s)^(1-α) relative to the largest source). The factor is
+    // quantized to integer MILLI-units (floor(round(f,9)·1000)) so the
+    // fractional epoch becomes a deterministic hash-Bernoulli per doc
+    // (q5h's Knuth-hash idiom, threshold = f_milli % 1000) — integer
+    // arithmetic decides every replica on both engines, the one pow()
+    // riding behind a round(,9) like every cross-engine double here.
+    // Scale shape: counts + factors are one tiny broadcast frame;
+    // replication is a row-local explode of `sequence(0, rep-1)` — each
+    // doc's replicas materialize ON the executor that holds the doc, no
+    // shuffle of bodies; epochs are numbered so downstream packing can
+    // interleave them deterministically.
+    QueryDef(
+      "q5v_temperature_mix",
+      Some("""WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+        m AS (SELECT MAX(n_s) AS nmax FROM c),
+        f AS (SELECT source,
+                CAST(floor(round(pow(CAST(nmax AS DOUBLE) / n_s, 0.7), 9) * 1000)
+                  AS BIGINT) AS f_milli
+              FROM c, m),
+        r AS (SELECT d.doc_id, d.source,
+                f.f_milli // 1000 + CASE WHEN (d.doc_id * 2654435761) % 1000
+                  < f.f_milli % 1000 THEN 1 ELSE 0 END AS rep
+              FROM documents d JOIN f USING (source)),
+        e AS (SELECT doc_id, source,
+                unnest(generate_series(0, CAST(rep - 1 AS INT))) AS epoch
+              FROM r)
+        SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(SUM(epoch) AS BIGINT) AS epoch_sum
+        FROM e GROUP BY source ORDER BY source"""),
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("source"))
+        val counts = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        val nmax = counts.agg(max(col("n_s")).as("m")).scalar()
+        val factors = counts.withColumn("f_milli",
+          floor(round(pow(nmax.cast("double") / col("n_s"), 0.7), 9) * 1000)
+            .cast("long"))
+        d.join(broadcast(factors), Seq("source"))
+          .withColumn("rep",
+            expr("f_milli div 1000") +
+              when(pmod(col("doc_id") * 2654435761L, lit(1000)) <
+                col("f_milli") % 1000, 1L).otherwise(0L))
+          .withColumn("epoch", explode(sequence(lit(0L), col("rep") - 1)))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_rows"),
+            sum(col("epoch")).cast("long").as("epoch_sum"))
+          .orderBy(col("source"))
+      }),
+
+    // Statistical LM quality score — the CCNet-style filter: score each
+    // document by its average bigram log-likelihood under a language
+    // model trained on the corpus itself (MLE: p(w2|w1) = c(w1 w2) /
+    // c(w1); every bigram seen at scoring time was seen at training
+    // time, so no smoothing term is needed). Low scores mark
+    // gibberish/rare-token documents — the statistical twin of q51's
+    // rule-based score. Scale shape: the "model" is two count tables
+    // (bigrams, unigrams) whose shuffles carry grams + counts, never
+    // bodies; scoring re-joins the per-doc gram stream to the counts on
+    // the gram key (the q54/q5j exchange family). Determinism: each
+    // ln() term is rounded to 9 decimals and summed as DECIMAL(30,12)
+    // (the cross-GROUP-BY sum idiom), so reduction order can't wiggle
+    // the score; the final avg divides AFTER casting the exact decimal
+    // sum to double.
+    QueryDef(
+      "q5w_lm_bigram_score",
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        uc AS (SELECT w, COUNT(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+        big AS (SELECT doc_id, unnest(list_transform(
+                  generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1])) AS g
+                FROM toks),
+        bc AS (SELECT g, COUNT(*) AS c12 FROM big GROUP BY g),
+        sc AS (SELECT b.doc_id, round(ln(bc.c12 * 1.0 / uc.c1), 9) AS term
+               FROM big b JOIN bc ON b.g = bc.g
+               JOIN uc ON split_part(b.g, ' ', 1) = uc.w)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+          ROUND(CAST(SUM(CAST(term AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+            AS avg_logp
+        FROM sc GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+        val uni = toks.select(explode(col("t")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+        // guard size >= 2: Spark's sequence(1, 0) would WALK DOWN and
+        // fabricate grams for single-token docs (DuckDB's is empty)
+        val big = toks.filter(size(col("t")) >= 2)
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+              .as("g"))
+        val bc = big.groupBy(col("g")).agg(count(lit(1)).as("c12"))
+        big.join(bc, Seq("g"))
+          .withColumn("w", substring_index(col("g"), " ", 1))
+          .join(uni, Seq("w"))
+          .withColumn("term",
+            round(log(col("c12").cast("double") / col("c1")), 9)
+              .cast("decimal(30,12)"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(col("term")).cast("double") / count(lit(1)), 6)
+              .as("avg_logp"))
+          .orderBy(col("doc_id"))
+      }),
+
     // Boilerplate detection — the corpus-frequency rule (C4/CCNet): a
     // 2-gram appearing in more than 5% of ALL documents is boilerplate
     // (navigation chrome, license headers, templates), and each document

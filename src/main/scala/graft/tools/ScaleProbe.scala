@@ -128,6 +128,36 @@ object ScaleProbe {
     }
     if (bloomOnly) { bloomProbe(); spark.stop(); return }
 
+    if (args.length > 1 && args(1) == "rangejoin") {
+      // binned range join (q1f's operator) vs the naive raw-predicate
+      // join Spark can only plan as a broadcast nested loop: pair counts
+      // must agree, and the binned wall must hold flat-ish while the
+      // naive one grows with |points|x|intervals|
+      import graft.operators.RangeJoin
+      val hourNs = 3600000000000L
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .withColumnRenamed("ts", "ts_ns")
+      val iv0 = ev
+        .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+        .select(col("event_id").as("iv_id"), col("ts_ns").as("lo"),
+          (col("ts_ns") + (col("event_id") % 5 + 1) * hourNs).as("hi"))
+      val pts0 = ev.filter(col("event_type") === "click")
+        .select(col("ts_ns").as("p_ts"), col("event_id").as("p_id"))
+      for (cp <- Seq(1, copies)) {
+        val iv = replicate(iv0, "iv_id", cp, 10000000L).persist()
+        val pts = replicate(pts0, "p_id", cp, 10000000L).persist()
+        val (nIv, nPts) = (iv.count(), pts.count())
+        val binned = time(s"rangejoin binned cp=$cp iv=$nIv pts=$nPts")(
+          RangeJoin.pointInInterval(iv, "lo", "hi", pts, "p_ts", hourNs).count())
+        val naive = time(s"rangejoin naive  cp=$cp iv=$nIv pts=$nPts")(
+          iv.join(pts, col("p_ts") >= col("lo") && col("p_ts") < col("hi")).count())
+        require(binned == naive, s"pair counts diverged: $binned vs $naive")
+        println(s"[scale] rangejoin cp=$cp pairs=$binned")
+        iv.unpersist(); pts.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (kmeansOnly) {
       import graft.queries.SimilarityQueries
       val embK = replicate(

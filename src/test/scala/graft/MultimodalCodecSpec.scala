@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.queries.MultimodalQueries
-import graft.queries.MultimodalQueries.{MediaAudio, MediaImage}
+import graft.queries.MultimodalQueries.{MediaAudio, MediaImage, MediaVideo}
 
 /** The REAL media codecs behind the mapPartitions seam (q6h PNG, q6j
   * WAV): lossless round-trips for every deterministic fixture shape, and
@@ -36,6 +36,51 @@ class MultimodalCodecSpec extends AnyFunSuite {
       assert(stats.peak <= 32768)
       if (stats.channels == 1) assert(stats.ch1_sum == 0L)
       else assert(stats.ch1_sum != stats.ch0_sum) // interleaving not collapsed
+    }
+  }
+
+  test("GIF multi-frame round-trip is lossless frame-by-frame across the shape lattice") {
+    // ids cover the frame-count modulus (2..5 frames, so both parities of
+    // sampled-frame counts) and the width/height lattice extremes
+    for (id <- Seq(0L, 1L, 2L, 3L, 8L, 62L, 251L)) {
+      val nf = 2 + id % 4
+      val (w, h) = (6 + id % 9, 6 + (id * 3) % 7)
+      val stats = MultimodalQueries
+        .decodeVideo(Iterator(MediaVideo(id, MultimodalQueries.synthesizeGif(id))))
+        .next()
+      assert(stats.n_frames == nf && stats.width == w && stats.height == h)
+      assert(stats.n_sampled == (nf + 1) / 2)
+      // replay the exact arithmetic driver-side: only a lossless
+      // palette-exact round-trip of EVERY sampled frame can agree
+      var (expSum, expPeak) = (0L, 0L)
+      for (f <- 0 until nf.toInt by 2; y <- 0 until h.toInt; x <- 0 until w.toInt) {
+        val v = (id + 11L * f + 7L * x + 13L * y) % 256
+        expSum += v
+        if (v > expPeak) expPeak = v
+      }
+      assert(stats.sampled_sum == expSum, s"id=$id sampled_sum")
+      assert(stats.peak == expPeak, s"id=$id peak")
+    }
+  }
+
+  test("garbage bytes as a GIF fail crisply, naming the document") {
+    val e = intercept[Exception] {
+      MultimodalQueries.decodeVideo(
+        Iterator(MediaVideo(5L, Array.fill[Byte](64)(0x41)))).next()
+    }
+    assert(e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[javax.imageio.IIOException] ||
+      e.isInstanceOf[java.io.IOException], s"unexpected failure type: $e")
+  }
+
+  test("a truncated GIF never fabricates frames beyond the bytes it holds") {
+    val good = MultimodalQueries.synthesizeGif(9L) // 3 frames
+    val torn = good.take(good.length / 2)
+    val res =
+      try Some(MultimodalQueries.decodeVideo(Iterator(MediaVideo(9L, torn))).next())
+      catch { case _: Exception => None } // a crisp refusal is also fine
+    res.foreach { stats =>
+      assert(stats.n_frames < 3, s"decoded ${stats.n_frames} frames from a truncated stream")
     }
   }
 

@@ -159,6 +159,18 @@ class PlanSpec extends SparkSpec {
       "q5u's token-overlap join should be a BroadcastHashJoin on tok")
   }
 
+  test("q1f range join: binning turns the pure range predicate into a hash join") {
+    // the whole point of RangeJoin is that a no-equi-prefix interval
+    // predicate does NOT plan as a nested loop over the cross product:
+    // the bin key must give Spark a hash-joinable equi condition
+    val plans = collectAll(executed(q("q1f_join_range")))
+    val names = plans.map(_.getClass.getSimpleName)
+    assert(!names.exists(_.contains("CartesianProduct")),
+      "q1f plans a CartesianProduct — binning failed to produce an equi key")
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")),
+      "q1f plans a BroadcastNestedLoopJoin — the range predicate isn't riding the bin equi join")
+  }
+
   test("bucketed tables co-locate: fact-fact join plans with zero shuffles") {
     import org.apache.spark.sql.functions.col
     // bucketBy co-partitions both sides on the join key at write time —
