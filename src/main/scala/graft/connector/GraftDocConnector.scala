@@ -1184,10 +1184,44 @@ object GraftDocLog {
 
   private def writeFile(fs: FileSystem, p: Path, content: String,
       overwrite: Boolean): Unit = {
-    val out = fs.create(p, overwrite)
+    // Create-exclusive must be ATOMIC — every slot protocol here (delta
+    // slots, claim markers) leans on it. HDFS's create(overwrite=false)
+    // is atomic; object stores map to conditional PUT (see README). But
+    // Hadoop's LOCAL filesystem implements it as exists-check-then-open:
+    // two racers can both pass the check and the later open TRUNCATES
+    // the earlier writer's bytes — the winner's content silently
+    // vanishes while its publish loop believes the slot landed (observed
+    // as a lost column under a 4-thread evolution stampede). For the
+    // file scheme, claim the slot first with NIO createFile (POSIX
+    // O_CREAT|O_EXCL, genuinely atomic), then write the content through
+    // the Hadoop FS as the slot's owner; a fold that reads the claimed-
+    // but-unwritten file sees a torn delta and skips it until complete,
+    // which is the protocol's sanctioned in-flight state.
+    if (!overwrite && fs.getScheme == "file") {
+      if (!createExclusive(fs, p))
+        throw new java.io.IOException(s"graft-doc: $p already exists")
+    }
+    val out = fs.create(p, overwrite || fs.getScheme == "file")
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** Atomic create-exclusive of an empty file: true iff this caller won
+    * the slot. The one primitive every slot/claim protocol reduces to
+    * (README maps it to conditional PUT for object stores). */
+  private def createExclusive(fs: FileSystem, p: Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException => false // parent raced away
+      }
+    } else {
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
 
   private def readFile(fs: FileSystem, p: Path): String = {
     if (p.getName == ManifestFile) manifestReads.incrementAndGet()
@@ -1393,9 +1427,7 @@ object GraftDocLog {
     while (!committed) {
       val claim = new Path(root, f"_claim_$seq%09d")
       val claimedAtNs = System.nanoTime()
-      val won =
-        try { fs.create(claim, false).close(); true }
-        catch { case _: java.io.IOException => false } // claimed by a racer
+      val won = createExclusive(fs, claim) // atomic, incl. the file scheme
       if (won && commitDirs(fs, root).exists(_._1 == seq)) {
         // stale win: the original claimant already renamed its commit and
         // released the claim while we were working from an older listing —

@@ -603,6 +603,34 @@ class GraftDocConnectorSpec extends SparkSpec {
     assert(snap.filter(col("c_w0").isNull && col("c_w2").isNull).count() == 1)
   }
 
+  test("slot creation is atomic under a 16-thread stampede (local-FS TOCTOU regression)") {
+    // Regression for a real flake: Hadoop's LOCAL create(overwrite=false)
+    // is exists-check-then-open, so two racers could both pass the check
+    // and the later open TRUNCATED the earlier winner's delta bytes —
+    // the winner's publish loop saw its column folded (its in-memory
+    // read happened before the clobber) and exited, losing the column.
+    // 16 threads × distinct columns from one base makes that window easy
+    // to hit without the NIO O_CREAT|O_EXCL claim; with it, every column
+    // must survive every interleave.
+    val dir = tmp()
+    GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", dir)
+    val cols = (0 until 16).map(i => s"c_s$i" -> LongType)
+    val gate = new java.util.concurrent.CyclicBarrier(cols.size)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = cols.map { case (n, t) => new Thread(() => {
+      try { gate.await(); GraftDocLog.publishSchemaDelta(dir,
+        Seq(StructField(n, t, nullable = true))) }
+      catch { case e: Throwable => errs.add(e) }
+    }) }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"stampede threw: ${errs.peek()}")
+    val recorded = GraftDocLog.readSchema(dir).get
+    val lost = cols.collect {
+      case (n, t) if !recorded.fields.exists(f => f.name == n && f.dataType == t) => n
+    }
+    assert(lost.isEmpty, s"columns lost by stampede: $lost; recorded=${recorded.simpleString}")
+  }
+
   test("schema evolution via racing public writes: both columns recorded, data intact") {
     val dir = tmp()
     GraftDoc.write(Seq((1L, "a")).toDF("k", "name"), "k", dir)
