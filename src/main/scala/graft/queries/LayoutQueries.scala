@@ -1,0 +1,75 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.ZOrder
+import graft.sources.Tables
+
+/** Physical-layout operators (SURVEY.md §2 — the write-side techniques
+  * that make 100 TB scans cheap before any query runs). The reference's
+  * host pipeline delegates layout to its storage engine; Spark-side it is
+  * an explicit, composable step.
+  */
+object LayoutQueries {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Z-order clustering stats: normalize BOTH keys to the common 15-bit
+    // domain (mandatory — raw interleave of unequal ranges lets the wide
+    // column's high bits outrank the narrow one's entirely, collapsing
+    // the curve to a single-column sort), compute the Morton z-value and
+    // aggregate per top-6-bit z-bucket. The per-bucket min/max columns
+    // ARE the file-skipping story: every bucket (= would-be file) has a
+    // tight bounding box in BOTH key columns, so a predicate on EITHER
+    // dimension prunes most buckets, where a single-column sort leaves
+    // the other dimension full-width per file (ZOrderSpec measures
+    // exactly that contrast on written parquet). Min/max ride as in-plan
+    // scalar subqueries; the normalize multiply stays ≪ 2^53, so the
+    // double floor-divide is bit-identical on both engines; the
+    // interleave is exact integer arithmetic.
+    QueryDef(
+      "q1g_zorder_layout",
+      Some("""WITH st AS (
+          SELECT CAST(MIN(l_partkey) AS DOUBLE) AS p0, CAST(MAX(l_partkey) AS DOUBLE) AS p1,
+                 CAST(MIN(l_suppkey) AS DOUBLE) AS s0, CAST(MAX(l_suppkey) AS DOUBLE) AS s1
+          FROM lineitem),
+        nz AS (
+          SELECT CAST(floor((l_partkey - p0) * 32767.0 / (p1 - p0)) AS BIGINT) AS xn,
+                 CAST(floor((l_suppkey - s0) * 32767.0 / (s1 - s0)) AS BIGINT) AS yn,
+                 l_partkey, l_suppkey
+          FROM lineitem, st),
+        z AS (
+          SELECT l_partkey, l_suppkey,
+            CAST(list_sum(list_transform(generate_series(0, 14),
+              i -> ((xn >> i) & 1) * (1 << (2*i))
+                 + ((yn >> i) & 1) * (1 << (2*i + 1)))) AS BIGINT) AS zv
+          FROM nz)
+        SELECT zv >> 24 AS bucket, COUNT(*) AS n,
+          CAST(MIN(l_partkey) AS BIGINT) AS min_pk,
+          CAST(MAX(l_partkey) AS BIGINT) AS max_pk,
+          CAST(MIN(l_suppkey) AS BIGINT) AS min_sk,
+          CAST(MAX(l_suppkey) AS BIGINT) AS max_sk
+        FROM z GROUP BY bucket ORDER BY bucket"""),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        // one struct-valued stats subquery, four field refs → the
+        // identical subqueries dedup to a single reused scan
+        val st = li.agg(struct(
+          min(col("l_partkey")).as("p0"), max(col("l_partkey")).as("p1"),
+          min(col("l_suppkey")).as("s0"), max(col("l_suppkey")).as("s1"))
+          .as("st")).scalar()
+        li.withColumn("zv", ZOrder.zValue(
+            ZOrder.normalize(col("l_partkey"),
+              st.getField("p0"), st.getField("p1"), 15),
+            ZOrder.normalize(col("l_suppkey"),
+              st.getField("s0"), st.getField("s1"), 15), 15))
+          .withColumn("bucket", shiftright(col("zv"), 24))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("l_partkey")).as("min_pk"),
+            max(col("l_partkey")).as("max_pk"),
+            min(col("l_suppkey")).as("min_sk"),
+            max(col("l_suppkey")).as("max_sk"))
+          .orderBy(col("bucket"))
+      })
+  )
+}

@@ -285,6 +285,27 @@ object StreamingQueries {
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => StreamPipelines.docStreamAnnServe(s, dir)),
 
+    // Streaming range join: clicks arrive as a CDC stream and every
+    // micro-batch joins to the static attribution-window table through
+    // RangeJoin's bin key — a STATELESS stream-static equi join (no
+    // watermark state; a raw range predicate would nested-loop per
+    // batch). The oracle is q1f's one-shot batch range join: the drained,
+    // batch-at-a-time matches folded over all batches must be
+    // indistinguishable from joining all clicks at once.
+    QueryDef(
+      "q8h_stream_range_join",
+      Some("""WITH iv AS (
+          SELECT event_id AS iv_id, epoch_ns(ts) AS lo,
+                 epoch_ns(ts) + (1 + event_id % 5) * 3600000000000 AS hi
+          FROM events WHERE event_type = 'purchase' AND event_id % 97 = 0),
+        pts AS (SELECT epoch_ns(ts) AS p_ts, event_id AS p_id
+                FROM events WHERE event_type = 'click')
+        SELECT iv.iv_id, count(p.p_id) AS n_clicks,
+               CAST(coalesce(sum(p.p_id), 0) AS BIGINT) AS sum_click_ids
+        FROM iv LEFT JOIN pts p ON p.p_ts >= iv.lo AND p.p_ts < iv.hi
+        GROUP BY iv.iv_id ORDER BY iv_id"""),
+      (s, dir) => StreamPipelines.docStreamRangeJoin(s, dir)),
+
     // Reference-topology parity pipeline: stream → keyed document sink →
     // read back. The `_id` count proves the key hoist is lossless.
     QueryDef(

@@ -646,6 +646,65 @@ object StreamPipelines {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q8h: streaming range join — clicks ARRIVE as a CDC stream (two
+    * commits) and every micro-batch joins to the STATIC attribution-window
+    * table through [[graft.operators.RangeJoin]]'s bin key: the static
+    * side explodes its intervals onto 1-hour bins ONCE per micro-batch
+    * plan, each streamed click maps to its single bin, and the join is a
+    * stream-static EQUI join on the bin id with the exact range as a
+    * residual filter — completely STATELESS (no watermark, no state
+    * store), which is the point: the raw `p_ts BETWEEN lo AND hi`
+    * predicate would be a per-batch nested loop at scale, and a
+    * stream-stream interval join would hold state the static side never
+    * needed. Per-batch matches land in batch-id-keyed files (overwrite →
+    * replay idempotent, the labels_v<N> rule); the drained result folded
+    * over all batches must equal q1f's one-shot batch range join — the
+    * oracle replays exactly that. */
+  def docStreamRangeJoin(s: SparkSession, sfDir: String): DataFrame = {
+    val hourNs = 3600000000000L
+    val tmp = graft.TempDirs.create("graft_range_stream")
+    val ev = graft.sources.Tables.load(s, sfDir, "events")
+    val iv = ev
+      .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+      .select(col("event_id").as("iv_id"), col("ts_ns").as("lo"),
+        (col("ts_ns") + (col("event_id") % 5 + 1) * hourNs).as("hi"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("p_id"), col("ts_ns").as("p_ts"))
+    graft.connector.GraftDoc.write(
+      clicks.filter(pmod(col("p_id"), lit(2)) === 1), "p_id", s"$tmp/clicks")
+    graft.connector.GraftDoc.write(
+      clicks.filter(pmod(col("p_id"), lit(2)) === 0), "p_id", s"$tmp/clicks")
+    val ckpt = ephemeralCheckpoint("range_join")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val stream = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/clicks", maxCommitsPerTrigger = Some(1L))
+          // the sink hoisted p_id into the string `_id` key (P2's rule)
+          .select(col("_id").cast("long").as("p_id"), col("p_ts"))
+        val matched = graft.operators.RangeJoin
+          .pointInInterval(iv, "lo", "hi", stream, "p_ts", binWidth = hourNs)
+          .select(col("iv_id"), col("p_id"))
+        val q = matched.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$tmp/matched_b$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    val counts = s.read.parquet(s"$tmp/matched_b*")
+      .groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n"), sum(col("p_id")).as("sids"))
+    iv.join(counts, Seq("iv_id"), "left")
+      .select(col("iv_id"),
+        coalesce(col("n"), lit(0L)).as("n_clicks"),
+        coalesce(col("sids"), lit(0L)).as("sum_click_ids"))
+      .orderBy(col("iv_id"))
+  }
+
   def docStreamIngest(s: SparkSession, sfDir: String): DataFrame = {
     val tmp = graft.TempDirs.create("graft_doc_ingest")
     val docs = s.read.parquet(s"$sfDir/documents.parquet")
