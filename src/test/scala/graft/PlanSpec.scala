@@ -171,6 +171,74 @@ class PlanSpec extends SparkSpec {
       "q1f plans a BroadcastNestedLoopJoin — the range predicate isn't riding the bin equi join")
   }
 
+  test("runtime bloom-filter injection: a selective dim filter prunes the fact scan rows") {
+    import org.apache.spark.sql.functions.col
+    // At 100 TB the win from a selective dimension predicate is not the
+    // dim-side scan — it's Spark's InjectRuntimeFilter building a bloom
+    // filter from the filtered dim keys and applying it INSIDE the fact
+    // scan, so most fact rows die before the shuffle. Thresholds are
+    // sized for clusters, so force-enable for the gate: the capability
+    // must exist and fire, or a scale deployment silently loses it.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // the injection rule bows out entirely when either side is
+      // broadcastable (at 100 TB neither fact side is) — model that
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_totalprice") > 400000) // selective dim predicate
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val plan = executed(joined).toString
+      assert(plan.contains("might_contain") || plan.contains("bloom_filter"),
+        s"no runtime bloom filter injected into the fact side:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
+  test("AQE splits a skewed join partition at runtime (isSkew in the final plan)") {
+    import org.apache.spark.sql.functions.{col, rpad, when}
+    // The engine's answer to hot keys is AQE skew-join (q19's manual salt
+    // is for when the hot key is KNOWN); this gates that the runtime path
+    // actually fires: one key carrying most of one side must be split
+    // into multiple tasks in the finalized adaptive plan.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ/SHJ
+      import spark.implicits._
+      // left side: 200k rows, 90% on key 7 (the hot key), with padding to
+      // make the skewed partition's bytes cross the tiny threshold — the
+      // pad must be NON-foldable (derived from id), or Catalyst projects
+      // the constant after the join and the shuffle carries ~no bytes
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 10 =!= 0, 7L).otherwise(col("id")).as("k"),
+          rpad(col("id").cast("string"), 64, "x").as("pad"))
+      val right = (0L until 1000L).toDF("k")
+      val joined = left.join(right, "k")
+      val plan = executed(joined).toString
+      assert(plan.contains("isSkew=true") || plan.contains("skewed"),
+        s"AQE did not split the skewed partition:\n${plan.take(2000)}")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("bucketed tables co-locate: fact-fact join plans with zero shuffles") {
     import org.apache.spark.sql.functions.col
     // bucketBy co-partitions both sides on the join key at write time —
