@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global row numbering: assign ids equal to `row_number()
+  * over a TOTAL sort` — without the single-task global window that
+  * expression actually plans (every row through one task: the q0d
+  * scale-killer), and without `monotonically_increasing_id` (stable only
+  * for one physical partitioning, gaps of 2^33 between partitions).
+  *
+  * The classic two-phase pattern, kept declarative:
+  *   1. range partition + sort within partitions by the key — Spark's
+  *      RangePartitioner guarantees every row of partition i orders
+  *      before every row of partition i+1;
+  *   2. count rows per physical partition (a #partitions-row table);
+  *   3. cumulative offsets over that TINY table via a triangular
+  *      self-join (sum of counts of lower partition ids) — deliberately
+  *      not a global window, so a plan gate can assert the whole
+  *      operator contains ZERO empty-partitioning windows;
+  *   4. id = partition offset + intra-partition rank (a window
+  *      PARTITIONED by the physical partition id — parallel by
+  *      construction).
+  *
+  * The assignment equals the total-sort numbering REGARDLESS of where
+  * the sampled range boundaries land (offsets are computed from actual
+  * counts), so the result is deterministic for a deterministic
+  * `orderKeys`. `orderKeys` must be a total order (include a unique
+  * tiebreaker) — equal keys across a partition boundary would otherwise
+  * make the numbering boundary-dependent.
+  */
+object StableIds {
+
+  def assign(df: DataFrame, orderKeys: Seq[Column], partitions: Int,
+      idCol: String = "stable_id"): DataFrame = {
+    require(orderKeys.nonEmpty, "orderKeys must be non-empty")
+    val ranged = df
+      .repartitionByRange(partitions, orderKeys: _*)
+      .sortWithinPartitions(orderKeys: _*)
+      .withColumn("_sid_pid", spark_partition_id())
+    val counts = ranged.groupBy(col("_sid_pid"))
+      .agg(count(lit(1)).as("_sid_cnt"))
+    // cumulative offset of partition p = sum of counts of partitions < p;
+    // triangular self-join over the #partitions-row table (not a global
+    // window — see scaladoc)
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b._sid_pid") < col("a._sid_pid"), "left")
+      .groupBy(col("a._sid_pid").as("_sid_pid"))
+      .agg(coalesce(sum(col("b._sid_cnt")), lit(0L)).as("_sid_off"))
+    val wLocal = Window.partitionBy(col("_sid_pid"))
+      .orderBy(orderKeys: _*)
+    ranged
+      .join(broadcast(offsets), Seq("_sid_pid"))
+      .withColumn(idCol,
+        col("_sid_off") + row_number().over(wLocal).cast("long"))
+      .drop("_sid_pid", "_sid_off")
+  }
+}

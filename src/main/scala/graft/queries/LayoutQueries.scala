@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.ZOrder
+import graft.operators.{StableIds, ZOrder}
 import graft.sources.Tables
 
 /** Physical-layout operators (SURVEY.md §2 — the write-side techniques
@@ -70,6 +70,30 @@ object LayoutQueries {
             min(col("l_suppkey")).as("min_sk"),
             max(col("l_suppkey")).as("max_sk"))
           .orderBy(col("bucket"))
+      }),
+
+    // Stable global row numbering — ids identical to `row_number() OVER
+    // (ORDER BY n_chars DESC, doc_id)` (the oracle computes exactly
+    // that), but assigned by the two-phase range-partition pattern: the
+    // naive window funnels EVERY row through one task (the q0d
+    // scale-killer), while this plan's only windows are partitioned by
+    // the physical partition id (PlanSpec gates zero empty-partitioning
+    // WindowExec anywhere in q1h). The id assignment is provably
+    // boundary-independent: offsets come from actual per-partition
+    // counts, so wherever the sampled range boundaries land, id =
+    // total-sort rank.
+    QueryDef(
+      "q1h_stable_ids",
+      Some("""SELECT doc_id, n_chars,
+          CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+            AS stable_id
+        FROM documents ORDER BY stable_id"""),
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"))
+        StableIds.assign(d, Seq(col("n_chars").desc, col("doc_id")), 8)
+          .select(col("doc_id"), col("n_chars"), col("stable_id"))
+          .orderBy(col("stable_id"))
       })
   )
 }

@@ -171,6 +171,21 @@ class PlanSpec extends SparkSpec {
       "q1f plans a BroadcastNestedLoopJoin — the range predicate isn't riding the bin equi join")
   }
 
+  test("q1h stable ids: zero empty-partitioning windows (the naive global row_number)") {
+    // the whole point of StableIds: identical output to row_number over
+    // a total sort, with NO window that funnels every row through one
+    // task — even the cumulative-offset step (a #partitions-row table)
+    // is a triangular self-join, not a global window
+    val plans = collectAll(executed(q("q1h_stable_ids")))
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"q1h plans ${globalWindows.size} empty-partitioning Window node(s) — " +
+        "single-task at scale")
+  }
+
   test("runtime bloom-filter injection: a selective dim filter prunes the fact scan rows") {
     import org.apache.spark.sql.functions.col
     // At 100 TB the win from a selective dimension predicate is not the

@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.StableIds
+
+/** StableIds' contract: the assignment equals the total-sort rank no
+  * matter where the sampled range boundaries land — so the SAME data must
+  * get the SAME ids under any partition count. */
+class StableIdsSpec extends SparkSpec {
+
+  test("ids are identical across partition counts (boundary independence)") {
+    import spark.implicits._
+    val df = (1 to 5000)
+      .map(i => (i.toLong, (i * 2654435761L) % 1000)) // non-unique sort value
+      .toDF("k", "v")
+    def ids(parts: Int) = StableIds
+      .assign(df, Seq(col("v"), col("k")), parts) // k breaks ties: total order
+      .select(col("k"), col("stable_id"))
+      .as[(Long, Long)].collect().toMap
+    val a = ids(3)
+    val b = ids(16)
+    assert(a == b, "partition count changed the assignment")
+    // and the ids are exactly 1..N in sort order
+    assert(a.values.toSeq.sorted == (1L to 5000L))
+  }
+}
