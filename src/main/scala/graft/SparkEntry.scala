@@ -24,7 +24,7 @@ object SparkEntry {
     Aggregates.all ++ Joins.all ++ LayoutQueries.all ++ Windows.all ++
       SetOps.all ++ Scalars.all ++ EventsQueries.all ++ FormatQueries.all ++
       TextAnalysis.all ++ DedupQueries.all(sfDir) ++ SimilarityQueries.all(sfDir) ++
-      MultimodalQueries.all ++ StreamingQueries.all
+      MultimodalQueries.all ++ GraphQueries.all ++ StreamingQueries.all
 
   def defs: Seq[QueryDef] = defsFor(DefaultVerifySf)
 

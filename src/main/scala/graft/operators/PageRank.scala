@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over a (src, dst) edge table — the link-graph ranking
+  * signal of web-corpus curation (domain/page authority for crawl
+  * prioritization and quality weighting; Page et al., "The PageRank
+  * Citation Ranking", 1998).
+  *
+  * Shape per iteration (the Pregel-on-DataFrames pattern, same driver-loop
+  * discipline as the k-means index build):
+  *   - contributions: edges ⋈ ranks on src (shuffle carries (dst, contrib)
+  *     pairs only — never document bodies), map-side-combining hash agg by
+  *     dst;
+  *   - dangling mass (nodes with no out-edges) collected as ONE in-plan
+  *     scalar subquery per round and redistributed uniformly — at 100 TB
+  *     this is a map-side-partial count-sum, not a driver collect of rows;
+  *   - new rank = (1-d)/N + d·(contrib + dang/N), LEFT join back to the
+  *     node set so zero-in-degree nodes keep their teleport mass;
+  *   - `localCheckpoint` per round bounds lineage across iterations.
+  *
+  * Cross-engine determinism (the k-means idiom): per-edge contributions
+  * round to 12 decimals and sum as DECIMAL(30,14) — exact, reduction-order
+  * independent — and each round's rank quantizes to `round(·, 9)`, so an
+  * oracle unrolling the same algebra reproduces every iteration bit-exactly.
+  *
+  * `nodes` must have a long `id` column covering every edge endpoint;
+  * `edges` must be (src, dst) long columns, already deduplicated if the
+  * caller means a simple graph. Returns (id, pr) after `iters` rounds.
+  */
+object PageRank {
+
+  def run(nodes: DataFrame, edges: DataFrame, iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val n = nodes.select(col("id"))
+    val nCount: Column = n.agg(count(lit(1)).as("n")).scalar()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val teleport = lit(1.0) - lit(damping)
+    var ranks = n.select(col("id"),
+      round(lit(1.0) / nCount, 9).as("pr"))
+    for (_ <- 1 to iters) {
+      // mass parked on dangling nodes this round (exact decimal sum of
+      // already-quantized ranks — order-independent)
+      val dang: Column = ranks
+        .join(outdeg, ranks("id") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast("decimal(30,12)")), lit(0))
+          .cast("double").as("d"))
+        .scalar()
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("id"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"),
+          round(col("pr") / col("outdeg"), 12).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast("decimal(30,14)")).cast("double").as("contrib"))
+      ranks = n
+        .join(contrib, n("id") === contrib("dst"), "left")
+        .select(n("id"),
+          round(teleport / nCount
+            + lit(damping) * (coalesce(col("contrib"), lit(0.0))
+              + dang / nCount), 9).as("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

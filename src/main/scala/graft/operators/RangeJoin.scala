@@ -57,4 +57,37 @@ object RangeJoin {
       .filter(col(pt) >= col(lo) && col(pt) < col(hi))
       .drop("_rj_bin")
   }
+
+  /** Interval×interval OVERLAP join via the same binning: emit each
+    * `a`-row/`b`-row pair whose half-open ranges `[loA, hiA)` / `[loB,
+    * hiB)` intersect. Unlike [[pointInInterval]], overlapping intervals
+    * co-reside in EVERY bin their intersection spans, so the exactly-once
+    * rule needs a tie-break: a pair is emitted only in the FIRST bin both
+    * intervals cover. That bin is `max(bin(loA), bin(loB))` — overlap
+    * means `max(loA, loB) < min(hiA, hiB)`, so the later-starting
+    * interval's first bin is covered by both, and `bin` is monotone so
+    * `bin(max(lo))` IS `max(bin(lo))`. The filter is a cheap residual on
+    * already-joined rows; no post-join dedup/distinct (which would be a
+    * second shuffle of the full pair set) is ever needed.
+    *
+    * Same contracts as [[pointInInterval]]: half-open ranges, empty
+    * intervals dropped, integer `div` bin arithmetic, disjoint column
+    * names, `binWidth` chosen near the typical interval length. */
+  def intervalOverlap(
+      a: DataFrame, loA: String, hiA: String,
+      b: DataFrame, loB: String, hiB: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, lo: String, hi: String) = df
+      .filter(col(hi) > col(lo))
+      .withColumn("_rj_bin",
+        explode(sequence(
+          expr(s"`$lo` div ${binWidth}L"),
+          expr(s"(`$hi` - 1) div ${binWidth}L"))))
+    binned(a, loA, hiA).join(binned(b, loB, hiB), Seq("_rj_bin"))
+      .filter(col(loA) < col(hiB) && col(loB) < col(hiA))
+      .filter(col("_rj_bin") === greatest(
+        expr(s"`$loA` div ${binWidth}L"), expr(s"`$loB` div ${binWidth}L")))
+      .drop("_rj_bin")
+  }
 }

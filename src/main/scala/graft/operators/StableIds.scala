@@ -56,4 +56,40 @@ object StableIds {
         col("_sid_off") + row_number().over(wLocal).cast("long"))
       .drop("_sid_pid", "_sid_off")
   }
+
+  /** Scale-safe EXCLUSIVE prefix sum over a total order: for each row, the
+    * sum of `value` over all rows strictly before it — the generalization
+    * of [[assign]] (which is the prefix sum of `value = 1`, shifted by
+    * one). `SUM(x) OVER (ORDER BY …)` plans the same single-task
+    * empty-partitioning window as global `row_number()`, so the same
+    * two-phase shape applies: range partition + per-partition TOTALS
+    * (a #partitions-row table), triangular-self-join offsets, and a local
+    * running sum windowed BY the physical partition id. Same
+    * boundary-independence argument: offsets are actual per-partition
+    * sums, so the result equals the single-node running total wherever
+    * the sampled range boundaries land. `value` must be integral
+    * (cast to long); `orderKeys` must be a total order. */
+  def runningTotal(df: DataFrame, orderKeys: Seq[Column], value: Column,
+      partitions: Int, outCol: String = "running_before"): DataFrame = {
+    require(orderKeys.nonEmpty, "orderKeys must be non-empty")
+    val ranged = df
+      .repartitionByRange(partitions, orderKeys: _*)
+      .sortWithinPartitions(orderKeys: _*)
+      .withColumn("_sid_pid", spark_partition_id())
+      .withColumn("_sid_v", value.cast("long"))
+    val sums = ranged.groupBy(col("_sid_pid"))
+      .agg(sum(col("_sid_v")).as("_sid_cnt"))
+    val offsets = sums.as("a")
+      .join(sums.as("b"), col("b._sid_pid") < col("a._sid_pid"), "left")
+      .groupBy(col("a._sid_pid").as("_sid_pid"))
+      .agg(coalesce(sum(col("b._sid_cnt")), lit(0L)).as("_sid_off"))
+    val wLocal = Window.partitionBy(col("_sid_pid"))
+      .orderBy(orderKeys: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(broadcast(offsets), Seq("_sid_pid"))
+      .withColumn(outCol,
+        col("_sid_off") + coalesce(sum(col("_sid_v")).over(wLocal), lit(0L)))
+      .drop("_sid_pid", "_sid_off", "_sid_v")
+  }
 }

@@ -347,6 +347,54 @@ object Joins {
           .orderBy(col("iv_id"))
       }),
 
+    // Interval-OVERLAP join (interval × interval) — the remaining range
+    // shape after q1f's point-in-interval: "which attribution windows
+    // overlap which onboarding windows" has two interval sides and NO
+    // equi prefix, so the raw predicate (loA < hiB AND loB < hiA) again
+    // plans a nested loop over the cross product. RangeJoin.intervalOverlap
+    // explodes BOTH sides onto fixed 1-hour bins and equi-joins on the bin
+    // id; because overlapping intervals co-reside in every bin their
+    // intersection spans, each pair is kept only in its FIRST common bin
+    // (max of the two start bins — a residual filter, not a dedup
+    // shuffle). Exactly-once is property-tested in RangeJoinPropSpec; the
+    // no-nested-loop plan is gated in PlanSpec.
+    QueryDef(
+      "q1i_join_interval_overlap",
+      Some("""WITH a AS (
+          SELECT event_id AS a_id, epoch_ns(ts) AS a_lo,
+                 epoch_ns(ts) + (1 + event_id % 5) * 3600000000000 AS a_hi
+          FROM events WHERE event_type = 'purchase' AND event_id % 97 = 0),
+        b AS (
+          SELECT event_id AS b_id, epoch_ns(ts) AS b_lo,
+                 epoch_ns(ts) + (1 + event_id % 3) * 3600000000000 AS b_hi
+          FROM events WHERE event_type = 'signup' AND event_id % 53 = 0)
+        SELECT a.a_id, count(b.b_id) AS n_overlaps,
+               CAST(coalesce(sum(b.b_id), 0) AS BIGINT) AS sum_overlap_ids
+        FROM a LEFT JOIN b ON a.a_lo < b.b_hi AND b.b_lo < a.a_hi
+        GROUP BY a.a_id ORDER BY a_id"""),
+      (s, dir) => {
+        val hourNs = 3600000000000L
+        val ev = t(s, dir, "events")
+        val a = ev
+          .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
+          .select(col("event_id").as("a_id"), col("ts_ns").as("a_lo"),
+            (col("ts_ns") + (col("event_id") % 5 + 1) * hourNs).as("a_hi"))
+        val b = ev
+          .filter(col("event_type") === "signup" && col("event_id") % 53 === 0)
+          .select(col("event_id").as("b_id"), col("ts_ns").as("b_lo"),
+            (col("ts_ns") + (col("event_id") % 3 + 1) * hourNs).as("b_hi"))
+        val pairs = graft.operators.RangeJoin
+          .intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+            binWidth = hourNs)
+        val counts = pairs.groupBy(col("a_id"))
+          .agg(count(lit(1)).as("n"), sum(col("b_id")).as("bids"))
+        a.join(counts, Seq("a_id"), "left")
+          .select(col("a_id"),
+            coalesce(col("n"), lit(0L)).as("n_overlaps"),
+            coalesce(col("bids"), lit(0L)).as("sum_overlap_ids"))
+          .orderBy(col("a_id"))
+      }),
+
     // Salted skew join: the manual skew-mitigation pattern for when AQE
     // can't help (hot key known, both sides too big to broadcast). The
     // probe side gets a deterministic salt from a unique column; the build

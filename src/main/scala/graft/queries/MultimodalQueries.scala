@@ -154,6 +154,59 @@ object MultimodalQueries {
     }
   }
 
+  /** real-resize output: source dims + exact channel sums of the resized
+    * image AFTER a second PNG encode→decode round trip. */
+  final case class ResizedStats(doc_id: Long, src_w: Long, src_h: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
+  /** REAL resize behind the seam: decode the PNG, nearest-neighbor
+    * downscale to a fixed 16×12 thumbnail (src pixel = (x·w div 16,
+    * y·h div 12) — integer floor division, so the oracle can replay the
+    * exact source coordinate of every output pixel), then RE-ENCODE the
+    * thumbnail as PNG and decode it again before computing stats: the
+    * sums certify the write path of the codec, not just the read path.
+    * Nearest-neighbor (not bilinear) is deliberate — it is the one
+    * resampling kernel whose output pixels are exact integer copies of
+    * source pixels, so cross-engine verification needs no float model of
+    * the interpolator. Row-local like every decode stage. */
+  def resizeImages(rows: Iterator[MediaImage]): Iterator[ResizedStats] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-partition init
+    rows.map { m =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+      require(img != null, s"doc ${m.doc_id}: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (ow, oh) = (16, 12)
+      val out = new java.awt.image.BufferedImage(
+        ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          out.setRGB(x, y, img.getRGB(x * w / ow, y * h / oh))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      val rt = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+      require(rt != null, s"doc ${m.doc_id}: re-encoded thumbnail unreadable")
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      var yy = 0
+      while (yy < oh) {
+        var xx = 0
+        while (xx < ow) {
+          val rgb = rt.getRGB(xx, yy)
+          rs += (rgb >> 16) & 0xFF; gs += (rgb >> 8) & 0xFF; bs += rgb & 0xFF
+          xx += 1
+        }
+        yy += 1
+      }
+      ResizedStats(m.doc_id, w.toLong, h.toLong, rs, gs, bs)
+    }
+  }
+
   /** real-WAV row: doc provenance + genuine WAV container bytes. */
   final case class MediaAudio(doc_id: Long, wav: Array[Byte])
 
@@ -376,6 +429,47 @@ object MultimodalQueries {
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map(id => MediaImage(id, synthesizePng(id))))
           .mapPartitions(decodeImages)
+          .toDF()
+          .orderBy(col("doc_id"))
+      }),
+
+    // REAL image resize through the seam — upgrades the q6f stub's resize
+    // stage to an actual pixel kernel: decode the genuine PNG, nearest-
+    // neighbor downscale to a fixed 16×12 thumbnail (the one resampling
+    // kernel whose outputs are exact integer copies of source pixels —
+    // no float interpolator to model cross-engine), re-encode the
+    // thumbnail as PNG and decode it AGAIN before summing channels, so a
+    // hash match certifies the codec's write path as well as its read
+    // path. The oracle replays the source coordinate of every output
+    // pixel with the same integer floor division. Row-local; at 100 TB
+    // this is the scan-bandwidth-bound thumbnailing pass of an image
+    // corpus, with per-partition codec init behind the mapPartitions seam.
+    QueryDef(
+      "q6o_image_resize",
+      Some("""WITH g AS (
+          SELECT doc_id,
+                 8 + doc_id % 17 AS w,
+                 8 + (doc_id * 3) % 13 AS h
+          FROM documents)
+        SELECT doc_id,
+          CAST(w AS BIGINT) AS src_w,
+          CAST(h AS BIGINT) AS src_h,
+          CAST(list_sum(list_transform(generate_series(0, 191),
+            i -> (doc_id + 7*(((i % 16) * w) // 16)
+                  + 13*(((i // 16) * h) // 12)) % 256)) AS BIGINT) AS r_sum,
+          CAST(list_sum(list_transform(generate_series(0, 191),
+            i -> (5*doc_id + 11*(((i % 16) * w) // 16)
+                  + 3*(((i // 16) * h) // 12)) % 256)) AS BIGINT) AS g_sum,
+          CAST(list_sum(list_transform(generate_series(0, 191),
+            i -> (2*doc_id + (((i % 16) * w) // 16)
+                  * (((i // 16) * h) // 12)) % 256)) AS BIGINT) AS b_sum
+        FROM g ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => MediaImage(id, synthesizePng(id))))
+          .mapPartitions(resizeImages)
           .toDF()
           .orderBy(col("doc_id"))
       }),

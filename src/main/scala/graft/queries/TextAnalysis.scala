@@ -725,6 +725,50 @@ object TextAnalysis {
             round(col("n_boiler").cast("double") / col("n_grams"), 4)
               .as("boiler_frac"))
           .orderBy(col("doc_id"))
+      }),
+
+    // GLOBAL concat-and-chunk packing — q5f packs per shard (8 independent
+    // streams); this is the single-stream variant a run needs when training
+    // sequences must be globally numbered (one corpus-order token stream,
+    // chopped into fixed 128-token windows, every doc mapped to the span of
+    // windows its tokens land in). The tempting implementation is
+    // `SUM(n_tokens) OVER (ORDER BY doc_id)` — a global window that funnels
+    // the whole corpus through one task (the q0d scale-killer, and exactly
+    // why q5f sharded). StableIds.runningTotal gives the same exclusive
+    // prefix sum via range partition + per-partition totals + a
+    // triangular offsets join + pid-partitioned local running sums —
+    // PlanSpec asserts q5x plans ZERO empty-partitioning WindowExec nodes.
+    // All integer arithmetic, so the oracle (the single-node global window
+    // itself) matches exactly.
+    QueryDef(
+      "q5x_global_packing",
+      Some("""WITH t AS (
+          SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+          FROM documents),
+        p AS (SELECT doc_id, n_tokens,
+                COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS tok_before
+              FROM t)
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          CAST(tok_before AS BIGINT) AS tok_before,
+          CAST(tok_before // 128 AS BIGINT) AS first_seq,
+          CAST((tok_before + n_tokens - 1) // 128 AS BIGINT) AS last_seq,
+          CAST((tok_before + n_tokens - 1) // 128 - tok_before // 128 + 1
+            AS BIGINT) AS n_seqs
+        FROM p ORDER BY doc_id"""),
+      (s, dir) => {
+        val t = docs(s, dir)
+          .select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+        graft.operators.StableIds
+          .runningTotal(t, Seq(col("doc_id")), col("n_tokens"), 8,
+            outCol = "tok_before")
+          .select(col("doc_id"), col("n_tokens"), col("tok_before"),
+            expr("tok_before div 128").as("first_seq"),
+            expr("(tok_before + n_tokens - 1) div 128").as("last_seq"),
+            (expr("(tok_before + n_tokens - 1) div 128")
+              - expr("tok_before div 128") + 1).as("n_seqs"))
+          .orderBy(col("doc_id"))
       })
   )
 }

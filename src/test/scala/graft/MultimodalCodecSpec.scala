@@ -26,6 +26,36 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("nearest-neighbor resize replays exactly from the pixel formula") {
+    // the resized sums must equal a driver-side replay of the NN source
+    // mapping over the known synthesis arithmetic — decode, resize,
+    // RE-ENCODE, decode again all have to be lossless for this to hold
+    for (id <- Seq(0L, 1L, 16L, 220L)) {
+      val got = MultimodalQueries
+        .resizeImages(Iterator(MediaImage(id, MultimodalQueries.synthesizePng(id))))
+        .next()
+      val (w, h) = ((8 + id % 17).toInt, (8 + id * 3 % 13).toInt)
+      var (rs, gs, bs) = (0L, 0L, 0L)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        val (sx, sy) = (x * w / 16, y * h / 12)
+        rs += (id + 7L * sx + 13L * sy) % 256
+        gs += (5L * id + 11L * sx + 3L * sy) % 256
+        bs += (2L * id + sx.toLong * sy) % 256
+      }
+      assert(got.src_w == w && got.src_h == h, s"id $id: wrong source dims")
+      assert((got.r_sum, got.g_sum, got.b_sum) == ((rs, gs, bs)),
+        s"id $id: resized sums diverged from the NN replay")
+    }
+  }
+
+  test("garbage bytes into resize fail crisply, naming the document") {
+    val garbage = Array.tabulate[Byte](64)(i => (i * 37).toByte)
+    val e = intercept[IllegalArgumentException] {
+      MultimodalQueries.resizeImages(Iterator(MediaImage(77L, garbage))).next()
+    }
+    assert(e.getMessage.contains("77"))
+  }
+
   test("WAV round-trip is lossless for both channel layouts") {
     for (id <- Seq(0L, 1L, 2L, 97L, 196L)) { // even = mono, odd = stereo
       val stats = MultimodalQueries

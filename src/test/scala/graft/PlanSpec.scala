@@ -171,6 +171,42 @@ class PlanSpec extends SparkSpec {
       "q1f plans a BroadcastNestedLoopJoin — the range predicate isn't riding the bin equi join")
   }
 
+  test("q1i interval-overlap join: binning keeps the two-sided range off the nested loop") {
+    // same contract as q1f, harder shape: TWO interval sides and no equi
+    // prefix — the raw overlap predicate (loA < hiB AND loB < hiA) is
+    // un-hash-joinable, so only the bin key stands between this query and
+    // a cross product
+    val plans = collectAll(executed(q("q1i_join_interval_overlap")))
+    val names = plans.map(_.getClass.getSimpleName)
+    assert(!names.exists(_.contains("CartesianProduct")),
+      "q1i plans a CartesianProduct — binning failed to produce an equi key")
+    assert(!names.exists(_.contains("BroadcastNestedLoopJoin")),
+      "q1i plans a BroadcastNestedLoopJoin — the overlap predicate isn't riding the bin equi join")
+  }
+
+  test("q5x global packing: zero empty-partitioning windows (the naive global running sum)") {
+    // q5x's whole reason to exist: the same global-order prefix sum a
+    // `SUM() OVER (ORDER BY …)` would compute, with no window that
+    // funnels the corpus through one task
+    val plans = collectAll(executed(q("q5x_global_packing")))
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"q5x plans ${globalWindows.size} empty-partitioning Window node(s) — " +
+        "single-task at scale")
+  }
+
+  test("q6n pagerank: top-50 plans TakeOrderedAndProject, not a global sort") {
+    // the per-round machinery is joins + hash aggs; the only ordering in
+    // the query is the final top-50, which must be the per-partition
+    // top-k + driver-merge operator, not a full range-sort of the ranks
+    val plans = collectAll(executed(q("q6n_pagerank")))
+    assert(plans.exists(_.getClass.getSimpleName.contains("TakeOrderedAndProject")),
+      "q6n's top-50 degraded to a full global sort")
+  }
+
   test("q1h stable ids: zero empty-partitioning windows (the naive global row_number)") {
     // the whole point of StableIds: identical output to row_number over
     // a total sort, with NO window that funnels every row through one

@@ -23,4 +23,25 @@ class StableIdsSpec extends SparkSpec {
     // and the ids are exactly 1..N in sort order
     assert(a.values.toSeq.sorted == (1L to 5000L))
   }
+
+  test("runningTotal equals the single-node global-window prefix sum, any partitioning") {
+    import spark.implicits._
+    val df = (1 to 3000)
+      .map(i => (i.toLong, (i * 2654435761L) % 97)) // value 0..96, dup sort keys
+      .toDF("k", "v")
+    // reference: exclusive prefix sum over the total order (k)
+    val expected = {
+      var acc = 0L
+      (1 to 3000).map { i =>
+        val before = acc; acc += (i * 2654435761L) % 97; (i.toLong, before)
+      }.toMap
+    }
+    for (parts <- Seq(2, 16)) {
+      val got = StableIds
+        .runningTotal(df, Seq(col("k")), col("v"), parts, outCol = "before")
+        .select(col("k"), col("before"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"runningTotal diverged at $parts partitions")
+    }
+  }
 }
