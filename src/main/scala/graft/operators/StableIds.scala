@@ -35,10 +35,20 @@ object StableIds {
   def assign(df: DataFrame, orderKeys: Seq[Column], partitions: Int,
       idCol: String = "stable_id"): DataFrame = {
     require(orderKeys.nonEmpty, "orderKeys must be non-empty")
+    // localCheckpoint is CORRECTNESS here, not lineage hygiene: the ranged
+    // table feeds two jobs (the per-partition counts and the final join),
+    // and `spark_partition_id()` is only meaningful if both see the same
+    // physical partitioning. Without pinning, AQE may re-plan the range
+    // exchange differently per job (local/split shuffle reads), skewing
+    // pids between the offsets table and the rows they offset — observed
+    // at 2M rows (ScaleProbe `prefixsum`, wrong totals), invisible at
+    // spec scale. Materializing once is the operator's inherent cost: the
+    // numbered corpus is what it exists to produce.
     val ranged = df
       .repartitionByRange(partitions, orderKeys: _*)
       .sortWithinPartitions(orderKeys: _*)
       .withColumn("_sid_pid", spark_partition_id())
+      .localCheckpoint()
     val counts = ranged.groupBy(col("_sid_pid"))
       .agg(count(lit(1)).as("_sid_cnt"))
     // cumulative offset of partition p = sum of counts of partitions < p;
@@ -72,11 +82,13 @@ object StableIds {
   def runningTotal(df: DataFrame, orderKeys: Seq[Column], value: Column,
       partitions: Int, outCol: String = "running_before"): DataFrame = {
     require(orderKeys.nonEmpty, "orderKeys must be non-empty")
+    // same pid-consistency pin as in assign (see the comment there)
     val ranged = df
       .repartitionByRange(partitions, orderKeys: _*)
       .sortWithinPartitions(orderKeys: _*)
       .withColumn("_sid_pid", spark_partition_id())
       .withColumn("_sid_v", value.cast("long"))
+      .localCheckpoint()
     val sums = ranged.groupBy(col("_sid_pid"))
       .agg(sum(col("_sid_v")).as("_sid_cnt"))
     val offsets = sums.as("a")

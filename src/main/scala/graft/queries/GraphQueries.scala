@@ -22,6 +22,31 @@ object GraphQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** The deterministic pseudo-link graph shared by q6n/q6p: 3 hash-derived
+    * out-links per doc, self-loops removed, docs with id % 37 = 5 stripped
+    * of all out-links (PageRank's dangling-node path). Mirrors the e0/e
+    * CTEs in both oracles exactly. */
+  private def pseudoEdges(nodes: DataFrame, nCount: org.apache.spark.sql.Column): DataFrame =
+    nodes
+      .select(col("id").as("src"),
+        explode(sequence(lit(0), lit(2))).as("i"))
+      .select(col("src"),
+        ((col("src") * lit(2654435761L) + col("i") * lit(40503241L))
+          % 999983L % nCount).as("dst"))
+      .filter(col("dst") =!= col("src") && col("src") % 37 =!= 5)
+      .distinct()
+
+  /** Shared oracle SQL for the pseudo-link graph (must stay in lockstep
+    * with [[pseudoEdges]]). */
+  private val EdgeCtes =
+    """nn AS (SELECT COUNT(*) AS n FROM documents),
+        e0 AS (SELECT doc_id AS src,
+            (doc_id * 2654435761 + i.i * 40503241) % 999983
+              % (SELECT n FROM nn) AS dst
+          FROM documents, (SELECT unnest([0, 1, 2]) AS i) i),
+        e AS (SELECT DISTINCT src, dst FROM e0
+          WHERE dst <> src AND src % 37 <> 5)"""
+
   /** One unrolled PageRank round in DuckDB SQL: dangling mass d<k>,
     * contributions c<k> (12-decimal terms, exact decimal sum), new rank
     * r<k> quantized to 9 decimals — the same algebra PageRank.run
@@ -55,13 +80,7 @@ object GraphQueries {
     // hash match proves every iteration, not just the final ordering.
     QueryDef(
       "q6n_pagerank",
-      Some(s"""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-        e0 AS (SELECT doc_id AS src,
-            (doc_id * 2654435761 + i.i * 40503241) % 999983
-              % (SELECT n FROM nn) AS dst
-          FROM documents, (SELECT unnest([0, 1, 2]) AS i) i),
-        e AS (SELECT DISTINCT src, dst FROM e0
-          WHERE dst <> src AND src % 37 <> 5),
+      Some(s"""WITH $EdgeCtes,
         deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
         r0 AS (SELECT doc_id AS id,
             round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 9) AS r
@@ -73,18 +92,53 @@ object GraphQueries {
       (s, dir) => {
         val nodes = docs(s, dir).select(col("doc_id").as("id"))
         val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
-        val edges = nodes
-          .select(col("id").as("src"),
-            explode(sequence(lit(0), lit(2))).as("i"))
-          .select(col("src"),
-            ((col("src") * lit(2654435761L) + col("i") * lit(40503241L))
-              % 999983L % nCount).as("dst"))
-          .filter(col("dst") =!= col("src") && col("src") % 37 =!= 5)
-          .distinct()
+        val edges = pseudoEdges(nodes, nCount)
         graft.operators.PageRank.run(nodes, edges, iters = 3)
           .orderBy(col("pr").desc, col("id"))
           .limit(50)
           .orderBy(col("pr").desc, col("id"))
+      }),
+
+    // Label propagation (community detection) over the same pseudo-link
+    // graph: 2 SYNCHRONOUS rounds (async update order would be
+    // scheduler-dependent — un-oracle-able), deterministic argmax
+    // (most-frequent neighbor label, ties → smallest). All-integer
+    // algebra, so the unrolled oracle matches with zero quantization.
+    // Output is the community-size profile. Scale shape: per round one
+    // (node, neighborLabel) shuffle + two hash aggs on narrow rows —
+    // the clustering complement to PageRank's ranking on the same
+    // Pregel template.
+    QueryDef(
+      "q6p_label_propagation",
+      Some(s"""WITH $EdgeCtes,
+        eu AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+        l0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents),
+        c1 AS (SELECT eu.src AS nid, l0.lab, COUNT(*) AS cnt
+               FROM eu JOIN l0 ON eu.dst = l0.id GROUP BY 1, 2),
+        b1 AS (SELECT nid, lab,
+                 row_number() OVER (PARTITION BY nid ORDER BY cnt DESC, lab) AS rk
+               FROM c1),
+        l1 AS (SELECT l0.id, COALESCE(b.lab, l0.lab) AS lab
+               FROM l0 LEFT JOIN (SELECT nid, lab FROM b1 WHERE rk = 1) b
+                 ON l0.id = b.nid),
+        c2 AS (SELECT eu.src AS nid, l1.lab, COUNT(*) AS cnt
+               FROM eu JOIN l1 ON eu.dst = l1.id GROUP BY 1, 2),
+        b2 AS (SELECT nid, lab,
+                 row_number() OVER (PARTITION BY nid ORDER BY cnt DESC, lab) AS rk
+               FROM c2),
+        l2 AS (SELECT l1.id, COALESCE(b.lab, l1.lab) AS lab
+               FROM l1 LEFT JOIN (SELECT nid, lab FROM b2 WHERE rk = 1) b
+                 ON l1.id = b.nid)
+        SELECT lab AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM l2 GROUP BY 1 ORDER BY community"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val edges = pseudoEdges(nodes, nCount)
+        graft.operators.LabelPropagation.run(nodes, edges, iters = 2)
+          .groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("community"))
       })
   )
 }

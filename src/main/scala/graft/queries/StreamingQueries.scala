@@ -306,6 +306,22 @@ object StreamingQueries {
         GROUP BY iv.iv_id ORDER BY iv_id"""),
       (s, dir) => StreamPipelines.docStreamRangeJoin(s, dir)),
 
+    // Continuous sketch maintenance: the streaming twin of q0e — each
+    // micro-batch's per-(day, event_type) HLL sketches fold into a
+    // VERSIONED persisted sketch table (state_v<B> from state_v<B-1> +
+    // batch B: replay-idempotent by layout, the labels_v<N> rule) and the
+    // distinct-user estimates serve from the STORED sketches. Exact
+    // anchors + deterministic ±5% flags — the q0e/q07 oracle rule
+    // (register-max merge is order-independent, so the estimate can't
+    // wobble across engines or replays).
+    QueryDef(
+      "q8i_stream_hll_sketch",
+      Some("""SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d, event_type,
+          CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+          true AS within_5pct
+        FROM events GROUP BY 1, 2 ORDER BY d, event_type"""),
+      (s, dir) => StreamPipelines.docStreamHllSketch(s, dir)),
+
     // Reference-topology parity pipeline: stream → keyed document sink →
     // read back. The `_id` count proves the key hoist is lossless.
     QueryDef(

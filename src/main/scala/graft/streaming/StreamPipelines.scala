@@ -759,4 +759,70 @@ object StreamPipelines {
         sum(col("n_in_session")).as("n_events"))
       .orderBy(col("user_id"))
   }
+
+  /** q8i: continuous sketch maintenance — the streaming half of q0e's
+    * "mergeable sketches as data". Events ARRIVE as a CDC stream (two
+    * commits) and every micro-batch folds its per-(day, event_type) HLL
+    * sketches into a persisted sketch table via `hll_union_agg`:
+    * state_v<B> = fold(state_v<B-1>, sketches(batch B)). The state is
+    * VERSIONED immutable files keyed by batch id (the labels_v<N> rule),
+    * so a replayed batch rewrites the same version deterministically —
+    * replay idempotent with zero transactional machinery. At 100 TB this
+    * is the production distinct-counting shape: each trigger touches only
+    * its own batch (one map-side sketch pass) plus a FIXED-SIZE state
+    * table (one sketch per group — KBs), never the history; and the
+    * estimates serve from the STORED sketches — the persistable
+    * pre-aggregation a throwaway `approx_count_distinct` can't give.
+    * Estimates are deterministic (HLL registers merge by max,
+    * order-independent), so the ±5% flags pin exactly against the
+    * batch-derived exact anchors. */
+  def docStreamHllSketch(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_hll_stream")
+    val ev = graft.sources.Tables.load(s, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        dayofmonth(col("ts")).as("d"))
+    graft.connector.GraftDoc.write(
+      ev.filter(pmod(col("event_id"), lit(2)) === 1), "event_id", s"$tmp/src")
+    graft.connector.GraftDoc.write(
+      ev.filter(pmod(col("event_id"), lit(2)) === 0), "event_id", s"$tmp/src")
+    val ckpt = ephemeralCheckpoint("hll_stream")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val cdc = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/src", maxCommitsPerTrigger = Some(1L))
+          .select(col("d"), col("event_type"), col("user_id"))
+        val q = cdc.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val batchSk = batch.groupBy(col("d"), col("event_type"))
+              .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+            val folded =
+              if (batchId == 0) batchSk
+              else s.read.parquet(s"$tmp/state_v${batchId - 1}")
+                .unionByName(batchSk)
+                .groupBy(col("d"), col("event_type"))
+                .agg(hll_union_agg(col("sk"), lit(false)).as("sk"))
+            folded.write.mode("overwrite").parquet(s"$tmp/state_v$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    // serve from the final stored state; exact anchors batch-derived
+    val lastV = new java.io.File(tmp).listFiles()
+      .map(_.getName).filter(_.startsWith("state_v"))
+      .map(_.stripPrefix("state_v").toLong).max
+    val est = s.read.parquet(s"$tmp/state_v$lastV")
+      .select(col("d"), col("event_type"),
+        hll_sketch_estimate(col("sk")).as("est"))
+    val exact = ev.groupBy(col("d"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(est, Seq("d", "event_type"))
+      .select(col("d"), col("event_type"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("within_5pct"))
+      .orderBy(col("d"), col("event_type"))
+  }
 }

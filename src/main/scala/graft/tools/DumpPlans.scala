@@ -57,7 +57,9 @@ object DumpPlans {
     "q5x_global_packing"      -> "global packing: runningTotal prefix sum, zero global windows",
     "q1i_join_interval_overlap" -> "interval overlap: bin equi join + first-common-bin residual",
     "q6n_pagerank"            -> "pagerank: per-round contrib shuffle, scalar dangling mass, top-k",
-    "q6o_image_resize"        -> "real NN resize: row-local decode-resize-reencode seam")
+    "q6o_image_resize"        -> "real NN resize: row-local decode-resize-reencode seam",
+    "q6p_label_propagation"   -> "label propagation: per-round narrow shuffle + integer argmax",
+    "q8i_stream_hll_sketch"   -> "streaming HLL fold: per-batch sketch + fixed-size state union")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)

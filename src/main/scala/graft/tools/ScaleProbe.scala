@@ -126,6 +126,66 @@ object ScaleProbe {
         s"(shuffle rows: candidates + $snapN snapshot)")
       incoming.unpersist(); snapshot.unpersist()
     }
+    // "pagerank" probes per-round cost vs graph size: each round is one
+    // (dst, contrib) shuffle + hash agg + a scalar dangling-mass agg, so
+    // extra rounds should cost the same each and the per-round cost
+    // should scale linearly in |E|
+    val pagerankOnly = args.length > 1 && args(1) == "pagerank"
+    // "prefixsum" probes StableIds.runningTotal vs the naive global
+    // window: SUM() OVER (ORDER BY) funnels every row through ONE task
+    // while the two-phase shape keeps all partitions busy — the
+    // q0d-class single-task-bottleneck comparison, measured
+    val prefixsumOnly = args.length > 1 && args(1) == "prefixsum"
+
+    if (pagerankOnly) {
+      import graft.operators.PageRank
+      for (mult <- Seq(1, 8)) {
+        val n = 5000L * copies * mult
+        val nodes = spark.range(n).toDF("id")
+        val edges = nodes
+          .select(col("id").as("src"),
+            explode(sequence(lit(0), lit(2))).as("i"))
+          .select(col("src"),
+            ((col("src") * lit(2654435761L) + col("i") * lit(40503241L))
+              % 999983L % lit(n)).as("dst"))
+          .filter(col("dst") =!= col("src") && col("src") % 37 =!= 5)
+          .distinct()
+          .cache()
+        val ne = edges.count()
+        for (iters <- Seq(1, 3)) {
+          time(s"pagerank n=$n |E|=$ne iters=$iters") {
+            val r = PageRank.run(nodes, edges, iters)
+            println(f"[scale]   mass=${r.agg(sum(col("pr"))).head.getDouble(0)}%.6f")
+          }
+        }
+        edges.unpersist()
+      }
+      spark.stop(); return
+    }
+
+    if (prefixsumOnly) {
+      import graft.operators.StableIds
+      val n = 2000000L * copies
+      val df = spark.range(n).toDF("k")
+        .withColumn("v", pmod(col("k") * 2654435761L, lit(97)))
+        .cache()
+      df.count()
+      time(s"naive global window SUM() OVER (ORDER BY) n=$n") {
+        val w = Window.orderBy(col("k"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        println(s"[scale]   max_prefix=" + df
+          .withColumn("b", coalesce(sum(col("v")).over(w), lit(0L)))
+          .agg(max(col("b"))).head.getLong(0))
+      }
+      time(s"StableIds.runningTotal (two-phase) n=$n") {
+        println(s"[scale]   max_prefix=" + StableIds
+          .runningTotal(df, Seq(col("k")), col("v"), 32)
+          .agg(max(col("running_before"))).head.getLong(0))
+      }
+      df.unpersist()
+      spark.stop(); return
+    }
+
     if (bloomOnly) { bloomProbe(); spark.stop(); return }
 
     if (args.length > 1 && args(1) == "rangejoin") {
