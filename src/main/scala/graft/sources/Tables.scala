@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{expr, timestamp_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Batch table access for the engine (SURVEY.md §2.1 S6).
   *
@@ -22,16 +23,30 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-    // timestamp type, so the session reads it as long nanos
-    // (spark.sql.legacy.parquet.nanosAsLong). Expose both: `ts` as a µs
-    // TimestampType for calendar ops, `ts_ns` as exact nanos for ordering
-    // and gap arithmetic that must match the ns-precision oracle.
-    if (name == "events")
-      df.withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-    else df
+    if (name == "events") normalizeEvents(df) else df
   }
+
+  /** Normalize the events table to the engine's canonical shape: `ts` as a
+    * µs TimestampType for calendar ops, `ts_ns` as exact epoch nanos
+    * (BIGINT) for ordering and gap arithmetic that must match the oracle's
+    * `epoch_ns(ts)`. Handles both fixture vintages:
+    *   - parquet TIMESTAMP(NANOS): Spark has no ns timestamp type, so the
+    *     session reads it as long nanos (spark.sql.legacy.parquet
+    *     .nanosAsLong) and `ts` is derived by truncation;
+    *   - parquet TIMESTAMP(MICROS) (current driver testdata): read as
+    *     TIMESTAMP_NTZ, `ts_ns` derived as unix_micros × 1000 (exact — the
+    *     file has nothing below µs). Session TZ is pinned UTC
+    *     ([[graft.GraftSession]]), so the NTZ→TZ cast is the identity on
+    *     the underlying micros, same as DuckDB's naive-as-UTC epoch_ns. */
+  def normalizeEvents(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        df.withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    }
 
   /** Register every test table as a temp view named after itself. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -34,13 +34,11 @@ object StreamPipelines {
     * schemas, `MapRStreamConfig.java:81-87`). */
   private def eventsStream(s: SparkSession, sfDir: String): DataFrame = {
     val schema = s.read.parquet(s"$sfDir/events.parquet").schema
-    s.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      // ts arrives as long nanos (TIMESTAMP(NANOS) parquet), normalize to µs
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    graft.sources.Tables.normalizeEvents(
+      s.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
   }
 
   /** Stateful-operator parallelism is pinned at the FIRST micro-batch (the
@@ -118,9 +116,8 @@ object StreamPipelines {
     * like q88 must instead anchor to the MIN over each branch's own max —
     * built inline there, not expressible as a single max-minus-margin.) */
   private def horizonEnd(s: SparkSession, sfDir: String, margin: String): DataFrame =
-    s.read.parquet(s"$sfDir/events.parquet")
-      .agg((max(timestamp_micros(expr("ts div 1000")))
-        - expr(s"INTERVAL $margin")).as("h_end"))
+    graft.sources.Tables.normalizeEvents(s.read.parquet(s"$sfDir/events.parquet"))
+      .agg((max(col("ts")) - expr(s"INTERVAL $margin")).as("h_end"))
 
   /** Tumbling 1-hour event-time windows by event type. Append output mode:
     * a window row is emitted exactly once, when the watermark passes its
@@ -377,8 +374,9 @@ object StreamPipelines {
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
         col("c_ts") <= col("p_ts"),
       "left_outer")
-    val horizon = s.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("tsx", timestamp_micros(expr("ts div 1000")))
+    val horizon = graft.sources.Tables.normalizeEvents(
+        s.read.parquet(s"$sfDir/events.parquet"))
+      .withColumn("tsx", col("ts"))
       .agg((least(
         max(when(col("event_type") === "click", col("tsx"))),
         max(when(col("event_type") === "purchase", col("tsx"))))
@@ -464,9 +462,9 @@ object StreamPipelines {
     * the full streaming-semantics stack, not just stateless relay. */
   def docCdcWindowed(s: SparkSession, sfDir: String): DataFrame = {
     val tmp = graft.TempDirs.create("graft_doc_cdcw")
-    val ev = s.read.parquet(s"$sfDir/events.parquet")
-      .select(col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"))
+    val ev = graft.sources.Tables.normalizeEvents(
+        s.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_id"), col("ts"), col("event_type"))
     // commits split by TIME (day-of-month tertiles), the realistic CDC
     // layout: commit order correlates with event time, so the watermark
     // advances progressively across micro-batches instead of jumping to

@@ -14,10 +14,9 @@ object DocSinkProbe {
     val tmp = java.nio.file.Files.createTempDirectory("dprobe").toFile.getAbsolutePath
     import org.apache.spark.sql.functions._
     val schema = s.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))).drop("ts_ns")
+    val stream = graft.sources.Tables.normalizeEvents(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)).drop("ts_ns")
     time("writeStream") {
       graft.connector.GraftDoc.writeStream(stream, "event_id", s"$tmp/out", s"$tmp/ckpt")
         .awaitTermination()

@@ -195,8 +195,8 @@ object ScaleProbe {
       // naive one grows with |points|x|intervals|
       import graft.operators.RangeJoin
       val hourNs = 3600000000000L
-      val ev = spark.read.parquet(s"$dir/events.parquet")
-        .withColumnRenamed("ts", "ts_ns")
+      val ev = graft.sources.Tables.normalizeEvents(
+        spark.read.parquet(s"$dir/events.parquet"))
       val iv0 = ev
         .filter(col("event_type") === "purchase" && col("event_id") % 97 === 0)
         .select(col("event_id").as("iv_id"), col("ts_ns").as("lo"),
