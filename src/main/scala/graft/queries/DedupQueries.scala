@@ -842,6 +842,80 @@ object DedupQueries {
             (round(col("c"), 4) + lit(0.0)).as("cos_to_rep"),
             (col("vec_id") === col("rep_id") || col("c") < 0.45).as("kept"))
           .orderBy(col("vec_id"))
-      })
+      }),
+
+    // LOSSLESS Jaccard self-join via prefix filtering (AllPairs/PPJoin —
+    // Bayardo, Ma & Srikant, WWW 2007; Xiao et al., WWW 2008). q61/q62
+    // bound the inverted-index join with a document-frequency CAP, which
+    // is a recall trade (a pair whose every shared shingle is ultra-hot
+    // is silently dropped). Prefix filtering keeps the bounded-join shape
+    // with ZERO recall loss: order shingles globally by (df, shingle)
+    // rarest-first; for J ≥ t=0.7, any qualifying pair must share ≥
+    // ceil(t·|d|) shingles, so two docs with NO common shingle among each
+    // one's first |d| - ceil(t·|d|) + 1 rarest cannot qualify — only
+    // prefixes are indexed (~37% of postings, and the hottest shingles
+    // land in almost nobody's prefix, which is what tames the hot-key
+    // join). Candidates are then verified EXACTLY on full shingle sets
+    // fetched by two narrow equi-joins.
+    //
+    // The oracle is the NAIVE UNCAPPED all-pairs join — the strongest
+    // possible check: it proves the prefix index dropped nothing, which
+    // the capped q61 oracle could not claim. Scale shape: one df agg, one
+    // per-doc window (partitioned by doc, never global), a prefix-posting
+    // self-join on shingle, and a candidate-count-bounded verify join.
+    QueryDef(
+      "q6r_prefix_jaccard_join",
+      Some(s"""WITH d0 AS (
+          SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
+        sz AS (SELECT doc_id, count(*) AS n FROM d0 GROUP BY doc_id),
+        pair AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM d0 a JOIN d0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        jp AS (
+          SELECT id_a, id_b, inter * 1.0 / (sa.n + sb.n - inter) AS jac
+          FROM pair
+          JOIN sz sa ON sa.doc_id = id_a
+          JOIN sz sb ON sb.doc_id = id_b
+          WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7)
+        SELECT id_a, id_b, CAST(round(jac, 4) AS DOUBLE) AS jac
+        FROM jp ORDER BY id_a, id_b"""),
+      (s, dir) =>
+        prefixJaccardPairs(withShingles(docs(s, dir)))
+          .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
+          .orderBy(col("id_a"), col("id_b")))
   )
+
+  /** Lossless prefix-filtered Jaccard-0.7 self-join over (doc_id,
+    * sh: array) rows — the q6r engine, exposed for the property spec
+    * (random sets vs naive all-pairs). */
+  private[graft] def prefixJaccardPairs(d: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val posting = d.select(col("doc_id"), explode(col("sh")).as("sh"))
+    val df = posting.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))
+    val prefix = posting.join(df, "sh")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // prefix length n - ceil(0.7n) + 1, with ceil(7n/10) in exact
+      // integer form — a float ceil can round a hair short and a
+      // too-short prefix silently loses pairs
+      .filter(col("rn") <= col("n") - expr("(n * 7 + 9) div 10") + 1)
+      .select(col("doc_id"), col("sh"))
+    val cand = prefix.select(col("doc_id").as("id_a"), col("sh"))
+      .join(prefix.select(col("doc_id").as("id_b"), col("sh")), "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = d.select(col("doc_id"), col("sh"))
+    cand
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac",
+        col("inter") * 1.0 /
+          (size(col("sha")) + size(col("shb")) - col("inter")))
+      .filter(col("jac") >= 0.7)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
 }

@@ -139,6 +139,36 @@ object GraphQueries {
           .groupBy(col("lab").as("community"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("community"))
+      }),
+
+    // Per-node triangle counts over the same pseudo-link graph treated as
+    // undirected (least/greatest canonical edges). Spark side is the
+    // degree-ordered-orientation scheme ([[graft.operators.TriangleCount]]:
+    // out-degree ≤ O(√m) per node, wedge fan-out ≤ O(m^1.5) on ANY degree
+    // distribution); the oracle counts each a<b<c triangle once by direct
+    // 3-way join (fine at oracle scale, the exact shape orientation
+    // replaces at 100 TB) and credits the three corners. All-integer →
+    // hash-exact.
+    QueryDef(
+      "q6q_triangle_count",
+      Some(s"""WITH $EdgeCtes,
+        und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e WHERE src <> dst),
+        tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corners AS (SELECT u AS node FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri)
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM corners GROUP BY node ORDER BY node"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val edges = pseudoEdges(nodes, nCount)
+        graft.operators.TriangleCount.perNode(edges)
+          .orderBy(col("node"))
       })
   )
 }

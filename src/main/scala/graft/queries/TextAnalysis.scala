@@ -769,6 +769,149 @@ object TextAnalysis {
             (expr("(tok_before + n_tokens - 1) div 128")
               - expr("tok_before div 128") + 1).as("n_seqs"))
           .orderBy(col("doc_id"))
+      }),
+
+    // Content-defined chunking + cross-document chunk dedup — the
+    // storage-dedup primitive (LBFS, Muthitacharoen et al. SOSP 2001;
+    // FastCDC, Xia et al. ATC 2016) applied to corpus curation: unlike
+    // q5a's fixed token windows, chunk boundaries are decided by the
+    // CONTENT (a rolling window hash hitting a divisor), so a single
+    // insertion shifts only the chunks it touches — shared passages in
+    // near-duplicate documents land in IDENTICAL chunks and dedupe
+    // across docs no matter where they sit. Boundary rule (both engines,
+    // exact integer algebra): position i ends a chunk iff the 8-char
+    // window hash Σ ascii(c_{i-7+j})·31^j hits ≡ 0 (mod 32) — expected
+    // chunk ≈ 32 chars. Boundary decisions and chunk assembly are
+    // ROW-LOCAL (one HOF pass per doc, no explode of per-char rows);
+    // the only shuffle carries (doc_id, sha256(chunk), len) — document
+    // bodies never cross an exchange, the q60 discipline applied at
+    // sub-document grain.
+    QueryDef(
+      "q5y_cdc_chunking",
+      Some("""WITH ch AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i FROM ch),
+        bnd AS (SELECT doc_id, i FROM pos WHERE
+          (CAST(ord(substr(text, CAST(i - 7 AS INT), 1)) AS BIGINT) * 1
+           + CAST(ord(substr(text, CAST(i - 6 AS INT), 1)) AS BIGINT) * 31
+           + CAST(ord(substr(text, CAST(i - 5 AS INT), 1)) AS BIGINT) * 961
+           + CAST(ord(substr(text, CAST(i - 4 AS INT), 1)) AS BIGINT) * 29791
+           + CAST(ord(substr(text, CAST(i - 3 AS INT), 1)) AS BIGINT) * 923521
+           + CAST(ord(substr(text, CAST(i - 2 AS INT), 1)) AS BIGINT) * 28629151
+           + CAST(ord(substr(text, CAST(i - 1 AS INT), 1)) AS BIGINT) * 887503681
+           + CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 27512614111) % 32 = 0),
+        ends AS (
+          SELECT doc_id, i AS e FROM bnd
+          UNION ALL
+          SELECT c.doc_id, c.n FROM ch c
+          WHERE NOT EXISTS (SELECT 1 FROM bnd b
+                            WHERE b.doc_id = c.doc_id AND b.i = c.n)),
+        spans AS (SELECT doc_id, e,
+            COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS p
+          FROM ends),
+        chunks AS (SELECT s.doc_id,
+            substr(c.text, CAST(s.p + 1 AS INT), CAST(s.e - s.p AS INT)) AS chunk
+          FROM spans s JOIN ch c USING (doc_id)),
+        dup AS (SELECT sha256(chunk) AS chash FROM chunks
+                GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+          CAST(count(*) FILTER (WHERE d.chash IS NOT NULL) AS BIGINT)
+            AS n_dup_chunks,
+          CAST(max(length(c.chunk)) AS BIGINT) AS max_chunk_len
+        FROM chunks c LEFT JOIN dup d ON sha256(c.chunk) = d.chash
+        GROUP BY c.doc_id ORDER BY c.doc_id"""),
+      (s, dir) => {
+        val chunked = cdcChunks(docs(s, dir))
+          .select(col("doc_id"), sha2(col("chunk"), 256).as("chash"),
+            length(col("chunk")).as("clen"))
+        val dup = chunked.groupBy("chash")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2)
+          .select(col("chash"), lit(1).as("isd"))
+        chunked.join(dup, Seq("chash"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("isd").isNotNull, 1L).otherwise(0L)).as("n_dup_chunks"),
+            max(col("clen")).cast("long").as("max_chunk_len"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // Weighted sampling without replacement, per source — the
+    // Efraimidis–Spirakis (2006) reservoir scheme made deterministic:
+    // each doc draws u ∈ (0,1] from an integer hash of its id and ranks
+    // by key = ln(u)/w (monotone in u^(1/w)), weight w = n_chars, so
+    // selection probability is proportional to document length without
+    // replacement — the corpus-curation primitive behind "sample k docs
+    // per source, longer docs proportionally more likely" (q55 is its
+    // unweighted twin). One per-source window (PARTITIONED, never
+    // global; WindowGroupLimit pushes the rank filter partition-local
+    // as in q24); u is exact integer arithmetic both engines, ln rounds
+    // to 9 decimals (the q5w idiom) so libm ulp drift can't reorder.
+    QueryDef(
+      "q5z_weighted_sample",
+      Some("""WITH s AS (
+          SELECT doc_id, source, n_chars,
+            ((doc_id * 2654435761) % 1000003 + 1) / 1000004.0 AS u
+          FROM documents),
+        k AS (SELECT doc_id, source,
+                round(ln(u) / n_chars, 9) AS ky
+              FROM s),
+        r AS (SELECT doc_id, source, ky,
+                row_number() OVER (PARTITION BY source
+                  ORDER BY ky DESC, doc_id) AS rk
+              FROM k)
+        SELECT source, doc_id, rk AS sample_rank,
+          CAST(ky AS DOUBLE) + 0 AS sample_key
+        FROM r WHERE rk <= 5 ORDER BY source, sample_rank"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("ky").desc, col("doc_id"))
+        docs(s, dir)
+          .withColumn("u",
+            expr("((doc_id * 2654435761L) % 1000003 + 1) / 1000004.0"))
+          .withColumn("ky", round(log(col("u")) / col("n_chars"), 9))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select(col("source"), col("doc_id"), col("rk").as("sample_rank"),
+            (col("ky") + lit(0.0)).as("sample_key"))
+          .orderBy(col("source"), col("sample_rank"))
       })
   )
+
+  /** Content-defined chunker shared by q5y and its spec: (doc_id, text) →
+    * one (doc_id, chunk) row per chunk, boundaries where the 8-char
+    * window hash Σ ascii·31^j ≡ 0 (mod 32). Row-local (one HOF pass per
+    * document, no per-char explode). */
+  private[graft] def cdcChunks(df: DataFrame): DataFrame = {
+    // powers as LONG literals (xL): ascii() is INT, and INT * 887503681
+    // overflows under ANSI before the implicit widening a BIGINT
+    // literal forces
+    val winHash =
+      """ascii(substring(text, i - 7, 1)) * 1L
+        + ascii(substring(text, i - 6, 1)) * 31L
+        + ascii(substring(text, i - 5, 1)) * 961L
+        + ascii(substring(text, i - 4, 1)) * 29791L
+        + ascii(substring(text, i - 3, 1)) * 923521L
+        + ascii(substring(text, i - 2, 1)) * 28629151L
+        + ascii(substring(text, i - 1, 1)) * 887503681L
+        + ascii(substring(text, i, 1)) * 27512614111L"""
+    df
+      // sequence(8, n) walks DOWN when n < 8 (the q5w hazard), so the
+      // upper bound is clamped and the i <= length guard drops the
+      // phantom positions a short doc would fabricate
+      .withColumn("b", expr(
+        s"""filter(sequence(8, greatest(length(text), 8)),
+             i -> i <= length(text) AND ($winHash) % 32 = 0)"""))
+      .withColumn("ends", expr(
+        """CASE WHEN size(b) = 0 THEN array(length(text))
+                WHEN element_at(b, -1) <> length(text)
+                  THEN concat(b, array(length(text)))
+                ELSE b END"""))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ends)), k ->
+             substring(text,
+               CASE WHEN k = 1 THEN 1 ELSE element_at(ends, k - 1) + 1 END,
+               element_at(ends, k)
+                 - CASE WHEN k = 1 THEN 0 ELSE element_at(ends, k - 1) END))"""))
+        .as("chunk"))
+  }
 }

@@ -334,7 +334,8 @@ class PlanSpec extends SparkSpec {
     // keys + times), so each parquet scan reads only key/time/filter/
     // output columns — never `props`/`value`.
     val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_ns", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      .withColumn("ts_ns",
+        org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000"))
     val l = ev.filter(col("event_type") === "purchase")
     val r = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts_ns").as("c_ts"),
