@@ -36,15 +36,11 @@ stream = sum(v for q, v in best.items() if q.startswith("q8"))
 
 print(f"""# Local per-query bench baseline
 
-Round-6 clean runs (no concurrent load, idle JVM), `local[8]`,
-sf0.1, seconds — re-baselined per the round-5 verdict so BenchGate's 2x
-rule covers EVERY query (the round-3 table predated 29 of them). Value
-per query = min across {len(runs)} uncontended runs (best observed clean
-time — strict against regressions; BenchGate's 1.0 s absolute floor
-absorbs sub-second jitter). The round-5 "aggregate-family drift" was
-triaged first and measured as bench-environment noise (q05 0.42 s idle
-vs 0.86 s in the shared-JVM judge run, no plan change), so nothing was
-baked in.
+Clean runs (no concurrent load, idle JVM), `local[8]`, sf0.1, seconds,
+covering EVERY query in the current suite. Value per query = min across
+{len(runs)} uncontended runs (best observed clean time — strict against
+regressions; BenchGate's 1.0 s absolute floor absorbs sub-second
+jitter).
 
 Regenerate with `python3 scripts/make_baseline.py RUN1.json RUN2.json ...`
 over artifacts from `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1

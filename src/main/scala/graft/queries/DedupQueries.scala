@@ -118,7 +118,7 @@ object DedupQueries {
     jaccardPairsRaw(withShingles(docs(s, dir)))
       .select(col("id_a"), col("id_b"))
 
-  private[queries] def jaccardPairsRaw(d: DataFrame): DataFrame =
+  private[graft] def jaccardPairsRaw(d: DataFrame): DataFrame =
     pairCounts(d)
       .withColumn("jac", col("inter") * 1.0 / (col("na") + col("nb") - col("inter")))
       .filter(col("jac") >= 0.7)

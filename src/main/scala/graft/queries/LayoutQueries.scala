@@ -94,6 +94,57 @@ object LayoutQueries {
         StableIds.assign(d, Seq(col("n_chars").desc, col("doc_id")), 8)
           .select(col("doc_id"), col("n_chars"), col("stable_id"))
           .orderBy(col("stable_id"))
+      }),
+
+    // Bucketed co-located join — the layout that deletes the shuffle from
+    // a fact-fact join entirely. Both sides are written ONCE bucketed by
+    // the join key (hash-partitioned into the same bucket count, sorted
+    // within buckets); Spark's scan then reports the bucket spec as its
+    // output partitioning, so the sort-merge join requires NO
+    // ShuffleExchange on either side — at 100 TB this turns every
+    // recurring join against the layout key into a map-side merge of
+    // co-resident files (the write-side cost is paid once, the shuffle
+    // saving is per-query forever). PlanSpec gates the claim: the join
+    // subtree must contain zero exchanges. The merge hint pins SMJ so the
+    // demonstration can't silently degrade to a broadcast that ignores
+    // the layout; the oracle joins the raw parquet — bucketing must be
+    // result-invisible.
+    QueryDef(
+      "q1j_bucketed_join",
+      Some("""SELECT o.o_orderpriority,
+          COUNT(*) AS n_items,
+          ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2)
+            AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
+      (s, dir) => {
+        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+        val (lt, ot) = (s"bj_lineitem_$tag", s"bj_orders_$tag")
+        // the session catalog is in-memory but the warehouse directory is
+        // not: a table written by a PREVIOUS session exists on disk yet
+        // not in this catalog, so saveAsTable(overwrite) would fail with
+        // LOCATION_ALREADY_EXISTS — clear both sides of that split first
+        Seq(lt, ot).foreach { t =>
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          val p = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+        Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        s.table(lt).hint("merge")
+          .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            Aggregates.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("o_orderpriority"))
       })
   )
 }

@@ -59,7 +59,12 @@ object DumpPlans {
     "q6n_pagerank"            -> "pagerank: per-round contrib shuffle, scalar dangling mass, top-k",
     "q6o_image_resize"        -> "real NN resize: row-local decode-resize-reencode seam",
     "q6p_label_propagation"   -> "label propagation: per-round narrow shuffle + integer argmax",
-    "q8i_stream_hll_sketch"   -> "streaming HLL fold: per-batch sketch + fixed-size state union")
+    "q8i_stream_hll_sketch"   -> "streaming HLL fold: per-batch sketch + fixed-size state union",
+    "q6q_triangle_count"      -> "triangles: degree-oriented wedge join (O(m^1.5) bound, no hub blowup)",
+    "q6r_prefix_jaccard_join" -> "lossless prefix-filtered Jaccard: rarest-first prefix index + exact verify",
+    "q5y_cdc_chunking"        -> "content-defined chunking: row-local boundary HOFs, hash-only dup shuffle",
+    "q5z_weighted_sample"     -> "weighted reservoir sample: per-source window, WindowGroupLimit",
+    "q1j_bucketed_join"       -> "bucketed co-located join: SMJ with zero exchanges under the join")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)

@@ -136,6 +136,10 @@ object ScaleProbe {
     // while the two-phase shape keeps all partitions busy — the
     // q0d-class single-task-bottleneck comparison, measured
     val prefixsumOnly = args.length > 1 && args(1) == "prefixsum"
+    // "prefixjoin" probes the lossless prefix-filtered Jaccard join
+    // (q6r): equality vs naive on a subset, growth vs the DF-capped
+    // inverted index as the corpus replicates
+    val prefixjoinOnly = args.length > 1 && args(1) == "prefixjoin"
 
     if (pagerankOnly) {
       import graft.operators.PageRank
@@ -183,6 +187,52 @@ object ScaleProbe {
           .agg(max(col("running_before"))).head.getLong(0))
       }
       df.unpersist()
+      spark.stop(); return
+    }
+
+    if (prefixjoinOnly) {
+      import graft.queries.DedupQueries
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      // equality check on a subset small enough for the naive O(N²) join:
+      // lossless means prefix-filtered == naive, pair for pair
+      val sub = docs0.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), TextExpressions.word_shingles(col("text"), 3).as("sh"))
+        .cache()
+      val nSub = sub.count()
+      val naivePairs = time(s"naive all-pairs join n=$nSub") {
+        val a = sub.select(col("doc_id").as("ia"), col("sh").as("sa"))
+        val b = sub.select(col("doc_id").as("ib"), col("sh").as("sb"))
+        a.join(b, col("ia") < col("ib"))
+          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+          .filter(col("inter") * 1.0 /
+            (size(col("sa")) + size(col("sb")) - col("inter")) >= 0.7)
+          .count()
+      }
+      val prefixPairsSub = time(s"prefix-filtered join n=$nSub") {
+        DedupQueries.prefixJaccardPairs(sub).count()
+      }
+      println(s"[scale] lossless check: naive=$naivePairs prefix=$prefixPairsSub " +
+        s"equal=${naivePairs == prefixPairsSub}")
+      sub.unpersist()
+      // growth: prefix-filtered (lossless) vs DF-capped inverted index
+      // (recall trade) as the corpus replicates — replication is the
+      // worst case (every copy is an exact dup of every other)
+      for (mult <- Seq(1, 4)) {
+        val d = replicate(docs0, "doc_id", mult, 10000000L)
+          .select(col("doc_id"),
+            TextExpressions.word_shingles(col("text"), 3).as("sh"))
+          .cache()
+        val n = d.count()
+        val np = time(s"prefix-filtered lossless join n=$n") {
+          DedupQueries.prefixJaccardPairs(d).count()
+        }
+        val nc = time(s"DF-capped inverted-index join n=$n") {
+          DedupQueries.jaccardPairsRaw(d).count()
+        }
+        println(s"[scale]   pairs: prefix=$np capped=$nc (lossless ≥ capped)")
+        d.unpersist()
+      }
       spark.stop(); return
     }
 

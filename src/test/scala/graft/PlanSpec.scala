@@ -107,6 +107,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 2, s"q01 has $shuffles shuffles, expected <= 2")
   }
 
+  test("q1j: bucketed layout deletes the join shuffle (exchanges only above the join)") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plans = collectAll(executed(q("q1j_bucketed_join")))
+    val smj = plans.collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, "q1j must plan a sort-merge join (merge hint)")
+    val underJoin = smj.get.children.flatMap(collectAll)
+    assert(!underJoin.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "both join inputs are bucketed by the join key into the same bucket " +
+        "count — the SMJ must read them exchange-free")
+  }
+
   test("top-k per group plans WindowGroupLimit (partial top-k before shuffle)") {
     val plans = collectAll(executed(q("q24_topk_per_group")))
     assert(plans.exists(_.getClass.getSimpleName.contains("WindowGroupLimit")),
