@@ -169,6 +169,48 @@ object GraphQueries {
         val edges = pseudoEdges(nodes, nCount)
         graft.operators.TriangleCount.perNode(edges)
           .orderBy(col("node"))
+      }),
+
+    // 3 rounds of k-core peeling (k=3) over the undirected pseudo-link
+    // graph — the graph-quality filter (link farms and tendrils peel
+    // off; the dense core survives). Spark side is
+    // [[graft.operators.KCore]] (per round: one degree agg + two
+    // left-semi joins, all narrow integer shuffles, localCheckpoint-cut
+    // lineage); the oracle unrolls the identical 3 rounds. All-integer
+    // → hash-exact. Output: each survivor with its degree in the
+    // surviving subgraph.
+    QueryDef(
+      "q6s_kcore",
+      Some(s"""WITH $EdgeCtes,
+        ke0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM e WHERE src <> dst),
+        ${kcoreRound(1)},
+        ${kcoreRound(2)},
+        ${kcoreRound(3)}
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT a AS node FROM ke3 UNION ALL SELECT b FROM ke3) s
+        GROUP BY node ORDER BY node"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val edges = pseudoEdges(nodes, nCount)
+        graft.operators.KCore.peel(edges, k = 3, rounds = 3)
+          .orderBy(col("node"))
       })
   )
+
+  /** One unrolled k-core peeling round in DuckDB SQL (threshold 3):
+    * degrees over the surviving edge set, keep ≥ 3, restrict edges to
+    * kept endpoints — must stay in lockstep with
+    * [[graft.operators.KCore.peel]]. */
+  private def kcoreRound(r: Int): String = {
+    val prev = s"ke${r - 1}"
+    s"""deg$r AS (SELECT node, count(*) AS d FROM (
+          SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev) s
+        GROUP BY node),
+       keep$r AS (SELECT node FROM deg$r WHERE d >= 3),
+       ke$r AS (SELECT p.a, p.b FROM $prev p
+          JOIN keep$r ka ON ka.node = p.a
+          JOIN keep$r kb ON kb.node = p.b)"""
+  }
 }

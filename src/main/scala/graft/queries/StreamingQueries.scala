@@ -329,6 +329,29 @@ object StreamingQueries {
       Some("""SELECT event_type, COUNT(*) AS n,
           COUNT(DISTINCT event_id) AS n_ids
         FROM events GROUP BY event_type ORDER BY event_type"""),
-      (s, dir) => StreamPipelines.streamToDocSink(s, dir))
+      (s, dir) => StreamPipelines.streamToDocSink(s, dir)),
+
+    // Continuous chunk-level dedup — q5y's streaming twin on the q8e
+    // template: CDC-arriving documents are chunked row-locally per
+    // micro-batch and probed against the historical corpus's chunk-hash
+    // set via a STATELESS stream-static join (zero state rows; rollups
+    // happen post-drain). The oracle replays both corpus slices' chunking
+    // and the membership test in one batch — the drained result must be
+    // indistinguishable from batch processing.
+    QueryDef(
+      "q8j_stream_chunk_dedup",
+      Some(s"""WITH ${TextAnalysis.cdcChunksCteSql("i", "doc_id >= 250")},
+        ${TextAnalysis.cdcChunksCteSql("h", "doc_id < 250")},
+        hist AS (SELECT DISTINCT sha256(chunk) AS h FROM chunks_h),
+        inc AS (SELECT doc_id, sha256(chunk) AS h FROM chunks_i),
+        per_doc AS (SELECT i.doc_id, count(*) AS n_chunks,
+            count(*) FILTER (WHERE i.h IN (SELECT h FROM hist)) AS n_known
+          FROM inc i GROUP BY i.doc_id)
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(p.n_chunks) AS BIGINT) AS n_chunks,
+          CAST(SUM(p.n_known) AS BIGINT) AS n_known_chunks
+        FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+        GROUP BY d.lang ORDER BY d.lang"""),
+      (s, dir) => StreamPipelines.docStreamChunkDedup(s, dir))
   )
 }

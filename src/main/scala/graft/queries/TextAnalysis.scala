@@ -788,36 +788,14 @@ object TextAnalysis {
     // sub-document grain.
     QueryDef(
       "q5y_cdc_chunking",
-      Some("""WITH ch AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i FROM ch),
-        bnd AS (SELECT doc_id, i FROM pos WHERE
-          (CAST(ord(substr(text, CAST(i - 7 AS INT), 1)) AS BIGINT) * 1
-           + CAST(ord(substr(text, CAST(i - 6 AS INT), 1)) AS BIGINT) * 31
-           + CAST(ord(substr(text, CAST(i - 5 AS INT), 1)) AS BIGINT) * 961
-           + CAST(ord(substr(text, CAST(i - 4 AS INT), 1)) AS BIGINT) * 29791
-           + CAST(ord(substr(text, CAST(i - 3 AS INT), 1)) AS BIGINT) * 923521
-           + CAST(ord(substr(text, CAST(i - 2 AS INT), 1)) AS BIGINT) * 28629151
-           + CAST(ord(substr(text, CAST(i - 1 AS INT), 1)) AS BIGINT) * 887503681
-           + CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 27512614111) % 32 = 0),
-        ends AS (
-          SELECT doc_id, i AS e FROM bnd
-          UNION ALL
-          SELECT c.doc_id, c.n FROM ch c
-          WHERE NOT EXISTS (SELECT 1 FROM bnd b
-                            WHERE b.doc_id = c.doc_id AND b.i = c.n)),
-        spans AS (SELECT doc_id, e,
-            COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS p
-          FROM ends),
-        chunks AS (SELECT s.doc_id,
-            substr(c.text, CAST(s.p + 1 AS INT), CAST(s.e - s.p AS INT)) AS chunk
-          FROM spans s JOIN ch c USING (doc_id)),
-        dup AS (SELECT sha256(chunk) AS chash FROM chunks
+      Some(s"""WITH ${cdcChunksCteSql("a", "TRUE")},
+        dup AS (SELECT sha256(chunk) AS chash FROM chunks_a
                 GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
         SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
           CAST(count(*) FILTER (WHERE d.chash IS NOT NULL) AS BIGINT)
             AS n_dup_chunks,
           CAST(max(length(c.chunk)) AS BIGINT) AS max_chunk_len
-        FROM chunks c LEFT JOIN dup d ON sha256(c.chunk) = d.chash
+        FROM chunks_a c LEFT JOIN dup d ON sha256(c.chunk) = d.chash
         GROUP BY c.doc_id ORDER BY c.doc_id"""),
       (s, dir) => {
         val chunked = cdcChunks(docs(s, dir))
@@ -876,6 +854,38 @@ object TextAnalysis {
           .orderBy(col("source"), col("sample_rank"))
       })
   )
+
+  /** DuckDB CTE block computing (doc_id, chunk) rows — the oracle mirror
+    * of [[cdcChunks]] — for documents matching `pred`, CTE names suffixed
+    * `_$sfx` so one statement can chunk two disjoint corpus slices (q5y
+    * uses one instance; the q8j streaming oracle uses two). */
+  private[queries] def cdcChunksCteSql(sfx: String, pred: String): String =
+    s"""ch_$sfx AS (SELECT doc_id, text, length(text) AS n
+          FROM documents WHERE $pred),
+        pos_$sfx AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i
+          FROM ch_$sfx),
+        bnd_$sfx AS (SELECT doc_id, i FROM pos_$sfx WHERE
+          (CAST(ord(substr(text, CAST(i - 7 AS INT), 1)) AS BIGINT) * 1
+           + CAST(ord(substr(text, CAST(i - 6 AS INT), 1)) AS BIGINT) * 31
+           + CAST(ord(substr(text, CAST(i - 5 AS INT), 1)) AS BIGINT) * 961
+           + CAST(ord(substr(text, CAST(i - 4 AS INT), 1)) AS BIGINT) * 29791
+           + CAST(ord(substr(text, CAST(i - 3 AS INT), 1)) AS BIGINT) * 923521
+           + CAST(ord(substr(text, CAST(i - 2 AS INT), 1)) AS BIGINT) * 28629151
+           + CAST(ord(substr(text, CAST(i - 1 AS INT), 1)) AS BIGINT) * 887503681
+           + CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) * 27512614111)
+            % 32 = 0),
+        ends_$sfx AS (
+          SELECT doc_id, i AS e FROM bnd_$sfx
+          UNION ALL
+          SELECT c.doc_id, c.n FROM ch_$sfx c
+          WHERE NOT EXISTS (SELECT 1 FROM bnd_$sfx b
+                            WHERE b.doc_id = c.doc_id AND b.i = c.n)),
+        spans_$sfx AS (SELECT doc_id, e,
+            COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS p
+          FROM ends_$sfx),
+        chunks_$sfx AS (SELECT s.doc_id,
+            substr(c.text, CAST(s.p + 1 AS INT), CAST(s.e - s.p AS INT)) AS chunk
+          FROM spans_$sfx s JOIN ch_$sfx c USING (doc_id))"""
 
   /** Content-defined chunker shared by q5y and its spec: (doc_id, text) →
     * one (doc_id, chunk) row per chunk, boundaries where the 8-char

@@ -317,6 +317,53 @@ object StreamPipelines {
     }
   }
 
+  /** Continuous content-defined chunk dedup — the streaming twin of q5y,
+    * on the q8e template: new documents arrive through the graft-doc CDC
+    * tail in two commits, each micro-batch is chunked ROW-LOCALLY
+    * ([[graft.queries.TextAnalysis.cdcChunks]] is pure per-row HOFs, so
+    * it lifts into a streaming plan unchanged), and every chunk hash is
+    * checked against the historical corpus's chunk-hash set by a
+    * stream-static left join — STATELESS (zero state store rows; the
+    * history side is a bounded hash table, the 100 TB shape where the
+    * standing set lives in a store and the stream only probes it).
+    * Per-doc and per-lang rollups happen after the drain (batch-side),
+    * so no streaming aggregation state is held either. */
+  def docStreamChunkDedup(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_chunk_incr")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val incoming = docs.filter(col("doc_id") >= 250)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    val histChunks = graft.queries.TextAnalysis
+      .cdcChunks(docs.filter(col("doc_id") < 250))
+      .select(sha2(col("chunk"), 256).as("h"))
+      .distinct()
+      .withColumn("known", lit(1))
+    withStreamShufflePartitions(s, 8) {
+      val flagged = graft.queries.TextAnalysis
+        .cdcChunks(graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+          // the sink hoisted the key into `_id` (string) — restore it
+          .select(col("_id").cast("long").as("doc_id"), col("text")))
+        .withColumn("h", sha2(col("chunk"), 256))
+        .join(histChunks, Seq("h"), "left")
+        .select(col("doc_id"), col("known"))
+      runToMemory(s, flagged, "append")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("known").isNotNull, 1L).otherwise(0L)).as("n_known"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chunks")).as("n_chunks"),
+          sum(col("n_known")).as("n_known_chunks"))
+        .orderBy(col("lang"))
+    }
+  }
+
   /** Stream-stream interval join: purchases matched to same-user clicks in
     * the preceding hour. Both sides watermarked; the time-range condition
     * bounds join state to one hour per key — the canonical watermarked

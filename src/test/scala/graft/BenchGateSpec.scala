@@ -95,6 +95,20 @@ class BenchGateSpec extends AnyFunSuite {
     assert(r2.violations.exists(_.query == "TOTAL"), r2)
   }
 
+  test("contended rule: mid-run spike flags, idle JIT drift does not") {
+    // the round-6 driver incident: start/end clean, middle inflated 3x
+    assert(Bench.contendedRule(Seq(0.2, 0.21, 0.65, 0.7, 0.22, 0.2)))
+    // observed idle-box drift: small ratios over tiny absolute deltas
+    // (0.14 vs 0.33) must NOT stamp a clean run
+    assert(!Bench.contendedRule(
+      Seq(0.245, 0.181, 0.139, 0.142, 0.256, 0.333, 0.222)))
+    // a single 2x-plus-0.3s outlier is enough (one probe window hit)
+    assert(Bench.contendedRule(Seq(0.2, 0.2, 0.2, 0.9, 0.2)))
+    // uniformly fast or uniformly slow runs are not self-detectable
+    assert(!Bench.contendedRule(Seq(0.2, 0.21, 0.19, 0.2)))
+    assert(!Bench.contendedRule(Seq(0.8, 0.82, 0.79, 0.81)))
+  }
+
   test("the committed artifacts pass the gate end to end") {
     def read(p: String) = new String(
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
