@@ -82,6 +82,39 @@ object EventsQueries {
             col("event_type"))
           .agg(count(lit(1)).as("n"),
             Aggregates.dsum(col("value")).as("total_value"))
-          .orderBy(col("d"), col("h"), col("event_type")))
+          .orderBy(col("d"), col("h"), col("event_type"))),
+
+    // Retention cohort analysis — the classic product-analytics rollup:
+    // users cohorted by first-activity day, then counted active at each
+    // day offset from their cohort. Two shuffles on user_id (the min-day
+    // cohort agg and the distinct active-days set), a broadcast-sized
+    // join of user→cohort onto activity, and one final narrow agg — the
+    // shape that stays linear when events are 100 TB: per-user state is
+    // one date, the join key is the user id, and nothing ever sorts
+    // globally. All-integer → hash-exact. (The events fixture spans one
+    // calendar month, so day-of-month arithmetic is offset-safe.)
+    QueryDef(
+      "q42_retention_cohort",
+      Some("""WITH first AS (
+          SELECT user_id, MIN(CAST(EXTRACT(day FROM ts) AS INT)) AS cohort_day
+          FROM events GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, CAST(EXTRACT(day FROM ts) AS INT) AS d
+          FROM events)
+        SELECT f.cohort_day, a.d - f.cohort_day AS day_offset,
+          COUNT(*) AS n_active
+        FROM act a JOIN first f ON f.user_id = a.user_id
+        GROUP BY 1, 2 ORDER BY cohort_day, day_offset"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(dayofmonth(col("ts"))).as("cohort_day"))
+        val act = ev.select(col("user_id"), dayofmonth(col("ts")).as("d"))
+          .distinct()
+        act.join(first, Seq("user_id"))
+          .groupBy(col("cohort_day"),
+            (col("d") - col("cohort_day")).as("day_offset"))
+          .agg(count(lit(1)).as("n_active"))
+          .orderBy(col("cohort_day"), col("day_offset"))
+      })
   )
 }

@@ -953,6 +953,118 @@ object SimilarityQueries {
           .orderBy(col("qid"), col("rnk"))
       }),
 
+    // IVF-PQ with exact reranking — the full production two-stage serve
+    // that the ScaleProbe `pq` mode showed is NECESSARY: 4-bit ADC
+    // scores are tie-limited on clustered data (identical code tuples
+    // tie exactly), so production serves prerank a WIDE candidate set
+    // from the 8-byte codes (top-10 here — memory-bandwidth stage,
+    // never touches raw vectors) and then fetch raw vectors for ONLY
+    // those few to rerank exactly (top-3 by true cosine). The rerank
+    // fetch is an equi join on vector id against the corpus — at scale
+    // 10 rows per query against a cell-partitioned store, i.e. the
+    // cheap stage reads 8 bytes/candidate and the exact stage reads 10
+    // vectors/query instead of |cell|. Oracle replays probe → encode →
+    // ADC prerank → exact rerank, approximation included.
+    QueryDef(
+      "q6t_ivfpq_rerank",
+      {
+        def l2 (s: String, c: String) = (1 to 8)
+          .map(i => s"($s[$i]-$c[$i])*($s[$i]-$c[$i])").mkString(" + ")
+        def dot(s: String, c: String) = (1 to 8)
+          .map(i => s"$s[$i]*$c[$i]").mkString(" + ")
+        Some(s"""WITH $centSql,
+          assign0 AS (SELECT e.vec_id, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+                FROM embeddings e, cent c),
+          assign AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
+          probe0 AS (SELECT q.vec_id AS qid, c.cid,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+                FROM embeddings q, cent c WHERE q.vec_id < 10),
+          probe AS (SELECT qid, cid FROM probe0 WHERE rn <= 2),
+          js AS (SELECT unnest(generate_series(0, 7)) AS j),
+          sub AS (SELECT vec_id, j,
+                    list_transform(embedding[j*8+1 : j*8+8], x -> x::DOUBLE) AS svec
+                  FROM embeddings, js),
+          cb AS (SELECT j, vec_id AS code, svec AS cvec
+                 FROM sub WHERE vec_id < 16),
+          d2 AS (SELECT s.vec_id, s.j, cb.code,
+                   round(${l2("s.svec", "cb.cvec")}, 9) AS d2
+                 FROM sub s JOIN cb ON cb.j = s.j),
+          codes AS (SELECT vec_id, j, code FROM (
+                   SELECT vec_id, j, code,
+                     row_number() OVER (PARTITION BY vec_id, j
+                       ORDER BY d2, code) AS rn FROM d2) WHERE rn = 1),
+          dotq AS (SELECT q.vec_id AS qid, cb.j, cb.code,
+                     round(${dot("q.svec", "cb.cvec")}, 9) AS dq
+                   FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 10),
+          cand AS (SELECT p.qid, a.vec_id AS nid
+                   FROM probe p JOIN assign a
+                     ON a.cid = p.cid AND a.vec_id <> p.qid),
+          adc AS (SELECT cd.qid, cd.nid,
+                    round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc
+                  FROM cand cd
+                  JOIN codes c ON c.vec_id = cd.nid
+                  JOIN dotq d ON d.qid = cd.qid AND d.j = c.j AND d.code = c.code
+                  GROUP BY 1, 2),
+          pre AS (SELECT qid, nid FROM (
+                  SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                    ORDER BY adc DESC, nid) AS rnk FROM adc) WHERE rnk <= 10),
+          rr AS (SELECT p.qid, p.nid,
+                   round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 9) AS c
+                 FROM pre p
+                 JOIN embeddings q ON q.vec_id = p.qid
+                 JOIN embeddings n ON n.vec_id = p.nid),
+          r AS (SELECT qid, nid, c,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY c DESC, nid) AS rnk FROM rr)
+          SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) + 0 AS cos, rnk
+          FROM r WHERE rnk <= 3 ORDER BY qid, rnk""")
+      },
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cent = centroids(e)
+        val assign = assignTo(e, cent)
+        val wProbe = Window.partitionBy(col("qid"))
+          .orderBy(col("qc").desc, col("cid"))
+        val probe = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+          .crossJoin(broadcast(cent))
+          .withColumn("qc",
+            round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("cid"))
+        val sub = pqSub(e)
+        val cb = pqCodebook(sub)
+        val cand = assign.join(broadcast(probe), Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nid"))
+        val wAdc = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
+        val pre = cand
+          .join(pqCodes(sub, cb), cand("nid") === col("vec_id"))
+          .join(broadcast(pqDotq(sub, cb)), Seq("qid", "j", "code"))
+          .groupBy(col("qid"), col("nid"))
+          .agg(pqAdcSum.as("adc"))
+          .withColumn("rnk", row_number().over(wAdc))
+          .filter(col("rnk") <= 10)
+          .select(col("qid"), col("nid"))
+        val eq = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val en = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+        val wRr = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+        pre
+          .join(broadcast(eq), Seq("qid"))
+          .join(en, Seq("nid"))
+          .withColumn("c", round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9))
+          .withColumn("rnk", row_number().over(wRr))
+          .filter(col("rnk") <= 3)
+          .select(col("qid"), col("nid"),
+            (round(col("c"), 4) + lit(0.0)).as("cos"), col("rnk"))
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
     // Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack &
     // Clarke SIGIR'09) — the standard production shape for combining a
     // lexical index with a vector index: each system contributes only

@@ -64,7 +64,11 @@ object DumpPlans {
     "q6r_prefix_jaccard_join" -> "lossless prefix-filtered Jaccard: rarest-first prefix index + exact verify",
     "q5y_cdc_chunking"        -> "content-defined chunking: row-local boundary HOFs, hash-only dup shuffle",
     "q5z_weighted_sample"     -> "weighted reservoir sample: per-source window, WindowGroupLimit",
-    "q1j_bucketed_join"       -> "bucketed co-located join: SMJ with zero exchanges under the join")
+    "q1j_bucketed_join"       -> "bucketed co-located join: SMJ with zero exchanges under the join",
+    "q6t_ivfpq_rerank"        -> "IVF-PQ + exact rerank: 8-byte ADC prerank, raw vectors only for top-10",
+    "q42_retention_cohort"    -> "retention cohorts: two user_id shuffles + narrow final agg",
+    "q8j_stream_chunk_dedup"  -> "streaming chunk dedup: row-local chunking, stateless stream-static probe",
+    "q6s_kcore"               -> "k-core peeling: per-round degree agg + two semi joins")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
