@@ -65,4 +65,54 @@ object PageRank {
     }
     ranks
   }
+
+  /** Personalized PageRank with the teleport (and dangling) mass
+    * restricted to a SEED set — TrustRank (Gyöngyi, Garcia-Molina &
+    * Pedersen, VLDB 2004): authority flows outward from hand-trusted
+    * seeds only, so disconnected link farms score zero no matter how
+    * densely they cite each other. The corpus-curation use: propagate
+    * quality from a small vetted allowlist over the crawl link graph and
+    * weight/filter training documents by the result.
+    *
+    * Same per-round shape, shuffles and determinism idioms as [[run]];
+    * the only changes are the initial vector (uniform over seeds, zero
+    * elsewhere) and the teleport term (seeds get
+    * (1-d)/|S| + d·dangling/|S|, non-seeds get nothing). `seeds` must be
+    * an (id) subset of `nodes`. */
+  def runPersonalized(nodes: DataFrame, seeds: DataFrame, edges: DataFrame,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val n = nodes.select(col("id"))
+    val sd = seeds.select(col("id")).withColumn("seed", lit(1))
+    val sCount: Column = sd.agg(count(lit(1)).as("ns")).scalar()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var ranks = n.join(sd, Seq("id"), "left")
+      .select(col("id"),
+        when(col("seed").isNotNull, round(lit(1.0) / sCount, 9))
+          .otherwise(lit(0.0)).as("pr"))
+    for (_ <- 1 to iters) {
+      val dang: Column = ranks
+        .join(outdeg, ranks("id") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("pr").cast("decimal(30,12)")), lit(0))
+          .cast("double").as("d"))
+        .scalar()
+      val contrib = edges
+        .join(ranks, edges("src") === ranks("id"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"),
+          round(col("pr") / col("outdeg"), 12).as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c").cast("decimal(30,14)")).cast("double").as("contrib"))
+      val seedBonus = (lit(1.0) - lit(damping)) / sCount +
+        lit(damping) * (dang / sCount)
+      ranks = n.join(sd, Seq("id"), "left")
+        .join(contrib, col("id") === contrib("dst"), "left")
+        .select(col("id"),
+          round(lit(damping) * coalesce(col("contrib"), lit(0.0))
+            + when(col("seed").isNotNull, seedBonus).otherwise(lit(0.0)),
+            9).as("pr"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }

@@ -115,6 +115,61 @@ object EventsQueries {
             (col("d") - col("cohort_day")).as("day_offset"))
           .agg(count(lit(1)).as("n_active"))
           .orderBy(col("cohort_day"), col("day_offset"))
+      }),
+
+    // ORDERED funnel progression with conversion windows: view → click
+    // within 48h → purchase within 48h of the click, each stage's anchor
+    // being the user's EARLIEST qualifying event strictly after the
+    // previous anchor (the earliest-anchor greedy is the standard funnel
+    // semantics and is order-deterministic, unlike "any qualifying
+    // triple"; the window is what makes the funnel discriminate — an
+    // unwindowed variant saturates on any active user). Three per-user
+    // min aggregations, each a user_id-keyed shuffle of (user_id, ns)
+    // pairs — no event ever joins event-to-event, so a hot user costs
+    // its event count, not its event count squared. Strict-ns
+    // comparisons (ts_ns ≡ oracle epoch_ns) make stage membership exact.
+    QueryDef(
+      "q43_funnel_sequence",
+      Some("""WITH v AS (
+          SELECT user_id, MIN(epoch_ns(ts)) AS tv
+          FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (
+          SELECT e.user_id, MIN(epoch_ns(e.ts)) AS tc
+          FROM events e JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND epoch_ns(e.ts) > v.tv
+            AND epoch_ns(e.ts) <= v.tv + 172800000000000
+          GROUP BY e.user_id),
+        p AS (
+          SELECT e.user_id, MIN(epoch_ns(e.ts)) AS tp
+          FROM events e JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > c.tc
+            AND epoch_ns(e.ts) <= c.tc + 172800000000000
+          GROUP BY e.user_id)
+        SELECT stage, n_users FROM (
+          SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+          UNION ALL SELECT '2_click', COUNT(*) FROM c
+          UNION ALL SELECT '3_purchase', COUNT(*) FROM p) s
+        ORDER BY stage"""),
+      (s, dir) => {
+        val winNs = 172800000000000L // 48h, the oracle's literal
+        val ev = t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts_ns"))
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("tv"))
+        val c = ev.filter(col("event_type") === "click")
+          .join(v, Seq("user_id"))
+          .filter(col("ts_ns") > col("tv") && col("ts_ns") <= col("tv") + winNs)
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("tc"))
+        val p = ev.filter(col("event_type") === "purchase")
+          .join(c, Seq("user_id"))
+          .filter(col("ts_ns") > col("tc") && col("ts_ns") <= col("tc") + winNs)
+          .groupBy(col("user_id")).agg(min(col("ts_ns")).as("tp"))
+        v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+          .unionAll(c.agg(count(lit(1)).as("n_users"))
+            .select(lit("2_click").as("stage"), col("n_users")))
+          .unionAll(p.agg(count(lit(1)).as("n_users"))
+            .select(lit("3_purchase").as("stage"), col("n_users")))
+          .orderBy(col("stage"))
       })
   )
 }

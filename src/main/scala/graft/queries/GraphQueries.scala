@@ -196,8 +196,61 @@ object GraphQueries {
         val edges = pseudoEdges(nodes, nCount)
         graft.operators.KCore.peel(edges, k = 3, rounds = 3)
           .orderBy(col("node"))
+      }),
+
+    // TrustRank (personalized PageRank): teleport + dangling mass flow
+    // ONLY to a 2% trusted seed set (doc_id % 50 = 0), so authority
+    // propagates outward from vetted documents and disconnected link
+    // farms score exactly zero — the seed-based quality-weighting
+    // technique for crawl corpora. Same per-round shuffles and
+    // quantization algebra as q6n (the oracle unrolls all 3 rounds; a
+    // hash match proves every iteration). Top-50 by trust score.
+    QueryDef(
+      "q6u_trustrank",
+      Some(s"""WITH $EdgeCtes,
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        sn AS (SELECT COUNT(*) AS ns FROM documents WHERE doc_id % 50 = 0),
+        r0 AS (SELECT doc_id AS id,
+            CASE WHEN doc_id % 50 = 0
+                 THEN round(1.0 / (SELECT ns FROM sn), 9)
+                 ELSE 0.0 END AS r
+          FROM documents),
+        ${trustRound(1)},
+        ${trustRound(2)},
+        ${trustRound(3)}
+        SELECT id, r AS trust FROM r3 ORDER BY trust DESC, id LIMIT 50"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val edges = pseudoEdges(nodes, nCount)
+        val seeds = nodes.filter(col("id") % 50 === 0)
+        graft.operators.PageRank.runPersonalized(nodes, seeds, edges, iters = 3)
+          .select(col("id"), col("pr").as("trust"))
+          .orderBy(col("trust").desc, col("id"))
+          .limit(50)
+          .orderBy(col("trust").desc, col("id"))
       })
   )
+
+  /** One unrolled TrustRank round in DuckDB SQL — the q6n algebra with
+    * the teleport/dangling mass restricted to the seed set (must stay in
+    * lockstep with [[graft.operators.PageRank.runPersonalized]]). */
+  private def trustRound(k: Int): String = {
+    val prev = s"r${k - 1}"
+    s"""d$k AS (SELECT CAST(COALESCE(SUM(CAST(r AS DECIMAL(30,12))), 0) AS DOUBLE) AS d
+         FROM $prev LEFT JOIN deg ON $prev.id = deg.src WHERE deg.src IS NULL),
+       c$k AS (SELECT e.dst AS id,
+           CAST(SUM(CAST(round($prev.r / deg.outdeg, 12) AS DECIMAL(30,14))) AS DOUBLE) AS c
+         FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
+         GROUP BY e.dst),
+       r$k AS (SELECT $prev.id,
+           round(CAST(0.85 AS DOUBLE) * COALESCE(c$k.c, 0.0)
+             + CASE WHEN $prev.id % 50 = 0
+                    THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT ns FROM sn)
+                       + CAST(0.85 AS DOUBLE) * ((SELECT d FROM d$k) / (SELECT ns FROM sn))
+                    ELSE 0.0 END, 9) AS r
+         FROM $prev LEFT JOIN c$k ON $prev.id = c$k.id)"""
+  }
 
   /** One unrolled k-core peeling round in DuckDB SQL (threshold 3):
     * degrees over the surviving edge set, keep ≥ 3, restrict edges to

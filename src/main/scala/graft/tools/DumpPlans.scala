@@ -68,7 +68,9 @@ object DumpPlans {
     "q6t_ivfpq_rerank"        -> "IVF-PQ + exact rerank: 8-byte ADC prerank, raw vectors only for top-10",
     "q42_retention_cohort"    -> "retention cohorts: two user_id shuffles + narrow final agg",
     "q8j_stream_chunk_dedup"  -> "streaming chunk dedup: row-local chunking, stateless stream-static probe",
-    "q6s_kcore"               -> "k-core peeling: per-round degree agg + two semi joins")
+    "q6s_kcore"               -> "k-core peeling: per-round degree agg + two semi joins",
+    "q6u_trustrank"           -> "TrustRank: seed-restricted teleport, per-round contrib shuffle",
+    "q43_funnel_sequence"     -> "windowed funnel: three per-user min aggs, no event-to-event join")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
