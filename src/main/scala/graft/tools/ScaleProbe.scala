@@ -140,6 +140,10 @@ object ScaleProbe {
     // (q6r): equality vs naive on a subset, growth vs the DF-capped
     // inverted index as the corpus replicates
     val prefixjoinOnly = args.length > 1 && args(1) == "prefixjoin"
+    // "triangle" probes degree-ordered orientation (q6q) vs the naive
+    // neighbor-pairs wedge join on a hub-skewed graph — the Σdeg² blowup
+    // the orientation exists to prevent, measured
+    val triangleOnly = args.length > 1 && args(1) == "triangle"
 
     if (pagerankOnly) {
       import graft.operators.PageRank
@@ -232,6 +236,45 @@ object ScaleProbe {
         }
         println(s"[scale]   pairs: prefix=$np capped=$nc (lossless ≥ capped)")
         d.unpersist()
+      }
+      spark.stop(); return
+    }
+
+    if (triangleOnly) {
+      import graft.operators.TriangleCount
+      for (mult <- Seq(1, 4, 16)) {
+        val n = 4000L * mult
+        // random sparse edges + one hub wired to half the nodes: the
+        // adversary for any neighbors×neighbors join (hub wedges ≈ n²/8)
+        // genuinely mixed random edges (Murmur3) + one hub wired to half
+        // the nodes: hub wedges alone are (n/2)²/2 — the Σdeg² adversary
+        val rnd = spark.range(8L * n)
+          .select(pmod(hash(col("id")), lit(n)).cast("long").as("src"),
+            pmod(hash(col("id") + 1000000L), lit(n)).cast("long").as("dst"))
+        val hub = spark.range(n / 2).select(lit(0L).as("src"), (col("id") * 2L + 1L).as("dst"))
+        val edges = rnd.unionAll(hub).filter(col("src") =!= col("dst")).cache()
+        edges.count()
+        val oriented = time(s"oriented triangle count n=$n") {
+          TriangleCount.perNode(edges)
+            .agg(coalesce(sum(col("n_tri")), lit(0L))).head.getLong(0) / 3
+        }
+        val naive = time(s"naive wedge-join count n=$n") {
+          val und = edges
+            .select(least(col("src"), col("dst")).as("a"),
+              greatest(col("src"), col("dst")).as("b"))
+            .filter(col("a") =!= col("b")).distinct()
+          val sym = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+          val wedges = sym.select(col("a").as("u"), col("b").as("v"))
+            .join(sym.select(col("a").as("u"), col("b").as("w")), Seq("u"))
+            .filter(col("v") < col("w"))
+          // a triangle has three wedge centers → the naive join counts
+          // each exactly 3 times
+          wedges.join(und,
+            wedges("v") === und("a") && wedges("w") === und("b")).count() / 3
+        }
+        println(s"[scale]   triangles: oriented=$oriented naive=$naive " +
+          s"equal=${oriented == naive}")
+        edges.unpersist()
       }
       spark.stop(); return
     }
