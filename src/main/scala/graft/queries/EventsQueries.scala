@@ -170,6 +170,38 @@ object EventsQueries {
           .unionAll(p.agg(count(lit(1)).as("n_users"))
             .select(lit("3_purchase").as("stage"), col("n_users")))
           .orderBy(col("stage"))
+      }),
+
+    // Behavioral transition matrix (first-order Markov counts): for each
+    // user's event stream in time order, count (previous event type →
+    // this event type) transitions corpus-wide. One per-user window
+    // (PARTITIONED by user_id, ordered by exact ns + event_id — never a
+    // global sort) followed by a narrow (from, to, count) aggregation —
+    // the per-user window scales with events per user, the agg output is
+    // |types|², both flat in total corpus size. The event-id tiebreak
+    // makes simultaneous events deterministic on both engines.
+    QueryDef(
+      "q44_markov_transitions",
+      Some("""WITH seq AS (
+          SELECT user_id, event_type,
+            LAG(event_type) OVER (PARTITION BY user_id
+              ORDER BY epoch_ns(ts), event_id) AS prev_type
+          FROM events)
+        SELECT prev_type AS from_type, event_type AS to_type,
+          COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2 ORDER BY from_type, to_type"""),
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_ns"), col("event_id"))
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("ts_ns"), col("event_id"))
+          .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type").as("from_type"),
+            col("event_type").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("from_type"), col("to_type"))
       })
   )
 }

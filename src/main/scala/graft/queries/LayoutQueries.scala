@@ -145,6 +145,40 @@ object LayoutQueries {
           .agg(count(lit(1)).as("n_items"),
             Aggregates.dsum(col("l_quantity")).as("sum_qty"))
           .orderBy(col("o_orderpriority"))
+      }),
+
+    // Hive-style partition pruning — the first-line 100 TB scan
+    // technique: events written once PARTITIONED BY day, after which a
+    // day predicate is resolved at PLANNING time against directory
+    // names (the scan's PartitionFilters), so a one-day query over a
+    // 30-day corpus opens 1/30 of the files before any row is read.
+    // PlanSpec gates the claim on the executed plan (PartitionFilters
+    // non-empty AND the scan reads only the matching partition
+    // directories); the oracle filters the raw table — the layout must
+    // be result-invisible. Complements q1g (intra-file min/max
+    // skipping) and q1j (co-located joins): directory pruning, file
+    // skipping, and shuffle elimination are the three independent
+    // levers a 100 TB layout pulls.
+    QueryDef(
+      "q1k_partition_pruning",
+      Some("""SELECT event_type, COUNT(*) AS n,
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2)
+            AS total_value
+        FROM events
+        WHERE CAST(EXTRACT(day FROM ts) AS INT) = 15
+        GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        val pdir = QueryDef.materializePath(dir, "events_by_day.parquet")
+        // write once, partitioned by day (idempotent overwrite)
+        Tables.load(s, dir, "events")
+          .withColumn("d", dayofmonth(col("ts")))
+          .write.mode("overwrite").partitionBy("d").parquet(pdir)
+        s.read.parquet(pdir)
+          .filter(col("d") === 15)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            Aggregates.dsum(col("value")).as("total_value"))
+          .orderBy(col("event_type"))
       })
   )
 }

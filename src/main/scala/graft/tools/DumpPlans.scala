@@ -70,7 +70,9 @@ object DumpPlans {
     "q8j_stream_chunk_dedup"  -> "streaming chunk dedup: row-local chunking, stateless stream-static probe",
     "q6s_kcore"               -> "k-core peeling: per-round degree agg + two semi joins",
     "q6u_trustrank"           -> "TrustRank: seed-restricted teleport, per-round contrib shuffle",
-    "q43_funnel_sequence"     -> "windowed funnel: three per-user min aggs, no event-to-event join")
+    "q43_funnel_sequence"     -> "windowed funnel: three per-user min aggs, no event-to-event join",
+    "q1k_partition_pruning"   -> "hive-style partition pruning: day predicate resolved at planning time",
+    "q44_markov_transitions"  -> "markov transitions: per-user lag window + narrow |types|^2 agg")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)

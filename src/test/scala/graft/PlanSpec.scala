@@ -118,6 +118,24 @@ class PlanSpec extends SparkSpec {
         "count — the SMJ must read them exchange-free")
   }
 
+  test("q1k: day predicate resolves as a partition filter (directory pruning)") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plans = collectAll(executed(q("q1k_partition_pruning")))
+    val scan = plans.collectFirst { case f: FileSourceScanExec => f }
+    assert(scan.nonEmpty, "q1k must read the partitioned layout via a file scan")
+    assert(scan.get.partitionFilters.nonEmpty,
+      "the d = 15 predicate must prune at planning time, not per-row")
+    // the pruned scan must touch only the matching partition's files
+    val dirs = scan.get.relation.location.inputFiles
+      .flatMap(_.split("/").find(_.startsWith("d="))).distinct
+    assert(dirs.length > 1, "layout should have many day partitions")
+    val read = scan.get.metrics.get("numFiles").map(_.value)
+    assert(read.exists(_ >= 1), s"scan read no files?")
+    val selected = scan.get.selectedPartitions.partitionCount
+    assert(selected === 1,
+      s"exactly one day partition should survive pruning, got $selected")
+  }
+
   test("top-k per group plans WindowGroupLimit (partial top-k before shuffle)") {
     val plans = collectAll(executed(q("q24_topk_per_group")))
     assert(plans.exists(_.getClass.getSimpleName.contains("WindowGroupLimit")),
