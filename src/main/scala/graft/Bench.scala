@@ -2,20 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
 
-  /** Contended iff any probe is BOTH >2x the median and >0.3s above it.
-    * The median anchors "this machine's steady sentinel cost" (robust to
-    * a couple of contended probes), the 2x ratio is the same discipline
-    * BenchGate applies to queries, and the absolute floor keeps
-    * millisecond-scale JIT drift (0.14s vs 0.33s — observed on an idle
-    * box) from stamping a clean run contended. Real contention inflates
-    * the ~0.2s sentinel to 0.5-0.9s, clearing both bars. Limitation,
-    * deliberate: contention that spans the WHOLE run (median itself
-    * inflated, start probe included) is indistinguishable from a slow
-    * machine from inside the run — that case is caught by the baseline
-    * comparison, not the stamp. Spec: BenchGateSpec. */
+  /** Contended iff any probe is BOTH >1.75x the median and further above
+    * it than the run's own dispersion allows. The median anchors "this
+    * machine's steady sentinel cost" (robust to a couple of contended
+    * probes); the absolute arm scales to the probe trace's own MAD
+    * (median absolute deviation) instead of a fixed 0.3s — the round-7
+    * driver artifact carried a 2.1x mid-run spike at 0.294s that the old
+    * fixed floor waved through while 7 queries flagged load-shaped. A
+    * 0.08s floor on the arm keeps millisecond-scale JIT drift (0.14s vs
+    * 0.33s over a wide-dispersion trace — observed on an idle box) from
+    * stamping a clean run, because such drift also inflates the MAD.
+    * Real contention inflates the ~0.15s sentinel well past both bars.
+    * Limitation, deliberate: contention that spans the WHOLE run (median
+    * itself inflated, start probe included) is indistinguishable from a
+    * slow machine from inside the run — that case is caught by the
+    * baseline comparison, not the stamp. Spec: BenchGateSpec. */
   def contendedRule(probes: Seq[Double]): Boolean = {
-    val median = probes.sorted.apply(probes.size / 2)
-    probes.exists(p => p > median * 2.0 && p - median > 0.3)
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val m = median(probes)
+    val mad = median(probes.map(p => math.abs(p - m)))
+    val arm = math.max(4.0 * mad, 0.08)
+    probes.exists(p => p > m * 1.75 && p - m > arm)
   }
 
   def main(args: Array[String]): Unit = {
@@ -130,9 +137,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // cpus is stamped into the artifact so BenchGate can select the
+    // like-for-like baseline column: an 8-core baseline graded against a
+    // 32-core run produced 7 phantom ">2x regressions" in round 7
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","calib_start_sec":${r3(calib0)},""" +
+        s""""sf":"$sfDir","cpus":$cpus,"calib_start_sec":${r3(calib0)},""" +
         s""""calib_end_sec":${r3(calib1)},""" +
         s""""calib_probes":${allProbes.map(r3).mkString("[", ",", "]")},""" +
         s""""contended":$contended}"""

@@ -38,6 +38,70 @@ object TextExpressions {
   /** All ordered (i<j) pairs of a sorted array<long> of ids. */
   def id_pairs(ids: Column): Column =
     bridge.column(IdPairsExpr(bridge.expression(ids)))
+
+  /** Content-defined chunk boundary positions (1-based, ascending). */
+  def cdc_boundaries(text: Column): Column =
+    bridge.column(CdcBoundariesExpr(bridge.expression(text)))
+}
+
+/** string → array<int>: 1-based end positions i where the 8-char window
+  * hash H_i = Σ_{j=0..7} char(i-7+j)·31^j ≡ 0 (mod 32) — the boundary
+  * rule of the LBFS/FastCDC-shape content-defined chunker (q5y/q8j).
+  * One compiled rolling-hash pass per document: H_i = (H_{i-1} −
+  * c_{i-8})/31 + c_i·31⁷ (exact integer division — the subtraction
+  * leaves a multiple of 31 by construction). The declarative HOF form
+  * paid interpreted lambda dispatch per character (HOFs are
+  * CodegenFallback) and made q5y/q8j the suite's two slowest queries;
+  * this is the same loop at memory speed.
+  *
+  * Char values are UTF-16 code units, which for BMP text equal the code
+  * points Spark's `ascii()` and DuckDB's `ord()` both return — the
+  * algebra this expression must replay bit-exactly (the oracle recomputes
+  * boundaries in SQL). Supplementary-plane characters are where the two
+  * engines diverge (surrogate unit vs code point), so a surrogate raises
+  * immediately instead of silently producing oracle-mismatched chunks. */
+case class CdcBoundariesExpr(child: Expression)
+    extends UnaryExpression with RefObjCodegen {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    refObjGenCode(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  private[this] final val P7 = 27512614111L // 31^7
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    if (n < 8) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n / 24)
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isSurrogate(c)) throw new IllegalStateException(
+        s"cdc_boundaries: non-BMP character at position ${i + 1} — Spark " +
+          "ascii() (UTF-16 unit) and DuckDB ord() (code point) diverge on " +
+          "supplementary-plane text; fixture vintage changed?")
+      h = if (i < 8) h + c.toLong * pow31(i)
+          else (h - s.charAt(i - 8)) / 31L + c.toLong * P7
+      if (i >= 7 && h % 32L == 0L) out += Integer.valueOf(i + 1)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  // 31^0..31^7 — the seed window accumulates term-by-term, every later
+  // position is one rolling update
+  @transient private lazy val pow31: Array[Long] = {
+    val p = new Array[Long](8)
+    p(0) = 1L
+    (1 until 8).foreach(j => p(j) = p(j - 1) * 31L)
+    p
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcBoundariesExpr =
+    copy(child = c)
 }
 
 /** array<long> → array<struct<id_a,id_b>>: all ordered pairs (i<j) of a

@@ -889,28 +889,16 @@ object TextAnalysis {
 
   /** Content-defined chunker shared by q5y and its spec: (doc_id, text) →
     * one (doc_id, chunk) row per chunk, boundaries where the 8-char
-    * window hash Σ ascii·31^j ≡ 0 (mod 32). Row-local (one HOF pass per
-    * document, no per-char explode). */
+    * window hash Σ ascii·31^j ≡ 0 (mod 32). Row-local (one compiled
+    * rolling-hash pass per document — [[CdcBoundariesExpr]] — no per-char
+    * explode; a non-BMP character raises there instead of silently
+    * diverging from the DuckDB oracle's ord() algebra). The earlier
+    * declarative form recomputed the full 8-term window sum at every
+    * position through interpreted HOF lambdas, which made q5y/q8j the
+    * suite's two slowest queries. */
   private[graft] def cdcChunks(df: DataFrame): DataFrame = {
-    // powers as LONG literals (xL): ascii() is INT, and INT * 887503681
-    // overflows under ANSI before the implicit widening a BIGINT
-    // literal forces
-    val winHash =
-      """ascii(substring(text, i - 7, 1)) * 1L
-        + ascii(substring(text, i - 6, 1)) * 31L
-        + ascii(substring(text, i - 5, 1)) * 961L
-        + ascii(substring(text, i - 4, 1)) * 29791L
-        + ascii(substring(text, i - 3, 1)) * 923521L
-        + ascii(substring(text, i - 2, 1)) * 28629151L
-        + ascii(substring(text, i - 1, 1)) * 887503681L
-        + ascii(substring(text, i, 1)) * 27512614111L"""
     df
-      // sequence(8, n) walks DOWN when n < 8 (the q5w hazard), so the
-      // upper bound is clamped and the i <= length guard drops the
-      // phantom positions a short doc would fabricate
-      .withColumn("b", expr(
-        s"""filter(sequence(8, greatest(length(text), 8)),
-             i -> i <= length(text) AND ($winHash) % 32 = 0)"""))
+      .withColumn("b", TextExpressions.cdc_boundaries(col("text")))
       .withColumn("ends", expr(
         """CASE WHEN size(b) = 0 THEN array(length(text))
                 WHEN element_at(b, -1) <> length(text)

@@ -55,7 +55,9 @@ object BenchGate {
   // silently vanishing from the artifact (a crashed query must be seen)
   private val QueryTimeRe = """"(q[0-9a-z][0-9a-z_]*)":(-?[0-9.]+)""".r
   private val ContendedRe = """"contended":(true|false)""".r
+  private val CpusRe = """"cpus":\s*(\d+)""".r
   private val BaselineRowRe = """\|\s*(q[0-9a-z][0-9a-z_]*)\s*\|\s*([0-9.]+)\s*\|""".r
+  private val BaselineCpusHeadRe = """(?m)^#+ .*\bcpus\s*=\s*(\d+)""".r
 
   def parseBench(json: String): (Map[String, Double], Boolean) = {
     val qs = QueryTimeRe.findAllMatchIn(json)
@@ -64,9 +66,31 @@ object BenchGate {
     (qs, contended)
   }
 
-  def parseBaseline(md: String): Map[String, Double] =
-    BaselineRowRe.findAllMatchIn(md)
-      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+  def parseCpus(json: String): Option[Int] =
+    CpusRe.findFirstMatchIn(json).map(_.group(1).toInt)
+
+  /** Baseline tables keyed by environment: a heading containing
+    * `cpus=N` opens the table for that core count (timings are NOT
+    * comparable across core counts — round 7's 8-core baseline graded
+    * against a 32-core driver run produced 7 phantom >2x flags). A file
+    * with no `cpus=` headings is a single environment-agnostic table
+    * under key None (the pre-round-8 format). */
+  def parseBaselines(md: String): Map[Option[Int], Map[String, Double]] = {
+    val heads = BaselineCpusHeadRe.findAllMatchIn(md).toSeq
+    if (heads.isEmpty) {
+      val rows = BaselineRowRe.findAllMatchIn(md)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      if (rows.isEmpty) Map.empty else Map(Option.empty[Int] -> rows)
+    } else {
+      val bounds = heads.map(_.start) :+ md.length
+      heads.zipWithIndex.map { case (h, i) =>
+        val section = md.substring(h.start, bounds(i + 1))
+        val rows = BaselineRowRe.findAllMatchIn(section)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        (Some(h.group(1).toInt): Option[Int]) -> rows
+      }.toMap.filter(_._2.nonEmpty)
+    }
+  }
 
   /** Left(reason) = artifact refused; Right = graded result. */
   def check(benchJson: String, baselineMd: String): Either[String, GateResult] = {
@@ -76,8 +100,22 @@ object BenchGate {
         "disagreed >2x across the run; re-measure on an idle machine " +
         "(a contended run can neither pass nor fail the gate)")
     if (got.isEmpty) return Left("no per-query timings found in the artifact")
-    val base = parseBaseline(baselineMd)
-    if (base.isEmpty) return Left("no baseline rows parsed")
+    val tables = parseBaselines(baselineMd)
+    if (tables.isEmpty) return Left("no baseline rows parsed")
+    val cpus = parseCpus(benchJson)
+    // like-for-like selection: an artifact stamped with cpus grades only
+    // against a baseline cut at the same core count; an unstamped
+    // (pre-round-8) artifact grades only against an unsectioned baseline
+    val base = tables.get(cpus).orElse(
+      // legacy bridge: old flat baseline + new stamped artifact — the
+      // flat table was cut at local[8], so only grade cpus=8 against it
+      if (cpus.contains(8)) tables.get(None) else None
+    ).getOrElse(return Left(
+      s"no baseline for cpus=${cpus.map(_.toString).getOrElse("<unstamped>")} — " +
+        s"baseline has tables for ${tables.keys.map(_.map(_.toString)
+          .getOrElse("<flat>")).toSeq.sorted.mkString(", ")}; timings are not " +
+        "comparable across core counts; cut a baseline at this environment " +
+        "with scripts/make_baseline.py"))
     val failed = got.filter(_._2 < 0).keys.toSeq.sorted
     val ok = got -- failed
     val violations = ok.toSeq.sorted.flatMap { case (q, sec) =>

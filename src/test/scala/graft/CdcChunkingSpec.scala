@@ -64,4 +64,19 @@ class CdcChunkingSpec extends SparkSpec {
     val cs = chunksOf(Seq(base, base))
     assert(cs(0L) === cs(1L))
   }
+
+  test("non-BMP text fails LOUDLY instead of silently diverging from the oracle") {
+    // Spark's ascii() returns the UTF-16 code unit, DuckDB's ord() the
+    // code point — supplementary-plane characters make the two hash
+    // algebras silently disagree. The committed fixtures are BMP-only;
+    // if a driver regeneration ever ships emoji-class text, the chunker
+    // must raise, not produce oracle-mismatched boundaries.
+    val e = intercept[Exception] { chunksOf(Seq(base + "😀 emoji")) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("non-BMP")), e.getMessage)
+    // BMP non-ASCII (accents, CJK) is fine — both engines agree there
+    assert(chunksOf(Seq(base + " café 中文"))(0L).mkString ===
+      base + " café 中文")
+  }
 }
