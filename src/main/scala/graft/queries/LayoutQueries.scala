@@ -118,17 +118,40 @@ object LayoutQueries {
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
       (s, dir) => {
-        val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-        val (lt, ot) = (s"bj_lineitem_$tag", s"bj_orders_$tag")
+        // '.' maps to a DISTINCT token (not the lossy catch-all '_'):
+        // sfDirs like sf0.1 and sf0-1 must not collide on one table name.
+        // The PID suffix makes the names unique per process — the round
+        // harness runs verify/oracle/bench sessions CONCURRENTLY against
+        // the same sfDir, and a shared name's non-atomic drop + rewrite
+        // would let one session clobber a table mid-scan in another.
+        val tag = dir.replace(".", "_o_").replaceAll("[^A-Za-z0-9]", "_")
+        val pid = ProcessHandle.current().pid()
+        val (lt, ot) = (s"bj_lineitem_${tag}_p$pid", s"bj_orders_${tag}_p$pid")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"))
+        val fs = wh.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // PID-unique names would otherwise accumulate one table pair per
+        // process forever: reap bucketed-join tables left by EXITED
+        // processes (their PIDs no longer live); concurrent live
+        // sessions' tables are untouched
+        if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("bj_")) n.split("_p").lastOption
+            .flatMap(_.toLongOption)
+            .filter(p => p != pid && !ProcessHandle.of(p)
+              .map[Boolean](_.isAlive).orElse(false))
+            .foreach { _ =>
+              s.sql(s"DROP TABLE IF EXISTS $n")
+              fs.delete(st.getPath, true)
+            }
+        }
         // the session catalog is in-memory but the warehouse directory is
         // not: a table written by a PREVIOUS session exists on disk yet
         // not in this catalog, so saveAsTable(overwrite) would fail with
         // LOCATION_ALREADY_EXISTS — clear both sides of that split first
         Seq(lt, ot).foreach { t =>
           s.sql(s"DROP TABLE IF EXISTS $t")
-          val p = new org.apache.hadoop.fs.Path(
-            s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val p = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
           if (fs.exists(p)) fs.delete(p, true)
         }
         Tables.load(s, dir, "lineitem")

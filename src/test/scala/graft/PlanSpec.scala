@@ -362,9 +362,11 @@ class PlanSpec extends SparkSpec {
     // custom AsOfJoin logical node (its `references` exposes just
     // keys + times), so each parquet scan reads only key/time/filter/
     // output columns — never `props`/`value`.
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_ns",
-        org.apache.spark.sql.functions.expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    // ts/ts_ns via the production vintage adapter (NOT a hardcoded micros
+    // formula): if the driver flips testdata back to TIMESTAMP(NANOS),
+    // cast(long→timestamp) would interpret nanos as seconds and this test
+    // would compute garbage ts_ns instead of tracking the fixture
+    val ev = graft.sources.Tables.load(spark, dir, "events")
     val l = ev.filter(col("event_type") === "purchase")
     val r = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts_ns").as("c_ts"),
