@@ -229,6 +229,48 @@ object GraphQueries {
           .orderBy(col("trust").desc, col("id"))
           .limit(50)
           .orderBy(col("trust").desc, col("id"))
+      }),
+
+    // Strongly connected components over the DIRECTED pseudo-link graph —
+    // the mutual-endorsement-ring detector WCC can't express (WCC merges
+    // everything one undirected path touches; SCC requires reachability
+    // BOTH ways, so a link farm pointing at a page it can't be reached
+    // from stays separate). Spark side is the FW-BW scheme
+    // ([[graft.operators.Scc]]: trim + forward/backward min-reachability
+    // with CC's hook+shortcut, labels settle where the two minima agree).
+    // The ORACLE is algorithm-independent: a recursive-CTE transitive
+    // closure defines scc(v) = min{u : u⇄v mutually reachable} — the
+    // canonical answer any correct SCC algorithm must produce, so a hash
+    // match proves the distributed trim/settle rounds reach exactly the
+    // textbook fixpoint (fine at oracle scale; the closure is the
+    // all-pairs shape FW-BW exists to avoid at 100 TB). Output: each
+    // node with its SCC label plus the component size profile check via
+    // n_members of its component.
+    QueryDef(
+      "q6v_scc",
+      Some(s"""WITH RECURSIVE $EdgeCtes,
+        dn AS (SELECT doc_id AS id FROM documents),
+        reach(s, t) AS (
+          SELECT id, id FROM dn
+          UNION
+          SELECT r.s, e.dst FROM reach r JOIN e ON r.t = e.src),
+        mutual AS (SELECT a.s AS u, a.t AS v
+          FROM reach a JOIN reach b ON a.s = b.t AND a.t = b.s),
+        lab AS (SELECT u AS doc_id, MIN(v) AS scc FROM mutual GROUP BY u),
+        sz AS (SELECT scc, CAST(COUNT(*) AS BIGINT) AS n_members
+               FROM lab GROUP BY scc)
+        SELECT l.doc_id, l.scc, s.n_members
+        FROM lab l JOIN sz s USING (scc) ORDER BY l.doc_id"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val edges = pseudoEdges(nodes, nCount)
+        val lab = graft.operators.Scc.run(nodes, edges)
+          .select(col("node").as("doc_id"), col("scc"))
+        val sz = lab.groupBy(col("scc")).agg(count(lit(1)).as("n_members"))
+        lab.join(sz, Seq("scc"))
+          .select(col("doc_id"), col("scc"), col("n_members"))
+          .orderBy(col("doc_id"))
       })
   )
 
