@@ -31,10 +31,11 @@ import org.apache.spark.sql.functions._
   * AQE's runtime skew-join splitting handles a giant component's hot key —
   * the same reliance every hash-to-min variant has.
   *
-  * `localCheckpoint` per round cuts the growing lineage so round N's plan
-  * doesn't replay rounds 1..N-1 (and bounds driver plan-size growth — the
-  * classic iterative-DataFrame failure mode at scale; on a cluster use
-  * `checkpoint` with a durable dir for fault tolerance instead).
+  * [[IterationCheckpoint]] per round cuts the growing lineage so round N's
+  * plan doesn't replay rounds 1..N-1 (and bounds driver plan-size growth —
+  * the classic iterative-DataFrame failure mode at scale; set
+  * `spark.graft.iteration.checkpointDir` on a cluster for durable,
+  * executor-loss-tolerant checkpoints instead of executor-local blocks).
   */
 object ConnectedComponents {
 
@@ -49,10 +50,10 @@ object ConnectedComponents {
   def runCounted(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      .transform(IterationCheckpoint.cut)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .transform(IterationCheckpoint.cut)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -76,7 +77,7 @@ object ConnectedComponents {
         .select(hooked("node"),
           col("llabel").as("label"),
           (col("hook_changed") || col("llabel") < hooked("label")).as("changed"))
-        .localCheckpoint()
+        .transform(IterationCheckpoint.cut)
       converged = next.filter(col("changed")).isEmpty
       labels = next.select(col("node"), col("label"))
       round += 1

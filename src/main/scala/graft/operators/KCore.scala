@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   * degree. Round count is a PARAMETER (not run-to-fixpoint): the oracle
   * unrolls the same fixed number of rounds, and a caller at 100 TB picks
   * the budget the same way PageRank picks an iteration count. Lineage is
-  * cut per round (localCheckpoint) so the loop cannot stack plan depth.
+  * cut per round ([[IterationCheckpoint]] — durable on a cluster via
+  * `spark.graft.iteration.checkpointDir`) so the loop cannot stack plan depth.
   */
 object KCore {
 
@@ -35,14 +36,14 @@ object KCore {
     * list (any orientation/duplication); returns (node, deg) — each
     * survivor with its degree in the surviving subgraph. */
   def peel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = canon(edges).localCheckpoint(true)
+    var e = IterationCheckpoint.cut(canon(edges))
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
       e = e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
         .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
         .select(col("a"), col("b"))
-        .localCheckpoint(true)
+        .transform(IterationCheckpoint.cut)
     }
     degrees(e)
   }

@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
   * deterministic argmax (`max_by` over (count, -label)); label tables are
   * narrow (id, label) rows — at 100 TB the shuffles never carry bodies.
   * All arithmetic is integer, so cross-engine replay needs no decimal
-  * quantization at all. `localCheckpoint` per round bounds lineage.
+  * quantization at all. Lineage cut per round via [[IterationCheckpoint]]
+  * (durable on a cluster via `spark.graft.iteration.checkpointDir`).
   *
   * `edges` is a directed (src, dst) table; it is symmetrized and
   * deduplicated internally (community structure is an undirected notion).
@@ -44,7 +45,7 @@ object LabelPropagation {
       labels = labels
         .join(best, labels("id") === best("nid"), "left")
         .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab"))
-        .localCheckpoint()
+        .transform(IterationCheckpoint.cut)
     }
     labels
   }

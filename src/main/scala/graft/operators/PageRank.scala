@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
   *     this is a map-side-partial count-sum, not a driver collect of rows;
   *   - new rank = (1-d)/N + d·(contrib + dang/N), LEFT join back to the
   *     node set so zero-in-degree nodes keep their teleport mass;
-  *   - `localCheckpoint` per round bounds lineage across iterations.
+  *   - lineage cut per round via [[IterationCheckpoint]] (executor-local
+  *     by default; set `spark.graft.iteration.checkpointDir` on a real
+  *     cluster for executor-loss fault tolerance).
   *
   * Cross-engine determinism (the k-means idiom): per-edge contributions
   * round to 12 decimals and sum as DECIMAL(30,14) — exact, reduction-order
@@ -61,7 +63,7 @@ object PageRank {
           round(teleport / nCount
             + lit(damping) * (coalesce(col("contrib"), lit(0.0))
               + dang / nCount), 9).as("pr"))
-        .localCheckpoint()
+        .transform(IterationCheckpoint.cut)
     }
     ranks
   }
@@ -111,7 +113,7 @@ object PageRank {
           round(lit(damping) * coalesce(col("contrib"), lit(0.0))
             + when(col("seed").isNotNull, seedBonus).otherwise(lit(0.0)),
             9).as("pr"))
-        .localCheckpoint()
+        .transform(IterationCheckpoint.cut)
     }
     ranks
   }

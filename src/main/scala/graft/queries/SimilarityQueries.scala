@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorAggregates, VectorFunctions}
+import graft.operators.IterationCheckpoint
 import graft.sources.Tables
 
 /** Similarity search over `embeddings.embedding: array<float>` (SURVEY.md
@@ -102,7 +103,7 @@ object SimilarityQueries {
         .agg(VectorAggregates.vector_mean(col("embedding")).as("m"))
         .select(col("cid"),
           transform(col("m"), x => round(x, 10).cast("float")).as("ce"))
-        .localCheckpoint()
+        .transform(IterationCheckpoint.cut)
     }
     (cent, assign)
   }
