@@ -114,6 +114,9 @@ object SimilarityQueries {
   private[queries] def q5mIndexPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "q5m_ivf_update")
 
+  private[queries] def q6wIndexPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "q6w_ivf_tomb")
+
   /** The q66 assignment rule as a helper: nearest centroid per vector,
     * argmax as a map-side-combining hash aggregate (one shuffled row per
     * vector), round-9 quantized scores, tie-break (cc DESC, cid ASC). */
@@ -1064,6 +1067,85 @@ object SimilarityQueries {
           .select(col("qid"), col("nid"),
             (round(col("c"), 4) + lit(0.0)).as("cos"), col("rnk"))
           .orderBy(col("qid"), col("rnk"))
+      }),
+
+    // ANN serve under DELETES — the compliance composition the index
+    // family (q5i/q5m/q5t) was missing: right-to-be-forgotten arrives as
+    // graft-doc TOMBSTONES (q79's flow) against a corpus whose IVF index
+    // is NOT rebuilt; the serve drops deleted ids from the persisted
+    // memberships at query time via an anti join against the tombstone
+    // set extracted from the store's own change log (`_op = 'delete'`,
+    // latest version per key — NOT the delete predicate re-derived from
+    // the raw table, so a connector that failed to tombstone would
+    // surface here as a correctness mismatch). A deleted vector can
+    // therefore never appear in any top-k, effective at the NEXT query
+    // after the tombstone commit, index rebuild deferred to compaction.
+    // Scale shape: tombstone set ≪ corpus (broadcast-size anti join on
+    // narrow ids against memberships); everything downstream is the
+    // standard q5i serve (broadcast centroids/probe, equi-join
+    // memberships, rerank fetches probed cells only). Oracle replays
+    // the persisted index artifacts with the delete predicate applied
+    // to memberships AND queries — q79's oracle convention.
+    QueryDef(
+      "q6w_ann_serve_tombstones",
+      Some(s"""WITH ic AS (
+          SELECT * FROM read_parquet('${q6wIndexPath(sfDir)}/cent/*.parquet')),
+        ia0 AS (
+          SELECT * FROM read_parquet('${q6wIndexPath(sfDir)}/assign/*.parquet')),
+        ia AS (SELECT * FROM ia0 WHERE vec_id % 9 <> 3),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id < 10 AND vec_id % 9 <> 3),
+        probe0 AS (SELECT q.qid, q.qe, ic.cid,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY round(list_cosine_similarity(q.qe::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
+                ic.cid) AS rn
+          FROM q, ic),
+        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
+        cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
+          FROM probe p JOIN ia a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        rr AS (SELECT c.qid, c.nid,
+            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c0,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
+                c.nid) AS rnk
+          FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
+        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, rnk
+        FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
+      (s, dir) => {
+        import graft.connector.{GraftDoc, GraftDocLog}
+        val e = emb(s, dir)
+        val p = q6wIndexPath(dir)
+        // standing IVF index over the FULL corpus, persisted (built
+        // before any delete arrives — the index is stale by design)
+        val cent = centroids(e)
+        assignTo(e, cent).write.mode("overwrite").parquet(s"$p/assign")
+        cent.write.mode("overwrite").parquet(s"$p/cent")
+        // keyed doc store over the corpus; the compliance delete lands
+        // as a tombstone commit (q79's flow)
+        val store = QueryDef.materializePath(dir, "q6w_store")
+        GraftDoc.write(e.select(col("vec_id"), col("label")), "vec_id",
+          store, overwrite = true)
+        GraftDoc.delete(s, store,
+          e.filter(pmod(col("vec_id"), lit(9)) === 3).select("vec_id"))
+        // tombstone set FROM THE STORE'S CHANGE LOG (latest version per
+        // key is a delete) — the serve trusts the store, not the intent
+        val wOp = Window.partitionBy(col("_id"))
+          .orderBy(col(GraftDocLog.CommitCol).desc)
+        val tomb = s.read.format("graft-doc")
+          .option(GraftDocLog.WithOpOpt, "true").load(store)
+          .withColumn("__rn", row_number().over(wOp))
+          .filter(col("__rn") === 1 && col(GraftDocLog.OpCol) === "delete")
+          .select(col("_id").cast("long").as("vec_id"))
+        // serve from the persisted index MINUS tombstoned memberships;
+        // deleted ids are excluded as queries too (a deleted user gets
+        // no serve)
+        val ic = s.read.parquet(s"$p/cent")
+        val ia = s.read.parquet(s"$p/assign")
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        val q = e.filter(col("vec_id") < 10)
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        ivfServeFor(q, e, ic, ia)
       }),
 
     // Hybrid retrieval with reciprocal-rank fusion (RRF, Cormack &
