@@ -289,6 +289,102 @@ object MultimodalQueries {
     }
   }
 
+  /** combined A/V row: one doc's genuine GIF + WAV container bytes. */
+  final case class MediaAv(doc_id: Long, gif: Array[Byte], wav: Array[Byte])
+
+  /** sampled-feature output: pooled frame histogram + windowed energy. */
+  final case class AvFeatures(doc_id: Long, n_frames: Long, n_sampled: Long,
+      gif_top_bin: Long, gif_top_ppm: Long, n_windows: Long,
+      aud_energy: Long, aud_peak_win: Long)
+
+  /** Frame-sample + FEATURE-EXTRACT over both real codecs in one seam
+    * pass — the production shape q68 stubbed and q6m/q6j proved halves
+    * of: pixel decode runs ONLY for sampled frames (every 2nd — the
+    * container's frame index is walked, skipped frames are never
+    * decoded), and each decoded frame feeds a feature (pooled 16-bin
+    * intensity histogram → dominant bin); the audio stream is windowed
+    * into 16-frame windows with every 2nd window's exact |amplitude|
+    * energy extracted. Per-partition codec/provider init, exact integer
+    * outputs — the oracle replays every sampled pixel and sample. */
+  def extractAvFeatures(rows: Iterator[MediaAv]): Iterator[AvFeatures] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { m =>
+      // GIF: decode only sampled frames, pool their intensity histogram
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(m.gif))
+      var nf = 0
+      val hist = new Array[Long](16)
+      var nSampled = 0L
+      var npx = 0L
+      try {
+        reader.setInput(iis, /* seekForwardOnly = */ false)
+        nf = reader.getNumImages(/* allowSearch = */ true)
+        require(nf > 0, s"doc ${m.doc_id}: payload holds no decodable frames")
+        var f = 0
+        while (f < nf) {
+          if (f % 2 == 0) {
+            val img = reader.read(f)
+            nSampled += 1
+            npx += img.getWidth.toLong * img.getHeight
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                hist((img.getRGB(x, y) & 0xFF) >> 4) += 1
+                x += 1
+              }
+              y += 1
+            }
+          }
+          f += 1
+        }
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+      var top = 0
+      var b = 1
+      while (b < 16) { if (hist(b) > hist(top)) top = b; b += 1 } // ties → smallest
+      // WAV: exact |amplitude| energy of every 2nd 16-frame window
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.wav))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"doc ${m.doc_id}: expected 16-bit little-endian PCM, got $fmt")
+      val ch = fmt.getChannels
+      val data = ais.readAllBytes()
+      ais.close()
+      val nFrames = data.length / (2 * ch)
+      val nw = nFrames / 16 // full windows only
+      var energy = 0L
+      var peakWin = 0L
+      var j = 0
+      while (j < nw) {
+        if (j % 2 == 0) {
+          var we = 0L
+          var i = j * 16
+          while (i < j * 16 + 16) {
+            var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              val v = ((data(off) & 0xFF) | (data(off + 1) << 8)).toShort.toLong
+              we += math.abs(v)
+              c += 1
+            }
+            i += 1
+          }
+          energy += we
+          if (we > peakWin) peakWin = we
+        }
+        j += 1
+      }
+      AvFeatures(m.doc_id, nf.toLong, nSampled, top.toLong,
+        if (npx == 0) 0L else hist(top) * 1000000L / npx,
+        nw.toLong, energy, peakWin)
+    }
+  }
+
   /** real-animation row: doc provenance + genuine multi-frame GIF bytes. */
   final case class MediaVideo(doc_id: Long, gif: Array[Byte])
 
@@ -560,6 +656,70 @@ object MultimodalQueries {
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map(id => MediaVideo(id, synthesizeGif(id))))
           .mapPartitions(decodeVideo)
+          .toDF()
+          .orderBy(col("doc_id"))
+      }),
+
+    // Frame-sample + feature-extract over BOTH real codecs in one query —
+    // the production multimodal-featurization shape composed from its
+    // proven halves (q6m real multi-frame GIF, q6j real RIFF/WAVE): only
+    // every 2nd GIF frame is pixel-decoded (the skipped-frame decode
+    // saving that makes sampling worthwhile at 100 TB), each sampled
+    // frame feeds a pooled 16-bin intensity histogram whose dominant bin
+    // is the image feature; the audio stream yields exact |amplitude|
+    // energy over every 2nd 16-frame window. One mapPartitions pass,
+    // per-partition codec init, row-local until the final sort; the
+    // oracle replays every sampled pixel and sample, so a hash match
+    // certifies both container round-trips AND that the feature algebra
+    // saw exactly the sampled subsets.
+    QueryDef(
+      "q6x_av_sampled_features",
+      Some("""WITH g AS (
+          SELECT doc_id,
+                 CAST(2 + doc_id % 4 AS INT) AS nf,
+                 CAST(6 + doc_id % 9 AS INT) AS w,
+                 CAST(6 + (doc_id * 3) % 7 AS INT) AS h,
+                 CAST(64 + doc_id % 97 AS INT) AS n,
+                 CAST(1 + doc_id % 2 AS INT) AS ch
+          FROM documents),
+        hist AS (SELECT doc_id, bin,
+            list_sum(list_transform(generate_series(0, (nf - 1) // 2), j ->
+              len(list_filter(generate_series(0, CAST(w*h - 1 AS INT)), i ->
+                ((doc_id + 11*(2*j) + 7*(i % w) + 13*(i // w)) % 256) // 16
+                  = bin)))) AS cnt,
+            ((nf - 1) // 2 + 1) * w * h AS npx
+          FROM g, (SELECT unnest(generate_series(0, 15)) AS bin) b),
+        top AS (SELECT doc_id, bin, cnt, npx,
+            row_number() OVER (PARTITION BY doc_id
+              ORDER BY cnt DESC, bin) AS rn
+          FROM hist),
+        awe AS (SELECT doc_id, n // 16 AS nw,
+            list_transform(generate_series(0, (n // 16 - 1) // 2), j ->
+              list_sum(list_transform(
+                generate_series(2*j*16, 2*j*16 + 15), i ->
+                  abs((31*doc_id + 7*i) % 65536 - 32768)
+                  + CASE WHEN ch = 2
+                    THEN abs((31*doc_id + 17 + 7*i) % 65536 - 32768)
+                    ELSE 0 END))) AS wes
+          FROM g)
+        SELECT g.doc_id,
+          CAST(g.nf AS BIGINT) AS n_frames,
+          CAST((g.nf - 1) // 2 + 1 AS BIGINT) AS n_sampled,
+          CAST(t.bin AS BIGINT) AS gif_top_bin,
+          CAST(t.cnt * 1000000 // t.npx AS BIGINT) AS gif_top_ppm,
+          CAST(a.nw AS BIGINT) AS n_windows,
+          CAST(list_sum(a.wes) AS BIGINT) AS aud_energy,
+          CAST(list_max(a.wes) AS BIGINT) AS aud_peak_win
+        FROM g JOIN top t ON t.doc_id = g.doc_id AND t.rn = 1
+        JOIN awe a ON a.doc_id = g.doc_id
+        ORDER BY g.doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id =>
+            MediaAv(id, synthesizeGif(id), synthesizeWav(id))))
+          .mapPartitions(extractAvFeatures)
           .toDF()
           .orderBy(col("doc_id"))
       }),
