@@ -354,6 +354,62 @@ class PlanSpec extends SparkSpec {
     assert(joined.collect().map(_.getLong(1)).sum > 0)
   }
 
+  test("bucketed chunk-hash layout: the dedup probe's standing side reads exchange-free") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    // The q5y/q8j chunk-hash discipline promoted to a LAYOUT: at 100 TB
+    // the historical chunk-hash set is not built per query (q8j's demo
+    // shape) — it is written ONCE bucketed on the hash, and every
+    // arriving batch (each stream-static micro-batch re-plans this exact
+    // batch join) shuffles ONLY itself into bucket alignment. The
+    // standing side must read with ZERO exchanges under the join: that
+    // is the write-once-probe-forever contract, and it must hold via
+    // SMJ + bucketing, not via broadcast (a 100 TB standing set does not
+    // broadcast).
+    val t = s"chunk_hist_p${ProcessHandle.current().pid()}"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val wp = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+    if (fs.exists(wp)) fs.delete(wp, true)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.queries.TextAnalysis.cdcChunks(docs.filter(col("doc_id") < 30))
+      .select(sha2(col("chunk"), 256).as("h")).distinct()
+      .write.format("parquet").bucketBy(8, "h").sortBy("h").saveAsTable(t)
+    val standing = spark.table(t).withColumn("known", lit(1))
+    val probe = graft.queries.TextAnalysis
+      .cdcChunks(docs.filter(col("doc_id") >= 30))
+      .select(col("doc_id"), sha2(col("chunk"), 256).as("h"))
+    val joined = probe.hint("merge").join(standing, Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("known").isNotNull, 1L).otherwise(0L)).as("n_known"))
+    val plans = collectAll(executed(joined))
+    val smj = plans.collectFirst { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"probe did not plan as SMJ:\n${plans.head}")
+    // static side subtree (the one containing the bucketed table scan):
+    // zero exchanges; probe side: exactly the one shuffle of the batch
+    val sides = Seq(smj.get.left, smj.get.right).map(collectAll)
+    val (staticSide, probeSide) = {
+      def hasBucketScan(ps: Seq[SparkPlan]) = ps.exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.bucketedScan
+        case _ => false
+      }
+      if (hasBucketScan(sides(0))) (sides(0), sides(1))
+      else { assert(hasBucketScan(sides(1)),
+        "no bucketed scan under either join side"); (sides(1), sides(0)) }
+    }
+    assert(!staticSide.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "the standing chunk-hash side shuffled — the bucketed layout was not used")
+    assert(probeSide.exists(_.isInstanceOf[ShuffleExchangeExec]),
+      "expected the arriving batch to shuffle into bucket alignment")
+    assert(joined.count() > 0)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    if (fs.exists(wp)) fs.delete(wp, true)
+  }
+
   test("native as-of join: unused wide columns pruned down to the parquet scan") {
     import org.apache.spark.sql.functions.col
     // NO manual pre-projection: both sides enter the custom node with all
