@@ -27,7 +27,10 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default matches the driver's environment (local[32] on this box);
+    // the stamp below records whatever was actually used so BenchGate
+    // can refuse cross-environment comparison instead of guessing.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder()
         .master(s"local[$cpus]")

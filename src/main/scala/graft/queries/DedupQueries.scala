@@ -884,7 +884,106 @@ object DedupQueries {
         prefixJaccardPairs(withShingles(docs(s, dir)))
           .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jac"))
           .orderBy(col("id_a"), col("id_b")))
-  )
+  ) :+ {
+    // Exact duplicated-SUBSTRING spans (the ExactSubstr dedup of Lee et
+    // al. 2021, "Deduplicating Training Data Makes Language Models
+    // Better", arXiv:2107.06499, re-expressed relationally): every
+    // maximal character span built from length-20 windows that occur
+    // verbatim in >= 2 distinct documents, reported per document as
+    // (span_start, span_len) with overlapping/adjacent windows merged.
+    // Doc-level dedup (q60-q62) can't see a boilerplate paragraph pasted
+    // into otherwise-distinct pages; this operator flags exactly those
+    // characters for surgical removal.
+    //
+    // Scale shape (the suffix-array build of the paper is a single-node
+    // construction; the distributed-relational equivalent is the L-gram
+    // shuffle, kept narrow in two passes):
+    //   pass 1: positions shuffle ONLY (doc_id, i, xxhash64(gram)) — 8-byte
+    //           hashes, never the 20-char gram and never the text — and a
+    //           count-distinct-docs agg finds cross-doc hashes;
+    //   pass 2: the (rare) candidate positions re-join `documents` on
+    //           doc_id to recover their gram STRINGS, which are grouped
+    //           once more for the exact cross-doc verify — hash
+    //           collisions can only ADD candidates, the string group
+    //           removes them, so the result is exact, not probabilistic.
+    //           Re-shuffling the corpus once (pass-2 join) costs ~1x
+    //           corpus bytes vs ~20x for shuffling grams at every
+    //           position, which is why the hash pre-pass exists.
+    //   merge:  per-doc islands via lag/sum windows (partitioned by
+    //           doc_id — never global). Windows [a,a+19], [b,b+19] merge
+    //           iff b <= a + 20 (overlap or exact adjacency = one
+    //           contiguous flagged region).
+    // The oracle skips the hash pre-pass (pure optimization, identical
+    // output) and replays the gram grouping + island merge directly.
+    val L = 20
+    QueryDef(
+      "q6z_exact_substring_spans",
+      Some(s"""WITH p AS (
+          SELECT doc_id, i, substr(text, CAST(i AS INT), $L) AS gram
+          FROM (SELECT doc_id, text,
+                  unnest(generate_series(1, CAST(len(text) - ${L - 1} AS INT))) AS i
+                FROM documents WHERE len(text) >= $L)),
+        g AS (SELECT gram FROM p GROUP BY gram
+              HAVING COUNT(DISTINCT doc_id) >= 2),
+        c AS (SELECT p.doc_id, p.i FROM p JOIN g USING (gram)),
+        b AS (SELECT doc_id, i,
+                CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                       OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + $L
+                     THEN 1 ELSE 0 END AS brk
+              FROM c),
+        isl AS (SELECT doc_id, i,
+                  SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+                FROM b)
+        SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+               CAST(MAX(i) - MIN(i) + $L AS BIGINT) AS span_len
+        FROM isl GROUP BY doc_id, island
+        ORDER BY doc_id, span_start"""),
+      (s, dir) => exactSubstringSpans(docs(s, dir), L))
+  }
+
+  /** The q6z engine on any (doc_id, text) frame — exposed for the
+    * property spec (random corpora with planted shared chunks vs a
+    * driver-side brute-force reference). */
+  private[graft] def exactSubstringSpans(d0: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = d0.select(col("doc_id"), col("text"))
+    // pass 1: narrow positions — project text away BEFORE any shuffle
+    val posH = d
+      .filter(length(col("text")) >= L)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        xxhash64(expr(s"substring(text, i, $L)")).as("gh"))
+    val dupH = posH.groupBy("gh")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gh")
+    // pass 2: candidates only — recover gram strings via one corpus
+    // equi join on doc_id, then the exact cross-doc verify on the string
+    val candG = posH.join(dupH, "gh")
+      .select(col("doc_id"), col("i"))
+      .join(d, Seq("doc_id"))
+      .select(col("doc_id"), col("i"),
+        expr(s"substring(text, i, $L)").as("gram"))
+    val dupG = candG.groupBy("gram")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("gram")
+    val verified = candG.join(dupG, "gram").select(col("doc_id"), col("i"))
+    // merge overlapping/adjacent windows into maximal per-doc spans
+    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    verified
+      .withColumn("prev", lag(col("i"), 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev").isNull || col("i") > col("prev") + L, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wOrd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).cast("long").as("span_start"),
+        (max(col("i")) - min(col("i")) + L).cast("long").as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
 
   /** Lossless prefix-filtered Jaccard-0.7 self-join over (doc_id,
     * sh: array) rows — the q6r engine, exposed for the property spec
