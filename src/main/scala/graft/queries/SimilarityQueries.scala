@@ -1239,6 +1239,88 @@ object SimilarityQueries {
           .filter(col("rnk") <= 10)
           .select(col("qid"), col("nid"), col("rrf"), col("rnk"))
           .orderBy(col("qid"), col("rnk"))
+      }),
+
+    // Johnson–Lindenstrauss random projection (Achlioptas 2003 ±1
+    // Rademacher variant) + recall audit — the dimensionality-reduction
+    // step in front of ANN: 64-dim float embeddings projected to 4 dims
+    // through a DETERMINISTIC hash-derived sign matrix (no materialized
+    // weights, no driver-side randomness — w(i,j) recomputes anywhere
+    // from (i, j) alone, so 1000 executors agree without a broadcast),
+    // then per-query top-5 on the projected metric is compared against
+    // exact top-5 to measure what the compression costs. The projection
+    // is one row-local HOF fold per vector (corpus never shuffles); the
+    // recall join is per-query narrow like q65's baseline. Determinism:
+    // the fold is sequential in index order, projected components round
+    // 9 THEN cast float (the kmeansIterations idiom) before the shared
+    // cosine kernel, ranking ties break on neighbor id.
+    QueryDef(
+      "q92_random_projection",
+      Some("""WITH pe AS (
+          SELECT vec_id, embedding,
+            list_transform(generate_series(0, 3), j ->
+              CAST(round(list_sum(list_transform(
+                generate_series(0, CAST(len(embedding) - 1 AS INT)),
+                i -> (CASE WHEN ((i * 2654435761 + j * 97003) % 1000003) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END) * embedding[i + 1]::DOUBLE)), 9)
+                AS FLOAT)) AS pe
+          FROM embeddings),
+        q AS (SELECT vec_id AS qid, embedding AS qe, pe AS qp
+              FROM pe WHERE vec_id % 31 = 0),
+        ex AS (SELECT qid, e.vec_id AS nid FROM (
+                 SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round(list_cosine_similarity(
+                     q.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
+                     e.vec_id) AS rn
+                 FROM q, pe e WHERE e.vec_id <> q.qid) e WHERE rn <= 5),
+        pr AS (SELECT qid, e.vec_id AS nid FROM (
+                 SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+                   ORDER BY round(list_cosine_similarity(
+                     q.qp::DOUBLE[], e.pe::DOUBLE[]), 9) DESC,
+                     e.vec_id) AS rn
+                 FROM q, pe e WHERE e.vec_id <> q.qid) e WHERE rn <= 5),
+        o AS (SELECT ex.qid, COUNT(*) AS n_overlap
+              FROM ex JOIN pr ON pr.qid = ex.qid AND pr.nid = ex.nid
+              GROUP BY ex.qid),
+        d AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid)
+        SELECT d.qid, CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+          CAST(round(COALESCE(o.n_overlap, 0) * 1.0 / d.n_exact, 4) AS DOUBLE)
+            AS recall
+        FROM d LEFT JOIN o ON o.qid = d.qid ORDER BY d.qid"""),
+      (s, dir) => {
+        val pe = emb(s, dir).withColumn("pe", expr(
+          """transform(sequence(0, 3), j ->
+               cast(round(aggregate(sequence(0, size(embedding) - 1),
+                 cast(0.0 as double),
+                 (acc, i) -> acc +
+                   (case when ((i * 2654435761L + j * 97003L) % 1000003L) % 2 = 0
+                    then 1.0 else -1.0 end) * element_at(embedding, i + 1)),
+               9) as float))"""))
+        val q = pe.filter(col("vec_id") % 31 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("pe").as("qp"))
+        def top5(scoreOf: DataFrame => Column, cand: DataFrame): DataFrame = {
+          val j = cand.crossJoin(broadcast(q)).filter(col("vec_id") =!= col("qid"))
+          val w = Window.partitionBy(col("qid"))
+            .orderBy(col("c").desc, col("vec_id"))
+          j.withColumn("c", scoreOf(j))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= 5)
+            .select(col("qid"), col("vec_id").as("nid"))
+        }
+        val ex = top5(
+          d => round(VectorFunctions.cosine_sim(d("qe"), d("embedding")), 9), pe)
+        val pr = top5(
+          d => round(VectorFunctions.cosine_sim(d("qp"), d("pe")), 9), pe)
+        val o = ex.join(pr, Seq("qid", "nid"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+        val dn = ex.groupBy(col("qid")).agg(count(lit(1)).as("n_exact"))
+        dn.join(o, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            round(coalesce(col("n_overlap"), lit(0L)) * lit(1.0)
+              / col("n_exact"), 4).as("recall"))
+          .orderBy(col("qid"))
       })
   )
 

@@ -852,6 +852,107 @@ object TextAnalysis {
           .select(col("source"), col("doc_id"), col("rk").as("sample_rank"),
             (col("ky") + lit(0.0)).as("sample_key"))
           .orderBy(col("source"), col("sample_rank"))
+      }),
+
+    // BPE vocabulary training (Sennrich et al. 2016, arXiv:1508.07909) —
+    // the tokenizer-learning step of every LLM data pipeline, run as a
+    // distributed iterative operator. The scale shape production BPE
+    // trainers use: the CORPUS is aggregated once into the (word, freq)
+    // vocabulary (Heaps' law: vocab ≪ corpus, the only corpus-sized
+    // pass), then every merge round runs over the vocab alone — pair
+    // counting is a narrow (pair, Σfreq) shuffle and the winning merge
+    // flows back as a broadcast 1-row frame, so rounds stay in-plan with
+    // no driver collect. Greedy left-to-right merge application is made
+    // EXACT and engine-portable by keeping each word as a bracketed
+    // token string '(h)(e)(l)(l)(o)(_)': literal replace of '(a)(b)' →
+    // '(ab)' consumes whole tokens only (no cross-token false match the
+    // space-delimited form allows) and both engines' replace() scan
+    // left-to-right non-overlapping — exactly BPE's merge order, so
+    // '(a)(a)(a)(a)' → '(aa)(aa)', never '(aa)(a)(a)' . Round-2 counts
+    // depend on round-1 application, so three rounds of matching counts
+    // certify application, not just counting. All-integer algebra;
+    // ties broken (count DESC, pair ASC) like every argmax here.
+    QueryDef(
+      "q90_bpe_train",
+      Some("""WITH w AS (
+          SELECT word, COUNT(*) AS wf FROM (
+            SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+            FROM documents) GROUP BY word),
+        t1 AS (SELECT regexp_replace(word || '_', '(.)', '(\1)', 'g') AS ts, wf
+               FROM w),
+        p1 AS (SELECT p.lt, p.rt, SUM(wf) AS c FROM (
+                 SELECT unnest(list_transform(
+                     generate_series(1, len(l) - 1),
+                     i -> struct_pack(lt := l[i], rt := l[i + 1]))) AS p, wf
+                 FROM (SELECT string_split(substr(ts, 2, length(ts) - 2),
+                         ')(') AS l, wf FROM t1))
+               GROUP BY p.lt, p.rt),
+        b1 AS (SELECT lt, rt, c FROM p1 ORDER BY c DESC, lt, rt LIMIT 1),
+        t2 AS (SELECT replace(ts, '(' || b.lt || ')(' || b.rt || ')',
+                        '(' || b.lt || b.rt || ')') AS ts, wf
+               FROM t1, b1 b),
+        p2 AS (SELECT p.lt, p.rt, SUM(wf) AS c FROM (
+                 SELECT unnest(list_transform(
+                     generate_series(1, len(l) - 1),
+                     i -> struct_pack(lt := l[i], rt := l[i + 1]))) AS p, wf
+                 FROM (SELECT string_split(substr(ts, 2, length(ts) - 2),
+                         ')(') AS l, wf FROM t2))
+               GROUP BY p.lt, p.rt),
+        b2 AS (SELECT lt, rt, c FROM p2 ORDER BY c DESC, lt, rt LIMIT 1),
+        t3 AS (SELECT replace(ts, '(' || b.lt || ')(' || b.rt || ')',
+                        '(' || b.lt || b.rt || ')') AS ts, wf
+               FROM t2, b2 b),
+        p3 AS (SELECT p.lt, p.rt, SUM(wf) AS c FROM (
+                 SELECT unnest(list_transform(
+                     generate_series(1, len(l) - 1),
+                     i -> struct_pack(lt := l[i], rt := l[i + 1]))) AS p, wf
+                 FROM (SELECT string_split(substr(ts, 2, length(ts) - 2),
+                         ')(') AS l, wf FROM t3))
+               GROUP BY p.lt, p.rt),
+        b3 AS (SELECT lt, rt, c FROM p3 ORDER BY c DESC, lt, rt LIMIT 1)
+        SELECT rnd, lt AS left_tok, rt AS right_tok,
+               CAST(c AS BIGINT) AS pair_count
+        FROM (SELECT 1 AS rnd, * FROM b1 UNION ALL
+              SELECT 2 AS rnd, * FROM b2 UNION ALL
+              SELECT 3 AS rnd, * FROM b3)
+        ORDER BY rnd"""),
+      (s, dir) => {
+        def pairCounts(t: DataFrame): DataFrame = t
+          .select(col("wf"),
+            split(expr("substring(ts, 2, length(ts) - 2)"), "\\)\\(").as("l"))
+          .select(col("wf"), explode(expr(
+            "transform(sequence(1, size(l) - 1), " +
+              "i -> struct(element_at(l, i) AS lt, element_at(l, i + 1) AS rt))"))
+            .as("p"))
+          .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
+          .agg(sum(col("wf")).as("c"))
+        def best(p: DataFrame): DataFrame =
+          p.orderBy(col("c").desc, col("lt"), col("rt")).limit(1)
+        def applyMerge(t: DataFrame, b: DataFrame): DataFrame = t
+          .crossJoin(broadcast(
+            b.select(col("lt").as("m_lt"), col("rt").as("m_rt"))))
+          .select(expr(
+            "replace(ts, '(' || m_lt || ')(' || m_rt || ')', " +
+              "'(' || m_lt || m_rt || ')')").as("ts"), col("wf"))
+        val t1 = docs(s, dir)
+          .select(explode(
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+          .select(
+            regexp_replace(concat(col("word"), lit("_")), "(.)", "($1)").as("ts"),
+            col("wf"))
+        val b1 = best(pairCounts(t1))
+        val t2 = applyMerge(t1, b1)
+        val b2 = best(pairCounts(t2))
+        val t3 = applyMerge(t2, b2)
+        val b3 = best(pairCounts(t3))
+        Seq(b1 -> 1, b2 -> 2, b3 -> 3)
+          .map { case (b, r) => b.select(lit(r).as("rnd"), col("lt"), col("rt"),
+            col("c")) }
+          .reduce(_.unionAll(_))
+          .select(col("rnd"), col("lt").as("left_tok"),
+            col("rt").as("right_tok"), col("c").cast("long").as("pair_count"))
+          .orderBy(col("rnd"))
       })
   )
 

@@ -119,6 +119,24 @@ class BenchGateSpec extends AnyFunSuite {
       0.294, 0.161, 0.142, 0.147, 0.150, 0.167)))
   }
 
+  test("suspicion bar: lone excursions get re-probed, steady noise does not") {
+    val sofar = Seq(0.165, 0.12, 0.103, 0.148, 0.107, 0.135)
+    // the idle local[32] incident: a lone 0.225s probe against a ~0.12s
+    // median is suspicious — it must be re-measured before it can enter
+    // the trace and stamp a provably idle run contended
+    assert(Bench.suspiciousProbe(sofar, 0.225))
+    // in-noise readings are recorded as-is (no re-probe cost)
+    assert(!Bench.suspiciousProbe(sofar, 0.15))
+    assert(!Bench.suspiciousProbe(sofar, 0.17))
+    // the suspicion bar sits BELOW the stamping bar: everything that
+    // could trip contendedRule is re-measured first
+    val spiky = sofar :+ 0.5
+    assert(Bench.contendedRule(spiky))
+    assert(Bench.suspiciousProbe(sofar, 0.5))
+    // the very first probe has no history — never suspicious
+    assert(!Bench.suspiciousProbe(Nil, 9.9))
+  }
+
   private def withCpus(json: String, cpus: Int): String =
     json.replace(""""sf":"sf0.1"""", s""""sf":"sf0.1","cpus":$cpus""")
 
