@@ -940,6 +940,60 @@ object DedupQueries {
         FROM isl GROUP BY doc_id, island
         ORDER BY doc_id, span_start"""),
       (s, dir) => exactSubstringSpans(docs(s, dir), L))
+  } :+ {
+    // Corpus snapshot diff — the change-audit primitive between two
+    // crawl/ingest versions: classify every doc_id as added / removed /
+    // changed / unchanged. The 100 TB shape: each side is projected to
+    // (doc_id, content_hash) BEFORE the full-outer join, so the only
+    // shuffle moves 40-byte rows, never document bodies (hashes are
+    // compared within-engine only, so Spark md5 vs DuckDB md5 parity is
+    // never relied on). The "old" snapshot is derived deterministically
+    // from the current corpus by the shared Knuth-hash bucketing —
+    // bucket 0 withheld (→ added), bucket 1 text-perturbed (→ changed),
+    // bucket 2 cloned under shifted ids into old only (→ removed) — so
+    // the oracle can rebuild the identical pair of snapshots in SQL and
+    // replay the whole classification per doc_id.
+    QueryDef(
+      "q94_snapshot_diff",
+      Some("""WITH b AS (
+          SELECT doc_id, text, (doc_id * 2654435761) % 16 AS bkt
+          FROM documents),
+        old AS (
+          SELECT doc_id,
+            CASE WHEN bkt = 1 THEN substr(text, 11) ELSE text END AS old_text
+          FROM b WHERE bkt <> 0
+          UNION ALL
+          SELECT doc_id + 1000000, text || ' retired' FROM b WHERE bkt = 2),
+        oh AS (SELECT doc_id, md5(old_text) AS h FROM old),
+        nh AS (SELECT doc_id, md5(text) AS h FROM documents)
+        SELECT COALESCE(nh.doc_id, oh.doc_id) AS doc_id,
+          CASE WHEN oh.doc_id IS NULL THEN 'added'
+               WHEN nh.doc_id IS NULL THEN 'removed'
+               WHEN oh.h = nh.h THEN 'unchanged'
+               ELSE 'changed' END AS status
+        FROM nh FULL OUTER JOIN oh ON nh.doc_id = oh.doc_id
+        ORDER BY doc_id"""),
+      (s, dir) => {
+        val b = docs(s, dir)
+          .withColumn("bkt", pmod(col("doc_id") * 2654435761L, lit(16)))
+        val old = b.filter(col("bkt") =!= 0)
+          .select(col("doc_id"),
+            when(col("bkt") === 1, expr("substring(text, 11)"))
+              .otherwise(col("text")).as("old_text"))
+          .unionAll(b.filter(col("bkt") === 2)
+            .select((col("doc_id") + 1000000L).as("doc_id"),
+              concat(col("text"), lit(" retired")).as("old_text")))
+        val oh = old.select(col("doc_id").as("o_id"), md5(col("old_text")).as("oh"))
+        val nh = docs(s, dir)
+          .select(col("doc_id").as("n_id"), md5(col("text")).as("nh"))
+        nh.join(oh, col("n_id") === col("o_id"), "full_outer")
+          .select(coalesce(col("n_id"), col("o_id")).as("doc_id"),
+            when(col("o_id").isNull, "added")
+              .when(col("n_id").isNull, "removed")
+              .when(col("oh") === col("nh"), "unchanged")
+              .otherwise("changed").as("status"))
+          .orderBy(col("doc_id"))
+      })
   }
 
   /** The q6z engine on any (doc_id, text) frame — exposed for the

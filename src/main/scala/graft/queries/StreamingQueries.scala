@@ -352,6 +352,30 @@ object StreamingQueries {
           CAST(SUM(p.n_known) AS BIGINT) AS n_known_chunks
         FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
         GROUP BY d.lang ORDER BY d.lang"""),
-      (s, dir) => StreamPipelines.docStreamChunkDedup(s, dir))
+      (s, dir) => StreamPipelines.docStreamChunkDedup(s, dir)),
+
+    // Continuous blocklist screening — q93's streaming twin on the q8e
+    // template: the blocklist (top-20 bigram phrases of the HISTORICAL
+    // corpus) is compiled once on the static side and every CDC-arriving
+    // document is scanned by the Aho–Corasick automaton inside the
+    // micro-batch plan — STATELESS (the pattern frame is a broadcast
+    // 1-row static side; zero state rows; per-pattern rollups happen
+    // post-drain). The oracle replays the naive per-pattern position
+    // scan over the streamed slice — the drained counts must equal batch
+    // screening exactly, overlap semantics included.
+    QueryDef(
+      "q8k_stream_blocklist",
+      Some(s"""WITH ${TextAnalysis.topBigramsCteSql(20, "doc_id < 250")},
+        pats AS (SELECT pat, length(pat) AS m FROM topbg),
+        hit AS (SELECT d.doc_id, p.pat,
+            len(list_filter(generate_series(1, length(d.text) - p.m + 1),
+                i -> substr(d.text, CAST(i AS INT), CAST(p.m AS INT)) = p.pat))
+              AS cnt
+          FROM documents d, pats p WHERE d.doc_id >= 250)
+        SELECT pat AS pattern,
+          CAST(COUNT(*) FILTER (WHERE cnt > 0) AS BIGINT) AS n_docs,
+          CAST(SUM(cnt) AS BIGINT) AS total_hits
+        FROM hit GROUP BY pattern ORDER BY pattern"""),
+      (s, dir) => StreamPipelines.docStreamBlocklist(s, dir))
   )
 }

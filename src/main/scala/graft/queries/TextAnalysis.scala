@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{HashExpressions, TextExpressions}
+import graft.functions.{HashExpressions, MultiPattern, TextExpressions}
 import graft.sources.Tables
 
 /** Text-analysis operators over the `documents` table (SURVEY.md §2.12,
@@ -874,7 +874,202 @@ object TextAnalysis {
     // ties broken (count DESC, pair ASC) like every argmax here.
     QueryDef(
       "q90_bpe_train",
-      Some("""WITH w AS (
+      Some(s"""WITH $bpeTrainCteSql
+        SELECT rnd, lt AS left_tok, rt AS right_tok,
+               CAST(c AS BIGINT) AS pair_count
+        FROM (SELECT 1 AS rnd, * FROM b1 UNION ALL
+              SELECT 2 AS rnd, * FROM b2 UNION ALL
+              SELECT 3 AS rnd, * FROM b3)
+        ORDER BY rnd"""),
+      (s, dir) => {
+        val Seq(b1, b2, b3) = bpeMerges(s, dir)
+        Seq(b1 -> 1, b2 -> 2, b3 -> 3)
+          .map { case (b, r) => b.select(lit(r).as("rnd"), col("lt"), col("rt"),
+            col("c")) }
+          .reduce(_.unionAll(_))
+          .select(col("rnd"), col("lt").as("left_tok"),
+            col("rt").as("right_tok"), col("c").cast("long").as("pair_count"))
+          .orderBy(col("rnd"))
+      }),
+
+    // BPE tokenization — APPLYING the q90-trained merges to the whole
+    // corpus, the encode half of the tokenizer lifecycle (train once,
+    // encode 100 TB). The three winning merges flow back onto the
+    // document scan as a broadcast 1-row frame (never a driver collect),
+    // and per-document encoding is pure row-local column algebra: word
+    // list → bracketed token string → three literal replaces in merge
+    // order → token count by counting '(' groups. Zero shuffles besides
+    // training; the corpus pass is embarrassingly parallel, which is the
+    // whole design at scale. The oracle re-trains the merges in SQL and
+    // re-encodes every document, so a drift in EITHER half shows.
+    QueryDef(
+      "q91_bpe_encode",
+      Some(s"""WITH $bpeTrainCteSql,
+        enc0 AS (SELECT d.doc_id,
+            regexp_extract_all(lower(d.text), '[a-z]+') AS words,
+            b1.lt AS m1l, b1.rt AS m1r, b2.lt AS m2l, b2.rt AS m2r,
+            b3.lt AS m3l, b3.rt AS m3r
+          FROM documents d, b1, b2, b3),
+        enc AS (SELECT doc_id, words,
+            list_transform(words, w ->
+              replace(replace(replace(
+                regexp_replace(w || '_', '(.)', '(\\1)', 'g'),
+                '(' || m1l || ')(' || m1r || ')', '(' || m1l || m1r || ')'),
+                '(' || m2l || ')(' || m2r || ')', '(' || m2l || m2r || ')'),
+                '(' || m3l || ')(' || m3r || ')', '(' || m3l || m3r || ')'))
+              AS toks
+          FROM enc0),
+        cnt AS (SELECT doc_id,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(COALESCE(list_sum(list_transform(words,
+              w -> length(w) + 1)), 0) AS BIGINT) AS n_units,
+            CAST(COALESCE(list_sum(list_transform(toks,
+              t -> length(t) - length(replace(t, '(', '')))), 0) AS BIGINT)
+              AS n_tokens
+          FROM enc)
+        SELECT doc_id, n_words, n_units, n_tokens,
+          CASE WHEN n_tokens > 0
+               THEN CAST(round(n_units * 1.0 / n_tokens, 4) AS DOUBLE) END
+            AS compression
+        FROM cnt ORDER BY doc_id"""),
+      (s, dir) => {
+        val Seq(b1, b2, b3) = bpeMerges(s, dir)
+        val merges = b1.select(col("lt").as("m1l"), col("rt").as("m1r"))
+          .crossJoin(b2.select(col("lt").as("m2l"), col("rt").as("m2r")))
+          .crossJoin(b3.select(col("lt").as("m3l"), col("rt").as("m3r")))
+        docs(s, dir)
+          .crossJoin(broadcast(merges))
+          .withColumn("words",
+            expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+          .withColumn("toks", expr(
+            """transform(words, w ->
+                 replace(replace(replace(
+                   regexp_replace(concat(w, '_'), '(.)', '($1)'),
+                   concat('(', m1l, ')(', m1r, ')'), concat('(', m1l, m1r, ')')),
+                   concat('(', m2l, ')(', m2r, ')'), concat('(', m2l, m2r, ')')),
+                   concat('(', m3l, ')(', m3r, ')'), concat('(', m3l, m3r, ')')))"""))
+          .select(col("doc_id"),
+            size(col("words")).cast("long").as("n_words"),
+            expr("aggregate(words, CAST(0 AS BIGINT), " +
+              "(a, w) -> a + length(w) + 1)").as("n_units"),
+            expr("aggregate(toks, CAST(0 AS BIGINT), " +
+              "(a, t) -> a + length(t) - length(replace(t, '(', '')))")
+              .as("n_tokens"))
+          .withColumn("compression", when(col("n_tokens") > 0,
+            round(col("n_units").cast("double") / col("n_tokens"), 4)))
+          .orderBy(col("doc_id"))
+      }),
+
+    // Multi-pattern blocklist screening — the corpus-hygiene scan that
+    // checks every document against a (possibly data-derived) list of
+    // banned phrases in ONE pass. The Spark side compiles the list into
+    // an Aho–Corasick automaton ([[graft.functions.MultiPattern]]):
+    // O(|text| + matches) per document regardless of how many patterns
+    // the blocklist holds, with the pattern set flowing in-plan as a
+    // broadcast 1-row array (the centroid idiom — no driver collect).
+    // The oracle is the naive formulation — one position-by-position
+    // substring scan PER pattern — so it independently certifies the
+    // automaton's overlap semantics (every occurrence position counts,
+    // 'a a' hits twice in 'a a a'). Here the blocklist is the corpus's
+    // top-20 bigram phrases, making the screen self-contained; a real
+    // deployment reads the same array from a config table.
+    QueryDef(
+      "q93_blocklist_scan",
+      Some(s"""WITH ${topBigramsCteSql(20)},
+        pats AS (SELECT pat, length(pat) AS m FROM topbg),
+        hit AS (SELECT d.doc_id, p.pat,
+            len(list_filter(generate_series(1, length(d.text) - p.m + 1),
+                i -> substr(d.text, CAST(i AS INT), CAST(p.m AS INT)) = p.pat))
+              AS cnt
+          FROM documents d, pats p)
+        SELECT pat AS pattern,
+          CAST(COUNT(*) FILTER (WHERE cnt > 0) AS BIGINT) AS n_docs,
+          CAST(SUM(cnt) AS BIGINT) AS total_hits
+        FROM hit GROUP BY pattern ORDER BY pattern"""),
+      (s, dir) => {
+        val pats = topBigrams(docs(s, dir), 20)
+          .agg(sort_array(collect_list(col("pat"))).as("patterns"))
+        docs(s, dir)
+          .crossJoin(broadcast(pats))
+          .select(col("doc_id"), explode(MultiPattern.multi_pattern_counts(
+            col("text"), col("patterns"))).as("h"))
+          .select(col("doc_id"), col("h.pattern").as("pattern"),
+            col("h.cnt").as("cnt"))
+          .groupBy(col("pattern"))
+          .agg(count(when(col("cnt") > 0, lit(1))).as("n_docs"),
+            sum(col("cnt")).cast("long").as("total_hits"))
+          .orderBy(col("pattern"))
+      }),
+
+    // Phrase search over a positional inverted index — the retrieval
+    // shape BM25 (q5r) can't express: exact phrase matching via posting
+    // positions. The index is (term, doc_id, pos) — ONE corpus-sized
+    // posexplode, then the phrase probe filters the postings to the two
+    // phrase terms (a broadcast 1-row frame, so the filter reaches the
+    // scan) and self-joins on (doc_id, pos+1): adjacency in position
+    // space IS phrase occurrence. At 100 TB the index is built once and
+    // bucketed by term; the probe touches only the phrase terms'
+    // postings — the reason inverted indexes exist. The probed phrase is
+    // the corpus's most frequent bigram (deterministic argmax), and the
+    // oracle recomputes occurrences by scanning every document's word
+    // array — index-based counts must equal scan-based counts exactly.
+    QueryDef(
+      "q96_phrase_search",
+      Some(s"""WITH ${topBigramsCteSql(1)},
+        ph AS (SELECT string_split(pat, ' ')[1] AS w1,
+                      string_split(pat, ' ')[2] AS w2 FROM topbg),
+        wl AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        wp AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+               FROM wl)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM wp, ph WHERE w[i] = w1 AND w[i + 1] = w2
+        GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val phrase = topBigrams(docs(s, dir), 1)
+          .select(split(col("pat"), " ").getItem(0).as("w1"),
+            split(col("pat"), " ").getItem(1).as("w2"))
+        val postings = docs(s, dir)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .crossJoin(broadcast(phrase))
+        val heads = postings.filter(col("term") === col("w1"))
+          .select(col("doc_id"), col("pos"))
+        val tails = postings.filter(col("term") === col("w2"))
+          .select(col("doc_id"), (col("pos") - 1).as("pos"))
+        heads.join(tails, Seq("doc_id", "pos"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_occurrences"))
+          .orderBy(col("doc_id"))
+      })
+  )
+
+  /** DuckDB CTE chain extracting the corpus's top-`k` word bigrams
+    * (count DESC, phrase ASC — the engine's argmax tie-break) as CTE
+    * `topbg(pat)`, over documents matching `pred`. Oracle mirror of
+    * [[topBigrams]]; shared by q93 / q96 / q8k. */
+  private[queries] def topBigramsCteSql(k: Int, pred: String = "TRUE"): String =
+    s"""bgl AS (SELECT string_split(text, ' ') AS w
+                FROM documents WHERE $pred),
+        bgp AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM bgl),
+        bg AS (SELECT w[i] || ' ' || w[i + 1] AS pat, COUNT(*) AS c
+               FROM bgp GROUP BY 1),
+        topbg AS (SELECT pat FROM bg ORDER BY c DESC, pat LIMIT $k)"""
+
+  /** Top-`k` space-joined word bigrams of `df`'s `text` column by
+    * frequency (count DESC, phrase ASC): one narrow (bigram, Σ1) shuffle
+    * then a TakeOrderedAndProject — no corpus re-shuffle, no collect. */
+  private[graft] def topBigrams(df: DataFrame, k: Int): DataFrame =
+    df.select(explode(TextExpressions.word_shingles_all(col("text"), 2))
+        .as("pat"))
+      .groupBy(col("pat")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("pat")).limit(k)
+      .select(col("pat"))
+
+  /** DuckDB CTE chain training 3 BPE merge rounds over the corpus
+    * vocabulary — CTEs `w`, `t1..t3`, `p1..p3` and the per-round winners
+    * `b1`/`b2`/`b3` (lt, rt, c). Oracle mirror of [[bpeMerges]]; shared
+    * by q90 (dumps the merges) and q91 (applies them to every doc). */
+  private[queries] def bpeTrainCteSql: String = """w AS (
           SELECT word, COUNT(*) AS wf FROM (
             SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
             FROM documents) GROUP BY word),
@@ -909,52 +1104,47 @@ object TextAnalysis {
                  FROM (SELECT string_split(substr(ts, 2, length(ts) - 2),
                          ')(') AS l, wf FROM t3))
                GROUP BY p.lt, p.rt),
-        b3 AS (SELECT lt, rt, c FROM p3 ORDER BY c DESC, lt, rt LIMIT 1)
-        SELECT rnd, lt AS left_tok, rt AS right_tok,
-               CAST(c AS BIGINT) AS pair_count
-        FROM (SELECT 1 AS rnd, * FROM b1 UNION ALL
-              SELECT 2 AS rnd, * FROM b2 UNION ALL
-              SELECT 3 AS rnd, * FROM b3)
-        ORDER BY rnd"""),
-      (s, dir) => {
-        def pairCounts(t: DataFrame): DataFrame = t
-          .select(col("wf"),
-            split(expr("substring(ts, 2, length(ts) - 2)"), "\\)\\(").as("l"))
-          .select(col("wf"), explode(expr(
-            "transform(sequence(1, size(l) - 1), " +
-              "i -> struct(element_at(l, i) AS lt, element_at(l, i + 1) AS rt))"))
-            .as("p"))
-          .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
-          .agg(sum(col("wf")).as("c"))
-        def best(p: DataFrame): DataFrame =
-          p.orderBy(col("c").desc, col("lt"), col("rt")).limit(1)
-        def applyMerge(t: DataFrame, b: DataFrame): DataFrame = t
-          .crossJoin(broadcast(
-            b.select(col("lt").as("m_lt"), col("rt").as("m_rt"))))
-          .select(expr(
-            "replace(ts, '(' || m_lt || ')(' || m_rt || ')', " +
-              "'(' || m_lt || m_rt || ')')").as("ts"), col("wf"))
-        val t1 = docs(s, dir)
-          .select(explode(
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
-          .groupBy(col("word")).agg(count(lit(1)).as("wf"))
-          .select(
-            regexp_replace(concat(col("word"), lit("_")), "(.)", "($1)").as("ts"),
-            col("wf"))
-        val b1 = best(pairCounts(t1))
-        val t2 = applyMerge(t1, b1)
-        val b2 = best(pairCounts(t2))
-        val t3 = applyMerge(t2, b2)
-        val b3 = best(pairCounts(t3))
-        Seq(b1 -> 1, b2 -> 2, b3 -> 3)
-          .map { case (b, r) => b.select(lit(r).as("rnd"), col("lt"), col("rt"),
-            col("c")) }
-          .reduce(_.unionAll(_))
-          .select(col("rnd"), col("lt").as("left_tok"),
-            col("rt").as("right_tok"), col("c").cast("long").as("pair_count"))
-          .orderBy(col("rnd"))
-      })
-  )
+        b3 AS (SELECT lt, rt, c FROM p3 ORDER BY c DESC, lt, rt LIMIT 1)"""
+
+  /** Three BPE merge-training rounds over `dir`'s documents: the corpus
+    * aggregates ONCE into the (word, freq) vocabulary, every round pair-
+    * counts over the vocab alone (narrow (pair, Σfreq) shuffle) and the
+    * winner flows back as a broadcast 1-row frame — no driver collect.
+    * Returns the per-round winning (lt, rt, c) 1-row frames in order.
+    * See q90's rationale comment for why the bracketed-token replace is
+    * exact greedy BPE on both engines. */
+  private[queries] def bpeMerges(s: SparkSession, dir: String): Seq[DataFrame] = {
+    def pairCounts(t: DataFrame): DataFrame = t
+      .select(col("wf"),
+        split(expr("substring(ts, 2, length(ts) - 2)"), "\\)\\(").as("l"))
+      .select(col("wf"), explode(expr(
+        "transform(sequence(1, size(l) - 1), " +
+          "i -> struct(element_at(l, i) AS lt, element_at(l, i + 1) AS rt))"))
+        .as("p"))
+      .groupBy(col("p.lt").as("lt"), col("p.rt").as("rt"))
+      .agg(sum(col("wf")).as("c"))
+    def best(p: DataFrame): DataFrame =
+      p.orderBy(col("c").desc, col("lt"), col("rt")).limit(1)
+    def applyMerge(t: DataFrame, b: DataFrame): DataFrame = t
+      .crossJoin(broadcast(
+        b.select(col("lt").as("m_lt"), col("rt").as("m_rt"))))
+      .select(expr(
+        "replace(ts, '(' || m_lt || ')(' || m_rt || ')', " +
+          "'(' || m_lt || m_rt || ')')").as("ts"), col("wf"))
+    val t1 = docs(s, dir)
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      .select(
+        regexp_replace(concat(col("word"), lit("_")), "(.)", "($1)").as("ts"),
+        col("wf"))
+    val b1 = best(pairCounts(t1))
+    val t2 = applyMerge(t1, b1)
+    val b2 = best(pairCounts(t2))
+    val t3 = applyMerge(t2, b2)
+    val b3 = best(pairCounts(t3))
+    Seq(b1, b2, b3)
+  }
 
   /** DuckDB CTE block computing (doc_id, chunk) rows — the oracle mirror
     * of [[cdcChunks]] — for documents matching `pred`, CTE names suffixed

@@ -364,6 +364,46 @@ object StreamPipelines {
     }
   }
 
+  /** q8k: continuous blocklist screening — q93's Aho–Corasick scan lifted
+    * into a micro-batch plan. The pattern frame (top-20 bigram phrases of
+    * the HISTORICAL corpus, a 1-row array) is the static side of a
+    * stream-static broadcast equi-join on a constant key (the streaming
+    * planner's spelling of "cross-broadcast a scalar frame"), so each
+    * batch compiles the automaton once per partition and scans its
+    * documents row-locally — no state store rows at all. Per-pattern
+    * rollups happen post-drain, batch-side. */
+  def docStreamBlocklist(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_blocklist_stream")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") >= 250)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    val pats = graft.queries.TextAnalysis
+      .topBigrams(docs.filter(col("doc_id") < 250), 20)
+      .agg(sort_array(collect_list(col("pat"))).as("patterns"))
+      .withColumn("k", lit(1))
+    withStreamShufflePartitions(s, 8) {
+      val hits = graft.connector.GraftDoc
+        .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+        .select(col("_id").cast("long").as("doc_id"), col("text"),
+          lit(1).as("k"))
+        .join(broadcast(pats), Seq("k"))
+        .select(col("doc_id"),
+          explode(graft.functions.MultiPattern.multi_pattern_counts(
+            col("text"), col("patterns"))).as("h"))
+        .select(col("doc_id"), col("h.pattern").as("pattern"),
+          col("h.cnt").as("cnt"))
+      runToMemory(s, hits, "append")
+        .groupBy(col("pattern"))
+        .agg(count(when(col("cnt") > 0, lit(1))).as("n_docs"),
+          sum(col("cnt")).cast("long").as("total_hits"))
+        .orderBy(col("pattern"))
+    }
+  }
+
   /** Stream-stream interval join: purchases matched to same-user clicks in
     * the preceding hour. Both sides watermarked; the time-range condition
     * bounds join state to one hour per key — the canonical watermarked
