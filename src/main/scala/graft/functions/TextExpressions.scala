@@ -42,6 +42,66 @@ object TextExpressions {
   /** Content-defined chunk boundary positions (1-based, ascending). */
   def cdc_boundaries(text: Column): Column =
     bridge.column(CdcBoundariesExpr(bridge.expression(text)))
+
+  /** Rolling hash of every length-`l` character window (one element per
+    * start position 1..n-l+1). */
+  def gram_hashes(text: Column, l: Int): Column =
+    bridge.column(GramHashesExpr(bridge.expression(text), l))
+}
+
+/** string → array<long>: a polynomial rolling hash of EVERY length-`l`
+  * character window, element k (0-based) covering chars [k, k+l). One
+  * compiled pass per document: H_{k+1} = (H_k − c_k·B^{l−1})·B + c_{k+l}
+  * in wrapping 64-bit arithmetic. This is q6z's pass-1 kernel — the
+  * declarative form re-sliced a fresh l-char substring and xxhash64'd it
+  * at every position (O(l) work and one allocation per position, the
+  * suite's slowest query); this does O(1) per position and allocates
+  * nothing but the output.
+  *
+  * The hash is an internal pre-filter only (never mirrored by an oracle):
+  * q6z's pass 2 re-verifies candidate grams as STRINGS, so collisions can
+  * only add candidates, never corrupt the result — which is why a fast
+  * polynomial hash is enough and surrogate pairs need no special-casing
+  * (any consistent char mapping works). */
+case class GramHashesExpr(child: Expression, l: Int)
+    extends UnaryExpression with RefObjCodegen {
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    refObjGenCode(ctx, ev, "org.apache.spark.sql.catalyst.util.ArrayData")
+  require(l >= 1 && l <= 256, "gram width in [1,256]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  private[this] final val B = 1000003L
+  // B^(l-1) in wrapping 64-bit arithmetic, for the remove-leading term
+  @transient private lazy val bPow: Long = {
+    var p = 1L
+    var i = 1
+    while (i < l) { p *= B; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val m = n - l + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](m)
+    var h = 0L
+    var i = 0
+    while (i < l) { h = h * B + s.charAt(i); i += 1 }
+    out(0) = h
+    var k = 1
+    while (k < m) {
+      h = (h - s.charAt(k - 1) * bPow) * B + s.charAt(k + l - 1)
+      out(k) = h
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): GramHashesExpr =
+    copy(child = c)
 }
 
 /** string → array<int>: 1-based end positions i where the 8-char window

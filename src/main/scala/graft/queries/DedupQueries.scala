@@ -1002,13 +1002,17 @@ object DedupQueries {
   private[graft] def exactSubstringSpans(d0: DataFrame, L: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = d0.select(col("doc_id"), col("text"))
-    // pass 1: narrow positions — project text away BEFORE any shuffle
+    // pass 1: narrow positions — project text away BEFORE any shuffle.
+    // One compiled rolling-hash pass per document (GramHashesExpr; the
+    // earlier explode+substring+xxhash64 form re-hashed L chars at every
+    // position and was the suite's slowest query); posexplode is 0-based,
+    // the span algebra below is 1-based
     val posH = d
       .filter(length(col("text")) >= L)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (L - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        xxhash64(expr(s"substring(text, i, $L)")).as("gh"))
+      .select(col("doc_id"),
+        posexplode(TextExpressions.gram_hashes(col("text"), L))
+          .as(Seq("p", "gh")))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("gh"))
     val dupH = posH.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

@@ -271,8 +271,173 @@ object GraphQueries {
         lab.join(sz, Seq("scc"))
           .select(col("doc_id"), col("scc"), col("n_members"))
           .orderBy(col("doc_id"))
+      }),
+
+    // Landmark BFS distances ([[graft.operators.Bfs]]): unweighted
+    // shortest-path hops from the graph's 4 highest-in-degree hubs
+    // (count DESC, id ASC — the engine argmax tie-break) to every
+    // reachable node within 12 hops. TrustRank (q6u) measures how much
+    // seed authority REACHES a node; this measures how FAR it travels —
+    // crawl depth, spam distance, frontier tiers. The oracle walks the
+    // same horizon with a recursive CTE and takes MIN(d) per (source,
+    // node); the engine's level-synchronous frontier must agree exactly
+    // (its first-arrival distances ARE the min — a frontier that
+    // revisits or skips a level shows immediately).
+    QueryDef(
+      "q97_landmark_bfs",
+      Some(s"""WITH RECURSIVE $EdgeCtes,
+        ind AS (SELECT dst, COUNT(*) AS c FROM e GROUP BY dst),
+        lm AS (SELECT dst AS l FROM ind ORDER BY c DESC, dst LIMIT 4),
+        walk(l, v, d) AS (
+          SELECT l, l, 0 FROM lm
+          UNION
+          SELECT w.l, e.dst, w.d + 1
+          FROM walk w JOIN e ON e.src = w.v WHERE w.d < 12)
+        SELECT v AS doc_id, l AS landmark, CAST(MIN(d) AS BIGINT) AS dist
+        FROM walk GROUP BY v, l ORDER BY doc_id, landmark"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val edges = pseudoEdges(nodes, nCount)
+        val lm = edges.groupBy(col("dst")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("dst")).limit(4)
+          .select(col("dst").as("l"))
+        graft.operators.Bfs.distances(lm, edges, 12)
+          .select(col("node").as("doc_id"), col("l").as("landmark"),
+            col("dist"))
+          .orderBy(col("doc_id"), col("landmark"))
+      }),
+
+    // Co-citation similarity: two documents are similar when the same
+    // page links to BOTH (Small 1973) — the link-structure counterpart
+    // of content near-dup, and the classic related-pages primitive. One
+    // self-join of the edge list on src (id_a < id_b kills mirror
+    // pairs), count distinct co-citing sources per pair. Scale shape:
+    // the pair fan-out is bounded by Σ outdeg² — out-degree is capped
+    // (3 here; real crawls cap at extraction), so this never goes
+    // quadratic in the corpus, and only (src, dst_pair) longs shuffle.
+    QueryDef(
+      "q95_cocitation",
+      Some(s"""WITH $EdgeCtes
+        SELECT a.dst AS id_a, b.dst AS id_b,
+          CAST(COUNT(DISTINCT a.src) AS BIGINT) AS n_cociting
+        FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+        GROUP BY a.dst, b.dst
+        ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val e = pseudoEdges(nodes, nCount)
+        val a = e.select(col("src"), col("dst").as("id_a"))
+        val b = e.select(col("src").as("b_src"), col("dst").as("id_b"))
+        a.join(b, col("src") === col("b_src") && col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(countDistinct(col("src")).as("n_cociting"))
+          .orderBy(col("id_a"), col("id_b"))
+      }),
+
+    // Neighbor feature aggregation — the message-passing round of every
+    // graph neural network, as a relational operator: x_k(v) =
+    // (x_{k−1}(v) + mean of in-neighbors' x_{k−1}) / 2, nodes without
+    // in-edges keep their value; two rounds over the n_chars feature.
+    // Per round ONE (dst, Σfeature, count) shuffle of 24-byte rows — the
+    // corpus-scale shape of feature smoothing / label propagation with
+    // continuous labels. The algebra runs in micro-unit INTEGERS (×10⁶,
+    // floor division for mean and blend): a double formulation puts
+    // round-to-nearest at repeating-decimal boundaries (mean of
+    // integers = denominator-of-indegree rationals, the worst case) and
+    // the two engines' double rounding diverges in the last ulp;
+    // integer floor-div is bit-exact everywhere and loses < 1e-6 per
+    // round, invisible at feature scale.
+    QueryDef(
+      "q98_neighbor_agg",
+      Some(s"""WITH $EdgeCtes,
+        x0 AS (SELECT doc_id AS id, n_chars * 1000000 AS x
+               FROM documents),
+        a1 AS (SELECT e.dst AS id, SUM(x0.x) // COUNT(*) AS m
+          FROM e JOIN x0 ON e.src = x0.id GROUP BY e.dst),
+        x1 AS (SELECT x0.id,
+            CASE WHEN a1.id IS NULL THEN x0.x
+                 ELSE (x0.x + a1.m) // 2 END AS x
+          FROM x0 LEFT JOIN a1 ON x0.id = a1.id),
+        a2 AS (SELECT e.dst AS id, SUM(x1.x) // COUNT(*) AS m
+          FROM e JOIN x1 ON e.src = x1.id GROUP BY e.dst),
+        x2 AS (SELECT x1.id,
+            CASE WHEN a2.id IS NULL THEN x1.x
+                 ELSE (x1.x + a2.m) // 2 END AS x
+          FROM x1 LEFT JOIN a2 ON x1.id = a2.id)
+        SELECT id AS doc_id, CAST(x AS BIGINT) AS feature_micro
+        FROM x2 ORDER BY doc_id"""),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val nodes = d.select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val e = pseudoEdges(nodes, nCount)
+        def propagate(x: DataFrame): DataFrame = {
+          val msgs = e.join(x, e("src") === x("id"))
+            .groupBy(e("dst").as("m_id"))
+            .agg(expr("sum(x) div count(1)").as("m"))
+          x.join(msgs, x("id") === msgs("m_id"), "left")
+            .select(x("id"),
+              when(col("m_id").isNull, col("x"))
+                .otherwise(expr("(x + m) div 2")).as("x"))
+        }
+        val x0 = d.select(col("doc_id").as("id"),
+          (col("n_chars") * 1000000L).as("x"))
+        propagate(propagate(x0))
+          .select(col("id").as("doc_id"),
+            col("x").cast("long").as("feature_micro"))
+          .orderBy(col("doc_id"))
+      }),
+
+    // HITS hubs & authorities ([[graft.operators.Hits]], Kleinberg 1999):
+    // the two-role link score PageRank can't express — directory/link-list
+    // pages (high hub) are navigation boilerplate to down-weight in a
+    // training corpus, high-authority pages are quality anchors. Two full
+    // mutual-recursion iterations, L1-normalized each half-step (the
+    // total rides an in-plan scalar subquery), PageRank's decimal-sum +
+    // 9-decimal quantization idiom throughout. The oracle unrolls all
+    // four half-steps — a hash match proves every iteration, both
+    // normalizations, and the sink/source zero handling.
+    QueryDef(
+      "q99_hits",
+      Some(s"""WITH $EdgeCtes,
+        h0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) AS hub
+               FROM documents),
+        ${hitsHalf(1, "h0", "hub", "src", "dst", "ar", "auth", "a")},
+        ${hitsHalf(1, "a1", "auth", "dst", "src", "hr", "hub", "h")},
+        ${hitsHalf(2, "h1", "hub", "src", "dst", "ar", "auth", "a")},
+        ${hitsHalf(2, "a2", "auth", "dst", "src", "hr", "hub", "h")}
+        SELECT a2.id AS doc_id, a2.auth, h2.hub
+        FROM a2 JOIN h2 ON a2.id = h2.id ORDER BY doc_id"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val edges = pseudoEdges(nodes, nCount)
+        graft.operators.Hits.run(nodes, edges, 2)
+          .select(col("id").as("doc_id"), col("auth"), col("hub"))
+          .orderBy(col("doc_id"))
       })
   )
+
+  /** One unrolled HITS half-step in DuckDB SQL (must stay in lockstep
+    * with [[graft.operators.Hits]].halfStep): scores `prev.(scoreCol)`
+    * flow along edges joined on `joinSide`, sum by `groupSide` as exact
+    * DECIMAL(30,12), L1-normalize by the in-CTE total, quantize to 9
+    * decimals; nodes receiving nothing score 0. Emits CTEs
+    * `<rawPfx><k>`, `<rawPfx>s<k>`, `<outPfx><k>(id, <outCol>)`. */
+  private def hitsHalf(k: Int, prev: String, scoreCol: String,
+      joinSide: String, groupSide: String, rawPfx: String,
+      outCol: String, outPfx: String): String =
+    s"""$rawPfx$k AS (SELECT e.$groupSide AS id,
+           CAST(SUM(CAST(p.$scoreCol AS DECIMAL(30,12))) AS DOUBLE) AS raw
+         FROM e JOIN $prev p ON e.$joinSide = p.id GROUP BY e.$groupSide),
+       ${rawPfx}s$k AS (SELECT CAST(SUM(CAST(raw AS DECIMAL(30,12))) AS DOUBLE) AS s
+         FROM $rawPfx$k),
+       $outPfx$k AS (SELECT d.doc_id AS id,
+           round(COALESCE(r.raw, 0.0) / (SELECT s FROM ${rawPfx}s$k), 9)
+             AS $outCol
+         FROM documents d LEFT JOIN $rawPfx$k r ON d.doc_id = r.id)"""
 
   /** One unrolled TrustRank round in DuckDB SQL — the q6n algebra with
     * the teleport/dangling mass restricted to the seed set (must stay in

@@ -376,6 +376,34 @@ object StreamingQueries {
           CAST(COUNT(*) FILTER (WHERE cnt > 0) AS BIGINT) AS n_docs,
           CAST(SUM(cnt) AS BIGINT) AS total_hits
         FROM hit GROUP BY pattern ORDER BY pattern"""),
-      (s, dir) => StreamPipelines.docStreamBlocklist(s, dir))
+      (s, dir) => StreamPipelines.docStreamBlocklist(s, dir)),
+
+    // Continuous BPE tokenization — q91's streaming twin: merges train
+    // once on the historical corpus (static side), every CDC-arriving
+    // document is encoded row-locally inside the micro-batch plan
+    // (stateless broadcast of the 1-row merge frame; zero state rows).
+    // The oracle trains on the same historical slice and re-encodes the
+    // streamed slice in one batch — drained per-doc token accounting
+    // must be indistinguishable from batch encoding.
+    QueryDef(
+      "q8l_stream_bpe_encode",
+      Some(TextAnalysis.bpeEncodeOracle("doc_id < 250", "d.doc_id >= 250")),
+      (s, dir) => StreamPipelines.docStreamBpeEncode(s, dir)),
+
+    // Streaming heavy hitters — running token standings in COMPLETE
+    // output mode (the one mode no other query exercises): the stateful
+    // count table re-emits in full each micro-batch and the final drain
+    // must equal batch counting over the whole corpus, top-20 by
+    // (count DESC, term ASC). Ingest arrives as two commits → two
+    // micro-batches, so a state store that failed to carry batch-1
+    // counts into batch 2 cannot match.
+    QueryDef(
+      "q8m_stream_heavy_hitters",
+      Some("""WITH t AS (SELECT
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents)
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+        FROM t GROUP BY term ORDER BY n DESC, term LIMIT 20"""),
+      (s, dir) => StreamPipelines.docStreamHeavyHitters(s, dir))
   )
 }

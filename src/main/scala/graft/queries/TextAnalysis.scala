@@ -874,7 +874,7 @@ object TextAnalysis {
     // ties broken (count DESC, pair ASC) like every argmax here.
     QueryDef(
       "q90_bpe_train",
-      Some(s"""WITH $bpeTrainCteSql
+      Some(s"""WITH ${bpeTrainCteSql()}
         SELECT rnd, lt AS left_tok, rt AS right_tok,
                CAST(c AS BIGINT) AS pair_count
         FROM (SELECT 1 AS rnd, * FROM b1 UNION ALL
@@ -882,7 +882,7 @@ object TextAnalysis {
               SELECT 3 AS rnd, * FROM b3)
         ORDER BY rnd"""),
       (s, dir) => {
-        val Seq(b1, b2, b3) = bpeMerges(s, dir)
+        val Seq(b1, b2, b3) = bpeMerges(docs(s, dir))
         Seq(b1 -> 1, b2 -> 2, b3 -> 3)
           .map { case (b, r) => b.select(lit(r).as("rnd"), col("lt"), col("rt"),
             col("c")) }
@@ -904,61 +904,11 @@ object TextAnalysis {
     // re-encodes every document, so a drift in EITHER half shows.
     QueryDef(
       "q91_bpe_encode",
-      Some(s"""WITH $bpeTrainCteSql,
-        enc0 AS (SELECT d.doc_id,
-            regexp_extract_all(lower(d.text), '[a-z]+') AS words,
-            b1.lt AS m1l, b1.rt AS m1r, b2.lt AS m2l, b2.rt AS m2r,
-            b3.lt AS m3l, b3.rt AS m3r
-          FROM documents d, b1, b2, b3),
-        enc AS (SELECT doc_id, words,
-            list_transform(words, w ->
-              replace(replace(replace(
-                regexp_replace(w || '_', '(.)', '(\\1)', 'g'),
-                '(' || m1l || ')(' || m1r || ')', '(' || m1l || m1r || ')'),
-                '(' || m2l || ')(' || m2r || ')', '(' || m2l || m2r || ')'),
-                '(' || m3l || ')(' || m3r || ')', '(' || m3l || m3r || ')'))
-              AS toks
-          FROM enc0),
-        cnt AS (SELECT doc_id,
-            CAST(len(words) AS BIGINT) AS n_words,
-            CAST(COALESCE(list_sum(list_transform(words,
-              w -> length(w) + 1)), 0) AS BIGINT) AS n_units,
-            CAST(COALESCE(list_sum(list_transform(toks,
-              t -> length(t) - length(replace(t, '(', '')))), 0) AS BIGINT)
-              AS n_tokens
-          FROM enc)
-        SELECT doc_id, n_words, n_units, n_tokens,
-          CASE WHEN n_tokens > 0
-               THEN CAST(round(n_units * 1.0 / n_tokens, 4) AS DOUBLE) END
-            AS compression
-        FROM cnt ORDER BY doc_id"""),
-      (s, dir) => {
-        val Seq(b1, b2, b3) = bpeMerges(s, dir)
-        val merges = b1.select(col("lt").as("m1l"), col("rt").as("m1r"))
-          .crossJoin(b2.select(col("lt").as("m2l"), col("rt").as("m2r")))
-          .crossJoin(b3.select(col("lt").as("m3l"), col("rt").as("m3r")))
-        docs(s, dir)
-          .crossJoin(broadcast(merges))
-          .withColumn("words",
-            expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
-          .withColumn("toks", expr(
-            """transform(words, w ->
-                 replace(replace(replace(
-                   regexp_replace(concat(w, '_'), '(.)', '($1)'),
-                   concat('(', m1l, ')(', m1r, ')'), concat('(', m1l, m1r, ')')),
-                   concat('(', m2l, ')(', m2r, ')'), concat('(', m2l, m2r, ')')),
-                   concat('(', m3l, ')(', m3r, ')'), concat('(', m3l, m3r, ')')))"""))
-          .select(col("doc_id"),
-            size(col("words")).cast("long").as("n_words"),
-            expr("aggregate(words, CAST(0 AS BIGINT), " +
-              "(a, w) -> a + length(w) + 1)").as("n_units"),
-            expr("aggregate(toks, CAST(0 AS BIGINT), " +
-              "(a, t) -> a + length(t) - length(replace(t, '(', '')))")
-              .as("n_tokens"))
-          .withColumn("compression", when(col("n_tokens") > 0,
-            round(col("n_units").cast("double") / col("n_tokens"), 4)))
-          .orderBy(col("doc_id"))
-      }),
+      Some(bpeEncodeOracle("TRUE", "TRUE")),
+      (s, dir) =>
+        bpeEncodeCols(
+          docs(s, dir).crossJoin(broadcast(bpeMergeFrame(docs(s, dir)))))
+          .orderBy(col("doc_id"))),
 
     // Multi-pattern blocklist screening — the corpus-hygiene scan that
     // checks every document against a (possibly data-derived) list of
@@ -1040,7 +990,143 @@ object TextAnalysis {
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_occurrences"))
           .orderBy(col("doc_id"))
-      })
+      }),
+
+    // Term co-occurrence lift — association mining (Agrawal et al. 1993)
+    // at document granularity, the presence-based collocation signal
+    // behind phrase-vocab induction and topic drift checks: lift(a,b) =
+    // N·df(ab) / (df(a)·df(b)) — 1 means independent, >1 means the terms
+    // travel together. Shape: the (doc, term) presence set distincts
+    // once; the candidate vocabulary is the top-40 terms by df
+    // (deterministic df DESC, term ASC), a √N-scale frame that
+    // BROADCASTS to prune postings before the per-doc self-join, so the
+    // pair fan-out is ≤ C(40,2) per doc — never vocabulary-quadratic.
+    // All counts stay integers; the single double division + round(·,6)
+    // happens once per surviving pair (exact integer operands < 2^53 on
+    // both engines). Top-50 via TakeOrderedAndProject.
+    QueryDef(
+      "q9a_term_lift",
+      Some("""WITH t0 AS (SELECT doc_id,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+          FROM documents),
+        dt AS (SELECT DISTINCT doc_id, term FROM t0),
+        df AS (SELECT term, COUNT(*) AS df FROM dt GROUP BY term),
+        top AS (SELECT term, df FROM df ORDER BY df DESC, term LIMIT 40),
+        qt AS (SELECT dt.doc_id, dt.term FROM dt
+               JOIN top ON dt.term = top.term),
+        pr AS (SELECT a.term AS term_a, b.term AS term_b,
+                 COUNT(*) AS dfab
+               FROM qt a JOIN qt b
+                 ON a.doc_id = b.doc_id AND a.term < b.term
+               GROUP BY a.term, b.term),
+        nn AS (SELECT COUNT(*) AS n FROM documents)
+        SELECT term_a, term_b,
+          CAST(ta.df AS BIGINT) AS df_a, CAST(tb.df AS BIGINT) AS df_b,
+          CAST(dfab AS BIGINT) AS df_ab,
+          round(dfab * 1.0 * (SELECT n FROM nn) / (ta.df * tb.df), 6)
+            AS lift
+        FROM pr JOIN top ta ON pr.term_a = ta.term
+                JOIN top tb ON pr.term_b = tb.term
+        ORDER BY lift DESC, term_a, term_b LIMIT 50"""),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val nCount = d.agg(count(lit(1)).as("n")).scalar()
+        val dt = d.select(col("doc_id"),
+            explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+              .as("term"))
+          .distinct()
+        val dfT = dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val top = dfT.orderBy(col("df").desc, col("term")).limit(40)
+        val qt = dt.join(broadcast(top.select(col("term"))), Seq("term"))
+        val a = qt.select(col("doc_id"), col("term").as("term_a"))
+        val b = qt.select(col("doc_id").as("b_doc"), col("term").as("term_b"))
+        a.join(b, col("doc_id") === col("b_doc")
+            && col("term_a") < col("term_b"))
+          .groupBy(col("term_a"), col("term_b"))
+          .agg(count(lit(1)).as("df_ab"))
+          .join(broadcast(top.select(col("term").as("term_a"),
+            col("df").as("df_a"))), Seq("term_a"))
+          .join(broadcast(top.select(col("term").as("term_b"),
+            col("df").as("df_b"))), Seq("term_b"))
+          .select(col("term_a"), col("term_b"), col("df_a"), col("df_b"),
+            col("df_ab"),
+            round(col("df_ab") * nCount / (col("df_a") * col("df_b")), 6)
+              .as("lift"))
+          .orderBy(col("lift").desc, col("term_a"), col("term_b"))
+          .limit(50)
+      }),
+
+    // MLM-style token masking (Devlin et al. 2018) — the corruption /
+    // augmentation pass of masked-LM pretraining data, as a relational
+    // operator: ~15% of token positions replaced by [MASK]. The mask
+    // decision is a DETERMINISTIC hash of (doc_id, position) — the
+    // multiplicative-hash idiom of the pseudo-link graph and every
+    // Bernoulli sampler here — because rand() is neither replayable nor
+    // cross-engine. Purely row-local (one transform HOF per document,
+    // zero shuffle beyond the scan): the shape that saturates I/O at
+    // 100 TB. Per-doc token and mask accounting rides the same pass.
+    QueryDef(
+      "q9b_token_mask",
+      Some("""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+        wp AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+               FROM wl),
+        m AS (SELECT doc_id, i,
+            CASE WHEN (doc_id * 2654435761 + i * 40503241) % 997 < 150
+                 THEN '[MASK]' ELSE w[i] END AS tok,
+            CASE WHEN (doc_id * 2654435761 + i * 40503241) % 997 < 150
+                 THEN 1 ELSE 0 END AS msk
+          FROM wp)
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+          CAST(SUM(msk) AS BIGINT) AS n_masked,
+          string_agg(tok, ' ' ORDER BY i) AS masked_text
+        FROM m GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            expr("""transform(w, (t, i) ->
+              IF((doc_id * 2654435761L + (i + 1) * 40503241L) % 997 < 150,
+                 '[MASK]', t))""").as("mw"),
+            size(col("w")).cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"),
+            expr("CAST(size(filter(mw, t -> t = '[MASK]')) AS BIGINT)")
+              .as("n_masked"),
+            array_join(col("mw"), " ").as("masked_text"))
+          .orderBy(col("doc_id"))),
+
+    // Context-window sample construction — tokens → fixed-size training
+    // windows with stride overlap (the GPT-style pretraining pipeline's
+    // final step: every W=32-token window at stride S=16 becomes one
+    // training sample, consecutive samples sharing half their tokens).
+    // Documents shorter than W emit nothing (real pipelines pack them —
+    // that path is q5f/q5x). Row-local fan-out: each document expands to
+    // its own windows via one sequence+transform, no shuffle until the
+    // final order — the sample count is Σ(len−W)/S+1, linear in corpus
+    // size. Window content is certified by full text equality, not
+    // counts, so an off-by-one in start arithmetic cannot hide.
+    QueryDef(
+      "q9c_context_windows",
+      Some("""WITH wl AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+        st AS (SELECT doc_id, w,
+            unnest(generate_series(1, len(w) - 31, 16)) AS start
+          FROM wl WHERE len(w) >= 32)
+        SELECT doc_id, CAST((start - 1) // 16 AS BIGINT) AS win_id,
+          array_to_string(w[start:start + 31], ' ') AS window_text
+        FROM st ORDER BY doc_id, win_id"""),
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 32)
+          .select(col("doc_id"), col("w"),
+            explode(sequence(lit(1), size(col("w")) - 31, lit(16)))
+              .as("start"))
+          .select(col("doc_id"),
+            ((col("start") - 1) / 16).cast("long").as("win_id"),
+            array_join(slice(col("w"), col("start"), lit(32)), " ")
+              .as("window_text"))
+          .orderBy(col("doc_id"), col("win_id")))
   )
 
   /** DuckDB CTE chain extracting the corpus's top-`k` word bigrams
@@ -1069,11 +1155,12 @@ object TextAnalysis {
     * vocabulary — CTEs `w`, `t1..t3`, `p1..p3` and the per-round winners
     * `b1`/`b2`/`b3` (lt, rt, c). Oracle mirror of [[bpeMerges]]; shared
     * by q90 (dumps the merges) and q91 (applies them to every doc). */
-  private[queries] def bpeTrainCteSql: String = """w AS (
+  private[queries] def bpeTrainCteSql(pred: String = "TRUE"): String =
+    s"""w AS (
           SELECT word, COUNT(*) AS wf FROM (
             SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-            FROM documents) GROUP BY word),
-        t1 AS (SELECT regexp_replace(word || '_', '(.)', '(\1)', 'g') AS ts, wf
+            FROM documents WHERE $pred) GROUP BY word),
+        t1 AS (SELECT regexp_replace(word || '_', '(.)', '(\\1)', 'g') AS ts, wf
                FROM w),
         p1 AS (SELECT p.lt, p.rt, SUM(wf) AS c FROM (
                  SELECT unnest(list_transform(
@@ -1106,14 +1193,86 @@ object TextAnalysis {
                GROUP BY p.lt, p.rt),
         b3 AS (SELECT lt, rt, c FROM p3 ORDER BY c DESC, lt, rt LIMIT 1)"""
 
-  /** Three BPE merge-training rounds over `dir`'s documents: the corpus
-    * aggregates ONCE into the (word, freq) vocabulary, every round pair-
-    * counts over the vocab alone (narrow (pair, Σfreq) shuffle) and the
-    * winner flows back as a broadcast 1-row frame — no driver collect.
-    * Returns the per-round winning (lt, rt, c) 1-row frames in order.
-    * See q90's rationale comment for why the bracketed-token replace is
-    * exact greedy BPE on both engines. */
-  private[queries] def bpeMerges(s: SparkSession, dir: String): Seq[DataFrame] = {
+  /** The full encode oracle: train merges over documents matching
+    * `trainPred`, re-encode every document matching `encodePred` (as
+    * `d`), report per-doc token accounting. Oracle mirror of
+    * [[bpeEncodeCols]] over [[bpeMergeFrame]]; q91 uses the whole
+    * corpus for both halves, q8l trains on the historical slice and
+    * encodes the streamed one. */
+  private[queries] def bpeEncodeOracle(
+      trainPred: String, encodePred: String): String =
+    s"""WITH ${bpeTrainCteSql(trainPred)},
+        enc0 AS (SELECT d.doc_id,
+            regexp_extract_all(lower(d.text), '[a-z]+') AS words,
+            b1.lt AS m1l, b1.rt AS m1r, b2.lt AS m2l, b2.rt AS m2r,
+            b3.lt AS m3l, b3.rt AS m3r
+          FROM documents d, b1, b2, b3 WHERE $encodePred),
+        enc AS (SELECT doc_id, words,
+            list_transform(words, w ->
+              replace(replace(replace(
+                regexp_replace(w || '_', '(.)', '(\\1)', 'g'),
+                '(' || m1l || ')(' || m1r || ')', '(' || m1l || m1r || ')'),
+                '(' || m2l || ')(' || m2r || ')', '(' || m2l || m2r || ')'),
+                '(' || m3l || ')(' || m3r || ')', '(' || m3l || m3r || ')'))
+              AS toks
+          FROM enc0),
+        cnt AS (SELECT doc_id,
+            CAST(len(words) AS BIGINT) AS n_words,
+            CAST(COALESCE(list_sum(list_transform(words,
+              w -> length(w) + 1)), 0) AS BIGINT) AS n_units,
+            CAST(COALESCE(list_sum(list_transform(toks,
+              t -> length(t) - length(replace(t, '(', '')))), 0) AS BIGINT)
+              AS n_tokens
+          FROM enc)
+        SELECT doc_id, n_words, n_units, n_tokens,
+          CASE WHEN n_tokens > 0
+               THEN CAST(round(n_units * 1.0 / n_tokens, 4) AS DOUBLE) END
+            AS compression
+        FROM cnt ORDER BY doc_id"""
+
+  /** The three trained merges pivoted into ONE broadcast-able row
+    * (m1l, m1r, m2l, m2r, m3l, m3r) — the frame every encode site
+    * cross-broadcasts onto its document scan. */
+  private[graft] def bpeMergeFrame(d: DataFrame): DataFrame = {
+    val Seq(b1, b2, b3) = bpeMerges(d)
+    b1.select(col("lt").as("m1l"), col("rt").as("m1r"))
+      .crossJoin(b2.select(col("lt").as("m2l"), col("rt").as("m2r")))
+      .crossJoin(b3.select(col("lt").as("m3l"), col("rt").as("m3r")))
+  }
+
+  /** Row-local BPE encode over a frame carrying (doc_id, text) AND the
+    * [[bpeMergeFrame]] columns: word list → bracketed token string →
+    * three literal replaces in merge order → token count by counting
+    * '(' groups. Pure column algebra — lifts unchanged into a
+    * streaming micro-batch plan (q8l). */
+  private[graft] def bpeEncodeCols(d: DataFrame): DataFrame =
+    d.withColumn("words",
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .withColumn("toks", expr(
+        """transform(words, w ->
+             replace(replace(replace(
+               regexp_replace(concat(w, '_'), '(.)', '($1)'),
+               concat('(', m1l, ')(', m1r, ')'), concat('(', m1l, m1r, ')')),
+               concat('(', m2l, ')(', m2r, ')'), concat('(', m2l, m2r, ')')),
+               concat('(', m3l, ')(', m3r, ')'), concat('(', m3l, m3r, ')')))"""))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        expr("aggregate(words, CAST(0 AS BIGINT), " +
+          "(a, w) -> a + length(w) + 1)").as("n_units"),
+        expr("aggregate(toks, CAST(0 AS BIGINT), " +
+          "(a, t) -> a + length(t) - length(replace(t, '(', '')))")
+          .as("n_tokens"))
+      .withColumn("compression", when(col("n_tokens") > 0,
+        round(col("n_units").cast("double") / col("n_tokens"), 4)))
+
+  /** Three BPE merge-training rounds over a (doc_id, text) frame: the
+    * corpus aggregates ONCE into the (word, freq) vocabulary, every
+    * round pair-counts over the vocab alone (narrow (pair, Σfreq)
+    * shuffle) and the winner flows back as a broadcast 1-row frame — no
+    * driver collect. Returns the per-round winning (lt, rt, c) 1-row
+    * frames in order. See q90's rationale comment for why the
+    * bracketed-token replace is exact greedy BPE on both engines. */
+  private[queries] def bpeMerges(d: DataFrame): Seq[DataFrame] = {
     def pairCounts(t: DataFrame): DataFrame = t
       .select(col("wf"),
         split(expr("substring(ts, 2, length(ts) - 2)"), "\\)\\(").as("l"))
@@ -1131,7 +1290,7 @@ object TextAnalysis {
       .select(expr(
         "replace(ts, '(' || m_lt || ')(' || m_rt || ')', " +
           "'(' || m_lt || m_rt || ')')").as("ts"), col("wf"))
-    val t1 = docs(s, dir)
+    val t1 = d
       .select(explode(
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wf"))

@@ -404,6 +404,69 @@ object StreamPipelines {
     }
   }
 
+  /** q8l: continuous BPE tokenization — the trained tokenizer applied to
+    * documents AS THEY ARRIVE, the online half of the q90/q91 lifecycle
+    * (train once on the historical corpus, encode the ingest stream
+    * forever). Merges train on the static side; the 1-row merge frame
+    * joins each micro-batch on a constant key (broadcast, stateless) and
+    * the encode itself is pure row-local column algebra
+    * ([[graft.queries.TextAnalysis.bpeEncodeCols]] lifts unchanged into
+    * the streaming plan). Zero state rows; per-doc rows drain append. */
+  def docStreamBpeEncode(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_bpe_stream")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") >= 250)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    val merges = graft.queries.TextAnalysis
+      .bpeMergeFrame(docs.filter(col("doc_id") < 250))
+      .withColumn("k", lit(1))
+    withStreamShufflePartitions(s, 8) {
+      val encoded = graft.queries.TextAnalysis.bpeEncodeCols(
+        graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+          .select(col("_id").cast("long").as("doc_id"), col("text"),
+            lit(1).as("k"))
+          .join(broadcast(merges), Seq("k")))
+      runToMemory(s, encoded, "append")
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** q8m: streaming heavy hitters — a running token-frequency table over
+    * the document ingest stream, COMPLETE output mode: the stateful agg
+    * re-emits the full standings each micro-batch (the live "top terms"
+    * dashboard shape), so the final drain IS the corpus-total count table
+    * and must equal batch counting exactly. The only complete-mode
+    * pipeline in the suite — every other stateful query is append
+    * (watermark-evicted), and the modes fail differently: complete keeps
+    * ALL keys in the state store forever, which is exactly right for a
+    * bounded vocabulary and exactly wrong for an unbounded one — at
+    * open-vocabulary 100 TB scale the state-bounded answer is the
+    * sketched twin (q8i HLL maintenance / q0d CMS), not a bigger store.
+    * Two commits drain as two micro-batches, so the second batch's
+    * output proves state carried over, not a one-shot agg. */
+  def docStreamHeavyHitters(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_hh_stream")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    graft.connector.GraftDoc.write(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    val counts = graft.connector.GraftDoc
+      .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+      .select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, counts, "complete")
+      .orderBy(col("n").desc, col("term")).limit(20)
+  }
+
   /** Stream-stream interval join: purchases matched to same-user clicks in
     * the preceding hour. Both sides watermarked; the time-range condition
     * bounds join state to one hour per key — the canonical watermarked
