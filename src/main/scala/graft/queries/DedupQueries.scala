@@ -1007,12 +1007,20 @@ object DedupQueries {
     // earlier explode+substring+xxhash64 form re-hashed L chars at every
     // position and was the suite's slowest query); posexplode is 0-based,
     // the span algebra below is 1-based
-    val posH = d
+    // materialized ONCE (localCheckpoint): posH feeds both the dup-hash
+    // agg and the candidate join below — left lazy, Spark re-scans the
+    // corpus and re-runs the rolling hash for each consumer (measured 2×
+    // the query's scan cost). 16-byte rows, ~1 per character: at cluster
+    // scale this is the "write the position index once, read it twice"
+    // trade every suffix-array dedup pipeline makes; swap to a reliable
+    // checkpoint dir via IterationCheckpoint's knob for executor-loss
+    // tolerance.
+    val posH = graft.operators.IterationCheckpoint.cut(d
       .filter(length(col("text")) >= L)
       .select(col("doc_id"),
         posexplode(TextExpressions.gram_hashes(col("text"), L))
           .as(Seq("p", "gh")))
-      .select(col("doc_id"), (col("p") + 1).as("i"), col("gh"))
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("gh")))
     val dupH = posH.groupBy("gh")
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2)

@@ -417,6 +417,50 @@ object GraphQueries {
         graft.operators.Hits.run(nodes, edges, 2)
           .select(col("id").as("doc_id"), col("auth"), col("hub"))
           .orderBy(col("doc_id"))
+      }),
+
+    // Adamic–Adar link prediction (Adamic & Adar 2003) on the citation
+    // pattern: two pages that both link to the same target are related,
+    // and a RARE shared target says more than a hub everyone cites — so
+    // each common out-neighbor z contributes 1/ln(indeg(z)), bibliographic
+    // coupling with rarity weighting (the related-pages / link-suggestion
+    // score). A shared neighbor has indeg ≥ 2 by construction, so
+    // ln(indeg) ≥ ln 2 and the weight is always finite. Shape: one edge
+    // self-join on dst (src_a < src_b kills mirrors), indeg frame joins
+    // on dst; pair fan-out is Σ indeg² with extraction-capped degrees —
+    // linear in the corpus, and only id/weight longs+doubles shuffle.
+    // Determinism: ln quantized to 9, reciprocal term to 12, per-pair
+    // DECIMAL(30,14) sum, final round(·, 9) — the q9d/PageRank idiom.
+    // Top-100 via TakeOrderedAndProject.
+    QueryDef(
+      "q9e_adamic_adar",
+      Some(s"""WITH $EdgeCtes,
+        ind AS (SELECT dst, COUNT(*) AS indeg FROM e GROUP BY dst),
+        pr AS (SELECT a.src AS id_a, b.src AS id_b,
+            round(1.0 / round(ln(ind.indeg), 9), 12) AS w
+          FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
+               JOIN ind ON a.dst = ind.dst)
+        SELECT id_a, id_b,
+          round(CAST(SUM(CAST(w AS DECIMAL(30,14))) AS DOUBLE), 9)
+            AS aa_score
+        FROM pr GROUP BY id_a, id_b
+        ORDER BY aa_score DESC, id_a, id_b LIMIT 100"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val e = pseudoEdges(nodes, nCount)
+        val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+        val a = e.select(col("src").as("id_a"), col("dst"))
+        val b = e.select(col("src").as("id_b"), col("dst").as("b_dst"))
+        a.join(b, col("dst") === col("b_dst") && col("id_a") < col("id_b"))
+          .join(ind, Seq("dst"))
+          .select(col("id_a"), col("id_b"),
+            round(lit(1.0) / round(log(col("indeg")), 9), 12).as("w"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(round(sum(col("w").cast("decimal(30,14)")).cast("double"), 9)
+            .as("aa_score"))
+          .orderBy(col("aa_score").desc, col("id_a"), col("id_b"))
+          .limit(100)
       })
   )
 

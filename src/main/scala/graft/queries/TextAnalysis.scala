@@ -1127,6 +1127,58 @@ object TextAnalysis {
             array_join(slice(col("w"), col("start"), lit(32)), " ")
               .as("window_text"))
           .orderBy(col("doc_id"), col("win_id")))
+,
+
+    // Per-source distribution drift — KL(source ‖ corpus) over unigram
+    // distributions, the corpus-monitoring statistic behind "did this
+    // crawl slice / new supplier drift from the mix we trained on".
+    // Shape: token counts aggregate to (source, word) ONCE — narrow
+    // integer shuffles, bodies never move — per-source and corpus totals
+    // join back (word-marginal frame is vocabulary-sized → broadcast),
+    // and the KL terms sum per source. Determinism is the q5w/PageRank
+    // idiom: each ln() quantizes to 9 decimals (libm vs java.lang.Math
+    // may differ in the last ulp), each term p·(ln p − ln q) to 12, the
+    // per-source sum runs as exact DECIMAL(30,14), final round(·, 9).
+    QueryDef(
+      "q9d_source_divergence",
+      Some("""WITH tok AS (SELECT source,
+            unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+          FROM documents),
+        sc AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY source, w),
+        st AS (SELECT source, SUM(c) AS t FROM sc GROUP BY source),
+        cw AS (SELECT w, SUM(c) AS cw FROM sc GROUP BY w),
+        ct AS (SELECT SUM(cw) AS tt FROM cw),
+        term AS (SELECT sc.source,
+            round((sc.c * 1.0 / st.t)
+              * (round(ln(sc.c * 1.0 / st.t), 9)
+                 - round(ln(cw.cw * 1.0 / (SELECT tt FROM ct)), 9)), 12)
+              AS kl_term
+          FROM sc JOIN st ON sc.source = st.source
+                  JOIN cw ON sc.w = cw.w)
+        SELECT source,
+          round(CAST(SUM(CAST(kl_term AS DECIMAL(30,14))) AS DOUBLE), 9)
+            AS kl_nats
+        FROM term GROUP BY source ORDER BY source"""),
+      (s, dir) => {
+        val tok = docs(s, dir).select(col("source"),
+          explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+            .as("w"))
+        val sc = tok.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        val st = sc.groupBy(col("source")).agg(sum(col("c")).as("t"))
+        val cw = sc.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+        val tt = cw.agg(sum(col("cw")).as("tt")).scalar()
+        sc.join(st, Seq("source"))
+          .join(broadcast(cw), Seq("w"))
+          .select(col("source"),
+            round((col("c") / col("t"))
+              * (round(log(col("c") / col("t")), 9)
+                 - round(log(col("cw") / tt), 9)), 12).as("kl_term"))
+          .groupBy(col("source"))
+          .agg(round(sum(col("kl_term").cast("decimal(30,14)"))
+            .cast("double"), 9).as("kl_nats"))
+          .orderBy(col("source"))
+      })
   )
 
   /** DuckDB CTE chain extracting the corpus's top-`k` word bigrams

@@ -72,7 +72,18 @@ object DumpPlans {
     "q6u_trustrank"           -> "TrustRank: seed-restricted teleport, per-round contrib shuffle",
     "q43_funnel_sequence"     -> "windowed funnel: three per-user min aggs, no event-to-event join",
     "q1k_partition_pruning"   -> "hive-style partition pruning: day predicate resolved at planning time",
-    "q44_markov_transitions"  -> "markov transitions: per-user lag window + narrow |types|^2 agg")
+    "q44_markov_transitions"  -> "markov transitions: per-user lag window + narrow |types|^2 agg",
+    "q6z_exact_substring_spans" -> "exact substr spans: compiled rolling-hash pass, 8-byte hash shuffle, string verify on candidates only",
+    "q90_bpe_train"           -> "BPE train: vocab agg once, per-round narrow pair shuffles, broadcast winners",
+    "q91_bpe_encode"          -> "BPE encode: broadcast 1-row merge frame, row-local replace chain",
+    "q93_blocklist_scan"      -> "Aho-Corasick blocklist: one automaton pass, in-plan broadcast pattern set",
+    "q96_phrase_search"       -> "phrase search: postings self-join on (doc, pos+1), broadcast phrase terms",
+    "q97_landmark_bfs"        -> "landmark BFS: per-level frontier join + anti-join vs settled, union of cut levels",
+    "q99_hits"                -> "HITS: per-half-step narrow score shuffle, scalar-subquery L1 normalization",
+    "q9a_term_lift"           -> "term lift: broadcast top-40 vocab prunes postings before per-doc pair self-join",
+    "q9b_token_mask"          -> "MLM masking: one row-local transform HOF, zero shuffle beyond the scan",
+    "q9d_source_divergence"   -> "source KL: narrow (source, word) aggs, broadcast word marginals, decimal sums",
+    "q9e_adamic_adar"         -> "Adamic-Adar: edge self-join on dst + indeg weights, TakeOrderedAndProject top-100")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
