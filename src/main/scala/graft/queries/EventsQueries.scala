@@ -203,5 +203,54 @@ object EventsQueries {
           .agg(count(lit(1)).as("n"))
           .orderBy(col("from_type"), col("to_type"))
       })
+,
+
+    // Robust outlier detection — per-event-type median/MAD z-scores, the
+    // metric-monitoring primitive ("which readings are wild for THIS
+    // signal") that mean/stddev can't provide under heavy tails: one
+    // genuine outlier inflates the stddev enough to hide the rest, while
+    // median and MAD have a 50% breakdown point. Flag |value − med| >
+    // 3·1.4826·MAD (1.4826 = 1/Φ⁻¹(3/4) makes MAD a consistent σ
+    // estimate under normality). Shape: two per-type aggregations whose
+    // outputs are |event_type|-row frames broadcast back onto the events
+    // scan, then a row-local flag — events themselves shuffle only for
+    // the exact per-type percentile. Exact interpolated medians keep the
+    // oracle bit-identical (both engines: sort, index p·(n−1), linear
+    // interpolation), quantized to 9; at 100 TB per-type value sets the
+    // exact sort is the cost, and the state-bounded variant is the q0c
+    // GK-sketch path with a tolerance band instead of a hash match.
+    QueryDef(
+      "q9i_event_anomaly",
+      Some("""WITH med AS (SELECT event_type,
+               round(quantile_cont(value, 0.5), 9) AS med
+              FROM events GROUP BY event_type),
+        mad AS (SELECT e.event_type,
+               round(quantile_cont(abs(e.value - m.med), 0.5), 9) AS mad
+              FROM events e JOIN med m USING (event_type)
+              GROUP BY e.event_type)
+        SELECT e.event_id, e.event_type,
+          round((e.value - m.med) / (CAST(1.4826 AS DOUBLE) * d.mad), 6) AS z
+        FROM events e JOIN med m USING (event_type)
+                      JOIN mad d USING (event_type)
+        WHERE d.mad > 0 AND abs(e.value - m.med)
+          > CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
+        ORDER BY event_id"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"), col("value"))
+        val med = ev.groupBy(col("event_type"))
+          .agg(round(percentile(col("value"), lit(0.5)), 9).as("med"))
+        val withMed = ev.join(broadcast(med), Seq("event_type"))
+        val mad = withMed.groupBy(col("event_type"))
+          .agg(round(percentile(abs(col("value") - col("med")), lit(0.5)), 9)
+            .as("mad"))
+        withMed.join(broadcast(mad), Seq("event_type"))
+          .filter(col("mad") > 0 &&
+            abs(col("value") - col("med")) > lit(3) * lit(1.4826) * col("mad"))
+          .select(col("event_id"), col("event_type"),
+            round((col("value") - col("med"))
+              / (lit(1.4826) * col("mad")), 6).as("z"))
+          .orderBy(col("event_id"))
+      })
   )
 }

@@ -1179,6 +1179,96 @@ object TextAnalysis {
             .cast("double"), 9).as("kl_nats"))
           .orderBy(col("source"))
       })
+,
+
+    // Per-document token entropy — the Shannon entropy of each document's
+    // unigram distribution, the cheap "is this text templated/repetitive
+    // or natural" quality signal (low entropy ⇒ boilerplate, log-spam,
+    // keyword stuffing; the distribution-level complement of q5d's
+    // surface repetition ratios). Scale shape: explode happens ON the
+    // scan partitions, so only narrow (doc_id, token, count) rows ever
+    // shuffle (map-side combine collapses repeats before the exchange)
+    // and document bodies never move; per-doc totals come from a second
+    // agg over those counts, not a rescan. Determinism is the q5w/q9d
+    // idiom — ln quantized to 9, each p·ln p term to 12, exact
+    // DECIMAL(30,14) sum, final round(·, 9).
+    QueryDef(
+      "q9f_token_entropy",
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+        c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY doc_id, tok),
+        n AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS n_unique
+              FROM c GROUP BY doc_id)
+        SELECT c.doc_id,
+          CAST(n.n AS BIGINT) AS n_toks,
+          CAST(n.n_unique AS BIGINT) AS n_unique,
+          round(-CAST(SUM(CAST(round(c.c * 1.0 / n.n
+              * round(ln(c.c * 1.0 / n.n), 9), 12) AS DECIMAL(30,14)))
+            AS DOUBLE), 9) AS entropy
+        FROM c JOIN n USING (doc_id)
+        GROUP BY c.doc_id, n.n, n.n_unique ORDER BY doc_id"""),
+      (s, dir) => {
+        val c = docs(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val n = c.groupBy(col("doc_id"))
+          .agg(sum(col("c")).as("n"), count(lit(1)).as("n_unique"))
+        c.join(n, Seq("doc_id"))
+          .select(col("doc_id"), col("n"), col("n_unique"),
+            round((col("c") / col("n"))
+              * round(log(col("c") / col("n")), 9), 12).as("term"))
+          .groupBy(col("doc_id"), col("n"), col("n_unique"))
+          .agg(round(-sum(col("term").cast("decimal(30,14)"))
+            .cast("double"), 9).as("entropy"))
+          .select(col("doc_id"), col("n").cast("long").as("n_toks"),
+            col("n_unique").cast("long").as("n_unique"), col("entropy"))
+          .orderBy(col("doc_id"))
+      })
+,
+
+    // Differentially-private count release — per-source document counts
+    // with Laplace(b = sensitivity/ε = 1/0.5 = 2) noise, the aggregate a
+    // corpus operator publishes when per-source volumes are themselves
+    // sensitive (licensed-supplier quotas, user-generated slices). The
+    // noise draw is DETERMINISTIC: uniform u ∈ (0,1) from the q5h Knuth
+    // hash of the group's min(doc_id) (a stable integer key that needs no
+    // cross-engine string hashing), pushed through the Laplace inverse
+    // CDF with both ln() calls quantized to 9. Deterministic noise is
+    // what makes the release replayable by the oracle AND idempotent
+    // under Spark retries/speculation — a true RNG would emit a different
+    // "private" count per attempt, silently spending extra ε. Scale: one
+    // map-side-combined count per source, a 20-row frame; everything
+    // after the agg is row-local arithmetic.
+    QueryDef(
+      "q9h_dp_counts",
+      Some("""WITH g AS (SELECT source, COUNT(*) AS n,
+               MIN(doc_id) AS seed FROM documents GROUP BY source),
+        u AS (SELECT source, n,
+               ((seed * 2654435761) % 1000000 + 0.5) / 1000000.0 AS u
+              FROM g)
+        SELECT source, CAST(n AS BIGINT) AS n_true,
+          round(CAST(n AS DOUBLE)
+            + CASE WHEN u < 0.5 THEN 2.0 * round(ln(2.0 * u), 9)
+                   ELSE -2.0 * round(ln(2.0 * (1.0 - u)), 9) END, 6)
+            AS n_released,
+          CAST(0.5 AS DOUBLE) AS epsilon
+        FROM u ORDER BY source"""),
+      (s, dir) =>
+        docs(s, dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), min(col("doc_id")).as("seed"))
+          .withColumn("u",
+            (pmod(col("seed") * 2654435761L, lit(1000000L)) + 0.5)
+              / 1000000.0)
+          .select(col("source"), col("n").cast("long").as("n_true"),
+            round(col("n").cast("double")
+              + when(col("u") < 0.5, lit(2.0) * round(log(lit(2.0) * col("u")), 9))
+                .otherwise(lit(-2.0)
+                  * round(log(lit(2.0) * (lit(1.0) - col("u"))), 9)), 6)
+              .as("n_released"),
+            lit(0.5).as("epsilon"))
+          .orderBy(col("source")))
   )
 
   /** DuckDB CTE chain extracting the corpus's top-`k` word bigrams
