@@ -449,5 +449,63 @@ object Aggregates {
               col("exact_abc") * 0.05).as("abc_within_5pct"))
           .orderBy(col("exact_a"))
       })
+,
+
+    // Column profiling — the data-quality summary every ingest gate runs
+    // before a table is admitted to the corpus: per column, row count,
+    // null count, exact distinct cardinality, lexicographic min/max (all
+    // values profiled AS STRINGS so one flat schema covers every column
+    // type). ONE scan computes all 5 columns' stats (Spark plans the
+    // multi-distinct agg as a single pass over an Expand — 5× row
+    // multiplier, not 5 rescans), and the wide 1-row result unpivots
+    // row-locally to the (col_name, stats) long format. At 100 TB the
+    // exact COUNT(DISTINCT) per column is the expensive half — the
+    // sketch-bounded variant swaps in approx_count_distinct (q07's HLL
+    // path) without touching the rest of the shape.
+    QueryDef(
+      "q9g_column_profile",
+      Some("""SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+          COUNT(DISTINCT doc_id) AS n_distinct,
+          MIN(CAST(doc_id AS VARCHAR)) AS min_str,
+          MAX(CAST(doc_id AS VARCHAR)) AS max_str FROM documents
+        UNION ALL SELECT 'lang', COUNT(*),
+          CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT lang), MIN(CAST(lang AS VARCHAR)),
+          MAX(CAST(lang AS VARCHAR)) FROM documents
+        UNION ALL SELECT 'n_chars', COUNT(*),
+          CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT n_chars), MIN(CAST(n_chars AS VARCHAR)),
+          MAX(CAST(n_chars AS VARCHAR)) FROM documents
+        UNION ALL SELECT 'source', COUNT(*),
+          CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT source), MIN(CAST(source AS VARCHAR)),
+          MAX(CAST(source AS VARCHAR)) FROM documents
+        UNION ALL SELECT 'text', COUNT(*),
+          CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+          COUNT(DISTINCT text), MIN(CAST(text AS VARCHAR)),
+          MAX(CAST(text AS VARCHAR)) FROM documents
+        ORDER BY col_name"""),
+      (s, dir) => {
+        val d = Tables.load(s, dir, "documents")
+        val cols = Seq("doc_id", "lang", "n_chars", "source", "text")
+        val aggs = cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+            count_distinct(col(c)).as(s"${c}_distinct"),
+            min(col(c).cast("string")).as(s"${c}_min"),
+            max(col(c).cast("string")).as(s"${c}_max"))
+        }
+        d.agg(count(lit(1)).as("n_rows"), aggs: _*)
+          .select(col("n_rows"), explode(array(cols.map(c =>
+            struct(lit(c).as("col_name"),
+              col(s"${c}_nulls").as("n_nulls"),
+              col(s"${c}_distinct").as("n_distinct"),
+              col(s"${c}_min").as("min_str"),
+              col(s"${c}_max").as("max_str"))): _*)).as("p"))
+          .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+            col("p.n_distinct"), col("p.min_str"), col("p.max_str"))
+          .orderBy(col("col_name"))
+      })
   )
 }

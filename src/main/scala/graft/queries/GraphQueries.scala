@@ -462,6 +462,51 @@ object GraphQueries {
           .orderBy(col("aa_score").desc, col("id_a"), col("id_b"))
           .limit(100)
       })
+,
+
+    // Negative sampling for link-prediction training — the training-set
+    // construction step q9e's scorer (or any GNN link model) consumes:
+    // every true edge is a positive, and per node 3 hash-derived
+    // candidate pairs are drawn with a DIFFERENT salt than the edge
+    // generator, then anti-joined against the real edge set — so a
+    // sampled negative is GUARANTEED a non-edge (hash collisions with
+    // true edges are removed exactly, not probabilistically), the draw is
+    // reproducible at any cluster size (no RNG state, stable under
+    // retries), and the classes land ≈1:1 balanced. Shape: candidate
+    // fan-out is a row-local explode on the node frame; the only
+    // exchange is the narrow (src, dst) anti-join — 16-byte rows.
+    QueryDef(
+      "q9l_negative_sampling",
+      Some(s"""WITH $EdgeCtes,
+        cand0 AS (SELECT doc_id AS src,
+            (doc_id * 40503241 + (i.i + 7) * 2654435761) % 999983
+              % (SELECT n FROM nn) AS dst
+          FROM documents, (SELECT unnest([0, 1, 2]) AS i) i),
+        cand AS (SELECT DISTINCT src, dst FROM cand0 WHERE dst <> src),
+        neg AS (SELECT c.src, c.dst FROM cand c
+          WHERE NOT EXISTS (SELECT 1 FROM e
+                            WHERE e.src = c.src AND e.dst = c.dst))
+        SELECT src, dst, 1 AS label FROM e
+        UNION ALL SELECT src, dst, 0 AS label FROM neg
+        ORDER BY src, dst, label"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val e = pseudoEdges(nodes, nCount)
+        val cand = nodes
+          .select(col("id").as("src"),
+            explode(sequence(lit(0), lit(2))).as("i"))
+          .select(col("src"),
+            ((col("src") * lit(40503241L)
+              + (col("i") + lit(7)) * lit(2654435761L))
+              % 999983L % nCount).as("dst"))
+          .filter(col("dst") =!= col("src"))
+          .distinct()
+        val neg = cand.join(e, Seq("src", "dst"), "left_anti")
+        e.withColumn("label", lit(1))
+          .unionByName(neg.withColumn("label", lit(0)))
+          .orderBy(col("src"), col("dst"), col("label"))
+      })
   )
 
   /** One unrolled HITS half-step in DuckDB SQL (must stay in lockstep

@@ -1322,6 +1322,80 @@ object SimilarityQueries {
               / col("n_exact"), 4).as("recall"))
           .orderBy(col("qid"))
       })
+,
+
+    // Cluster-quality evaluation — the Davies–Bouldin diagnostic every
+    // index build (q5k) / SemDeDup split (q6i) should report before its
+    // clusters are trusted: per cluster, the within-cluster scatter
+    // (mean cosine distance to the centroid) and the worst
+    // scatter-vs-separation ratio R_i = max_{j≠i} (s_i+s_j)/d(c_i,c_j) —
+    // high R_i = cluster i blurs into some neighbor, the split there is
+    // noise. Shape: assignment is the q58 broadcast-argmax (N·k work,
+    // one N-row shuffle); scatters are a per-cid agg; the centroid-pair
+    // frame is k² = N rows of ids+doubles (k = √N), broadcast×broadcast,
+    // never touching the corpus. Determinism: round-9 argmax, exact
+    // 1−cos terms summed as DECIMAL, ratio round 9, max over quantized
+    // doubles (order-free).
+    QueryDef(
+      "q9j_cluster_quality",
+      Some(s"""WITH $centSql,
+        a0 AS (SELECT e.vec_id, c.cid,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) AS cc,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+              FROM embeddings e, cent c),
+        a AS (SELECT vec_id, cid, cc FROM a0 WHERE rn = 1),
+        sc AS (SELECT cid, COUNT(*) AS n_members,
+                round(CAST(SUM(CAST(CAST(1 AS DOUBLE) - cc
+                    AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 9) AS scatter
+              FROM a GROUP BY cid),
+        pair AS (SELECT c1.cid, c2.cid AS cid2,
+                CAST(1 AS DOUBLE)
+                  - round(list_cosine_similarity(c1.ce::DOUBLE[], c2.ce::DOUBLE[]), 9) AS d
+              FROM cent c1, cent c2 WHERE c1.cid <> c2.cid),
+        r AS (SELECT p.cid, round((s1.scatter + s2.scatter) / p.d, 9) AS ratio
+              FROM pair p JOIN sc s1 ON p.cid = s1.cid
+                          JOIN sc s2 ON p.cid2 = s2.cid
+              WHERE p.d > 0)
+        SELECT sc.cid, CAST(sc.n_members AS BIGINT) AS n_members,
+          sc.scatter, m.r_db
+        FROM sc JOIN (SELECT cid, MAX(ratio) AS r_db FROM r GROUP BY cid) m
+          USING (cid)
+        ORDER BY cid"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val cent = centroids(e)
+        val assign = e.crossJoin(broadcast(cent))
+          .withColumn("cc",
+            round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
+          .groupBy(col("vec_id"))
+          .agg(max_by(struct(col("cid"), col("cc")),
+            struct(col("cc"), (-col("cid")).as("nc"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"), col("m.cc").as("cc"))
+        val sc = assign.groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_members"),
+            round(sum((lit(1.0) - col("cc")).cast("decimal(30,12)"))
+              .cast("double") / count(lit(1)), 9).as("scatter"))
+        val pair = cent
+          .crossJoin(broadcast(
+            cent.select(col("cid").as("cid2"), col("ce").as("ce2"))))
+          .filter(col("cid") =!= col("cid2"))
+          .select(col("cid"), col("cid2"),
+            (lit(1.0) - round(VectorFunctions.cosine_sim(col("ce"), col("ce2")), 9))
+              .as("d"))
+          .filter(col("d") > 0)
+        val ratio = pair
+          .join(sc.select(col("cid"), col("scatter").as("s1")), Seq("cid"))
+          .join(sc.select(col("cid").as("cid2"), col("scatter").as("s2")),
+            Seq("cid2"))
+          .select(col("cid"), round((col("s1") + col("s2")) / col("d"), 9)
+            .as("ratio"))
+        sc.join(ratio.groupBy(col("cid")).agg(max(col("ratio")).as("r_db")),
+            Seq("cid"))
+          .select(col("cid"), col("n_members").cast("long").as("n_members"),
+            col("scatter"), col("r_db"))
+          .orderBy(col("cid"))
+      })
   )
 
   // ------------------------------------------------------------ PQ pieces
