@@ -994,6 +994,50 @@ object DedupQueries {
               .otherwise("changed").as("status"))
           .orderBy(col("doc_id"))
       })
+  } :+ {
+    // Fuzzy record linkage — blocked Jaro–Winkler entity resolution, the
+    // typo-tolerant cousin of q5q's edit-distance dedup: each document's
+    // "record key" is its first-8-token prefix (the name/address field
+    // of a real linkage), candidates are generated only WITHIN blocks of
+    // (lang, key-length bucket), and every candidate pair is scored by
+    // the native [[graft.functions.StringSimilarity]] expression —
+    // compiled per-pair byte loop, semantics pinned to DuckDB's
+    // jaro_winkler_similarity so the oracle hash-compares raw scores.
+    // Edit distance charges transposed tokens 2; Jaro–Winkler forgives
+    // transpositions and rewards shared prefixes, which is what makes it
+    // the linkage standard. Scale shape: blocking bounds the quadratic
+    // verify to Σ block² (the q64→q6c lesson); keys are ≤ ~50 bytes so
+    // only (id, lang, bucket, key) rows shuffle into the block join,
+    // never bodies.
+    QueryDef(
+      "q9k_record_linkage",
+      Some("""WITH k AS (SELECT doc_id, lang,
+               array_to_string((string_split(text, ' '))[1:8], ' ') AS key
+              FROM documents),
+        b AS (SELECT doc_id, lang, key, length(key) // 4 AS lb FROM k)
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+          round(jaro_winkler_similarity(a.key, c.key), 6) AS sim
+        FROM b a JOIN b c
+          ON a.lang = c.lang AND a.lb = c.lb AND a.doc_id < c.doc_id
+        WHERE round(jaro_winkler_similarity(a.key, c.key), 6) >= 0.82
+        ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val k = docs(s, dir).select(col("doc_id"), col("lang"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("key"))
+          .withColumn("lb", floor(length(col("key")) / 4))
+        val a = k.select(col("doc_id").as("id_a"), col("lang"),
+          col("lb"), col("key").as("key_a"))
+        val c = k.select(col("doc_id").as("id_b"), col("lang"),
+          col("lb"), col("key").as("key_b"))
+        a.join(c, Seq("lang", "lb"))
+          .filter(col("id_a") < col("id_b"))
+          .withColumn("sim",
+            round(graft.functions.StringSimilarity
+              .jaro_winkler(col("key_a"), col("key_b")), 6))
+          .filter(col("sim") >= 0.82)
+          .select(col("id_a"), col("id_b"), col("sim"))
+          .orderBy(col("id_a"), col("id_b"))
+      })
   }
 
   /** The q6z engine on any (doc_id, text) frame — exposed for the
