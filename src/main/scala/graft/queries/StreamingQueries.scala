@@ -404,6 +404,31 @@ object StreamingQueries {
           FROM documents)
         SELECT term, CAST(COUNT(*) AS BIGINT) AS n
         FROM t GROUP BY term ORDER BY n DESC, term LIMIT 20"""),
-      (s, dir) => StreamPipelines.docStreamHeavyHitters(s, dir))
+      (s, dir) => StreamPipelines.docStreamHeavyHitters(s, dir)),
+
+    // Continuous robust anomaly flagging — q9i's streaming twin: per-type
+    // median/MAD baselines train batch-side on the historical (even-id)
+    // slice, CDC-arriving odd-id events score row-locally against the
+    // broadcast baseline frame (stateless stream-static join, zero state
+    // rows). The oracle trains on the same slice and batch-scores the
+    // streamed slice — drained flags must be indistinguishable.
+    QueryDef(
+      "q8n_stream_anomaly",
+      Some("""WITH hist AS (SELECT * FROM events WHERE event_id % 2 = 0),
+        med AS (SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med
+                FROM hist GROUP BY event_type),
+        mad AS (SELECT h.event_type,
+                round(quantile_cont(abs(h.value - m.med), 0.5), 9) AS mad
+                FROM hist h JOIN med m USING (event_type)
+                GROUP BY h.event_type)
+        SELECT s.event_id, s.event_type,
+          round((s.value - m.med) / (CAST(1.4826 AS DOUBLE) * d.mad), 6) AS z
+        FROM events s JOIN med m USING (event_type)
+                      JOIN mad d USING (event_type)
+        WHERE s.event_id % 2 = 1 AND d.mad > 0
+          AND abs(s.value - m.med)
+            > CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
+        ORDER BY event_id"""),
+      (s, dir) => StreamPipelines.docStreamAnomaly(s, dir))
   )
 }

@@ -973,4 +973,61 @@ object StreamPipelines {
           col("exact_users") * 0.05).as("within_5pct"))
       .orderBy(col("d"), col("event_type"))
   }
+
+  /** q8n: continuous robust anomaly flagging — q9i's streaming twin.
+    * Per-type median/MAD baselines train on the HISTORICAL slice
+    * (event_id % 2 = 0) as a batch aggregate; CDC-arriving events (the
+    * odd slice, two source commits) are scored row-locally against the
+    * broadcast baseline frame in the micro-batch plan — a STATELESS
+    * stream-static equi join on event_type, zero watermark state. This
+    * is the production monitoring shape: baselines refresh on a slow
+    * batch cadence, the stream only compares — so state never grows with
+    * the stream, and a re-trained baseline swaps in without touching the
+    * stream topology. Drained flags must equal batch-scoring the same
+    * slice (the q8e indistinguishability rule). */
+  def docStreamAnomaly(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_anomaly_stream")
+    val ev = graft.sources.Tables.load(s, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val hist = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+    val med = hist.groupBy(col("event_type"))
+      .agg(round(percentile(col("value"), lit(0.5)), 9).as("med"))
+    val mad = hist.join(broadcast(med), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(round(percentile(abs(col("value") - col("med")), lit(0.5)), 9)
+        .as("mad"))
+    val stats = med.join(mad, Seq("event_type")).filter(col("mad") > 0)
+    val odd = ev.filter(pmod(col("event_id"), lit(2)) === 1)
+    graft.connector.GraftDoc.write(
+      odd.filter(pmod(col("event_id"), lit(4)) === 1), "event_id", s"$tmp/src")
+    graft.connector.GraftDoc.write(
+      odd.filter(pmod(col("event_id"), lit(4)) === 3), "event_id", s"$tmp/src")
+    val ckpt = ephemeralCheckpoint("anomaly")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val stream = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/src", maxCommitsPerTrigger = Some(1L))
+          .select(col("_id").cast("long").as("event_id"),
+            col("event_type"), col("value"))
+        val flagged = stream.join(broadcast(stats), Seq("event_type"))
+          .filter(abs(col("value") - col("med"))
+            > lit(3) * lit(1.4826) * col("mad"))
+          .select(col("event_id"), col("event_type"),
+            round((col("value") - col("med"))
+              / (lit(1.4826) * col("mad")), 6).as("z"))
+        val q = flagged.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$tmp/flags_b$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    s.read.parquet(s"$tmp/flags_b*")
+      .select(col("event_id"), col("event_type"), col("z"))
+      .orderBy(col("event_id"))
+  }
 }
