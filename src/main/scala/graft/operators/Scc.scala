@@ -75,13 +75,27 @@ object Scc {
         .join(hasIn, Seq("node"), "left_semi")
       val trivial = remaining.join(core, Seq("node"), "left_anti")
         .withColumn("scc", col("node"))
-      // f on the graph, g on the reverse graph, over the trimmed core
-      val coreEdges = live
+      // f on the graph, g on the reverse graph, over the trimmed core.
+      // Cut both inputs ONCE: minReach's hook join consumes `edges`
+      // every inner round, so an uncut coreEdges would replay the two
+      // trim semi-joins per round. The two propagations are independent
+      // (same core, opposite edge direction) — submit them from two
+      // driver threads so their per-round jobs interleave on the
+      // cluster instead of serializing (the scheduler fills idle slots
+      // with whichever propagation has work; halves the critical path
+      // when rounds are overhead-bound).
+      val coreC = IterationCheckpoint.cut(core)
+      val coreEdgesC = IterationCheckpoint.cut(live
         .join(core.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(core.select(col("node").as("dst")), Seq("dst"), "left_semi")
-      val f = minReach(core, coreEdges)
-      val g = minReach(core,
-        coreEdges.select(col("dst").as("src"), col("src").as("dst")))
+        .join(core.select(col("node").as("dst")), Seq("dst"), "left_semi"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fF = Future(minReach(coreC, coreEdgesC))
+      val gF = Future(minReach(coreC,
+        coreEdgesC.select(col("dst").as("src"), col("src").as("dst"))))
+      val f = Await.result(fF, Duration.Inf)
+      val g = Await.result(gF, Duration.Inf)
       val settledNow = f.join(g.withColumnRenamed("lab", "glab"), Seq("node"))
         .filter(col("lab") === col("glab"))
         .select(col("node"), col("lab").as("scc"))
