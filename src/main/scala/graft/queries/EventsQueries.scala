@@ -252,5 +252,46 @@ object EventsQueries {
               / (lit(1.4826) * col("mad")), 6).as("z"))
           .orderBy(col("event_id"))
       })
+,
+
+    // Exponentially-decayed engagement — recency-weighted activity per
+    // event type (half-life-style decay, τ = 1 day): each event counts
+    // exp(−Δt/τ) where Δt is its age at the corpus horizon (max ts, an
+    // in-plan scalar subquery — no driver collect). This is the
+    // freshness statistic ranking/monitoring pipelines keep per key —
+    // "how active is this signal NOW" — which a plain count can't
+    // express and a time-window cutoff expresses only as a cliff.
+    // Shape: the decay weight is row-local arithmetic on the scan, then
+    // ONE map-side-combined narrow agg per type. Determinism: the age
+    // ratio is exact-long subtraction / double division (identical on
+    // both engines), exp() quantized to 9 (libm-vs-JVM last-ulp), terms
+    // summed as exact DECIMAL, final round(·, 6).
+    QueryDef(
+      "q9m_decayed_engagement",
+      Some("""WITH mx AS (SELECT MAX(epoch_ns(ts)) AS m FROM events),
+        w AS (SELECT event_type,
+               round(exp(-(((SELECT m FROM mx) - epoch_ns(ts))
+                 / CAST(86400000000000 AS DOUBLE))), 9) AS dw
+              FROM events)
+        SELECT event_type, COUNT(*) AS n,
+          round(CAST(SUM(CAST(dw AS DECIMAL(30,12))) AS DOUBLE), 6)
+            AS decayed_n,
+          round(round(CAST(SUM(CAST(dw AS DECIMAL(30,12))) AS DOUBLE), 6)
+            / COUNT(*), 6) AS freshness
+        FROM w GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("event_type"), col("ts_ns"))
+        val mx = ev.agg(max(col("ts_ns")).as("m")).scalar()
+        ev.select(col("event_type"),
+            round(exp(-((mx - col("ts_ns"))
+              / lit(86400000000000L).cast("double"))), 9).as("dw"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("dw").cast("decimal(30,12)")).cast("double"), 6)
+              .as("decayed_n"))
+          .select(col("event_type"), col("n"), col("decayed_n"),
+            round(col("decayed_n") / col("n"), 6).as("freshness"))
+          .orderBy(col("event_type"))
+      })
   )
 }

@@ -1269,6 +1269,106 @@ object TextAnalysis {
               .as("n_released"),
             lit(0.5).as("epsilon"))
           .orderBy(col("source")))
+,
+
+    // Equi-depth quantile binning — the feature-bucketing step of every
+    // length-balanced batch scheduler and curriculum sampler: document
+    // length discretized into 10 depth-balanced bins. NOT ntile(): a
+    // global-window ntile is the single-task global sort PlanSpec bans
+    // (q1h/q5x lesson). Instead the 9 interior decile boundaries come
+    // from ONE exact percentile aggregate (a 9-double frame riding an
+    // in-plan scalar subquery), and each row buckets itself row-locally
+    // as bin = |{b : n_chars > b}| — the scan never shuffles, only the
+    // final per-bin agg does. Ties on a boundary all land in the lower
+    // bin (documented determinism; exact depth balance under heavy ties
+    // needs a tie-break key, which is what makes ntile a sort).
+    QueryDef(
+      "q9n_length_bins",
+      Some("""WITH b AS (SELECT quantile_cont(n_chars,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bnd
+              FROM documents),
+        a AS (SELECT doc_id, n_chars,
+               len(list_filter((SELECT bnd FROM b), x -> n_chars > x)) AS bin
+              FROM documents)
+        SELECT CAST(bin AS INT) AS bin, COUNT(*) AS n,
+          CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+          CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+          round(CAST(SUM(CAST(n_chars AS DECIMAL(30,8))) AS DOUBLE)
+            / COUNT(*), 4) AS mean_chars
+        FROM a GROUP BY bin ORDER BY bin"""),
+      (s, dir) => {
+        val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+        val bnd = d.agg(percentile(col("n_chars"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*)).as("bnd"))
+        d.crossJoin(broadcast(bnd))
+          .select(col("doc_id"), col("n_chars"),
+            size(filter(col("bnd"), x => col("n_chars") > x)).as("bin"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"),
+            round(sum(col("n_chars").cast("decimal(30,8)")).cast("double")
+              / count(lit(1)), 4).as("mean_chars"))
+          .select(col("bin").cast("int").as("bin"), col("n"),
+            col("min_chars"), col("max_chars"), col("mean_chars"))
+          .orderBy(col("bin"))
+      })
+,
+
+    // Collocation mining — pointwise mutual information over ADJACENT
+    // word pairs (Church & Hanks 1990), the new-term / multiword-unit
+    // discovery step tokenizer-vocabulary curation runs: PMI =
+    // ln p(w1w2) − ln p(w1) − ln p(w2) with bigram probability over the
+    // bigram total and unigram probabilities over the token total. q9a's
+    // term lift scores document CO-PRESENCE (topical association); this
+    // scores ADJACENCY (phrasal units) — "new york" ranks here even if
+    // the two words co-occur in every document. Min support 5 kills the
+    // noise floor. Shape: two narrow (gram, Σ1) aggs, unigram frame is
+    // vocabulary-sized → broadcast onto the bigram frame twice; top-30
+    // via TakeOrderedAndProject. ln quantized 9, the q9d idiom.
+    QueryDef(
+      "q9o_collocations",
+      Some("""WITH wl AS (SELECT string_split(text, ' ') AS w FROM documents),
+        bp AS (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM wl),
+        bg AS (SELECT w[i] AS w1, w[i + 1] AS w2, COUNT(*) AS c12
+               FROM bp GROUP BY 1, 2),
+        tb AS (SELECT SUM(c12) AS t FROM bg),
+        ug AS (SELECT unnest(w) AS term FROM wl),
+        uc AS (SELECT term, COUNT(*) AS c FROM ug GROUP BY term),
+        tu AS (SELECT SUM(c) AS t FROM uc)
+        SELECT bg.w1 || ' ' || bg.w2 AS bigram, CAST(bg.c12 AS BIGINT) AS c12,
+          round(round(ln(bg.c12 * 1.0 / (SELECT t FROM tb)), 9)
+            - round(ln(u1.c * 1.0 / (SELECT t FROM tu)), 9)
+            - round(ln(u2.c * 1.0 / (SELECT t FROM tu)), 9), 9) AS pmi
+        FROM bg JOIN uc u1 ON bg.w1 = u1.term
+                JOIN uc u2 ON bg.w2 = u2.term
+        WHERE bg.c12 >= 5
+        ORDER BY pmi DESC, bigram LIMIT 30"""),
+      (s, dir) => {
+        val wl = docs(s, dir)
+        val bg = wl
+          .select(explode(TextExpressions.word_shingles_all(col("text"), 2))
+            .as("pat"))
+          .groupBy(col("pat")).agg(count(lit(1)).as("c"))
+        val uc = wl.select(explode(split(col("text"), " ")).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val tb = bg.agg(sum(col("c")).as("t")).scalar()
+        val tu = uc.agg(sum(col("c")).as("t")).scalar()
+        val parts = split(col("pat"), " ")
+        bg.filter(col("c") >= 5)
+          .select(col("pat"), col("c").as("c12"),
+            parts.getItem(0).as("w1"), parts.getItem(1).as("w2"))
+          .join(broadcast(uc.select(col("term").as("w1"), col("c").as("c1"))),
+            Seq("w1"))
+          .join(broadcast(uc.select(col("term").as("w2"), col("c").as("c2"))),
+            Seq("w2"))
+          .select(col("pat").as("bigram"), col("c12"),
+            round(round(log(col("c12") / tb), 9)
+              - round(log(col("c1") / tu), 9)
+              - round(log(col("c2") / tu), 9), 9).as("pmi"))
+          .orderBy(col("pmi").desc, col("bigram"))
+          .limit(30)
+      })
   )
 
   /** DuckDB CTE chain extracting the corpus's top-`k` word bigrams
