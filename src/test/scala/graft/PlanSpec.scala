@@ -506,4 +506,40 @@ class PlanSpec extends SparkSpec {
     assert(antiJoins == 1,
       s"expected exactly one confirm anti join, found $antiJoins")
   }
+
+  test("q9i anomaly scoring: per-type baselines broadcast onto the events scan") {
+    // the median/MAD frames are |event_type|-row aggregates; the scoring
+    // joins must be broadcast hash joins (a shuffled join would re-hash
+    // the whole events table twice just to attach two doubles per type)
+    val plans = collectAll(executed(q("q9i_event_anomaly")))
+    assert(plans.count(_.isInstanceOf[BroadcastHashJoinExec]) >= 2,
+      "median and MAD frames should both attach via broadcast hash joins")
+  }
+
+  test("q9k record linkage: blocked verify is an equi join, never a nested loop") {
+    // blocking exists to bound the quadratic verify; if the (lang, bucket)
+    // keys fell out of the join condition the pair generation would plan
+    // a nested-loop/cartesian over the whole corpus
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plans = collectAll(executed(q("q9k_record_linkage")))
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !plans.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "q9k must pair candidates through the blocking equi join")
+    assert(plans.exists(p => p.toString.contains("jaro_winkler")),
+      "the native jaro_winkler expression should appear in the plan")
+  }
+
+  test("q9n length binning: zero empty-partitioning windows (the ntile shape)") {
+    // equi-depth binning is the classic ntile() call — which is a global
+    // single-task sort; the operator exists to do it with a broadcast
+    // boundary frame + row-local bucketing instead
+    val plans = collectAll(executed(q("q9n_length_bins")))
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"q9n plans ${globalWindows.size} empty-partitioning Window node(s) — " +
+        "single-task at scale")
+  }
 }
