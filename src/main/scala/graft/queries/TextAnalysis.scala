@@ -1369,6 +1369,64 @@ object TextAnalysis {
           .orderBy(col("pmi").desc, col("bigram"))
           .limit(30)
       })
+,
+
+    // Vocabulary growth (Heaps' law) — cumulative distinct-term count as
+    // the corpus is consumed in doc_id order, bucketed into 10 ingest
+    // slices: the "is the vocabulary saturating" curve that decides
+    // tokenizer vocab size and flags a drifting crawl (a slice with an
+    // anomalous new-term rate is q9d's KL spike seen longitudinally).
+    // Shape: each term's FIRST document (min doc_id per term — one
+    // narrow agg) is what makes cumulative-distinct tractable: no
+    // running global distinct, just per-bucket first-occurrence counts.
+    // The cumulative fold runs as a triangle join on the 10-row bucket
+    // frame — never a global window over corpus rows (the q5x rule;
+    // empty-partition windows are banned shapes here even when small).
+    QueryDef(
+      "q9p_vocab_growth",
+      Some("""WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents),
+        fr AS (SELECT term, MIN(doc_id) AS fd FROM tok GROUP BY term),
+        nb AS (SELECT CAST(floor(fd * 10 / CAST((SELECT n FROM nn) AS DOUBLE))
+                 AS INT) AS bucket, COUNT(*) AS new_terms
+               FROM fr GROUP BY 1),
+        tb AS (SELECT CAST(floor(doc_id * 10 / CAST((SELECT n FROM nn) AS DOUBLE))
+                 AS INT) AS bucket, COUNT(*) AS toks
+               FROM tok GROUP BY 1),
+        f AS (SELECT tb.bucket, COALESCE(nb.new_terms, 0) AS new_terms, tb.toks
+              FROM tb LEFT JOIN nb USING (bucket))
+        SELECT a.bucket, CAST(a.new_terms AS BIGINT) AS new_terms,
+          CAST(SUM(b.new_terms) AS BIGINT) AS vocab_size,
+          CAST(SUM(b.toks) AS BIGINT) AS tokens_seen
+        FROM f a JOIN f b ON b.bucket <= a.bucket
+        GROUP BY a.bucket, a.new_terms ORDER BY a.bucket"""),
+      (s, dir) => {
+        val d = docs(s, dir)
+        val n = d.agg(count(lit(1)).as("n")).scalar()
+        val tok = d.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val nb = tok.groupBy(col("term")).agg(min(col("doc_id")).as("fd"))
+          .select(floor(col("fd") * 10 / n.cast("double")).cast("int")
+            .as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("new_terms"))
+        val tb = tok
+          .select(floor(col("doc_id") * 10 / n.cast("double")).cast("int")
+            .as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("toks"))
+        val f = tb.join(nb, Seq("bucket"), "left")
+          .select(col("bucket"), coalesce(col("new_terms"), lit(0L))
+            .as("new_terms"), col("toks"))
+        val b = f.select(col("bucket").as("b2"), col("new_terms").as("nt2"),
+          col("toks").as("tk2"))
+        f.join(broadcast(b), col("b2") <= col("bucket"))
+          .groupBy(col("bucket"), col("new_terms"))
+          .agg(sum(col("nt2")).as("vocab_size"), sum(col("tk2"))
+            .as("tokens_seen"))
+          .select(col("bucket"), col("new_terms"), col("vocab_size"),
+            col("tokens_seen"))
+          .orderBy(col("bucket"))
+      })
   )
 
   /** DuckDB CTE chain extracting the corpus's top-`k` word bigrams
