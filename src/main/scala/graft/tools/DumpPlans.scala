@@ -83,7 +83,14 @@ object DumpPlans {
     "q9a_term_lift"           -> "term lift: broadcast top-40 vocab prunes postings before per-doc pair self-join",
     "q9b_token_mask"          -> "MLM masking: one row-local transform HOF, zero shuffle beyond the scan",
     "q9d_source_divergence"   -> "source KL: narrow (source, word) aggs, broadcast word marginals, decimal sums",
-    "q9e_adamic_adar"         -> "Adamic-Adar: edge self-join on dst + indeg weights, TakeOrderedAndProject top-100")
+    "q9e_adamic_adar"         -> "Adamic-Adar: edge self-join on dst + indeg weights, TakeOrderedAndProject top-100",
+    "q9f_token_entropy"       -> "token entropy: explode on scan partitions, narrow (doc, tok, count) shuffle, decimal sums",
+    "q9g_column_profile"      -> "column profile: one scan through multi-distinct Expand, row-local unpivot",
+    "q9i_event_anomaly"       -> "robust anomaly: per-type median/MAD frames broadcast onto the scan, row-local flags",
+    "q9j_cluster_quality"     -> "Davies-Bouldin: broadcast-argmax assignment, k^2 centroid-pair frame off-corpus",
+    "q9k_record_linkage"      -> "record linkage: blocking equi join bounds the native jaro_winkler verify",
+    "q9n_length_bins"         -> "equi-depth binning: broadcast decile boundary frame, row-local bucketing, no ntile window",
+    "q9p_vocab_growth"        -> "Heaps curve: per-term first-doc agg, triangle join on the 10-row bucket frame")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
