@@ -31,6 +31,24 @@ object StringSimilarity {
   def jaro_winkler(a: Column, b: Column): Column =
     bridge.column(JaroWinklerExpr(bridge.expression(a), bridge.expression(b)))
 
+  /** Per-thread match-mask scratch (tasks are single-threaded; the inner
+    * loop of a million-pair linkage join must not allocate two arrays per
+    * pair). Grown geometrically, cleared per call only over the used
+    * prefix. */
+  private val masks = ThreadLocal.withInitial[Array[Boolean]](() =>
+    new Array[Boolean](256))
+
+  private def scratch(n: Int): Array[Boolean] = {
+    var m = masks.get()
+    if (m.length < n) {
+      m = new Array[Boolean](Integer.highestOneBit(n) * 2)
+      masks.set(m)
+    } else {
+      java.util.Arrays.fill(m, 0, n, false)
+    }
+    m
+  }
+
   /** DuckDB-exact Jaro–Winkler over UTF-8 bytes. Public so the codegen'd
     * path can call the static forwarder directly. */
   def jaroWinkler(a: UTF8String, b: UTF8String): Double = {
@@ -38,7 +56,9 @@ object StringSimilarity {
     val l1 = s1.length; val l2 = s2.length
     if (l1 == 0 || l2 == 0) return 0.0
     val window = math.max(math.max(l1, l2) / 2 - 1, 0)
-    val m1 = new Array[Boolean](l1); val m2 = new Array[Boolean](l2)
+    // one scratch buffer, two regions: s1's match mask at [0, l1),
+    // s2's at [l1, l1+l2)
+    val m = scratch(l1 + l2)
     var matches = 0
     var i = 0
     while (i < l1) {
@@ -47,8 +67,8 @@ object StringSimilarity {
       var j = lo
       var found = false
       while (j < hi && !found) {
-        if (!m2(j) && s2(j) == s1(i)) {
-          m1(i) = true; m2(j) = true; matches += 1; found = true
+        if (!m(l1 + j) && s2(j) == s1(i)) {
+          m(i) = true; m(l1 + j) = true; matches += 1; found = true
         }
         j += 1
       }
@@ -59,8 +79,8 @@ object StringSimilarity {
     var t = 0; var k = 0
     i = 0
     while (i < l1) {
-      if (m1(i)) {
-        while (!m2(k)) k += 1
+      if (m(i)) {
+        while (!m(l1 + k)) k += 1
         if (s1(i) != s2(k)) t += 1
         k += 1
       }
