@@ -507,6 +507,47 @@ object GraphQueries {
           .unionByName(neg.withColumn("label", lit(0)))
           .orderBy(col("src"), col("dst"), col("label"))
       })
+,
+
+    // Weighted shortest paths (bounded-hop Bellman–Ford) from the q97
+    // landmarks, edge costs 1..9 hash-derived: q97 counts HOPS, this
+    // sums COSTS — latency-weighted link distance / crawl-cost
+    // budgeting, and the operator family where pointer-jumping can't
+    // help because distance composes additively (see [[Sssp]]). The
+    // 8-round bound is part of the semantics: d = min cost over paths
+    // of ≤ 8 edges, and the oracle unrolls exactly 8 relaxations (the
+    // PageRank unroll discipline — a hash match proves every round).
+    // Pure integer arithmetic: no quantization needed anywhere.
+    QueryDef(
+      "q9q_weighted_sssp",
+      Some(s"""WITH $EdgeCtes,
+        ws AS (SELECT src, dst, 1 + (src * 31 + dst) % 9 AS w FROM e),
+        ind AS (SELECT dst, COUNT(*) AS c FROM e GROUP BY dst),
+        lm AS (SELECT dst AS l FROM ind ORDER BY c DESC, dst LIMIT 4),
+        d0 AS (SELECT l, l AS node, 0 AS d FROM lm),
+        ${(1 to 8).map(k =>
+          s"""d$k AS (SELECT l, node, MIN(d) AS d FROM (
+               SELECT l, node, d FROM d${k - 1}
+               UNION ALL
+               SELECT p.l, w.dst, p.d + w.w FROM d${k - 1} p
+               JOIN ws w ON w.src = p.node) GROUP BY l, node)""")
+          .mkString(",\n        ")}
+        SELECT node AS doc_id, l AS landmark, CAST(d AS BIGINT) AS dist
+        FROM d8 ORDER BY doc_id, landmark"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val e = pseudoEdges(nodes, nCount)
+        val we = e.select(col("src"), col("dst"),
+          (lit(1L) + (col("src") * 31 + col("dst")) % 9).as("w"))
+        val lm = e.groupBy(col("dst")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("dst")).limit(4)
+          .select(col("dst").as("l"))
+        graft.operators.Sssp.distances(lm, we, 8)
+          .select(col("node").as("doc_id"), col("l").as("landmark"),
+            col("d").as("dist"))
+          .orderBy(col("doc_id"), col("landmark"))
+      })
   )
 
   /** One unrolled HITS half-step in DuckDB SQL (must stay in lockstep
