@@ -1396,6 +1396,92 @@ object SimilarityQueries {
             col("scatter"), col("r_db"))
           .orderBy(col("cid"))
       })
+,
+
+    // Ranking evaluation — MRR and nDCG@10 of the exact-cosine retriever
+    // against label-match relevance: the metrics layer every retrieval /
+    // RAG stack reports (q5n measures an ANN index's agreement with
+    // exact search; this measures whether the RANKING itself surfaces
+    // relevant items, graded by position). Relevance = shared `label`
+    // (the embedding table's class column). nDCG discounts by
+    // 1/log2(rank+1); the ideal DCG uses the corpus-wide relevant count
+    // capped at 10, so a query with fewer than 10 relevant docs can
+    // still reach 1.0 — the standard nDCG@k convention. Shape: the
+    // 10-query frame broadcasts onto one corpus scan (q65's shape);
+    // everything after the per-query top-10 is arithmetic on ≤ 100
+    // rows. Determinism: log2/reciprocal quantized 9/12, DECIMAL sums,
+    // final round 6 — the q5w idiom.
+    QueryDef(
+      "q9r_rank_eval",
+      Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+               FROM embeddings WHERE vec_id < 10),
+        s AS (SELECT q.qid, e.vec_id AS nid,
+                round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c,
+                CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS rel
+              FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+        r AS (SELECT qid, rel,
+                row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+              FROM s),
+        t AS (SELECT qid, rnk, rel FROM r WHERE rnk <= 10),
+        d AS (SELECT qid,
+                CAST(SUM(CAST(CASE WHEN rel = 1
+                    THEN round(CAST(1 AS DOUBLE) / round(log2(rnk + 1), 9), 12)
+                    ELSE CAST(0 AS DOUBLE) END AS DECIMAL(30,14))) AS DOUBLE) AS dcg,
+                CAST(SUM(rel) AS BIGINT) AS n_rel_top10,
+                MIN(CASE WHEN rel = 1 THEN rnk END) AS minr
+              FROM t GROUP BY qid),
+        rc AS (SELECT qid, LEAST(COUNT(*), 10) AS rcap
+               FROM s WHERE rel = 1 GROUP BY qid),
+        ii AS (SELECT qid, unnest(generate_series(1, CAST(rcap AS INT))) AS i
+               FROM rc),
+        id AS (SELECT qid,
+                CAST(SUM(CAST(round(CAST(1 AS DOUBLE) / round(log2(i + 1), 9), 12)
+                  AS DECIMAL(30,14))) AS DOUBLE) AS idcg
+               FROM ii GROUP BY qid)
+        SELECT d.qid,
+          COALESCE(round(CAST(1 AS DOUBLE) / d.minr, 6), CAST(0 AS DOUBLE)) AS mrr,
+          COALESCE(round(d.dcg / id.idcg, 6), CAST(0 AS DOUBLE)) AS ndcg,
+          d.n_rel_top10
+        FROM d LEFT JOIN id ON d.qid = id.qid
+        ORDER BY d.qid"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+            col("label").as("ql"))
+        val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("c",
+            round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 9))
+          .withColumn("rel",
+            when(col("label") === col("ql"), 1).otherwise(0))
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("c").desc, col("vec_id"))
+        val top = scored.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+        val d = top.groupBy(col("qid")).agg(
+          sum(when(col("rel") === 1,
+              round(lit(1.0) / round(log2(col("rnk") + 1), 9), 12))
+            .otherwise(lit(0.0)).cast("decimal(30,14)")).cast("double")
+            .as("dcg"),
+          sum(col("rel")).cast("long").as("n_rel_top10"),
+          min(when(col("rel") === 1, col("rnk"))).as("minr"))
+        val rc = scored.filter(col("rel") === 1).groupBy(col("qid"))
+          .agg(least(count(lit(1)), lit(10L)).as("rcap"))
+        val idcg = rc
+          .select(col("qid"),
+            explode(sequence(lit(1), col("rcap").cast("int"))).as("i"))
+          .select(col("qid"),
+            round(lit(1.0) / round(log2(col("i") + 1), 9), 12).as("term"))
+          .groupBy(col("qid"))
+          .agg(sum(col("term").cast("decimal(30,14)")).cast("double")
+            .as("idcg"))
+        d.join(idcg, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(round(lit(1.0) / col("minr"), 6), lit(0.0)).as("mrr"),
+            coalesce(round(col("dcg") / col("idcg"), 6), lit(0.0)).as("ndcg"),
+            col("n_rel_top10"))
+          .orderBy(col("qid"))
+      })
   )
 
   // ------------------------------------------------------------ PQ pieces
