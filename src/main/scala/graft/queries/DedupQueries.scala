@@ -1038,6 +1038,54 @@ object DedupQueries {
           .select(col("id_a"), col("id_b"), col("sim"))
           .orderBy(col("id_a"), col("id_b"))
       })
+  } :+ {
+    // Dedup threshold profile — the pairwise-similarity histogram the 0.7
+    // in q61/q62 is CHOSEN from: every co-occurring candidate pair's
+    // exact shingle-Jaccard, bucketed to deciles, with the cumulative
+    // "pairs you would merge at threshold ≥ t" column — the
+    // corpus-shrinkage-vs-aggressiveness tuning curve (read bottom-up:
+    // where the cumulative count elbows is where near-dup ends and
+    // topical similarity begins). Shape: the pair machinery is q61's
+    // (DF-capped postings, compiled i<j pair kernel, two narrow
+    // shuffles); the histogram is a ≤10-row frame, and the cumulative
+    // fold is the q9p triangle join on that frame — never a window.
+    // Bucket boundaries are double-exact cross-engine because both
+    // engines compute the same division and the same floor.
+    QueryDef(
+      "q9s_dedup_threshold_profile",
+      Some(s"""WITH $pairCountsCte,
+        j AS (SELECT LEAST(CAST(floor(inter * CAST(10 AS DOUBLE)
+                  / (na + nb - inter)) AS INT), 9) AS bin,
+                round(inter * CAST(1 AS DOUBLE) / (na + nb - inter), 9) AS jac
+              FROM pc),
+        h AS (SELECT bin, COUNT(*) AS n_pairs,
+                round(CAST(SUM(CAST(jac AS DECIMAL(30,12))) AS DOUBLE)
+                  / COUNT(*), 6) AS mean_jac
+              FROM j GROUP BY bin)
+        SELECT a.bin, CAST(a.n_pairs AS BIGINT) AS n_pairs, a.mean_jac,
+          CAST(SUM(b.n_pairs) AS BIGINT) AS cum_pairs_at_or_above
+        FROM h a JOIN h b ON b.bin >= a.bin
+        GROUP BY a.bin, a.n_pairs, a.mean_jac ORDER BY a.bin"""),
+      (s, dir) => {
+        val pc = pairCounts(withShingles(docs(s, dir)))
+        val j = pc.select(
+          least(floor(col("inter") * 10.0
+            / (col("na") + col("nb") - col("inter"))).cast("int"), lit(9))
+            .as("bin"),
+          round(col("inter") * 1.0
+            / (col("na") + col("nb") - col("inter")), 9).as("jac"))
+        val h = j.groupBy(col("bin")).agg(
+          count(lit(1)).as("n_pairs"),
+          round(sum(col("jac").cast("decimal(30,12)")).cast("double")
+            / count(lit(1)), 6).as("mean_jac"))
+        val b = h.select(col("bin").as("b2"), col("n_pairs").as("np2"))
+        h.join(broadcast(b), col("b2") >= col("bin"))
+          .groupBy(col("bin"), col("n_pairs"), col("mean_jac"))
+          .agg(sum(col("np2")).as("cum_pairs_at_or_above"))
+          .select(col("bin"), col("n_pairs"), col("mean_jac"),
+            col("cum_pairs_at_or_above"))
+          .orderBy(col("bin"))
+      })
   }
 
   /** The q6z engine on any (doc_id, text) frame — exposed for the
