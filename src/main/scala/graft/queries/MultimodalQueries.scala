@@ -207,6 +207,54 @@ object MultimodalQueries {
     }
   }
 
+  /** dHash output: the 64-bit difference hash split into two 32-bit
+    * halves (h0 = bits 0..31, h1 = bits 32..63 — kept positive so
+    * cross-engine BIGINT algebra never meets a sign bit) plus its four
+    * 16-bit LSH bands. */
+  final case class ImageHash(doc_id: Long, h0: Long, h1: Long,
+      b0: Int, b1: Int, b2: Int, b3: Int)
+
+  /** Perceptual difference hash (dHash) behind the seam: decode the real
+    * PNG, nearest-neighbor sample a 9×8 grayscale grid (the q6o integer
+    * source mapping — no float interpolator to model), then bit k
+    * (k = y·8 + x) records whether gray rises left→right between grid
+    * columns x and x+1. Gradient SIGNS are what make dHash a perceptual
+    * hash: uniform brightness shifts cancel in the comparison, so
+    * re-encoded / brightness-tweaked copies land within a few bits.
+    * Grayscale is integer (r+g+b)/3 floor — replayable exactly. */
+  def dhashImages(rows: Iterator[MediaImage]): Iterator[ImageHash] = {
+    javax.imageio.ImageIO.setUseCache(false) // per-partition init
+    rows.map { m =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.png))
+      require(img != null, s"doc ${m.doc_id}: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val gray = Array.ofDim[Int](8, 9)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 9) {
+          val rgb = img.getRGB(x * w / 9, y * h / 8)
+          gray(y)(x) =
+            (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+          x += 1
+        }
+        y += 1
+      }
+      var h0 = 0L; var h1 = 0L
+      var k = 0
+      while (k < 64) {
+        val x = k % 8; val yy = k / 8
+        if (gray(yy)(x + 1) > gray(yy)(x)) {
+          if (k < 32) h0 |= 1L << k else h1 |= 1L << (k - 32)
+        }
+        k += 1
+      }
+      ImageHash(m.doc_id, h0, h1,
+        (h0 & 0xFFFF).toInt, ((h0 >> 16) & 0xFFFF).toInt,
+        (h1 & 0xFFFF).toInt, ((h1 >> 16) & 0xFFFF).toInt)
+    }
+  }
+
   /** real-WAV row: doc provenance + genuine WAV container bytes. */
   final case class MediaAudio(doc_id: Long, wav: Array[Byte])
 
@@ -1120,5 +1168,80 @@ object MultimodalQueries {
             max(col("width")).as("max_width"))
           .orderBy(col("source"))
       })
+,
+
+    // Perceptual image dedup — dHash over the REAL PNG codec + banded
+    // hamming join: the multimodal twin of q63's text SimHash, and the
+    // operator that catches re-encoded / slightly-edited image copies
+    // byte-hash dedup (q60) is blind to. Pipeline: decode (real codec)
+    // → 9×8 NN grayscale → 64 gradient-sign bits → four 16-bit LSH
+    // bands → band-equality candidate join → exact hamming verify ≤ 3.
+    // Banding is LOSSLESS at this threshold by pigeonhole (≤ 3 differing
+    // bits touch ≤ 3 of the 4 bands, so one band always matches) — and
+    // the oracle PROVES it: it brute-forces ALL pairs with no band
+    // filter, so any recall loss in the banded path hash-mismatches
+    // (the q6r discipline). Scale shape: hashes are 4 longs/int rows —
+    // images never pairwise-join; candidates come from 4 narrow
+    // equi-joins; the verify is two xor+popcounts per candidate.
+    QueryDef(
+      "q9t_image_phash_dedup",
+      Some(s"""WITH g AS (
+          SELECT doc_id, 8 + doc_id % 17 AS w, 8 + (doc_id * 3) % 13 AS h
+          FROM documents),
+        hs AS (SELECT doc_id, ${dhashHalfSql(0)} AS h0, ${dhashHalfSql(32)} AS h1
+               FROM g)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+            AS BIGINT) AS hamming
+        FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1)) <= 3
+        ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        import s.implicits._
+        val hs = docs(s, dir).select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => MediaImage(id, synthesizePng(id))))
+          .mapPartitions(dhashImages)
+          .toDF()
+        val bands = hs.select(col("doc_id"), col("h0"), col("h1"),
+          explode(array(
+            struct(lit(0).as("band"), col("b0").as("key")),
+            struct(lit(1).as("band"), col("b1").as("key")),
+            struct(lit(2).as("band"), col("b2").as("key")),
+            struct(lit(3).as("band"), col("b3").as("key")))).as("bk"))
+          .select(col("doc_id"), col("h0"), col("h1"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+        val a = bands.select(col("doc_id").as("id_a"), col("h0").as("h0a"),
+          col("h1").as("h1a"), col("band"), col("key"))
+        val b = bands.select(col("doc_id").as("id_b"), col("h0").as("h0b"),
+          col("h1").as("h1b"), col("band"), col("key"))
+        a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"), col("h0a"), col("h1a"),
+            col("h0b"), col("h1b"))
+          .distinct()
+          .withColumn("hamming",
+            (bit_count(col("h0a").bitwiseXOR(col("h0b")))
+              + bit_count(col("h1a").bitwiseXOR(col("h1b")))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .orderBy(col("id_a"), col("id_b"))
+      })
   )
+
+  /** Oracle mirror of one grid cell's grayscale in [[dhashImages]]: the
+    * synthetic pixel formulas at NN source coords (x·w div 9, y·h div 8),
+    * x given per-lambda (`xe`), y = i div 8. */
+  private def dhashGraySql(xe: String): String = {
+    val sx = s"((($xe) * w) // 9)"
+    val sy = "(((i // 8) * h) // 8)"
+    s"(((doc_id + 7 * $sx + 13 * $sy) % 256" +
+      s" + (5 * doc_id + 11 * $sx + 3 * $sy) % 256" +
+      s" + (2 * doc_id + $sx * $sy) % 256) // 3)"
+  }
+
+  /** One 32-bit dHash half (bits lo..lo+31) as DuckDB SQL over CTE g. */
+  private def dhashHalfSql(lo: Int): String =
+    s"""CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), i ->
+         CASE WHEN ${dhashGraySql("i % 8 + 1")} > ${dhashGraySql("i % 8")}
+              THEN CAST(1 AS BIGINT) << (i - $lo)
+              ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
 }
