@@ -293,5 +293,63 @@ object EventsQueries {
             round(col("decayed_n") / col("n"), 6).as("freshness"))
           .orderBy(col("event_type"))
       })
+,
+
+    // Key-skew diagnostics — the reconnaissance report behind every
+    // salting / AQE-skew-join decision (q19's salted join treats skew;
+    // this MEASURES it): per candidate shuffle key, the concentration
+    // statistics that predict a hot partition. HHI (Herfindahl index,
+    // Σ share²) is the sort-free concentration measure — a plain
+    // aggregate over the per-key count frame, where Gini would demand a
+    // global rank (exactly the single-task sort this suite bans);
+    // max/mean says how much bigger the hottest task is than the
+    // average one — the straggler multiplier at 100 TB. Shape: one
+    // map-side-combined count per key column, then arithmetic on the
+    // key-cardinality frames.
+    QueryDef(
+      "q9u_key_skew",
+      Some("""WITH u AS (SELECT user_id AS k FROM events),
+        t AS (SELECT event_type AS k FROM events),
+        pu AS (SELECT k, COUNT(*) AS c FROM u GROUP BY k),
+        pt AS (SELECT k, COUNT(*) AS c FROM t GROUP BY k),
+        su AS (SELECT 'user_id' AS key_col, COUNT(*) AS n_keys,
+                 CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(MAX(c) AS BIGINT) AS max_rows,
+                 round(MAX(c) * COUNT(*) * CAST(1 AS DOUBLE) / SUM(c), 4)
+                   AS max_over_mean,
+                 round(CAST(SUM(CAST(round(c * CAST(1 AS DOUBLE) / (SELECT SUM(c) FROM pu), 9)
+                     * round(c * CAST(1 AS DOUBLE) / (SELECT SUM(c) FROM pu), 9) AS DECIMAL(30,14)))
+                   AS DOUBLE), 8) AS hhi
+               FROM pu),
+        st AS (SELECT 'event_type' AS key_col, COUNT(*) AS n_keys,
+                 CAST(SUM(c) AS BIGINT) AS n_rows,
+                 CAST(MAX(c) AS BIGINT) AS max_rows,
+                 round(MAX(c) * COUNT(*) * CAST(1 AS DOUBLE) / SUM(c), 4)
+                   AS max_over_mean,
+                 round(CAST(SUM(CAST(round(c * CAST(1 AS DOUBLE) / (SELECT SUM(c) FROM pt), 9)
+                     * round(c * CAST(1 AS DOUBLE) / (SELECT SUM(c) FROM pt), 9) AS DECIMAL(30,14)))
+                   AS DOUBLE), 8) AS hhi
+               FROM pt)
+        SELECT * FROM su UNION ALL SELECT * FROM st ORDER BY key_col"""),
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        def profile(keyCol: String): DataFrame = {
+          val p = ev.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+          val tot = p.agg(sum(col("c")).as("t")).scalar()
+          p.agg(
+            count(lit(1)).as("n_keys"),
+            sum(col("c")).cast("long").as("n_rows"),
+            max(col("c")).cast("long").as("max_rows"),
+            round(max(col("c")) * count(lit(1)) * lit(1.0) / sum(col("c")), 4)
+              .as("max_over_mean"),
+            round(sum((round(col("c") * lit(1.0) / tot, 9)
+                * round(col("c") * lit(1.0) / tot, 9))
+              .cast("decimal(30,14)")).cast("double"), 8).as("hhi"))
+            .select(lit(keyCol).as("key_col"), col("n_keys"), col("n_rows"),
+              col("max_rows"), col("max_over_mean"), col("hhi"))
+        }
+        profile("user_id").unionByName(profile("event_type"))
+          .orderBy(col("key_col"))
+      })
   )
 }
