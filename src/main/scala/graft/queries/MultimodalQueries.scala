@@ -1230,7 +1230,7 @@ object MultimodalQueries {
   /** Oracle mirror of one grid cell's grayscale in [[dhashImages]]: the
     * synthetic pixel formulas at NN source coords (x·w div 9, y·h div 8),
     * x given per-lambda (`xe`), y = i div 8. */
-  private def dhashGraySql(xe: String): String = {
+  private[queries] def dhashGraySql(xe: String): String = {
     val sx = s"((($xe) * w) // 9)"
     val sy = "(((i // 8) * h) // 8)"
     s"(((doc_id + 7 * $sx + 13 * $sy) % 256" +
@@ -1239,7 +1239,7 @@ object MultimodalQueries {
   }
 
   /** One 32-bit dHash half (bits lo..lo+31) as DuckDB SQL over CTE g. */
-  private def dhashHalfSql(lo: Int): String =
+  private[queries] def dhashHalfSql(lo: Int): String =
     s"""CAST(list_sum(list_transform(generate_series($lo, ${lo + 31}), i ->
          CASE WHEN ${dhashGraySql("i % 8 + 1")} > ${dhashGraySql("i % 8")}
               THEN CAST(1 AS BIGINT) << (i - $lo)

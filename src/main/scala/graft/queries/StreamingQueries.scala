@@ -429,6 +429,30 @@ object StreamingQueries {
           AND abs(s.value - m.med)
             > CAST(3 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * d.mad
         ORDER BY event_id"""),
-      (s, dir) => StreamPipelines.docStreamAnomaly(s, dir))
+      (s, dir) => StreamPipelines.docStreamAnomaly(s, dir)),
+
+    // Continuous perceptual image dedup — q9t's streaming twin (the
+    // multimodal ingest gate): historical even-id images hash batch-side
+    // through the real PNG codec, CDC-arriving odd-id images decode +
+    // dHash inside the micro-batch plan and probe the broadcast band
+    // index (stateless stream-static joins, zero state rows). The
+    // oracle brute-forces ALL odd×even pairs with no band filter, so it
+    // simultaneously proves drain ≡ batch AND that banding lost no
+    // recall at hamming ≤ 3.
+    QueryDef(
+      "q8o_stream_image_dedup",
+      Some(s"""WITH g AS (
+          SELECT doc_id, 8 + doc_id % 17 AS w, 8 + (doc_id * 3) % 13 AS h
+          FROM documents),
+        hs AS (SELECT doc_id, ${MultimodalQueries.dhashHalfSql(0)} AS h0,
+                 ${MultimodalQueries.dhashHalfSql(32)} AS h1
+               FROM g)
+        SELECT n.doc_id AS id_new, e.doc_id AS id_hist,
+          CAST(bit_count(xor(n.h0, e.h0)) + bit_count(xor(n.h1, e.h1))
+            AS BIGINT) AS hamming
+        FROM hs n JOIN hs e ON n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+        WHERE bit_count(xor(n.h0, e.h0)) + bit_count(xor(n.h1, e.h1)) <= 3
+        ORDER BY id_new, id_hist"""),
+      (s, dir) => StreamPipelines.docStreamImageDedup(s, dir))
   )
 }

@@ -1030,4 +1030,75 @@ object StreamPipelines {
       .select(col("event_id"), col("event_type"), col("z"))
       .orderBy(col("event_id"))
   }
+
+  /** q8o: continuous perceptual image dedup — q9t's streaming twin, the
+    * multimodal ingest gate: the historical corpus's dHash band index is
+    * built batch-side (even doc_ids, through the same real-PNG codec
+    * seam), and CDC-arriving images (odd ids, two commits) decode + hash
+    * ROW-LOCALLY inside the micro-batch plan (typed mapPartitions lifts
+    * into streaming unchanged — the codec seam contract), then probe the
+    * broadcast band index: a STATELESS stream-static equi join per band,
+    * exact xor/popcount verify ≤ 3. Zero state rows — the standing index
+    * is a bounded static frame, the stream only probes; pair dedup
+    * across the 4 band hits happens post-drain (a streaming `distinct`
+    * would be aggregation state for no reason). Banding stays lossless
+    * at this threshold (pigeonhole, the q9t proof), which the oracle
+    * re-proves cross-slice by brute-forcing all odd×even pairs. */
+  def docStreamImageDedup(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    import graft.queries.MultimodalQueries.{MediaImage, dhashImages, synthesizePng}
+    val tmp = graft.TempDirs.create("graft_img_stream")
+    val ids = s.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"))
+    def bandRows(hashes: DataFrame): DataFrame =
+      hashes.select(col("doc_id"), col("h0"), col("h1"),
+        explode(array(
+          struct(lit(0).as("band"), col("b0").as("key")),
+          struct(lit(1).as("band"), col("b1").as("key")),
+          struct(lit(2).as("band"), col("b2").as("key")),
+          struct(lit(3).as("band"), col("b3").as("key")))).as("bk"))
+        .select(col("doc_id"), col("h0"), col("h1"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+    val hist = bandRows(
+      ids.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => MediaImage(id, synthesizePng(id))))
+        .mapPartitions(dhashImages).toDF())
+      .select(col("doc_id").as("id_hist"), col("h0").as("h0h"),
+        col("h1").as("h1h"), col("band"), col("key"))
+    val odd = ids.filter(pmod(col("doc_id"), lit(2)) === 1)
+    graft.connector.GraftDoc.write(
+      odd.filter(pmod(col("doc_id"), lit(4)) === 1), "doc_id", s"$tmp/src")
+    graft.connector.GraftDoc.write(
+      odd.filter(pmod(col("doc_id"), lit(4)) === 3), "doc_id", s"$tmp/src")
+    val ckpt = ephemeralCheckpoint("img_dedup")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val stream = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/src", maxCommitsPerTrigger = Some(1L))
+          .select(col("_id").cast("long").as("doc_id")).as[Long]
+          .mapPartitions(_.map(id => MediaImage(id, synthesizePng(id))))
+          .mapPartitions(dhashImages).toDF()
+        val matched = bandRows(stream)
+          .join(broadcast(hist), Seq("band", "key"))
+          .withColumn("hamming",
+            (bit_count(col("h0").bitwiseXOR(col("h0h")))
+              + bit_count(col("h1").bitwiseXOR(col("h1h")))).cast("long"))
+          .filter(col("hamming") <= 3)
+          .select(col("doc_id").as("id_new"), col("id_hist"), col("hamming"))
+        val q = matched.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            batch.write.mode("overwrite").parquet(s"$tmp/hits_b$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    s.read.parquet(s"$tmp/hits_b*")
+      .distinct() // collapse multi-band hits for the same pair
+      .orderBy(col("id_new"), col("id_hist"))
+      .select(col("id_new"), col("id_hist"), col("hamming"))
+  }
 }
