@@ -90,7 +90,10 @@ object DumpPlans {
     "q9j_cluster_quality"     -> "Davies-Bouldin: broadcast-argmax assignment, k^2 centroid-pair frame off-corpus",
     "q9k_record_linkage"      -> "record linkage: blocking equi join bounds the native jaro_winkler verify",
     "q9n_length_bins"         -> "equi-depth binning: broadcast decile boundary frame, row-local bucketing, no ntile window",
-    "q9p_vocab_growth"        -> "Heaps curve: per-term first-doc agg, triangle join on the 10-row bucket frame")
+    "q9p_vocab_growth"        -> "Heaps curve: per-term first-doc agg, triangle join on the 10-row bucket frame",
+    "q9q_weighted_sssp"       -> "Bellman-Ford: per-round narrow (l, node, d) min-agg shuffle, early fixpoint exit",
+    "q9r_rank_eval"           -> "MRR/nDCG: broadcast query frame, per-query top-10 window, tiny metric arithmetic",
+    "q9t_image_phash_dedup"   -> "image dHash: codec seam rows, 4 band equi-joins, xor/popcount verify")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
