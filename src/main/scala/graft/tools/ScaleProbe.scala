@@ -281,6 +281,56 @@ object ScaleProbe {
 
     if (bloomOnly) { bloomProbe(); spark.stop(); return }
 
+    if (args.length > 1 && args(1) == "phash") {
+      // q9t's banded perceptual-hash join vs the brute-force all-pairs
+      // xor/popcount scan: pair counts must be EQUAL at every scale
+      // (pigeonhole losslessness at hamming <= 3), while the naive path
+      // pays N²/2 popcount pairs and the banded path pays only band
+      // collisions + verify. Hashes are computed ONCE through the real
+      // codec seam and cached, so the probe times candidate generation +
+      // verify, not the decode.
+      import graft.queries.MultimodalQueries.{MediaImage, dhashImages, synthesizePng}
+      import spark.implicits._
+      for (mult <- Seq(1, 4, 10)) {
+        val n = 5000L * mult
+        val hs = spark.range(n).select(col("id").as("doc_id")).as[Long]
+          .mapPartitions(_.map(id => MediaImage(id, synthesizePng(id))))
+          .mapPartitions(dhashImages).toDF().cache()
+        hs.count()
+        def ham = (bit_count(col("h0a").bitwiseXOR(col("h0b")))
+          + bit_count(col("h1a").bitwiseXOR(col("h1b")))).cast("long")
+        val banded = time(s"banded phash dedup n=$n") {
+          val bands = hs.select(col("doc_id"), col("h0"), col("h1"),
+            explode(array(
+              struct(lit(0).as("band"), col("b0").as("key")),
+              struct(lit(1).as("band"), col("b1").as("key")),
+              struct(lit(2).as("band"), col("b2").as("key")),
+              struct(lit(3).as("band"), col("b3").as("key")))).as("bk"))
+            .select(col("doc_id"), col("h0"), col("h1"),
+              col("bk.band").as("band"), col("bk.key").as("key"))
+          bands.select(col("doc_id").as("id_a"), col("h0").as("h0a"),
+              col("h1").as("h1a"), col("band"), col("key"))
+            .join(bands.select(col("doc_id").as("id_b"), col("h0").as("h0b"),
+              col("h1").as("h1b"), col("band"), col("key")), Seq("band", "key"))
+            .filter(col("id_a") < col("id_b"))
+            .select(col("id_a"), col("id_b"), col("h0a"), col("h1a"),
+              col("h0b"), col("h1b")).distinct()
+            .filter(ham <= 3).count()
+        }
+        val naive = time(s"all-pairs phash dedup n=$n") {
+          val a = hs.select(col("doc_id").as("id_a"), col("h0").as("h0a"),
+            col("h1").as("h1a"))
+          val b = hs.select(col("doc_id").as("id_b"), col("h0").as("h0b"),
+            col("h1").as("h1b"))
+          a.join(b, col("id_a") < col("id_b")).filter(ham <= 3).count()
+        }
+        println(s"[scale]   pairs: banded=$banded naive=$naive " +
+          s"equal=${banded == naive}")
+        hs.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "rangejoin") {
       // binned range join (q1f's operator) vs the naive raw-predicate
       // join Spark can only plan as a broadcast nested loop: pair counts
