@@ -351,5 +351,57 @@ object EventsQueries {
         profile("user_id").unionByName(profile("event_type"))
           .orderBy(col("key_col"))
       })
+,
+
+    // Pareto concentration — per event type, how few users carry 80% of
+    // the value (the 80/20 report behind capacity planning, abuse
+    // triage, and whale-detection): users ranked by their value total,
+    // running share accumulated, count those needed to cross 80%. The
+    // window partitions BY TYPE (per-key ordering scales with users per
+    // type, never a global sort — q44's rule). Determinism: per-user
+    // totals and the running sum are exact DECIMAL folds (a double
+    // running sum would be reduction-order-dependent); the 80% line is
+    // compared in decimal, and ranking ties break by user_id.
+    QueryDef(
+      "q9w_pareto_users",
+      Some("""WITH uv AS (SELECT event_type, user_id,
+                CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DECIMAL(30,8)) AS uv
+              FROM events GROUP BY event_type, user_id),
+        tt AS (SELECT event_type, SUM(uv) AS total, COUNT(*) AS n_users
+               FROM uv GROUP BY event_type),
+        c AS (SELECT uv.event_type, uv.user_id, uv.uv, tt.total, tt.n_users,
+                SUM(uv.uv) OVER (PARTITION BY uv.event_type
+                  ORDER BY uv.uv DESC, uv.user_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM uv JOIN tt USING (event_type))
+        SELECT event_type, CAST(MAX(n_users) AS BIGINT) AS n_users,
+          CAST(SUM(CASE WHEN cum - uv < total * CAST(0.8 AS DECIMAL(3,2))
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_users_80pct,
+          round(SUM(CASE WHEN cum - uv < total * CAST(0.8 AS DECIMAL(3,2))
+            THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / MAX(n_users), 4)
+            AS share_of_users
+        FROM c GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        val uv = t(s, dir, "events")
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("value").cast("decimal(30,8)"))
+            .cast("decimal(30,8)").as("uv"))
+        val tt = uv.groupBy(col("event_type"))
+          .agg(sum(col("uv")).as("total"), count(lit(1)).as("n_users"))
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col("uv").desc, col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        uv.join(broadcast(tt), Seq("event_type"))
+          .withColumn("cum", sum(col("uv")).over(w))
+          .groupBy(col("event_type"))
+          .agg(max(col("n_users")).cast("long").as("n_users"),
+            sum(when(col("cum") - col("uv")
+              < col("total") * lit(BigDecimal("0.8")), 1L).otherwise(0L))
+              .cast("long").as("n_users_80pct"))
+          .select(col("event_type"), col("n_users"), col("n_users_80pct"),
+            round(col("n_users_80pct") * lit(1.0) / col("n_users"), 4)
+              .as("share_of_users"))
+          .orderBy(col("event_type"))
+      })
   )
 }

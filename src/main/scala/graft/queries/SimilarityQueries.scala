@@ -1482,6 +1482,76 @@ object SimilarityQueries {
             col("n_rel_top10"))
           .orderBy(col("qid"))
       })
+,
+
+    // Embedding-space distribution drift — per-label centroid vs the
+    // corpus centroid (cosine drift + L2 displacement): the embedding
+    // twin of q9d's token-space KL, and the monitoring statistic behind
+    // "did this supplier/model-version shift the representation space"
+    // (a new encoder version or a drifted crawl slice moves centroids
+    // long before top-k metrics degrade). Everything runs in LONG
+    // format (label, dim, mean) with decimal-sum/round-9 means and
+    // round-12 product terms — no float-vector accumulation whose
+    // reduction order could wobble; sqrt and division are IEEE
+    // correctly-rounded so they need no quantization. Shape: one
+    // explode to (label, dim, v) narrow rows, two mean aggs, the 64-row
+    // global-centroid frame broadcasts back.
+    QueryDef(
+      "q9v_centroid_drift",
+      Some("""WITH x AS (SELECT label, i AS dim,
+                 CAST(embedding[i] AS DOUBLE) AS v
+               FROM embeddings, generate_series(1, 64) AS g(i)),
+        ml AS (SELECT label, dim,
+                round(CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE)
+                  / COUNT(*), 9) AS m,
+                COUNT(*) AS n
+              FROM x GROUP BY label, dim),
+        mg AS (SELECT dim,
+                round(CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE)
+                  / COUNT(*), 9) AS m
+              FROM x GROUP BY dim),
+        ng AS (SELECT CAST(SUM(CAST(round(m * m, 12) AS DECIMAL(30,14)))
+                 AS DOUBLE) AS s FROM mg),
+        t AS (SELECT ml.label, ml.n,
+                CAST(SUM(CAST(round(ml.m * mg.m, 12) AS DECIMAL(30,14)))
+                  AS DOUBLE) AS dot,
+                CAST(SUM(CAST(round(ml.m * ml.m, 12) AS DECIMAL(30,14)))
+                  AS DOUBLE) AS nl,
+                CAST(SUM(CAST(round((ml.m - mg.m) * (ml.m - mg.m), 12)
+                  AS DECIMAL(30,14))) AS DOUBLE) AS d2
+              FROM ml JOIN mg USING (dim) GROUP BY ml.label, ml.n)
+        SELECT label, CAST(n AS BIGINT) AS n_vecs,
+          round(CAST(1 AS DOUBLE)
+            - dot / (sqrt(nl) * sqrt((SELECT s FROM ng))), 6) AS cos_drift,
+          round(sqrt(d2), 6) AS l2_drift
+        FROM t ORDER BY label"""),
+      (s, dir) => {
+        val x = emb(s, dir).select(col("label"),
+            posexplode(col("embedding")).as(Seq("p", "v")))
+          .select(col("label"), (col("p") + 1).as("dim"),
+            col("v").cast("double").as("v"))
+        def meanAgg = round(sum(col("v").cast("decimal(30,12)"))
+          .cast("double") / count(lit(1)), 9)
+        val ml = x.groupBy(col("label"), col("dim"))
+          .agg(meanAgg.as("m"), count(lit(1)).as("n"))
+        val mg = x.groupBy(col("dim")).agg(meanAgg.as("mg"))
+        val ng = mg.agg(sum(round(col("mg") * col("mg"), 12)
+          .cast("decimal(30,14)")).cast("double").as("s")).scalar()
+        ml.join(broadcast(mg), Seq("dim"))
+          .groupBy(col("label"), col("n"))
+          .agg(
+            sum(round(col("m") * col("mg"), 12).cast("decimal(30,14)"))
+              .cast("double").as("dot"),
+            sum(round(col("m") * col("m"), 12).cast("decimal(30,14)"))
+              .cast("double").as("nl"),
+            sum(round((col("m") - col("mg")) * (col("m") - col("mg")), 12)
+              .cast("decimal(30,14)")).cast("double").as("d2"))
+          .select(col("label"), col("n").cast("long").as("n_vecs"),
+            round(lit(1.0) - col("dot") / (sqrt(col("nl")) * sqrt(ng)), 6)
+              .as("cos_drift"),
+            round(sqrt(col("d2")), 6).as("l2_drift"))
+          .orderBy(col("label"))
+      })
   )
 
   // ------------------------------------------------------------ PQ pieces

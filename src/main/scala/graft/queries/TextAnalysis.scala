@@ -1427,6 +1427,63 @@ object TextAnalysis {
             col("tokens_seen"))
           .orderBy(col("bucket"))
       })
+,
+
+    // Keyness / distinctive-word analysis — smoothed log-odds with
+    // z-scores (the Monroe/Colaresi/Quinn "fightin' words" statistic,
+    // additive-0.5 prior): WHICH words distinguish source src0 from the
+    // rest of the corpus. q9d says THAT a source drifted (one KL number
+    // per source); this attributes the drift to words, with a variance
+    // model so rare-word noise doesn't top the list (raw log-odds ranks
+    // hapaxes first; the z-score divides by √(1/(y_t+.5)+1/(y_r+.5))
+    // and buries them). Shape: one (is_target, word) count agg, totals
+    // as scalar subqueries, row-local algebra, top-20 by |z| via
+    // TakeOrderedAndProject. ln quantized 9, the q5w idiom; sqrt and
+    // division are correctly-rounded, no quantization needed.
+    QueryDef(
+      "q9x_keyness",
+      Some("""WITH tok AS (SELECT source = 'src0' AS tgt,
+                unnest(string_split(text, ' ')) AS w
+              FROM documents),
+        c AS (SELECT w,
+                SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS yt,
+                SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS yr
+              FROM tok GROUP BY w),
+        n AS (SELECT SUM(yt) AS nt, SUM(yr) AS nr FROM c),
+        z AS (SELECT w, yt, yr,
+                round(ln((yt + CAST(0.5 AS DOUBLE))
+                    / ((SELECT nt FROM n) - yt + CAST(0.5 AS DOUBLE))), 9)
+                - round(ln((yr + CAST(0.5 AS DOUBLE))
+                    / ((SELECT nr FROM n) - yr + CAST(0.5 AS DOUBLE))), 9)
+                  AS delta,
+                sqrt(CAST(1 AS DOUBLE) / (yt + CAST(0.5 AS DOUBLE))
+                  + CAST(1 AS DOUBLE) / (yr + CAST(0.5 AS DOUBLE))) AS sd
+              FROM c)
+        SELECT w AS word, CAST(yt AS BIGINT) AS n_target,
+          CAST(yr AS BIGINT) AS n_rest,
+          round(delta / sd, 6) AS z
+        FROM z ORDER BY abs(round(delta / sd, 6)) DESC, word LIMIT 20"""),
+      (s, dir) => {
+        val tok = docs(s, dir).select((col("source") === "src0").as("tgt"),
+          explode(split(col("text"), " ")).as("w"))
+        val c = tok.groupBy(col("w")).agg(
+          sum(when(col("tgt"), 1L).otherwise(0L)).as("yt"),
+          sum(when(col("tgt"), 0L).otherwise(1L)).as("yr"))
+        val nt = c.agg(sum(col("yt")).as("nt")).scalar()
+        val nr = c.agg(sum(col("yr")).as("nr")).scalar()
+        c.select(col("w"), col("yt"), col("yr"),
+            (round(log((col("yt") + lit(0.5))
+              / (nt - col("yt") + lit(0.5))), 9)
+              - round(log((col("yr") + lit(0.5))
+                / (nr - col("yr") + lit(0.5))), 9)).as("delta"),
+            sqrt(lit(1.0) / (col("yt") + lit(0.5))
+              + lit(1.0) / (col("yr") + lit(0.5))).as("sd"))
+          .select(col("w").as("word"), col("yt").cast("long").as("n_target"),
+            col("yr").cast("long").as("n_rest"),
+            round(col("delta") / col("sd"), 6).as("z"))
+          .orderBy(abs(col("z")).desc, col("word"))
+          .limit(20)
+      })
   )
 
   /** DuckDB CTE chain extracting the corpus's top-`k` word bigrams
