@@ -548,6 +548,65 @@ object GraphQueries {
             col("d").as("dist"))
           .orderBy(col("doc_id"), col("landmark"))
       })
+,
+
+    // Authority-weighted canonical selection — dedup meets the link
+    // graph: documents sharing the same 5-token opening prefix form a
+    // template/mirror family (the boilerplate-opening heuristic of
+    // crawl cleanup), and the member to KEEP is the family's highest-
+    // PageRank page, not q6d's longest/lowest-id — at web scale the
+    // mirror with inbound links is the original, the orphan is the
+    // copy. Composition: q6n's full 3-round PageRank (oracle unrolls
+    // every round) joined onto the family grouping; canonical = argmax
+    // (rank, then min id) per family via one max_by hash agg — partial
+    // aggregation collapses families map-side, no per-family window.
+    // Only (prefix-hash, id, rank) rows shuffle; bodies stay on the
+    // scan.
+    QueryDef(
+      "q9y_canonical_authority",
+      Some(s"""WITH $EdgeCtes,
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT doc_id AS id,
+            round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 9) AS r
+          FROM documents),
+        ${oracleRound(1)},
+        ${oracleRound(2)},
+        ${oracleRound(3)},
+        g AS (SELECT doc_id,
+            array_to_string((string_split(text, ' '))[1:5], ' ') AS k
+          FROM documents),
+        fam AS (SELECT k FROM g GROUP BY k HAVING COUNT(*) > 1),
+        m AS (SELECT g.k, g.doc_id, r3.r FROM g
+              JOIN fam USING (k) JOIN r3 ON r3.id = g.doc_id),
+        c AS (SELECT k, doc_id, r,
+                row_number() OVER (PARTITION BY k
+                  ORDER BY r DESC, doc_id) AS rn,
+                COUNT(*) OVER (PARTITION BY k) AS n_members,
+                MIN(doc_id) OVER (PARTITION BY k) AS family_id
+              FROM m)
+        SELECT family_id, CAST(n_members AS BIGINT) AS n_members,
+          doc_id AS canonical_id, r AS canonical_pr
+        FROM c WHERE rn = 1 ORDER BY family_id"""),
+      (s, dir) => {
+        val nodes = docs(s, dir).select(col("doc_id").as("id"))
+        val nCount = nodes.agg(count(lit(1)).as("n")).scalar()
+        val pr = graft.operators.PageRank
+          .run(nodes, pseudoEdges(nodes, nCount), iters = 3)
+        val g = docs(s, dir).select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 5)).as("k"))
+        val fam = g.groupBy(col("k")).agg(count(lit(1)).as("nm"))
+          .filter(col("nm") > 1)
+        g.join(fam, Seq("k"))
+          .join(pr, g("doc_id") === pr("id"))
+          .groupBy(col("k"))
+          .agg(min(col("doc_id")).as("family_id"),
+            max(col("nm")).cast("long").as("n_members"),
+            max_by(struct(col("doc_id"), col("pr")),
+              struct(col("pr"), (-col("doc_id")).as("nd"))).as("c"))
+          .select(col("family_id"), col("n_members"),
+            col("c.doc_id").as("canonical_id"), col("c.pr").as("canonical_pr"))
+          .orderBy(col("family_id"))
+      })
   )
 
   /** One unrolled HITS half-step in DuckDB SQL (must stay in lockstep
