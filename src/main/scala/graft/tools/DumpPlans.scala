@@ -93,7 +93,10 @@ object DumpPlans {
     "q9p_vocab_growth"        -> "Heaps curve: per-term first-doc agg, triangle join on the 10-row bucket frame",
     "q9q_weighted_sssp"       -> "Bellman-Ford: per-round narrow (l, node, d) min-agg shuffle, early fixpoint exit",
     "q9r_rank_eval"           -> "MRR/nDCG: broadcast query frame, per-query top-10 window, tiny metric arithmetic",
-    "q9t_image_phash_dedup"   -> "image dHash: codec seam rows, 4 band equi-joins, xor/popcount verify")
+    "q9t_image_phash_dedup"   -> "image dHash: codec seam rows, 4 band equi-joins, xor/popcount verify",
+    "q9v_centroid_drift"      -> "centroid drift: long-format decimal means, 64-row global frame broadcast",
+    "q9w_pareto_users"        -> "Pareto 80/20: per-type window, exact decimal running share",
+    "q9y_canonical_authority" -> "canonical by authority: PageRank rounds + map-side family argmax")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
