@@ -142,7 +142,18 @@ object Bench {
               false }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
-        val first = once()
+        // one visible retry on failure: streaming micro-batch planning
+        // has a rare transient race (observed once in ~12 full runs: an
+        // INTERNAL_ERROR NPE inside StreamingSymmetricHashJoinExec.copy
+        // during prepareForExecution) — a -1 from a one-off race would
+        // fail BenchGate on an otherwise healthy artifact, while a
+        // GENUINE failure still records -1 because the retry fails too
+        val first0 = once()
+        val first =
+          if (first0 < 0) {
+            System.err.println(s"[bench] $name retrying after failure")
+            once()
+          } else first0
         val dt =
           if (first > 1.0 && rerunBudget > 0) {
             rerunBudget -= first
