@@ -146,4 +146,56 @@ class StreamStateBoundSpec extends SparkSpec {
       assert(spark.table("sb_anti").select("k").as[Long].collect().forall(_ % 2 == 1))
     } finally q.stop()
   }
+
+  test("broadcast baseline scoring (q8n shape) is stateless") {
+    implicit val sql = spark.sqlContext
+    // the anomaly pipeline's shape: a tiny batch-trained stats frame
+    // broadcast onto the stream, row-local flagging — state must be zero
+    // no matter how many events flow
+    val stats = Seq(("click", 10.0, 2.0), ("view", 10.0, 1.0))
+      .toDF("k", "med", "mad")
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val flagged = in.toDF().toDF("ts", "k", "v")
+      .join(org.apache.spark.sql.functions.broadcast(stats), Seq("k"))
+      .filter(abs(col("v") - col("med")) > lit(3) * lit(1.4826) * col("mad"))
+      .select(col("k"), col("v"))
+    val q = flagged.writeStream.format("memory").queryName("sb_anom")
+      .outputMode("append").start()
+    try {
+      for (c <- 0 until 4) {
+        in.addData((0 until 20).map(i =>
+          (hourTs(c), if (i % 2 == 0) "click" else "view",
+            if (i % 10 == 0) 1000.0 else 10.0)): _*)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0),
+        "broadcast baseline scoring must carry no state store rows")
+      // 2 of every 20 inputs are wild for their key
+      assert(spark.table("sb_anom").count() == 8)
+    } finally q.stop()
+  }
+
+  test("broadcast band-index probe (q8o shape) is stateless") {
+    implicit val sql = spark.sqlContext
+    // the image-dedup shape: a broadcast (band, key) index probed per
+    // batch by an equi join — zero state rows, hits bounded by collisions
+    val index = Seq((0, 7, 100L), (1, 9, 101L)).toDF("band", "key", "id_hist")
+    val in = MemoryStream[(Timestamp, Int, Int, Long)]
+    val hits = in.toDF().toDF("ts", "band", "key", "id_new")
+      .join(org.apache.spark.sql.functions.broadcast(index), Seq("band", "key"))
+      .select(col("id_new"), col("id_hist"))
+    val q = hits.writeStream.format("memory").queryName("sb_bands")
+      .outputMode("append").start()
+    try {
+      for (c <- 0 until 4) {
+        in.addData((0 until 8).map(i =>
+          (hourTs(c), i % 4, 7, 200L + i)): _*)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0),
+        "band-index probe must carry no state store rows")
+      // per batch only (band=0, key=7) rows hit the index: 2 of 8
+      assert(spark.table("sb_bands").count() == 8)
+    } finally q.stop()
+  }
 }
