@@ -21,11 +21,22 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      def attempt(): Unit = fn(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
       if (!selected(name)) ()
-      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      else try attempt()
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // one visible retry: streaming micro-batch planning has a rare
+        // transient race (an INTERNAL_ERROR NPE in
+        // StreamingSymmetricHashJoinExec.copy, seen once in many full
+        // runs) — without the retry a one-off race would cost the round
+        // a correctness row; a genuine failure still surfaces because
+        // the retry throws too
+        System.err.println(s"[verify] $name failed: ${e.getMessage}; retrying")
+        try attempt()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed twice: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
