@@ -403,5 +403,63 @@ object EventsQueries {
               .as("share_of_users"))
           .orderBy(col("event_type"))
       })
+,
+
+    // Last-touch attribution — each purchase credits the user's most
+    // recent preceding click within a 24 h lookback, else counts as
+    // direct: the credit-assignment step q43's funnel (did the sequence
+    // happen) and q44's Markov counts (how do types chain) both stop
+    // short of. One per-user window ordered by exact event time carries
+    // the running last-click (ignoreNulls last over an
+    // unbounded-to-previous-row frame — the same-frame trick that makes
+    // as-of semantics a window, no self-join, no event×event blowup);
+    // the lookback test is then row-local. Scale: partitioned by
+    // user_id only (q44's rule), all-integer ns arithmetic.
+    QueryDef(
+      "q9z_attribution",
+      Some("""WITH o AS (SELECT user_id, event_id, event_type,
+                epoch_ns(ts) AS tns FROM events),
+        wi AS (SELECT user_id, event_id, event_type, tns,
+                LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                  IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY tns, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_id,
+                LAST_VALUE(CASE WHEN event_type = 'click' THEN tns END
+                  IGNORE NULLS) OVER (PARTITION BY user_id
+                  ORDER BY tns, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c_tns
+              FROM o)
+        SELECT event_id AS purchase_id,
+          CASE WHEN c_id IS NOT NULL
+                AND tns - c_tns <= 86400000000000 THEN c_id END
+            AS click_id,
+          CASE WHEN c_id IS NOT NULL
+                AND tns - c_tns <= 86400000000000
+            THEN CAST((tns - c_tns) // 60000000000 AS BIGINT) END
+            AS gap_minutes
+        FROM wi WHERE event_type = 'purchase' ORDER BY purchase_id"""),
+      (s, dir) => {
+        val o = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("ts_ns").as("tns"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("tns"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val dayNs = 86400000000000L
+        o.withColumn("c_id",
+            last(when(col("event_type") === "click", col("event_id")),
+              ignoreNulls = true).over(w))
+          .withColumn("c_tns",
+            last(when(col("event_type") === "click", col("tns")),
+              ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            when(col("c_id").isNotNull && col("tns") - col("c_tns") <= dayNs,
+              col("c_id")).as("click_id"),
+            when(col("c_id").isNotNull && col("tns") - col("c_tns") <= dayNs,
+              floor((col("tns") - col("c_tns")) / lit(60000000000L))
+                .cast("long")).as("gap_minutes"))
+          .orderBy(col("purchase_id"))
+      })
   )
 }
