@@ -61,8 +61,15 @@ object TextExpressions {
   * The hash is an internal pre-filter only (never mirrored by an oracle):
   * q6z's pass 2 re-verifies candidate grams as STRINGS, so collisions can
   * only add candidates, never corrupt the result — which is why a fast
-  * polynomial hash is enough and surrogate pairs need no special-casing
-  * (any consistent char mapping works). */
+  * polynomial hash is enough. Window POSITIONS, however, must align with
+  * the consumer's `substring(text, k+1, l)`, which Spark (and DuckDB)
+  * resolve by CODE POINT — so the loop iterates code points, not UTF-16
+  * chars. With char indexing, any supplementary-plane character shifts
+  * every later window: pass 2 then recovers the wrong gram and true
+  * duplicate spans are silently dropped — a position bug, which string
+  * re-verification cannot catch (unlike a hash collision, which only
+  * ever ADDS candidates). For BMP-only text the two indexings coincide,
+  * so this changes nothing on ASCII corpora. */
 case class GramHashesExpr(child: Expression, l: Int)
     extends UnaryExpression with RefObjCodegen {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -83,17 +90,20 @@ case class GramHashesExpr(child: Expression, l: Int)
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length
+    // code-point array so window k covers exactly what
+    // substring(text, k+1, l) returns (see class doc)
+    val cps = s.codePoints().toArray
+    val n = cps.length
     val m = n - l + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](m)
     var h = 0L
     var i = 0
-    while (i < l) { h = h * B + s.charAt(i); i += 1 }
+    while (i < l) { h = h * B + cps(i); i += 1 }
     out(0) = h
     var k = 1
     while (k < m) {
-      h = (h - s.charAt(k - 1) * bPow) * B + s.charAt(k + l - 1)
+      h = (h - cps(k - 1) * bPow) * B + cps(k + l - 1)
       out(k) = h
       k += 1
     }

@@ -684,17 +684,24 @@ object SimilarityQueries {
         val p = q5mIndexPath(dir)
         val existing = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
         val delta = e.filter(pmod(col("vec_id"), lit(10)) === 0)
-        // BUILD the standing index over the existing 90% (adaptive k
-        // from the FULL corpus size, so the cell geometry matches what a
-        // steady-state index would hold)
-        val cent = centroids(e)
-        assignTo(existing, cent).write.mode("overwrite")
-          .parquet(s"$p/assign_base")
-        cent.write.mode("overwrite").parquet(s"$p/cent")
-        // UPDATE: assign ONLY the delta batch, against the PERSISTED
-        // centroids read back from the index — the incremental cost is
-        // O(|delta|·k), the standing memberships are never touched
+        // BUILD: persist the centroids FIRST (adaptive k from the FULL
+        // corpus size, so the cell geometry matches what a steady-state
+        // index would hold), then assign the standing 90% against the
+        // PERSISTED centroids read back. Parquet round-trips float
+        // arrays losslessly, so this is bit-identical to assigning
+        // against the in-plan frame — and it is the real build order
+        // (memberships always derive from the centroids the index
+        // actually stores). It also halves the centroid recomputation:
+        // the round-8 bimodality root cause (Q5mProbe) was 22 Spark
+        // jobs per execution, 4 of them replaying the adaptive-k
+        // count-agg + centroid filter once per downstream action.
+        centroids(e).write.mode("overwrite").parquet(s"$p/cent")
         val ic = s.read.parquet(s"$p/cent")
+        assignTo(existing, ic).write.mode("overwrite")
+          .parquet(s"$p/assign_base")
+        // UPDATE: assign ONLY the delta batch, against the same
+        // persisted centroids — the incremental cost is O(|delta|·k),
+        // the standing memberships are never touched
         assignTo(delta, ic).write.mode("overwrite")
           .parquet(s"$p/assign_delta")
         // SERVE from the combined memberships

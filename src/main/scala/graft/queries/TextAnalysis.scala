@@ -1088,10 +1088,15 @@ object TextAnalysis {
             expr("""transform(w, (t, i) ->
               IF((doc_id * 2654435761L + (i + 1) * 40503241L) % 997 < 150,
                  '[MASK]', t))""").as("mw"),
-            size(col("w")).cast("long").as("n_tokens"))
-          .select(col("doc_id"), col("n_tokens"),
-            expr("CAST(size(filter(mw, t -> t = '[MASK]')) AS BIGINT)")
+            // n_masked from the SAME hash predicate that masks: counting
+            // '[MASK]' strings in the output would also count source
+            // tokens that are literally '[MASK]' at unmasked positions,
+            // diverging from the oracle's sum of mask decisions
+            expr("""CAST(size(filter(sequence(1, size(w)), i ->
+              (doc_id * 2654435761L + i * 40503241L) % 997 < 150)) AS BIGINT)""")
               .as("n_masked"),
+            size(col("w")).cast("long").as("n_tokens"))
+          .select(col("doc_id"), col("n_tokens"), col("n_masked"),
             array_join(col("mw"), " ").as("masked_text"))
           .orderBy(col("doc_id"))),
 

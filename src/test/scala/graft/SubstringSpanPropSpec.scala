@@ -99,6 +99,24 @@ class SubstringSpanPropSpec extends SparkSpec {
       Seq((1L, 1L, 10L), (1L, 21L, 10L)))
   }
 
+  test("supplementary-plane characters do not shift window positions") {
+    // U+1D11E is 2 UTF-16 chars but ONE code point; Spark's substring
+    // (pass 2's gram recovery) and length() count code points, so the
+    // pass-1 hash windows must too. With char indexing, every window
+    // after the clefs lands 3 positions late, pass 2 recovers a
+    // misaligned gram for doc 1 only, the cross-doc string verify then
+    // disagrees, and the true shared chunk is silently dropped.
+    val clef = new String(Character.toChars(0x1D11E))
+    val chunk = "SHARED-DUPLICATE-CHUNK"
+    val docs = Seq(
+      1L -> (clef * 3 + "xxxxx" + chunk + "padpadpad"),
+      2L -> ("zzzz" + chunk + clef + "tailtail"))
+    val got = run(docs, chunk.length)
+    // code-point starts: doc 1 = 3 clefs + 5 x's -> 9; doc 2 = 4 z's -> 5
+    assert(got.contains((1L, 9L, chunk.length.toLong)), s"doc 1 span: $got")
+    assert(got.contains((2L, 5L, chunk.length.toLong)), s"doc 2 span: $got")
+  }
+
   test("docs shorter than L never explode and never appear") {
     val docs = Seq(1L -> "ab", 2L -> "ab", 3L -> "abcdefghij", 4L -> "abcdefghij")
     val got = run(docs, 8)
