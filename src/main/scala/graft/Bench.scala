@@ -95,10 +95,20 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     calibrate() // JIT the sentinel itself so calib0 isn't warmup-skewed
+    // every probe measurement, in order, INCLUDING the ones the
+    // confirm-on-suspicion path below re-measures away — recorded to the
+    // artifact as calib_probes_raw so a grader can see that excursions
+    // occurred and how often the re-probe path fired (the confirmed
+    // trace alone would hide a burst that subsides within the re-probes)
+    val rawProbes = scala.collection.mutable.ArrayBuffer[Double]()
     // each probe is the min of two sentinel runs: a one-off scheduler
     // hiccup must hit both back-to-back executions to register, while
     // genuine sustained contention inflates both
-    def probe(): Double = math.min(calibrate(), calibrate())
+    def probe(): Double = {
+      val p = math.min(calibrate(), calibrate())
+      rawProbes += p
+      p
+    }
     // confirm-on-suspicion (see Bench.suspiciousProbe): re-measure any
     // lone excursion before recording it, up to twice
     def confirmedProbe(sofar: Seq[Double]): Double = {
@@ -147,6 +157,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         if (i % probeEvery == 0) probes += confirmedProbe(calib0 +: probes.toSeq)
+        // every successful execution's timing, in order — recorded to
+        // the artifact so BenchGate applies ITS OWN acceptance rule over
+        // the full sample instead of this loop deciding. The previous
+        // shape (re-measure only while still above the gate line, stop
+        // at the first passing sample, record the min) was
+        // retry-until-pass sampling: a genuine marginal regression with
+        // variance had a multiplied chance of one lucky sample slipping
+        // under the gate, while fast-side outliers were never
+        // re-measured upward.
+        val attempts = scala.collection.mutable.ArrayBuffer[Double]()
         def once(): Double = {
           val t0 = System.nanoTime()
           // a throwing query must not fail the whole bench (the
@@ -157,7 +177,9 @@ object Bench {
             catch { case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
               false }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          if (dt >= 0) attempts += dt
+          dt
         }
         // one visible retry on failure: streaming micro-batch planning
         // has a rare transient race (observed once in ~12 full runs: an
@@ -171,32 +193,31 @@ object Bench {
             System.err.println(s"[bench] $name retrying after failure")
             once()
           } else first0
-        val dt0 =
-          if (first > 1.0 && rerunBudget > 0) {
-            rerunBudget -= first
-            val second = once()
-            if (second >= 0) math.min(first, second) else first
-          } else first
-        // would-flag re-measure (see baselineForEnv above): confirm a
-        // >2x-over-baseline timing before letting it into the artifact
-        val dt = baselineForEnv.get(name) match {
-          case Some(b) if dt0 > math.max(2.0 * b, 1.0) =>
-            var best = dt0
-            var extra = 0
-            while (extra < 2 && best > math.max(2.0 * b, 1.0)) {
-              extra += 1
-              System.err.println(s"[bench] $name ${r3(best)} exceeds 2x " +
-                s"baseline ${r3(b)} — re-measuring (attempt $extra)")
-              val again = once()
-              if (again >= 0) best = math.min(best, again)
-            }
-            best
-          case _ => dt0
+        if (first > 1.0 && rerunBudget > 0) {
+          rerunBudget -= first
+          once()
         }
+        // would-flag re-measure (see baselineForEnv above): a timing
+        // that would flag earns a FIXED two extra attempts — always
+        // both, no early stop on a passing sample — and all of them
+        // enter the artifact's attempts array for the gate to judge
+        val headline0 = if (attempts.nonEmpty) attempts.min else -1.0
+        baselineForEnv.get(name) match {
+          case Some(b) if headline0 > math.max(2.0 * b, 1.0) =>
+            System.err.println(s"[bench] $name ${r3(headline0)} exceeds 2x " +
+              s"baseline ${r3(b)} — re-measuring (2 fixed attempts)")
+            once(); once()
+          case _ => ()
+        }
+        // headline value keeps the baseline's own "best observed clean
+        // time" semantics (min); the attempts array is the full sample
+        val dt = if (attempts.nonEmpty) attempts.min else -1.0
         // per-query progress on stderr: if the final stdout line is ever
         // truncated downstream, the timings survive in the captured log
-        System.err.println(s"[bench] $name ${r3(dt)}")
-        name -> dt
+        System.err.println(s"[bench] $name ${r3(dt)}" +
+          (if (attempts.size > 1) attempts.map(r3).mkString(" attempts=[", ",", "]")
+           else ""))
+        name -> (dt, attempts.toVector)
     }
     val calib1 = confirmedProbe(calib0 +: probes.toSeq)
     val allProbes = calib0 +: probes.toSeq :+ calib1
@@ -206,17 +227,27 @@ object Bench {
         allProbes.map(r3).mkString("[", ", ", "]") +
         " disagree >2x vs median; timings in this artifact " +
         "are not comparable")
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // full per-query sample for every query measured more than once —
+    // BenchGate's acceptance rule reads these (headline min alone would
+    // reintroduce the min-of-N pass bias the attempts array exists to
+    // remove)
+    val attemptsJson = results.collect {
+      case (k, (_, at)) if at.size > 1 =>
+        s"\"" + k + "\":" + at.map(r3).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     // cpus is stamped into the artifact so BenchGate can select the
     // like-for-like baseline column: an 8-core baseline graded against a
     // 32-core run produced 7 phantom ">2x regressions" in round 7
     val line =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+        s""""attempts":$attemptsJson,""" +
         s""""sf":"$sfDir","cpus":$cpus,"calib_start_sec":${r3(calib0)},""" +
         s""""calib_end_sec":${r3(calib1)},""" +
         s""""calib_probes":${allProbes.map(r3).mkString("[", ",", "]")},""" +
+        s""""calib_probes_raw":${rawProbes.toSeq.map(r3).mkString("[", ",", "]")},""" +
         s""""contended":$contended}"""
     // The driver captures a bounded tail of this process's output, and the
     // per-query map makes this line long enough to get head-truncated by

@@ -995,49 +995,47 @@ object DedupQueries {
           .orderBy(col("doc_id"))
       })
   } :+ {
-    // Fuzzy record linkage — blocked Jaro–Winkler entity resolution, the
-    // typo-tolerant cousin of q5q's edit-distance dedup: each document's
-    // "record key" is its first-8-token prefix (the name/address field
-    // of a real linkage), candidates are generated only WITHIN blocks of
-    // (lang, key-length bucket), and every candidate pair is scored by
-    // the native [[graft.functions.StringSimilarity]] expression —
-    // compiled per-pair byte loop, semantics pinned to DuckDB's
+    // Fuzzy record linkage — sorted-neighborhood Jaro–Winkler entity
+    // resolution (Hernández & Stolfo 1995), the typo-tolerant cousin of
+    // q5q's edit-distance dedup: each document's "record key" is its
+    // first-8-token prefix (the name/address field of a real linkage),
+    // records sort by (lang, key, doc_id), and each record is compared
+    // only to its W=10 successors in sort order — exactly N·W candidate
+    // pairs, a HARD corpus-linear bound. The round-8 shape blocked on
+    // (lang, length(key)/4): O(100) blocks total, so block population —
+    // and the within-block pair join — grew linearly with the corpus and
+    // the verify grew quadratically (the suite's slowest query, with no
+    // dial). Sorted-neighborhood is the classic fix: lexicographic
+    // neighbors are where prefix-weighted Jaro–Winkler scores high, so
+    // the window IS the blocking key (production runs multiple passes
+    // over different sort keys to recover cross-prefix typos; W is the
+    // recall/cost dial). Every candidate pair is scored by the native
+    // [[graft.functions.StringSimilarity]] expression — compiled
+    // per-pair byte loop, semantics pinned to DuckDB's
     // jaro_winkler_similarity so the oracle hash-compares raw scores.
-    // Edit distance charges transposed tokens 2; Jaro–Winkler forgives
-    // transpositions and rewards shared prefixes, which is what makes it
-    // the linkage standard. Scale shape: blocking bounds the quadratic
-    // verify to Σ block² (the q64→q6c lesson); keys are ≤ ~50 bytes so
-    // only (id, lang, bucket, key) rows shuffle into the block join,
-    // never bodies.
+    // Scale shape: the global sort rank comes from StableIds.assign
+    // (range partition + per-partition counts — NO single-task global
+    // window), the W successors come from one explode + equi join on
+    // rank (N·W fixed-width rows, keys ≤ ~50 bytes — bodies never
+    // shuffle), and Jaro–Winkler runs on candidates only.
     QueryDef(
       "q9k_record_linkage",
       Some("""WITH k AS (SELECT doc_id, lang,
                array_to_string((string_split(text, ' '))[1:8], ' ') AS key
               FROM documents),
-        b AS (SELECT doc_id, lang, key, length(key) // 4 AS lb FROM k)
-        SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-          round(jaro_winkler_similarity(a.key, c.key), 6) AS sim
-        FROM b a JOIN b c
-          ON a.lang = c.lang AND a.lb = c.lb AND a.doc_id < c.doc_id
-        WHERE round(jaro_winkler_similarity(a.key, c.key), 6) >= 0.82
+        r AS (SELECT doc_id, lang, key,
+               row_number() OVER (ORDER BY lang, key, doc_id) AS rn FROM k)
+        SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+          GREATEST(a.doc_id, b.doc_id) AS id_b,
+          round(jaro_winkler_similarity(a.key, b.key), 6) AS sim
+        FROM r a JOIN r b
+          ON b.rn BETWEEN a.rn + 1 AND a.rn + 10 AND a.lang = b.lang
+        WHERE round(jaro_winkler_similarity(a.key, b.key), 6) >= 0.82
         ORDER BY id_a, id_b"""),
-      (s, dir) => {
-        val k = docs(s, dir).select(col("doc_id"), col("lang"),
-          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("key"))
-          .withColumn("lb", floor(length(col("key")) / 4))
-        val a = k.select(col("doc_id").as("id_a"), col("lang"),
-          col("lb"), col("key").as("key_a"))
-        val c = k.select(col("doc_id").as("id_b"), col("lang"),
-          col("lb"), col("key").as("key_b"))
-        a.join(c, Seq("lang", "lb"))
-          .filter(col("id_a") < col("id_b"))
-          .withColumn("sim",
-            round(graft.functions.StringSimilarity
-              .jaro_winkler(col("key_a"), col("key_b")), 6))
-          .filter(col("sim") >= 0.82)
-          .select(col("id_a"), col("id_b"), col("sim"))
-          .orderBy(col("id_a"), col("id_b"))
-      })
+      (s, dir) =>
+        sortedNeighborhoodLinkage(
+          docs(s, dir).select(col("doc_id"), col("lang"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("key"))))
   } :+ {
     // Dedup threshold profile — the pairwise-similarity histogram the 0.7
     // in q61/q62 is CHOSEN from: every co-occurring candidate pair's
@@ -1141,6 +1139,34 @@ object DedupQueries {
         (max(col("i")) - min(col("i")) + L).cast("long").as("span_len"))
       .select(col("doc_id"), col("span_start"), col("span_len"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** The q9k engine on any (doc_id, lang, key) frame — sorted-
+    * neighborhood candidate generation (rank by (lang, key, doc_id) via
+    * [[graft.operators.StableIds.assign]], pair each record with its `w`
+    * successors — exactly N·w candidates) + Jaro–Winkler ≥ 0.82 verify.
+    * Exposed for ScaleProbe's `linkage` mode (candidate growth 1×→4×
+    * must be linear, vs the quadratic (lang, length-bucket) block join
+    * it replaced). */
+  private[graft] def sortedNeighborhoodLinkage(k: DataFrame, w: Int = 10): DataFrame = {
+    // global sort rank by (lang, key, doc_id) — lang-major, so
+    // within-lang neighbors are contiguous and the lang-equality filter
+    // below restricts pairs to same-lang windows. Spark and DuckDB both
+    // order strings bytewise, so ranks agree.
+    val r = graft.operators.StableIds
+      .assign(k, Seq(col("lang"), col("key"), col("doc_id")), 8, "rn")
+    r.select(col("doc_id").as("da"), col("lang"), col("key").as("key_a"),
+        explode(sequence(col("rn") + 1, col("rn") + w)).as("rn2"))
+      .join(r.select(col("doc_id").as("db"), col("lang").as("lang_b"),
+        col("key").as("key_b"), col("rn").as("rn2")), Seq("rn2"))
+      .filter(col("lang") === col("lang_b"))
+      .withColumn("sim",
+        round(graft.functions.StringSimilarity
+          .jaro_winkler(col("key_a"), col("key_b")), 6))
+      .filter(col("sim") >= 0.82)
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("sim"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Lossless prefix-filtered Jaccard-0.7 self-join over (doc_id,

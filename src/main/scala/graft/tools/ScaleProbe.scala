@@ -240,6 +240,42 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "linkage") {
+      // q9k's sorted-neighborhood linkage vs the round-8 (lang,
+      // length-bucket) block join it replaced: block count is
+      // corpus-INDEPENDENT (O(langs × buckets)), so block population —
+      // and the within-block pair join — grows linearly with the corpus
+      // and candidates grow QUADRATICALLY; the sorted-neighborhood
+      // window generates exactly N·W candidates — linear by
+      // construction. Replication is the worst case for blocking (every
+      // copy lands in its original's block) and a no-op for the window
+      // bound.
+      import graft.queries.DedupQueries
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("text"))
+      for (mult <- Seq(1, 4)) {
+        val k = replicate(docs0, "doc_id", mult, 10000000L)
+          .select(col("doc_id"), col("lang"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("key"))
+          .cache()
+        val n = k.count()
+        val blockCand = time(s"block-join candidates n=$n") {
+          val b = k.withColumn("lb", floor(length(col("key")) / 4))
+          b.select(col("doc_id").as("ia"), col("lang"), col("lb"))
+            .join(b.select(col("doc_id").as("ib"), col("lang"), col("lb")),
+              Seq("lang", "lb"))
+            .filter(col("ia") < col("ib")).count()
+        }
+        val snmScored = time(s"sorted-neighborhood linkage n=$n") {
+          DedupQueries.sortedNeighborhoodLinkage(k).count()
+        }
+        println(s"[scale]   candidates: block=$blockCand (quadratic) " +
+          s"snm=${n * 10} hard bound (linear); snm matched pairs=$snmScored")
+        k.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (triangleOnly) {
       import graft.operators.TriangleCount
       for (mult <- Seq(1, 4, 16)) {

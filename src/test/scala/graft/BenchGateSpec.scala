@@ -137,6 +137,52 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.suspiciousProbe(Nil, 9.9))
   }
 
+  test("attempts sample: one lucky fast re-measure cannot pass a sustained regression") {
+    // q01 baseline 2.00s, gate line 4.0s. Headline min = 3.9 (the lone
+    // lucky sample) is under the line — the old min-judged rule passed
+    // this; the steady estimate (upper median of warmed attempts
+    // [5.1, 3.9, 5.3] = 5.1) keeps a sustained ~2.6x regression flagged.
+    val json = bench(3.9, 3.0, 0.2).replace(
+      """"sf":"sf0.1"""",
+      """"attempts":{"q01_pricing_summary":[5.2,5.1,3.9,5.3]},"sf":"sf0.1"""")
+    val Right(r) = BenchGate.check(json, baseline)
+    assert(r.violations.map(_.query) == Seq("q01_pricing_summary"), r)
+    assert(!r.pass)
+  }
+
+  test("attempts sample: a cold first run with warmed passes stays clean") {
+    // cold 5.2s first attempt, warmed 2.1/2.3: steady estimate 2.3 is
+    // within 2x of the 2.0 baseline even though the cold sample is not —
+    // and the headline (min=2.1) agrees
+    val json = bench(2.1, 3.0, 0.2).replace(
+      """"sf":"sf0.1"""",
+      """"attempts":{"q01_pricing_summary":[5.2,2.1,2.3]},"sf":"sf0.1"""")
+    val Right(r) = BenchGate.check(json, baseline)
+    assert(r.pass, r)
+  }
+
+  test("steadyEstimate: single sample is itself; first attempt never judged when warm runs exist") {
+    assert(BenchGate.steadyEstimate(Seq(4.2)) == 4.2)
+    assert(BenchGate.steadyEstimate(Seq(9.9, 1.0)) == 1.0)
+    assert(BenchGate.steadyEstimate(Seq(9.9, 1.0, 3.0)) == 3.0)
+    assert(BenchGate.steadyEstimate(Seq(9.9, 1.0, 3.0, 2.0)) == 2.0)
+    assert(BenchGate.steadyEstimate(Nil) == -1.0)
+  }
+
+  test("attempts parse: arrays keyed by query, scalar map untouched") {
+    val json = bench(2.0, 3.0, 0.2).replace(
+      """"sf":"sf0.1"""",
+      """"attempts":{"q01_pricing_summary":[4.0,2.0],"q80_stream_tumbling":[3.0,3.1]},"sf":"sf0.1"""")
+    assert(BenchGate.parseAttempts(json) ==
+      Map("q01_pricing_summary" -> Seq(4.0, 2.0),
+        "q80_stream_tumbling" -> Seq(3.0, 3.1)))
+    // scalar timings still parse exactly as before
+    val (got, _) = BenchGate.parseBench(json)
+    assert(got("q01_pricing_summary") == 2.0)
+    // artifacts without attempts (pre-round-9) parse to empty
+    assert(BenchGate.parseAttempts(bench(2.0, 3.0, 0.2)).isEmpty)
+  }
+
   private def withCpus(json: String, cpus: Int): String =
     json.replace(""""sf":"sf0.1"""", s""""sf":"sf0.1","cpus":$cpus""")
 

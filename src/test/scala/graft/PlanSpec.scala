@@ -516,17 +516,37 @@ class PlanSpec extends SparkSpec {
       "median and MAD frames should both attach via broadcast hash joins")
   }
 
-  test("q9k record linkage: blocked verify is an equi join, never a nested loop") {
-    // blocking exists to bound the quadratic verify; if the (lang, bucket)
-    // keys fell out of the join condition the pair generation would plan
-    // a nested-loop/cartesian over the whole corpus
+  test("q9k record linkage: N*W sorted-neighborhood candidates, no global window") {
+    // the candidate stage must stay corpus-linear (exactly N*W pairs from
+    // the rank equi join): a nested-loop/cartesian would mean the
+    // neighbor rank fell out of the join condition, and an
+    // empty-partitioning window would mean the global sort rank
+    // regressed to the single-task row_number the StableIds operator
+    // exists to avoid — either one is the quadratic/serial shape the
+    // round-8 blocking scheme was replaced for
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val plans = collectAll(executed(q("q9k_record_linkage")))
-    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]) &&
-      !plans.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
-      "q9k must pair candidates through the blocking equi join")
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "q9k must pair candidates through the rank equi join")
+    // StableIds' triangular offsets join (pid < pid over the
+    // #partitions-row counts table) IS a broadcast nested loop by
+    // design — tiny by construction; any OTHER nested loop would be the
+    // corpus-sized pair generation gone quadratic
+    val corpusBnlj = plans.collect {
+      case j: BroadcastNestedLoopJoinExec
+          if !j.toString.contains("_sid_") => j
+    }
+    assert(corpusBnlj.isEmpty,
+      s"q9k plans ${corpusBnlj.size} non-StableIds nested-loop join(s)")
     assert(plans.exists(p => p.toString.contains("jaro_winkler")),
       "the native jaro_winkler expression should appear in the plan")
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"q9k plans ${globalWindows.size} empty-partitioning Window node(s) — " +
+        "the sort rank must come from StableIds, not a global window")
   }
 
   test("q9n length binning: zero empty-partitioning windows (the ntile shape)") {
