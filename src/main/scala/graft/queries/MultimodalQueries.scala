@@ -767,6 +767,245 @@ object MultimodalQueries {
         bSum, gSum, rSum, cornerSum)
     }
 
+  /** MJPEG-in-AVI row: doc provenance + a RIFF/AVI container whose
+    * frames are individually JPEG-compressed ('MJPG' handler). */
+  final case class MediaMjpegVideo(doc_id: Long, avi: Array[Byte])
+
+  /** MJPEG frame-sampled decode output: exact integer stats over every
+    * 2nd frame. pos_sum weighs each pixel by (x + 2y), so a frame-order,
+    * row-order or block-order confusion cannot hide in the plain sum;
+    * corner_sum is the top-left pixel per sampled frame. */
+  final case class MjpegStats(doc_id: Long, n_frames: Long, width: Long,
+      height: Long, n_sampled: Long, gray_sum: Long, pos_sum: Long,
+      corner_sum: Long)
+
+  private def mjpegFrames(id: Long): Int = (2 + id % 4).toInt
+  private def mjpegWidth(id: Long): Int = (5 + id % 10).toInt
+  private def mjpegHeight(id: Long): Int = (4 + (id * 3) % 9).toInt
+  /** Gray value of the 8×8 JPEG block (bx, by) in frame f — BLOCK-uniform
+    * by construction: a uniform block's DCT has only the DC coefficient,
+    * which the all-ones quantization table (quality 1.0) carries exactly,
+    * so the JDK encode→decode round-trip is bit-exact and the oracle can
+    * replay the planted arithmetic (verified for every (w, h) this spec
+    * produces, including non-multiple-of-8 edge blocks, whose encoder
+    * padding replicates the uniform value). Pixel-varying patterns do NOT
+    * round-trip (quantization error) — block granularity is the finest
+    * JPEG-exact position sensitivity available. */
+  private def mjpegV(id: Long, f: Int, bx: Int, by: Int): Int =
+    ((id * 31 + f * 17 + bx * 11 + by * 7) % 251).toInt
+
+  /** Synthesize a genuine MJPEG AVI: the same RIFF('AVI ') layout as
+    * [[synthesizeAvi]] but with 'MJPG' strh handler + BITMAPINFOHEADER
+    * biCompression, and each '00dc' chunk holding a complete baseline
+    * JFIF JPEG (the Motion-JPEG convention — frames are independently
+    * decodable, which is exactly why capture pipelines used it). Encoded
+    * through the real JDK JPEG writer at quality 1.0 (see [[mjpegV]] for
+    * why that makes the pipeline oracle-replayable despite JPEG being a
+    * lossy codec class). */
+  def synthesizeMjpegAvi(id: Long): Array[Byte] = {
+    val (w, h, nf) = (mjpegWidth(id), mjpegHeight(id), mjpegFrames(id))
+    javax.imageio.ImageIO.setUseCache(false)
+    val frames: Array[Array[Byte]] = Array.tabulate(nf) { f =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.getRaster.setSample(x, y, 0, mjpegV(id, f, x / 8, y / 8))
+          x += 1
+        }
+        y += 1
+      }
+      val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val p = wr.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val fbos = new java.io.ByteArrayOutputStream()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(fbos)
+      try {
+        wr.setOutput(ios)
+        wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      } finally { wr.dispose(); ios.close() }
+      fbos.toByteArray
+    }
+    def even(n: Int): Int = n + (n & 1)
+    val maxFrame = frames.map(_.length).max
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Long): Unit = {
+      bos.write((v & 0xFF).toInt); bos.write(((v >> 8) & 0xFF).toInt)
+      bos.write(((v >> 16) & 0xFF).toInt); bos.write(((v >> 24) & 0xFF).toInt)
+    }
+    def le16(v: Int): Unit = { bos.write(v & 0xFF); bos.write((v >> 8) & 0xFF) }
+    def fcc(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val strlData = 4 + (8 + 56) + (8 + 40)
+    val hdrlData = 4 + (8 + 56) + (8 + strlData)
+    val moviData = 4 + frames.map(fb => 8 + even(fb.length)).sum
+    val idx1Data = nf * 16
+    val riffData = 4 + (8 + hdrlData) + (8 + moviData) + (8 + idx1Data)
+    fcc("RIFF"); le32(riffData); fcc("AVI ")
+    fcc("LIST"); le32(hdrlData); fcc("hdrl")
+    fcc("avih"); le32(56)
+    le32(40000L)                     // dwMicroSecPerFrame (25 fps)
+    le32(maxFrame * 25L)             // dwMaxBytesPerSec
+    le32(0); le32(0x10)              // padding, AVIF_HASINDEX
+    le32(nf.toLong); le32(0); le32(1)  // totalFrames, initialFrames, streams
+    le32(maxFrame.toLong)            // suggestedBufferSize
+    le32(w.toLong); le32(h.toLong)
+    le32(0); le32(0); le32(0); le32(0) // dwReserved[4]
+    fcc("LIST"); le32(strlData); fcc("strl")
+    fcc("strh"); le32(56)
+    fcc("vids"); fcc("MJPG")
+    le32(0); le16(0); le16(0); le32(0) // flags, priority, language, initialFrames
+    le32(1); le32(25)                // scale, rate
+    le32(0); le32(nf.toLong)         // start, length
+    le32(maxFrame.toLong); le32(0xFFFFFFFFL) // bufferSize, quality(-1)
+    le32(0)                          // sampleSize
+    le16(0); le16(0); le16(w); le16(h) // rcFrame
+    fcc("strf"); le32(40)
+    le32(40); le32(w.toLong); le32(h.toLong) // biSize, biWidth, biHeight
+    le16(1); le16(24)                // biPlanes, biBitCount
+    fcc("MJPG")                      // biCompression = FOURCC 'MJPG'
+    le32(maxFrame.toLong); le32(0); le32(0); le32(0); le32(0)
+    fcc("LIST"); le32(moviData); fcc("movi")
+    val offsets = new Array[Long](nf)
+    var rel = 4L                      // offset of first ckid from 'movi'
+    var f = 0
+    while (f < nf) {
+      offsets(f) = rel
+      fcc("00dc"); le32(frames(f).length.toLong)
+      bos.write(frames(f))
+      if ((frames(f).length & 1) == 1) bos.write(0) // RIFF even padding
+      rel += 8 + even(frames(f).length)
+      f += 1
+    }
+    fcc("idx1"); le32(idx1Data.toLong)
+    f = 0
+    while (f < nf) {
+      fcc("00dc"); le32(0x10)         // AVIIF_KEYFRAME
+      le32(offsets(f)); le32(frames(f).length.toLong)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** REAL MJPEG decoder behind the mapPartitions seam: the same RIFF
+    * chunk walk as [[decodeAvi]] (headers cross-validated, idx1 checked),
+    * but each sampled '00dc' chunk is a complete JPEG decoded through the
+    * real JDK reader — skipped frames are seeked past WITHOUT entropy
+    * decoding, which is the whole I/O+CPU saving of frame sampling on a
+    * compressed stream (a bigger saving than on DIB frames, where a skip
+    * only saves memory reads). */
+  def decodeMjpeg(rows: Iterator[MediaMjpegVideo]): Iterator[MjpegStats] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { m =>
+      val b = m.avi
+      def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"doc ${m.doc_id}: $msg")
+      def u32(off: Int): Long = {
+        if (off + 4 > b.length) fail(s"truncated at offset $off")
+        (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
+          ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+      }
+      def fourcc(off: Int): String = {
+        if (off + 4 > b.length) fail(s"truncated at offset $off")
+        new String(b, off, 4, "US-ASCII")
+      }
+      if (b.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        fail("payload is not a RIFF/AVI container")
+      if (u32(4) != b.length - 8)
+        fail(s"RIFF size ${u32(4)} != payload ${b.length - 8}")
+      var (avihFrames, avihW, avihH) = (-1L, -1L, -1L)
+      var mjpgStream = false
+      var mjpgCompression = false
+      var (moviOff, moviEnd) = (-1, -1)
+      var idx1Count = -1
+      def parseHdrl(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val ck = fourcc(off); val sz = u32(off + 4).toInt; val data = off + 8
+          if (ck == "avih") {
+            if (sz < 40) fail("avih header too short")
+            avihFrames = u32(data + 16); avihW = u32(data + 32)
+            avihH = u32(data + 36)
+          } else if (ck == "LIST" && fourcc(data) == "strl") {
+            var s2 = data + 4
+            val e2 = data + sz
+            while (s2 + 8 <= e2) {
+              val ck2 = fourcc(s2); val sz2 = u32(s2 + 4).toInt; val d2 = s2 + 8
+              if (ck2 == "strh") {
+                if (fourcc(d2) == "vids") {
+                  if (fourcc(d2 + 4) != "MJPG")
+                    fail(s"unsupported vids handler ${fourcc(d2 + 4)}")
+                  mjpgStream = true
+                }
+              } else if (ck2 == "strf" && mjpgStream && !mjpgCompression) {
+                if (sz2 < 40) fail("BITMAPINFOHEADER too short")
+                if (fourcc(d2 + 16) != "MJPG")
+                  fail(s"biCompression ${fourcc(d2 + 16)} is not MJPG")
+                mjpgCompression = true
+              }
+              s2 = d2 + sz2 + (sz2 & 1)
+            }
+          }
+          off = data + sz + (sz & 1)
+        }
+      }
+      var off = 12
+      while (off + 8 <= b.length) {
+        val ck = fourcc(off); val sz = u32(off + 4).toInt; val data = off + 8
+        if (data + sz > b.length) fail(s"chunk $ck overruns payload")
+        if (ck == "LIST") {
+          val lt = fourcc(data)
+          if (lt == "hdrl") parseHdrl(data + 4, data + sz)
+          else if (lt == "movi") { moviOff = data + 4; moviEnd = data + sz }
+        } else if (ck == "idx1") idx1Count = sz / 16
+        off = data + sz + (sz & 1)
+      }
+      if (!mjpgStream || !mjpgCompression) fail("no MJPG 'vids' stream")
+      if (moviOff < 0) fail("no 'movi' LIST")
+      var (w, h) = (0L, 0L)
+      var (graySum, posSum, cornerSum) = (0L, 0L, 0L)
+      var (frames, sampled) = (0L, 0L)
+      var p = moviOff
+      while (p + 8 <= moviEnd) {
+        val ck = fourcc(p); val sz = u32(p + 4).toInt; val data = p + 8
+        if (ck == "00dc" || ck == "00db") {
+          if (frames % 2 == 0) {          // entropy-decode sampled frames only
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(b, data, sz))
+            if (img == null) fail(s"frame $frames is not decodable JPEG")
+            if (img.getRaster.getNumBands != 1)
+              fail(s"frame $frames decoded ${img.getRaster.getNumBands} bands, expected grayscale")
+            w = img.getWidth.toLong; h = img.getHeight.toLong
+            if (w != avihW || h != avihH)
+              fail(s"frame ${w}x$h disagrees with avih ${avihW}x$avihH")
+            sampled += 1
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val v = img.getRaster.getSample(x, y, 0).toLong
+                graySum += v
+                posSum += (x + 2L * y) * v
+                if (x == 0 && y == 0) cornerSum += v
+                x += 1
+              }
+              y += 1
+            }
+          }                               // else: seek past — no decode
+          frames += 1
+        }
+        p = data + sz + (sz & 1)
+      }
+      if (frames != avihFrames)
+        fail(s"movi holds $frames frames, avih declared $avihFrames")
+      if (idx1Count >= 0 && idx1Count != frames)
+        fail(s"idx1 indexes $idx1Count frames, movi holds $frames")
+      MjpegStats(m.doc_id, frames, w, h, sampled, graySum, posSum, cornerSum)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // REAL image decode through the seam: synthesize genuine PNGs into a
@@ -1043,6 +1282,58 @@ object MultimodalQueries {
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map(id => MediaAviVideo(id, synthesizeAvi(id))))
           .mapPartitions(decodeAvi)
+          .toDF()
+          .orderBy(col("doc_id"))
+      }),
+
+    // REAL compressed video codec: MJPEG-in-AVI — each frame an
+    // independent baseline JPEG inside the RIFF container — decoded by
+    // the real JDK JPEG entropy decoder behind the same chunk-walking
+    // seam as q6y. This narrows the "lossy codecs aren't
+    // oracle-replayable" boundary: frames are BLOCK-uniform grayscale at
+    // quality 1.0, where the JPEG round-trip is bit-exact (uniform
+    // blocks are DC-only and the all-ones quantization table preserves
+    // the DC exactly — see mjpegV), so the oracle replays the planted
+    // block arithmetic while the engine runs a genuine
+    // compressed-container pipeline: entropy decode ONLY for sampled
+    // frames (the real saving of sampling a compressed stream), pos_sum
+    // position-weighted so frame/row/block order confusions cannot
+    // cancel. Inter-frame-predicted codecs (H.264) remain out of reach
+    // without native libs; MJPEG is the honest furthest point of
+    // pure-JDK, bit-exact video.
+    QueryDef(
+      "qa0_mjpeg_video_decode",
+      Some("""WITH g AS (
+          SELECT doc_id,
+                 CAST(2 + doc_id % 4 AS INT) AS nf,
+                 CAST(5 + doc_id % 10 AS INT) AS w,
+                 CAST(4 + (doc_id * 3) % 9 AS INT) AS h
+          FROM documents)
+        SELECT doc_id,
+          CAST(nf AS BIGINT) AS n_frames,
+          CAST(w AS BIGINT) AS width,
+          CAST(h AS BIGINT) AS height,
+          CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+          CAST(list_sum(list_transform(generate_series(0, (nf - 1) // 2), j ->
+            list_sum(list_transform(generate_series(0, CAST(w*h - 1 AS INT)),
+              i -> (doc_id * 31 + (2*j) * 17 + ((i % w) // 8) * 11
+                    + ((i // w) // 8) * 7) % 251))))
+            AS BIGINT) AS gray_sum,
+          CAST(list_sum(list_transform(generate_series(0, (nf - 1) // 2), j ->
+            list_sum(list_transform(generate_series(0, CAST(w*h - 1 AS INT)),
+              i -> ((i % w) + 2 * (i // w)) *
+                   ((doc_id * 31 + (2*j) * 17 + ((i % w) // 8) * 11
+                     + ((i // w) // 8) * 7) % 251)))))
+            AS BIGINT) AS pos_sum,
+          CAST(list_sum(list_transform(generate_series(0, (nf - 1) // 2), j ->
+            (doc_id * 31 + (2*j) * 17) % 251)) AS BIGINT) AS corner_sum
+        FROM g ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => MediaMjpegVideo(id, synthesizeMjpegAvi(id))))
+          .mapPartitions(decodeMjpeg)
           .toDF()
           .orderBy(col("doc_id"))
       }),
