@@ -1488,6 +1488,86 @@ object TextAnalysis {
             round(col("delta") / col("sd"), 6).as("z"))
           .orderBy(abs(col("z")).desc, col("word"))
           .limit(20)
+      }),
+
+    // Importance-resampling data selection (DSIR, Xie et al. 2023): score
+    // every raw document by how target-like its hashed n-gram profile is
+    // — per-feature log(p_target/p_raw) under add-one smoothing, summed
+    // over the document's bigram occurrences — and select the docs that
+    // look more target than raw (logw > 0). The target domain is the
+    // 'src0' source (the q9x keyness convention); features are word
+    // bigrams bucketed to 512 ids by a cheap O(1) mix of (first char,
+    // last char, length) — production swaps in a real hash, the operator
+    // shape is identical. Scale shape: both "distributions" are ≤512-row
+    // count frames (shuffles carry bucket ids + counts, never bodies),
+    // the log-ratio table broadcasts back onto the feature stream, and
+    // the per-doc weight is one map-side-combining aggregate. Totals are
+    // in-plan aggregates on the tiny frames (no driver count — the q54
+    // lesson). Determinism is the q5w idiom: each ln() term rounds to 9
+    // decimals, sums as DECIMAL(30,12), final round 6 — reduction order
+    // cannot wiggle the selection boundary.
+    QueryDef(
+      "qa1_dsir_selection",
+      Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+               FROM documents),
+        big AS (SELECT doc_id, source, unnest(list_transform(
+                  generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1])) AS g
+                FROM toks),
+        fe AS (SELECT doc_id, source,
+                (ascii(substr(g, 1, 1)) * 31
+                 + ascii(substr(g, length(g), 1)) * 17
+                 + length(g) * 7) % 512 AS f
+               FROM big),
+        cr AS (SELECT f, COUNT(*) AS cr FROM fe GROUP BY f),
+        ct AS (SELECT f, COUNT(*) AS ct FROM fe WHERE source = 'src0' GROUP BY f),
+        tot AS (SELECT (SELECT SUM(cr) FROM cr) AS rr,
+                       (SELECT COALESCE(SUM(ct), 0) FROM ct) AS tt),
+        term AS (SELECT cr.f,
+                  round(ln(((COALESCE(ct.ct, 0) + 1) * (tot.rr + 512)) * 1.0
+                    / ((cr.cr + 1) * (tot.tt + 512))), 9) AS term
+                 FROM cr LEFT JOIN ct ON ct.f = cr.f, tot),
+        w AS (SELECT fe.doc_id, COUNT(*) AS n_feats,
+                SUM(CAST(term.term AS DECIMAL(30,12))) AS wsum
+              FROM fe JOIN term ON term.f = fe.f GROUP BY fe.doc_id)
+        SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+          ROUND(CAST(wsum AS DOUBLE), 6) AS logw,
+          CAST(CASE WHEN CAST(wsum AS DOUBLE) > 0 THEN 1 ELSE 0 END AS INT)
+            AS selected
+        FROM w ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+        // guard size >= 2: Spark's sequence(1, 0) would walk DOWN (q5w)
+        val big = toks.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), col("source"),
+            explode(expr(
+              "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+              .as("g"))
+        val fe = big.select(col("doc_id"), col("source"),
+          ((ascii(substring(col("g"), 1, 1)) * 31
+            + ascii(expr("substring(g, length(g), 1)")) * 17
+            + length(col("g")) * 7) % 512).as("f"))
+        val cr = fe.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+        val ct = fe.filter(col("source") === "src0")
+          .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+        val counts = cr.join(ct, Seq("f"), "left")
+          .withColumn("ct", coalesce(col("ct"), lit(0L)))
+        val tot = counts.agg(sum(col("cr")).as("rr"), sum(col("ct")).as("tt"))
+        val term = counts.crossJoin(broadcast(tot))
+          .withColumn("term",
+            round(log(((col("ct") + 1) * (col("rr") + 512)).cast("double")
+              / ((col("cr") + 1) * (col("tt") + 512))), 9)
+              .cast("decimal(30,12)"))
+          .select(col("f"), col("term"))
+        fe.join(broadcast(term), Seq("f"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_feats"), sum(col("term")).as("wsum"))
+          .select(col("doc_id"), col("n_feats"),
+            round(col("wsum").cast("double"), 6).as("logw"),
+            when(col("wsum").cast("double") > 0, 1).otherwise(0)
+              .cast("int").as("selected"))
+          .orderBy(col("doc_id"))
       })
   )
 
