@@ -88,12 +88,14 @@ object DumpPlans {
     "q9g_column_profile"      -> "column profile: one scan through multi-distinct Expand, row-local unpivot",
     "q9i_event_anomaly"       -> "robust anomaly: per-type median/MAD frames broadcast onto the scan, row-local flags",
     "q9j_cluster_quality"     -> "Davies-Bouldin: broadcast-argmax assignment, k^2 centroid-pair frame off-corpus",
-    "q9k_record_linkage"      -> "record linkage: blocking equi join bounds the native jaro_winkler verify",
+    "q9k_record_linkage"      -> "record linkage: sorted-neighborhood rank equi join (N*W candidates), jaro_winkler verify",
     "q9n_length_bins"         -> "equi-depth binning: broadcast decile boundary frame, row-local bucketing, no ntile window",
     "q9p_vocab_growth"        -> "Heaps curve: per-term first-doc agg, triangle join on the 10-row bucket frame",
     "q9q_weighted_sssp"       -> "Bellman-Ford: per-round narrow (l, node, d) min-agg shuffle, early fixpoint exit",
     "q9r_rank_eval"           -> "MRR/nDCG: broadcast query frame, per-query top-10 window, tiny metric arithmetic",
     "q9t_image_phash_dedup"   -> "image dHash: codec seam rows, 4 band equi-joins, xor/popcount verify",
+    "qa0_mjpeg_video_decode"  -> "MJPEG-in-AVI: row-local compressed-frame decode seam, no shuffle before final sort",
+    "qa1_dsir_selection"      -> "DSIR selection: 512-bucket count frames, broadcast log-ratio table",
     "q9v_centroid_drift"      -> "centroid drift: long-format decimal means, 64-row global frame broadcast",
     "q9w_pareto_users"        -> "Pareto 80/20: per-type window, exact decimal running share",
     "q9y_canonical_authority" -> "canonical by authority: PageRank rounds + map-side family argmax")
