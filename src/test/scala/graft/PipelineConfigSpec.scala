@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{PipelineConfig, StreamSource}
+
+/** The CDAP pipeline-config porting shim: stage property maps with
+  * `${macro}` values resolve to the engine's constructor configs exactly
+  * where the reference marks @Macro, with CDAP's resolution semantics
+  * (recursive, unresolvable = loud, function macros rejected). No
+  * SparkSession — pure config parsing. */
+class PipelineConfigSpec extends AnyFunSuite {
+
+  test("plain, recursive and repeated macro substitution") {
+    val macros = Map(
+      "env" -> "prod",
+      "topic.base" -> "events-${env}",
+      "t1" -> "a", "t2" -> "b")
+    assert(PipelineConfig.substitute("no macros here", macros) == "no macros here")
+    assert(PipelineConfig.substitute("${t1},${t2},${t1}", macros) == "a,b,a")
+    // recursive: the argument's value itself carries a macro
+    assert(PipelineConfig.substitute("${topic.base}-v2", macros) == "events-prod-v2")
+    // literal $ without brace passes through
+    assert(PipelineConfig.substitute("cost: $5", macros) == "cost: $5")
+  }
+
+  test("unresolvable, cyclic and function macros fail loudly") {
+    val e1 = intercept[IllegalArgumentException] {
+      PipelineConfig.substitute("${missing}", Map.empty)
+    }
+    assert(e1.getMessage.contains("missing"))
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineConfig.substitute("${a}", Map("a" -> "${b}", "b" -> "${a}"))
+    }
+    assert(e2.getMessage.contains("depth"))
+    val e3 = intercept[IllegalArgumentException] {
+      PipelineConfig.substitute("${secure(apikey)}", Map.empty)
+    }
+    assert(e3.getMessage.contains("function macro"))
+  }
+
+  test("a MapRStream stage's properties build a StreamConfig (macro fields substituted)") {
+    // field names are the reference's (MapRStreamConfig.java): topics and
+    // offsetField are @Macro, schema/format/referenceName are not
+    val props = Map(
+      "referenceName" -> "clickstream",
+      "topics" -> "${stream.topic}, audit",
+      "offsetField" -> "${start.from}",
+      "format" -> "csv",
+      "schema" -> """{"type":"record","name":"rec","fields":[
+          {"name":"user","type":"string"},{"name":"n","type":"long"}]}""")
+    val cfg = PipelineConfig.streamConfig(props,
+      macros = Map("stream.topic" -> "clicks", "start.from" -> "Beginning"))
+    assert(cfg.referenceName == "clickstream")
+    assert(cfg.topics == Seq("clicks", "audit"))
+    assert(cfg.initialOffset == "Beginning")
+    assert(cfg.format.contains("csv"))
+    // and the offset value flows through the reference's case-insensitive
+    // "beginning" -> earliest mapping
+    assert(StreamSource.kafkaOptions(cfg)("startingOffsets") == "earliest")
+    assert(StreamSource.kafkaOptions(cfg)("subscribe") == "clicks,audit")
+  }
+
+  test("absent offset/format/schema take reference defaults (latest, bytes, null schema)") {
+    val cfg = PipelineConfig.streamConfig(
+      Map("referenceName" -> "raw_feed", "topics" -> "t"))
+    assert(cfg.initialOffset == "latest")
+    assert(cfg.format.isEmpty && cfg.avroSchemaJson.isEmpty)
+    assert(StreamSource.kafkaOptions(cfg)("startingOffsets") == "latest")
+  }
+
+  test("a malformed declared schema fails at configure time, not at read time") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.streamConfig(Map(
+        "referenceName" -> "r", "topics" -> "t",
+        "schema" -> """{"type":"record","fields":"""))
+    }
+    assert(e.getMessage.contains("schema"))
+  }
+
+  test("a MapRDBJSONSink stage's properties build a DocSinkSpec (all three @Macro)") {
+    val spec = PipelineConfig.docSinkConfig(
+      Map(
+        "referenceName" -> "profiles",
+        "tableName" -> "/tables/${env}/users",
+        "key" -> "${id.field}",
+        "schema" -> """{"type":"record","name":"rec","fields":[
+            {"name":"user_id","type":"string"}]}"""),
+      macros = Map("env" -> "prod", "id.field" -> "user_id"))
+    assert(spec.tableName == "/tables/prod/users")
+    assert(spec.keyField == "user_id")
+    assert(spec.avroSchemaJson.isDefined)
+  }
+
+  test("missing required stage properties are named in the error") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.streamConfig(Map("referenceName" -> "r"))
+    }
+    assert(e.getMessage.contains("topics"))
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineConfig.docSinkConfig(Map("referenceName" -> "r", "tableName" -> "t"))
+    }
+    assert(e2.getMessage.contains("key"))
+  }
+}
