@@ -1084,6 +1084,45 @@ object DedupQueries {
             col("cum_pairs_at_or_above"))
           .orderBy(col("bin"))
       })
+  } :+ {
+    // N-gram novelty profile — the memorization/templating risk signal
+    // (Lee et al. 2021's dual reading: content whose grams occur nowhere
+    // else is novel, content whose grams recur corpus-wide is template or
+    // duplicate): per document, the fraction of its DISTINCT 3-gram
+    // shingles with corpus document-frequency 1, plus its most-shared
+    // gram's DF. The opposite end of q5j's boilerplate spectrum (DF >
+    // 5%N) and threshold-free. Shape is the standard two-pass gram
+    // pipeline: DF per distinct gram (shuffle carries grams + counts,
+    // never bodies), joined back to the posting stream, one per-doc
+    // aggregate; the ppm is integer floor-division so the compare is
+    // exact.
+    QueryDef(
+      "qa3_novel_ngrams",
+      Some(s"""WITH d0 AS (
+          SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
+        df AS (SELECT sh, COUNT(*) AS df FROM d0 GROUP BY sh),
+        j AS (SELECT d0.doc_id, df.df FROM d0 JOIN df USING (sh))
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+            AS BIGINT) AS novelty_ppm,
+          CAST(MAX(df) AS BIGINT) AS max_df
+        FROM j GROUP BY doc_id ORDER BY doc_id"""),
+      (s, dir) => {
+        val posting = withShingles(docs(s, dir))
+          .select(col("doc_id"), explode(col("sh")).as("sh"))
+        val df = posting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        posting.join(df, Seq("sh"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"),
+            max(col("df")).as("max_df"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            expr("(n_novel * 1000000) div n_grams").cast("long")
+              .as("novelty_ppm"),
+            col("max_df"))
+          .orderBy(col("doc_id"))
+      })
   }
 
   /** The q6z engine on any (doc_id, text) frame — exposed for the

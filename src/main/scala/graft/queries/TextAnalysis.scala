@@ -1568,6 +1568,102 @@ object TextAnalysis {
             when(col("wsum").cast("double") > 0, 1).otherwise(0)
               .cast("int").as("selected"))
           .orderBy(col("doc_id"))
+      }),
+
+    // UniMax corpus mixing (Chung et al. 2023): allocate a total token
+    // budget across sources as UNIFORMLY as possible subject to a
+    // per-source epoch cap — the waterfilling that replaces q5v's
+    // temperature heuristic when over-sampling small sources must be
+    // bounded. Budget B = 90% of corpus tokens, cap C = 1 epoch (the
+    // downsampling regime: sources below the waterline contribute
+    // everything, larger ones are trimmed to the waterline; C and B are
+    // the dials). Closed-form waterfilling, all INTEGER arithmetic so
+    // both engines agree bit-for-bit: sources rank ascending by
+    // (tokens, source); a source is capped iff taking it fully plus a
+    // uniform share for every larger source fits the budget; the
+    // leftover divides evenly over uncapped sources with the remainder
+    // going one token each to the largest (rank among uncapped by
+    // tokens DESC). Scale shape: one token-count aggregate over the
+    // corpus (shuffle carries (source, count) only), then every
+    // waterfilling step runs on the |sources|-row frame via triangular
+    // joins — never a window, the q9p/StableIds-offsets idiom — and
+    // broadcasts.
+    QueryDef(
+      "qa2_unimax_mix",
+      Some("""WITH tok AS (SELECT source,
+                 CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n
+               FROM documents GROUP BY source),
+        bb AS (SELECT (9 * SUM(n)) // 10 AS b, COUNT(*) AS l FROM tok),
+        rk AS (SELECT a.source, a.n, 1 + COUNT(c.source) AS rk,
+                 a.n + COALESCE(SUM(c.n), 0) AS cum
+               FROM tok a LEFT JOIN tok c
+                 ON c.n < a.n OR (c.n = a.n AND c.source < a.source)
+               GROUP BY a.source, a.n),
+        cap AS (SELECT rk.source, rk.n, rk.rk, rk.cum, bb.b, bb.l,
+                 CASE WHEN rk.n * (bb.l - rk.rk + 1) + rk.cum - rk.n <= bb.b
+                      THEN 1 ELSE 0 END AS capped
+                FROM rk, bb),
+        kk AS (SELECT COALESCE(MAX(rk), 0) AS k,
+                 COALESCE(MAX(CASE WHEN capped = 1 THEN cum END), 0) AS cumk
+               FROM cap WHERE capped = 1),
+        par AS (SELECT bb.b - kk.cumk AS r, bb.l - kk.k AS m FROM bb, kk),
+        ur AS (SELECT a.source, 1 + COUNT(c.source) AS urk
+               FROM cap a LEFT JOIN cap c
+                 ON c.capped = 0 AND (c.n > a.n OR (c.n = a.n AND c.source < a.source))
+               WHERE a.capped = 0 GROUP BY a.source)
+        SELECT cap.source, cap.n AS n_tokens,
+          CAST(CASE WHEN cap.capped = 1 THEN cap.n
+               ELSE par.r // par.m
+                 + CASE WHEN ur.urk <= par.r % par.m THEN 1 ELSE 0 END
+               END AS BIGINT) AS alloc_tokens,
+          CAST(cap.capped AS INT) AS capped,
+          CAST(CASE WHEN cap.capped = 1 THEN cap.n
+               ELSE par.r // par.m
+                 + CASE WHEN ur.urk <= par.r % par.m THEN 1 ELSE 0 END
+               END * 1000 // cap.n AS BIGINT) AS epochs_milli
+        FROM cap LEFT JOIN ur ON ur.source = cap.source, par
+        ORDER BY cap.source"""),
+      (s, dir) => {
+        val tok = docs(s, dir)
+          .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+          .groupBy(col("source")).agg(sum(col("nt")).as("n"))
+        // div, not / — Spark's / on longs is true division (double)
+        val bb = tok.agg(sum(col("n")).as("t"), count(lit(1)).as("l"))
+          .select(expr("(9 * t) div 10").as("b"), col("l"))
+        // ascending rank + inclusive cumulative sum via triangular join
+        // (|sources|-row frame — the q9p idiom, never a window)
+        val rk = tok.as("a")
+          .join(tok.select(col("source").as("cs"), col("n").as("cn")),
+            col("cn") < col("n") ||
+              (col("cn") === col("n") && col("cs") < col("source")), "left")
+          .groupBy(col("source"), col("n"))
+          .agg((count(col("cs")) + 1).as("rk"),
+            (coalesce(sum(col("cn")), lit(0L)) + col("n")).as("cum"))
+        val cap = rk.crossJoin(broadcast(bb))
+          .withColumn("capped",
+            when(col("n") * (col("l") - col("rk") + 1) + col("cum") - col("n")
+              <= col("b"), 1).otherwise(0))
+        val kk = cap.filter(col("capped") === 1)
+          .agg(coalesce(max(col("rk")), lit(0L)).as("k"),
+            coalesce(max(when(col("capped") === 1, col("cum"))), lit(0L)).as("cumk"))
+        val par = bb.crossJoin(kk)
+          .select((col("b") - col("cumk")).as("r"), (col("l") - col("k")).as("m"))
+        val unc = cap.filter(col("capped") === 0)
+        val ur = unc.as("a")
+          .join(unc.select(col("source").as("cs"), col("n").as("cn")),
+            col("cn") > col("n") ||
+              (col("cn") === col("n") && col("cs") < col("source")), "left")
+          .groupBy(col("source")).agg((count(col("cs")) + 1).as("urk"))
+        cap.join(ur, Seq("source"), "left").crossJoin(broadcast(par))
+          .withColumn("alloc_tokens",
+            when(col("capped") === 1, col("n"))
+              .otherwise(expr("r div m") +
+                when(col("urk") <= col("r") % col("m"), 1L).otherwise(0L))
+              .cast("long"))
+          .select(col("source"), col("n").as("n_tokens"), col("alloc_tokens"),
+            col("capped").cast("int").as("capped"),
+            expr("(alloc_tokens * 1000) div n").cast("long").as("epochs_milli"))
+          .orderBy(col("source"))
       })
   )
 
