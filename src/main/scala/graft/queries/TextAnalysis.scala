@@ -1623,49 +1623,55 @@ object TextAnalysis {
                END * 1000 // cap.n AS BIGINT) AS epochs_milli
         FROM cap LEFT JOIN ur ON ur.source = cap.source, par
         ORDER BY cap.source"""),
-      (s, dir) => {
-        val tok = docs(s, dir)
+      (s, dir) =>
+        unimaxAllocation(docs(s, dir)
           .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
-          .groupBy(col("source")).agg(sum(col("nt")).as("n"))
-        // div, not / — Spark's / on longs is true division (double)
-        val bb = tok.agg(sum(col("n")).as("t"), count(lit(1)).as("l"))
-          .select(expr("(9 * t) div 10").as("b"), col("l"))
-        // ascending rank + inclusive cumulative sum via triangular join
-        // (|sources|-row frame — the q9p idiom, never a window)
-        val rk = tok.as("a")
-          .join(tok.select(col("source").as("cs"), col("n").as("cn")),
-            col("cn") < col("n") ||
-              (col("cn") === col("n") && col("cs") < col("source")), "left")
-          .groupBy(col("source"), col("n"))
-          .agg((count(col("cs")) + 1).as("rk"),
-            (coalesce(sum(col("cn")), lit(0L)) + col("n")).as("cum"))
-        val cap = rk.crossJoin(broadcast(bb))
-          .withColumn("capped",
-            when(col("n") * (col("l") - col("rk") + 1) + col("cum") - col("n")
-              <= col("b"), 1).otherwise(0))
-        val kk = cap.filter(col("capped") === 1)
-          .agg(coalesce(max(col("rk")), lit(0L)).as("k"),
-            coalesce(max(when(col("capped") === 1, col("cum"))), lit(0L)).as("cumk"))
-        val par = bb.crossJoin(kk)
-          .select((col("b") - col("cumk")).as("r"), (col("l") - col("k")).as("m"))
-        val unc = cap.filter(col("capped") === 0)
-        val ur = unc.as("a")
-          .join(unc.select(col("source").as("cs"), col("n").as("cn")),
-            col("cn") > col("n") ||
-              (col("cn") === col("n") && col("cs") < col("source")), "left")
-          .groupBy(col("source")).agg((count(col("cs")) + 1).as("urk"))
-        cap.join(ur, Seq("source"), "left").crossJoin(broadcast(par))
-          .withColumn("alloc_tokens",
-            when(col("capped") === 1, col("n"))
-              .otherwise(expr("r div m") +
-                when(col("urk") <= col("r") % col("m"), 1L).otherwise(0L))
-              .cast("long"))
-          .select(col("source"), col("n").as("n_tokens"), col("alloc_tokens"),
-            col("capped").cast("int").as("capped"),
-            expr("(alloc_tokens * 1000) div n").cast("long").as("epochs_milli"))
-          .orderBy(col("source"))
-      })
+          .groupBy(col("source")).agg(sum(col("nt")).as("n"))))
   )
+
+  /** The qa2 waterfilling engine on any (source, n) frame — exposed for
+    * the property spec (random size profiles vs a driver-side reference
+    * loop). Budget is 90% of Σn, cap 1 epoch; all integer arithmetic
+    * (see the qa2 QueryDef doc). */
+  private[graft] def unimaxAllocation(tok: DataFrame): DataFrame = {
+    // div, not / — Spark's / on longs is true division (double)
+    val bb = tok.agg(sum(col("n")).as("t"), count(lit(1)).as("l"))
+      .select(expr("(9 * t) div 10").as("b"), col("l"))
+    // ascending rank + inclusive cumulative sum via triangular join
+    // (|sources|-row frame — the q9p idiom, never a window)
+    val rk = tok.as("a")
+      .join(tok.select(col("source").as("cs"), col("n").as("cn")),
+        col("cn") < col("n") ||
+          (col("cn") === col("n") && col("cs") < col("source")), "left")
+      .groupBy(col("source"), col("n"))
+      .agg((count(col("cs")) + 1).as("rk"),
+        (coalesce(sum(col("cn")), lit(0L)) + col("n")).as("cum"))
+    val cap = rk.crossJoin(broadcast(bb))
+      .withColumn("capped",
+        when(col("n") * (col("l") - col("rk") + 1) + col("cum") - col("n")
+          <= col("b"), 1).otherwise(0))
+    val kk = cap.filter(col("capped") === 1)
+      .agg(coalesce(max(col("rk")), lit(0L)).as("k"),
+        coalesce(max(when(col("capped") === 1, col("cum"))), lit(0L)).as("cumk"))
+    val par = bb.crossJoin(kk)
+      .select((col("b") - col("cumk")).as("r"), (col("l") - col("k")).as("m"))
+    val unc = cap.filter(col("capped") === 0)
+    val ur = unc.as("a")
+      .join(unc.select(col("source").as("cs"), col("n").as("cn")),
+        col("cn") > col("n") ||
+          (col("cn") === col("n") && col("cs") < col("source")), "left")
+      .groupBy(col("source")).agg((count(col("cs")) + 1).as("urk"))
+    cap.join(ur, Seq("source"), "left").crossJoin(broadcast(par))
+      .withColumn("alloc_tokens",
+        when(col("capped") === 1, col("n"))
+          .otherwise(expr("r div m") +
+            when(col("urk") <= col("r") % col("m"), 1L).otherwise(0L))
+          .cast("long"))
+      .select(col("source"), col("n").as("n_tokens"), col("alloc_tokens"),
+        col("capped").cast("int").as("capped"),
+        expr("(alloc_tokens * 1000) div n").cast("long").as("epochs_milli"))
+      .orderBy(col("source"))
+  }
 
   /** DuckDB CTE chain extracting the corpus's top-`k` word bigrams
     * (count DESC, phrase ASC — the engine's argmax tie-break) as CTE

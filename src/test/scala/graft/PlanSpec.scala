@@ -549,6 +549,30 @@ class PlanSpec extends SparkSpec {
         "the sort rank must come from StableIds, not a global window")
   }
 
+  test("qa1 DSIR: log-ratio table broadcasts onto the feature stream, no cartesian on corpus frames") {
+    // the term table is <=512 rows by construction; if it stopped
+    // broadcasting, the whole bigram feature stream would shuffle to meet
+    // it — the exact exchange the design exists to avoid
+    val plans = collectAll(executed(q("qa1_dsir_selection")))
+    assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "qa1's per-doc scoring join should be a broadcast hash join")
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "qa1 must not plan a cartesian over corpus-sized frames")
+  }
+
+  test("qa2 UniMax: zero empty-partitioning windows (waterfilling is triangular joins)") {
+    // every waterfilling step (rank, cumsum, uncapped rank) runs on the
+    // |sources|-row frame via triangular joins; a global window here
+    // would be the single-task shape the q9p idiom replaces
+    val plans = collectAll(executed(q("qa2_unimax_mix")))
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"qa2 plans ${globalWindows.size} empty-partitioning Window node(s)")
+  }
+
   test("q9n length binning: zero empty-partitioning windows (the ntile shape)") {
     // equi-depth binning is the classic ntile() call — which is a global
     // single-task sort; the operator exists to do it with a broadcast
