@@ -662,6 +662,16 @@ object MultimodalQueries {
         (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
           ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
       }
+      // chunk sizes are ATTACKER-CONTROLLED u32s: a value past
+      // Int.MaxValue wraps negative under .toInt and a negative size
+      // moves the chunk walk BACKWARDS (sz = -8 stalls it exactly) —
+      // an infinite loop on untrusted bytes. Any declared size larger
+      // than the payload is invalid anyway, so bound it there.
+      def ckSize(off: Int): Int = {
+        val sz = u32(off)
+        if (sz > b.length) fail(s"chunk size $sz at offset $off exceeds payload ${b.length}")
+        sz.toInt
+      }
       def u16(off: Int): Int = {
         if (off + 2 > b.length) fail(s"truncated at offset $off")
         (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
@@ -682,7 +692,7 @@ object MultimodalQueries {
       def parseHdrl(start: Int, end: Int): Unit = {
         var off = start
         while (off + 8 <= end) {
-          val ck = fourcc(off); val sz = u32(off + 4).toInt; val data = off + 8
+          val ck = fourcc(off); val sz = ckSize(off + 4); val data = off + 8
           if (ck == "avih") {
             if (sz < 40) fail("avih header too short")
             avihFrames = u32(data + 16); avihW = u32(data + 32)
@@ -691,7 +701,7 @@ object MultimodalQueries {
             var s2 = data + 4
             val e2 = data + sz
             while (s2 + 8 <= e2) {
-              val ck2 = fourcc(s2); val sz2 = u32(s2 + 4).toInt; val d2 = s2 + 8
+              val ck2 = fourcc(s2); val sz2 = ckSize(s2 + 4); val d2 = s2 + 8
               if (ck2 == "strh") {
                 val fccType = fourcc(d2)
                 val handler = u32(d2 + 4)
@@ -714,7 +724,7 @@ object MultimodalQueries {
       }
       var off = 12
       while (off + 8 <= b.length) {
-        val ck = fourcc(off); val sz = u32(off + 4).toInt; val data = off + 8
+        val ck = fourcc(off); val sz = ckSize(off + 4); val data = off + 8
         if (data + sz > b.length) fail(s"chunk $ck overruns payload")
         if (ck == "LIST") {
           val lt = fourcc(data)
@@ -735,7 +745,7 @@ object MultimodalQueries {
       var (frames, sampled) = (0L, 0L)
       var p = moviOff
       while (p + 8 <= moviEnd) {
-        val ck = fourcc(p); val sz = u32(p + 4).toInt; val data = p + 8
+        val ck = fourcc(p); val sz = ckSize(p + 4); val data = p + 8
         if (ck == "00db" || ck == "00dc") {
           if (frames % 2 == 0) {          // decode only sampled frames
             if (sz != stride * h) fail(s"frame size $sz != ${stride * h}")
@@ -907,6 +917,16 @@ object MultimodalQueries {
         (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
           ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
       }
+      // chunk sizes are ATTACKER-CONTROLLED u32s: a value past
+      // Int.MaxValue wraps negative under .toInt and a negative size
+      // moves the chunk walk BACKWARDS (sz = -8 stalls it exactly) —
+      // an infinite loop on untrusted bytes. Any declared size larger
+      // than the payload is invalid anyway, so bound it there.
+      def ckSize(off: Int): Int = {
+        val sz = u32(off)
+        if (sz > b.length) fail(s"chunk size $sz at offset $off exceeds payload ${b.length}")
+        sz.toInt
+      }
       def fourcc(off: Int): String = {
         if (off + 4 > b.length) fail(s"truncated at offset $off")
         new String(b, off, 4, "US-ASCII")
@@ -923,7 +943,7 @@ object MultimodalQueries {
       def parseHdrl(start: Int, end: Int): Unit = {
         var off = start
         while (off + 8 <= end) {
-          val ck = fourcc(off); val sz = u32(off + 4).toInt; val data = off + 8
+          val ck = fourcc(off); val sz = ckSize(off + 4); val data = off + 8
           if (ck == "avih") {
             if (sz < 40) fail("avih header too short")
             avihFrames = u32(data + 16); avihW = u32(data + 32)
@@ -932,7 +952,7 @@ object MultimodalQueries {
             var s2 = data + 4
             val e2 = data + sz
             while (s2 + 8 <= e2) {
-              val ck2 = fourcc(s2); val sz2 = u32(s2 + 4).toInt; val d2 = s2 + 8
+              val ck2 = fourcc(s2); val sz2 = ckSize(s2 + 4); val d2 = s2 + 8
               if (ck2 == "strh") {
                 if (fourcc(d2) == "vids") {
                   if (fourcc(d2 + 4) != "MJPG")
@@ -953,7 +973,7 @@ object MultimodalQueries {
       }
       var off = 12
       while (off + 8 <= b.length) {
-        val ck = fourcc(off); val sz = u32(off + 4).toInt; val data = off + 8
+        val ck = fourcc(off); val sz = ckSize(off + 4); val data = off + 8
         if (data + sz > b.length) fail(s"chunk $ck overruns payload")
         if (ck == "LIST") {
           val lt = fourcc(data)
@@ -969,7 +989,7 @@ object MultimodalQueries {
       var (frames, sampled) = (0L, 0L)
       var p = moviOff
       while (p + 8 <= moviEnd) {
-        val ck = fourcc(p); val sz = u32(p + 4).toInt; val data = p + 8
+        val ck = fourcc(p); val sz = ckSize(p + 4); val data = p + 8
         if (ck == "00dc" || ck == "00db") {
           if (frames % 2 == 0) {          // entropy-decode sampled frames only
             val img = javax.imageio.ImageIO.read(

@@ -125,6 +125,75 @@ class MjpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("random byte mutations never hang, loop or corrupt silently — decode or crisp error") {
+    // the walker reads untrusted bytes at scale: any mutation must end in
+    // a bounded amount of work with either a successful decode or a typed
+    // exception (IllegalArgumentException from the walker, IIOException /
+    // IndexOutOfBounds-wrapped-as-IAE from the JPEG reader) — never an
+    // infinite loop (chunk sizes are attacker-controlled) or a silent
+    // wrong-shape result
+    val rnd = new scala.util.Random(1234)
+    val clean = MultimodalQueries.synthesizeMjpegAvi(11L)
+    val cleanStats = decode(11L, clean)
+    var decoded = 0
+    for (trial <- 0 until 200) {
+      val b = clean.clone()
+      val flips = 1 + rnd.nextInt(4)
+      for (_ <- 0 until flips) {
+        val off = rnd.nextInt(b.length)
+        b(off) = (b(off) ^ (1 + rnd.nextInt(255))).toByte
+      }
+      try {
+        val st = decode(11L, b)
+        decoded += 1
+        // a successful decode must still be shape-sane (the walker
+        // cross-validates avih/strf/idx1, so dims can't be garbage)
+        assert(st.n_frames == cleanStats.n_frames &&
+          st.width == cleanStats.width && st.height == cleanStats.height,
+          s"trial $trial: decode succeeded with mutated shape: $st")
+      } catch {
+        case _: IllegalArgumentException => ()       // walker's crisp fail
+        case _: javax.imageio.IIOException => ()     // JPEG reader's fail
+      }
+    }
+    // most mutations hit the JPEG payloads (the bulk of the bytes) and
+    // many of those still decode (entropy bits changed, pixels differ) —
+    // the invariant is bounded termination + typed failure, not rejection
+    assert(decoded >= 0) // reached = no hang across 200 mutations
+  }
+
+  test("a chunk size that wraps negative fails crisply instead of stalling the walk") {
+    // 0xFFFFFFF8 as a chunk size wraps to -8 under .toInt, which under
+    // the old advance (p = data + sz + (sz & 1)) moved the scan pointer
+    // by exactly 0 — an infinite loop on attacker-controlled bytes
+    def withFrameSize(bytes: Array[Byte], v: Long): Array[Byte] = {
+      val b = bytes.clone()
+      val (off, _) = nthFrameChunk(b, 1)
+      b(off - 4) = (v & 0xFF).toByte; b(off - 3) = ((v >> 8) & 0xFF).toByte
+      b(off - 2) = ((v >> 16) & 0xFF).toByte; b(off - 1) = ((v >> 24) & 0xFF).toByte
+      b
+    }
+    for (sz <- Seq(0xFFFFFFF8L, 0xFFFFFFFFL, 0x7FFFFFFFL)) {
+      val e = intercept[IllegalArgumentException] {
+        decode(11L, withFrameSize(MultimodalQueries.synthesizeMjpegAvi(11L), sz))
+      }
+      assert(e.getMessage.contains("chunk size") || e.getMessage.contains("overruns"),
+        s"sz=$sz: ${e.getMessage}")
+    }
+    // same hazard in the DIB walker
+    val dib = MultimodalQueries.synthesizeAvi(7L).clone()
+    // first '00db' chunk's size field: find the fourcc, patch 4 bytes after it
+    var i = 0
+    while (!(dib(i) == '0' && dib(i + 1) == '0' && dib(i + 2) == 'd' && dib(i + 3) == 'b')) i += 1
+    dib(i + 4) = 0xF8.toByte; dib(i + 5) = 0xFF.toByte
+    dib(i + 6) = 0xFF.toByte; dib(i + 7) = 0xFF.toByte
+    val e2 = intercept[IllegalArgumentException] {
+      MultimodalQueries.decodeAvi(
+        Iterator(MultimodalQueries.MediaAviVideo(7L, dib))).next()
+    }
+    assert(e2.getMessage.contains("chunk size") || e2.getMessage.contains("overruns"))
+  }
+
   test("an uncompressed-DIB AVI is rejected by the MJPEG decoder, and vice versa") {
     val dib = MultimodalQueries.synthesizeAvi(5L)
     val e = intercept[IllegalArgumentException] { decode(5L, dib) }
