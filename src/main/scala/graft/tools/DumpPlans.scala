@@ -96,6 +96,8 @@ object DumpPlans {
     "q9t_image_phash_dedup"   -> "image dHash: codec seam rows, 4 band equi-joins, xor/popcount verify",
     "qa0_mjpeg_video_decode"  -> "MJPEG-in-AVI: row-local compressed-frame decode seam, no shuffle before final sort",
     "qa1_dsir_selection"      -> "DSIR selection: 512-bucket count frames, broadcast log-ratio table",
+    "qa2_unimax_mix"          -> "UniMax waterfilling: triangular joins on the sources frame, no window",
+    "qa3_novel_ngrams"        -> "novelty profile: two-pass gram DF pipeline, grams+counts shuffles only",
     "q9v_centroid_drift"      -> "centroid drift: long-format decimal means, 64-row global frame broadcast",
     "q9w_pareto_users"        -> "Pareto 80/20: per-type window, exact decimal running share",
     "q9y_canonical_authority" -> "canonical by authority: PageRank rounds + map-side family argmax")
