@@ -453,6 +453,61 @@ object StreamingQueries {
         FROM hs n JOIN hs e ON n.doc_id % 2 = 1 AND e.doc_id % 2 = 0
         WHERE bit_count(xor(n.h0, e.h0)) + bit_count(xor(n.h1, e.h1)) <= 3
         ORDER BY id_new, id_hist"""),
-      (s, dir) => StreamPipelines.docStreamImageDedup(s, dir))
+      (s, dir) => StreamPipelines.docStreamImageDedup(s, dir)),
+
+    // Continuous DSIR scoring — qa1's streaming twin: the hashed-bigram
+    // log-ratio model trains batch-side on the historical corpus (target
+    // = 'src0' within it) and folds to ONE broadcast row (512-entry map
+    // + unseen-bucket fallback); CDC-arriving documents score row-locally
+    // via an aggregate HOF over their bigram buckets — stateless append,
+    // zero state rows, no per-token shuffle (the 100 TB serve shape).
+    // The oracle trains on the same historical slice in SQL and
+    // batch-scores the streamed slice with the same fallback — drained
+    // per-doc weights and selection flags must be indistinguishable from
+    // batch scoring.
+    QueryDef(
+      "q8p_stream_dsir",
+      Some("""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+               FROM documents WHERE doc_id < 250),
+        big AS (SELECT doc_id, source, unnest(list_transform(
+                  generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1])) AS g
+                FROM toks),
+        fe AS (SELECT doc_id, source,
+                (ascii(substr(g, 1, 1)) * 31
+                 + ascii(substr(g, length(g), 1)) * 17
+                 + length(g) * 7) % 512 AS f
+               FROM big),
+        cr AS (SELECT f, COUNT(*) AS cr FROM fe GROUP BY f),
+        ct AS (SELECT f, COUNT(*) AS ct FROM fe WHERE source = 'src0' GROUP BY f),
+        tot AS (SELECT (SELECT SUM(cr) FROM cr) AS rr,
+                       (SELECT COALESCE(SUM(ct), 0) FROM ct) AS tt),
+        term AS (SELECT cr.f,
+                  round(ln(((COALESCE(ct.ct, 0) + 1) * (tot.rr + 512)) * 1.0
+                    / ((cr.cr + 1) * (tot.tt + 512))), 9) AS term
+                 FROM cr LEFT JOIN ct ON ct.f = cr.f, tot),
+        pr AS (SELECT round(ln((tot.rr + 512) * 1.0 / (tot.tt + 512)), 9)
+                 AS prior FROM tot),
+        stoks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents WHERE doc_id >= 250 AND len(string_split(text, ' ')) >= 2),
+        sbig AS (SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1])) AS g
+                 FROM stoks),
+        sfe AS (SELECT doc_id,
+                 (ascii(substr(g, 1, 1)) * 31
+                  + ascii(substr(g, length(g), 1)) * 17
+                  + length(g) * 7) % 512 AS f
+                FROM sbig),
+        w AS (SELECT sfe.doc_id, COUNT(*) AS n_feats,
+                SUM(CAST(COALESCE(term.term, pr.prior) AS DECIMAL(30,12))) AS wsum
+              FROM sfe LEFT JOIN term ON term.f = sfe.f, pr
+              GROUP BY sfe.doc_id)
+        SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
+          ROUND(CAST(wsum AS DOUBLE), 6) AS logw,
+          CAST(CASE WHEN CAST(wsum AS DOUBLE) > 0 THEN 1 ELSE 0 END AS INT)
+            AS selected
+        FROM w ORDER BY doc_id"""),
+      (s, dir) => StreamPipelines.docStreamDsir(s, dir))
   )
 }

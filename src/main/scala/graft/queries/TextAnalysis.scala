@@ -1536,31 +1536,8 @@ object TextAnalysis {
             AS selected
         FROM w ORDER BY doc_id"""),
       (s, dir) => {
-        val toks = docs(s, dir)
-          .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
-        // guard size >= 2: Spark's sequence(1, 0) would walk DOWN (q5w)
-        val big = toks.filter(size(col("t")) >= 2)
-          .select(col("doc_id"), col("source"),
-            explode(expr(
-              "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
-              .as("g"))
-        val fe = big.select(col("doc_id"), col("source"),
-          ((ascii(substring(col("g"), 1, 1)) * 31
-            + ascii(expr("substring(g, length(g), 1)")) * 17
-            + length(col("g")) * 7) % 512).as("f"))
-        val cr = fe.groupBy(col("f")).agg(count(lit(1)).as("cr"))
-        val ct = fe.filter(col("source") === "src0")
-          .groupBy(col("f")).agg(count(lit(1)).as("ct"))
-        val counts = cr.join(ct, Seq("f"), "left")
-          .withColumn("ct", coalesce(col("ct"), lit(0L)))
-        val tot = counts.agg(sum(col("cr")).as("rr"), sum(col("ct")).as("tt"))
-        val term = counts.crossJoin(broadcast(tot))
-          .withColumn("term",
-            round(log(((col("ct") + 1) * (col("rr") + 512)).cast("double")
-              / ((col("cr") + 1) * (col("tt") + 512))), 9)
-              .cast("decimal(30,12)"))
-          .select(col("f"), col("term"))
-        fe.join(broadcast(term), Seq("f"))
+        val fe = dsirFeatures(docs(s, dir))
+        fe.join(broadcast(dsirTermTable(fe)), Seq("f"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_feats"), sum(col("term")).as("wsum"))
           .select(col("doc_id"), col("n_feats"),
@@ -1628,6 +1605,87 @@ object TextAnalysis {
           .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
           .groupBy(col("source")).agg(sum(col("nt")).as("n"))))
   )
+
+  /** qa1's hashed-bigram feature stream over a (doc_id, source, text)
+    * frame: one row per bigram OCCURRENCE with its 512-bucket id. The
+    * size >= 2 guard keeps Spark's sequence(1, 0) from walking DOWN and
+    * fabricating grams for single-token docs (the q5w lesson). */
+  private[graft] def dsirFeatures(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+          .as("g"))
+      .select(col("doc_id"), col("source"),
+        ((ascii(substring(col("g"), 1, 1)) * 31
+          + ascii(expr("substring(g, length(g), 1)")) * 17
+          + length(col("g")) * 7) % 512).as("f"))
+
+  /** qa1's per-feature count frame joined with in-plan totals:
+    * (f, cr, ct, rr, tt) — raw/target occurrence counts per bucket plus
+    * corpus totals, ≤512 rows. Target = the 'src0' source. */
+  private def dsirCounts(fe: DataFrame): DataFrame = {
+    val cr = fe.groupBy(col("f")).agg(count(lit(1)).as("cr"))
+    val ct = fe.filter(col("source") === "src0")
+      .groupBy(col("f")).agg(count(lit(1)).as("ct"))
+    val counts = cr.join(ct, Seq("f"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+    val tot = counts.agg(sum(col("cr")).as("rr"), sum(col("ct")).as("tt"))
+    counts.crossJoin(broadcast(tot))
+  }
+
+  /** qa1's trained log-ratio table (f, term): round-9 ln of the add-one
+    * smoothed target/raw probability ratio, as exact DECIMAL(30,12) so
+    * summation order cannot move the selection boundary. */
+  private[graft] def dsirTermTable(fe: DataFrame): DataFrame =
+    dsirCounts(fe)
+      .withColumn("term",
+        round(log(((col("ct") + 1) * (col("rr") + 512)).cast("double")
+          / ((col("cr") + 1) * (col("tt") + 512))), 9)
+          .cast("decimal(30,12)"))
+      .select(col("f"), col("term"))
+
+  /** The trained DSIR model as ONE broadcastable row for the streaming
+    * serve path (q8p): the term table folded to a map<int, decimal> plus
+    * the unseen-bucket fallback term (ct=0, cr=0 in the smoothed ratio —
+    * ln((rr+512)/(tt+512))), both round-9/decimal like the table. */
+  private[graft] def dsirModelFrame(d: DataFrame): DataFrame = {
+    val fe = dsirFeatures(d)
+    val terms = dsirTermTable(fe)
+      .agg(map_from_entries(collect_list(struct(col("f"), col("term"))))
+        .as("tmap"))
+    val prior = dsirCounts(fe).limit(1)
+      .select(round(log(((col("rr") + 512)).cast("double")
+        / (col("tt") + 512)), 9).cast("decimal(30,12)").as("prior"))
+    terms.crossJoin(prior)
+  }
+
+  /** Row-local DSIR scoring of a (doc_id, text) frame against a joined
+    * model row (tmap, prior): the whole per-doc weight is one aggregate
+    * HOF over the doc's bigram buckets — zero shuffle, which is what
+    * lets the same columns serve inside a stateless streaming
+    * micro-batch plan (q8p). Docs with fewer than 2 tokens are dropped,
+    * like qa1. */
+  private[graft] def dsirScoreCols(withModel: DataFrame): DataFrame =
+    withModel
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .withColumn("gs", expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+      .withColumn("fs", expr(
+        """transform(gs, g -> (ascii(substring(g, 1, 1)) * 31
+           + ascii(substring(g, length(g), 1)) * 17
+           + length(g) * 7) % 512)"""))
+      .withColumn("wsum", expr(
+        """aggregate(fs, CAST(0 AS DECIMAL(30,12)),
+           (acc, f) -> CAST(acc + coalesce(element_at(tmap, f), prior)
+             AS DECIMAL(30,12)))"""))
+      .select(col("doc_id"),
+        size(col("fs")).cast("long").as("n_feats"),
+        round(col("wsum").cast("double"), 6).as("logw"),
+        when(col("wsum").cast("double") > 0, 1).otherwise(0)
+          .cast("int").as("selected"))
 
   /** The qa2 waterfilling engine on any (source, n) frame — exposed for
     * the property spec (random size profiles vs a driver-side reference

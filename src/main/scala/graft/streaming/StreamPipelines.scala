@@ -436,6 +436,42 @@ object StreamPipelines {
     }
   }
 
+  /** q8p: continuous DSIR scoring — qa1's streaming twin on the
+    * q8k/q8l/q8n template (train batch-side, serve on the ingest stream):
+    * the log-ratio model trains once on the historical corpus and folds
+    * to ONE broadcastable row (a 512-entry map + the unseen-bucket
+    * fallback term); every CDC-arriving document scores ROW-LOCALLY via
+    * one aggregate HOF over its bigram buckets — no explode, no per-token
+    * shuffle, zero state rows (stateless append). That row-local shape is
+    * deliberate: qa1's batch form (explode → join → groupBy) would be a
+    * streaming aggregation needing a watermark; folding the model to a
+    * map moves the whole per-doc weight inside the row, which is also the
+    * serve shape a 100 TB ingest wants (model broadcast once per
+    * executor, scoring at scan bandwidth). */
+  def docStreamDsir(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_dsir_stream")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val incoming = docs.filter(col("doc_id") >= 250)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    val model = graft.queries.TextAnalysis
+      .dsirModelFrame(docs.filter(col("doc_id") < 250))
+      .withColumn("k", lit(1))
+    withStreamShufflePartitions(s, 8) {
+      val scored = graft.queries.TextAnalysis.dsirScoreCols(
+        graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+          .select(col("_id").cast("long").as("doc_id"), col("text"),
+            lit(1).as("k"))
+          .join(broadcast(model), Seq("k")))
+      runToMemory(s, scored, "append")
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** q8m: streaming heavy hitters — a running token-frequency table over
     * the document ingest stream, COMPLETE output mode: the stateful agg
     * re-emits the full standings each micro-batch (the live "top terms"

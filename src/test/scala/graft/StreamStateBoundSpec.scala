@@ -175,6 +175,46 @@ class StreamStateBoundSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("broadcast model-map scoring (q8p shape) is stateless") {
+    implicit val sql = spark.sqlContext
+    // the DSIR serve shape: the trained model folded to ONE map row
+    // broadcast onto the stream, the whole per-doc weight computed by a
+    // row-local aggregate HOF — no explode, no streaming aggregation,
+    // zero state rows regardless of ingest volume
+    val model = Seq(1).toDF("k")
+      .select(lit(1).as("k"),
+        map_from_entries(array(
+          struct(lit(3).as("f"), lit(BigDecimal(0.5)).cast("decimal(30,12)").as("term")),
+          struct(lit(7).as("f"), lit(BigDecimal(-0.25)).cast("decimal(30,12)").as("term"))))
+          .as("tmap"),
+        lit(BigDecimal(-1.0)).cast("decimal(30,12)").as("prior"))
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val scored = in.toDF().toDF("ts", "doc_id", "fcsv")
+      .withColumn("fs", expr("transform(split(fcsv, ','), x -> CAST(x AS INT))"))
+      .withColumn("k", lit(1))
+      .join(org.apache.spark.sql.functions.broadcast(model), Seq("k"))
+      .withColumn("w", expr(
+        """aggregate(fs, CAST(0 AS DECIMAL(30,12)),
+           (acc, f) -> CAST(acc + coalesce(element_at(tmap, f), prior)
+             AS DECIMAL(30,12)))"""))
+      .select(col("doc_id"), col("w").cast("double").as("w"))
+    val q = scored.writeStream.format("memory").queryName("sb_dsir")
+      .outputMode("append").start()
+    try {
+      for (c <- 0 until 4) {
+        in.addData((0 until 10).map(i =>
+          (hourTs(c), c * 10L + i, if (i % 2 == 0) "3,7" else "3,9")): _*)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0),
+        "broadcast model-map scoring must carry no state store rows")
+      val rows = spark.table("sb_dsir").as[(Long, Double)].collect().toMap
+      assert(rows.size == 40)
+      // even docs: 0.5 - 0.25 = 0.25; odd docs: 0.5 + prior(-1.0) = -0.5
+      assert(rows(0L) == 0.25 && rows(1L) == -0.5)
+    } finally q.stop()
+  }
+
   test("broadcast band-index probe (q8o shape) is stateless") {
     implicit val sql = spark.sqlContext
     // the image-dedup shape: a broadcast (band, key) index probed per
