@@ -1123,6 +1123,65 @@ object DedupQueries {
             col("max_df"))
           .orderBy(col("doc_id"))
       })
+  } :+ {
+    // Multi-pass sorted-neighborhood linkage — the recall dial of q9k,
+    // run: single-pass SNM misses typo pairs whose keys diverge at the
+    // FIRST character (they sort far apart); the standard fix (Hernández
+    // & Stolfo's multi-pass) re-runs the window under a second sort key.
+    // Pass 1 ranks by the key, pass 2 by its REVERSE (suffix-similar
+    // keys become neighbors); candidates union (still ≤ 2·N·W, the same
+    // hard corpus-linear bound), Jaro–Winkler verifies once per distinct
+    // pair, and n_passes records which pairs ONLY the second pass found
+    // — the measured marginal recall of the extra pass. Keys are ASCII
+    // here; reverse() must agree across engines for the rank to match.
+    QueryDef(
+      "qa4_linkage_multipass",
+      Some("""WITH k AS (SELECT doc_id, lang,
+               array_to_string((string_split(text, ' '))[1:8], ' ') AS key
+              FROM documents),
+        ra AS (SELECT doc_id, lang, key,
+                row_number() OVER (ORDER BY lang, key, doc_id) AS rn FROM k),
+        ca AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                GREATEST(a.doc_id, b.doc_id) AS id_b
+               FROM ra a JOIN ra b
+                 ON b.rn BETWEEN a.rn + 1 AND a.rn + 10 AND a.lang = b.lang),
+        rb AS (SELECT doc_id, lang, key,
+                row_number() OVER (ORDER BY lang, reverse(key), doc_id) AS rn FROM k),
+        cb AS (SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+                GREATEST(a.doc_id, b.doc_id) AS id_b
+               FROM rb a JOIN rb b
+                 ON b.rn BETWEEN a.rn + 1 AND a.rn + 10 AND a.lang = b.lang),
+        cand AS (SELECT id_a, id_b, MAX(pa) + MAX(pb) AS n_passes FROM (
+            SELECT id_a, id_b, 1 AS pa, 0 AS pb FROM ca
+            UNION ALL SELECT id_a, id_b, 0 AS pa, 1 AS pb FROM cb)
+          GROUP BY id_a, id_b),
+        sc AS (SELECT c.id_a, c.id_b, c.n_passes,
+                round(jaro_winkler_similarity(ka.key, kb.key), 6) AS sim
+               FROM cand c JOIN k ka ON ka.doc_id = c.id_a
+                           JOIN k kb ON kb.doc_id = c.id_b)
+        SELECT id_a, id_b, sim, CAST(n_passes AS INT) AS n_passes
+        FROM sc WHERE sim >= 0.82 ORDER BY id_a, id_b"""),
+      (s, dir) => {
+        val k = docs(s, dir).select(col("doc_id"), col("lang"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("key"))
+        val ca = snmCandidates(k, col("key"), 10)
+          .withColumn("pa", lit(1)).withColumn("pb", lit(0))
+        val cb = snmCandidates(k, reverse(col("key")), 10)
+          .withColumn("pa", lit(0)).withColumn("pb", lit(1))
+        val cand = ca.unionByName(cb)
+          .groupBy(col("id_a"), col("id_b"))
+          .agg((max(col("pa")) + max(col("pb"))).as("n_passes"))
+        cand
+          .join(k.select(col("doc_id").as("id_a"), col("key").as("key_a")), "id_a")
+          .join(k.select(col("doc_id").as("id_b"), col("key").as("key_b")), "id_b")
+          .withColumn("sim",
+            round(graft.functions.StringSimilarity
+              .jaro_winkler(col("key_a"), col("key_b")), 6))
+          .filter(col("sim") >= 0.82)
+          .select(col("id_a"), col("id_b"), col("sim"),
+            col("n_passes").cast("int").as("n_passes"))
+          .orderBy(col("id_a"), col("id_b"))
+      })
   }
 
   /** The q6z engine on any (doc_id, text) frame — exposed for the
@@ -1206,6 +1265,24 @@ object DedupQueries {
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"), col("sim"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** One sorted-neighborhood candidate pass over (doc_id, lang, key)
+    * under an arbitrary rank key (qa4 runs a second pass on the REVERSED
+    * key): unordered candidate pairs (id_a < id_b), exactly N·w of them.
+    * The rank expression must order identically on both engines — ASCII
+    * keys here; non-ASCII would need a collation-pinned key. */
+  private def snmCandidates(k: DataFrame, rankKey: Column, w: Int): DataFrame = {
+    val r = graft.operators.StableIds
+      .assign(k.withColumn("rk", rankKey),
+        Seq(col("lang"), col("rk"), col("doc_id")), 8, "rn")
+    r.select(col("doc_id").as("da"), col("lang"),
+        explode(sequence(col("rn") + 1, col("rn") + w)).as("rn2"))
+      .join(r.select(col("doc_id").as("db"), col("lang").as("lang_b"),
+        col("rn").as("rn2")), Seq("rn2"))
+      .filter(col("lang") === col("lang_b"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"))
   }
 
   /** Lossless prefix-filtered Jaccard-0.7 self-join over (doc_id,
