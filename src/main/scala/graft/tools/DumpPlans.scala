@@ -98,6 +98,7 @@ object DumpPlans {
     "qa1_dsir_selection"      -> "DSIR selection: 512-bucket count frames, broadcast log-ratio table",
     "qa2_unimax_mix"          -> "UniMax waterfilling: triangular joins on the sources frame, no window",
     "qa3_novel_ngrams"        -> "novelty profile: two-pass gram DF pipeline, grams+counts shuffles only",
+    "qa4_linkage_multipass"   -> "two-pass SNM: rank equi joins under key and reversed key, union, verify once",
     "q9v_centroid_drift"      -> "centroid drift: long-format decimal means, 64-row global frame broadcast",
     "q9w_pareto_users"        -> "Pareto 80/20: per-type window, exact decimal running share",
     "q9y_canonical_authority" -> "canonical by authority: PageRank rounds + map-side family argmax")
