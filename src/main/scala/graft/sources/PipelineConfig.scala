@@ -118,4 +118,44 @@ object PipelineConfig {
       avroSchemaJson =
         validatedSchema(prop(properties, "schema").map(substitute(_, macros))))
   }
+
+  /** All source + sink configs of ONE CDAP pipeline document — the JSON
+    * a pipeline export/deploy carries: `config.stages[]`, each stage a
+    * `plugin{name, type, properties}`. Stages whose plugin name is the
+    * reference pair's (`MapRStream` streamingsource,
+    * `MapRStreamingSource.java:52`; `MapRDBJSON` batchsink,
+    * `MapRDBJSONSink.java:54`) resolve through
+    * [[streamConfig]]/[[docSinkConfig]]; every other stage is ignored
+    * (a real pipeline carries transforms between them — those are this
+    * engine's relational surface, not per-stage configs). A pipeline
+    * with NO recognized stage is an error, not an empty result — the
+    * caller pointed the adapter at the wrong document. */
+  final case class PipelinePlugins(
+      sources: Seq[StreamSource.StreamConfig],
+      sinks: Seq[DocSinkSpec])
+
+  def fromPipelineJson(json: String,
+      macros: Map[String, String] = Map.empty,
+      defaultBrokers: String = "localhost:9092"): PipelinePlugins = {
+    import com.fasterxml.jackson.databind.ObjectMapper
+    import scala.jdk.CollectionConverters._
+    val root = new ObjectMapper().readTree(json)
+    val stages = Option(root.path("config").path("stages"))
+      .filter(_.isArray).map(_.elements().asScala.toSeq)
+      .getOrElse(throw new IllegalArgumentException(
+        "not a CDAP pipeline document: no config.stages array"))
+    def props(stage: com.fasterxml.jackson.databind.JsonNode): Map[String, String] = {
+      val p = stage.path("plugin").path("properties")
+      p.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }
+    val sources = stages
+      .filter(_.path("plugin").path("name").asText() == "MapRStream")
+      .map(st => streamConfig(props(st), macros, defaultBrokers))
+    val sinks = stages
+      .filter(_.path("plugin").path("name").asText() == "MapRDBJSON")
+      .map(st => docSinkConfig(props(st), macros))
+    require(sources.nonEmpty || sinks.nonEmpty,
+      "pipeline has no MapRStream source or MapRDBJSON sink stage")
+    PipelinePlugins(sources, sinks)
+  }
 }

@@ -92,6 +92,39 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(spec.avroSchemaJson.isDefined)
   }
 
+  test("a full CDAP pipeline document resolves both plugin stages, ignoring transforms") {
+    val json = """{
+      "name": "ingest-clicks",
+      "config": {
+        "stages": [
+          {"name": "src", "plugin": {"name": "MapRStream", "type": "streamingsource",
+            "properties": {"referenceName": "clicks", "topics": "${t}",
+              "offsetField": "beginning", "format": "csv"}}},
+          {"name": "clean", "plugin": {"name": "Wrangler", "type": "transform",
+            "properties": {"directives": "drop :junk"}}},
+          {"name": "sink", "plugin": {"name": "MapRDBJSON", "type": "batchsink",
+            "properties": {"referenceName": "profiles",
+              "tableName": "/tables/users", "key": "user_id"}}}
+        ]
+      }
+    }"""
+    val p = PipelineConfig.fromPipelineJson(json, macros = Map("t" -> "clicks-v2"))
+    assert(p.sources.map(_.topics) == Seq(Seq("clicks-v2")))
+    assert(p.sources.head.initialOffset == "beginning")
+    assert(p.sinks.map(_.tableName) == Seq("/tables/users"))
+    // a document with no recognized stage is an error, not empty output
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.fromPipelineJson(
+        """{"config":{"stages":[{"plugin":{"name":"Wrangler","properties":{}}}]}}""")
+    }
+    assert(e.getMessage.contains("no MapRStream"))
+    // a non-pipeline document fails with the document shape named
+    val e2 = intercept[IllegalArgumentException] {
+      PipelineConfig.fromPipelineJson("""{"foo": 1}""")
+    }
+    assert(e2.getMessage.contains("config.stages"))
+  }
+
   test("missing required stage properties are named in the error") {
     val e = intercept[IllegalArgumentException] {
       PipelineConfig.streamConfig(Map("referenceName" -> "r"))
