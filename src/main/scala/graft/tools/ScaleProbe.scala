@@ -253,7 +253,7 @@ object ScaleProbe {
       import graft.queries.DedupQueries
       val docs0 = spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("lang"), col("text"))
-      for (mult <- Seq(1, 4)) {
+      for (mult <- Seq(1, 4, 16)) {
         val k = replicate(docs0, "doc_id", mult, 10000000L)
           .select(col("doc_id"), col("lang"),
             concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("key"))
