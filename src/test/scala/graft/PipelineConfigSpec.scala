@@ -92,6 +92,48 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(spec.avroSchemaJson.isDefined)
   }
 
+  test("random acyclic macro graphs resolve like a reference resolver; cycles always fail") {
+    val rnd = new scala.util.Random(5)
+    // reference resolver: repeatedly expand against the map until fixed
+    // point (guaranteed on a DAG)
+    def ref(v: String, m: Map[String, String]): String = {
+      var cur = v
+      var prev = ""
+      while (cur != prev) {
+        prev = cur
+        for ((k, value) <- m) cur = cur.replace("${" + k + "}", value)
+      }
+      cur
+    }
+    for (trial <- 0 until 20) {
+      // layered DAG: layer-i macros may reference only layer-(i+1) macros
+      val layers = (0 until 4).map { l =>
+        (0 until 3).map(i => s"m${l}_$i").toSeq
+      }
+      val macros = layers.zipWithIndex.flatMap { case (names, l) =>
+        names.map { n =>
+          val body =
+            if (l == layers.size - 1 || rnd.nextBoolean()) s"lit-$n"
+            else {
+              val next = layers(l + 1)(rnd.nextInt(3))
+              s"pre-$${$next}-post"
+            }
+          n -> body
+        }
+      }.toMap
+      val top = layers.head(rnd.nextInt(3))
+      val v = s"x $${$top} y"
+      assert(PipelineConfig.substitute(v, macros) == ref(v, macros),
+        s"trial $trial")
+    }
+    // any directed cycle fails with the depth message, never spins
+    val cyc = Map("a" -> "${b}", "b" -> "${c}", "c" -> "x${a}x")
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.substitute("${a}", cyc)
+    }
+    assert(e.getMessage.contains("depth"))
+  }
+
   test("a full CDAP pipeline document resolves both plugin stages, ignoring transforms") {
     val json = """{
       "name": "ingest-clicks",
