@@ -15,10 +15,25 @@ against future regressions; the 2x-AND->1s gate rule absorbs jitter).
 The LAST run per environment must contain every query (it defines the
 current suite — queries added mid-round appear only in later runs);
 earlier runs may be older subsets. Refuses artifacts stamped
-"contended": true or lacking a cpus stamp. Dev-only tool — NOT part of
-the engine.
+"contended": true or lacking a cpus stamp. Per-query value per run is
+the STEADY estimate over that run's attempt sample (the statistic
+BenchGate judges — see steady() below), then min across runs. Dev-only
+tool — NOT part of the engine.
 """
 import json, sys
+
+def steady(attempts):
+    """Same statistic BenchGate judges (BenchGate.steadyEstimate): drop
+    the first attempt (planning/codegen/JIT cost), upper median of the
+    warmed rest; a single sample is its own estimate. Minting baselines
+    from the SAME statistic the gate judges keeps the 2x line coherent —
+    a min-of-N baseline graded against a warmed-median measurement made
+    the line systematically stricter for variance-prone queries (round-9
+    advice)."""
+    if len(attempts) <= 1:
+        return attempts[0] if attempts else -1.0
+    warm = sorted(attempts[1:])
+    return warm[len(warm) // 2]
 
 def load(p):
     with open(p) as f:
@@ -30,7 +45,9 @@ def load(p):
     if "cpus" not in d:
         sys.exit(f"{p} lacks a \"cpus\" stamp (pre-round-8 Bench?) — "
                  "baselines are per-environment; re-run graft.Bench")
-    return int(d["cpus"]), d["queries"]
+    att = d.get("attempts", {})
+    qs = {q: steady(att.get(q, [v])) for q, v in d["queries"].items()}
+    return int(d["cpus"]), qs
 
 runs = [load(p) for p in sys.argv[1:]]
 if len(runs) < 2:
@@ -44,10 +61,12 @@ print("""# Local per-query bench baseline
 Clean runs (no concurrent load, idle JVM), sf0.1, seconds, covering
 EVERY query in the current suite, one table per environment (core
 count). Value per query = min across that environment's uncontended
-runs (best observed clean time — strict against regressions;
-BenchGate's 1.0 s absolute floor absorbs sub-second jitter). BenchGate
-grades an artifact ONLY against the table matching its own "cpus"
-stamp — cross-environment comparison is refused, not guessed.
+runs of each run's STEADY estimate (upper median of warmed attempts —
+the exact statistic BenchGate judges, so the 2x line compares
+like-for-like; BenchGate's 1.0 s absolute floor absorbs sub-second
+jitter). BenchGate grades an artifact ONLY against the table matching
+its own "cpus" stamp — cross-environment comparison is refused, not
+guessed.
 
 Regenerate with `python3 scripts/make_baseline.py RUN1.json RUN2.json ...`
 over artifacts from `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1

@@ -40,6 +40,22 @@ object Bench {
       p > m * 1.5 && p - m > 0.06
     }
 
+  /** Gate line for a query with committed baseline `b`: the same
+    * 2x-AND->1s rule BenchGate applies. */
+  def gateLine(b: Double): Double = math.max(2.0 * b, 1.0)
+
+  /** Would this attempt sample flag at the gate? Keyed off the SAME
+    * statistic the gate judges ([[graft.tools.BenchGate.steadyEstimate]]
+    * — upper median of warmed attempts), NOT the headline min: the
+    * round-9 advice incident was a min-keyed trigger that left a lone
+    * spiked second attempt unconfirmed (min stayed under the line, so no
+    * re-measures fired), and the gate then failed on that single noisy
+    * sample — the false-positive class the confirm path exists to
+    * prevent. With a steady-keyed trigger, every value the gate will
+    * judge is backed by >= 2 warmed samples or is a sustained result. */
+  def needsConfirm(attempts: Seq[Double], baseline: Double): Boolean =
+    graft.tools.BenchGate.steadyEstimate(attempts) > gateLine(baseline)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default matches the driver's environment (local[32] on this box);
@@ -154,6 +170,10 @@ object Bench {
         graft.tools.BenchGate.parseBaselines(md)
           .getOrElse(Some(cpus.toInt), Map.empty)
       } catch { case _: Throwable => Map.empty }
+    // queries that still flag after confirm escalation while the
+    // sentinel reads inflated: (name, probe, clean median) — see the
+    // suspect path inside the loop
+    val suspects = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
       case ((name, fn), i) =>
         if (i % probeEvery == 0) probes += confirmedProbe(calib0 +: probes.toSeq)
@@ -197,17 +217,50 @@ object Bench {
           rerunBudget -= first
           once()
         }
-        // would-flag re-measure (see baselineForEnv above): a timing
-        // that would flag earns a FIXED two extra attempts — always
-        // both, no early stop on a passing sample — and all of them
-        // enter the artifact's attempts array for the gate to judge
-        val headline0 = if (attempts.nonEmpty) attempts.min else -1.0
-        baselineForEnv.get(name) match {
-          case Some(b) if headline0 > math.max(2.0 * b, 1.0) =>
-            System.err.println(s"[bench] $name ${r3(headline0)} exceeds 2x " +
-              s"baseline ${r3(b)} — re-measuring (2 fixed attempts)")
+        // would-flag re-measure (see baselineForEnv above and
+        // Bench.needsConfirm): a sample whose STEADY estimate — the
+        // statistic the gate judges — would flag earns a FIXED two extra
+        // attempts per escalation round (always both, no early stop on a
+        // passing sample), up to two rounds. A genuine sustained
+        // regression stays above the line in every one of them (the
+        // warmed median cannot sink), while a transient load window adds
+        // enough clean warmed samples to pull the median back under —
+        // the exact shape of the round-9 driver artifact (q6s/q80/q81/
+        // q8d: one contended stretch of attempts, clean before/after).
+        baselineForEnv.get(name).foreach { b =>
+          var rounds = 2
+          while (rounds > 0 && Bench.needsConfirm(attempts.toSeq, b)) {
+            System.err.println(s"[bench] $name steady " +
+              r3(graft.tools.BenchGate.steadyEstimate(attempts.toSeq)) +
+              s" exceeds gate line ${r3(Bench.gateLine(b))} (baseline " +
+              s"${r3(b)}) — re-measuring (2 fixed attempts)")
             once(); once()
-          case _ => ()
+            rounds -= 1
+          }
+          // Still flagging after escalation: sample the contention
+          // sentinel AT THIS MOMENT. The interleaved probes run only
+          // every `probeEvery` queries, so a load window can sit
+          // entirely between two clean probes and never stamp the run —
+          // the round-9 driver artifact did exactly that (contended:
+          // false, 4 queries with one visibly inflated stretch of
+          // attempts each). A suspicious sentinel reading HERE is
+          // recorded with its evidence (probe + the run's clean median)
+          // so the gate can downgrade this query's violation to a
+          // warning — the per-query twin of the whole-run contended
+          // refusal. A clean sentinel records nothing and the violation
+          // stands: a genuine regression on an idle machine stays loud.
+          if (Bench.needsConfirm(attempts.toSeq, b)) {
+            val cleanSofar = calib0 +: probes.toSeq
+            val p = math.min(calibrate(), calibrate())
+            rawProbes += p
+            if (Bench.suspiciousProbe(cleanSofar, p)) {
+              val med = cleanSofar.sorted.apply(cleanSofar.size / 2)
+              suspects += ((name, p, med))
+              System.err.println(s"[bench] $name still flags and the " +
+                s"sentinel reads ${r3(p)} vs clean median ${r3(med)} — " +
+                "recording as sentinel-inflated (suspect)")
+            }
+          }
         }
         // headline value keeps the baseline's own "best observed clean
         // time" semantics (min); the attempts array is the full sample
@@ -238,17 +291,30 @@ object Bench {
         s"\"" + k + "\":" + at.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    // sentinel-inflated still-flagging queries, with their evidence —
+    // objects (not a q-keyed map) so the gate's per-query timing regex
+    // cannot mistake a suspect probe for a query timing
+    val suspectJson = suspects.map { case (q, p, m) =>
+      s"""{"query":"$q","probe":${r3(p)},"median":${r3(m)}}"""
+    }.mkString("[", ",", "]")
     // cpus is stamped into the artifact so BenchGate can select the
     // like-for-like baseline column: an 8-core baseline graded against a
-    // 32-core run produced 7 phantom ">2x regressions" in round 7
+    // 32-core run produced 7 phantom ">2x regressions" in round 7.
+    // Key order is deliberate — headline (metric/unit/value) LAST: the
+    // driver keeps only a bounded TAIL of this process's output, and
+    // with the headline first the round-9 capture retained nothing but
+    // a mid-"attempts" fragment; with it last, the tail always carries
+    // the suite total and the contended stamp.
     val line =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,""" +
+      s"""{"sf":"$sfDir","cpus":$cpus,"queries":$qs,""" +
         s""""attempts":$attemptsJson,""" +
-        s""""sf":"$sfDir","cpus":$cpus,"calib_start_sec":${r3(calib0)},""" +
+        s""""suspect":$suspectJson,""" +
+        s""""calib_start_sec":${r3(calib0)},""" +
         s""""calib_end_sec":${r3(calib1)},""" +
         s""""calib_probes":${allProbes.map(r3).mkString("[", ",", "]")},""" +
         s""""calib_probes_raw":${rawProbes.toSeq.map(r3).mkString("[", ",", "]")},""" +
-        s""""contended":$contended}"""
+        s""""contended":$contended,""" +
+        s""""metric":"total","unit":"sec","value":${r3(total)}}"""
     // The driver captures a bounded tail of this process's output, and the
     // per-query map makes this line long enough to get head-truncated by
     // that capture (it happened two rounds running). Persist the full line

@@ -1132,12 +1132,20 @@ object DedupQueries {
     // keys become neighbors); candidates union (still ≤ 2·N·W, the same
     // hard corpus-linear bound), Jaro–Winkler verifies once per distinct
     // pair, and n_passes records which pairs ONLY the second pass found
-    // — the measured marginal recall of the extra pass. Keys are ASCII
-    // here; reverse() must agree across engines for the rank to match.
+    // — the measured marginal recall of the extra pass. The key is
+    // NORMALIZED to its printable-ASCII projection (strip everything
+    // outside 0x20-0x7E) rather than assumed ASCII: Spark's reverse()
+    // works on code points while DuckDB's works on grapheme clusters,
+    // and rank agreement additionally needs bytewise collation — on the
+    // ASCII projection both reversals and both sort orders coincide by
+    // construction, so a non-ASCII corpus can no longer silently
+    // diverge engine vs oracle (round-9 advice). The '[^ -~]' class is
+    // the same range literal in Java regex and RE2.
     QueryDef(
       "qa4_linkage_multipass",
       Some("""WITH k AS (SELECT doc_id, lang,
-               array_to_string((string_split(text, ' '))[1:8], ' ') AS key
+               regexp_replace(array_to_string((string_split(text, ' '))[1:8], ' '),
+                 '[^ -~]', '', 'g') AS key
               FROM documents),
         ra AS (SELECT doc_id, lang, key,
                 row_number() OVER (ORDER BY lang, key, doc_id) AS rn FROM k),
@@ -1163,7 +1171,7 @@ object DedupQueries {
         FROM sc WHERE sim >= 0.82 ORDER BY id_a, id_b"""),
       (s, dir) => {
         val k = docs(s, dir).select(col("doc_id"), col("lang"),
-          concat_ws(" ", slice(split(col("text"), " "), 1, 8)).as("key"))
+          linkageKey(col("text")).as("key"))
         val ca = snmCandidates(k, col("key"), 10)
           .withColumn("pa", lit(1)).withColumn("pb", lit(0))
         val cb = snmCandidates(k, reverse(col("key")), 10)
@@ -1272,6 +1280,18 @@ object DedupQueries {
     * key): unordered candidate pairs (id_a < id_b), exactly N·w of them.
     * The rank expression must order identically on both engines — ASCII
     * keys here; non-ASCII would need a collation-pinned key. */
+  /** qa4's linkage key: first 8 whitespace tokens, normalized to the
+    * printable-ASCII projection. The normalization is what licenses the
+    * reverse-key second SNM pass — Spark reverses strings by code point
+    * while DuckDB reverses by grapheme cluster, and rank agreement
+    * additionally needs bytewise collation; on printable ASCII all
+    * three notions coincide, so the engine/oracle rank alignment holds
+    * on ANY corpus instead of silently assuming one. Spec:
+    * LinkageKeySpec. */
+  private[graft] def linkageKey(text: Column): Column =
+    regexp_replace(
+      concat_ws(" ", slice(split(text, " "), 1, 8)), "[^ -~]", "")
+
   private def snmCandidates(k: DataFrame, rankKey: Column, w: Int): DataFrame = {
     val r = graft.operators.StableIds
       .assign(k.withColumn("rk", rankKey),

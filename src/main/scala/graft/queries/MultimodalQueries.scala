@@ -559,7 +559,11 @@ object MultimodalQueries {
     * residue (stride = 3w rounded up to 4). */
   private def aviFrames(id: Long): Int = (2 + id % 5).toInt
   private def aviWidth(id: Long): Int = (5 + id % 10).toInt
-  private def aviHeight(id: Long): Int = (4 + (id * 3) % 9).toInt
+  // multiplier 5 is coprime to 9, so consecutive ids sweep ALL heights
+  // 4..12 (the earlier *3 hit only residues {0,3,6} — heights 4/7/10 —
+  // and never exercised exact-multiple-of-8 heights with no partial
+  // edge row)
+  private def aviHeight(id: Long): Int = (4 + (id * 5) % 9).toInt
   private def aviB(id: Long, f: Int, x: Int, y: Int): Int =
     ((id + 7L * x + 13L * y + 11L * f) % 256).toInt
   private def aviG(id: Long, f: Int, x: Int, y: Int): Int =
@@ -791,7 +795,8 @@ object MultimodalQueries {
 
   private def mjpegFrames(id: Long): Int = (2 + id % 4).toInt
   private def mjpegWidth(id: Long): Int = (5 + id % 10).toInt
-  private def mjpegHeight(id: Long): Int = (4 + (id * 3) % 9).toInt
+  // coprime multiplier: see aviHeight — sweeps all heights 4..12
+  private def mjpegHeight(id: Long): Int = (4 + (id * 5) % 9).toInt
   /** Gray value of the 8×8 JPEG block (bx, by) in frame f — BLOCK-uniform
     * by construction: a uniform block's DCT has only the DC coefficient,
     * which the all-ones quantization table (quality 1.0) carries exactly,
@@ -1274,7 +1279,7 @@ object MultimodalQueries {
           SELECT doc_id,
                  CAST(2 + doc_id % 5 AS INT) AS nf,
                  CAST(5 + doc_id % 10 AS INT) AS w,
-                 CAST(4 + (doc_id * 3) % 9 AS INT) AS h
+                 CAST(4 + (doc_id * 5) % 9 AS INT) AS h
           FROM documents)
         SELECT doc_id,
           CAST(nf AS BIGINT) AS n_frames,
@@ -1327,7 +1332,7 @@ object MultimodalQueries {
           SELECT doc_id,
                  CAST(2 + doc_id % 4 AS INT) AS nf,
                  CAST(5 + doc_id % 10 AS INT) AS w,
-                 CAST(4 + (doc_id * 3) % 9 AS INT) AS h
+                 CAST(4 + (doc_id * 5) % 9 AS INT) AS h
           FROM documents)
         SELECT doc_id,
           CAST(nf AS BIGINT) AS n_frames,

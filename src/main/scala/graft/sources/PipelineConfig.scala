@@ -87,6 +87,12 @@ object PipelineConfig {
   def streamConfig(properties: Map[String, String],
       macros: Map[String, String] = Map.empty,
       defaultBrokers: String = "localhost:9092"): StreamSource.StreamConfig = {
+    // same configure-time discipline as docSinkConfig: an invalid
+    // referenceName fails HERE, not later inside StreamSource.read —
+    // the reference plugin validates both stage kinds at configure time
+    // (round-9 advice closed the source-side gap)
+    require(Lineage.isValidReferenceName(required(properties, "referenceName")),
+      s"invalid referenceName '${properties("referenceName")}'")
     val topics = substitute(required(properties, "topics"), macros)
     val offset = prop(properties, "offsetField")
       .map(substitute(_, macros)).getOrElse("latest")

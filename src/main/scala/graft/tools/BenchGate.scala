@@ -45,12 +45,18 @@ object BenchGate {
 
   /** Gate outcome for an accepted (uncontended) artifact. The gate
     * passes iff `violations`, `failedQueries` and `missingQueries` are
-    * ALL empty; `newQueries` is informational. */
+    * ALL empty; `newQueries` is informational. `suspectViolations` are
+    * >2x timings whose measurement window the artifact itself records
+    * as sentinel-inflated (see [[parseSuspect]]) — reported as warnings,
+    * the per-query twin of the whole-run contended refusal: neither a
+    * pass (the timing is not evidence of health) nor a failure (it is
+    * not evidence of regression either — the machine was loaded). */
   final case class GateResult(
       violations: Seq[Violation],
       newQueries: Seq[String],
       failedQueries: Seq[String],
-      missingQueries: Seq[String]) {
+      missingQueries: Seq[String],
+      suspectViolations: Seq[Violation] = Nil) {
     def pass: Boolean =
       violations.isEmpty && failedQueries.isEmpty && missingQueries.isEmpty
   }
@@ -82,6 +88,28 @@ object BenchGate {
       m.group(1) -> m.group(2).split(",").toSeq
         .filter(_.nonEmpty).map(_.toDouble)
     }.toMap
+
+  private val SuspectEntryRe =
+    """\{"query":"(q[0-9a-z][0-9a-z_]*)","probe":([0-9.]+),"median":([0-9.]+)\}""".r
+
+  /** Per-query sentinel-inflation evidence (`"suspect"` in round-10+
+    * artifacts): queries that still exceeded their gate line after the
+    * full confirm escalation WHILE the contention sentinel — sampled at
+    * that moment, not at the every-15-queries cadence — read inflated.
+    * Each entry carries the probe reading and the run's clean median so
+    * this tool re-verifies the suspicion rule instead of trusting the
+    * stamp. Query names live inside objects (not as JSON keys) so
+    * [[parseBench]]'s timing regex cannot pick them up as timings. */
+  def parseSuspect(json: String): Map[String, (Double, Double)] =
+    SuspectEntryRe.findAllMatchIn(json).map { m =>
+      m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble)
+    }.toMap
+
+  /** Same bar as Bench.suspiciousProbe (kept inline here: Bench depends
+    * on this object, not the reverse): the probe must read both 1.5x the
+    * clean median and 60ms above it. */
+  def sentinelInflated(probe: Double, cleanMedian: Double): Boolean =
+    probe > cleanMedian * 1.5 && probe - cleanMedian > 0.06
 
   /** Steady-state estimate of a query's cost from its attempt sample:
     * drop the first attempt (it carries Catalyst planning + codegen +
@@ -154,17 +182,29 @@ object BenchGate {
     // alone would let one lucky fast sample out of N re-measures pass a
     // genuine marginal regression. Artifacts without attempts arrays
     // (pre-round-9) degrade to judging the headline value, as before.
-    val violations = ok.toSeq.sorted.flatMap { case (q, sec) =>
+    val allViolations = ok.toSeq.sorted.flatMap { case (q, sec) =>
       val est = steadyEstimate(attempts.getOrElse(q, Seq(sec)))
       base.get(q) match {
         case Some(b) if est > b * 2.0 && est > 1.0 => Some(Violation(q, b, est))
         case _ => None
       }
     }
+    // downgrade to warning any violation whose measurement window the
+    // artifact records as sentinel-inflated — and only if the recorded
+    // evidence actually satisfies the suspicion rule (a stamp without
+    // supporting numbers does not downgrade anything)
+    val suspects = parseSuspect(benchJson)
+    val (suspectViolations, violations) = allViolations.partition(v =>
+      suspects.get(v.query).exists { case (p, m) => sentinelInflated(p, m) })
     // TOTAL over the intersection: sum each side's per-query values for
     // the queries both sides measured — comparable regardless of how
-    // many queries were added since the baseline was cut
-    val shared = ok.keySet.intersect(base.keySet)
+    // many queries were added since the baseline was cut. Queries whose
+    // measurement the artifact records (with verified evidence) as
+    // sentinel-inflated leave the sum on BOTH sides: their timing is
+    // ungradable, so letting it inflate the total would smuggle the
+    // downgraded violation back in through the aggregate
+    val ungradable = suspectViolations.map(_.query).toSet
+    val shared = ok.keySet.intersect(base.keySet) -- ungradable
     val totalViolation =
       if (shared.isEmpty) None
       else {
@@ -177,7 +217,8 @@ object BenchGate {
       violations ++ totalViolation,
       got.keys.filterNot(base.contains).toSeq.sorted,
       failed,
-      base.keys.filterNot(got.contains).toSeq.sorted))
+      base.keys.filterNot(got.contains).toSeq.sorted,
+      suspectViolations))
   }
 
   def main(args: Array[String]): Unit = {
@@ -193,6 +234,11 @@ object BenchGate {
         if (r.newQueries.nonEmpty) println(
           s"[bench-gate] ${r.newQueries.size} queries not in baseline (new this " +
             s"round, informational): ${r.newQueries.mkString(", ")}")
+        r.suspectViolations.foreach(v => println(
+          s"[bench-gate] WARNING (sentinel-inflated, not graded): $v — " +
+            "the artifact records the contention sentinel reading high " +
+            "during this query's confirm re-measures; re-measure idle " +
+            "to grade it"))
         r.failedQueries.foreach(q => System.err.println(
           s"[bench-gate] FAIL: $q recorded as FAILED (-1) in the artifact"))
         r.missingQueries.foreach(q => System.err.println(

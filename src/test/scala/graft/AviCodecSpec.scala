@@ -17,7 +17,7 @@ class AviCodecSpec extends AnyFunSuite {
   private def replay(id: Long) = {
     val nf = (2 + id % 5).toInt
     val w = (5 + id % 10).toInt
-    val h = (4 + (id * 3) % 9).toInt
+    val h = (4 + (id * 5) % 9).toInt
     var (bs, gs, rs, cs, ns) = (0L, 0L, 0L, 0L, 0L)
     for (f <- 0 until nf if f % 2 == 0) {
       ns += 1

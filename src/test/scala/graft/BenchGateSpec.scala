@@ -161,6 +161,78 @@ class BenchGateSpec extends AnyFunSuite {
     assert(r.pass, r)
   }
 
+  test("confirm trigger keys off the steady estimate, not the min") {
+    // the round-9 driver incident shape: first attempt clean, second
+    // spiked. min (1.479) sits under the 2.4 gate line, so a min-keyed
+    // trigger never confirmed — but the gate judges the steady estimate
+    // (5.719), so the confirm path MUST fire here
+    assert(Bench.needsConfirm(Seq(1.479, 5.719), baseline = 1.2))
+    // after two clean re-measures the warmed median sinks under the
+    // line and escalation stops
+    assert(!Bench.needsConfirm(Seq(1.479, 5.719, 1.3, 1.25), baseline = 1.2))
+    // a sustained regression keeps flagging through every escalation
+    assert(Bench.needsConfirm(Seq(2.9, 3.1, 3.0, 2.8, 3.2, 2.95), baseline = 1.2))
+    // the 1s absolute floor: sub-second spikes never confirm
+    assert(!Bench.needsConfirm(Seq(0.3, 0.9), baseline = 0.2))
+    // a healthy sample never confirms
+    assert(!Bench.needsConfirm(Seq(1.5, 1.4, 1.3), baseline = 1.2))
+  }
+
+  test("suspect evidence downgrades a flagging query to a warning") {
+    // q80 3.4x with attempts all slow — a hard violation on its own…
+    val flagging = bench(2.0, 9.9, 0.2).replace(
+      """"sf":"sf0.1"""",
+      """"attempts":{"q80_stream_tumbling":[9.9,10.2,9.8,10.1]},"sf":"sf0.1"""")
+    val Right(hard) = BenchGate.check(flagging, baseline)
+    // the inflated headline also trips TOTAL here — both are correct
+    // hard violations when no sentinel evidence is recorded
+    assert(hard.violations.map(_.query).contains("q80_stream_tumbling"))
+    assert(!hard.pass)
+    // …but with recorded sentinel inflation during its confirm window
+    // (probe 0.61 vs clean median 0.12) it becomes a warning, and the
+    // artifact passes — the per-query twin of the contended refusal
+    val suspect = flagging.replace(
+      """"sf":"sf0.1"""",
+      """"suspect":[{"query":"q80_stream_tumbling","probe":0.610,"median":0.120}],"sf":"sf0.1"""")
+    val Right(r) = BenchGate.check(suspect, baseline)
+    assert(r.pass, r)
+    assert(r.suspectViolations.map(_.query) == Seq("q80_stream_tumbling"))
+    // a stamp whose own evidence does NOT satisfy the suspicion rule
+    // (probe within noise of the median) downgrades nothing
+    val hollowStamp = flagging.replace(
+      """"sf":"sf0.1"""",
+      """"suspect":[{"query":"q80_stream_tumbling","probe":0.130,"median":0.120}],"sf":"sf0.1"""")
+    val Right(r2) = BenchGate.check(hollowStamp, baseline)
+    assert(!r2.pass, r2)
+    // and a suspect stamp on one query never shields a DIFFERENT
+    // flagging query
+    val other = bench(6.1, 3.0, 0.2).replace(
+      """"sf":"sf0.1"""",
+      """"suspect":[{"query":"q80_stream_tumbling","probe":0.610,"median":0.120}],"sf":"sf0.1"""")
+    val Right(r3) = BenchGate.check(other, baseline)
+    assert(r3.violations.map(_.query) == Seq("q01_pricing_summary"))
+    assert(!r3.pass)
+  }
+
+  test("suspect entries cannot be mistaken for query timings") {
+    val json = bench(2.0, 3.0, 0.2).replace(
+      """"sf":"sf0.1"""",
+      """"suspect":[{"query":"q80_stream_tumbling","probe":0.610,"median":0.120}],"sf":"sf0.1"""")
+    val (got, _) = BenchGate.parseBench(json)
+    // the timing map still reads the real measurement, not the probe
+    assert(got("q80_stream_tumbling") == 3.0)
+    assert(BenchGate.parseSuspect(json) ==
+      Map("q80_stream_tumbling" -> ((0.610, 0.120))))
+    assert(BenchGate.parseSuspect(bench(2.0, 3.0, 0.2)).isEmpty)
+  }
+
+  test("sentinel inflation rule matches the probe suspicion bar") {
+    assert(BenchGate.sentinelInflated(0.61, 0.12))
+    assert(!BenchGate.sentinelInflated(0.13, 0.12))
+    // 1.5x but under the 60ms absolute arm: millisecond drift, not load
+    assert(!BenchGate.sentinelInflated(0.09, 0.05))
+  }
+
   test("steadyEstimate: single sample is itself; first attempt never judged when warm runs exist") {
     assert(BenchGate.steadyEstimate(Seq(4.2)) == 4.2)
     assert(BenchGate.steadyEstimate(Seq(9.9, 1.0)) == 1.0)

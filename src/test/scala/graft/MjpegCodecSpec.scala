@@ -17,7 +17,7 @@ class MjpegCodecSpec extends AnyFunSuite {
   private def replay(id: Long) = {
     val nf = (2 + id % 4).toInt
     val w = (5 + id % 10).toInt
-    val h = (4 + (id * 3) % 9).toInt
+    val h = (4 + (id * 5) % 9).toInt
     var (gs, ps, cs, ns) = (0L, 0L, 0L, 0L)
     for (f <- 0 until nf if f % 2 == 0) {
       ns += 1

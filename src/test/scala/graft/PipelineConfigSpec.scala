@@ -69,6 +69,17 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(StreamSource.kafkaOptions(cfg)("startingOffsets") == "latest")
   }
 
+  test("an invalid source referenceName fails at configure time, like the sink's") {
+    // round-9 advice: only docSinkConfig validated the referenceName at
+    // configure time; the source-side invalid name surfaced later inside
+    // StreamSource.read, weakening the configure-time-failure discipline
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.streamConfig(
+        Map("referenceName" -> "bad name!", "topics" -> "t"))
+    }
+    assert(e.getMessage.contains("referenceName"))
+  }
+
   test("a malformed declared schema fails at configure time, not at read time") {
     val e = intercept[IllegalArgumentException] {
       PipelineConfig.streamConfig(Map(
