@@ -1190,6 +1190,107 @@ object DedupQueries {
             col("n_passes").cast("int").as("n_passes"))
           .orderBy(col("id_a"), col("id_b"))
       })
+  } :+ {
+    // Incremental NEAR-dup — the continuous-crawl gate q6b/q6g provide
+    // for exact duplicates, extended to MinHash-LSH similarity: which
+    // incoming documents (doc_id >= 250, the q6b snapshot convention)
+    // are >= 0.7-Jaccard near-dups of something already ingested, and of
+    // what. The snapshot side is a PERSISTED index built once per
+    // snapshot (the q5i build/serve split): its DF > 200 hot-shingle
+    // DROP list, its capped shingle sets, and its 32x4 LSH band buckets
+    // all land in parquet, and the serve phase reads ONLY those files
+    // plus the incoming batch — the base corpus is never re-shingled or
+    // re-signed when a new batch arrives. The DF cap is computed over
+    // the SNAPSHOT alone (the drop list is part of the index — an
+    // incremental pipeline cannot re-count corpus-wide DF per batch),
+    // and incoming docs filter their shingles through the same persisted
+    // list, so both sides measure the same capped Jaccard; the oracle
+    // mirrors exactly that base-only cap. Candidates are LSH bucket
+    // collisions (incoming bands hash-join the persisted bucket table —
+    // narrow ids, never bodies), verified by exact capped Jaccard, and
+    // the best match per incoming doc is a single groupBy max(struct) —
+    // no window, one shuffle keyed by doc_id. Banding recall at 0.7 with
+    // 32 bands x 4 rows is certified by the shared-oracle comparison
+    // itself (the q62 discipline: the oracle is the exact all-pairs
+    // measure, so a missed pair fails the hash compare).
+    val idxPath = QueryDef.materializePath(sfDir, "qa5_inc_minhash")
+    QueryDef(
+      "qa5_incremental_minhash",
+      Some(s"""WITH t0 AS (
+          SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
+        hot AS (SELECT sh FROM t0 WHERE doc_id < 250
+                GROUP BY sh HAVING count(*) > 200),
+        d AS (SELECT doc_id, sh FROM t0
+              WHERE sh NOT IN (SELECT sh FROM hot)),
+        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        pair AS (SELECT a.doc_id AS mid, b.doc_id AS doc_id,
+                  count(*) AS inter
+                 FROM d a JOIN d b ON a.sh = b.sh
+                 WHERE a.doc_id < 250 AND b.doc_id >= 250
+                 GROUP BY 1, 2),
+        jd AS (SELECT p.doc_id, p.mid,
+                p.inter * 1.0 / (sa.n + sb.n - p.inter) AS jac
+               FROM pair p
+               JOIN sz sa ON sa.doc_id = p.mid
+               JOIN sz sb ON sb.doc_id = p.doc_id
+               WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.7),
+        best AS (SELECT doc_id, mid, jac,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY jac DESC, mid) AS rn,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS n_cand
+                 FROM jd)
+        SELECT doc_id, mid AS match_id,
+          CAST(round(jac, 4) AS DOUBLE) AS jac,
+          CAST(n_cand AS BIGINT) AS n_cand
+        FROM best WHERE rn = 1 ORDER BY doc_id"""),
+      (s, dir) => {
+        // 32 bands x 4 rows over a k=128 signature — the q62 banding
+        def buckets(sets: DataFrame, idAs: String): DataFrame =
+          sets.select(col("doc_id"),
+              HashExpressions.minhash_signature(col("sh"), k = 128).as("sig"))
+            .select(col("doc_id").as(idAs),
+              explode(transform(sequence(lit(0), lit(31)),
+                b => struct(b.as("band"),
+                  xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
+                .as("bb"))
+            .select(col(idAs), col("bb.band").as("band"), col("bb.bh").as("bh"))
+        val posting = withShingles(docs(s, dir))
+          .select(col("doc_id"), explode(col("sh")).as("sh"))
+        // BUILD: persist drop list, capped sets, band buckets
+        val basePosting = posting.filter(col("doc_id") < 250)
+        basePosting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > 200).select(col("sh"))
+          .write.mode("overwrite").parquet(s"$idxPath/hot")
+        val hotR = s.read.parquet(s"$idxPath/hot")
+        basePosting.join(broadcast(hotR), Seq("sh"), "left_anti")
+          .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+          .write.mode("overwrite").parquet(s"$idxPath/sets")
+        val baseSetsR = s.read.parquet(s"$idxPath/sets")
+        buckets(baseSetsR, "mid")
+          .write.mode("overwrite").parquet(s"$idxPath/buckets")
+        // SERVE: incoming batch vs the persisted index only
+        val deltaSets = posting.filter(col("doc_id") >= 250)
+          .join(broadcast(hotR), Seq("sh"), "left_anti")
+          .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+        val cand = buckets(deltaSets, "doc_id")
+          .join(s.read.parquet(s"$idxPath/buckets"), Seq("band", "bh"))
+          .select(col("doc_id"), col("mid")).distinct()
+        val verified = cand
+          .join(deltaSets.withColumnRenamed("sh", "sh_q"), "doc_id")
+          .join(baseSetsR.select(col("doc_id").as("mid"),
+            col("sh").as("sh_i")), "mid")
+          .withColumn("jac",
+            size(array_intersect(col("sh_q"), col("sh_i"))) * 1.0 /
+              size(array_union(col("sh_q"), col("sh_i"))))
+          .filter(col("jac") >= 0.7)
+        verified.groupBy(col("doc_id"))
+          .agg(max(struct(col("jac"), negate(col("mid")).as("nm"),
+            col("mid"))).as("b"),
+            count(lit(1)).as("n_cand"))
+          .select(col("doc_id"), col("b.mid").as("match_id"),
+            round(col("b.jac"), 4).as("jac"), col("n_cand"))
+          .orderBy(col("doc_id"))
+      })
   }
 
   /** The q6z engine on any (doc_id, text) frame — exposed for the

@@ -1603,7 +1603,98 @@ object TextAnalysis {
       (s, dir) =>
         unimaxAllocation(docs(s, dir)
           .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
-          .groupBy(col("source")).agg(sum(col("nt")).as("n"))))
+          .groupBy(col("source")).agg(sum(col("nt")).as("n")))),
+
+    // k-anonymity audit (Sweeney 2002) — the release-readiness check a
+    // privacy pipeline runs before publishing record-level data: every
+    // quasi-identifier equivalence class with fewer than k=5 members is
+    // re-identifiable and must be generalized or suppressed. QI here is
+    // (c_nationkey, c_mktsegment, acctbal-per-1000 bin) over customer;
+    // the output is the VIOLATING tail only, each class carrying the
+    // size its one-step generalization (drop the balance bin) would
+    // reach, so the caller knows which violations generalization fixes
+    // (gen_ok=1) and which need suppression. Scale shape: one narrow
+    // map-side-combined groupBy on the QI key; the generalized level
+    // re-aggregates the ALREADY-AGGREGATED class frame (a rollup over
+    // |classes| rows, not a second corpus pass); only the violating
+    // tail is emitted. All-integer arithmetic (floor to a bin, counts),
+    // so both engines agree bit-for-bit. q9h is this family's release
+    // side (DP noise on published counts); this is the audit side.
+    QueryDef(
+      "qa6_k_anonymity",
+      Some("""WITH q AS (SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin
+               FROM customer),
+        l0 AS (SELECT c_nationkey, c_mktsegment, bal_bin, COUNT(*) AS n0
+               FROM q GROUP BY 1, 2, 3),
+        l1 AS (SELECT c_nationkey, c_mktsegment, SUM(n0) AS n1
+               FROM l0 GROUP BY 1, 2)
+        SELECT l0.c_nationkey, l0.c_mktsegment, l0.bal_bin,
+          CAST(l0.n0 AS BIGINT) AS n0, CAST(l1.n1 AS BIGINT) AS n1,
+          CAST(CASE WHEN l1.n1 >= 5 THEN 1 ELSE 0 END AS INT) AS gen_ok
+        FROM l0 JOIN l1 USING (c_nationkey, c_mktsegment)
+        WHERE l0.n0 < 5
+        ORDER BY c_nationkey, c_mktsegment, bal_bin"""),
+      (s, dir) => {
+        val q = Tables.load(s, dir, "customer").select(
+          col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bin"))
+        val l0 = q.groupBy(col("c_nationkey"), col("c_mktsegment"),
+            col("bal_bin"))
+          .agg(count(lit(1)).as("n0"))
+        val l1 = l0.groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(sum(col("n0")).as("n1"))
+        l0.join(l1, Seq("c_nationkey", "c_mktsegment"))
+          .filter(col("n0") < 5)
+          .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bin"),
+            col("n0"), col("n1"),
+            when(col("n1") >= 5, 1).otherwise(0).cast("int").as("gen_ok"))
+          .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bin"))
+      }),
+
+    // Tokenizer fertility per corpus slice — the standard tokenizer-eval
+    // table (tokens per word, chars per token) a multilingual pipeline
+    // produces to see which languages/sources a vocabulary serves badly
+    // (high fertility = more tokens per word = that slice pays more
+    // sequence length for the same text). Uses the SAME trained merges
+    // and row-local encode q91 certifies per-document ([[bpeEncodeCols]]
+    // over the broadcast [[bpeMergeFrame]]); the slice metadata rides
+    // THROUGH the encode (keep columns), so the aggregate needs no join
+    // back to the corpus — one embarrassingly-parallel encode pass, one
+    // map-side-combined groupBy on (lang, source). Ratios are integer
+    // ppm (div), bit-identical across engines.
+    QueryDef(
+      "qa7_token_fertility",
+      Some(s"""WITH ${bpeEncodeCntCte("TRUE", "TRUE")},
+        j AS (SELECT d.lang, d.source, d.n_chars, c.n_words, c.n_tokens
+              FROM cnt c JOIN documents d USING (doc_id))
+        SELECT lang, source,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_words) AS BIGINT) AS n_words,
+          CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+          CAST(SUM(n_tokens) * 1000000 // NULLIF(SUM(n_words), 0)
+            AS BIGINT) AS fertility_ppm,
+          CAST(SUM(n_chars) * 1000000 // NULLIF(SUM(n_tokens), 0)
+            AS BIGINT) AS chars_per_token_ppm
+        FROM j GROUP BY lang, source ORDER BY lang, source"""),
+      (s, dir) => {
+        val d = docs(s, dir)
+        bpeEncodeCols(
+            d.crossJoin(broadcast(bpeMergeFrame(d))),
+            keep = Seq("lang", "source", "n_chars"))
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_words")).as("n_words"),
+            sum(col("n_tokens")).as("n_tokens"),
+            sum(col("n_chars")).as("nc"))
+          .select(col("lang"), col("source"), col("n_docs"),
+            col("n_words"), col("n_tokens"),
+            expr("(n_tokens * 1000000) div nullif(n_words, 0)")
+              .as("fertility_ppm"),
+            expr("(nc * 1000000) div nullif(n_tokens, 0)")
+              .as("chars_per_token_ppm"))
+          .orderBy(col("lang"), col("source"))
+      })
   )
 
   /** qa1's hashed-bigram feature stream over a (doc_id, source, text)
@@ -1803,7 +1894,20 @@ object TextAnalysis {
     * encodes the streamed one. */
   private[queries] def bpeEncodeOracle(
       trainPred: String, encodePred: String): String =
-    s"""WITH ${bpeTrainCteSql(trainPred)},
+    s"""WITH ${bpeEncodeCntCte(trainPred, encodePred)}
+        SELECT doc_id, n_words, n_units, n_tokens,
+          CASE WHEN n_tokens > 0
+               THEN CAST(round(n_units * 1.0 / n_tokens, 4) AS DOUBLE) END
+            AS compression
+        FROM cnt ORDER BY doc_id"""
+
+  /** The CTE chain behind [[bpeEncodeOracle]] up to the per-doc token
+    * accounting (`cnt`: doc_id, n_words, n_units, n_tokens) — shared so
+    * aggregating consumers (qa7's per-slice fertility) reuse the exact
+    * same trained-merge encode the per-doc oracle certifies. */
+  private[queries] def bpeEncodeCntCte(
+      trainPred: String, encodePred: String): String =
+    s"""${bpeTrainCteSql(trainPred)},
         enc0 AS (SELECT d.doc_id,
             regexp_extract_all(lower(d.text), '[a-z]+') AS words,
             b1.lt AS m1l, b1.rt AS m1r, b2.lt AS m2l, b2.rt AS m2r,
@@ -1825,12 +1929,7 @@ object TextAnalysis {
             CAST(COALESCE(list_sum(list_transform(toks,
               t -> length(t) - length(replace(t, '(', '')))), 0) AS BIGINT)
               AS n_tokens
-          FROM enc)
-        SELECT doc_id, n_words, n_units, n_tokens,
-          CASE WHEN n_tokens > 0
-               THEN CAST(round(n_units * 1.0 / n_tokens, 4) AS DOUBLE) END
-            AS compression
-        FROM cnt ORDER BY doc_id"""
+          FROM enc)"""
 
   /** The three trained merges pivoted into ONE broadcast-able row
     * (m1l, m1r, m2l, m2r, m3l, m3r) — the frame every encode site
@@ -1847,7 +1946,8 @@ object TextAnalysis {
     * three literal replaces in merge order → token count by counting
     * '(' groups. Pure column algebra — lifts unchanged into a
     * streaming micro-batch plan (q8l). */
-  private[graft] def bpeEncodeCols(d: DataFrame): DataFrame =
+  private[graft] def bpeEncodeCols(
+      d: DataFrame, keep: Seq[String] = Nil): DataFrame =
     d.withColumn("words",
         expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
       .withColumn("toks", expr(
@@ -1857,13 +1957,13 @@ object TextAnalysis {
                concat('(', m1l, ')(', m1r, ')'), concat('(', m1l, m1r, ')')),
                concat('(', m2l, ')(', m2r, ')'), concat('(', m2l, m2r, ')')),
                concat('(', m3l, ')(', m3r, ')'), concat('(', m3l, m3r, ')')))"""))
-      .select(col("doc_id"),
+      .select((col("doc_id") +: keep.map(col)) ++ Seq(
         size(col("words")).cast("long").as("n_words"),
         expr("aggregate(words, CAST(0 AS BIGINT), " +
           "(a, w) -> a + length(w) + 1)").as("n_units"),
         expr("aggregate(toks, CAST(0 AS BIGINT), " +
           "(a, t) -> a + length(t) - length(replace(t, '(', '')))")
-          .as("n_tokens"))
+          .as("n_tokens")): _*)
       .withColumn("compression", when(col("n_tokens") > 0,
         round(col("n_units").cast("double") / col("n_tokens"), 4)))
 

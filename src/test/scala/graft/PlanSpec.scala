@@ -586,4 +586,52 @@ class PlanSpec extends SparkSpec {
       s"q9n plans ${globalWindows.size} empty-partitioning Window node(s) — " +
         "single-task at scale")
   }
+
+  test("qa5 incremental minhash: serve reads the persisted index, drop list broadcasts, no window") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plans = collectAll(executed(q("qa5_incremental_minhash")))
+    // the hot-shingle DROP list must broadcast onto both posting streams
+    // — if it stopped, every shingle row would shuffle to meet a list
+    // that is tiny by construction (DF > 200 shingles only)
+    assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "qa5's drop-list anti joins should be broadcast hash joins")
+    // candidate generation is an equi join on (band, bh) against the
+    // persisted bucket table — never a nested loop over corpus frames
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]) &&
+      !plans.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "qa5 candidates must come from the LSH bucket equi join")
+    // the serve phase reads the persisted index files, not a recompute:
+    // the executed plan must scan the materialized parquet buckets
+    assert(plans.exists(p => p.toString.contains("qa5_inc_minhash")),
+      "qa5's serve side should scan the persisted index parquet")
+    // best-match-per-doc is a groupBy max(struct), not a window
+    assert(!plans.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "qa5 should pick the best match with an aggregate, not a window")
+  }
+
+  test("qa7 token fertility: merges broadcast through the encode, one corpus pass") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plans = collectAll(executed(q("qa7_token_fertility")))
+    // the trained-merge frame rides as a broadcast onto the scan; the
+    // slice metadata rides THROUGH the encode, so there is no join back
+    // to the corpus — any sort-merge join means a second corpus pass
+    // plus a doc_id shuffle crept in
+    assert(!plans.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "qa7 must not join the encode output back to the corpus")
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "qa7 must not plan a cartesian")
+    // the corpus is scanned at most twice: once by merge training's
+    // vocab aggregate, once by the encode pass — a third scan means the
+    // fertility fold joined back to documents for its metadata
+    // identity-dedup: collectAll re-traverses the subtree under every
+    // ReusedExchangeExec, so the same physical scan node appears once
+    // per reuse — count distinct scan NODES, not visits
+    val docScans = plans.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("documents") => s
+    }.map(System.identityHashCode).distinct
+    assert(docScans.size <= 2,
+      s"qa7 scans documents ${docScans.size} times (train + encode = 2)")
+  }
 }
