@@ -1216,33 +1216,7 @@ object DedupQueries {
     val idxPath = QueryDef.materializePath(sfDir, "qa5_inc_minhash")
     QueryDef(
       "qa5_incremental_minhash",
-      Some(s"""WITH t0 AS (
-          SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
-        hot AS (SELECT sh FROM t0 WHERE doc_id < 250
-                GROUP BY sh HAVING count(*) > 200),
-        d AS (SELECT doc_id, sh FROM t0
-              WHERE sh NOT IN (SELECT sh FROM hot)),
-        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
-        pair AS (SELECT a.doc_id AS mid, b.doc_id AS doc_id,
-                  count(*) AS inter
-                 FROM d a JOIN d b ON a.sh = b.sh
-                 WHERE a.doc_id < 250 AND b.doc_id >= 250
-                 GROUP BY 1, 2),
-        jd AS (SELECT p.doc_id, p.mid,
-                p.inter * 1.0 / (sa.n + sb.n - p.inter) AS jac
-               FROM pair p
-               JOIN sz sa ON sa.doc_id = p.mid
-               JOIN sz sb ON sb.doc_id = p.doc_id
-               WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.7),
-        best AS (SELECT doc_id, mid, jac,
-                  row_number() OVER (PARTITION BY doc_id
-                    ORDER BY jac DESC, mid) AS rn,
-                  COUNT(*) OVER (PARTITION BY doc_id) AS n_cand
-                 FROM jd)
-        SELECT doc_id, mid AS match_id,
-          CAST(round(jac, 4) AS DOUBLE) AS jac,
-          CAST(n_cand AS BIGINT) AS n_cand
-        FROM best WHERE rn = 1 ORDER BY doc_id"""),
+      Some(incMinhashOracleSql),
       (s, dir) => {
         // 32 bands x 4 rows over a k=128 signature — the q62 banding
         def buckets(sets: DataFrame, idAs: String): DataFrame =
@@ -1292,6 +1266,41 @@ object DedupQueries {
           .orderBy(col("doc_id"))
       })
   }
+
+  /** Exact incremental near-dup measure — the shared oracle of qa5 AND
+    * its streaming serve twin (q8q): for every incoming doc (>= 250),
+    * the best snapshot match under the SNAPSHOT-capped Jaccard (DF cap
+    * counted over base docs only — the drop list is part of the index).
+    * Sharing one exact all-pairs oracle across the batch serve and the
+    * streaming serve is the equivalence claim, machine-checked. */
+  private[graft] val incMinhashOracleSql: String =
+    s"""WITH t0 AS (
+          SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
+        hot AS (SELECT sh FROM t0 WHERE doc_id < 250
+                GROUP BY sh HAVING count(*) > 200),
+        d AS (SELECT doc_id, sh FROM t0
+              WHERE sh NOT IN (SELECT sh FROM hot)),
+        sz AS (SELECT doc_id, count(*) AS n FROM d GROUP BY doc_id),
+        pair AS (SELECT a.doc_id AS mid, b.doc_id AS doc_id,
+                  count(*) AS inter
+                 FROM d a JOIN d b ON a.sh = b.sh
+                 WHERE a.doc_id < 250 AND b.doc_id >= 250
+                 GROUP BY 1, 2),
+        jd AS (SELECT p.doc_id, p.mid,
+                p.inter * 1.0 / (sa.n + sb.n - p.inter) AS jac
+               FROM pair p
+               JOIN sz sa ON sa.doc_id = p.mid
+               JOIN sz sb ON sb.doc_id = p.doc_id
+               WHERE p.inter * 1.0 / (sa.n + sb.n - p.inter) >= 0.7),
+        best AS (SELECT doc_id, mid, jac,
+                  row_number() OVER (PARTITION BY doc_id
+                    ORDER BY jac DESC, mid) AS rn,
+                  COUNT(*) OVER (PARTITION BY doc_id) AS n_cand
+                 FROM jd)
+        SELECT doc_id, mid AS match_id,
+          CAST(round(jac, 4) AS DOUBLE) AS jac,
+          CAST(n_cand AS BIGINT) AS n_cand
+        FROM best WHERE rn = 1 ORDER BY doc_id"""
 
   /** The q6z engine on any (doc_id, text) frame — exposed for the
     * property spec (random corpora with planted shared chunks vs a

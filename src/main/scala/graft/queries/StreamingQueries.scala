@@ -508,6 +508,17 @@ object StreamingQueries {
           CAST(CASE WHEN CAST(wsum AS DOUBLE) > 0 THEN 1 ELSE 0 END AS INT)
             AS selected
         FROM w ORDER BY doc_id"""),
-      (s, dir) => StreamPipelines.docStreamDsir(s, dir))
+      (s, dir) => StreamPipelines.docStreamDsir(s, dir)),
+
+    // Streaming near-dup serve — qa5's serve half online: arriving docs
+    // screen against the persisted snapshot LSH index through row-local
+    // shingling/capping/signing and stateless stream-static probes (see
+    // [[graft.streaming.StreamPipelines.docStreamMinhashServe]] for the
+    // state analysis). Shares qa5's exact all-pairs oracle: the online
+    // serve must be indistinguishable from the batch incremental run.
+    QueryDef(
+      "q8q_stream_minhash_serve",
+      Some(graft.queries.DedupQueries.incMinhashOracleSql),
+      (s, dir) => StreamPipelines.docStreamMinhashServe(s, dir))
   )
 }

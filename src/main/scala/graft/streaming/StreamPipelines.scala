@@ -317,6 +317,101 @@ object StreamPipelines {
     }
   }
 
+  /** Streaming NEAR-dup serve (q8q) — qa5's serve half online: incoming
+    * documents arrive through the graft-doc CDC tail in two commits and
+    * each micro-batch is screened against the PERSISTED snapshot index
+    * (drop list, capped shingle sets, 32×4 LSH band buckets — the same
+    * build qa5 writes), emitting the best ≥0.7-Jaccard snapshot match
+    * per incoming doc. STATELESS end to end (zero state store rows):
+    *   - the capped shingle set is computed ROW-LOCALLY —
+    *     `array_except` against the drop list folded to ONE broadcast
+    *     row (the centroid idiom), instead of the batch side's
+    *     explode→anti-join→collect_set, which as a streaming plan would
+    *     be an aggregation holding per-doc state;
+    *   - signature + banding are row-local native expressions;
+    *   - bucket collisions and set verification are stream-static equi
+    *     joins against the persisted parquet index (the standing corpus
+    *     lives in a store; the stream only probes it — the serve shape
+    *     a continuous crawl wants at 100 TB);
+    *   - per-doc best-match selection happens AFTER the drain on the
+    *     drained candidate rows (band-duplicate pairs dedupe there), so
+    *     no streaming aggregation state is held.
+    * Shares qa5's exact all-pairs oracle — the streamed serve must be
+    * indistinguishable from the batch incremental run. */
+  def docStreamMinhashServe(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.{HashExpressions, TextExpressions}
+    val tmp = graft.TempDirs.create("graft_mh_serve")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // BUILD: the qa5 snapshot index, persisted
+    val basePosting = docs.filter(col("doc_id") < 250)
+      .select(col("doc_id"),
+        explode(TextExpressions.word_shingles(col("text"), 3)).as("sh"))
+    basePosting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 200).select(col("sh"))
+      .write.mode("overwrite").parquet(s"$tmp/hot")
+    val hotR = s.read.parquet(s"$tmp/hot")
+    basePosting.join(broadcast(hotR), Seq("sh"), "left_anti")
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+      .write.mode("overwrite").parquet(s"$tmp/sets")
+    val baseSetsR = s.read.parquet(s"$tmp/sets")
+    baseSetsR.select(col("doc_id").as("mid"),
+        HashExpressions.minhash_signature(col("sh"), k = 128).as("sig"))
+      .select(col("mid"),
+        explode(transform(sequence(lit(0), lit(31)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
+          .as("bb"))
+      .select(col("mid"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .write.mode("overwrite").parquet(s"$tmp/buckets")
+    // drop list folded to one broadcast row for row-local capping
+    val hotArr = hotR.agg(sort_array(collect_list(col("sh"))).as("hot"))
+    // ingest: incoming docs land in two commits
+    val incoming = docs.filter(col("doc_id") >= 250)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    withStreamShufflePartitions(s, 8) {
+      val idx = s.read.parquet(s"$tmp/buckets")
+      val sets = s.read.parquet(s"$tmp/sets")
+        .select(col("doc_id").as("mid"), col("sh").as("sh_i"))
+      val matches = graft.connector.GraftDoc
+        .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+        .select(col("_id").cast("long").as("doc_id"), col("text"))
+        .crossJoin(broadcast(hotArr))
+        .select(col("doc_id"),
+          array_except(TextExpressions.word_shingles(col("text"), 3),
+            col("hot")).as("sh_q"))
+        .filter(size(col("sh_q")) > 0)
+        .withColumn("sig",
+          HashExpressions.minhash_signature(col("sh_q"), k = 128))
+        .select(col("doc_id"), col("sh_q"),
+          explode(transform(sequence(lit(0), lit(31)),
+            b => struct(b.as("band"),
+              xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
+            .as("bb"))
+        .select(col("doc_id"), col("sh_q"),
+          col("bb.band").as("band"), col("bb.bh").as("bh"))
+        .join(idx, Seq("band", "bh"))
+        .join(sets, Seq("mid"))
+        .withColumn("jac",
+          size(array_intersect(col("sh_q"), col("sh_i"))) * 1.0 /
+            size(array_union(col("sh_q"), col("sh_i"))))
+        .filter(col("jac") >= 0.7)
+        .select(col("doc_id"), col("mid"), col("jac"))
+      runToMemory(s, matches, "append")
+        .distinct() // band-duplicate candidate pairs collapse post-drain
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("jac"), negate(col("mid")).as("nm"),
+          col("mid"))).as("b"),
+          count(lit(1)).as("n_cand"))
+        .select(col("doc_id"), col("b.mid").as("match_id"),
+          round(col("b.jac"), 4).as("jac"), col("n_cand"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** Continuous content-defined chunk dedup — the streaming twin of q5y,
     * on the q8e template: new documents arrive through the graft-doc CDC
     * tail in two commits, each micro-batch is chunked ROW-LOCALLY

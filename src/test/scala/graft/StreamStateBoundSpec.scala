@@ -238,4 +238,37 @@ class StreamStateBoundSpec extends SparkSpec {
       assert(spark.table("sb_bands").count() == 8)
     } finally q.stop()
   }
+
+  test("row-local capped-set serve (q8q shape) is stateless") {
+    implicit val sql = spark.sqlContext
+    // the streaming near-dup serve shape: the drop list folded to ONE
+    // broadcast row, the capped set computed row-locally by
+    // array_except (the batch side's explode→anti-join→collect_set
+    // would be a stateful streaming aggregation), then a stream-static
+    // probe of the persisted index — zero state rows end to end
+    val hotArr = Seq(Tuple1(Seq("the cat sat"))).toDF("hot")
+    val index = Seq(("a b", 1L), ("c d", 2L)).toDF("sh", "mid")
+    val in = MemoryStream[(Long, Seq[String])]
+    val probed = in.toDF().toDF("doc_id", "sh0")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(hotArr))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.array_except(
+            col("sh0"), col("hot"))).as("sh"))
+      .join(index, Seq("sh"))
+      .select(col("doc_id"), col("mid"))
+    val q = probed.writeStream.format("memory").queryName("sb_capserve")
+      .outputMode("append").start()
+    try {
+      for (_ <- 0 until 3) {
+        in.addData((0L, Seq("the cat sat", "a b")), (1L, Seq("x y")))
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0),
+        "capped-set serve must carry no state store rows")
+      // doc 0's hot shingle is dropped row-locally; its 'a b' hits the
+      // index once per batch, doc 1 never matches
+      assert(spark.table("sb_capserve").count() == 3)
+    } finally q.stop()
+  }
 }
