@@ -1217,54 +1217,61 @@ object DedupQueries {
     QueryDef(
       "qa5_incremental_minhash",
       Some(incMinhashOracleSql),
-      (s, dir) => {
-        // 32 bands x 4 rows over a k=128 signature — the q62 banding
-        def buckets(sets: DataFrame, idAs: String): DataFrame =
-          sets.select(col("doc_id"),
-              HashExpressions.minhash_signature(col("sh"), k = 128).as("sig"))
-            .select(col("doc_id").as(idAs),
-              explode(transform(sequence(lit(0), lit(31)),
-                b => struct(b.as("band"),
-                  xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
-                .as("bb"))
-            .select(col(idAs), col("bb.band").as("band"), col("bb.bh").as("bh"))
-        val posting = withShingles(docs(s, dir))
-          .select(col("doc_id"), explode(col("sh")).as("sh"))
-        // BUILD: persist drop list, capped sets, band buckets
-        val basePosting = posting.filter(col("doc_id") < 250)
-        basePosting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") > 200).select(col("sh"))
-          .write.mode("overwrite").parquet(s"$idxPath/hot")
-        val hotR = s.read.parquet(s"$idxPath/hot")
-        basePosting.join(broadcast(hotR), Seq("sh"), "left_anti")
-          .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
-          .write.mode("overwrite").parquet(s"$idxPath/sets")
-        val baseSetsR = s.read.parquet(s"$idxPath/sets")
-        buckets(baseSetsR, "mid")
-          .write.mode("overwrite").parquet(s"$idxPath/buckets")
-        // SERVE: incoming batch vs the persisted index only
-        val deltaSets = posting.filter(col("doc_id") >= 250)
-          .join(broadcast(hotR), Seq("sh"), "left_anti")
-          .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
-        val cand = buckets(deltaSets, "doc_id")
-          .join(s.read.parquet(s"$idxPath/buckets"), Seq("band", "bh"))
-          .select(col("doc_id"), col("mid")).distinct()
-        val verified = cand
-          .join(deltaSets.withColumnRenamed("sh", "sh_q"), "doc_id")
-          .join(baseSetsR.select(col("doc_id").as("mid"),
-            col("sh").as("sh_i")), "mid")
-          .withColumn("jac",
-            size(array_intersect(col("sh_q"), col("sh_i"))) * 1.0 /
-              size(array_union(col("sh_q"), col("sh_i"))))
-          .filter(col("jac") >= 0.7)
-        verified.groupBy(col("doc_id"))
-          .agg(max(struct(col("jac"), negate(col("mid")).as("nm"),
-            col("mid"))).as("b"),
-            count(lit(1)).as("n_cand"))
-          .select(col("doc_id"), col("b.mid").as("match_id"),
-            round(col("b.jac"), 4).as("jac"), col("n_cand"))
-          .orderBy(col("doc_id"))
-      })
+      (s, dir) => incrementalMinhash(s, docs(s, dir), idxPath))
+  }
+
+  /** qa5's engine on any (doc_id, text) frame — exposed (with the split
+    * id and DF cap as dials) for the property spec, which replays random
+    * corpora against a driver-side brute-force reference. See the qa5
+    * QueryDef comment for the build/serve design. */
+  private[graft] def incrementalMinhash(s: SparkSession, d: DataFrame,
+      idxPath: String, split: Long = 250L, dfCap: Long = 200L): DataFrame = {
+    // 32 bands x 4 rows over a k=128 signature — the q62 banding
+    def buckets(sets: DataFrame, idAs: String): DataFrame =
+      sets.select(col("doc_id"),
+          HashExpressions.minhash_signature(col("sh"), k = 128).as("sig"))
+        .select(col("doc_id").as(idAs),
+          explode(transform(sequence(lit(0), lit(31)),
+            b => struct(b.as("band"),
+              xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
+            .as("bb"))
+        .select(col(idAs), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    val posting = withShingles(d)
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
+    // BUILD: persist drop list, capped sets, band buckets
+    val basePosting = posting.filter(col("doc_id") < split)
+    basePosting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfCap).select(col("sh"))
+      .write.mode("overwrite").parquet(s"$idxPath/hot")
+    val hotR = s.read.parquet(s"$idxPath/hot")
+    basePosting.join(broadcast(hotR), Seq("sh"), "left_anti")
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+      .write.mode("overwrite").parquet(s"$idxPath/sets")
+    val baseSetsR = s.read.parquet(s"$idxPath/sets")
+    buckets(baseSetsR, "mid")
+      .write.mode("overwrite").parquet(s"$idxPath/buckets")
+    // SERVE: incoming batch vs the persisted index only
+    val deltaSets = posting.filter(col("doc_id") >= split)
+      .join(broadcast(hotR), Seq("sh"), "left_anti")
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+    val cand = buckets(deltaSets, "doc_id")
+      .join(s.read.parquet(s"$idxPath/buckets"), Seq("band", "bh"))
+      .select(col("doc_id"), col("mid")).distinct()
+    val verified = cand
+      .join(deltaSets.withColumnRenamed("sh", "sh_q"), "doc_id")
+      .join(baseSetsR.select(col("doc_id").as("mid"),
+        col("sh").as("sh_i")), "mid")
+      .withColumn("jac",
+        size(array_intersect(col("sh_q"), col("sh_i"))) * 1.0 /
+          size(array_union(col("sh_q"), col("sh_i"))))
+      .filter(col("jac") >= 0.7)
+    verified.groupBy(col("doc_id"))
+      .agg(max(struct(col("jac"), negate(col("mid")).as("nm"),
+        col("mid"))).as("b"),
+        count(lit(1)).as("n_cand"))
+      .select(col("doc_id"), col("b.mid").as("match_id"),
+        round(col("b.jac"), 4).as("jac"), col("n_cand"))
+      .orderBy(col("doc_id"))
   }
 
   /** Exact incremental near-dup measure — the shared oracle of qa5 AND

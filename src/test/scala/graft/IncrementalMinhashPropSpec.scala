@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.queries.DedupQueries
+
+/** qa5's incremental MinHash serve replayed against a driver-side
+  * brute-force reference on RANDOM corpora (the SubstringSpanPropSpec
+  * discipline): planted near-dups and decoys over a tiny vocabulary, a
+  * small DF cap so the drop list actually drops, and a full
+  * base×delta capped-Jaccard brute force as truth. Catches banding
+  * recall misses, drop-list asymmetries (base capped differently from
+  * delta), and best-match tie-break drift that the single sf0.01 corpus
+  * could leave unexercised. */
+class IncrementalMinhashPropSpec extends SparkSpec {
+
+  private val vocab =
+    Vector("ant", "bee", "cat", "dog", "elk", "fox", "gnu", "hen", "ibis", "jay")
+
+  /** Random doc: 8-14 words from the tiny vocab (3-gram shingles collide
+    * across docs by construction, so the inverted index and DF cap both
+    * do real work). */
+  private def randomDoc(rnd: scala.util.Random): String =
+    Seq.fill(8 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  /** A near-dup of `text`: mutate one word — usually keeps capped
+    * Jaccard high but not always ≥ 0.7, so the threshold is exercised
+    * from both sides. */
+  private def mutate(text: String, rnd: scala.util.Random): String = {
+    val w = text.split(" ")
+    w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+    w.mkString(" ")
+  }
+
+  private def shingleSet(text: String): Set[String] = {
+    val w = text.split(" ")
+    (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+  }
+
+  /** Brute-force reference: snapshot-only DF cap, capped sets, all
+    * base×delta Jaccard, best match (max jac, tie → min id). */
+  private def reference(docs: Seq[(Long, String)], split: Long, cap: Long)
+      : Seq[(Long, Long, Double, Long)] = {
+    val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+    val baseIds = docs.map(_._1).filter(_ < split)
+    val hot = baseIds.flatMap(sets).groupBy(identity)
+      .collect { case (sh, occ) if occ.size > cap => sh }.toSet
+    val capped = sets.map { case (id, s) => id -> (s -- hot) }
+    docs.map(_._1).filter(_ >= split).sorted.flatMap { did =>
+      val q = capped(did)
+      val matches = baseIds.flatMap { mid =>
+        val i = capped(mid)
+        val u = (q ++ i).size
+        if (u == 0 || q.isEmpty || i.isEmpty) None
+        else {
+          val jac = (q & i).size.toDouble / u
+          if (jac >= 0.7) Some((mid, jac)) else None
+        }
+      }
+      if (matches.isEmpty) None
+      else {
+        val (bm, bj) = matches.maxBy { case (mid, j) => (j, -mid) }
+        Some((did, bm,
+          BigDecimal(bj).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          matches.size.toLong))
+      }
+    }
+  }
+
+  test("engine serve equals brute force on random corpora (planted dups, low DF cap)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20261014)
+    for (trial <- 0 until 5) {
+      val nBase = 12 + rnd.nextInt(8)
+      val nDelta = 8 + rnd.nextInt(6)
+      val split = nBase.toLong
+      val base = (0 until nBase).map(i => (i.toLong, randomDoc(rnd)))
+      val delta = (0 until nDelta).map { i =>
+        val id = (nBase + i).toLong
+        // half the incoming docs are mutations of snapshot docs, half fresh
+        if (rnd.nextBoolean()) (id, mutate(base(rnd.nextInt(nBase))._2, rnd))
+        else (id, randomDoc(rnd))
+      }
+      val docs = base ++ delta
+      val cap = 3L // tiny cap: the drop list drops real shingles here
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_incmh_$trial").toString
+      val got = DedupQueries.incrementalMinhash(
+          spark, docs.toDF("doc_id", "text"), tmp, split, cap)
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      val want = reference(docs, split, cap)
+      assert(got == want,
+        s"trial $trial (split=$split cap=$cap):\n got=$got\nwant=$want\ndocs=$docs")
+    }
+  }
+}
