@@ -99,6 +99,9 @@ object DumpPlans {
     "qa2_unimax_mix"          -> "UniMax waterfilling: triangular joins on the sources frame, no window",
     "qa3_novel_ngrams"        -> "novelty profile: two-pass gram DF pipeline, grams+counts shuffles only",
     "qa4_linkage_multipass"   -> "two-pass SNM: rank equi joins under key and reversed key, union, verify once",
+    "qa5_incremental_minhash" -> "incremental near-dup serve: persisted index scans, broadcast drop list, LSH equi join",
+    "qa6_k_anonymity"         -> "k-anonymity audit: one QI groupBy, generalized level over the class frame",
+    "qa7_token_fertility"     -> "tokenizer fertility: broadcast merges through one encode pass, one slice groupBy",
     "q9v_centroid_drift"      -> "centroid drift: long-format decimal means, 64-row global frame broadcast",
     "q9w_pareto_users"        -> "Pareto 80/20: per-type window, exact decimal running share",
     "q9y_canonical_authority" -> "canonical by authority: PageRank rounds + map-side family argmax")
