@@ -1226,20 +1226,28 @@ object DedupQueries {
     * QueryDef comment for the build/serve design. */
   private[graft] def incrementalMinhash(s: SparkSession, d: DataFrame,
       idxPath: String, split: Long = 250L, dfCap: Long = 200L): DataFrame = {
-    // 32 bands x 4 rows over a k=128 signature — the q62 banding
-    def buckets(sets: DataFrame, idAs: String): DataFrame =
-      sets.select(col("doc_id"),
-          HashExpressions.minhash_signature(col("sh"), k = 128).as("sig"))
-        .select(col("doc_id").as(idAs),
-          explode(transform(sequence(lit(0), lit(31)),
-            b => struct(b.as("band"),
-              xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
-            .as("bb"))
-        .select(col(idAs), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val posting = withShingles(d)
+    buildMinhashIndex(s, d.filter(col("doc_id") < split), idxPath, dfCap)
+    serveMinhashBatch(s, d.filter(col("doc_id") >= split), idxPath)
+  }
+
+  /** 32 bands x 4 rows over a k=128 signature — the q62 banding. */
+  private def minhashBands(sets: DataFrame, idAs: String): DataFrame =
+    sets.select(col("doc_id"),
+        HashExpressions.minhash_signature(col("sh"), k = 128).as("sig"))
+      .select(col("doc_id").as(idAs),
+        explode(transform(sequence(lit(0), lit(31)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("sig"), b * 4 + 1, lit(4))).as("bh"))))
+          .as("bb"))
+      .select(col(idAs), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+  /** qa5 BUILD half: persist the snapshot's drop list, capped shingle
+    * sets, and LSH band buckets — runs once per snapshot, amortized over
+    * every batch [[serveMinhashBatch]] answers. */
+  private[graft] def buildMinhashIndex(s: SparkSession, base: DataFrame,
+      idxPath: String, dfCap: Long = 200L): Unit = {
+    val basePosting = withShingles(base)
       .select(col("doc_id"), explode(col("sh")).as("sh"))
-    // BUILD: persist drop list, capped sets, band buckets
-    val basePosting = posting.filter(col("doc_id") < split)
     basePosting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select(col("sh"))
       .write.mode("overwrite").parquet(s"$idxPath/hot")
@@ -1247,14 +1255,22 @@ object DedupQueries {
     basePosting.join(broadcast(hotR), Seq("sh"), "left_anti")
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
       .write.mode("overwrite").parquet(s"$idxPath/sets")
-    val baseSetsR = s.read.parquet(s"$idxPath/sets")
-    buckets(baseSetsR, "mid")
+    minhashBands(s.read.parquet(s"$idxPath/sets"), "mid")
       .write.mode("overwrite").parquet(s"$idxPath/buckets")
-    // SERVE: incoming batch vs the persisted index only
-    val deltaSets = posting.filter(col("doc_id") >= split)
+  }
+
+  /** qa5 SERVE half: screen an incoming (doc_id, text) batch against a
+    * [[buildMinhashIndex]]-persisted snapshot — reads ONLY the index
+    * files plus the batch; the snapshot corpus is never re-shingled. */
+  private[graft] def serveMinhashBatch(s: SparkSession, incoming: DataFrame,
+      idxPath: String): DataFrame = {
+    val hotR = s.read.parquet(s"$idxPath/hot")
+    val baseSetsR = s.read.parquet(s"$idxPath/sets")
+    val deltaSets = withShingles(incoming)
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
       .join(broadcast(hotR), Seq("sh"), "left_anti")
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
-    val cand = buckets(deltaSets, "doc_id")
+    val cand = minhashBands(deltaSets, "doc_id")
       .join(s.read.parquet(s"$idxPath/buckets"), Seq("band", "bh"))
       .select(col("doc_id"), col("mid")).distinct()
     val verified = cand

@@ -240,6 +240,41 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "incmh") {
+      // qa5's incremental near-dup split: per-batch cost of SERVING a
+      // fixed incoming batch against a persisted snapshot index vs the
+      // non-incremental alternative (rebuild the index per batch — what
+      // a pipeline without the build/serve split pays). The snapshot
+      // grows 1x → 4x → 16x while the batch stays fixed: the rebuild
+      // cost must grow with the snapshot (it re-shingles and re-signs
+      // everything), while serve pays only the index SCAN growth —
+      // the amortization that makes the operator viable on a 100 TB
+      // standing corpus with a per-hour ingest batch.
+      import graft.queries.DedupQueries
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val batch = docs0.filter(col("doc_id") >= 250)
+        .withColumn("doc_id", col("doc_id") + 100000000L).cache()
+      println(s"[scale] fixed incoming batch: ${batch.count()} docs")
+      for (mult <- Seq(1, 4, 16)) {
+        val base = replicate(docs0, "doc_id", mult, 10000000L).cache()
+        val n = base.count()
+        val p = s"/tmp/graft_scale_incmh_$mult"
+        val build = time(s"index build (snapshot n=$n)") {
+          DedupQueries.buildMinhashIndex(spark, base, p)
+        }
+        val served = time(s"serve fixed batch vs snapshot n=$n") {
+          DedupQueries.serveMinhashBatch(spark, batch, p).count()
+        }
+        println(s"[scale]   snapshot=$n matches=$served — per-batch " +
+          "incremental cost = serve only; per-batch naive cost = " +
+          "build + serve")
+        base.unpersist()
+      }
+      batch.unpersist()
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "linkage") {
       // q9k's sorted-neighborhood linkage vs the round-8 (lang,
       // length-bucket) block join it replaced: block count is
