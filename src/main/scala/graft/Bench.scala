@@ -291,6 +291,11 @@ object Bench {
         s"\"" + k + "\":" + at.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    // steady-statistic total alongside the min-based headline (round-9
+    // advice: emit both) — the sum of exactly what BenchGate judges
+    val steadyTotal = results.map { case (_, (v, at)) =>
+      graft.tools.BenchGate.steadyEstimate(if (at.nonEmpty) at else Seq(v))
+    }.sum
     // sentinel-inflated still-flagging queries, with their evidence —
     // objects (not a q-keyed map) so the gate's per-query timing regex
     // cannot mistake a suspect probe for a query timing
@@ -314,6 +319,7 @@ object Bench {
         s""""calib_probes":${allProbes.map(r3).mkString("[", ",", "]")},""" +
         s""""calib_probes_raw":${rawProbes.toSeq.map(r3).mkString("[", ",", "]")},""" +
         s""""contended":$contended,""" +
+        s""""steady_total":${r3(steadyTotal)},""" +
         s""""metric":"total","unit":"sec","value":${r3(total)}}"""
     // The driver captures a bounded tail of this process's output, and the
     // per-query map makes this line long enough to get head-truncated by

@@ -1216,8 +1216,32 @@ object DedupQueries {
     val idxPath = QueryDef.materializePath(sfDir, "qa5_inc_minhash")
     QueryDef(
       "qa5_incremental_minhash",
-      Some(incMinhashOracleSql),
+      Some(incMinhashOracleSql()),
       (s, dir) => incrementalMinhash(s, docs(s, dir), idxPath))
+  } :+ {
+    // Index-generation merge — the compaction path qa5's build/serve
+    // split needs to LIVE: absorb an ingested batch (docs 250-374) into
+    // the v0 snapshot index as a new generation v1, then serve a later
+    // probe batch (docs ≥ 375) through v1. The oracle is the full
+    // REBUILD measure over snapshot ∪ batch (incMinhashOracleSql at
+    // split 375): hash equality proves the incrementally-merged index
+    // is indistinguishable from re-indexing from scratch — including
+    // the subtle case the merge exists to get right, shingles whose DF
+    // crosses the cap only once the batch lands (they must drop out of
+    // EXISTING docs' sets, and those docs' signatures must change).
+    // See [[mergeMinhashIndex]] for the touched-rows-only cost shape.
+    val v0 = QueryDef.materializePath(sfDir, "qa8_idx_v0")
+    val v1 = QueryDef.materializePath(sfDir, "qa8_idx_v1")
+    QueryDef(
+      "qa8_minhash_index_merge",
+      Some(incMinhashOracleSql(375L)),
+      (s, dir) => {
+        val d = docs(s, dir)
+        buildMinhashIndex(s, d.filter(col("doc_id") < 250), v0)
+        mergeMinhashIndex(s,
+          d.filter(col("doc_id") >= 250 && col("doc_id") < 375), v0, v1)
+        serveMinhashBatch(s, d.filter(col("doc_id") >= 375), v1)
+      })
   }
 
   /** qa5's engine on any (doc_id, text) frame — exposed (with the split
@@ -1248,7 +1272,12 @@ object DedupQueries {
       idxPath: String, dfCap: Long = 200L): Unit = {
     val basePosting = withShingles(base)
       .select(col("doc_id"), explode(col("sh")).as("sh"))
+    // the FULL document-frequency table is part of the index (narrow:
+    // shingle + count) — it is what lets a later merge decide which
+    // shingles cross the cap without re-counting the snapshot (qa8)
     basePosting.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$idxPath/dfs")
+    s.read.parquet(s"$idxPath/dfs")
       .filter(col("df") > dfCap).select(col("sh"))
       .write.mode("overwrite").parquet(s"$idxPath/hot")
     val hotR = s.read.parquet(s"$idxPath/hot")
@@ -1257,6 +1286,71 @@ object DedupQueries {
       .write.mode("overwrite").parquet(s"$idxPath/sets")
     minhashBands(s.read.parquet(s"$idxPath/sets"), "mid")
       .write.mode("overwrite").parquet(s"$idxPath/buckets")
+  }
+
+  /** qa8: absorb an ingested batch into a persisted snapshot index —
+    * a new index GENERATION at `newPath`, bit-equivalent to rebuilding
+    * from scratch over snapshot ∪ batch (the property the oracle and
+    * spec check), at the cost of the batch plus the affected index rows:
+    *
+    *   - DF table: old counts + the batch's counts (full outer on the
+    *     narrow (sh, df) frame — never re-counts the snapshot);
+    *   - drop list: recut from the merged DF table. Ingest is
+    *     append-only, so DF only GROWS — shingles can cross the cap
+    *     (newly hot) but never return, which is what makes the set fix
+    *     below a pure removal;
+    *   - sets: existing sets lose newly-hot shingles ROW-LOCALLY
+    *     (array_except against the newly-hot list folded to one
+    *     broadcast row); batch docs' sets are capped by the merged drop
+    *     list; sets emptied by the fix drop (matching what a rebuild
+    *     would do — their every shingle is hot);
+    *   - buckets: re-signed ONLY for changed rows (a set that lost a
+    *     shingle has a new signature); unchanged docs keep their old
+    *     bucket rows via a narrow id anti join.
+    *
+    * At 100 TB this is the compaction path: the daily merge touches the
+    * batch plus the (few) boilerplate-crossing rows, not the corpus. */
+  private[graft] def mergeMinhashIndex(s: SparkSession, delta: DataFrame,
+      oldPath: String, newPath: String, dfCap: Long = 200L): Unit = {
+    val deltaPosting = withShingles(delta)
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
+    val deltaDf = deltaPosting.groupBy(col("sh")).agg(count(lit(1)).as("ddf"))
+    s.read.parquet(s"$oldPath/dfs")
+      .join(deltaDf, Seq("sh"), "full_outer")
+      .select(col("sh"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("ddf"), lit(0L))).as("df"))
+      .write.mode("overwrite").parquet(s"$newPath/dfs")
+    s.read.parquet(s"$newPath/dfs")
+      .filter(col("df") > dfCap).select(col("sh"))
+      .write.mode("overwrite").parquet(s"$newPath/hot")
+    val hotR = s.read.parquet(s"$newPath/hot")
+    // shingles that crossed the cap in THIS merge, folded to one row
+    val nhArr = hotR
+      .join(s.read.parquet(s"$oldPath/hot"), Seq("sh"), "left_anti")
+      .agg(sort_array(collect_list(col("sh"))).as("nh"))
+    val fixed = s.read.parquet(s"$oldPath/sets")
+      .crossJoin(broadcast(nhArr))
+      .select(col("doc_id"), col("sh").as("sh0"),
+        array_except(col("sh"), col("nh")).as("sh"))
+      .withColumn("changed", size(col("sh")) =!= size(col("sh0")))
+      .drop("sh0")
+    val deltaSets = deltaPosting
+      .join(broadcast(hotR), Seq("sh"), "left_anti")
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+    fixed.filter(size(col("sh")) > 0).select(col("doc_id"), col("sh"))
+      .unionByName(deltaSets)
+      .write.mode("overwrite").parquet(s"$newPath/sets")
+    // re-sign only changed + new rows; keep unchanged bucket rows as-is
+    val changedIds = fixed.filter(col("changed"))
+      .select(col("doc_id").as("mid"))
+    val keptBuckets = s.read.parquet(s"$oldPath/buckets")
+      .join(broadcast(changedIds), Seq("mid"), "left_anti")
+    val resigned = minhashBands(
+      fixed.filter(col("changed") && size(col("sh")) > 0)
+        .select(col("doc_id"), col("sh"))
+        .unionByName(deltaSets), "mid")
+    keptBuckets.unionByName(resigned)
+      .write.mode("overwrite").parquet(s"$newPath/buckets")
   }
 
   /** qa5 SERVE half: screen an incoming (doc_id, text) batch against a
@@ -1296,10 +1390,10 @@ object DedupQueries {
     * counted over base docs only — the drop list is part of the index).
     * Sharing one exact all-pairs oracle across the batch serve and the
     * streaming serve is the equivalence claim, machine-checked. */
-  private[graft] val incMinhashOracleSql: String =
+  private[graft] def incMinhashOracleSql(split: Long = 250L): String =
     s"""WITH t0 AS (
           SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
-        hot AS (SELECT sh FROM t0 WHERE doc_id < 250
+        hot AS (SELECT sh FROM t0 WHERE doc_id < $split
                 GROUP BY sh HAVING count(*) > 200),
         d AS (SELECT doc_id, sh FROM t0
               WHERE sh NOT IN (SELECT sh FROM hot)),
@@ -1307,7 +1401,7 @@ object DedupQueries {
         pair AS (SELECT a.doc_id AS mid, b.doc_id AS doc_id,
                   count(*) AS inter
                  FROM d a JOIN d b ON a.sh = b.sh
-                 WHERE a.doc_id < 250 AND b.doc_id >= 250
+                 WHERE a.doc_id < $split AND b.doc_id >= $split
                  GROUP BY 1, 2),
         jd AS (SELECT p.doc_id, p.mid,
                 p.inter * 1.0 / (sa.n + sb.n - p.inter) AS jac

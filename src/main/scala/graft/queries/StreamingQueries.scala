@@ -518,7 +518,7 @@ object StreamingQueries {
     // serve must be indistinguishable from the batch incremental run.
     QueryDef(
       "q8q_stream_minhash_serve",
-      Some(graft.queries.DedupQueries.incMinhashOracleSql),
+      Some(graft.queries.DedupQueries.incMinhashOracleSql()),
       (s, dir) => StreamPipelines.docStreamMinhashServe(s, dir))
   )
 }

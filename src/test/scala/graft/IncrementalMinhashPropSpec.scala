@@ -67,6 +67,59 @@ class IncrementalMinhashPropSpec extends SparkSpec {
     }
   }
 
+  test("merged index generation equals a from-scratch rebuild, frame by frame") {
+    // qa8's claim, checked stronger than the serve oracle can: every
+    // index FRAME (drop list, capped sets, band buckets) of
+    // build(v0) + merge(batch) must equal build(base ∪ batch) — not
+    // just the answers a particular probe batch happens to touch. Low
+    // cap so the merge's hard case fires: shingles crossing the cap
+    // only once the batch lands must drop out of EXISTING sets and
+    // those docs must re-sign.
+    import spark.implicits._
+    val rnd = new scala.util.Random(8251031)
+    var hardCaseFired = false
+    for (trial <- 0 until 4) {
+      val nBase = 14 + rnd.nextInt(6)
+      val nBatch = 10 + rnd.nextInt(5)
+      val base = (0 until nBase).map(i => (i.toLong, randomDoc(rnd)))
+      val batch = (0 until nBatch).map { i =>
+        val id = (nBase + i).toLong
+        if (rnd.nextBoolean()) (id, mutate(base(rnd.nextInt(nBase))._2, rnd))
+        else (id, randomDoc(rnd))
+      }
+      val cap = 2L
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_mhmerge_$trial").toString
+      DedupQueries.buildMinhashIndex(
+        spark, base.toDF("doc_id", "text"), s"$root/v0", cap)
+      DedupQueries.mergeMinhashIndex(
+        spark, batch.toDF("doc_id", "text"), s"$root/v0", s"$root/v1", cap)
+      DedupQueries.buildMinhashIndex(
+        spark, (base ++ batch).toDF("doc_id", "text"), s"$root/rebuild", cap)
+      def hot(p: String) = spark.read.parquet(s"$p/hot")
+        .as[String].collect().sorted.toSeq
+      def sets(p: String) = spark.read.parquet(s"$p/sets")
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.sort_array(col("sh")).as("sh"))
+        .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+      def buckets(p: String) = spark.read.parquet(s"$p/buckets")
+        .as[(Long, Int, Long)].collect().sorted.toSeq
+      assert(hot(s"$root/v1") == hot(s"$root/rebuild"),
+        s"trial $trial: drop lists diverge")
+      assert(sets(s"$root/v1") == sets(s"$root/rebuild"),
+        s"trial $trial: capped sets diverge")
+      assert(buckets(s"$root/v1") == buckets(s"$root/rebuild"),
+        s"trial $trial: band buckets diverge — a changed set kept its old signature?")
+      if ((hot(s"$root/v1").toSet -- hot(s"$root/v0").toSet).nonEmpty)
+        hardCaseFired = true
+    }
+    // the merge's hard case (a shingle crossing the cap only once the
+    // batch lands) must actually fire somewhere across the trials, or
+    // this test proves nothing about the set-fix/re-sign path
+    assert(hardCaseFired,
+      "no trial produced a newly-hot shingle — lower the cap or enlarge corpora")
+  }
+
   test("engine serve equals brute force on random corpora (planted dups, low DF cap)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20261014)
