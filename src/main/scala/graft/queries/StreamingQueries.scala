@@ -519,6 +519,17 @@ object StreamingQueries {
     QueryDef(
       "q8q_stream_minhash_serve",
       Some(graft.queries.DedupQueries.incMinhashOracleSql()),
-      (s, dir) => StreamPipelines.docStreamMinhashServe(s, dir))
+      (s, dir) => StreamPipelines.docStreamMinhashServe(s, dir)),
+
+    // Streaming index MAINTENANCE — qa8's generation merge run as the
+    // standing process: each CDC micro-batch folds into the persisted
+    // MinHash index via foreachBatch, and the post-drain serve through
+    // the final generation must match the full-rebuild oracle (the
+    // chain-associativity property reached through a real streaming
+    // execution). See StreamPipelines.docStreamIndexMaintenance.
+    QueryDef(
+      "q8r_stream_index_maintenance",
+      Some(graft.queries.DedupQueries.incMinhashOracleSql(375L)),
+      (s, dir) => StreamPipelines.docStreamIndexMaintenance(s, dir))
   )
 }

@@ -1652,6 +1652,49 @@ object TextAnalysis {
           .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bin"))
       }),
 
+    // l-diversity audit (Machanavajjhala et al. 2006) — qa6's k-anonymity
+    // counts ROWS per quasi-identifier class, which a homogeneity attack
+    // defeats: a class of 50 records all sharing one sensitive value
+    // discloses that value to anyone who knows the QI. This audits the
+    // SENSITIVE dimension: per (nation, balance-bin) class, how many
+    // distinct market segments appear (l) and how dominant the top one
+    // is (top_share_ppm — even l >= 3 can be 98% one value, the
+    // probabilistic-disclosure signal). Violating tail = classes with
+    // l < 3. Scale shape: ONE corpus pass groups (QI, sensitive) with
+    // map-side combine; class stats (n = Σ, l = count, max share) fold
+    // over that already-aggregated frame — the corpus is never
+    // re-scanned and rows never shuffle twice. All integer.
+    QueryDef(
+      "qa9_l_diversity",
+      Some("""WITH seg AS (SELECT c_nationkey,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin,
+                 c_mktsegment, COUNT(*) AS ns
+               FROM customer GROUP BY 1, 2, 3),
+        cls AS (SELECT c_nationkey, bal_bin, SUM(ns) AS n,
+                 COUNT(*) AS l, MAX(ns) AS maxs
+                FROM seg GROUP BY 1, 2)
+        SELECT c_nationkey, bal_bin, CAST(n AS BIGINT) AS n,
+          CAST(l AS INT) AS l,
+          CAST(maxs * 1000000 // n AS BIGINT) AS top_share_ppm
+        FROM cls WHERE l < 3
+        ORDER BY c_nationkey, bal_bin"""),
+      (s, dir) => {
+        val seg = Tables.load(s, dir, "customer")
+          .select(col("c_nationkey"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_bin"),
+            col("c_mktsegment"))
+          .groupBy(col("c_nationkey"), col("bal_bin"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("ns"))
+        seg.groupBy(col("c_nationkey"), col("bal_bin"))
+          .agg(sum(col("ns")).as("n"), count(lit(1)).as("l"),
+            max(col("ns")).as("maxs"))
+          .filter(col("l") < 3)
+          .select(col("c_nationkey"), col("bal_bin"), col("n"),
+            col("l").cast("int").as("l"),
+            expr("(maxs * 1000000) div n").as("top_share_ppm"))
+          .orderBy(col("c_nationkey"), col("bal_bin"))
+      }),
+
     // Tokenizer fertility per corpus slice — the standard tokenizer-eval
     // table (tokens per word, chars per token) a multilingual pipeline
     // produces to see which languages/sources a vocabulary serves badly

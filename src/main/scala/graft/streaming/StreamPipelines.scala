@@ -878,6 +878,58 @@ object StreamPipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming MinHash index MAINTENANCE (q8r) — qa8's merge as the
+    * standing process it exists to be: ingested batches arrive through
+    * the CDC tail in two commits, and each micro-batch folds into the
+    * persisted snapshot index as a NEW GENERATION via foreachBatch
+    * ([[graft.queries.DedupQueries.mergeMinhashIndex]]: narrow DF
+    * full-outer, row-local set fix, changed-rows-only re-sign — never a
+    * snapshot re-shingle). After the drain, a probe batch serves
+    * through the FINAL generation; the oracle is the full REBUILD
+    * measure over snapshot ∪ all batches, so hash equality proves the
+    * batch-at-a-time generation chain converged to exactly the
+    * re-indexed state (the associativity
+    * `IncrementalMinhashPropSpec` pins frame-by-frame, here reached
+    * through a real streaming execution). The q8f labels-maintenance
+    * pattern, applied to a similarity index. */
+  def docStreamIndexMaintenance(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.DedupQueries
+    val tmp = graft.TempDirs.create("graft_mh_maint")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    DedupQueries.buildMinhashIndex(
+      s, docs.filter(col("doc_id") < 250), s"$tmp/idx_v0")
+    // ingested batches: docs 250-374 land in two commits
+    val incoming = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    val version = new AtomicInteger(0)
+    val ckpt = ephemeralCheckpoint("mh_maint")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+          .select(col("_id").cast("long").as("doc_id"), col("text"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val v = version.get()
+            DedupQueries.mergeMinhashIndex(
+              s, batch, s"$tmp/idx_v$v", s"$tmp/idx_v${v + 1}")
+            version.incrementAndGet()
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    DedupQueries.serveMinhashBatch(s,
+      docs.filter(col("doc_id") >= 375), s"$tmp/idx_v${version.get()}")
+  }
+
   /** q8g: streaming ANN serve from a PERSISTED index — the online half of
     * the q5i build/serve split. The IVF index (centroids + cell
     * memberships) is built once and persisted; queries then ARRIVE as a

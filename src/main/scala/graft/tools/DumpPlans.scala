@@ -103,6 +103,7 @@ object DumpPlans {
     "qa6_k_anonymity"         -> "k-anonymity audit: one QI groupBy, generalized level over the class frame",
     "qa7_token_fertility"     -> "tokenizer fertility: broadcast merges through one encode pass, one slice groupBy",
     "qa8_minhash_index_merge" -> "index-generation merge: narrow DF full-outer, row-local set fix, changed-rows-only re-sign",
+    "qa9_l_diversity"         -> "l-diversity audit: one (QI, sensitive) corpus pass, class stats over the aggregated frame",
     "q9v_centroid_drift"      -> "centroid drift: long-format decimal means, 64-row global frame broadcast",
     "q9w_pareto_users"        -> "Pareto 80/20: per-type window, exact decimal running share",
     "q9y_canonical_authority" -> "canonical by authority: PageRank rounds + map-side family argmax")

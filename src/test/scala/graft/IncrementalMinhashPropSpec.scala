@@ -120,6 +120,56 @@ class IncrementalMinhashPropSpec extends SparkSpec {
       "no trial produced a newly-hot shingle — lower the cap or enlarge corpora")
   }
 
+  test("a CHAIN of merges equals one rebuild (generation associativity)") {
+    // merge(merge(build(base), b1), b2) must equal build(base ∪ b1 ∪ b2):
+    // the property that lets a pipeline absorb batches one at a time
+    // forever without drifting from the rebuild semantics — and the
+    // contract the streaming maintenance drain (q8r) relies on per
+    // micro-batch. Cap-crossing can happen at EITHER merge here.
+    import spark.implicits._
+    val rnd = new scala.util.Random(4170212)
+    for (trial <- 0 until 3) {
+      val nBase = 12 + rnd.nextInt(5)
+      def mkBatch(n: Int, off: Long, pool: Seq[(Long, String)]) =
+        (0 until n).map { i =>
+          val id = off + i
+          if (rnd.nextBoolean() && pool.nonEmpty)
+            (id, mutate(pool(rnd.nextInt(pool.size))._2, rnd))
+          else (id, randomDoc(rnd))
+        }
+      val base = (0 until nBase).map(i => (i.toLong, randomDoc(rnd)))
+      val b1 = mkBatch(8, nBase.toLong, base)
+      val b2 = mkBatch(8, nBase.toLong + 8, base ++ b1)
+      val cap = 2L
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_mhchain_$trial").toString
+      DedupQueries.buildMinhashIndex(
+        spark, base.toDF("doc_id", "text"), s"$root/v0", cap)
+      DedupQueries.mergeMinhashIndex(
+        spark, b1.toDF("doc_id", "text"), s"$root/v0", s"$root/v1", cap)
+      DedupQueries.mergeMinhashIndex(
+        spark, b2.toDF("doc_id", "text"), s"$root/v1", s"$root/v2", cap)
+      DedupQueries.buildMinhashIndex(
+        spark, (base ++ b1 ++ b2).toDF("doc_id", "text"), s"$root/rebuild", cap)
+      // sets' array order is representation detail (collect_set vs
+      // array_except) — normalize by sorting before the set compare
+      def frame(p: String, f: String) = {
+        val d = spark.read.parquet(s"$p/$f")
+        if (f == "sets")
+          d.select(col("doc_id"),
+            org.apache.spark.sql.functions.sort_array(col("sh")).as("sh"))
+        else d
+      }
+      for (f <- Seq("hot", "sets", "buckets")) {
+        val chained = frame(s"$root/v2", f)
+        val rebuilt = frame(s"$root/rebuild", f)
+        assert(chained.exceptAll(rebuilt).isEmpty &&
+          rebuilt.exceptAll(chained).isEmpty,
+          s"trial $trial: $f diverges after two chained merges")
+      }
+    }
+  }
+
   test("engine serve equals brute force on random corpora (planted dups, low DF cap)") {
     import spark.implicits._
     val rnd = new scala.util.Random(20261014)
