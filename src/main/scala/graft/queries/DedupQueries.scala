@@ -1242,6 +1242,30 @@ object DedupQueries {
           d.filter(col("doc_id") >= 250 && col("doc_id") < 375), v0, v1)
         serveMinhashBatch(s, d.filter(col("doc_id") >= 375), v1)
       })
+  } :+ {
+    // Serve under DELETES — the index lifecycle's last verb (qa5 build/
+    // serve, qa8/q8r merge, here remove): every 5th snapshot doc is
+    // tombstoned and must stop matching, WITHOUT touching the persisted
+    // index — deleted docs fall out at the candidate stage through a
+    // broadcast anti join on narrow ids (the q6w ANN-tombstone pattern
+    // applied to the MinHash index). The drop list stays FROZEN at its
+    // build-time cut: a delete lowers DF and could un-hot a shingle,
+    // but capped sets no longer know which docs carried it —
+    // re-admitting it needs the raw corpus, i.e. the next compaction.
+    // The oracle states exactly that frozen-cap-restricted-to-live
+    // measure (liveMidPred) — the between-compactions contract real
+    // systems serve.
+    val idx = QueryDef.materializePath(sfDir, "qaa_idx")
+    QueryDef(
+      "qaa_minhash_serve_deletes",
+      Some(incMinhashOracleSql(250L, "a.doc_id % 5 <> 0")),
+      (s, dir) => {
+        val d = docs(s, dir)
+        buildMinhashIndex(s, d.filter(col("doc_id") < 250), idx)
+        val tomb = d.filter(col("doc_id") < 250 &&
+          pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id"))
+        serveMinhashBatch(s, d.filter(col("doc_id") >= 250), idx, Some(tomb))
+      })
   }
 
   /** qa5's engine on any (doc_id, text) frame — exposed (with the split
@@ -1357,16 +1381,29 @@ object DedupQueries {
     * [[buildMinhashIndex]]-persisted snapshot — reads ONLY the index
     * files plus the batch; the snapshot corpus is never re-shingled. */
   private[graft] def serveMinhashBatch(s: SparkSession, incoming: DataFrame,
-      idxPath: String): DataFrame = {
+      idxPath: String, tombstones: Option[DataFrame] = None): DataFrame = {
     val hotR = s.read.parquet(s"$idxPath/hot")
     val baseSetsR = s.read.parquet(s"$idxPath/sets")
     val deltaSets = withShingles(incoming)
       .select(col("doc_id"), explode(col("sh")).as("sh"))
       .join(broadcast(hotR), Seq("sh"), "left_anti")
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
-    val cand = minhashBands(deltaSets, "doc_id")
+    val cand0 = minhashBands(deltaSets, "doc_id")
       .join(s.read.parquet(s"$idxPath/buckets"), Seq("band", "bh"))
       .select(col("doc_id"), col("mid")).distinct()
+    // serve-time deletes (qaa): deleted snapshot docs drop out at the
+    // CANDIDATE stage through a broadcast anti join on narrow ids — the
+    // q6w tombstone pattern. The index frames themselves are untouched:
+    // the drop list stays FROZEN at its build/merge-time cut (a delete
+    // lowers DF, which could un-hot a shingle, but the capped sets no
+    // longer know which docs carried it — re-admitting it requires the
+    // raw corpus, i.e. the next compaction/rebuild). Serving against
+    // the frozen-cap measure restricted to live docs is exactly the
+    // contract real systems run between compactions, and it is what
+    // the oracle states.
+    val cand = tombstones.fold(cand0)(t => cand0.join(
+      broadcast(t.select(col(t.columns.head).as("mid"))), Seq("mid"),
+      "left_anti"))
     val verified = cand
       .join(deltaSets.withColumnRenamed("sh", "sh_q"), "doc_id")
       .join(baseSetsR.select(col("doc_id").as("mid"),
@@ -1390,7 +1427,8 @@ object DedupQueries {
     * counted over base docs only — the drop list is part of the index).
     * Sharing one exact all-pairs oracle across the batch serve and the
     * streaming serve is the equivalence claim, machine-checked. */
-  private[graft] def incMinhashOracleSql(split: Long = 250L): String =
+  private[graft] def incMinhashOracleSql(split: Long = 250L,
+      liveMidPred: String = "TRUE"): String =
     s"""WITH t0 AS (
           SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
         hot AS (SELECT sh FROM t0 WHERE doc_id < $split
@@ -1402,6 +1440,7 @@ object DedupQueries {
                   count(*) AS inter
                  FROM d a JOIN d b ON a.sh = b.sh
                  WHERE a.doc_id < $split AND b.doc_id >= $split
+                   AND ($liveMidPred)
                  GROUP BY 1, 2),
         jd AS (SELECT p.doc_id, p.mid,
                 p.inter * 1.0 / (sa.n + sb.n - p.inter) AS jac

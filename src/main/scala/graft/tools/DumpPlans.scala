@@ -104,6 +104,7 @@ object DumpPlans {
     "qa7_token_fertility"     -> "tokenizer fertility: broadcast merges through one encode pass, one slice groupBy",
     "qa8_minhash_index_merge" -> "index-generation merge: narrow DF full-outer, row-local set fix, changed-rows-only re-sign",
     "qa9_l_diversity"         -> "l-diversity audit: one (QI, sensitive) corpus pass, class stats over the aggregated frame",
+    "qaa_minhash_serve_deletes" -> "tombstoned index serve: broadcast narrow-id anti join at the candidate stage, frozen drop list",
     "q9v_centroid_drift"      -> "centroid drift: long-format decimal means, 64-row global frame broadcast",
     "q9w_pareto_users"        -> "Pareto 80/20: per-type window, exact decimal running share",
     "q9y_canonical_authority" -> "canonical by authority: PageRank rounds + map-side family argmax")

@@ -37,18 +37,21 @@ class IncrementalMinhashPropSpec extends SparkSpec {
     (0 to w.length - 3).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
   }
 
-  /** Brute-force reference: snapshot-only DF cap, capped sets, all
-    * base×delta Jaccard, best match (max jac, tie → min id). */
-  private def reference(docs: Seq[(Long, String)], split: Long, cap: Long)
-      : Seq[(Long, Long, Double, Long)] = {
+  /** Brute-force reference: snapshot-only DF cap (frozen — deleted docs
+    * still count toward it, the qaa contract), capped sets, all
+    * LIVE-base×delta Jaccard, best match (max jac, tie → min id). */
+  private def reference(docs: Seq[(Long, String)], split: Long, cap: Long,
+      dead: Set[Long] = Set.empty): Seq[(Long, Long, Double, Long)] = {
     val sets = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
-    val baseIds = docs.map(_._1).filter(_ < split)
-    val hot = baseIds.flatMap(sets).groupBy(identity)
+    val allBaseIds = docs.map(_._1).filter(_ < split)
+    // the drop list is FROZEN at build time: dead docs still count
+    val hot = allBaseIds.flatMap(sets).groupBy(identity)
       .collect { case (sh, occ) if occ.size > cap => sh }.toSet
+    val liveBaseIds = allBaseIds.filterNot(dead)
     val capped = sets.map { case (id, s) => id -> (s -- hot) }
     docs.map(_._1).filter(_ >= split).sorted.flatMap { did =>
       val q = capped(did)
-      val matches = baseIds.flatMap { mid =>
+      val matches = liveBaseIds.flatMap { mid =>
         val i = capped(mid)
         val u = (q ++ i).size
         if (u == 0 || q.isEmpty || i.isEmpty) None
@@ -167,6 +170,43 @@ class IncrementalMinhashPropSpec extends SparkSpec {
           rebuilt.exceptAll(chained).isEmpty,
           s"trial $trial: $f diverges after two chained merges")
       }
+    }
+  }
+
+  test("tombstoned serve equals brute force restricted to live docs (frozen cap)") {
+    // the qaa contract: deleted snapshot docs stop matching while the
+    // drop list keeps counting them (frozen at build time) — both sides
+    // of that asymmetry are on the line here
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c, lit, pmod}
+    val rnd = new scala.util.Random(70331216)
+    for (trial <- 0 until 3) {
+      val nBase = 14 + rnd.nextInt(6)
+      val split = nBase.toLong
+      val base = (0 until nBase).map(i => (i.toLong, randomDoc(rnd)))
+      val delta = (0 until 10).map { i =>
+        val id = (nBase + i).toLong
+        if (rnd.nextBoolean()) (id, mutate(base(rnd.nextInt(nBase))._2, rnd))
+        else (id, randomDoc(rnd))
+      }
+      val docs = base ++ delta
+      val dead = base.map(_._1).filter(_ % 3 == 0).toSet
+      val cap = 3L
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_incmhdel_$trial").toString
+      DedupQueries.buildMinhashIndex(
+        spark, docs.toDF("doc_id", "text").filter(c("doc_id") < split),
+        tmp, cap)
+      val tomb = docs.toDF("doc_id", "text")
+        .filter(c("doc_id") < split && pmod(c("doc_id"), lit(3)) === 0)
+        .select(c("doc_id"))
+      val got = DedupQueries.serveMinhashBatch(spark,
+          docs.toDF("doc_id", "text").filter(c("doc_id") >= split),
+          tmp, Some(tomb))
+        .as[(Long, Long, Double, Long)].collect().toSeq
+      val want = reference(docs, split, cap, dead)
+      assert(got == want,
+        s"trial $trial (dead=$dead):\n got=$got\nwant=$want\ndocs=$docs")
     }
   }
 
