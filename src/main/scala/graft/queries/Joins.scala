@@ -419,6 +419,72 @@ object Joins {
           .groupBy(col("p_brand"))
           .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
           .orderBy(col("p_brand"))
+      }),
+
+    // Sampled join-cardinality estimation — the planner-side operator a
+    // join needs BEFORE it runs at 100 TB: will orders⋈lineitem on the
+    // DATE key (a genuinely many-to-many join, unlike the FK equi joins
+    // above) explode, and is the cheap estimator trustworthy? Estimator:
+    // uniform 1/16 key-space sample by the q5o Knuth multiplicative hash
+    // of the epoch day (deterministic, engine-identical, and a function
+    // of the KEY — every occurrence of a sampled key on both sides is
+    // kept, the textbook correlated-sampling requirement; row-level
+    // Bernoulli would square the inclusion probability and bias Σ cA·cB
+    // down), est = 16·Σ_sampled cO(d)·cL(d). The output is the
+    // estimator's eval table: per month, estimate vs exact with err_ppm.
+    // Scale shape: ONE map-side-combined day-level aggregate per side
+    // (the shuffle carries |days| rows, not the corpus), one broadcast
+    // join of the two day frames, and both statistics fold from that
+    // shared frame — the corpus is never joined row-to-row at all; the
+    // actual join's |output| is computed without materializing it.
+    QueryDef(
+      "qad_join_size_estimate",
+      Some("""WITH co AS (SELECT
+                 date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d,
+                 strftime(o_orderdate, '%Y-%m') AS mon, COUNT(*) AS nco
+               FROM orders GROUP BY 1, 2),
+        cl AS (SELECT
+                 date_diff('day', TIMESTAMP '1970-01-01', l_shipdate) AS d,
+                 COUNT(*) AS ncl
+               FROM lineitem GROUP BY 1),
+        j AS (SELECT co.mon, co.nco * cl.ncl AS r,
+                CASE WHEN ((co.d % 1000003) * 2654435761) % 16 = 0
+                  THEN 1 ELSE 0 END AS samp
+              FROM co JOIN cl USING (d)),
+        a AS (SELECT mon, COUNT(*) AS n_days, SUM(r) AS actual_rows,
+                16 * SUM(CASE WHEN samp = 1 THEN r ELSE 0 END) AS est_rows
+              FROM j GROUP BY mon)
+        SELECT mon, CAST(n_days AS BIGINT) AS n_days,
+          CAST(est_rows AS BIGINT) AS est_rows,
+          CAST(actual_rows AS BIGINT) AS actual_rows,
+          CAST(ABS(est_rows - actual_rows) * 1000000
+            // NULLIF(actual_rows, 0) AS BIGINT) AS err_ppm
+        FROM a ORDER BY mon"""),
+      (s, dir) => {
+        val co = t(s, dir, "orders")
+          .select(datediff(col("o_orderdate"), lit("1970-01-01"))
+              .cast("long").as("d"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+          .groupBy(col("d"), col("mon")).agg(count(lit(1)).as("nco"))
+        val cl = t(s, dir, "lineitem")
+          .select(datediff(col("l_shipdate"), lit("1970-01-01"))
+            .cast("long").as("d"))
+          .groupBy(col("d")).agg(count(lit(1)).as("ncl"))
+        co.join(broadcast(cl), Seq("d"))
+          .withColumn("r", col("nco") * col("ncl"))
+          .withColumn("samp",
+            when(pmod((col("d") % 1000003L) * 2654435761L, lit(16L)) === 0, 1)
+              .otherwise(0))
+          .groupBy(col("mon"))
+          .agg(count(lit(1)).as("n_days"),
+            sum(col("r")).as("actual_rows"),
+            (sum(when(col("samp") === 1, col("r")).otherwise(0L)) * 16)
+              .as("est_rows"))
+          .select(col("mon"), col("n_days"), col("est_rows"),
+            col("actual_rows"),
+            expr("abs(est_rows - actual_rows) * 1000000 div nullif(actual_rows, 0)")
+              .as("err_ppm"))
+          .orderBy(col("mon"))
       })
   )
 }

@@ -202,6 +202,88 @@ object LayoutQueries {
           .agg(count(lit(1)).as("n"),
             Aggregates.dsum(col("value")).as("total_value"))
           .orderBy(col("event_type"))
+      }),
+
+    // Range-partition boundary planning — the operator behind every
+    // global sort / range-partitioned write at 100 TB (Spark's own
+    // RangePartitioner is this with a driver-side collect): pick B-1
+    // splitter keys from a BOUNDED sample so the B ranges carry equal
+    // rows, then audit the balance the plan actually achieves. The
+    // sample is deterministic row-level Bernoulli at rate 2048/n — the
+    // divisor derives from an in-plan count scalar, so the sample stays
+    // ~2048 rows at ANY corpus size and the exact percentile over it is
+    // a constant-size single buffer (the unbounded variant would buffer
+    // corpus/16 rows into one reducer — the q0b/q0c exact-vs-sketch
+    // line all over again). Splitters = the sample's 15 equi-spaced
+    // interpolated percentiles (quantile_cont semantics both engines,
+    // round-9 guard); assignment is a row-local 15-comparison fold over
+    // the broadcast splitter row — the corpus never shuffles at all;
+    // the audit groupBy emits per-range counts, key bounds, and
+    // balance_ppm = n_p·B·1e6 div n (1e6 = perfectly level). Headroom:
+    // n_p·16e6 must stay under 2^63 — fine to ~5·10^11 rows per range.
+    QueryDef(
+      "qae_range_partition_plan",
+      Some("""WITH tot AS (SELECT COUNT(*) AS nn FROM lineitem),
+        sp AS (SELECT GREATEST(1, nn // 2048) AS sdiv FROM tot),
+        samp AS (SELECT CAST(l_orderkey AS DOUBLE) AS k
+                 FROM lineitem, sp
+                 WHERE ((((l_orderkey * 8 + l_linenumber) % 1000003)
+                   * 2654435761) % sdiv) = 0),
+        spl AS (SELECT list_transform(quantile_cont(k,
+                  [0.0625, 0.125, 0.1875, 0.25, 0.3125, 0.375, 0.4375,
+                   0.5, 0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875,
+                   0.9375]), s -> round(s, 9)) AS qs FROM samp),
+        asg AS (SELECT CAST(list_sum(list_transform(qs, s ->
+                  CASE WHEN CAST(l_orderkey AS DOUBLE) > s
+                    THEN 1 ELSE 0 END)) AS INT) AS pid, l_orderkey
+                FROM lineitem, spl),
+        agg AS (SELECT pid, COUNT(*) AS n_rows,
+                  MIN(l_orderkey) AS mink, MAX(l_orderkey) AS maxk
+                FROM asg GROUP BY pid),
+        pids AS (SELECT i AS pid FROM generate_series(0, 15) AS g(i))
+        SELECT pids.pid AS pid,
+          CAST(COALESCE(agg.n_rows, 0) AS BIGINT) AS n_rows,
+          CAST(COALESCE(agg.mink, -1) AS BIGINT) AS min_key,
+          CAST(COALESCE(agg.maxk, -1) AS BIGINT) AS max_key,
+          CAST(COALESCE(agg.n_rows, 0) * 16 * 1000000 // tot.nn AS BIGINT)
+            AS balance_ppm
+        FROM pids CROSS JOIN tot LEFT JOIN agg ON agg.pid = pids.pid
+        ORDER BY pids.pid"""),
+      (s, dir) => {
+        val li = Tables.load(s, dir, "lineitem")
+        val tot = li.agg(count(lit(1)).as("nn"))
+        val nScalar = tot.scalar()
+        // bounded-sample divisor: ~2048 sampled rows at any corpus size
+        val sdiv = greatest(lit(1L),
+          floor(nScalar / lit(2048.0)).cast("long"))
+        val samp = li.filter(
+          pmod(((col("l_orderkey") * 8 + col("l_linenumber")) % 1000003L)
+            * 2654435761L, sdiv) === 0)
+        val spl = samp
+          .agg(expr("""percentile(cast(l_orderkey as double),
+              array(0.0625d, 0.125d, 0.1875d, 0.25d, 0.3125d, 0.375d,
+                0.4375d, 0.5d, 0.5625d, 0.625d, 0.6875d, 0.75d, 0.8125d,
+                0.875d, 0.9375d))""").as("qs0"))
+          .select(expr("transform(qs0, s -> round(s, 9))").as("qs"))
+        val agg0 = li.crossJoin(broadcast(spl))
+          .select(col("l_orderkey"), expr(
+            """cast(aggregate(qs, 0, (a, s) ->
+                 a + IF(cast(l_orderkey as double) > s, 1, 0)) as int)""")
+            .as("pid"))
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("mink"),
+            max(col("l_orderkey")).as("maxk"))
+        s.range(0, 16).select(col("id").cast("int").as("pid"))
+          .join(broadcast(agg0), Seq("pid"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("pid"),
+            coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+            coalesce(col("mink"), lit(-1L)).as("min_key"),
+            coalesce(col("maxk"), lit(-1L)).as("max_key"),
+            expr("coalesce(n_rows, 0) * 16 * 1000000 div nn")
+              .as("balance_ppm"))
+          .orderBy(col("pid"))
       })
   )
 }

@@ -1558,6 +1558,120 @@ object SimilarityQueries {
               .as("cos_drift"),
             round(sqrt(col("d2")), 6).as("l2_drift"))
           .orderBy(col("label"))
+      }),
+
+    // Scalar (per-dimension int8) quantization + recall eval — the THIRD
+    // compression point on this engine's accuracy/byte curve: full floats
+    // (q65, 256 B/vec) > SQ8 (this, 64 B/vec) > PQ (q5s, 8 B/vec). SQ8 is
+    // what production serving stacks reach for first because the decode
+    // is two flops per dimension (an affine rescale of the byte code —
+    // no codebook lookup) and recall barely moves. Train: per-dimension
+    // corpus [min, max] (one map-side-combined aggregate, 64 rows out);
+    // encode: code_i = clamp(floor((x_i - mn_i)·256/(mx_i - mn_i)), 255)
+    // — row-local through ONE broadcast row carrying both 64-float
+    // bounds arrays (centroid idiom); serve: cosine over the ON-THE-FLY
+    // dequantized reconstructions mn_i + (code_i + ½)·Δ_i (storage and
+    // shuffle stay 64 B/vec — the floats exist only inside the row's
+    // codegen loop); eval: overlap of SQ top-5 with the exact float
+    // top-5 (q65's rank rule) per query. Every float step is the
+    // engine-identical double discipline (round(·,9) guards at the
+    // clamp boundary and the rank key; reconstruction cast through
+    // FLOAT so both engines rank the same IEEE values). Scale shape:
+    // train is one 64-row aggregate; encode is embarrassingly parallel;
+    // serve reads 64 B/candidate plus the broadcast query block, no
+    // shuffle until the 10-partition rank window folds.
+    QueryDef(
+      "qac_sq_int8",
+      Some("""WITH mm AS (SELECT g.i AS i,
+                 MIN(embedding[g.i]) AS mn, MAX(embedding[g.i]) AS mx
+               FROM embeddings, generate_series(1, 64) AS g(i) GROUP BY g.i),
+        qt AS (SELECT e.vec_id, m.i,
+                 LEAST(255, CAST(floor(round(COALESCE(
+                   (e.embedding[m.i]::DOUBLE - m.mn::DOUBLE) * 256.0
+                     / NULLIF(m.mx::DOUBLE - m.mn::DOUBLE, 0), 0), 9))
+                   AS INT)) AS c
+               FROM embeddings e JOIN mm m ON TRUE),
+        dq AS (SELECT q.vec_id, list(CAST(m.mn::DOUBLE
+                   + (q.c + 0.5) * ((m.mx::DOUBLE - m.mn::DOUBLE) / 256.0)
+                   AS FLOAT) ORDER BY q.i) AS dv
+               FROM qt q JOIN mm m ON m.i = q.i GROUP BY q.vec_id),
+        sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                 round(list_cosine_similarity(a.dv::DOUBLE[],
+                   b.dv::DOUBLE[]), 9) AS s
+               FROM dq a JOIN dq b ON b.vec_id <> a.vec_id
+               WHERE a.vec_id < 10),
+        appr AS (SELECT qid, nid FROM (
+                 SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                     ORDER BY s DESC, nid) AS rnk FROM sc) WHERE rnk <= 5),
+        ex0 AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+                 round(list_cosine_similarity(q.embedding::DOUBLE[],
+                   e.embedding::DOUBLE[]), 9) AS c
+               FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+               WHERE q.vec_id < 10),
+        exact AS (SELECT qid, nid FROM (
+                 SELECT qid, nid, row_number() OVER (PARTITION BY qid
+                     ORDER BY c DESC, nid) AS rnk FROM ex0) WHERE rnk <= 5),
+        m AS (SELECT a.qid, COUNT(*) AS n_match
+              FROM appr a JOIN exact e ON e.qid = a.qid AND e.nid = a.nid
+              GROUP BY 1),
+        qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 10)
+        SELECT qs.qid, CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+          CAST(COALESCE(m.n_match, 0) * 1000000 // 5 AS BIGINT) AS recall_ppm
+        FROM qs LEFT JOIN m ON m.qid = qs.qid ORDER BY qs.qid"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val dims = e
+          .select(posexplode(col("embedding")).as(Seq("i0", "x")))
+          .groupBy(col("i0"))
+          .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        val bounds = dims
+          .agg(collect_list(struct(col("i0"), col("mn"), col("mx"))).as("t"))
+          .select(
+            expr("transform(array_sort(t), u -> cast(u.mn as double))")
+              .as("mn"),
+            expr("transform(array_sort(t), u -> cast(u.mx as double))")
+              .as("mx"))
+        val codes = e.crossJoin(broadcast(bounds))
+          .select(col("vec_id"), expr(
+            """transform(sequence(1, 64), i -> least(255, cast(floor(round(
+                 coalesce((cast(element_at(embedding, i) as double)
+                     - element_at(mn, i)) * 256.0
+                   / nullif(element_at(mx, i) - element_at(mn, i), 0), 0),
+                 9)) as int)))""").as("code"),
+            col("mn"), col("mx"))
+          .select(col("vec_id"), expr(
+            """cast(transform(sequence(1, 64), i ->
+                 element_at(mn, i) + (cast(element_at(code, i) as double)
+                     + 0.5d)
+                   * ((element_at(mx, i) - element_at(mn, i)) / 256.0d))
+               as array<float>)""").as("dv"))
+        val qdv = codes.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("dv").as("qv"))
+        val appr = codes
+          .join(broadcast(qdv), col("vec_id") =!= col("qid"))
+          .withColumn("s",
+            round(VectorFunctions.cosine_sim(col("qv"), col("dv")), 9))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id").as("nid"))
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val exact = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("c",
+            round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 9))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id"))))
+          .filter(col("rnk") <= 5)
+          .select(col("qid"), col("vec_id").as("nid"))
+        val matches = appr.join(exact, Seq("qid", "nid"))
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_match"))
+        q.select(col("qid"))
+          .join(matches, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_match"), lit(0L)).as("n_match"),
+            expr("coalesce(n_match, 0) * 1000000 div 5").as("recall_ppm"))
+          .orderBy(col("qid"))
       })
   )
 

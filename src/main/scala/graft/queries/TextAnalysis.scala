@@ -1737,6 +1737,101 @@ object TextAnalysis {
             expr("(nc * 1000000) div nullif(n_tokens, 0)")
               .as("chars_per_token_ppm"))
           .orderBy(col("lang"), col("source"))
+      }),
+
+    // t-closeness audit (Li et al. 2007) — the third leg of the privacy
+    // trio: qa6 counts rows per QI class (re-identification), qa9 counts
+    // distinct sensitive values (homogeneity), but a class whose sensitive
+    // DISTRIBUTION is skewed far from the corpus-wide one still leaks
+    // (the "skewness attack": l >= 3 salaries that are all in the top
+    // bins tells an observer plenty). This audits that: per QI class
+    // (nation, segment), the Earth Mover's Distance between the class's
+    // distribution over the ORDERED sensitive attribute (balance bin) and
+    // the global distribution — for ordinal data EMD is the mean of
+    // |cumulative-difference| prefixes (Li et al. §5.1). Everything is
+    // integer-exact: the prefix term at bin v is cum(cv*N - gv*n), a
+    // cumsum of integers, so emd_ppm = sum(|cum|)*1e6 div ((m-1)*n*N)
+    // bit-matches across engines (headroom note: n*N*1e6 must stay under
+    // 2^63 — fine for classes of 1e4 rows in a 1e8 corpus; at web scale
+    // widen the bins or pre-divide). Scale shape: ONE corpus pass groups
+    // (QI, bin) with map-side combine; the grid (|classes| x m rows),
+    // the global bin table, and the totals are all aggregated frames —
+    // broadcast joins, a cumsum window partitioned by class (never
+    // empty-partitioned), no second corpus scan.
+    QueryDef(
+      "qab_t_closeness",
+      Some("""WITH q AS (SELECT c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 1000) AS BIGINT) AS v
+               FROM customer
+               WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+                 AND c_acctbal IS NOT NULL),
+        g AS (SELECT v, COUNT(*) AS gv FROM q GROUP BY v),
+        tot AS (SELECT (SELECT COUNT(*) FROM q) AS nn,
+                  (SELECT COUNT(*) FROM g) AS m),
+        cv AS (SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS cvn
+               FROM q GROUP BY 1, 2, 3),
+        cls AS (SELECT c_nationkey, c_mktsegment, SUM(cvn) AS n
+                FROM cv GROUP BY 1, 2),
+        grid AS (SELECT cls.c_nationkey, cls.c_mktsegment, cls.n,
+                  g.v, g.gv, COALESCE(cv.cvn, 0) AS cvn
+                FROM cls CROSS JOIN g
+                LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+                  AND cv.c_mktsegment = cls.c_mktsegment AND cv.v = g.v),
+        cum AS (SELECT c_nationkey, c_mktsegment, n,
+                  SUM(cvn * tot.nn - gv * n) OVER (
+                    PARTITION BY c_nationkey, c_mktsegment ORDER BY v) AS d,
+                  tot.nn, tot.m
+                FROM grid, tot),
+        e AS (SELECT c_nationkey, c_mktsegment, n, SUM(ABS(d)) AS sd,
+                MAX(nn) AS nn, MAX(m) AS m
+              FROM cum GROUP BY 1, 2, 3)
+        SELECT c_nationkey, c_mktsegment, CAST(n AS BIGINT) AS n,
+          CAST(sd * 1000000 // NULLIF((m - 1) * n * nn, 0) AS BIGINT)
+            AS emd_ppm,
+          CAST(CASE WHEN COALESCE(
+              sd * 1000000 // NULLIF((m - 1) * n * nn, 0), 0) <= 250000
+            THEN 1 ELSE 0 END AS INT) AS t_ok
+        FROM e ORDER BY c_nationkey, c_mktsegment"""),
+      (s, dir) => {
+        // the explicit non-null guard matches the isNotNull filters the
+        // optimizer infers for the grid's outer-join branch, so all four
+        // re-aggregations of cv canonicalize to ONE scan subtree and AQE
+        // exchange reuse collapses them to a single corpus pass
+        val q = Tables.load(s, dir, "customer")
+          .filter(col("c_nationkey").isNotNull && col("c_mktsegment").isNotNull
+            && col("c_acctbal").isNotNull)
+          .select(
+            col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("v"))
+          .filter(col("v").isNotNull) // the grid join also infers this
+        val cv = q.groupBy(col("c_nationkey"), col("c_mktsegment"), col("v"))
+          .agg(count(lit(1)).as("cvn"))
+        // global bin histogram folds from the (QI, bin) frame — the corpus
+        // is scanned exactly once; g/tot/cls are all re-aggregations
+        val g = cv.groupBy(col("v")).agg(sum(col("cvn")).as("gv"))
+        val tot = g.agg(sum(col("gv")).as("nn"), count(lit(1)).as("m"))
+        val cls = cv.groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(sum(col("cvn")).as("n"))
+        val grid = cls.crossJoin(broadcast(g))
+          .join(cv, Seq("c_nationkey", "c_mktsegment", "v"), "left")
+          .withColumn("cvn", coalesce(col("cvn"), lit(0L)))
+          .crossJoin(broadcast(tot))
+        val w = Window.partitionBy(col("c_nationkey"), col("c_mktsegment"))
+          .orderBy(col("v"))
+        grid
+          .withColumn("d",
+            sum(col("cvn") * col("nn") - col("gv") * col("n")).over(w))
+          .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n"))
+          .agg(sum(abs(col("d"))).as("sd"),
+            max(col("nn")).as("nn"), max(col("m")).as("m"))
+          .select(col("c_nationkey"), col("c_mktsegment"), col("n"),
+            expr("(sd * 1000000) div nullif((m - 1) * n * nn, 0)")
+              .as("emd_ppm"),
+            when(coalesce(
+                expr("(sd * 1000000) div nullif((m - 1) * n * nn, 0)"),
+                lit(0L)) <= 250000, 1)
+              .otherwise(0).cast("int").as("t_ok"))
+          .orderBy(col("c_nationkey"), col("c_mktsegment"))
       })
   )
 

@@ -634,4 +634,97 @@ class PlanSpec extends SparkSpec {
     assert(docScans.size <= 2,
       s"qa7 scans documents ${docScans.size} times (train + encode = 2)")
   }
+
+  test("qab t-closeness: one corpus pass, aggregated frames broadcast, class-partitioned cumsum") {
+    val plans = collectAll(executed(q("qab_t_closeness")))
+    // the (QI, bin) groupBy is the only corpus touch; g/tot/cls all fold
+    // from it — a second customer scan means someone re-counted the corpus
+    val custScans = plans.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("customer") => s
+    }.map(System.identityHashCode).distinct
+    assert(custScans.size <= 1,
+      s"qab scans customer ${custScans.size} times (the EMD grid is " +
+        "built from aggregated frames, not corpus re-scans)")
+    // the cumulative-difference window is partitioned by QI class — an
+    // empty partitionSpec would funnel the grid through one task
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"qab plans ${globalWindows.size} empty-partitioning Window node(s)")
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "qab must not plan a cartesian")
+  }
+
+  test("qac SQ8: nested loops only broadcast the bounds row or the query block") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val plans = collectAll(executed(q("qac_sq_int8")))
+    // the affine bounds fold to ONE broadcast row (centroid idiom) and the
+    // serve side broadcasts the 10-row query block; any other BNLJ input
+    // means a corpus-sized frame met a nested loop
+    val bnl = plans.collect { case j: BroadcastNestedLoopJoinExec => j }
+    bnl.foreach { j =>
+      val broadcastSide = j.children.flatMap(collectAll).collectFirst {
+        case b: BroadcastExchangeExec => collectAll(b).map(_.toString).mkString
+        case qs: QueryStageExec if qs.plan.isInstanceOf[BroadcastExchangeExec] =>
+          collectAll(qs.plan).map(_.toString).mkString
+      }.getOrElse(fail(s"BNLJ without broadcast side: $j"))
+      assert(broadcastSide.contains("mn") || broadcastSide.contains("qid") ||
+        broadcastSide.contains("qe"),
+        s"qac BNLJ must broadcast the bounds row or the query block, got:\n$broadcastSide")
+    }
+    // top-k ranking is partitioned by query id, never a global sort
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"qac plans ${globalWindows.size} empty-partitioning Window node(s)")
+  }
+
+  test("qae range-partition plan: splitters broadcast, corpus never shuffles rows, no global window") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plans = collectAll(executed(q("qae_range_partition_plan")))
+    // assignment is a row-local fold over the broadcast splitter row; the
+    // audit groupBy is the only exchange the corpus feeds — a sort-merge
+    // join anywhere means a corpus-sized frame met another one
+    assert(!plans.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "qae must not sort-merge join (splitters/totals broadcast)")
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "qae must not plan a cartesian")
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"qae plans ${globalWindows.size} empty-partitioning Window node(s)")
+    // count-scalar + sample + assignment (+ the balance total) — bounded
+    val liScans = plans.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("lineitem") => s
+    }.map(System.identityHashCode).distinct
+    assert(liScans.size <= 4,
+      s"qae scans lineitem ${liScans.size} times (count + sample + assign + total)")
+  }
+
+  test("qad join-size estimate: day frames meet in a broadcast join, corpus never joins row-to-row") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plans = collectAll(executed(q("qad_join_size_estimate")))
+    // both sides fold to |days|-row aggregates BEFORE the join; the join
+    // itself broadcasts the lineitem day frame — a sort-merge join here
+    // means a corpus-sized frame reached the estimator join
+    assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "qad's day-frame join should be a broadcast hash join")
+    assert(!plans.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "qad must not sort-merge join (both inputs are day-level aggregates)")
+    val bigScans = plans.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("orders") || s.toString.contains("lineitem") => s
+    }.map(System.identityHashCode).distinct
+    assert(bigScans.size <= 2,
+      s"qad scans the fact tables ${bigScans.size} times (one pass each)")
+  }
 }
