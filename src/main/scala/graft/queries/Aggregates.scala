@@ -506,6 +506,152 @@ object Aggregates {
           .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
             col("p.n_distinct"), col("p.min_str"), col("p.max_str"))
           .orderBy(col("col_name"))
+      }),
+
+    // Equi-depth-histogram selectivity estimation — qad's scan-side twin
+    // and the other half of the CBO-stats family: before a 100 TB scan
+    // runs, the planner prices `x <= c` from a histogram, and this
+    // operator both BUILDS the histogram the way ANALYZE does (bucket
+    // boundaries from a bounded 2048-row deterministic sample — the qae
+    // splitter machinery on l_extendedprice — then one full pass for
+    // exact per-bucket counts and observed min/max) and EVALS the
+    // estimate it yields: est(c) = Σ counts below c's bucket + the
+    // c-bucket's count × the clamped uniform-interpolation fraction
+    // (c − min_b)/(max_b − min_b), against the exact count, as err_ppm.
+    // All frames past the two corpus passes are ≤16 rows and meet only
+    // broadcast/triangular joins; the exact side is ONE conditional-agg
+    // pass unpivoted row-locally. Floats follow the round-9 guard at
+    // every division so both engines interpolate identical doubles.
+    QueryDef(
+      "qaf_histogram_selectivity",
+      Some("""WITH tot AS (SELECT COUNT(*) AS nn FROM lineitem),
+        sp AS (SELECT GREATEST(1, nn // 2048) AS sdiv FROM tot),
+        samp AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
+                 FROM lineitem, sp
+                 WHERE ((((l_orderkey * 8 + l_linenumber) % 1000003)
+                   * 2654435761) % sdiv) = 0),
+        spl AS (SELECT list_transform(quantile_cont(x,
+                  [0.0625, 0.125, 0.1875, 0.25, 0.3125, 0.375, 0.4375,
+                   0.5, 0.5625, 0.625, 0.6875, 0.75, 0.8125, 0.875,
+                   0.9375]), s -> round(s, 9)) AS qs FROM samp),
+        asg AS (SELECT CAST(list_sum(list_transform(qs, s ->
+                  CASE WHEN CAST(l_extendedprice AS DOUBLE) > s
+                    THEN 1 ELSE 0 END)) AS INT) AS pid,
+                  CAST(l_extendedprice AS DOUBLE) AS x, qs
+                FROM lineitem, spl),
+        bk AS (SELECT pid, COUNT(*) AS cnt, MIN(x) AS mnb, MAX(x) AS mxb,
+                 MIN(CASE WHEN pid >= 1 THEN qs[pid] END) AS lo_s,
+                 MIN(CASE WHEN pid <= 14 THEN qs[pid + 1] END) AS hi_s
+               FROM asg GROUP BY pid),
+        cs AS (SELECT CAST(c AS DOUBLE) AS c FROM (VALUES (2000.0),
+                 (10000.0), (25000.0), (50000.0), (90000.0)) v(c)),
+        est AS (SELECT cs.c, ROUND(
+                  COALESCE(SUM(CASE WHEN bk.hi_s IS NOT NULL
+                      AND cs.c > bk.hi_s
+                    THEN CAST(bk.cnt AS DOUBLE) END), 0)
+                + COALESCE(SUM(CASE WHEN (bk.lo_s IS NULL OR cs.c > bk.lo_s)
+                      AND (bk.hi_s IS NULL OR cs.c <= bk.hi_s)
+                    THEN bk.cnt * COALESCE(LEAST(CAST(1.0 AS DOUBLE),
+                        GREATEST(CAST(0.0 AS DOUBLE),
+                          ROUND((cs.c - bk.mnb)
+                            / NULLIF(bk.mxb - bk.mnb, 0), 9))),
+                      CASE WHEN cs.c >= bk.mnb THEN CAST(1.0 AS DOUBLE)
+                        ELSE CAST(0.0 AS DOUBLE) END,
+                      CAST(0.0 AS DOUBLE)) END), 0), 4) AS est_rows
+                FROM cs LEFT JOIN bk
+                  ON (bk.hi_s IS NOT NULL AND cs.c > bk.hi_s)
+                  OR ((bk.lo_s IS NULL OR cs.c > bk.lo_s)
+                    AND (bk.hi_s IS NULL OR cs.c <= bk.hi_s))
+                GROUP BY cs.c),
+        exw AS (SELECT
+          SUM(CASE WHEN l_extendedprice <= 2000.0 THEN 1 ELSE 0 END) AS e1,
+          SUM(CASE WHEN l_extendedprice <= 10000.0 THEN 1 ELSE 0 END) AS e2,
+          SUM(CASE WHEN l_extendedprice <= 25000.0 THEN 1 ELSE 0 END) AS e3,
+          SUM(CASE WHEN l_extendedprice <= 50000.0 THEN 1 ELSE 0 END) AS e4,
+          SUM(CASE WHEN l_extendedprice <= 90000.0 THEN 1 ELSE 0 END) AS e5
+          FROM lineitem),
+        ex AS (SELECT CAST(2000.0 AS DOUBLE) AS c, e1 AS x FROM exw
+          UNION ALL SELECT 10000.0, e2 FROM exw
+          UNION ALL SELECT 25000.0, e3 FROM exw
+          UNION ALL SELECT 50000.0, e4 FROM exw
+          UNION ALL SELECT 90000.0, e5 FROM exw)
+        SELECT est.c AS c, CAST(est.est_rows AS DOUBLE) AS est_rows,
+          CAST(ex.x AS BIGINT) AS exact_rows,
+          COALESCE(CAST(floor(round(ABS(est.est_rows - ex.x) * 1000000.0
+            / NULLIF(CAST(ex.x AS DOUBLE), 0), 6)) AS BIGINT), -1)
+            AS err_ppm
+        FROM est JOIN ex ON ex.c = est.c ORDER BY c"""),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val tot = li.agg(count(lit(1)).as("nn"))
+        val sdiv = greatest(lit(1L),
+          floor(tot.scalar() / lit(2048.0)).cast("long"))
+        val samp = li.filter(
+          pmod(((col("l_orderkey") * 8 + col("l_linenumber")) % 1000003L)
+            * 2654435761L, sdiv) === 0)
+        val spl = samp
+          .agg(expr("""percentile(cast(l_extendedprice as double),
+              array(0.0625d, 0.125d, 0.1875d, 0.25d, 0.3125d, 0.375d,
+                0.4375d, 0.5d, 0.5625d, 0.625d, 0.6875d, 0.75d, 0.8125d,
+                0.875d, 0.9375d))""").as("qs0"))
+          .select(expr("transform(qs0, s -> round(s, 9))").as("qs"))
+        // carry each bucket's splitter bounds THROUGH the one corpus
+        // pass (constant per pid, so min() in the agg) — the constants
+        // then join against the 16-row bucket frame alone and the
+        // sample/percentile subtree is planned exactly once
+        val buckets = li.crossJoin(broadcast(spl))
+          .select(col("l_extendedprice").cast("double").as("x"),
+            col("qs"), expr(
+            """cast(aggregate(qs, 0, (a, s) ->
+                 a + IF(cast(l_extendedprice as double) > s, 1, 0))
+               as int)""").as("pid"))
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("x")).as("mnb"), max(col("x")).as("mxb"),
+            min(expr("IF(pid >= 1, element_at(qs, pid), null)")).as("lo_s"),
+            min(expr("IF(pid <= 14, element_at(qs, pid + 1), null)"))
+              .as("hi_s"))
+        val consts = s.range(1).select(explode(array(
+          lit(2000.0), lit(10000.0), lit(25000.0), lit(50000.0),
+          lit(90000.0))).as("c"))
+        // ONE join carries both roles — buckets strictly below c (their
+        // full counts) and c's own bucket (interpolated fraction) — as
+        // disjoint conditional sums, so the bucket frame is consumed
+        // (and its corpus subtree planned) exactly once
+        val belowCond = col("hi_s").isNotNull && col("c") > col("hi_s")
+        val ownCond = (col("lo_s").isNull || col("c") > col("lo_s")) &&
+          (col("hi_s").isNull || col("c") <= col("hi_s"))
+        val est = consts
+          .join(broadcast(buckets), belowCond || ownCond, "left")
+          .groupBy(col("c"))
+          .agg(round(
+            coalesce(sum(when(belowCond, col("cnt").cast("double"))),
+              lit(0.0))
+            + coalesce(sum(when(ownCond, col("cnt") * expr("""coalesce(
+                least(1.0d, greatest(0.0d,
+                  round((c - mnb) / nullif(mxb - mnb, 0), 9))),
+                IF(c >= mnb, 1.0d, 0.0d), 0.0d)"""))), lit(0.0)), 4)
+            .as("est_rows"))
+        val exact = li.agg(
+            sum(when(col("l_extendedprice") <= 2000.0, 1L).otherwise(0L)).as("e1"),
+            sum(when(col("l_extendedprice") <= 10000.0, 1L).otherwise(0L)).as("e2"),
+            sum(when(col("l_extendedprice") <= 25000.0, 1L).otherwise(0L)).as("e3"),
+            sum(when(col("l_extendedprice") <= 50000.0, 1L).otherwise(0L)).as("e4"),
+            sum(when(col("l_extendedprice") <= 90000.0, 1L).otherwise(0L)).as("e5"))
+          .select(explode(array(
+            struct(lit(2000.0).as("c"), col("e1").as("x")),
+            struct(lit(10000.0).as("c"), col("e2").as("x")),
+            struct(lit(25000.0).as("c"), col("e3").as("x")),
+            struct(lit(50000.0).as("c"), col("e4").as("x")),
+            struct(lit(90000.0).as("c"), col("e5").as("x")))).as("p"))
+          .select(col("p.c").as("c"), col("p.x").as("x"))
+        est.join(broadcast(exact), Seq("c"))
+          .select(col("c"), col("est_rows"),
+            col("x").cast("long").as("exact_rows"),
+            expr("""coalesce(cast(floor(round(abs(est_rows - x) * 1000000.0d
+                / nullif(cast(x as double), 0), 6)) as bigint), -1L)""")
+              .as("err_ppm"))
+          .orderBy(col("c"))
       })
   )
 }

@@ -710,6 +710,29 @@ class PlanSpec extends SparkSpec {
       s"qae scans lineitem ${liScans.size} times (count + sample + assign + total)")
   }
 
+  test("qaf histogram selectivity: bounded corpus passes, post-histogram frames never sort-merge") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plans = collectAll(executed(q("qaf_histogram_selectivity")))
+    // count + sample + bucket pass + exact pass; everything downstream is
+    // a ≤16-row frame meeting broadcast/triangular joins only
+    val liScans = plans.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("lineitem") => s
+    }.map(System.identityHashCode).distinct
+    assert(liScans.size <= 4,
+      s"qaf scans lineitem ${liScans.size} times (count + sample + buckets + exact)")
+    assert(!plans.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "qaf must not sort-merge join (histogram frames broadcast)")
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "qaf must not plan a cartesian")
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"qaf plans ${globalWindows.size} empty-partitioning Window node(s)")
+  }
+
   test("qad join-size estimate: day frames meet in a broadcast join, corpus never joins row-to-row") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val plans = collectAll(executed(q("qad_join_size_estimate")))
