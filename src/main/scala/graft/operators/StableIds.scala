@@ -104,4 +104,38 @@ object StableIds {
         col("_sid_off") + coalesce(sum(col("_sid_v")).over(wLocal), lit(0L)))
       .drop("_sid_pid", "_sid_off", "_sid_v")
   }
+
+  /** Scale-safe INCLUSIVE running max over a total order — the watermark
+    * shape: for each row, the max of `value` over all rows up to and
+    * including it. Same two-phase plan as [[runningTotal]] with max as
+    * the combine: range partition + per-partition maxima (a
+    * #partitions-row table), triangular-self-join prefix maxima, and a
+    * local running max windowed by the physical partition id; the result
+    * equals the single-node running max wherever the sampled range
+    * boundaries land. `value` must be integral (cast to long). */
+  def runningMax(df: DataFrame, orderKeys: Seq[Column], value: Column,
+      partitions: Int, outCol: String = "running_max"): DataFrame = {
+    require(orderKeys.nonEmpty, "orderKeys must be non-empty")
+    // same pid-consistency pin as in assign (see the comment there)
+    val ranged = df
+      .repartitionByRange(partitions, orderKeys: _*)
+      .sortWithinPartitions(orderKeys: _*)
+      .withColumn("_sid_pid", spark_partition_id())
+      .withColumn("_sid_v", value.cast("long"))
+      .localCheckpoint()
+    val maxs = ranged.groupBy(col("_sid_pid"))
+      .agg(max(col("_sid_v")).as("_sid_m"))
+    val offsets = maxs.as("a")
+      .join(maxs.as("b"), col("b._sid_pid") < col("a._sid_pid"), "left")
+      .groupBy(col("a._sid_pid").as("_sid_pid"))
+      .agg(max(col("b._sid_m")).as("_sid_pre")) // null for the first pid
+    val wLocal = Window.partitionBy(col("_sid_pid"))
+      .orderBy(orderKeys: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged
+      .join(broadcast(offsets), Seq("_sid_pid"))
+      .withColumn(outCol, greatest(max(col("_sid_v")).over(wLocal),
+        coalesce(col("_sid_pre"), lit(Long.MinValue))))
+      .drop("_sid_pid", "_sid_v", "_sid_pre")
+  }
 }

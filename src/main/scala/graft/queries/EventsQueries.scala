@@ -460,6 +460,63 @@ object EventsQueries {
               floor((col("tns") - col("c_tns")) / lit(60000000000L))
                 .cast("long")).as("gap_minutes"))
           .orderBy(col("purchase_id"))
+      }),
+
+    // Out-of-orderness / watermark-delay profile — the measurement every
+    // §2.10 streaming watermark NUMBER should come from: how late does an
+    // event arrive relative to the stream's high-water mark, per type,
+    // and what delay would a watermark need to not drop data?
+    // Arrival is modeled as a deterministic per-event transport jitter
+    // ((event_id mod 7)·600 s — a sharded-collector flush model, same
+    // replayability discipline as q9h's deterministic Laplace draw);
+    // lateness of an event = (running max of event time over ARRIVAL
+    // order, inclusive) − its own event time. The global running max is
+    // StableIds.runningMax — the two-phase range-partition shape (q1h/
+    // q5x), NOT the single-task `MAX() OVER (ORDER BY …)` the oracle is
+    // allowed to use single-node. Exact interpolated percentiles keep
+    // oracle parity (q9i convention; the GK sketch q0c is the
+    // state-bounded swap at 100 TB where per-type value buffers won't
+    // fit). rec_delay_ms = ceil(p99 lateness) is the number you'd paste
+    // into withWatermark.
+    QueryDef(
+      "qag_watermark_profile",
+      Some("""WITH b AS (SELECT event_id, event_type,
+                 epoch_ns(ts) AS tns,
+                 epoch_ns(ts) + (event_id % 7) * 600000000000 AS arr
+               FROM events),
+        w AS (SELECT event_type,
+                MAX(tns) OVER (ORDER BY arr, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tns
+                  AS late_ns
+              FROM b)
+        SELECT event_type, COUNT(*) AS n,
+          CAST(MAX(late_ns) // 1000000 AS BIGINT) AS max_late_ms,
+          ROUND(quantile_cont(CAST(late_ns AS DOUBLE), 0.95) / 1000000.0,
+            4) AS p95_late_ms,
+          CAST(SUM(CASE WHEN late_ns > 5000000000 THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS late_over_5s_ppm,
+          CAST(ceil(round(quantile_cont(CAST(late_ns AS DOUBLE), 0.99)
+            / 1000000.0, 9)) AS BIGINT) AS rec_delay_ms
+        FROM w GROUP BY event_type ORDER BY event_type"""),
+      (s, dir) => {
+        val b = t(s, dir, "events").select(
+          col("event_id"), col("event_type"), col("ts_ns").as("tns"),
+          (col("ts_ns") + (col("event_id") % 7) * 600000000000L).as("arr"))
+        graft.operators.StableIds
+          .runningMax(b, Seq(col("arr"), col("event_id")), col("tns"), 8,
+            outCol = "wm")
+          .select(col("event_type"), (col("wm") - col("tns")).as("late_ns"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            expr("max(late_ns) div 1000000").as("max_late_ms"),
+            round(expr("percentile(cast(late_ns as double), 0.95d)")
+              / 1000000.0, 4).as("p95_late_ms"),
+            expr("sum(IF(late_ns > 5000000000, 1, 0)) * 1000000 div count(1)")
+              .as("late_over_5s_ppm"),
+            expr("""cast(ceil(round(
+                percentile(cast(late_ns as double), 0.99d) / 1000000.0d, 9))
+              as bigint)""").as("rec_delay_ms"))
+          .orderBy(col("event_type"))
       })
   )
 }

@@ -710,6 +710,20 @@ class PlanSpec extends SparkSpec {
       s"qae scans lineitem ${liScans.size} times (count + sample + assign + total)")
   }
 
+  test("qag watermark profile: the global running max plans no empty-partitioning window") {
+    val plans = collectAll(executed(q("qag_watermark_profile")))
+    // the watermark running max is the two-phase StableIds shape — a
+    // single-task MAX() OVER (ORDER BY ...) would be the q0d scale-killer
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"qag plans ${globalWindows.size} empty-partitioning Window node(s)")
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "qag must not plan a cartesian")
+  }
+
   test("qaf histogram selectivity: bounded corpus passes, post-histogram frames never sort-merge") {
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
     val plans = collectAll(executed(q("qaf_histogram_selectivity")))

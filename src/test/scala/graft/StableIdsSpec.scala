@@ -44,4 +44,26 @@ class StableIdsSpec extends SparkSpec {
       assert(got == expected, s"runningTotal diverged at $parts partitions")
     }
   }
+
+  test("runningMax equals the single-node global-window running max, any partitioning") {
+    import spark.implicits._
+    // out-of-order values with long flat stretches (max not strictly
+    // increasing) — the shape that exposes a wrong prefix combine
+    val vals = (1 to 3000).map(i => ((i * 48271L) % 500) - 250)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ((i + 1).toLong, v) }.toDF("k", "v")
+    val expected = {
+      var acc = Long.MinValue
+      vals.zipWithIndex.map { case (v, i) =>
+        acc = math.max(acc, v); ((i + 1).toLong, acc)
+      }.toMap
+    }
+    for (parts <- Seq(2, 16)) {
+      val got = StableIds
+        .runningMax(df, Seq(col("k")), col("v"), parts, outCol = "rm")
+        .select(col("k"), col("rm"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"runningMax diverged at $parts partitions")
+    }
+  }
 }
