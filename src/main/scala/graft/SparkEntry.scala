@@ -21,7 +21,7 @@ object SparkEntry {
 
   /** The full engine surface, grouped by SURVEY.md §2 sections. */
   def defsFor(sfDir: String): Seq[QueryDef] =
-    Aggregates.all ++ Joins.all ++ LayoutQueries.all ++ Windows.all ++
+    Aggregates.all ++ Joins.all ++ LayoutQueries.all(sfDir) ++ Windows.all ++
       SetOps.all ++ Scalars.all ++ EventsQueries.all ++ FormatQueries.all ++
       TextAnalysis.all ++ DedupQueries.all(sfDir) ++ SimilarityQueries.all(sfDir) ++
       MultimodalQueries.all ++ GraphQueries.all ++ StreamingQueries.all

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{StableIds, ZOrder}
 import graft.sources.Tables
@@ -8,10 +9,13 @@ import graft.sources.Tables
   * that make 100 TB scans cheap before any query runs). The reference's
   * host pipeline delegates layout to its storage engine; Spark-side it is
   * an explicit, composable step.
+  *
+  * `all` takes the verify sfDir because qah's oracle reads the run's
+  * materialized partitioned directory (the q63 two-stage pattern).
   */
 object LayoutQueries {
 
-  val all: Seq[QueryDef] = Seq(
+  def all(sfDir: String): Seq[QueryDef] = Seq(
 
     // Z-order clustering stats: normalize BOTH keys to the common 15-bit
     // domain (mandatory — raw interleave of unequal ranges lets the wide
@@ -284,6 +288,64 @@ object LayoutQueries {
             expr("coalesce(n_rows, 0) * 16 * 1000000 div nn")
               .as("balance_ppm"))
           .orderBy(col("pid"))
+      }),
+
+    // Small-files compaction planning — the fourth layout lever after
+    // directory pruning (q1k), min/max skipping (q1g), and co-location
+    // (q1j): a partitioned ingest leaves each day directory scattered
+    // across many task-sized files, and at 100 TB the file-open overhead
+    // and tiny row groups dominate scan cost. This plans the merge a
+    // compactor would execute: per-file row counts from the directory
+    // itself (one metadata-light pass grouping by input_file_name),
+    // files ordered LARGEST-FIRST within their day, running-total
+    // bin assignment group = floor(rows_before / target) — first-fit
+    // over a size-ordered list, the classic compaction shape — and the
+    // plan emitted as per-(day, group) file/row totals. Ordering by
+    // (count desc, name) makes the plan invariant to the writer's
+    // random file names: permuting equal-sized files cannot move a
+    // group boundary, so two runs of the same ingest plan identically.
+    // The cumsum window partitions by day — bounded by files-per-day,
+    // never the global file list. The oracle reads the SAME materialized
+    // directory (read_parquet filename=true — the q63 two-stage
+    // pattern), so engine and oracle must agree on the actual files.
+    QueryDef(
+      "qah_compaction_plan",
+      Some(s"""WITH f AS (SELECT CAST(d AS INT) AS d,
+                 regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+                 COUNT(*) AS n
+               FROM read_parquet(
+                 '${QueryDef.materializePath(sfDir, "events_by_day_compact.parquet")}/*/*.parquet',
+                 filename=true, hive_partitioning=true)
+               GROUP BY 1, 2),
+        c AS (SELECT d, n, COALESCE(SUM(n) OVER (PARTITION BY d
+                ORDER BY n DESC, fname
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS rows_before
+              FROM f),
+        g AS (SELECT d, CAST(rows_before // 100 AS BIGINT) AS group_id, n
+              FROM c)
+        SELECT d, group_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+          CAST(SUM(n) AS BIGINT) AS n_rows
+        FROM g GROUP BY d, group_id ORDER BY d, group_id"""),
+      (s, dir) => {
+        val pdir =
+          QueryDef.materializePath(dir, "events_by_day_compact.parquet")
+        // the scattered ingest being planned over (idempotent overwrite)
+        Tables.load(s, dir, "events")
+          .withColumn("d", dayofmonth(col("ts")))
+          .write.mode("overwrite").partitionBy("d").parquet(pdir)
+        val f = s.read.parquet(pdir)
+          .select(col("d").cast("int").as("d"),
+            regexp_extract(input_file_name(), "([^/]+)$", 1).as("fname"))
+          .groupBy(col("d"), col("fname")).agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("d"))
+          .orderBy(col("n").desc, col("fname"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        f.withColumn("rows_before", coalesce(sum(col("n")).over(w), lit(0L)))
+          .withColumn("group_id", expr("rows_before div 100"))
+          .groupBy(col("d"), col("group_id"))
+          .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"))
+          .orderBy(col("d"), col("group_id"))
       })
   )
 }

@@ -710,6 +710,18 @@ class PlanSpec extends SparkSpec {
       s"qae scans lineitem ${liScans.size} times (count + sample + assign + total)")
   }
 
+  test("qah compaction plan: bin assignment windows by day, never the global file list") {
+    val plans = collectAll(executed(q("qah_compaction_plan")))
+    val globalWindows = plans.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"qah plans ${globalWindows.size} empty-partitioning Window node(s)")
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "qah must not plan a cartesian")
+  }
+
   test("qag watermark profile: the global running max plans no empty-partitioning window") {
     val plans = collectAll(executed(q("qag_watermark_profile")))
     // the watermark running max is the two-phase StableIds shape — a
