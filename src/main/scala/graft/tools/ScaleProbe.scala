@@ -311,6 +311,111 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "cbo") {
+      // qad/qaf: do the planner estimates stay cheap AND trustworthy as
+      // the corpus grows? Replication multiplies every day count on both
+      // sides, so the priced join's true output grows with mult² while
+      // the estimator only ever touches the day-level aggregates — the
+      // probe computes the exact output size from the day frames (cheap
+      // algebra) at every mult and times the REAL join once at 1x as the
+      // anchor for what the estimator avoids. qaf replicates with
+      // offset keys (fresh sample-hash population per copy) to show the
+      // bounded 2048-row sample keeps histogram error flat as n grows.
+      val ord0 = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderdate"))
+      val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("l_extendedprice"))
+      for (mult <- Seq(1, 4, 16)) {
+        val cp = explode(sequence(lit(0), lit(mult - 1))).as("copy")
+        val ord = ord0.select(col("o_orderdate"), cp).drop("copy").cache()
+        val li = li0.select(col("*"), cp)
+          .withColumn("l_orderkey",
+            col("l_orderkey") + col("copy") * 100000000L)
+          .drop("copy").cache()
+        val (no, nl) = (ord.count(), li.count())
+        // qad: day-frame estimator (1/16 key-space correlated sample)
+        val co = ord.select(datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("long").as("d"))
+          .groupBy(col("d")).agg(count(lit(1)).as("nco"))
+        val cl = li.select(datediff(col("l_shipdate"), lit("1970-01-01"))
+            .cast("long").as("d"))
+          .groupBy(col("d")).agg(count(lit(1)).as("ncl"))
+        val est = time(s"qad estimator (orders=$no lineitem=$nl)") {
+          co.join(broadcast(cl), Seq("d"))
+            .select((col("nco") * col("ncl")).as("r"),
+              pmod((col("d") % 1000003L) * 2654435761L, lit(16L)).as("hs"))
+            .agg(
+              (sum(when(col("hs") === 0, col("r")).otherwise(0L)) * 16)
+                .as("est"),
+              sum(col("r")).as("exact"))
+            .head()
+        }
+        val (e, x) = (est.getLong(0), est.getLong(1))
+        println(s"[scale]   join size est=$e exact=$x err_ppm=" +
+          s"${math.abs(e - x) * 1000000L / math.max(1L, x)} " +
+          s"(output grows ~mult²: $x)")
+        if (mult == 1) time("real date join count (the avoided cost, 1x anchor)") {
+          println(s"[scale]   materialized join rows=" +
+            ord.join(li, col("o_orderdate") === col("l_shipdate")).count())
+        }
+        // qaf: bounded-sample histogram, max err across the 5 constants
+        val nn = li.count()
+        val sdiv = math.max(1L, nn / 2048L)
+        val sampled = li.filter(
+          pmod(((col("l_orderkey") * 8 + col("l_linenumber")) % 1000003L)
+            * 2654435761L, lit(sdiv)) === 0)
+        time(s"qaf histogram build+eval (n=$nn, sample div=$sdiv)") {
+          val spl = sampled
+            .agg(expr("""percentile(cast(l_extendedprice as double),
+                array(0.0625d, 0.125d, 0.1875d, 0.25d, 0.3125d, 0.375d,
+                  0.4375d, 0.5d, 0.5625d, 0.625d, 0.6875d, 0.75d,
+                  0.8125d, 0.875d, 0.9375d))""").as("qs0"))
+            .select(expr("transform(qs0, s -> round(s, 9))").as("qs"))
+          val bk = li.crossJoin(broadcast(spl))
+            .select(col("l_extendedprice").cast("double").as("x"),
+              col("qs"), expr(
+              """cast(aggregate(qs, 0, (a, s) ->
+                   a + IF(cast(l_extendedprice as double) > s, 1, 0))
+                 as int)""").as("pid"))
+            .groupBy(col("pid"))
+            .agg(count(lit(1)).as("cnt"), min(col("x")).as("mnb"),
+              max(col("x")).as("mxb"),
+              min(expr("IF(pid >= 1, element_at(qs, pid), null)"))
+                .as("lo_s"),
+              min(expr("IF(pid <= 14, element_at(qs, pid + 1), null)"))
+                .as("hi_s"))
+            .collect()
+          val consts = Seq(2000.0, 10000.0, 25000.0, 50000.0, 90000.0)
+          val ests = consts.map { c =>
+            val below = bk.filter(r => !r.isNullAt(5) && c > r.getDouble(5))
+              .map(_.getLong(1)).sum.toDouble
+            val own = bk.find(r =>
+              (r.isNullAt(4) || c > r.getDouble(4)) &&
+                (r.isNullAt(5) || c <= r.getDouble(5)))
+            c -> (below + own.map { r =>
+              val (cnt, mnb, mxb) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+              val frac = if (mxb == mnb) { if (c >= mnb) 1.0 else 0.0 }
+                else math.min(1.0, math.max(0.0, (c - mnb) / (mxb - mnb)))
+              cnt * frac
+            }.getOrElse(0.0))
+          }.toMap
+          val exactAggs = consts.map(c =>
+            sum(when(col("l_extendedprice") <= c, 1L).otherwise(0L))
+              .as(s"e$c"))
+          val exactRow = li.agg(exactAggs.head, exactAggs.tail: _*).head()
+          val errs = consts.zipWithIndex.map { case (c, i) =>
+            val xr = exactRow.getLong(i)
+            math.abs(ests(c) - xr) * 1000000L / math.max(1L, xr)
+          }
+          println(s"[scale]   histogram max err_ppm=${errs.max.toLong} " +
+            s"(sample stays ~2048 rows at any n)")
+        }
+        ord.unpersist(); li.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (triangleOnly) {
       import graft.operators.TriangleCount
       for (mult <- Seq(1, 4, 16)) {
