@@ -530,6 +530,39 @@ object StreamingQueries {
     QueryDef(
       "q8r_stream_index_maintenance",
       Some(graft.queries.DedupQueries.incMinhashOracleSql(375L)),
-      (s, dir) => StreamPipelines.docStreamIndexMaintenance(s, dir))
+      (s, dir) => StreamPipelines.docStreamIndexMaintenance(s, dir)),
+
+    // Streaming windowed quantile monitoring — the latency-SLO metric
+    // run where it runs in production, inside the watermarked window
+    // state: GK-sketch quantiles per 6h window/type (the only quantile
+    // a stream can hold — exact would buffer every value), verified
+    // post-drain against the corpus with rank-band flags and exact
+    // anchors (the q0c error-band oracle applied to §2.10). `n` comes
+    // from the STREAM, the verify counts from batch — a watermark or
+    // window-assignment bug desynchronizes them and fails the compare.
+    QueryDef(
+      "qai_stream_quantile",
+      Some("""WITH mx AS (SELECT max(ts) AS m FROM events),
+        b AS (SELECT event_type, value,
+                epoch_ns(ts) // 1000000000
+                  - (epoch_ns(ts) // 1000000000) % 21600 AS ws_s
+              FROM events),
+        f AS (SELECT b.* FROM b, mx
+              WHERE make_timestamp((ws_s + 21600) * 1000000)
+                < m - INTERVAL 2 HOUR),
+        g AS (SELECT ws_s, event_type, COUNT(*) AS n,
+                quantile_cont(CAST(round(value * 100, 0) AS BIGINT), 0.5)
+                  / 100.0 AS p50_exact,
+                quantile_cont(CAST(round(value * 100, 0) AS BIGINT), 0.95)
+                  / 100.0 AS p95_exact
+              FROM f GROUP BY 1, 2)
+        SELECT CAST(EXTRACT(day FROM make_timestamp(ws_s * 1000000))
+            AS INT) AS d,
+          CAST(EXTRACT(hour FROM make_timestamp(ws_s * 1000000))
+            AS INT) AS h,
+          event_type, n, p50_exact, p95_exact,
+          true AS p50_in_band, true AS p95_in_band
+        FROM g ORDER BY d, h, event_type"""),
+      (s, dir) => StreamPipelines.streamWindowQuantile(s, dir))
   )
 }

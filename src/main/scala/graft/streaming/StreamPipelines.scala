@@ -144,6 +144,64 @@ object StreamPipelines {
       .orderBy(col("d"), col("h"), col("event_type"))
   }
 
+  /** Streaming distribution monitoring — the latency-SLO shape: per
+    * 6-hour tumbling window and event type, quantiles computed IN the
+    * stream by the GK sketch (`approx_percentile`), because an exact
+    * percentile cannot run in a stream (its state buffers every value;
+    * the q0b/q0c exact-vs-sketch line applied to §2.10). The drained
+    * sketch answers are then VERIFIED against the raw corpus: per
+    * window, the count of values ≤/< the sketch's answer must land in
+    * the ±2%-rank band around the target quantile (the sketch itself
+    * guarantees ±0.01% at accuracy 10000 — 200× margin), and the exact
+    * interpolated percentile rides along as the anchor the oracle
+    * hash-matches. `n` is the STREAM's window count while the verify
+    * counts come from the batch join — a windowing or watermark bug
+    * desynchronizes them and fails the oracle row count/hash. */
+  def streamWindowQuantile(s: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventsStream(s, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(value, 0.5d, 10000)").as("a50"),
+        expr("approx_percentile(value, 0.95d, 10000)").as("a95"))
+    val drained = runToMemory(s, agg, "append")
+      .crossJoin(broadcast(horizonEnd(s, sfDir, "2 HOURS")))
+      .filter(col("window.end") < col("h_end"))
+      .select(col("window.start").cast("long").as("ws_s"),
+        col("event_type"), col("n"), col("a50"), col("a95"))
+    val ev = graft.sources.Tables.normalizeEvents(
+        s.read.parquet(s"$sfDir/events.parquet"))
+      .select(col("event_type"), col("value"),
+        expr("(ts_ns div 1000000000) - pmod(ts_ns div 1000000000, 21600)")
+          .as("ws_s"))
+    ev.join(broadcast(drained), Seq("ws_s", "event_type"))
+      .groupBy(col("ws_s"), col("event_type"), col("n"), col("a50"),
+        col("a95"))
+      .agg(
+        sum(when(col("value") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+        sum(when(col("value") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+        sum(when(col("value") <= col("a95"), 1L).otherwise(0L)).as("le95"),
+        sum(when(col("value") < col("a95"), 1L).otherwise(0L)).as("lt95"),
+        // interpolate in integer CENTS: midpoints are exact dyadic
+        // quarters, so both engines produce the identical double without
+        // any rounding step (round-to-2 diverges on .xx5 midpoints:
+        // Spark's round canonicalizes through Double.toString while
+        // DuckDB rounds the true binary value)
+        (expr("percentile(cast(round(value * 100, 0) as bigint), 0.5d)")
+          / 100.0).as("p50_exact"),
+        (expr("percentile(cast(round(value * 100, 0) as bigint), 0.95d)")
+          / 100.0).as("p95_exact"))
+      .select(
+        dayofmonth(to_timestamp(col("ws_s"))).as("d"),
+        hour(to_timestamp(col("ws_s"))).as("h"),
+        col("event_type"), col("n"), col("p50_exact"), col("p95_exact"),
+        (col("le50") >= expr("(48 * n) div 100") &&
+          col("lt50") <= expr("(52 * n + 99) div 100")).as("p50_in_band"),
+        (col("le95") >= expr("(93 * n) div 100") &&
+          col("lt95") <= expr("(97 * n + 99) div 100")).as("p95_in_band"))
+      .orderBy(col("d"), col("h"), col("event_type"))
+  }
+
   /** Streaming exact dedup on event_id (at-least-once source → exactly-once
     * result, the reference's W1 `_id`-idempotence story, SURVEY.md §2.10).
     * The stateful operator is the dedup alone — it emits each first-seen
