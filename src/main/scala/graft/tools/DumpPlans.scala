@@ -105,6 +105,14 @@ object DumpPlans {
     "qa8_minhash_index_merge" -> "index-generation merge: narrow DF full-outer, row-local set fix, changed-rows-only re-sign",
     "qa9_l_diversity"         -> "l-diversity audit: one (QI, sensitive) corpus pass, class stats over the aggregated frame",
     "qaa_minhash_serve_deletes" -> "tombstoned index serve: broadcast narrow-id anti join at the candidate stage, frozen drop list",
+    "qab_t_closeness"         -> "t-closeness audit: one (QI, bin) corpus pass, broadcast grid frames, class-partitioned cumsum",
+    "qac_sq_int8"             -> "SQ8 quantization: one bounds row broadcast through encode, query-block BNLJ serve, per-query rank windows",
+    "qad_join_size_estimate"  -> "join-size estimator: day-level aggregates per side, broadcast day-frame join, no row-to-row corpus join",
+    "qae_range_partition_plan" -> "range-partition plan: bounded-sample percentile splitters broadcast, row-local fold assignment, audit groupBy",
+    "qaf_histogram_selectivity" -> "histogram selectivity: one bucket pass carrying splitter bounds, OR-join conditional sums, one exact pass",
+    "qag_watermark_profile"   -> "watermark profile: two-phase global running max (range partition + pid-local window), per-type percentile fold",
+    "qah_compaction_plan"     -> "compaction plan: per-file counts from the directory, day-partitioned cumsum bin assignment",
+    "qai_stream_quantile"     -> "streaming windowed GK quantiles, post-drain rank-band verify join against the corpus",
     "q9v_centroid_drift"      -> "centroid drift: long-format decimal means, 64-row global frame broadcast",
     "q9w_pareto_users"        -> "Pareto 80/20: per-type window, exact decimal running share",
     "q9y_canonical_authority" -> "canonical by authority: PageRank rounds + map-side family argmax")
