@@ -9,9 +9,16 @@ baseline graded against the driver's 32-core run produced 7 phantom
 ">2x regressions"), so runs are grouped by their "cpus" stamp and one
 baseline table is emitted per environment under a `## Baseline,
 cpus=N` heading; BenchGate selects the table matching the artifact's
-own cpus stamp. Per environment: need >= 2 runs; per-query value = min
-across every run that measured it (best observed clean time: strict
-against future regressions; the 2x-AND->1s gate rule absorbs jitter).
+own cpus stamp. Per environment: need >= 2 runs; per-query value =
+UPPER MEDIAN across every run that measured it (for two runs, the
+slower). Cross-run min was the round-10 lesson: queries with per-JVM
+bimodal fixed costs (streaming drains most of all) let the min pick
+the fast mode, after which any graded run landing in the slow mode
+flags as a >2x "regression" — the exact false-positive class that
+failed the round-8 gate and the round-9 driver run. The upper median
+is the same pessimistic-robust statistic steady() applies within a
+run, applied across runs; real regressions are multiples of the SLOW
+mode, so sensitivity survives.
 The LAST run per environment must contain every query (it defines the
 current suite — queries added mid-round appear only in later runs);
 earlier runs may be older subsets. Refuses artifacts stamped
@@ -60,23 +67,26 @@ print("""# Local per-query bench baseline
 
 Clean runs (no concurrent load, idle JVM), sf0.1, seconds, covering
 EVERY query in the current suite, one table per environment (core
-count). Value per query = min across that environment's uncontended
-runs of each run's STEADY estimate (upper median of warmed attempts —
-the exact statistic BenchGate judges, so the 2x line compares
-like-for-like; BenchGate's 1.0 s absolute floor absorbs sub-second
-jitter). BenchGate grades an artifact ONLY against the table matching
-its own "cpus" stamp — cross-environment comparison is refused, not
-guessed.
+count). Value per query = UPPER MEDIAN across that environment's
+uncontended runs of each run's STEADY estimate (itself the upper
+median of that run's warmed attempts — the exact statistic BenchGate
+judges, so the 2x line compares like-for-like; BenchGate's 1.0 s
+absolute floor absorbs sub-second jitter; the cross-run upper median
+keeps per-JVM bimodal fixed costs from minting a fast-mode baseline
+that the slow mode then "regresses" against). BenchGate grades an
+artifact ONLY against the table matching its own "cpus" stamp —
+cross-environment comparison is refused, not guessed.
 
 Regenerate with `python3 scripts/make_baseline.py RUN1.json RUN2.json ...`
 over artifacts from `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
 SPARK_GRAFT_CPUS=N sbt -batch "runMain graft.Bench"` on an otherwise
-idle machine (runs right after a full `sbt test` in the same JVM-warm
-window inflate ~10% uniformly, which the min-across-runs rule
-absorbs). Bench self-detects load (calibration sentinel ->
-`"contended": true`) and both this script and BenchGate refuse
-contended artifacts. A >2x per-query regression on an uncontended
-like-for-like run is a real signal, sub-second jitter is not.""")
+idle machine (runs right after a full `sbt test` inflate ~10%
+uniformly — prefer cold-started runs, and note the upper median will
+carry that inflation if half the inputs are inflated). Bench
+self-detects load (calibration sentinel -> `"contended": true`) and
+both this script and BenchGate refuse contended artifacts. A >2x
+per-query regression on an uncontended like-for-like run is a real
+signal, sub-second jitter is not.""")
 
 for cpus in sorted(envs):
     group = envs[cpus]
@@ -87,7 +97,10 @@ for cpus in sorted(envs):
         if q not in suite:
             sys.exit(f"cpus={cpus}: {q} measured in an earlier run but absent "
                      "from the last (current-suite) artifact — was it removed?")
-    best = {q: min(r[q] for r in group if q in r) for q in suite}
+    def upper_median(vals):
+        v = sorted(vals)
+        return v[len(v) // 2]
+    best = {q: upper_median([r[q] for r in group if q in r]) for q in suite}
     total = sum(best.values())
     stream = sum(v for q, v in best.items() if q.startswith("q8"))
     print(f"""

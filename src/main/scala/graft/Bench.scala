@@ -41,8 +41,16 @@ object Bench {
     }
 
   /** Gate line for a query with committed baseline `b`: the same
-    * 2x-AND->1s rule BenchGate applies. */
-  def gateLine(b: Double): Double = math.max(2.0 * b, 1.0)
+    * 2x-AND-additive rule BenchGate applies. The +1.5 s additive
+    * allowance is the round-10 q83 lesson: per-JVM bimodal FIXED costs
+    * (streaming micro-batch machinery, JIT tiering) flip a ~1 s drain to
+    * ~2.3 s for a whole JVM at a time — an additive mode flip, not a
+    * multiplicative data-work regression — and no set of clean baseline
+    * runs is guaranteed to contain the slow mode. Real regressions in
+    * data-proportional work are multiplicative and still trip the 2x
+    * arm; the additive arm only matters for sub-3s queries, exactly
+    * where fixed costs dominate. (Subsumes the old 1.0 s jitter floor.) */
+  def gateLine(b: Double): Double = math.max(2.0 * b, b + 1.5)
 
   /** Would this attempt sample flag at the gate? Keyed off the SAME
     * statistic the gate judges ([[graft.tools.BenchGate.steadyEstimate]]

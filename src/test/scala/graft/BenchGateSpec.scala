@@ -41,9 +41,25 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("sub-second jitter is not a regression even at >2x ratio") {
-    // q0a 0.20 -> 0.55 is 2.75x but under the 1s absolute floor
+    // q0a 0.20 -> 0.55 is 2.75x but under the additive allowance
     val Right(r) = BenchGate.check(bench(2.0, 3.0, 0.55), baseline)
     assert(r.pass, r)
+  }
+
+  test("additive allowance absorbs a fixed-cost mode flip; past it the violation returns") {
+    // the round-10 q83 shape: a small-baseline query lands in a slow JVM
+    // mode — a large multiplicative ratio but a small ADDITIVE excess of
+    // fixed micro-batch/JIT machinery. q0a baseline 0.20s: 1.6s is 8x but
+    // within baseline+1.5s, so it must pass…
+    val Right(flip) = BenchGate.check(bench(2.0, 3.0, 1.6), baseline)
+    assert(flip.pass, flip)
+    // …while clearing BOTH arms (>2x and >baseline+1.5s) is a violation
+    val Right(real) = BenchGate.check(bench(2.0, 3.0, 1.8), baseline)
+    assert(real.violations.map(_.query) == Seq("q0a_string_agg"), real)
+    // and the confirm trigger tracks the same line (q83's real numbers:
+    // baseline ~1.0, slow mode ~2.3 — absorbed; 2.6 is not)
+    assert(!Bench.needsConfirm(Seq(2.3, 2.3), baseline = 1.0))
+    assert(Bench.needsConfirm(Seq(2.6, 2.6), baseline = 1.0))
   }
 
   test("contended artifacts are refused, not graded") {
