@@ -439,7 +439,59 @@ object Joins {
     // actual join's |output| is computed without materializing it.
     QueryDef(
       "qad_join_size_estimate",
-      Some("""WITH co AS (SELECT
+      Some(joinSizeOracleSql),
+      (s, dir) =>
+        joinSizeEval(ordersDayStats(t(s, dir, "orders")),
+          lineitemDayCounts(s, dir))),
+
+    // Incremental statistics maintenance — the lifecycle that keeps the
+    // qad estimator ALIVE at 100 TB: statistics are a PERSISTED catalog
+    // artifact, and each ingest batch folds in as a new generation
+    // through a narrow day-frame merge (full-outer on the |days|-row
+    // frames, counts added) — the standing corpus is never re-scanned to
+    // refresh its stats, where a re-ANALYZE per ingest would pay a
+    // corpus pass every time (the qa8 build/serve/merge story applied to
+    // the stats catalog). Two ingest generations chain here (v0 from the
+    // 50% snapshot, +batch1 → v1, +batch2 → v2) and the estimator serves
+    // THROUGH the final generation: sharing qad's oracle verbatim proves
+    // merged ≡ recomputed-from-scratch across the chain — counts are
+    // integers, so the equality is bit-exact, not approximate.
+    QueryDef(
+      "qaj_incremental_stats",
+      Some(joinSizeOracleSql),
+      (s, dir) => {
+        val v0p = QueryDef.materializePath(dir, "qaj_stats_v0.parquet")
+        val v1p = QueryDef.materializePath(dir, "qaj_stats_v1.parquet")
+        val v2p = QueryDef.materializePath(dir, "qaj_stats_v2.parquet")
+        val ord = t(s, dir, "orders")
+          .select(pmod(col("o_orderkey"), lit(4L)).as("g"),
+            col("o_orderdate"))
+        // generation 0: the standing snapshot's catalog entry
+        ordersDayStats(ord.filter(col("g") >= 2))
+          .write.mode("overwrite").parquet(v0p)
+        // fold an ingest batch into the catalog WITHOUT touching the
+        // snapshot: narrow full-outer on the day frames, counts added
+        def merge(prev: String, batch: org.apache.spark.sql.DataFrame,
+            out: String): Unit =
+          s.read.parquet(prev).withColumnRenamed("nco", "nco_a")
+            .join(ordersDayStats(batch).withColumnRenamed("nco", "nco_b"),
+              Seq("d", "mon"), "full_outer")
+            .select(col("d"), col("mon"),
+              (coalesce(col("nco_a"), lit(0L))
+                + coalesce(col("nco_b"), lit(0L))).as("nco"))
+            .write.mode("overwrite").parquet(out)
+        merge(v0p, ord.filter(col("g") === 1), v1p)
+        merge(v1p, ord.filter(col("g") === 0), v2p)
+        // serve the estimator through the final catalog generation
+        joinSizeEval(s.read.parquet(v2p), lineitemDayCounts(s, dir))
+      })
+  )
+
+  /** qad/qaj shared oracle: the full-table join-size eval (for qaj this
+    * IS the rebuild measure — merged catalog ≡ stats recomputed from
+    * scratch, hash-checked). */
+  private lazy val joinSizeOracleSql: String =
+    """WITH co AS (SELECT
                  date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS d,
                  strftime(o_orderdate, '%Y-%m') AS mon, COUNT(*) AS nco
                FROM orders GROUP BY 1, 2),
@@ -459,32 +511,41 @@ object Joins {
           CAST(actual_rows AS BIGINT) AS actual_rows,
           CAST(ABS(est_rows - actual_rows) * 1000000
             // NULLIF(actual_rows, 0) AS BIGINT) AS err_ppm
-        FROM a ORDER BY mon"""),
-      (s, dir) => {
-        val co = t(s, dir, "orders")
-          .select(datediff(col("o_orderdate"), lit("1970-01-01"))
-              .cast("long").as("d"),
-            date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
-          .groupBy(col("d"), col("mon")).agg(count(lit(1)).as("nco"))
-        val cl = t(s, dir, "lineitem")
-          .select(datediff(col("l_shipdate"), lit("1970-01-01"))
-            .cast("long").as("d"))
-          .groupBy(col("d")).agg(count(lit(1)).as("ncl"))
-        co.join(broadcast(cl), Seq("d"))
-          .withColumn("r", col("nco") * col("ncl"))
-          .withColumn("samp",
-            when(pmod((col("d") % 1000003L) * 2654435761L, lit(16L)) === 0, 1)
-              .otherwise(0))
-          .groupBy(col("mon"))
-          .agg(count(lit(1)).as("n_days"),
-            sum(col("r")).as("actual_rows"),
-            (sum(when(col("samp") === 1, col("r")).otherwise(0L)) * 16)
-              .as("est_rows"))
-          .select(col("mon"), col("n_days"), col("est_rows"),
-            col("actual_rows"),
-            expr("abs(est_rows - actual_rows) * 1000000 div nullif(actual_rows, 0)")
-              .as("err_ppm"))
-          .orderBy(col("mon"))
-      })
-  )
+        FROM a ORDER BY mon"""
+
+  /** Day-level orders statistics — the qad/qaj "catalog entry" frame:
+    * (epoch day, month, order count), one map-side-combined aggregate. */
+  private def ordersDayStats(orders: DataFrame): DataFrame =
+    orders
+      .select(datediff(col("o_orderdate"), lit("1970-01-01"))
+          .cast("long").as("d"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+      .groupBy(col("d"), col("mon")).agg(count(lit(1)).as("nco"))
+
+  private def lineitemDayCounts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(datediff(col("l_shipdate"), lit("1970-01-01"))
+        .cast("long").as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("ncl"))
+
+  /** The qad estimator eval: per month, 1/16 correlated-key-sample
+    * estimate vs exact Σ nco·ncl, err_ppm — over a (d, mon, nco) orders
+    * stats frame and the lineitem day frame (both aggregated; the eval
+    * never sees corpus rows). */
+  private def joinSizeEval(co: DataFrame, cl: DataFrame): DataFrame =
+    co.join(broadcast(cl), Seq("d"))
+      .withColumn("r", col("nco") * col("ncl"))
+      .withColumn("samp",
+        when(pmod((col("d") % 1000003L) * 2654435761L, lit(16L)) === 0, 1)
+          .otherwise(0))
+      .groupBy(col("mon"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("r")).as("actual_rows"),
+        (sum(when(col("samp") === 1, col("r")).otherwise(0L)) * 16)
+          .as("est_rows"))
+      .select(col("mon"), col("n_days"), col("est_rows"),
+        col("actual_rows"),
+        expr("abs(est_rows - actual_rows) * 1000000 div nullif(actual_rows, 0)")
+          .as("err_ppm"))
+      .orderBy(col("mon"))
 }

@@ -722,6 +722,32 @@ class PlanSpec extends SparkSpec {
       "qah must not plan a cartesian")
   }
 
+  test("qaj incremental stats: serve reads the persisted catalog, never the orders corpus") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plans = collectAll(executed(q("qaj_incremental_stats")))
+    // the returned plan is the SERVE through the final catalog
+    // generation: it must read the persisted v2 parquet and the lineitem
+    // day aggregate only — an orders scan here means the snapshot was
+    // re-scanned to refresh statistics, the cost the operator exists to
+    // avoid (the merges scan only their own ingest batches, eagerly,
+    // before this plan runs)
+    val ordersScans = plans.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.toString.contains("orders.parquet") => sc
+    }
+    assert(ordersScans.isEmpty,
+      s"qaj serve plan scans orders ${ordersScans.size} times")
+    assert(plans.exists {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.toString.contains("qaj_stats_v2")
+      case _ => false
+    }, "qaj serve must read the persisted v2 catalog generation")
+    assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "qaj's day-frame join should be a broadcast hash join")
+    assert(!plans.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "qaj serve must not sort-merge join")
+  }
+
   test("qag watermark profile: the global running max plans no empty-partitioning window") {
     val plans = collectAll(executed(q("qag_watermark_profile")))
     // the watermark running max is the two-phase StableIds shape — a
