@@ -473,12 +473,7 @@ object Joins {
         // snapshot: narrow full-outer on the day frames, counts added
         def merge(prev: String, batch: org.apache.spark.sql.DataFrame,
             out: String): Unit =
-          s.read.parquet(prev).withColumnRenamed("nco", "nco_a")
-            .join(ordersDayStats(batch).withColumnRenamed("nco", "nco_b"),
-              Seq("d", "mon"), "full_outer")
-            .select(col("d"), col("mon"),
-              (coalesce(col("nco_a"), lit(0L))
-                + coalesce(col("nco_b"), lit(0L))).as("nco"))
+          mergeDayStats(s.read.parquet(prev), ordersDayStats(batch))
             .write.mode("overwrite").parquet(out)
         merge(v0p, ord.filter(col("g") === 1), v1p)
         merge(v1p, ord.filter(col("g") === 0), v2p)
@@ -515,7 +510,20 @@ object Joins {
 
   /** Day-level orders statistics — the qad/qaj "catalog entry" frame:
     * (epoch day, month, order count), one map-side-combined aggregate. */
-  private def ordersDayStats(orders: DataFrame): DataFrame =
+  /** Fold a batch's day-stats frame into a prior catalog generation —
+    * narrow full-outer on (d, mon), counts added; the prior generation
+    * is consumed as a frame (the query reads it from parquet), never
+    * recomputed from its source rows. */
+  private[graft] def mergeDayStats(prev: DataFrame,
+      batchStats: DataFrame): DataFrame =
+    prev.withColumnRenamed("nco", "nco_a")
+      .join(batchStats.withColumnRenamed("nco", "nco_b"),
+        Seq("d", "mon"), "full_outer")
+      .select(col("d"), col("mon"),
+        (coalesce(col("nco_a"), lit(0L))
+          + coalesce(col("nco_b"), lit(0L))).as("nco"))
+
+  private[graft] def ordersDayStats(orders: DataFrame): DataFrame =
     orders
       .select(datediff(col("o_orderdate"), lit("1970-01-01"))
           .cast("long").as("d"),
