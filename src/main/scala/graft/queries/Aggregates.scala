@@ -524,11 +524,80 @@ object Aggregates {
     // every division so both engines interpolate identical doubles.
     QueryDef(
       "qaf_histogram_selectivity",
-      Some("""WITH tot AS (SELECT COUNT(*) AS nn FROM lineitem),
+      Some(histOracleSql("TRUE")),
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        priceHistEval(s, priceHistBuckets(li, priceHistBounds(li)), li)
+      }),
+
+    // Frozen-boundary histogram maintenance — the qaj catalog lifecycle
+    // applied to qaf's histogram, completing the stats trio (estimate /
+    // maintain counts / maintain distributions): the catalog persists
+    // BOUNDARIES and per-bucket stats, an ingest batch counts itself
+    // into the FROZEN boundaries and folds in per bucket (counts add,
+    // observed min/max widen, bounds carry) — the snapshot is never
+    // re-scanned, and the boundaries are never resampled between
+    // compactions (the qaa frozen-cap contract: a boundary refresh
+    // needs the raw corpus, i.e. the next full ANALYZE). Serve = the
+    // qaf selectivity eval through the merged generation. The oracle
+    // computes the frozen-boundary histogram over the FULL corpus
+    // directly (boundaries from the snapshot's own sample), so
+    // merged ≡ full-count-under-frozen-boundaries, bit-exact — the
+    // merge arithmetic itself is engine-side only and has no oracle
+    // analogue to lean on, exactly like qa8's index merge.
+    QueryDef(
+      "qak_histogram_maintenance",
+      Some(histOracleSql("(l_orderkey % 4) >= 1")),
+      (s, dir) => {
+        val bp = QueryDef.materializePath(dir, "qak_hist_bounds.parquet")
+        val v0p = QueryDef.materializePath(dir, "qak_hist_v0.parquet")
+        val v1p = QueryDef.materializePath(dir, "qak_hist_v1.parquet")
+        val li = t(s, dir, "lineitem")
+        val snap = li.filter(pmod(col("l_orderkey"), lit(4L)) >= 1)
+        val batch = li.filter(pmod(col("l_orderkey"), lit(4L)) === 0)
+        // catalog generation 0: boundaries from the snapshot's own
+        // bounded sample, then the snapshot's bucket stats against them
+        priceHistBounds(snap).write.mode("overwrite").parquet(bp)
+        priceHistBuckets(snap, s.read.parquet(bp))
+          .write.mode("overwrite").parquet(v0p)
+        // the ingest batch counts itself into the FROZEN boundaries and
+        // folds in per bucket; Spark's least/greatest skip nulls, which
+        // is exactly the one-sided-bucket semantics the full-outer needs
+        val bb = priceHistBuckets(batch, s.read.parquet(bp))
+          .select(col("pid"), col("cnt").as("cnt_b"),
+            col("mnb").as("mnb_b"), col("mxb").as("mxb_b"),
+            col("lo_s").as("lo_b"), col("hi_s").as("hi_b"))
+        s.read.parquet(v0p)
+          .select(col("pid"), col("cnt").as("cnt_a"),
+            col("mnb").as("mnb_a"), col("mxb").as("mxb_a"),
+            col("lo_s").as("lo_a"), col("hi_s").as("hi_a"))
+          .join(bb, Seq("pid"), "full_outer")
+          .select(col("pid"),
+            (coalesce(col("cnt_a"), lit(0L))
+              + coalesce(col("cnt_b"), lit(0L))).as("cnt"),
+            least(col("mnb_a"), col("mnb_b")).as("mnb"),
+            greatest(col("mxb_a"), col("mxb_b")).as("mxb"),
+            coalesce(col("lo_a"), col("lo_b")).as("lo_s"),
+            coalesce(col("hi_a"), col("hi_b")).as("hi_s"))
+          .write.mode("overwrite").parquet(v1p)
+        // serve the selectivity eval through the merged generation
+        priceHistEval(s, s.read.parquet(v1p), li)
+      })
+  )
+
+  /** qaf/qak shared oracle: the frozen-boundary histogram eval —
+    * boundaries from the bounded sample of rows matching `samplePred`
+    * (TRUE = the whole corpus, qaf; a snapshot predicate = qak's
+    * rebuild measure), bucket counts and the exact side always over the
+    * FULL corpus. */
+  private def histOracleSql(samplePred: String): String =
+    s"""WITH tot AS (SELECT COUNT(*) AS nn FROM lineitem
+          WHERE $samplePred),
         sp AS (SELECT GREATEST(1, nn // 2048) AS sdiv FROM tot),
         samp AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
                  FROM lineitem, sp
-                 WHERE ((((l_orderkey * 8 + l_linenumber) % 1000003)
+                 WHERE $samplePred
+                   AND ((((l_orderkey * 8 + l_linenumber) % 1000003)
                    * 2654435761) % sdiv) = 0),
         spl AS (SELECT list_transform(quantile_cont(x,
                   [0.0625, 0.125, 0.1875, 0.25, 0.3125, 0.375, 0.4375,
@@ -580,78 +649,89 @@ object Aggregates {
           COALESCE(CAST(floor(round(ABS(est.est_rows - ex.x) * 1000000.0
             / NULLIF(CAST(ex.x AS DOUBLE), 0), 6)) AS BIGINT), -1)
             AS err_ppm
-        FROM est JOIN ex ON ex.c = est.c ORDER BY c"""),
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-        val tot = li.agg(count(lit(1)).as("nn"))
-        val sdiv = greatest(lit(1L),
-          floor(tot.scalar() / lit(2048.0)).cast("long"))
-        val samp = li.filter(
-          pmod(((col("l_orderkey") * 8 + col("l_linenumber")) % 1000003L)
-            * 2654435761L, sdiv) === 0)
-        val spl = samp
-          .agg(expr("""percentile(cast(l_extendedprice as double),
-              array(0.0625d, 0.125d, 0.1875d, 0.25d, 0.3125d, 0.375d,
-                0.4375d, 0.5d, 0.5625d, 0.625d, 0.6875d, 0.75d, 0.8125d,
-                0.875d, 0.9375d))""").as("qs0"))
-          .select(expr("transform(qs0, s -> round(s, 9))").as("qs"))
-        // carry each bucket's splitter bounds THROUGH the one corpus
-        // pass (constant per pid, so min() in the agg) — the constants
-        // then join against the 16-row bucket frame alone and the
-        // sample/percentile subtree is planned exactly once
-        val buckets = li.crossJoin(broadcast(spl))
-          .select(col("l_extendedprice").cast("double").as("x"),
-            col("qs"), expr(
-            """cast(aggregate(qs, 0, (a, s) ->
-                 a + IF(cast(l_extendedprice as double) > s, 1, 0))
-               as int)""").as("pid"))
-          .groupBy(col("pid"))
-          .agg(count(lit(1)).as("cnt"),
-            min(col("x")).as("mnb"), max(col("x")).as("mxb"),
-            min(expr("IF(pid >= 1, element_at(qs, pid), null)")).as("lo_s"),
-            min(expr("IF(pid <= 14, element_at(qs, pid + 1), null)"))
-              .as("hi_s"))
-        val consts = s.range(1).select(explode(array(
-          lit(2000.0), lit(10000.0), lit(25000.0), lit(50000.0),
-          lit(90000.0))).as("c"))
-        // ONE join carries both roles — buckets strictly below c (their
-        // full counts) and c's own bucket (interpolated fraction) — as
-        // disjoint conditional sums, so the bucket frame is consumed
-        // (and its corpus subtree planned) exactly once
-        val belowCond = col("hi_s").isNotNull && col("c") > col("hi_s")
-        val ownCond = (col("lo_s").isNull || col("c") > col("lo_s")) &&
-          (col("hi_s").isNull || col("c") <= col("hi_s"))
-        val est = consts
-          .join(broadcast(buckets), belowCond || ownCond, "left")
-          .groupBy(col("c"))
-          .agg(round(
-            coalesce(sum(when(belowCond, col("cnt").cast("double"))),
-              lit(0.0))
-            + coalesce(sum(when(ownCond, col("cnt") * expr("""coalesce(
-                least(1.0d, greatest(0.0d,
-                  round((c - mnb) / nullif(mxb - mnb, 0), 9))),
-                IF(c >= mnb, 1.0d, 0.0d), 0.0d)"""))), lit(0.0)), 4)
-            .as("est_rows"))
-        val exact = li.agg(
-            sum(when(col("l_extendedprice") <= 2000.0, 1L).otherwise(0L)).as("e1"),
-            sum(when(col("l_extendedprice") <= 10000.0, 1L).otherwise(0L)).as("e2"),
-            sum(when(col("l_extendedprice") <= 25000.0, 1L).otherwise(0L)).as("e3"),
-            sum(when(col("l_extendedprice") <= 50000.0, 1L).otherwise(0L)).as("e4"),
-            sum(when(col("l_extendedprice") <= 90000.0, 1L).otherwise(0L)).as("e5"))
-          .select(explode(array(
-            struct(lit(2000.0).as("c"), col("e1").as("x")),
-            struct(lit(10000.0).as("c"), col("e2").as("x")),
-            struct(lit(25000.0).as("c"), col("e3").as("x")),
-            struct(lit(50000.0).as("c"), col("e4").as("x")),
-            struct(lit(90000.0).as("c"), col("e5").as("x")))).as("p"))
-          .select(col("p.c").as("c"), col("p.x").as("x"))
-        est.join(broadcast(exact), Seq("c"))
-          .select(col("c"), col("est_rows"),
-            col("x").cast("long").as("exact_rows"),
-            expr("""coalesce(cast(floor(round(abs(est_rows - x) * 1000000.0d
-                / nullif(cast(x as double), 0), 6)) as bigint), -1L)""")
-              .as("err_ppm"))
-          .orderBy(col("c"))
-      })
-  )
+        FROM est JOIN ex ON ex.c = est.c ORDER BY c"""
+
+  /** qaf/qak shared histogram machinery over l_extendedprice. */
+
+  /** Splitter boundaries (1-row frame, column `qs`: 15 round-9 doubles)
+    * from the qae bounded 2048-row deterministic sample of `rows`. */
+  private[graft] def priceHistBounds(rows: DataFrame): DataFrame = {
+    val tot = rows.agg(count(lit(1)).as("nn"))
+    val sdiv = greatest(lit(1L),
+      floor(tot.scalar() / lit(2048.0)).cast("long"))
+    rows.filter(
+        pmod(((col("l_orderkey") * 8 + col("l_linenumber")) % 1000003L)
+          * 2654435761L, sdiv) === 0)
+      .agg(expr("""percentile(cast(l_extendedprice as double),
+          array(0.0625d, 0.125d, 0.1875d, 0.25d, 0.3125d, 0.375d,
+            0.4375d, 0.5d, 0.5625d, 0.625d, 0.6875d, 0.75d, 0.8125d,
+            0.875d, 0.9375d))""").as("qs0"))
+      .select(expr("transform(qs0, s -> round(s, 9))").as("qs"))
+  }
+
+  /** One counting pass of `rows` into the boundary frame: per bucket,
+    * exact count, observed min/max, and the bucket's own splitter
+    * bounds carried THROUGH the pass (constant per pid, so min() in the
+    * agg) — downstream consumers join the 16-row frame alone and the
+    * boundary subtree is planned exactly once. */
+  private[graft] def priceHistBuckets(rows: DataFrame,
+      bounds: DataFrame): DataFrame =
+    rows.crossJoin(broadcast(bounds))
+      .select(col("l_extendedprice").cast("double").as("x"),
+        col("qs"), expr(
+        """cast(aggregate(qs, 0, (a, s) ->
+             a + IF(cast(l_extendedprice as double) > s, 1, 0))
+           as int)""").as("pid"))
+      .groupBy(col("pid"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("x")).as("mnb"), max(col("x")).as("mxb"),
+        min(expr("IF(pid >= 1, element_at(qs, pid), null)")).as("lo_s"),
+        min(expr("IF(pid <= 14, element_at(qs, pid + 1), null)"))
+          .as("hi_s"))
+
+  /** The selectivity eval: estimate `x <= c` for the 5 constants from
+    * the bucket frame (buckets strictly below c contribute full counts,
+    * c's own bucket a clamped interpolation fraction — ONE OR-join with
+    * disjoint conditional sums), compare against the exact counts over
+    * `corpus` (one conditional-agg pass, unpivoted row-locally). */
+  private[graft] def priceHistEval(s: SparkSession, buckets: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val consts = s.range(1).select(explode(array(
+      lit(2000.0), lit(10000.0), lit(25000.0), lit(50000.0),
+      lit(90000.0))).as("c"))
+    val belowCond = col("hi_s").isNotNull && col("c") > col("hi_s")
+    val ownCond = (col("lo_s").isNull || col("c") > col("lo_s")) &&
+      (col("hi_s").isNull || col("c") <= col("hi_s"))
+    val est = consts
+      .join(broadcast(buckets), belowCond || ownCond, "left")
+      .groupBy(col("c"))
+      .agg(round(
+        coalesce(sum(when(belowCond, col("cnt").cast("double"))),
+          lit(0.0))
+        + coalesce(sum(when(ownCond, col("cnt") * expr("""coalesce(
+            least(1.0d, greatest(0.0d,
+              round((c - mnb) / nullif(mxb - mnb, 0), 9))),
+            IF(c >= mnb, 1.0d, 0.0d), 0.0d)"""))), lit(0.0)), 4)
+        .as("est_rows"))
+    val exact = corpus.agg(
+        sum(when(col("l_extendedprice") <= 2000.0, 1L).otherwise(0L)).as("e1"),
+        sum(when(col("l_extendedprice") <= 10000.0, 1L).otherwise(0L)).as("e2"),
+        sum(when(col("l_extendedprice") <= 25000.0, 1L).otherwise(0L)).as("e3"),
+        sum(when(col("l_extendedprice") <= 50000.0, 1L).otherwise(0L)).as("e4"),
+        sum(when(col("l_extendedprice") <= 90000.0, 1L).otherwise(0L)).as("e5"))
+      .select(explode(array(
+        struct(lit(2000.0).as("c"), col("e1").as("x")),
+        struct(lit(10000.0).as("c"), col("e2").as("x")),
+        struct(lit(25000.0).as("c"), col("e3").as("x")),
+        struct(lit(50000.0).as("c"), col("e4").as("x")),
+        struct(lit(90000.0).as("c"), col("e5").as("x")))).as("p"))
+      .select(col("p.c").as("c"), col("p.x").as("x"))
+    est.join(broadcast(exact), Seq("c"))
+      .select(col("c"), col("est_rows"),
+        col("x").cast("long").as("exact_rows"),
+        expr("""coalesce(cast(floor(round(abs(est_rows - x) * 1000000.0d
+            / nullif(cast(x as double), 0), 6)) as bigint), -1L)""")
+          .as("err_ppm"))
+      .orderBy(col("c"))
+  }
 }

@@ -114,6 +114,7 @@ object DumpPlans {
     "qah_compaction_plan"     -> "compaction plan: per-file counts from the directory, day-partitioned cumsum bin assignment",
     "qai_stream_quantile"     -> "streaming windowed GK quantiles, post-drain rank-band verify join against the corpus",
     "qaj_incremental_stats"   -> "incremental stats: serve reads the persisted catalog generation, broadcast day join, no orders scan",
+    "qak_histogram_maintenance" -> "histogram maintenance: serve reads the merged generation, one exact-eval corpus pass only",
     "q9v_centroid_drift"      -> "centroid drift: long-format decimal means, 64-row global frame broadcast",
     "q9w_pareto_users"        -> "Pareto 80/20: per-type window, exact decimal running share",
     "q9y_canonical_authority" -> "canonical by authority: PageRank rounds + map-side family argmax")

@@ -748,6 +748,30 @@ class PlanSpec extends SparkSpec {
       "qaj serve must not sort-merge join")
   }
 
+  test("qak histogram maintenance: serve reads the merged generation; corpus touched only by the exact eval") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val plans = collectAll(executed(q("qak_histogram_maintenance")))
+    // the returned plan is the eval through the merged catalog: the
+    // histogram side comes from the persisted v1 parquet; the ONLY
+    // lineitem scan allowed is the exact-count verification pass —
+    // a second one means the histogram was recomputed from the corpus
+    val liScans = plans.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.toString.contains("lineitem") => sc
+    }.map(System.identityHashCode).distinct
+    assert(liScans.size <= 1,
+      s"qak serve plan scans lineitem ${liScans.size} times (exact eval only)")
+    assert(plans.exists {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.toString.contains("qak_hist_v1")
+      case _ => false
+    }, "qak serve must read the persisted merged histogram generation")
+    assert(!plans.exists(_.isInstanceOf[SortMergeJoinExec]),
+      "qak serve must not sort-merge join")
+    assert(!plans.exists(_.isInstanceOf[CartesianProductExec]),
+      "qak must not plan a cartesian")
+  }
+
   test("qag watermark profile: the global running max plans no empty-partitioning window") {
     val plans = collectAll(executed(q("qag_watermark_profile")))
     // the watermark running max is the two-phase StableIds shape — a
