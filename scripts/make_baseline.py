@@ -24,7 +24,7 @@ current suite — queries added mid-round appear only in later runs);
 earlier runs may be older subsets. Refuses artifacts stamped
 "contended": true or lacking a cpus stamp. Per-query value per run is
 the STEADY estimate over that run's attempt sample (the statistic
-BenchGate judges — see steady() below), then min across runs. Dev-only
+BenchGate judges — see steady() below), then upper median across runs. Dev-only
 tool — NOT part of the engine.
 """
 import json, sys

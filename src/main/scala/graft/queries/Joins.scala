@@ -539,7 +539,14 @@ object Joins {
   /** The qad estimator eval: per month, 1/16 correlated-key-sample
     * estimate vs exact Σ nco·ncl, err_ppm — over a (d, mon, nco) orders
     * stats frame and the lineitem day frame (both aggregated; the eval
-    * never sees corpus rows). */
+    * never sees corpus rows). Headroom note (the qab_t_closeness rule):
+    * all arithmetic is int64 while the DuckDB oracle promotes to
+    * 128-bit — est_rows = 16·Σ nco·ncl must stay under 2^63 (fine up to
+    * ~5e17 joined rows/month, i.e. ~7e8 orders × 7e8 lineitems sharing
+    * a day within one month), and err_ppm's |est−actual|·1e6 bounds the
+    * same product at ~9e12 per month. Past that the engine overflows
+    * silently BEFORE the oracle does — at larger SFs compute err_ppm in
+    * decimal(38,0) or pre-divide the sample scale. */
   private def joinSizeEval(co: DataFrame, cl: DataFrame): DataFrame =
     co.join(broadcast(cl), Seq("d"))
       .withColumn("r", col("nco") * col("ncl"))

@@ -917,12 +917,18 @@ object StreamPipelines {
           .readStream(s, s"$tmp/edges", maxCommitsPerTrigger = Some(1L))
           .select(col("id_a"), col("id_b"))
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val v = version.get()
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // foreachBatch is at-least-once: a retried micro-batch
+            // re-arrives with the SAME batchId. Generations are keyed
+            // off batchId — a replay re-reads the untouched input
+            // generation labels_v<id> and overwrites the same output
+            // generation, so a double delivery folds the batch exactly
+            // once instead of twice through a local counter
+            val v = batchId.toInt
             val cur = s.read.parquet(s"$tmp/labels_v$v")
             ConnectedComponents.incremental(cur, batch)
               .write.mode("overwrite").parquet(s"$tmp/labels_v${v + 1}")
-            version.incrementAndGet()
+            version.getAndUpdate(g => math.max(g, v + 1))
             ()
           }
           .option("checkpointLocation", ckpt.getAbsolutePath)
@@ -971,11 +977,15 @@ object StreamPipelines {
           .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
           .select(col("_id").cast("long").as("doc_id"), col("text"))
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            val v = version.get()
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // at-least-once replay safety: generation = batchId, so a
+            // redelivered batch re-merges from the untouched idx_v<id>
+            // and overwrites idx_v<id+1> — idempotent, never a
+            // double-fold that would corrupt the DF drop-list cut
+            val v = batchId.toInt
             DedupQueries.mergeMinhashIndex(
               s, batch, s"$tmp/idx_v$v", s"$tmp/idx_v${v + 1}")
-            version.incrementAndGet()
+            version.getAndUpdate(g => math.max(g, v + 1))
             ()
           }
           .option("checkpointLocation", ckpt.getAbsolutePath)

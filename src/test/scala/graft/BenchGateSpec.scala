@@ -230,6 +230,46 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!r3.pass)
   }
 
+  test("TOTAL judges the steady statistic, not the headline mins") {
+    // every query's steady estimate sits just UNDER its per-query line
+    // (q01 3.9 < 4.0, q80 5.9 < 6.0, q0a 1.6 < 0.2+1.5) while the
+    // headline mins are healthy — the advice scenario: a uniform ~2x
+    // steady regression hiding behind lucky minima. Summing mins
+    // (5.2 vs baseline 5.2) would pass; summing the steady estimates
+    // (11.4 > 2 x 5.2) must flag TOTAL.
+    val json = bench(2.0, 3.0, 0.2).replace(
+      """"sf":"sf0.1"""",
+      """"attempts":{"q01_pricing_summary":[2.0,3.9,3.9],""" +
+        """"q80_stream_tumbling":[3.0,5.9,5.9],""" +
+        """"q0a_string_agg":[0.2,1.6,1.6]},"sf":"sf0.1"""")
+    val Right(r) = BenchGate.check(json, baseline)
+    assert(r.violations.map(_.query) == Seq("TOTAL"), r)
+    assert(!r.pass)
+  }
+
+  test("too many suspect downgrades refuse the artifact instead of passing it") {
+    // all three queries flag AND all three carry verified sentinel
+    // evidence: each downgrade is individually legitimate, but a run
+    // where EVERY violation coincided with a load window is not a pass —
+    // it is an unusable measurement session (cap: 2 per artifact)
+    val json = bench(6.1, 9.9, 1.8).replace(
+      """"sf":"sf0.1"""",
+      """"suspect":[{"query":"q01_pricing_summary","probe":0.610,"median":0.120},""" +
+        """{"query":"q80_stream_tumbling","probe":0.610,"median":0.120},""" +
+        """{"query":"q0a_string_agg","probe":0.610,"median":0.120}],"sf":"sf0.1"""")
+    val res = BenchGate.check(json, baseline)
+    assert(res.isLeft, res)
+    assert(res.swap.exists(_.contains("sentinel-inflation")), res)
+    // two verified downgrades (at the cap) still grade as warnings
+    val two = bench(6.1, 9.9, 0.2).replace(
+      """"sf":"sf0.1"""",
+      """"suspect":[{"query":"q01_pricing_summary","probe":0.610,"median":0.120},""" +
+        """{"query":"q80_stream_tumbling","probe":0.610,"median":0.120}],"sf":"sf0.1"""")
+    val Right(r2) = BenchGate.check(two, baseline)
+    assert(r2.pass, r2)
+    assert(r2.suspectViolations.size == 2)
+  }
+
   test("suspect entries cannot be mistaken for query timings") {
     val json = bench(2.0, 3.0, 0.2).replace(
       """"sf":"sf0.1"""",
