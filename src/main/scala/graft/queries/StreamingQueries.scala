@@ -563,6 +563,20 @@ object StreamingQueries {
           event_type, n, p50_exact, p95_exact,
           true AS p50_in_band, true AS p95_in_band
         FROM g ORDER BY d, h, event_type"""),
-      (s, dir) => StreamPipelines.streamWindowQuantile(s, dir))
+      (s, dir) => StreamPipelines.streamWindowQuantile(s, dir)),
+
+    // S1 executed on the wire (SURVEY §2.1): documents produced onto an
+    // in-process Kafka-0.9 broker over TCP by distributed producers, read
+    // back through the graft-kafka micro-batch source + F2 text decode,
+    // then measured per doc. The oracle reads the parquet directly — a
+    // hash match proves byte-exact produce→log→fetch→decode round-trip
+    // for every record on every partition.
+    QueryDef(
+      "q8s_kafka_wire_ingest",
+      Some("""SELECT doc_id,
+          LENGTH(text) AS n_chars,
+          LEN(string_split(text, ' ')) AS n_tokens
+        FROM documents WHERE doc_id < 400 ORDER BY doc_id"""),
+      (s, dir) => StreamPipelines.kafkaWireIngest(s, dir))
   )
 }

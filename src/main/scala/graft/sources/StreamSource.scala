@@ -80,10 +80,11 @@ object StreamSource {
     * metadata projection, payload decode per the declared format, lineage
     * registration. `read` is exactly `kafka load() andThen decodeWire`.
     *
-    * The sandbox ships no spark-sql-kafka jar (zero egress), so no Kafka
-    * path can execute here; `KafkaWireContractSpec` drives this method
-    * with a MemoryStream declared in [[wireSchema]] shape instead — a
-    * wire-format contract test, per the documented fallback. */
+    * Tested three ways: `KafkaWireContractSpec` drives this method with a
+    * MemoryStream declared in [[wireSchema]] shape (pure column-algebra
+    * contract), `KafkaWireE2ESpec` drives the full [[read]] path over a
+    * real TCP socket against [[graft.sources.kafka.MiniKafkaBroker]], and
+    * q8s runs the same wire path inside the oracle correctness gate. */
   def decodeWire(raw: DataFrame, cfg: StreamConfig): DataFrame = {
     val expected = wireSchema.fieldNames.toSet
     val got = raw.columns.toSet
@@ -97,13 +98,31 @@ object StreamSource {
     decoded
   }
 
+  /** True when the stock spark-sql-kafka connector is on the classpath.
+    * This sandbox ships without it (zero egress — ROUND11_NOTES.md holds
+    * the verbatim resolution failures), so [[read]] resolves to the
+    * in-repo [[graft.sources.kafka.KafkaWireSourceProvider]], which
+    * speaks the same Kafka-0.9 wire protocol the reference consumes and
+    * emits the identical [[wireSchema]] frame. Where the connector jar
+    * IS present, `format("kafka")` is preferred unchanged — the decode
+    * pipeline cannot tell the difference, which is the point of pinning
+    * everything downstream of `load()` to the wire schema. */
+  def kafkaConnectorPresent: Boolean =
+    try { Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider"); true }
+    catch { case _: ClassNotFoundException => false }
+
+  /** The format name [[read]] will load with in this environment. */
+  def kafkaFormat: String =
+    if (kafkaConnectorPresent) "kafka"
+    else classOf[graft.sources.kafka.KafkaWireSourceProvider].getName
+
   /** Open the stream and decode the payload per the declared format —
     * returns a streaming DataFrame of metadata columns (topic, partition,
     * offset, timestamp, key) plus the decoded fields. */
   def read(spark: SparkSession, cfg: StreamConfig): DataFrame =
     decodeWire(
       kafkaOptions(cfg)
-        .foldLeft(spark.readStream.format("kafka")) { case (r, (k, v)) => r.option(k, v) }
+        .foldLeft(spark.readStream.format(kafkaFormat)) { case (r, (k, v)) => r.option(k, v) }
         .load(),
       cfg)
 }

@@ -1,0 +1,217 @@
+package graft.sources.kafka
+
+import java.util
+
+import scala.collection.immutable.SortedMap
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-kafka`: a Structured Streaming source that speaks the Kafka 0.9
+  * wire protocol DIRECTLY ([[KafkaWireProtocol]]) — the engine's
+  * executable stand-in for `format("kafka")` in a sandbox whose classpath
+  * cannot carry the spark-sql-kafka connector (zero egress;
+  * ROUND11_NOTES.md records the verbatim resolution failures). Same
+  * option surface ([[graft.sources.StreamSource.kafkaOptions]] maps the
+  * reference's config onto it unchanged) and the SAME output schema
+  * (`StreamSource.wireSchema`), so everything downstream — decode,
+  * lineage, pipelines — is byte-identical whichever source loads.
+  *
+  * Scale shape is the reference's own (`MapRStreamingSource.java:88-90`):
+  * one input partition per Kafka partition per micro-batch, each executor
+  * reader owning its own broker connection and fetching exactly its
+  * [from, until) offset slice — no driver-side data movement, the driver
+  * only resolves partition lists and end offsets (metadata-sized work).
+  * Offsets checkpoint as canonical JSON (sorted topic → sorted partition
+  * → offset), restart-safe like the Kafka source's own log.
+  *
+  * Record-format fidelity: magic 0 (the 0.9 format) has no timestamp —
+  * those rows carry a NULL `timestamp` and timestampType -1
+  * (NO_TIMESTAMP_TYPE); magic 1 records surface their create-time as
+  * micros with timestampType 0 (CREATE_TIME), matching the connector's
+  * documented column semantics.
+  */
+class KafkaWireSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-kafka"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    graft.sources.StreamSource.wireSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KafkaWireTable(KafkaWireConf.from(new CaseInsensitiveStringMap(properties)))
+}
+
+/** Parsed connection/subscription options (the `kafka.`-prefixed names
+  * are the connector's public ones so [[graft.sources.StreamSource]]'s
+  * mapping needs no translation; unknown options are ignored, as the
+  * connector ignores e.g. `groupIdPrefix` variants it doesn't use). */
+final case class KafkaWireConf(host: String, port: Int, topics: Seq[String],
+    startFromEarliest: Boolean)
+
+object KafkaWireConf {
+  def from(o: CaseInsensitiveStringMap): KafkaWireConf = {
+    val bootstrap = o.get("kafka.bootstrap.servers")
+    require(bootstrap != null && bootstrap.nonEmpty,
+      "kafka.bootstrap.servers is required")
+    // single-broker harness: first host:port entry is the whole cluster
+    val hp = bootstrap.split(",").head.trim.split(":")
+    require(hp.length == 2, s"bad bootstrap server '$bootstrap' (host:port)")
+    val subscribe = o.get("subscribe")
+    require(subscribe != null && subscribe.nonEmpty, "subscribe is required")
+    val starting = Option(o.get("startingOffsets")).getOrElse("latest")
+    KafkaWireConf(hp(0), hp(1).toInt,
+      subscribe.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      starting.equalsIgnoreCase("earliest"))
+  }
+}
+
+class KafkaWireTable(conf: KafkaWireConf) extends Table with SupportsRead {
+  override def name(): String = s"graft-kafka(${conf.topics.mkString(",")})"
+  override def schema(): StructType = graft.sources.StreamSource.wireSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new KafkaWireScan(conf)
+}
+
+class KafkaWireScan(conf: KafkaWireConf) extends Scan {
+  override def readSchema(): StructType = graft.sources.StreamSource.wireSchema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new KafkaWireMicroBatchStream(conf)
+}
+
+/** Checkpointable position: per topic-partition next-offset-to-read.
+  * Canonical JSON (topics sorted, partitions sorted numerically) so the
+  * same position always serializes to the same bytes. */
+case class KafkaWireOffset(offsets: Map[String, Map[Int, Long]]) extends Offset {
+  override def json(): String =
+    SortedMap.from(offsets).map { case (t, ps) =>
+      val inner = SortedMap.from(ps)
+        .map { case (p, o) => s""""$p":$o""" }.mkString("{", ",", "}")
+      s""""$t":$inner"""
+    }.mkString("{", ",", "}")
+}
+
+object KafkaWireOffset {
+  private val TopicRe = """"([^"]+)":\{([^}]*)\}""".r
+  private val PartRe = """"(\d+)":(\d+)""".r
+  def fromJson(s: String): KafkaWireOffset =
+    KafkaWireOffset(TopicRe.findAllMatchIn(s).map { m =>
+      m.group(1) -> PartRe.findAllMatchIn(m.group(2))
+        .map(p => p.group(1).toInt -> p.group(2).toLong).toMap
+    }.toMap)
+}
+
+class KafkaWireMicroBatchStream(conf: KafkaWireConf)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def withClient[T](f: KafkaWireClient => T): T = {
+    val c = new KafkaWireClient(conf.host, conf.port, "graft-wire-driver")
+    try f(c) finally c.close()
+  }
+
+  private def snapshot(earliest: Boolean): KafkaWireOffset = withClient { c =>
+    val parts = c.partitionsFor(conf.topics)
+    KafkaWireOffset(parts.map { case (t, ps) =>
+      t -> ps.map(p => p -> (if (earliest) c.earliest(t, p) else c.latest(t, p))).toMap
+    })
+  }
+
+  // AvailableNow contract: pin the end of the drain once, up front
+  @volatile private var availableNowEnd: Option[KafkaWireOffset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(snapshot(earliest = false))
+
+  override def initialOffset(): Offset = snapshot(conf.startFromEarliest)
+
+  override def latestOffset(): Offset =
+    availableNowEnd.getOrElse(snapshot(earliest = false))
+
+  // SupportsAdmissionControl entry point (SupportsTriggerAvailableNow
+  // extends it). This source takes everything available — rate limiting
+  // is the micro-batch cadence's job in a harness-scale broker; the
+  // AvailableNow end is pinned by prepareForTriggerAvailableNow.
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    KafkaWireOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = () // broker holds nothing per-consumer
+
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[KafkaWireOffset].offsets
+    val e = end.asInstanceOf[KafkaWireOffset].offsets
+    // one reader per Kafka partition with progress — the reference's
+    // partition-parallel inheritance; a new partition appearing between
+    // checkpoints starts from its earliest (s has no entry → 0)
+    e.toSeq.sortBy(_._1).flatMap { case (t, ps) =>
+      ps.toSeq.sorted.flatMap { case (p, until) =>
+        val from = s.getOrElse(t, Map.empty).getOrElse(p, 0L)
+        if (until > from)
+          Some(KafkaWireInputPartition(conf.host, conf.port, t, p, from, until)
+            : InputPartition)
+        else None
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KafkaWireReaderFactory
+}
+
+case class KafkaWireInputPartition(host: String, port: Int,
+    topic: String, partition: Int, from: Long, until: Long) extends InputPartition
+
+class KafkaWireReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KafkaWireInputPartition]
+    new PartitionReader[InternalRow] {
+      private val client =
+        new KafkaWireClient(p.host, p.port, s"graft-wire-${p.topic}-${p.partition}")
+      private val topicUtf8 = UTF8String.fromString(p.topic)
+      private var pos = p.from
+      private var maxBytes = 1 << 20
+      private var buffer: Iterator[KafkaWireProtocol.WireMessage] = Iterator.empty
+      private var current: InternalRow = _
+
+      override def next(): Boolean = {
+        while (!buffer.hasNext && pos < p.until) {
+          val (_, msgs) = client.fetch(p.topic, p.partition, pos, maxBytes)
+          if (msgs.isEmpty) {
+            // max_bytes cut before the first whole message — the 0.9
+            // consumer's grow-and-refetch rule
+            maxBytes *= 2
+            require(maxBytes <= (1 << 28),
+              s"single message larger than ${1 << 28} bytes at offset $pos")
+          } else buffer = msgs.iterator.filter(m => m.offset >= pos && m.offset < p.until)
+        }
+        if (!buffer.hasNext) { current = null; false }
+        else {
+          val m = buffer.next()
+          pos = m.offset + 1
+          val hasTs = m.magic >= 1 && m.timestampMs >= 0
+          // magic 1: CREATE_TIME micros; magic 0: no timestamp on the wire
+          val ts: Any = if (hasTs) m.timestampMs * 1000L else null
+          val tsType = if (hasTs) 0 else -1
+          current = new GenericInternalRow(Array[Any](
+            m.key, m.value, topicUtf8, p.partition, m.offset, ts, tsType))
+          true
+        }
+      }
+
+      override def get(): InternalRow = current
+      override def close(): Unit = client.close()
+    }
+  }
+}

@@ -1352,4 +1352,61 @@ object StreamPipelines {
       .orderBy(col("id_new"), col("id_hist"))
       .select(col("id_new"), col("id_hist"), col("hamming"))
   }
+
+  /** q8s: S1 EXECUTED inside the correctness gate — the reference's front
+    * door (`MapRStreamingSource.java:70-94`) as a live run, not a
+    * contract test. An in-process [[graft.sources.kafka.MiniKafkaBroker]]
+    * speaks the Kafka-0.9 wire protocol on a real TCP socket; documents
+    * are produced onto it by DISTRIBUTED producers (each Spark task owns
+    * a wire connection — the parallel-ingest shape, no driver collect);
+    * then `StreamSource.read` consumes them back through the
+    * `graft-kafka` micro-batch source (Metadata → Offsets → partition-
+    * parallel Fetch) and the F2 text decode, and the drained frame is
+    * measured per document. The oracle computes the same measures from
+    * the parquet table directly, so a hash match proves the bytes
+    * survived produce → broker log → fetch → decode EXACTLY — every
+    * record, every partition, no duplicate, no loss, no mangling. */
+  def kafkaWireIngest(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.kafka.{KafkaWireClient, KafkaWireProtocol, MiniKafkaBroker}
+    val broker = new MiniKafkaBroker().start()
+    try {
+      val nParts = 4
+      val topic = "graft_docs"
+      broker.createTopic(topic, nParts)
+      val port = broker.port
+      val docs = s.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 400)
+      // distributed producers: partition-local wire connections, batches
+      // of ≤100 records per Produce round-trip, records routed to their
+      // doc_id-hash partition (the standard keyed-producer rule)
+      docs.repartition(nParts, col("doc_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.nonEmpty) {
+            val c = new KafkaWireClient("127.0.0.1", port, "graft-producer")
+            try it.grouped(100).foreach { g =>
+              g.groupBy(r => (r.getLong(0) % nParts).toInt)
+                .foreach { case (p, rows) =>
+                  c.produce(topic, p, rows.map(r =>
+                    KafkaWireProtocol.WireMessage(0,
+                      r.getLong(0).toString.getBytes("UTF-8"),
+                      r.getString(1).getBytes("UTF-8"))))
+                }
+            } finally c.close()
+          }
+        }
+      val cfg = graft.sources.StreamSource.StreamConfig(
+        referenceName = "kafka_wire_ingest",
+        brokers = broker.bootstrapServers,
+        topics = Seq(topic),
+        initialOffset = "beginning",
+        format = Some("text"))
+      val drained = runToMemory(s, graft.sources.StreamSource.read(s, cfg), "append")
+      drained.select(
+          col("key").cast("string").cast("long").as("doc_id"),
+          length(col("message")).cast("long").as("n_chars"),
+          size(split(col("message"), " ")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    } finally broker.close()
+  }
 }

@@ -2,48 +2,52 @@ package graft.tools
 
 import graft.GraftSession
 import graft.sources.StreamSource
+import graft.sources.kafka.{KafkaWireClient, KafkaWireProtocol, MiniKafkaBroker}
 import org.apache.spark.sql.SparkSession
 
-/** The standing S1 environmental ask, packaged ready-to-run: an
-  * end-to-end `format("kafka")` smoke over [[StreamSource.read]] — the
-  * one path `KafkaWireContractSpec` can only contract-test, because the
-  * sandbox ships no spark-sql-kafka connector jar (zero egress, see
-  * `StreamSource.decodeWire`'s doc). The day the environment provides
-  * the jar (and a broker), this main IS the live test — no code needs
-  * to change, which is the point of keeping everything downstream of
-  * `load()` pinned to the documented wire schema.
+/** End-to-end Kafka smoke over [[StreamSource.read]]. Until round 11 this
+  * main could only REPORT that no Kafka path existed (no spark-sql-kafka
+  * jar, zero egress). The engine now carries its own wire implementation
+  * ([[graft.sources.kafka.KafkaWireSourceProvider]] — the 0.9 protocol
+  * the reference's source consumes, `MapRStreamingSource.java:70-94`), so
+  * this main always has a live path:
   *
-  * Run: `SPARK_GRAFT_KAFKA_BROKERS=host:9092 SPARK_GRAFT_KAFKA_TOPIC=t \
-  *   sbt "runMain graft.tools.KafkaSmoke"`
-  * Exit codes: 0 = read path drained rows end-to-end; 2 = broker/topic
-  * env unset; 3 = connector jar absent (the current sandbox state —
-  * reported, never faked).
+  *   - `SPARK_GRAFT_KAFKA_BROKERS`/`SPARK_GRAFT_KAFKA_TOPIC` set: drain
+  *     that broker/topic through `StreamSource.read` (via the stock
+  *     connector if its jar is present, the wire source otherwise).
+  *   - env unset: self-contained smoke — start [[MiniKafkaBroker]] on an
+  *     ephemeral port, produce over the real socket, drain, assert.
+  *
+  * Exit 0 = rows drained end to end; 1 = drained zero rows.
   */
 object KafkaSmoke {
   def main(args: Array[String]): Unit = {
-    val connectorPresent =
+    val envBrokers = sys.env.getOrElse("SPARK_GRAFT_KAFKA_BROKERS", "")
+    val envTopic = sys.env.getOrElse("SPARK_GRAFT_KAFKA_TOPIC", "")
+    val selfContained = envBrokers.isEmpty || envTopic.isEmpty
+    val broker = if (selfContained) {
+      val b = new MiniKafkaBroker().start()
+      b.createTopic("smoke", 2)
+      val c = new KafkaWireClient("127.0.0.1", b.port)
       try {
-        Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
-        true
-      } catch { case _: ClassNotFoundException => false }
-    if (!connectorPresent) {
-      System.err.println("[kafka-smoke] spark-sql-kafka connector is NOT on " +
-        "the classpath — this sandbox has no Kafka path to exercise " +
-        "(standing environmental ask; KafkaWireContractSpec carries the " +
-        "wire-shape contract meanwhile)")
-      sys.exit(3)
-    }
-    val brokers = sys.env.getOrElse("SPARK_GRAFT_KAFKA_BROKERS", "")
-    val topic = sys.env.getOrElse("SPARK_GRAFT_KAFKA_TOPIC", "")
-    if (brokers.isEmpty || topic.isEmpty) {
-      System.err.println("[kafka-smoke] set SPARK_GRAFT_KAFKA_BROKERS and " +
-        "SPARK_GRAFT_KAFKA_TOPIC to point at a live broker/topic")
-      sys.exit(2)
+        c.produce("smoke", 0, (0 until 5).map(i =>
+          KafkaWireProtocol.WireMessage(0, s"k$i".getBytes("UTF-8"),
+            s"value-$i".getBytes("UTF-8"))))
+        c.produce("smoke", 1, (5 until 8).map(i =>
+          KafkaWireProtocol.WireMessage(0, null, s"value-$i".getBytes("UTF-8"))))
+      } finally c.close()
+      Some(b)
+    } else None
+    val (brokers, topic) = broker match {
+      case Some(b) => (b.bootstrapServers, "smoke")
+      case None => (envBrokers, envTopic)
     }
     val spark: SparkSession = GraftSession.configure(
       SparkSession.builder().master("local[4]")
         .config("spark.sql.shuffle.partitions", "4")).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    println(s"[kafka-smoke] reading via format '${StreamSource.kafkaFormat}' " +
+      s"from $brokers topic '$topic'")
     val cfg = StreamSource.StreamConfig(
       referenceName = "kafka_smoke",
       brokers = brokers,
@@ -60,11 +64,13 @@ object KafkaSmoke {
     q.awaitTermination()
     val n = spark.table("kafka_smoke").count()
     println(s"[kafka-smoke] drained $n records from '$topic' through " +
-      "StreamSource.read (kafka load -> decodeWire)")
+      "StreamSource.read (wire fetch -> decodeWire)")
     spark.stop()
+    broker.foreach(_.close())
     if (n == 0) {
       System.err.println("[kafka-smoke] topic drained ZERO records — " +
         "produce test data first; an empty read proves connectivity only")
+      sys.exit(1)
     }
   }
 }

@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.ByteBuffer
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.sources.kafka.KafkaWireProtocol._
+import graft.sources.kafka.{KafkaWireOffset, KafkaWireProtocol}
+
+/** Pure byte-level properties of the Kafka-0.9 codec — no sockets, no
+  * Spark. Round-trips prove encode/decode agree on the exact layout for
+  * arbitrary payloads (null keys, empty values, magic 0 and 1); the CRC
+  * property proves a corrupt wire byte is an ERROR, not a silent bad row;
+  * the offset-JSON property pins the checkpoint format the streaming
+  * engine replays after restart. */
+class KafkaWireProtocolSpec extends AnyFunSuite {
+
+  /** Deterministic sample draw (the repo's PropSpec idiom — seeded, so a
+    * failure reproduces). */
+  private def samples[T](g: Gen[T], n: Int, seed: Long = 11L): List[T] =
+    LazyList.iterate(Seed(seed))(_.next).take(n)
+      .flatMap(s => g.apply(Gen.Parameters.default, s)).toList
+
+  private val genBytes: Gen[Array[Byte]] = Gen.oneOf(
+    Gen.const(null: Array[Byte]),
+    Gen.choose(0, 64).flatMap(n => Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+      .map(_.toArray)))
+
+  private val genMsg: Gen[WireMessage] = for {
+    off <- Gen.choose(0L, 1000000L)
+    key <- genBytes
+    value <- genBytes
+    magic <- Gen.oneOf(0: Byte, 1: Byte)
+    ts <- Gen.choose(0L, 2000000000000L)
+  } yield WireMessage(off, key, value, magic, if (magic >= 1) ts else -1L)
+
+  private def sameBytes(a: Array[Byte], b: Array[Byte]): Boolean =
+    (a == null && b == null) || (a != null && b != null && a.sameElements(b))
+
+  test("message sets round-trip byte-exactly (null keys, empty values, both magics)") {
+    samples(Gen.listOfN(5, genMsg), 60).foreach { msgs =>
+      val decoded = decodeMessageSet(encodeMessageSet(msgs))
+      assert(decoded.size == msgs.size)
+      decoded.zip(msgs).foreach { case (d, m) =>
+        assert(d.offset == m.offset)
+        assert(sameBytes(d.key, m.key))
+        assert(sameBytes(d.value, m.value))
+        assert(d.magic == m.magic)
+        assert(d.timestampMs == m.timestampMs)
+      }
+    }
+  }
+
+  test("a flipped payload byte fails CRC verification loudly") {
+    val bytes = encodeMessageSet(Seq(
+      WireMessage(7, "k".getBytes, "some-payload".getBytes)))
+    val corrupt = bytes.clone()
+    corrupt(bytes.length - 3) = (corrupt(bytes.length - 3) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](decodeMessageSet(corrupt))
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("a partial trailing record is dropped, whole prefix kept (the 0.9 max_bytes cut)") {
+    val msgs = (0 until 3).map(i => WireMessage(i.toLong, null, s"v$i".getBytes))
+    val bytes = encodeMessageSet(msgs)
+    // cut 5 bytes into the last record
+    val cut = bytes.take(bytes.length - 5)
+    val decoded = decodeMessageSet(cut)
+    assert(decoded.map(_.offset) == Seq(0L, 1L))
+  }
+
+  test("request header round-trips") {
+    samples(Gen.zip(Gen.choose(0, 3), Gen.choose(0, Int.MaxValue)), 40)
+      .foreach { case (api, corr) =>
+        val o = new Out
+        writeHeader(o, RequestHeader(api.toShort, 0, corr, "client-x"))
+        val h = readHeader(ByteBuffer.wrap(o.toBytes))
+        assert(h == RequestHeader(api.toShort, 0, corr, "client-x"))
+      }
+  }
+
+  test("fetch request/response round-trip") {
+    val req = FetchRequest(100, 1, "topic-a", Seq((0, 42L, 65536), (3, 7L, 1024)))
+    val (w, m, decoded) = decodeFetchRequest(ByteBuffer.wrap(encodeFetchRequest(req)))
+    assert((w, m) == ((100, 1)))
+    assert(decoded == Seq(req))
+    val ms = encodeMessageSet(Seq(WireMessage(5, null, "v".getBytes)))
+    val resp = Seq(("topic-a", Seq(
+      FetchPartition(0, ErrNone, 99L, ms),
+      FetchPartition(3, ErrOffsetOutOfRange, 7L, Array.empty[Byte]))))
+    val back = decodeFetchResponse(ByteBuffer.wrap(encodeFetchResponse(resp)))
+    assert(back.map { case (t, ps) => (t, ps.map(p => (p.partition, p.error, p.highWatermark))) } ==
+      Seq(("topic-a", Seq((0, ErrNone, 99L), (3, ErrOffsetOutOfRange, 7L)))))
+    assert(decodeMessageSet(back.head._2.head.messageSet).head.offset == 5L)
+  }
+
+  test("offsets and metadata bodies round-trip") {
+    val oreq = OffsetsRequest("t", Seq((0, TimeLatest, 1), (1, TimeEarliest, 1)))
+    assert(decodeOffsetsRequest(ByteBuffer.wrap(encodeOffsetsRequest(oreq))) == Seq(oreq))
+    val oresp = Seq(("t", Seq(PartitionOffsets(0, ErrNone, Seq(12L)),
+      PartitionOffsets(1, ErrUnknownTopicOrPartition, Nil))))
+    assert(decodeOffsetsResponse(ByteBuffer.wrap(encodeOffsetsResponse(oresp))) == oresp)
+    assert(decodeMetadataRequest(ByteBuffer.wrap(
+      encodeMetadataRequest(Seq("a", "b")))) == Seq("a", "b"))
+    val mresp = MetadataResponse(Seq((0, "127.0.0.1", 9092)), Seq(
+      TopicMeta(ErrNone, "a", Seq(PartitionMeta(0, 0), PartitionMeta(1, 0))),
+      TopicMeta(ErrUnknownTopicOrPartition, "zz", Nil)))
+    assert(decodeMetadataResponse(ByteBuffer.wrap(encodeMetadataResponse(mresp))) == mresp)
+  }
+
+  test("produce bodies round-trip with the message set intact") {
+    val ms = encodeMessageSet(Seq(WireMessage(0, "k".getBytes, "v".getBytes)))
+    val req = ProduceRequest(1, 5000, "t", Seq((2, ms)))
+    val (acks, back) = decodeProduceRequest(ByteBuffer.wrap(encodeProduceRequest(req)))
+    assert(acks == 1)
+    assert(back.head.topic == "t")
+    assert(back.head.partitions.head._1 == 2)
+    assert(back.head.partitions.head._2.sameElements(ms))
+    val resp = Seq(("t", Seq(ProducePartition(2, ErrNone, 17L))))
+    assert(decodeProduceResponse(ByteBuffer.wrap(encodeProduceResponse(resp))) == resp)
+  }
+
+  test("checkpoint offsets serialize canonically and round-trip") {
+    val o = KafkaWireOffset(Map(
+      "zz" -> Map(1 -> 5L, 0 -> 3L),
+      "aa" -> Map(10 -> 7L, 2 -> 0L)))
+    // sorted topics, numerically sorted partitions — the same position
+    // always produces the same checkpoint bytes
+    assert(o.json() == """{"aa":{"2":0,"10":7},"zz":{"0":3,"1":5}}""")
+    assert(KafkaWireOffset.fromJson(o.json()) == o)
+    assert(KafkaWireOffset.fromJson("{}") == KafkaWireOffset(Map.empty))
+  }
+}
