@@ -1832,7 +1832,20 @@ object TextAnalysis {
                 lit(0L)) <= 250000, 1)
               .otherwise(0).cast("int").as("t_ok"))
           .orderBy(col("c_nationkey"), col("c_mktsegment"))
-      })
+      }),
+
+    // Unigram-LM tokenizer training (Kudo 2018) — the OTHER production
+    // tokenizer family (q90's BPE merges grow a vocabulary; unigram
+    // prunes one under a probabilistic model). Deterministic Viterbi-EM
+    // with quantized integer costs, unrolled TWO full rounds on both
+    // engines — round 2's counts certify round 1's complete M-step
+    // (pruning, char smoothing, requantization). Per-round
+    // `_fertility_ppm` rows are directly comparable to qa7's BPE
+    // fertility_ppm. Design + scale shape: [[graft.operators.UnigramLm]].
+    QueryDef(
+      "qal_unigram_lm",
+      Some(graft.operators.UnigramLm.oracleSql),
+      (s, dir) => graft.operators.UnigramLm.train(docs(s, dir)))
   )
 
   /** qa1's hashed-bigram feature stream over a (doc_id, source, text)
