@@ -479,6 +479,34 @@ object Joins {
         merge(v1p, ord.filter(col("g") === 0), v2p)
         // serve the estimator through the final catalog generation
         joinSizeEval(s.read.parquet(v2p), lineitemDayCounts(s, dir))
+      }),
+
+    // Stats-driven join ordering — the capstone that makes the CBO-stats
+    // family (qad estimate / qaf selectivity / qaj+qak maintenance)
+    // actually DECIDE something: a 3-table star query
+    // (lineitem ⋈ orders ⋈ customer) has two left-deep orders, the
+    // planner prices both from the PERSISTED stats catalog with the
+    // textbook containment formula |R⋈S| = |R|·|S| div max(ndv_R(k),
+    // ndv_S(k)) and C_out cost (intermediate + final estimate, integer
+    // div in a fixed sequence), picks the cheaper (tie → name ASC), and
+    // EXECUTES the picked order. Reading the 2-row priced frame onto the
+    // driver is the planner's plan-time action (catalog-sized, the same
+    // metadata read Spark's own CBO does) — corpus rows never move. The
+    // output carries the full pricing table, the pick, and the executed
+    // result, so the oracle replays the pricing ALGEBRA and the pick
+    // rule, not just the final answer. At TPC-H ratios the estimates
+    // price orders⋈customer (≈|orders|) under lineitem⋈orders
+    // (≈|lineitem|), so the plan builds the dimension-side intermediate
+    // first — PlanSpec pins that shape and the broadcast. Headroom (qab
+    // rule): pricing multiplies two row counts before the div — int64
+    // holds to ~3e9 rows per table; past that price in decimal(38,0).
+    QueryDef(
+      "qam_join_order",
+      Some(joinOrderOracleSql),
+      (s, dir) => {
+        val cat = QueryDef.materializePath(dir, "qam_catalog.parquet")
+        starCatalog(s, dir).write.mode("overwrite").parquet(cat)
+        joinOrderRun(s, dir, s.read.parquet(cat))
       })
   )
 
@@ -563,4 +591,150 @@ object Joins {
         expr("abs(est_rows - actual_rows) * 1000000 div nullif(actual_rows, 0)")
           .as("err_ppm"))
       .orderBy(col("mon"))
+
+  // ------------------------------------------------------ qam join order
+
+  /** qam's ANALYZE artifact: one row per star table with exact row and
+    * join-key NDV statistics — what the planner consumes. One aggregate
+    * pass per table (count + exact count-distinct on the join keys). */
+  private[graft] def starCatalog(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("ndv_ok"))
+      .select(lit("lineitem").as("tbl"), col("n_rows"), col("ndv_ok"),
+        lit(0L).as("ndv_ck"))
+    val ord = t(s, dir, "orders")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("ndv_ok"),
+        countDistinct(col("o_custkey")).as("ndv_ck"))
+      .select(lit("orders").as("tbl"), col("n_rows"), col("ndv_ok"),
+        col("ndv_ck"))
+    val cust = t(s, dir, "customer")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("c_custkey")).as("ndv_ck"))
+      .select(lit("customer").as("tbl"), col("n_rows"), lit(0L).as("ndv_ok"),
+        col("ndv_ck"))
+    li.unionByName(ord).unionByName(cust)
+  }
+
+  /** Price both left-deep orders from the catalog, in-plan: containment
+    * formula |R⋈S| = |R|·|S| div max(ndv), C_out cost = est_im +
+    * est_fin, integer div in a FIXED sequence so both engines round
+    * identically. The catalog rows pivot through broadcast 1-row frames. */
+  private[graft] def joinOrderPricing(cat: DataFrame): DataFrame = {
+    val l = cat.filter(col("tbl") === "lineitem")
+      .select(col("n_rows").as("nl"), col("ndv_ok").as("l_ok"))
+    val o = cat.filter(col("tbl") === "orders")
+      .select(col("n_rows").as("no_"), col("ndv_ok").as("o_ok"),
+        col("ndv_ck").as("o_ck"))
+    val c = cat.filter(col("tbl") === "customer")
+      .select(col("n_rows").as("nc"), col("ndv_ck").as("c_ck"))
+    val j = l.crossJoin(broadcast(o)).crossJoin(broadcast(c))
+    val a = j.select(lit("LO_then_C").as("k"),
+        expr("(nl * no_) div greatest(l_ok, o_ok)").as("est_im"),
+        col("nc"), col("o_ck"), col("c_ck"))
+      .select(col("k"), col("est_im"),
+        expr("(est_im * nc) div greatest(o_ck, c_ck)").as("est_fin"))
+    val b = j.select(lit("OC_then_L").as("k"),
+        expr("(no_ * nc) div greatest(o_ck, c_ck)").as("est_im"),
+        col("nl"), col("l_ok"), col("o_ok"))
+      .select(col("k"), col("est_im"),
+        expr("(est_im * nl) div greatest(l_ok, o_ok)").as("est_fin"))
+    a.unionByName(b)
+      .select(col("k"), col("est_im"), (col("est_im") + col("est_fin")).as("cost"))
+  }
+
+  /** The planner's decision: argmin (cost, name) over the 2-row priced
+    * frame. The collect is the plan-time catalog read every cost-based
+    * planner performs on the driver — 2 rows of metadata, never corpus. */
+  private[graft] def pickOrder(pricing: DataFrame): String =
+    pricing.select(col("cost"), col("k")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).min._2
+
+  /** Execute the star query in the given left-deep order. The dimension
+    * (customer) broadcasts in both orders; the order decides WHICH
+    * intermediate materializes between the two shuffling fact joins. */
+  private[graft] def starJoin(s: SparkSession, dir: String,
+      pick: String): DataFrame =
+    starJoinOn(
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+      pick)
+
+  private[graft] def starJoinOn(li: DataFrame, ord: DataFrame,
+      cust: DataFrame, pick: String, hintBroadcast: Boolean = true): DataFrame = {
+    // hintBroadcast = false models the regime where the dimension does
+    // NOT fit a broadcast (the 100 TB case the C_out pricing is for —
+    // with a broadcastable dimension both orders shuffle each fact table
+    // exactly once and genuinely tie; ScaleProbe's joinorder mode
+    // measured that tie, and measures the order gap with this off)
+    val c = if (hintBroadcast) broadcast(cust) else cust
+    val joined =
+      if (pick == "OC_then_L")
+        ord.join(c, col("o_custkey") === col("c_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+      else
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+    joined.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("cents"))
+  }
+
+  private[graft] def joinOrderRun(s: SparkSession, dir: String,
+      cat: DataFrame): DataFrame = {
+    val pricing = joinOrderPricing(cat)
+    val pick = pickOrder(pricing)
+    val priceRows = pricing.select(lit("price").as("section"), col("k"),
+      col("est_im").as("n"), col("cost").as("v"))
+    val pickRow = s.range(1).select(lit("pick").as("section"),
+      lit(pick).as("k"), lit(1L).as("n"), lit(0L).as("v"))
+    val resRows = starJoin(s, dir, pick)
+      .select(lit("result").as("section"), col("c_mktsegment").as("k"),
+        col("n").cast("long").as("n"), col("cents").as("v"))
+    priceRows.unionByName(pickRow).unionByName(resRows)
+      .orderBy(col("section"), col("k"))
+  }
+
+  /** qam oracle: replays the catalog statistics, the containment pricing
+    * algebra (same integer-div sequence), the argmin pick rule, and the
+    * star result itself. */
+  private lazy val joinOrderOracleSql: String =
+    """WITH stl AS (SELECT COUNT(*) AS nl,
+          COUNT(DISTINCT l_orderkey) AS l_ok FROM lineitem),
+      sto AS (SELECT COUNT(*) AS no_, COUNT(DISTINCT o_orderkey) AS o_ok,
+          COUNT(DISTINCT o_custkey) AS o_ck FROM orders),
+      stc AS (SELECT COUNT(*) AS nc,
+          COUNT(DISTINCT c_custkey) AS c_ck FROM customer),
+      j AS (SELECT * FROM stl, sto, stc),
+      price AS (
+        SELECT 'LO_then_C' AS k,
+          (nl * no_) // GREATEST(l_ok, o_ok) AS est_im,
+          ((nl * no_) // GREATEST(l_ok, o_ok)) * nc
+            // GREATEST(o_ck, c_ck) AS est_fin
+        FROM j
+        UNION ALL
+        SELECT 'OC_then_L' AS k,
+          (no_ * nc) // GREATEST(o_ck, c_ck) AS est_im,
+          ((no_ * nc) // GREATEST(o_ck, c_ck)) * nl
+            // GREATEST(l_ok, o_ok) AS est_fin
+        FROM j),
+      pr AS (SELECT k, est_im, est_im + est_fin AS cost FROM price),
+      pk AS (SELECT k FROM pr ORDER BY cost, k LIMIT 1),
+      res AS (
+        SELECT c_mktsegment, COUNT(*) AS n,
+          SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment)
+      SELECT section, k, n, v FROM (
+        SELECT 'price' AS section, k, est_im AS n, cost AS v FROM pr
+        UNION ALL
+        SELECT 'pick' AS section, k, CAST(1 AS BIGINT) AS n,
+          CAST(0 AS BIGINT) AS v FROM pk
+        UNION ALL
+        SELECT 'result' AS section, c_mktsegment AS k, n, cents AS v
+        FROM res)
+      ORDER BY section, k"""
 }

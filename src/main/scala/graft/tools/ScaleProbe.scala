@@ -311,6 +311,76 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "joinorder") {
+      // qam: does the catalog's pick match measured reality, and what
+      // does picking wrong cost? Prices both left-deep orders from the
+      // persisted-stats formulas, then executes BOTH and times them —
+      // the picked order must not be slower than the alternative.
+      import graft.queries.Joins
+      val cat = Joins.starCatalog(spark, dir).cache()
+      val priced = Joins.joinOrderPricing(cat)
+        .orderBy(col("cost")).collect()
+      priced.foreach(r => println(
+        s"[scale]   priced ${r.getString(0)}: est_im=${r.getLong(1)} " +
+          s"cost=${r.getLong(2)}"))
+      val pick = Joins.pickOrder(Joins.joinOrderPricing(cat))
+      val alt = if (pick == "OC_then_L") "LO_then_C" else "OC_then_L"
+      // C_out prices the SHUFFLE regime — the 100 TB reality where no
+      // fact side fits a broadcast and intermediate size IS shuffle
+      // volume. At local SF Spark (rightly) broadcasts the small tables
+      // and both orders collapse to near-identical zero-shuffle plans,
+      // so the regime the model prices is measured with broadcast off;
+      // the engine-side query keeps broadcasts ON (correct Spark-first
+      // behavior — the ORDER is what the catalog decides, per plan).
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // replicate the star ×copies with offset keys (FK structure kept
+      // per copy, NDVs scale with the data) — at 1× the lineitem scan
+      // dominates and the orders are within noise of each other; the
+      // intermediate-size difference the model prices grows linearly
+      val li = replicate(spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_extendedprice")),
+          "l_orderkey", copies, 100000000L).cache()
+      val ord0 = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select((col("o_orderkey") + col("copy") * 100000000L).as("o_orderkey"),
+          (col("o_custkey") + col("copy") * 100000000L).as("o_custkey"))
+        .cache()
+      val cust = replicate(spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment")),
+          "c_custkey", copies, 100000000L).cache()
+      Seq(li, ord0, cust).foreach(_.count()) // materialize caches
+      // hintBroadcast=false: the probe measures the regime the model
+      // prices — a dimension too large to broadcast (at 100 TB a
+      // customer table is TBs). With the broadcast hint both orders
+      // shuffle each fact table exactly once and tie (measured: ±8%
+      // machinery noise at 8x, identical exchange volumes in the plans).
+      def run(order: String): Double = {
+        val t0 = System.nanoTime()
+        Joins.starJoinOn(li, ord0, cust, order, hintBroadcast = false).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      if (args.length > 2 && args(2) == "plans") {
+        Seq(pick, alt).foreach { o =>
+          println(s"[scale] ---- $o executed plan ----")
+          val df = Joins.starJoinOn(li, ord0, cust, o, hintBroadcast = false)
+          df.count()
+          println(df.queryExecution.executedPlan.toString.take(4000))
+        }
+        spark.stop(); return
+      }
+      try {
+        run(pick); run(alt) // warm both paths (codegen)
+        // min of 3: single samples are jitter-dominated locally
+        val tp = (1 to 3).map(_ => run(pick)).min
+        val ta = (1 to 3).map(_ => run(alt)).min
+        println(f"[scale]   picked=$pick measured=$tp%.2fs " +
+          f"alternative=$alt measured=$ta%.2fs at ${copies}x " +
+          f"(shuffle regime; pick saves ${(ta - tp) / math.max(ta, 1e-9) * 100}%.0f%%)")
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "cbo") {
       // qad/qaf: do the planner estimates stay cheap AND trustworthy as
       // the corpus grows? Replication multiplies every day count on both

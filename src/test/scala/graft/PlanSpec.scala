@@ -826,4 +826,32 @@ class PlanSpec extends SparkSpec {
     assert(bigScans.size <= 2,
       s"qad scans the fact tables ${bigScans.size} times (one pass each)")
   }
+
+  test("qam: the catalog prices OC_then_L cheaper and the executed plan builds it") {
+    // the pricing must pick the dimension-side intermediate
+    // (orders⋈customer ≈ |orders|) over lineitem⋈orders (≈ |lineitem|)
+    val cat = graft.queries.Joins.starCatalog(spark, dir)
+    val pick = graft.queries.Joins.pickOrder(
+      graft.queries.Joins.joinOrderPricing(cat))
+    assert(pick == "OC_then_L", s"TPC-H ratios must price OC first, got $pick")
+    // and the executed star plan: customer meets orders in a BROADCAST
+    // join BELOW the lineitem shuffle join — the picked left-deep shape
+    val plans = collectAll(executed(
+      graft.queries.Joins.starJoin(spark, dir, pick)))
+    // match on the JOIN KEYS (node toString prints the whole subtree, so
+    // a substring check would hit the top join first)
+    val dimJoin = plans.collectFirst {
+      case b: BroadcastHashJoinExec
+          if (b.leftKeys ++ b.rightKeys).exists(_.toString.contains("c_custkey")) => b
+    }
+    assert(dimJoin.nonEmpty, "customer dimension must meet orders in a broadcast join")
+    // the picked left-deep shape: the orders⋈customer intermediate is
+    // built FIRST, so no lineitem scan appears in that join's subtree
+    // (at tiny SF AQE may broadcast the lineitem join above it too —
+    // that's fine; the ORDER is what the planner decided)
+    assert(!collectAll(dimJoin.get).exists(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec] &&
+          p.toString.contains("lineitem")),
+      "lineitem must join ABOVE the dimension intermediate, not inside it")
+  }
 }
