@@ -117,6 +117,11 @@ object SimilarityQueries {
   private[queries] def q6wIndexPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "q6w_ivf_tomb")
 
+  /** qan: the persisted CORPUS-side index the decontamination screen
+    * serves through (benchmark vectors are queries, never indexed). */
+  private[queries] def qanIndexPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qan_ivf_decontam")
+
   /** The q66 assignment rule as a helper: nearest centroid per vector,
     * argmax as a map-side-combining hash aggregate (one shuffled row per
     * vector), round-9 quantized scores, tie-break (cc DESC, cid ASC). */
@@ -1672,6 +1677,86 @@ object SimilarityQueries {
             coalesce(col("n_match"), lit(0L)).as("n_match"),
             expr("coalesce(n_match, 0) * 1000000 div 5").as("recall_ppm"))
           .orderBy(col("qid"))
+      }),
+
+    // Semantic decontamination — q5e's embedding twin: n-gram overlap
+    // (q5e) misses PARAPHRASED benchmark leakage; here every corpus
+    // vector that lands in a benchmark query's probed IVF cells gets an
+    // exact-cosine verdict against the benchmark set (vec_id % 20 = 7,
+    // q5e's holdout convention), flagged at the corpus's q64 near-dup
+    // threshold (cos ≥ 0.45). The scan path is the q5i build/serve
+    // split: the CORPUS index (centroids + memberships) is built once
+    // and PERSISTED; the benchmark side is a tiny broadcast frame that
+    // probes nprobe=2 cells per query — at 100 TB the screen touches
+    // |probed cells| of the corpus by id join, never a full pass, and
+    // rescreening a new benchmark reuses the standing index as-is.
+    // Candidates outside probed cells are unscreened BY DESIGN (the IVF
+    // recall trade every ANN deployment prices — q5n/annsweep measure
+    // it); the oracle reads the SAME persisted index and replays probe +
+    // verdicts, so recall loss is replayed, not hidden.
+    QueryDef(
+      "qan_semantic_decontamination",
+      Some(s"""WITH ic AS (
+          SELECT * FROM read_parquet('${qanIndexPath(sfDir)}/cent/*.parquet')),
+        ia AS (
+          SELECT * FROM read_parquet('${qanIndexPath(sfDir)}/assign/*.parquet')),
+        b AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id % 20 = 7),
+        probe0 AS (SELECT b.qid, b.qe, ic.cid,
+            row_number() OVER (PARTITION BY b.qid
+              ORDER BY round(list_cosine_similarity(b.qe::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
+                ic.cid) AS rn
+          FROM b, ic),
+        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
+        cand AS (SELECT p.qid, a.vec_id AS nid,
+            round(list_cosine_similarity(p.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS cs
+          FROM probe p JOIN ia a ON a.cid = p.cid
+          JOIN embeddings e ON e.vec_id = a.vec_id),
+        r AS (SELECT nid, qid, cs,
+            row_number() OVER (PARTITION BY nid
+              ORDER BY cs DESC, qid) AS rn
+          FROM cand)
+        SELECT nid AS vec_id, qid AS bench_id,
+          CAST(round(cs, 4) AS DOUBLE) AS cos,
+          CASE WHEN cs >= 0.45 THEN 1 ELSE 0 END AS contaminated
+        FROM r WHERE rn = 1 ORDER BY vec_id"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val corpus = e.filter(col("vec_id") % 20 =!= 7)
+        val bench = e.filter(col("vec_id") % 20 === 7)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        val p = qanIndexPath(dir)
+        // BUILD once over the corpus only (the benchmark is the query
+        // side, never indexed), persist
+        val cent = centroids(corpus)
+        assignTo(corpus, cent).write.mode("overwrite").parquet(s"$p/assign")
+        cent.write.mode("overwrite").parquet(s"$p/cent")
+        // SERVE from the persisted index: benchmark probes its 2 cells
+        val ic = s.read.parquet(s"$p/cent")
+        val ia = s.read.parquet(s"$p/assign")
+        val wProbe = Window.partitionBy(col("qid"))
+          .orderBy(col("qc").desc, col("cid"))
+        val probe = bench.crossJoin(broadcast(ic))
+          .withColumn("qc",
+            round(VectorFunctions.cosine_sim(col("qe"), col("ce")), 9))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= 2)
+          .select(col("qid"), col("qe"), col("cid"))
+        val cand = ia.join(broadcast(probe), Seq("cid"))
+          .select(col("qid"), col("qe"), col("vec_id").as("nid"))
+          .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+            Seq("nid"))
+          .withColumn("cs",
+            round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9))
+        val wVerdict = Window.partitionBy(col("nid"))
+          .orderBy(col("cs").desc, col("qid"))
+        cand.withColumn("rn", row_number().over(wVerdict))
+          .filter(col("rn") === 1)
+          .select(col("nid").as("vec_id"), col("qid").as("bench_id"),
+            round(col("cs"), 4).as("cos"),
+            when(col("cs") >= 0.45, 1).otherwise(0).cast("int")
+              .as("contaminated"))
+          .orderBy(col("vec_id"))
       })
   )
 
