@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** NN-Descent k-NN-graph construction (Dong, Moses & Li 2011, WWW —
+  * "Efficient K-Nearest Neighbor Graph Construction for Generic
+  * Similarity Measures"): the THIRD ANN index family next to IVF
+  * (q66/q5i) and PQ (q5s/q5t) — production vector serving increasingly
+  * sits on graph indexes (HNSW descends from this construction). The
+  * principle: a neighbor of a neighbor is likely a neighbor — start from
+  * a random k-NN guess and iterate local neighbor-of-neighbor joins;
+  * each round strictly improves the lists until convergence.
+  *
+  * Deterministic, oracle-replayable form:
+  *   - Init: k pseudo-random candidates per node from the id algebra
+  *     nid = (v + ((v·2654435761 + j·40503) mod 1000003) mod (N−1) + 1)
+  *     mod N — never self, engine-identical, no RNG state.
+  *   - Round: B = forward edges ∪ reverse edges (reverse degree CAPPED
+  *     at k by (cos DESC, id) — the paper's reverse sampling, made
+  *     deterministic); candidates = one self-join of the symmetrized B
+  *     on the shared pivot; union with the current lists; re-top-k by
+  *     round-9-quantized cosine with id tiebreak.
+  *   - [[Rounds]] rounds unrolled on BOTH engines — the oracle replays
+  *     init, every cap, every join, every top-k.
+  *
+  * Scale shape: per-node work is bounded by the capped degree (≤4k sym
+  * edges → ≤(4k)² candidate pairs per node, independent of N); each
+  * round is equi joins + two narrow (node, neighbor) shuffles, scored
+  * vectors fetched by id join — never an N×N pass (q65, the exact
+  * baseline, is the deliberate contrast). Rounds are lineage-cut
+  * ([[IterationCheckpoint]]). ScaleProbe's `nndescent` mode measures
+  * per-round cost and recall against brute force as the corpus
+  * replicates.
+  */
+object NnDescent {
+
+  /** Internal list width: NN-Descent builds with a wider frontier than
+    * it serves (the standard build-L > serve-k rule — a wider frontier
+    * is what propagates across a structureless corpus). */
+  val K = 10
+  /** Served/reported neighbors per node (matches q65's top-5). */
+  val ReportK = 5
+  /** Neighbor-of-neighbor improvement rounds. */
+  val Rounds = 3
+
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("nid"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("vec_id"), col("nid"), col("c"))
+  }
+
+  private def score(pairs: DataFrame, e: DataFrame): DataFrame =
+    pairs
+      .join(e.select(col("vec_id"), col("embedding").as("ve")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+      .select(col("vec_id"), col("nid"),
+        round(VectorFunctions.cosine_sim(col("ve"), col("ne")), 9).as("c"))
+
+  /** The full build: returns (vec_id, nid, c) — each node's k-NN list
+    * after [[Rounds]] improvement rounds. */
+  def knnGraph(e: DataFrame): DataFrame = {
+    val n = e.agg(count(lit(1)).as("nn"))
+    val init = e.select(col("vec_id"))
+      .crossJoin(broadcast(n))
+      .select(col("vec_id"), explode(sequence(lit(1), lit(K))).as("j"), col("nn"))
+      .select(col("vec_id"),
+        pmod(col("vec_id")
+            + pmod(pmod(col("vec_id") * 2654435761L + col("j") * 40503L,
+              lit(1000003L)), col("nn") - 1) + 1,
+          col("nn")).as("nid"))
+      .distinct() // the id algebra may collide two j's onto one nid
+    var knn = IterationCheckpoint.cut(topK(score(init, e)))
+    for (_ <- 1 to Rounds) {
+      val fwd = knn.select(col("vec_id"), col("nid"))
+      // reverse edges capped at K per target (deterministic reverse
+      // sampling): partition by the NEW owner (the old target)
+      val wRev = Window.partitionBy(col("nid")).orderBy(col("c").desc, col("vec_id"))
+      val rev = knn.withColumn("rn", row_number().over(wRev))
+        .filter(col("rn") <= K)
+        .select(col("nid").as("vec_id"), col("vec_id").as("nid"))
+      val b = fwd.unionByName(rev).distinct()
+      val sym = b.unionByName(
+          b.select(col("nid").as("vec_id"), col("vec_id").as("nid")))
+        .distinct()
+      // neighbor-of-neighbor: one equi self-join on the shared pivot
+      val cand = sym.select(col("vec_id"), col("nid").as("w"))
+        .join(sym.select(col("vec_id").as("w"), col("nid")), Seq("w"))
+        .filter(col("vec_id") =!= col("nid"))
+        .select(col("vec_id"), col("nid"))
+        .distinct()
+      val unioned = knn.unionByName(score(cand, e))
+        .groupBy(col("vec_id"), col("nid"))
+        .agg(max(col("c")).as("c")) // dedup: same pair scores identically
+      knn = IterationCheckpoint.cut(topK(unioned))
+    }
+    knn
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  /** The same build as DuckDB SQL, rounds unrolled by the same
+    * [[Rounds]]/[[K]] constants (MATERIALIZED — the self-joins inline
+    * exponentially otherwise). Final select: the 10 query nodes' lists
+    * with per-edge exact-top-k membership flags (recall@k readable per
+    * node as Σ in_exact / k). */
+  def oracleSql: String = {
+    def roundCtes(i: Int, prev: String): String =
+      s"""rev$i AS MATERIALIZED (
+         |  SELECT nid AS vec_id, vec_id AS nid FROM (
+         |    SELECT k.*, row_number() OVER (PARTITION BY k.nid
+         |      ORDER BY k.c DESC, k.vec_id) AS rn FROM $prev k)
+         |  WHERE rn <= $K),
+         |b$i AS MATERIALIZED (
+         |  SELECT DISTINCT vec_id, nid FROM (
+         |    SELECT vec_id, nid FROM $prev
+         |    UNION ALL SELECT vec_id, nid FROM rev$i)),
+         |sym$i AS MATERIALIZED (
+         |  SELECT DISTINCT vec_id, nid FROM (
+         |    SELECT vec_id, nid FROM b$i
+         |    UNION ALL SELECT nid, vec_id FROM b$i)),
+         |cand$i AS MATERIALIZED (
+         |  SELECT DISTINCT s1.vec_id, s2.nid
+         |  FROM sym$i s1 JOIN sym$i s2 ON s1.nid = s2.vec_id
+         |  WHERE s1.vec_id <> s2.nid),
+         |sc$i AS MATERIALIZED (
+         |  SELECT c2.vec_id, c2.nid,
+         |    round(list_cosine_similarity(ev.embedding::DOUBLE[],
+         |      eu.embedding::DOUBLE[]), 9) AS c
+         |  FROM cand$i c2
+         |  JOIN embeddings ev ON ev.vec_id = c2.vec_id
+         |  JOIN embeddings eu ON eu.vec_id = c2.nid),
+         |u$i AS MATERIALIZED (
+         |  SELECT vec_id, nid, max(c) AS c FROM (
+         |    SELECT vec_id, nid, c FROM $prev
+         |    UNION ALL SELECT vec_id, nid, c FROM sc$i)
+         |  GROUP BY vec_id, nid),
+         |k$i AS MATERIALIZED (
+         |  SELECT vec_id, nid, c FROM (
+         |    SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY c DESC, nid) AS rn FROM u$i)
+         |  WHERE rn <= $K)""".stripMargin
+    val rounds = (1 to Rounds)
+      .map(i => roundCtes(i, if (i == 1) "k0" else s"k${i - 1}"))
+      .mkString(",\n")
+    s"""WITH n0 AS MATERIALIZED (SELECT COUNT(*) AS nn FROM embeddings),
+       |init AS MATERIALIZED (
+       |  SELECT DISTINCT e.vec_id,
+       |    (e.vec_id + ((e.vec_id * 2654435761 + j.j * 40503) % 1000003)
+       |      % (n0.nn - 1) + 1) % n0.nn AS nid
+       |  FROM embeddings e, n0,
+       |    (SELECT unnest(generate_series(1, $K)) AS j) j),
+       |sc0 AS MATERIALIZED (
+       |  SELECT i.vec_id, i.nid,
+       |    round(list_cosine_similarity(ev.embedding::DOUBLE[],
+       |      eu.embedding::DOUBLE[]), 9) AS c
+       |  FROM init i
+       |  JOIN embeddings ev ON ev.vec_id = i.vec_id
+       |  JOIN embeddings eu ON eu.vec_id = i.nid),
+       |k0 AS MATERIALIZED (
+       |  SELECT vec_id, nid, c FROM (
+       |    SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, nid) AS rn FROM sc0)
+       |  WHERE rn <= $K),
+       |$rounds,
+       |exact AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
+       |          e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
+       |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 10)
+       |  WHERE rnk <= $ReportK),
+       |fin AS (
+       |  SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY c DESC, nid) AS rnk
+       |  FROM k$Rounds WHERE vec_id < 10)
+       |SELECT f.vec_id AS qid, f.rnk, f.nid,
+       |  CAST(round(f.c, 4) AS DOUBLE) AS cos,
+       |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
+       |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
+       |WHERE f.rnk <= $ReportK
+       |ORDER BY qid, rnk""".stripMargin
+  }
+}

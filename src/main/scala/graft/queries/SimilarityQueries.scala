@@ -1757,6 +1757,37 @@ object SimilarityQueries {
             when(col("cs") >= 0.45, 1).otherwise(0).cast("int")
               .as("contaminated"))
           .orderBy(col("vec_id"))
+      }),
+
+    // NN-Descent k-NN-graph construction — the third ANN index family
+    // (IVF: q66/q5i, PQ: q5s/q5t, graph: this): deterministic
+    // pseudo-random init, then bounded neighbor-of-neighbor improvement
+    // rounds, each a capped-degree equi self-join — the Pregel template
+    // applied to index BUILDING. Output: the 10 query nodes' final
+    // lists with per-edge exact-top-k membership (recall@5 readable per
+    // node), so the oracle certifies both the unrolled build and the
+    // recall claim. Design + scale shape:
+    // [[graft.operators.NnDescent]]; ScaleProbe `nndescent` measures
+    // per-round cost growth under corpus replication.
+    QueryDef(
+      "qao_nndescent_knn_graph",
+      Some(graft.operators.NnDescent.oracleSql),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val knn = graft.operators.NnDescent.knnGraph(e)
+        val w = Window.partitionBy(col("vec_id")).orderBy(col("c").desc, col("nid"))
+        val fin = knn.filter(col("vec_id") < 10)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= graft.operators.NnDescent.ReportK)
+        val exact = exactTopK(e, graft.operators.NnDescent.ReportK)
+          .withColumn("in_exact", lit(1))
+        fin.join(exact,
+            fin("vec_id") === exact("qid") && fin("nid") === exact("nid"),
+            "left")
+          .select(fin("vec_id").as("qid"), col("rnk"), fin("nid"),
+            round(col("c"), 4).as("cos"),
+            coalesce(col("in_exact"), lit(0)).cast("int").as("in_exact"))
+          .orderBy(col("qid"), col("rnk"))
       })
   )
 

@@ -311,6 +311,40 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "nndescent") {
+      // qao: per-round cost must grow LINEARLY in N (capped-degree
+      // candidate generation — ≤(4K)² pairs per node regardless of
+      // corpus size), unlike the N² exact build it replaces. Replicates
+      // the embeddings with offset ids and times the full build at each
+      // scale; recall is measured at 1x against brute force (the exact
+      // side is N² and is itself the point of contrast).
+      import graft.operators.NnDescent
+      val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      NnDescent.knnGraph(e0.limit(256)).count() // untimed codegen warmup
+      for (mult <- Seq(1, 4)) {
+        val e = replicate(e0, "vec_id", mult, 1000000L).cache()
+        val n = e.count()
+        val t0 = System.nanoTime()
+        val g = NnDescent.knnGraph(e)
+        val edges = g.count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[scale]   nndescent n=$n build=$wall%.2fs " +
+          f"edges=$edges (${NnDescent.Rounds} rounds, K=${NnDescent.K}; " +
+          f"per-node ${edges * 1.0 / n}%.1f)")
+        if (mult == 1) {
+          val hits = g.join(
+            graft.queries.SimilarityQueries.exactTopK(e, NnDescent.K)
+              .withColumnRenamed("qid", "vec_id"), Seq("vec_id", "nid")).count()
+          println(f"[scale]   recall@${NnDescent.K} vs exact = " +
+            f"${hits * 1.0 / (math.min(10, n) * NnDescent.K)}%.2f " +
+            "(10 query nodes)")
+        }
+        e.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "joinorder") {
       // qam: does the catalog's pick match measured reality, and what
       // does picking wrong cost? Prices both left-deep orders from the
