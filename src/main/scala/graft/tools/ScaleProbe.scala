@@ -311,6 +311,67 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "drain") {
+      // The streaming-drain cost model, measured: 27% of the round-10
+      // bench total was q8x micro-batch machinery, with the claim
+      // "fixed per-trigger cost, amortizes at real volumes" asserted
+      // but never measured. This mode drains a GraftDoc CDC source
+      // (8 commits, maxCommitsPerTrigger=1 → 8 triggers) at batch
+      // sizes spanning 3 decades and prints per-trigger seconds: the
+      // fixed term is the flat floor at small batches; the data term
+      // is the slope that only emerges at 100k+ rows/batch. Stateless
+      // (foreachBatch count) and stateful (update-mode groupBy into a
+      // memory sink, state store machinery included) are measured
+      // separately — the stateful floor is the one the q8x drains pay.
+      import graft.connector.GraftDoc
+      import org.apache.spark.sql.streaming.Trigger
+      val commits = 8
+      spark.conf.set("spark.sql.shuffle.partitions", "8")
+      for (batchRows <- Seq(100L, 1000L, 10000L, 100000L)) {
+        val tmp = graft.TempDirs.create(s"graft_drain_$batchRows")
+        for (w <- 0 until commits)
+          GraftDoc.write(
+            spark.range(batchRows)
+              .select((col("id") + w * batchRows).as("k"),
+                pmod(col("id"), lit(97L)).as("v")),
+            "k", s"$tmp/src")
+        def drainWall(stateful: Boolean): Double = {
+          val ckpt = java.nio.file.Files
+            .createTempDirectory(s"graft_drain_ck").toFile
+          val src = GraftDoc
+            .readStream(spark, s"$tmp/src", maxCommitsPerTrigger = Some(1L))
+            .select(col("_id").cast("long").as("k"), col("v"))
+          val t0 = System.nanoTime()
+          val q =
+            if (stateful)
+              src.groupBy(pmod(col("k"), lit(64L)).as("g"))
+                .agg(count(lit(1)).as("n"),
+                  sum(col("v")).as("sv"))
+                .writeStream.format("memory")
+                .queryName(s"drain_${batchRows}_$stateful")
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt.getAbsolutePath)
+                .trigger(Trigger.AvailableNow()).start()
+            else
+              src.writeStream
+                .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                  b.groupBy().count().head(); ()
+                }
+                .option("checkpointLocation", ckpt.getAbsolutePath)
+                .trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+          (System.nanoTime() - t0) / 1e9
+        }
+        drainWall(stateful = false) // codegen/source warmup, untimed
+        val sl = drainWall(stateful = false)
+        val sf2 = drainWall(stateful = true)
+        println(f"[scale]   drain rows/trigger=$batchRows%7d x$commits: " +
+          f"stateless ${sl / commits}%.3fs/trigger, " +
+          f"stateful ${sf2 / commits}%.3fs/trigger")
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "nndescent") {
       // qao: per-round cost must grow LINEARLY in N (capped-degree
       // candidate generation — ≤(4K)² pairs per node regardless of

@@ -69,4 +69,40 @@ class IterationCheckpointSpec extends SparkSpec {
       spark.conf.unset(IterationCheckpoint.ConfKey)
     }
   }
+
+  test("pagerank converges identically under the durable knob") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    def ranks(): Map[Long, Double] =
+      graft.operators.PageRank.run(nodes, edges, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = ranks()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt3").toFile
+    spark.conf.set(IterationCheckpoint.ConfKey, dir.getAbsolutePath)
+    try assert(ranks() === plain)
+    finally spark.conf.unset(IterationCheckpoint.ConfKey)
+  }
+
+  test("durable-mode frames re-read checkpoint FILES, not executor blocks") {
+    // the recovery contract: localCheckpoint blocks die with their
+    // executor (lineage was cut — the job fails); reliable checkpoints
+    // re-read their durable files on ANY block loss. Witnessed here by
+    // consuming the durable frame after wiping every cached/persisted
+    // block from the block manager — only a file-backed plan survives
+    // that with correct results.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt4").toFile
+    spark.conf.set(IterationCheckpoint.ConfKey, dir.getAbsolutePath)
+    try {
+      val durable = IterationCheckpoint.cut(
+        spark.range(1000).toDF("n")
+          .selectExpr("n", "n * n AS sq"))
+      // simulate total block loss: drop every block the block manager
+      // holds (this is what an executor death does to ITS blocks)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      assert(durable.selectExpr("sum(sq)").head().getLong(0) ==
+        (0L until 1000L).map(n => n * n).sum,
+        "durable frame must recompute from checkpoint files after block loss")
+    } finally spark.conf.unset(IterationCheckpoint.ConfKey)
+  }
 }
