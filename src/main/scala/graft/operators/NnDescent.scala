@@ -103,6 +103,105 @@ object NnDescent {
 
   // --------------------------------------------------------------- oracle
 
+  /** Greedy best-first serve over a PERSISTED k-NN graph — the search
+    * half of the graph-ANN lifecycle (the HNSW layer-0 walk, single
+    * beam): start every query at a fixed entry node, each hop move to
+    * the best of {current} ∪ neighbors(current) by quantized cosine
+    * (ties id ASC), [[ServeHops]] hops unrolled. Returns the FULL
+    * trajectory (qid, hop, nid, c) — certifying every hop, not just
+    * the endpoint. Scale shape: per hop one equi join into the graph
+    * (≤K edges per node) + one id join for vectors + one 10-row argmax;
+    * the corpus is touched only through probed nodes' id joins. */
+  val ServeHops = 6
+  val EntryNode = 10L
+
+  def greedyServe(e: DataFrame, g: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val entry = e.filter(col("vec_id") === EntryNode)
+      .select(col("embedding").as("ne"))
+    var st = q.crossJoin(broadcast(entry))
+      .select(col("qid"), col("qe"), lit(EntryNode).as("cur"),
+        round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("curc"))
+    val traj = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    traj += st.select(col("qid"), lit(0).as("hop"), col("cur"), col("curc"))
+    for (h <- 1 to ServeHops) {
+      val cand = st
+        .join(g.select(col("vec_id").as("cur"), col("nid")), Seq("cur"))
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+          Seq("nid"))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("qe"), col("nid").as("cand"),
+          round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
+      val unioned = cand.unionByName(
+        st.select(col("qid"), col("qe"), col("cur").as("cand"),
+          col("curc").as("c")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("cand"))
+      st = IterationCheckpoint.cut(
+        unioned.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("qe"), col("cand").as("cur"),
+            col("c").as("curc")))
+      traj += st.select(col("qid"), lit(h).as("hop"), col("cur"), col("curc"))
+    }
+    traj.reduce(_ unionByName _)
+  }
+
+  /** Serve oracle over a persisted graph at `graphPath`: replays the
+    * entry, every hop's argmax, and flags each position against the
+    * exact top-[[ReportK]] (so convergence INTO the true neighborhood is
+    * what the hash certifies). */
+  def serveOracleSql(graphPath: String): String = {
+    val hops = (1 to ServeHops).map { i =>
+      val prev = s"s${i - 1}"
+      s"""cand$i AS MATERIALIZED (
+         |  SELECT s.qid, g.nid AS cand,
+         |    round(list_cosine_similarity(q.qe::DOUBLE[],
+         |      e.embedding::DOUBLE[]), 9) AS c
+         |  FROM $prev s
+         |  JOIN g ON g.vec_id = s.cur
+         |  JOIN q ON q.qid = s.qid
+         |  JOIN embeddings e ON e.vec_id = g.nid
+         |  WHERE g.nid <> s.qid),
+         |s$i AS MATERIALIZED (
+         |  SELECT qid, cur, curc FROM (
+         |    SELECT qid, cand AS cur, c AS curc,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY c DESC, cand) AS rn
+         |    FROM (SELECT qid, cand, c FROM cand$i
+         |          UNION ALL SELECT qid, cur AS cand, curc AS c FROM $prev))
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val trajSel = (0 to ServeHops)
+      .map(h => s"SELECT $h AS hop, qid, cur, curc FROM s$h")
+      .mkString(" UNION ALL ")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('$graphPath/*.parquet')),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 10),
+       |s0 AS MATERIALIZED (
+       |  SELECT q.qid, CAST($EntryNode AS BIGINT) AS cur,
+       |    round(list_cosine_similarity(q.qe::DOUBLE[],
+       |      e.embedding::DOUBLE[]), 9) AS curc
+       |  FROM q JOIN embeddings e ON e.vec_id = $EntryNode),
+       |$hops,
+       |exact AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT qq.vec_id AS qid, e.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY qq.vec_id
+       |        ORDER BY round(list_cosine_similarity(qq.embedding::DOUBLE[],
+       |          e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
+       |    FROM embeddings qq JOIN embeddings e ON e.vec_id <> qq.vec_id
+       |    WHERE qq.vec_id < 10)
+       |  WHERE rnk <= $ReportK),
+       |traj AS ($trajSel)
+       |SELECT t.qid, t.hop, t.cur AS nid,
+       |  CAST(round(t.curc, 4) AS DOUBLE) AS cos,
+       |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_top5
+       |FROM traj t LEFT JOIN exact x ON x.qid = t.qid AND x.nid = t.cur
+       |ORDER BY t.qid, t.hop""".stripMargin
+  }
+
   /** The same build as DuckDB SQL, rounds unrolled by the same
     * [[Rounds]]/[[K]] constants (MATERIALIZED — the self-joins inline
     * exponentially otherwise). Final select: the 10 query nodes' lists

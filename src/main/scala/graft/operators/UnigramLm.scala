@@ -215,7 +215,34 @@ object UnigramLm {
     * steps unrolled by the same [[MaxWordLen]]/[[MaxPieceLen]] bounds, so
     * a hash match certifies every stage of both EM rounds. Generated by
     * loops so engine and oracle can never drift on the unroll depth. */
-  def oracleSql: String = {
+  def oracleSql: String =
+    s"""WITH $oracleCtes
+       |SELECT rnd, piece, cnt, rank
+       |FROM (SELECT * FROM rep1 UNION ALL SELECT * FROM rep2)
+       |ORDER BY rnd, rank, piece""".stripMargin
+
+  /** qap: corpus ENCODE under the trained model — every kept word's
+    * piece count comes from the final round's segmentation table (train
+    * once, broadcast the per-word table onto the corpus scan), summed
+    * per document with the qa7-comparable fertility_ppm. Shares the
+    * full training CTE chain, so the encode oracle re-certifies the
+    * training it consumes. */
+  def encodeOracleSql: String =
+    s"""WITH $oracleCtes,
+       |wp AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS np FROM seg2 GROUP BY word),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |       FROM documents),
+       |enc AS (SELECT d.doc_id, COUNT(*) AS n_words, SUM(wp.np) AS n_pieces
+       |        FROM dw d JOIN wp ON wp.word = d.word
+       |        WHERE length(d.word) BETWEEN 1 AND $MaxWordLen
+       |        GROUP BY d.doc_id)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_pieces AS BIGINT) AS n_pieces,
+       |  CAST(n_pieces * 1000000 // n_words AS BIGINT) AS fertility_ppm
+       |FROM enc ORDER BY doc_id""".stripMargin
+
+  private def oracleCtes: String = {
     val S = Scale
     def dpStages(r: Int, costCte: String): String = {
       val d0 =
@@ -269,7 +296,7 @@ object UnigramLm {
          |      // (SELECT SUM(wfreq) FROM w) AS BIGINT) AS cnt,
          |    0 AS rank)""".stripMargin
     }
-    s"""WITH w AS MATERIALIZED (
+    s"""w AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS wfreq FROM (
        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  WHERE length(word) BETWEEN 1 AND $MaxWordLen GROUP BY word),
@@ -311,9 +338,27 @@ object UnigramLm {
        |        / CAST(pfreq AS DOUBLE)) * $S + 0.5) AS BIGINT) AS cost
        |  FROM v2),
        |${dpStages(2, "c2")},
-       |${btSteps(2)}
-       |SELECT rnd, piece, cnt, rank
-       |FROM (SELECT * FROM rep1 UNION ALL SELECT * FROM rep2)
-       |ORDER BY rnd, rank, piece""".stripMargin
+       |${btSteps(2)}""".stripMargin
+  }
+
+  /** qap engine side: train (two EM rounds, exactly [[train]]'s chain),
+    * then one corpus pass joining each kept word to its final-round
+    * piece count (vocab-sized broadcast), aggregated per document. */
+  def encodeCorpus(docs: DataFrame): DataFrame = {
+    val w = IterationCheckpoint.cut(words(docs))
+    val seed = withCosts(seedVocab(w))
+    val counts1 = IterationCheckpoint.cut(
+      emCounts(segments(w, viterbi(w, seed))))
+    val vocab2 = withCosts(mStep(counts1, w))
+    val wp = segments(w, viterbi(w, vocab2))
+      .groupBy(col("word")).agg(count(lit(1)).as("np"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")).between(1, MaxWordLen))
+      .join(broadcast(wp), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        expr("(n_pieces * 1000000) div n_words").as("fertility_ppm"))
+      .orderBy(col("doc_id"))
   }
 }

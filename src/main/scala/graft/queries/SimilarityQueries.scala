@@ -122,6 +122,10 @@ object SimilarityQueries {
   private[queries] def qanIndexPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "qan_ivf_decontam")
 
+  /** qaq: the persisted NN-Descent graph the greedy serve walks. */
+  private[queries] def qaqGraphPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qaq_knn_graph")
+
   /** The q66 assignment rule as a helper: nearest centroid per vector,
     * argmax as a map-side-combining hash aggregate (one shuffled row per
     * vector), round-9 quantized scores, tie-break (cc DESC, cid ASC). */
@@ -1788,6 +1792,37 @@ object SimilarityQueries {
             round(col("c"), 4).as("cos"),
             coalesce(col("in_exact"), lit(0)).cast("int").as("in_exact"))
           .orderBy(col("qid"), col("rnk"))
+      }),
+
+    // Greedy graph-ANN SERVE — the search half of qao's build (the HNSW
+    // layer-0 walk, single beam): the k-NN graph is built once and
+    // PERSISTED (the q5i build/serve discipline applied to the graph
+    // family); every query then walks from a fixed entry node, each hop
+    // an equi join into ≤K stored edges + an id join for the probed
+    // vectors — O(hops·K) distance evaluations per query against the
+    // brute-force N. Output is the full per-hop TRAJECTORY with
+    // exact-top-5 membership flags, so the oracle (which reads the SAME
+    // persisted graph) certifies every hop's argmax and the walk's
+    // convergence into the true neighborhood, not just an endpoint.
+    QueryDef(
+      "qaq_graph_ann_serve",
+      Some(graft.operators.NnDescent.serveOracleSql(qaqGraphPath(sfDir))),
+      (s, dir) => {
+        import graft.operators.NnDescent
+        val e = emb(s, dir)
+        val p = qaqGraphPath(dir)
+        NnDescent.knnGraph(e).write.mode("overwrite").parquet(p)
+        val g = s.read.parquet(p)
+        val traj = NnDescent.greedyServe(e, g)
+        val exact = exactTopK(e, NnDescent.ReportK)
+          .withColumn("in_top5", lit(1))
+        traj.join(exact,
+            traj("qid") === exact("qid") && traj("cur") === exact("nid"),
+            "left")
+          .select(traj("qid"), col("hop"), col("cur").as("nid"),
+            round(col("curc"), 4).as("cos"),
+            coalesce(col("in_top5"), lit(0)).cast("int").as("in_top5"))
+          .orderBy(traj("qid"), col("hop"))
       })
   )
 

@@ -577,6 +577,20 @@ object StreamingQueries {
           LENGTH(text) AS n_chars,
           LEN(string_split(text, ' ')) AS n_tokens
         FROM documents WHERE doc_id < 400 ORDER BY doc_id"""),
-      (s, dir) => StreamPipelines.kafkaWireIngest(s, dir))
+      (s, dir) => StreamPipelines.kafkaWireIngest(s, dir)),
+
+    // The reference's identity topology end to end: wire stream → csv
+    // decode → streaming DOCUMENT-SINK upsert → snapshot. Two
+    // produce/drain waves on one checkpoint (stale rows then fresh), so
+    // the hash proves offset-resume AND commit-2-beats-commit-1 upsert
+    // for every key: one surviving 'PENDING' row is a new group and a
+    // different hash.
+    QueryDef(
+      "q8t_kafka_wire_doc_sink",
+      Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,
+          SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS cents
+        FROM customer WHERE c_custkey < 1000
+        GROUP BY 1 ORDER BY 1"""),
+      (s, dir) => StreamPipelines.kafkaWireToDocSink(s, dir))
   )
 }

@@ -1845,7 +1845,20 @@ object TextAnalysis {
     QueryDef(
       "qal_unigram_lm",
       Some(graft.operators.UnigramLm.oracleSql),
-      (s, dir) => graft.operators.UnigramLm.train(docs(s, dir)))
+      (s, dir) => graft.operators.UnigramLm.train(docs(s, dir))),
+
+    // Unigram-LM corpus ENCODE — qal's q91 analogue (train once, encode
+    // 100 TB): the final-round segmentation collapses to a vocab-sized
+    // (word, piece-count) table that broadcasts onto the document scan;
+    // the corpus pass is one explode + broadcast join + per-doc agg,
+    // zero shuffles beyond training. fertility_ppm is directly
+    // comparable to qa7's BPE number. The oracle shares qal's full
+    // training CTE chain, so this query re-certifies training AND
+    // proves the encode consumes exactly what training produced.
+    QueryDef(
+      "qap_unigram_encode",
+      Some(graft.operators.UnigramLm.encodeOracleSql),
+      (s, dir) => graft.operators.UnigramLm.encodeCorpus(docs(s, dir)))
   )
 
   /** qa1's hashed-bigram feature stream over a (doc_id, source, text)

@@ -1353,6 +1353,82 @@ object StreamPipelines {
       .select(col("id_new"), col("id_hist"), col("hamming"))
   }
 
+  /** q8t: the reference's IDENTITY topology, end to end — a Kafka-0.9
+    * wire stream feeding a keyed document sink
+    * (`MapRStreamingSource.java:70-94` → `MapRDBJSONSink.java:102-104`),
+    * run for real through the engine's own halves of both:
+    * distributed wire producers → [[graft.sources.kafka.MiniKafkaBroker]]
+    * → `StreamSource.read` (graft-kafka micro-batch source, F3 csv
+    * decode) → `GraftDoc.writeStream` (the DSv2 streaming upsert sink)
+    * → snapshot read. Two produce/drain waves against ONE checkpoint:
+    * wave 1 ships STALE rows (segment 'PENDING', balance 0), wave 2 the
+    * real ones — the second drain must resume from the committed wire
+    * offsets (no re-read) and the sink must upsert every key to its
+    * fresh version (commit 2 beats commit 1). The oracle aggregates the
+    * customer parquet directly, so a single surviving stale row (a
+    * 'PENDING' group), a lost key, or a replayed wave all hash-fail. */
+  def kafkaWireToDocSink(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.kafka.{KafkaWireClient, KafkaWireProtocol, MiniKafkaBroker}
+    val broker = new MiniKafkaBroker().start()
+    val tmp = graft.TempDirs.create("graft_wire_sink")
+    try {
+      val nParts = 2
+      val topic = "graft_cust"
+      broker.createTopic(topic, nParts)
+      val port = broker.port
+      val cust = s.read.parquet(s"$sfDir/customer.parquet")
+        .filter(col("c_custkey") < 1000)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      def produce(stale: Boolean): Unit =
+        cust.repartition(nParts, col("c_custkey"))
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            if (it.nonEmpty) {
+              val c = new KafkaWireClient("127.0.0.1", port, "graft-cust-prod")
+              try it.grouped(200).foreach { g =>
+                g.groupBy(r => (r.getLong(0) % nParts).toInt)
+                  .foreach { case (p, rows) =>
+                    c.produce(topic, p, rows.map { r =>
+                      val line =
+                        if (stale) s"${r.getLong(0)},PENDING,0.0"
+                        else s"${r.getLong(0)},${r.getString(1)},${r.getDouble(2)}"
+                      KafkaWireProtocol.WireMessage(0,
+                        r.getLong(0).toString.getBytes("UTF-8"),
+                        line.getBytes("UTF-8"))
+                    })
+                  }
+              } finally c.close()
+            }
+          }
+      val cfg = graft.sources.StreamSource.StreamConfig(
+        referenceName = "kafka_wire_sink",
+        brokers = broker.bootstrapServers,
+        topics = Seq(topic),
+        initialOffset = "beginning",
+        format = Some("csv"),
+        avroSchemaJson = Some("""{"type":"record","name":"cust","fields":[
+          {"name":"custkey","type":"long"},
+          {"name":"seg","type":"string"},
+          {"name":"bal","type":"double"}]}"""))
+      val ckpt = ephemeralCheckpoint("wire_sink")
+      try {
+        def drain(): Unit = withStreamShufflePartitions(s, 8) {
+          graft.connector.GraftDoc.writeStream(
+            graft.sources.StreamSource.read(s, cfg)
+              .select(col("custkey"), col("seg"), col("bal")),
+            "custkey", s"$tmp/sink", ckpt.getAbsolutePath)
+            .awaitTermination()
+        }
+        produce(stale = true); drain()   // commit 1: every key, stale
+        produce(stale = false); drain()  // commit 2: every key, fresh
+      } finally deleteRecursively(ckpt)
+      graft.connector.GraftDoc.snapshot(s, s"$tmp/sink")
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("bal") * 100 + 0.5).cast("long")).as("cents"))
+        .orderBy(col("seg"))
+    } finally broker.close()
+  }
+
   /** q8s: S1 EXECUTED inside the correctness gate — the reference's front
     * door (`MapRStreamingSource.java:70-94`) as a live run, not a
     * contract test. An in-process [[graft.sources.kafka.MiniKafkaBroker]]
