@@ -147,10 +147,116 @@ object NnDescent {
     traj.reduce(_ unionByName _)
   }
 
-  /** Serve oracle over a persisted graph at `graphPath`: replays the
-    * entry, every hop's argmax, and flags each position against the
-    * exact top-[[ReportK]] (so convergence INTO the true neighborhood is
-    * what the hash certifies). */
+  /** Beam (ef-search) serve over a PERSISTED k-NN graph — the quality
+    * half of HNSW's search story (qaq's single-beam walk is ef=1; real
+    * deployments run ef in the tens precisely because a width-1 walk
+    * gets stuck on local optima). Deterministic form: the beam starts
+    * at the entry node; each hop expands ALL beam nodes' stored edges
+    * (≤ [[BeamWidth]]·[[K]] distance evaluations per query per hop),
+    * unions the current beam, dedups, and keeps the top-[[BeamWidth]]
+    * by (quantized cosine DESC, id ASC). The beam is monotone — it can
+    * only improve — so [[BeamHops]] unrolled hops decide it. Returns
+    * every hop's FULL beam (qid, hop, rank, nid, c): the oracle
+    * certifies each hop's top-B cut, and the final beam's exact-top-5
+    * flags measure the recall the extra width buys over qaq (readable
+    * side by side — same graph, same queries, same entry). */
+  val BeamWidth = 4
+  val BeamHops = 4
+
+  def beamServe(e: DataFrame, g: DataFrame): DataFrame = {
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val entry = e.filter(col("vec_id") === EntryNode)
+      .select(col("embedding").as("ne"))
+    var beam = q.crossJoin(broadcast(entry))
+      .select(col("qid"), lit(EntryNode).as("nid"),
+        round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
+    val wB = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+    def ranked(b: DataFrame, hop: Int): DataFrame =
+      b.withColumn("rank", row_number().over(wB))
+        .select(col("qid"), lit(hop).as("hop"), col("rank"), col("nid"),
+          col("c"))
+    val traj = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    traj += ranked(beam, 0)
+    for (h <- 1 to BeamHops) {
+      val cand = beam
+        .join(g.select(col("vec_id").as("nid"), col("nid").as("nn")),
+          Seq("nid"))
+        .select(col("qid"), col("nn").as("nid")).distinct()
+        .filter(col("nid") =!= col("qid"))
+        .join(q, Seq("qid"))
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+          Seq("nid"))
+        .select(col("qid"), col("nid"),
+          round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
+      beam = IterationCheckpoint.cut(
+        cand.unionByName(beam)
+          .groupBy(col("qid"), col("nid"))
+          .agg(max(col("c")).as("c")) // dedup: same pair scores identically
+          .withColumn("rn", row_number().over(wB))
+          .filter(col("rn") <= BeamWidth)
+          .select(col("qid"), col("nid"), col("c")))
+      traj += ranked(beam, h)
+    }
+    traj.reduce(_ unionByName _)
+  }
+
+  /** Beam-serve oracle over the same persisted graph: replays the
+    * entry, every hop's expand/dedup/top-B cut, and flags every
+    * trajectory row against the exact top-[[ReportK]]. */
+  def beamServeOracleSql(graphPath: String): String = {
+    val hops = (1 to BeamHops).map { i =>
+      val prev = s"bm${i - 1}"
+      s"""cd$i AS MATERIALIZED (
+         |  SELECT x.qid, x.nid,
+         |    round(list_cosine_similarity(q.qe::DOUBLE[],
+         |      e.embedding::DOUBLE[]), 9) AS c
+         |  FROM (SELECT DISTINCT b.qid, g.nid FROM $prev b
+         |        JOIN g ON g.vec_id = b.nid) x
+         |  JOIN q ON q.qid = x.qid
+         |  JOIN embeddings e ON e.vec_id = x.nid
+         |  WHERE x.nid <> x.qid),
+         |bm$i AS MATERIALIZED (
+         |  SELECT qid, nid, c FROM (
+         |    SELECT qid, nid, c, row_number() OVER (PARTITION BY qid
+         |      ORDER BY c DESC, nid) AS rn
+         |    FROM (SELECT qid, nid, max(c) AS c FROM (
+         |            SELECT qid, nid, c FROM cd$i
+         |            UNION ALL SELECT qid, nid, c FROM $prev)
+         |          GROUP BY qid, nid))
+         |  WHERE rn <= $BeamWidth)""".stripMargin
+    }.mkString(",\n")
+    val trajSel = (0 to BeamHops).map { h =>
+      s"""SELECT $h AS hop, qid, nid, c,
+         |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+         |FROM bm$h""".stripMargin
+    }.map(s => s"($s)").mkString(" UNION ALL ")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('$graphPath/*.parquet')),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 10),
+       |bm0 AS MATERIALIZED (
+       |  SELECT q.qid, CAST($EntryNode AS BIGINT) AS nid,
+       |    round(list_cosine_similarity(q.qe::DOUBLE[],
+       |      e.embedding::DOUBLE[]), 9) AS c
+       |  FROM q JOIN embeddings e ON e.vec_id = $EntryNode),
+       |$hops,
+       |exact AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT qq.vec_id AS qid, e.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY qq.vec_id
+       |        ORDER BY round(list_cosine_similarity(qq.embedding::DOUBLE[],
+       |          e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
+       |    FROM embeddings qq JOIN embeddings e ON e.vec_id <> qq.vec_id
+       |    WHERE qq.vec_id < 10)
+       |  WHERE rnk <= $ReportK),
+       |traj AS ($trajSel)
+       |SELECT t.qid, t.hop, t.rank, t.nid,
+       |  CAST(round(t.c, 4) AS DOUBLE) AS cos,
+       |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_top5
+       |FROM traj t LEFT JOIN exact x ON x.qid = t.qid AND x.nid = t.nid
+       |ORDER BY t.qid, t.hop, t.rank""".stripMargin
+  }
   def serveOracleSql(graphPath: String): String = {
     val hops = (1 to ServeHops).map { i =>
       val prev = s"s${i - 1}"

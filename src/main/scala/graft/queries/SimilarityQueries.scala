@@ -126,6 +126,11 @@ object SimilarityQueries {
   private[queries] def qaqGraphPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "qaq_knn_graph")
 
+  /** qat: the persisted NN-Descent graph the beam serve walks (its own
+    * copy — queries must not order-depend on each other's staging). */
+  private[queries] def qatGraphPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qat_knn_graph")
+
   /** The q66 assignment rule as a helper: nearest centroid per vector,
     * argmax as a map-side-combining hash aggregate (one shuffled row per
     * vector), round-9 quantized scores, tie-break (cc DESC, cid ASC). */
@@ -1823,6 +1828,36 @@ object SimilarityQueries {
             round(col("curc"), 4).as("cos"),
             coalesce(col("in_top5"), lit(0)).cast("int").as("in_top5"))
           .orderBy(traj("qid"), col("hop"))
+      }),
+
+    // Beam (ef-search) graph-ANN serve — the quality half of HNSW's
+    // search story over the SAME graph family: qaq's walk is ef=1 and
+    // gets stuck on local optima; a width-4 beam expands all beam
+    // nodes' stored edges each hop (≤ 4·K distance evals/query/hop,
+    // still independent of N) and keeps the deterministic top-4. The
+    // output is every hop's FULL beam with exact-top-5 flags, so the
+    // recall the extra width buys over qaq's endpoint is readable in
+    // the artifact itself (same graph algorithm, same queries, same
+    // entry node). Design: [[graft.operators.NnDescent.beamServe]].
+    QueryDef(
+      "qat_beam_graph_serve",
+      Some(graft.operators.NnDescent.beamServeOracleSql(qatGraphPath(sfDir))),
+      (s, dir) => {
+        import graft.operators.NnDescent
+        val e = emb(s, dir)
+        val p = qatGraphPath(dir)
+        NnDescent.knnGraph(e).write.mode("overwrite").parquet(p)
+        val g = s.read.parquet(p)
+        val traj = NnDescent.beamServe(e, g)
+        val exact = exactTopK(e, NnDescent.ReportK)
+          .withColumn("in_top5", lit(1))
+        traj.join(exact,
+            traj("qid") === exact("qid") && traj("nid") === exact("nid"),
+            "left")
+          .select(traj("qid"), col("hop"), col("rank"), traj("nid"),
+            round(col("c"), 4).as("cos"),
+            coalesce(col("in_top5"), lit(0)).cast("int").as("in_top5"))
+          .orderBy(traj("qid"), col("hop"), col("rank"))
       })
   )
 

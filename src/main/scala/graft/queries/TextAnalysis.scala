@@ -1858,7 +1858,38 @@ object TextAnalysis {
     QueryDef(
       "qap_unigram_encode",
       Some(graft.operators.UnigramLm.encodeOracleSql),
-      (s, dir) => graft.operators.UnigramLm.encodeCorpus(docs(s, dir)))
+      (s, dir) => graft.operators.UnigramLm.encodeCorpus(docs(s, dir))),
+
+    // WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT
+    // family) — the THIRD production tokenizer family, completing the
+    // triad: BPE (q90) merges by raw pair count, unigram (qal) prunes
+    // under a probabilistic model, WordPiece merges by LIKELIHOOD gain
+    // score(a,b) = freq(ab)/(freq(a)·freq(b)) — exact fixed-point
+    // integer algebra in 128-bit intermediates (DECIMAL(38) / HUGEINT),
+    // so the argmax survives corpus scales that silently overflow
+    // int64. The output dumps each round's full scoring evidence
+    // (pair count, BOTH unit frequencies, the fixed-point score), so
+    // the hash certifies the likelihood algebra itself. Design + scale
+    // shape: [[graft.operators.WordPiece]].
+    QueryDef(
+      "qar_wordpiece_train",
+      Some(graft.operators.WordPiece.oracleSql),
+      (s, dir) => graft.operators.WordPiece.train(docs(s, dir))),
+
+    // WordPiece MaxMatch corpus encode — greedy longest-match-first
+    // against the trained vocabulary (the BERT tokenizer's encode,
+    // provably different from BPE merge replay: WordPieceSpec pins a
+    // witness). The cursor walk is row-local (one aggregate HOF per
+    // vocabulary word, MaxSteps bounded), the per-word token counts
+    // broadcast onto the document scan, and per-doc fertility_ppm is
+    // directly comparable to q91 (BPE) and qap (unigram) — the
+    // train-once / encode-100-TB shape shared by all three families.
+    // The oracle re-runs the full training chain and replays every
+    // cursor stage, so a drift in either half shows.
+    QueryDef(
+      "qas_wordpiece_encode",
+      Some(graft.operators.WordPiece.encodeOracleSql),
+      (s, dir) => graft.operators.WordPiece.encodeCorpus(docs(s, dir)))
   )
 
   /** qa1's hashed-bigram feature stream over a (doc_id, source, text)
