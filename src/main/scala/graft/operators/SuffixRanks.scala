@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array construction by prefix doubling (Manber &
+  * Myers 1990; the distributed-memory formulation of Flick & Aluru
+  * 2015, SC'15) — the index structure behind exact-substring
+  * deduplication at corpus scale (Lee et al. 2021, arXiv:2107.06499 §4
+  * builds its dedup on suffix arrays; q6z's rolling-hash spans are the
+  * sketch cousin, this is the exact structure).
+  *
+  * Round k ranks every suffix by its first 2^k characters:
+  *   - rank_0(p) = ascii(text[p]) — exact, engine-identical.
+  *   - rank_k(p) = dense rank of the pair (rank_{k-1}(p),
+  *     rank_{k-1}(p + 2^{k-1})), with 0 for past-the-end — the
+  *     standard terminator rule: a shorter suffix orders before any
+  *     extension.
+  * After [[Rounds]] rounds, equal ranks = identical
+  * 2^[[Rounds]]-character prefixes — repeated-substring groups.
+  *
+  * Scale shape (what makes this the 100 TB formulation):
+  *   - Each round is ONE equi self-join on (doc_id, pos + gap) — a
+  *     narrow (doc_id, pos, rank) shuffle, never a comparison sort of
+  *     suffixes (suffix STRINGS never move; only integer ranks do).
+  *   - The dense rank over key pairs is [[StableIds.assign]] on the
+  *     DISTINCT key set: range-partition + per-partition counts +
+  *     triangular offsets — the scale-safe global numbering, not a
+  *     single-task empty-partitioning window (the oracle's
+  *     dense_rank() is the semantic spec; StableIds is its
+  *     distributed plan).
+  *   - O(log L) rounds for suffix order out to length L; each round's
+  *     frame is lineage-cut ([[IterationCheckpoint]]).
+  *
+  * Suffixes are document-local (a suffix never crosses a document —
+  * the corpus is a bag of documents, not one tape), which is also what
+  * keeps the position space per-doc and the join keys (doc_id, pos). */
+object SuffixRanks {
+
+  /** Doubling rounds: final ranks order suffixes by their first
+    * 2^[[Rounds]] = 16 characters (q6z's minimum span length). */
+  val Rounds = 4
+  /** Range partitions for the StableIds dense-rank phase. */
+  val Partitions = 32
+  /** Detail rows are dumped for documents with doc_id % [[SampleMod]]
+    * == 0 — the GROUP SIZES on those rows still count every corpus
+    * position sharing the rank, so global structure is certified
+    * through the sample. */
+  val SampleMod = 25
+
+  /** (doc_id, pos, r): 1-based position, rank_0 = ascii. One linear
+    * posexplode — the only corpus-sized expansion. */
+  def positions(d: DataFrame): DataFrame =
+    d.select(col("doc_id"),
+        posexplode(split(col("text"), "")).as(Seq("p0", "ch")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
+        ascii(col("ch")).cast("long").as("r"))
+
+  /** One doubling round: join the gap-shifted ranks, dense-rank the
+    * pairs via StableIds over the distinct key set, map back. */
+  private def doubling(ranks: DataFrame, gap: Int): DataFrame = {
+    val shifted = ranks.select(col("doc_id"),
+      (col("pos") - gap).as("pos"), col("r").as("r2"))
+    val keyed = ranks.join(shifted, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"), col("r").as("r1"),
+        coalesce(col("r2"), lit(0L)).as("r2"))
+    val keys = StableIds.assign(
+      keyed.select(col("r1"), col("r2")).distinct(),
+      Seq(col("r1"), col("r2")), Partitions, "nr")
+    keyed.join(keys, Seq("r1", "r2"))
+      .select(col("doc_id"), col("pos"), col("nr").as("r"))
+  }
+
+  /** All rounds' rank frames: index k = rank_k (k = 1..[[Rounds]]). */
+  def rounds(d: DataFrame): Seq[DataFrame] = {
+    var ranks = IterationCheckpoint.cut(positions(d))
+    (1 to Rounds).map { k =>
+      ranks = IterationCheckpoint.cut(doubling(ranks, 1 << (k - 1)))
+      ranks
+    }
+  }
+
+  /** qau: per-round position detail for the sampled documents —
+    * (rnd, doc_id, pos, rank, grp) where grp counts EVERY corpus
+    * position sharing the rank (a keyed window, parallel by rank).
+    * A drift in any round's global dense-rank assignment moves the
+    * sampled rows' ranks or group sizes. */
+  def audit(d: DataFrame): DataFrame = {
+    val wG = Window.partitionBy(col("r"))
+    rounds(d).zipWithIndex.map { case (ranks, i) =>
+      ranks.withColumn("grp", count(lit(1)).over(wG))
+        .filter(col("doc_id") % SampleMod === 0)
+        .select(lit(i + 1).as("rnd"), col("doc_id"), col("pos"),
+          col("r").as("rank"), col("grp"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("rnd"), col("doc_id"), col("pos"))
+  }
+
+  // --------------------------------------------------------------- oracle
+
+  /** The same rounds as DuckDB SQL — dense_rank() IS the semantic spec
+    * the StableIds plan implements; the unroll depth comes from the
+    * same [[Rounds]] constant. */
+  def oracleSql: String = {
+    val rounds = (1 to Rounds).map { k =>
+      val gap = 1 << (k - 1)
+      val prev = s"r${k - 1}"
+      s"""r$k AS MATERIALIZED (
+         |  SELECT a.doc_id, a.pos,
+         |    dense_rank() OVER (ORDER BY a.r, COALESCE(b.r, 0))
+         |      AS r
+         |  FROM $prev a LEFT JOIN $prev b
+         |    ON b.doc_id = a.doc_id AND b.pos = a.pos + $gap)""".stripMargin
+    }.mkString(",\n")
+    val details = (1 to Rounds).map { k =>
+      s"""SELECT $k AS rnd, doc_id, pos, r AS rank,
+         |  COUNT(*) OVER (PARTITION BY r) AS grp
+         |FROM r$k""".stripMargin
+    }.map(s => s"SELECT * FROM ($s) WHERE doc_id % $SampleMod = 0")
+      .mkString(" UNION ALL ")
+    s"""WITH r0 AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos,
+       |    CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS r
+       |  FROM (SELECT doc_id, text,
+       |          unnest(generate_series(1, length(text))) AS i
+       |        FROM documents)),
+       |$rounds
+       |SELECT CAST(rnd AS INT) AS rnd, doc_id, CAST(pos AS BIGINT) AS pos,
+       |  CAST(rank AS BIGINT) AS rank, CAST(grp AS BIGINT) AS grp
+       |FROM ($details)
+       |ORDER BY rnd, doc_id, pos""".stripMargin
+  }
+}

@@ -1266,7 +1266,25 @@ object DedupQueries {
           pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id"))
         serveMinhashBatch(s, d.filter(col("doc_id") >= 250), idx, Some(tomb))
       })
-  }
+  } :+
+    // Distributed suffix-array construction by prefix doubling (Manber
+    // & Myers 1990; Flick & Aluru SC'15) — the EXACT index behind
+    // substring dedup at scale (Lee et al. 2021 builds on suffix
+    // arrays; q6z's rolling-hash spans are the sketch cousin). Four
+    // doubling rounds rank every corpus suffix by its first 16 chars:
+    // each round is one narrow equi self-join on (doc_id, pos+gap)
+    // plus a scale-safe dense rank (StableIds over the distinct key
+    // set — the oracle's dense_rank() window IS the semantic spec that
+    // plan implements). Suffix STRINGS never move — only integer ranks
+    // shuffle, which is the whole trick. Output: per-round position
+    // detail for sampled docs, with GLOBAL duplicate-group sizes on
+    // every row — a drift in any round's corpus-wide rank assignment
+    // moves sampled ranks or group sizes. Design + scale shape:
+    // [[graft.operators.SuffixRanks]].
+    QueryDef(
+      "qau_suffix_ranks",
+      Some(graft.operators.SuffixRanks.oracleSql),
+      (s, dir) => graft.operators.SuffixRanks.audit(docs(s, dir)))
 
   /** qa5's engine on any (doc_id, text) frame — exposed (with the split
     * id and DF cap as dials) for the property spec, which replays random

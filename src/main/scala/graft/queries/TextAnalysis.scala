@@ -1889,7 +1889,24 @@ object TextAnalysis {
     QueryDef(
       "qas_wordpiece_encode",
       Some(graft.operators.WordPiece.encodeOracleSql),
-      (s, dir) => graft.operators.WordPiece.encodeCorpus(docs(s, dir)))
+      (s, dir) => graft.operators.WordPiece.encodeCorpus(docs(s, dir))),
+
+    // Model-based quality filtering, trained IN the engine (GPT-3's
+    // classifier-selection step, arXiv:2005.14165 App. A): full-batch
+    // gradient descent on a linear scorer separating the 'src0'
+    // reference slice (qa1's DSIR target — the two selection families
+    // share a target), in exact fixed-point integer arithmetic with
+    // 128-bit accumulations. Three unrolled rounds; each is ONE narrow
+    // gradient aggregation (map-side combine) + one scoring pass under
+    // the updated broadcast weights. The per-round loss_fp column
+    // decreases monotonically (StepDiv clears the GD stability bound —
+    // see the operator scaladoc), and the oracle replays every
+    // gradient, every truncating division, every margin sum. Design:
+    // [[graft.operators.QualityClassifier]].
+    QueryDef(
+      "qav_quality_classifier",
+      Some(graft.operators.QualityClassifier.oracleSql),
+      (s, dir) => graft.operators.QualityClassifier.train(docs(s, dir)))
   )
 
   /** qa1's hashed-bigram feature stream over a (doc_id, source, text)
