@@ -64,7 +64,32 @@ object QualityClassifier {
   /** qav: per-round training evidence — the updated weights, the
     * quantized mean squared loss under them, and per-class margin sums
     * (the corpus-scoring aggregates). */
-  def train(d: DataFrame): DataFrame = {
+  def train(d: DataFrame): DataFrame =
+    fit(d)._1.reduce(_ unionByName _).orderBy(col("rnd"))
+
+  /** The trained model as ONE broadcastable row (w0..w3) — the frame a
+    * serve site (q8u's stream scoring) joins onto its document scan. */
+  def weightsFrame(d: DataFrame): DataFrame = fit(d)._2
+
+  /** Row-local scoring of a frame carrying (doc_id, text) AND the
+    * [[weightsFrame]] columns: features are per-row HOFs, the margin is
+    * pure column algebra — zero shuffle, which is what lets the same
+    * columns serve inside a stateless streaming micro-batch plan. Docs
+    * with zero tokens are dropped, like training. */
+  def scoreCols(withW: DataFrame): DataFrame =
+    withW
+      .withColumn("ws", expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+      .filter(size(col("ws")) >= 1)
+      .withColumn("x1", least(size(col("ws")), lit(100)).cast("long"))
+      .withColumn("x2", expr("(size(array_distinct(ws)) * 100) div size(ws)"))
+      .withColumn("x3",
+        expr("(aggregate(ws, 0L, (a, w) -> a + length(w)) * 10) div size(ws)"))
+      .select(col("doc_id"),
+        expr("w0 + w1*x1 + w2*x2 + w3*x3").as("margin_fp"),
+        when(expr(s"2 * (w0 + w1*x1 + w2*x2 + w3*x3) >= $Scale"), 1)
+          .otherwise(0).cast("int").as("selected"))
+
+  private def fit(d: DataFrame): (Seq[DataFrame], DataFrame) = {
     val f = IterationCheckpoint.cut(features(d))
     val n = f.agg(count(lit(1)).as("n"))
     val s = d.sparkSession
@@ -107,13 +132,43 @@ object QualityClassifier {
           col("mn").cast("long").as("msum_neg"))
       reports += rep
     }
-    reports.reduce(_ unionByName _).orderBy(col("rnd"))
+    (reports.toSeq, w)
   }
 
   // --------------------------------------------------------------- oracle
 
   /** The same unrolled GD as DuckDB SQL, HUGEINT accumulations. */
-  def oracleSql: String = {
+  def oracleSql: String = oracleSqlFor("TRUE")
+
+  /** q8u oracle: train on the historical slice (the FULL unrolled GD
+    * chain — re-certified), batch-score the streamed slice with the
+    * final weights; drained rows must be indistinguishable. */
+  def serveOracleSql(trainPred: String, servePred: String): String =
+    s"""WITH ${oracleCtes(trainPred)},
+       |sv AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+       |       FROM documents WHERE $servePred),
+       |sx AS (SELECT doc_id,
+       |         CAST(least(len(ws), 100) AS BIGINT) AS x1,
+       |         CAST(len(list_distinct(ws)) * 100 // len(ws) AS BIGINT) AS x2,
+       |         CAST(list_sum(list_transform(ws, w -> length(w))) * 10
+       |           // len(ws) AS BIGINT) AS x3
+       |       FROM sv WHERE len(ws) >= 1)
+       |SELECT doc_id,
+       |  CAST(w0 + w1*x1 + w2*x2 + w3*x3 AS BIGINT) AS margin_fp,
+       |  CAST(CASE WHEN 2 * (w0 + w1*x1 + w2*x2 + w3*x3) >= $Scale
+       |       THEN 1 ELSE 0 END AS INT) AS selected
+       |FROM sx, w${Rounds}r ORDER BY doc_id""".stripMargin
+
+  private def oracleSqlFor(trainPred: String): String =
+    s"""WITH ${oracleCtes(trainPred)}
+       |SELECT rnd, w_bias, w_len, w_ttr, w_awl, loss_fp, msum_pos, msum_neg
+       |FROM (${(1 to Rounds).map(i => s"SELECT * FROM rep$i")
+        .mkString(" UNION ALL ")})
+       |ORDER BY rnd""".stripMargin
+
+  /** Training CTE chain (f, nn, w0r, per-round g/w/rep) over documents
+    * matching `trainPred`. */
+  private def oracleCtes(trainPred: String): String = {
     val rounds = (1 to Rounds).map { i =>
       val pw = s"w${i - 1}r"
       s"""g$i AS MATERIALIZED (
@@ -144,7 +199,7 @@ object QualityClassifier {
          |        FROM f, w${i}r, nn)
          |  GROUP BY w0, w1, w2, w3, n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH f AS MATERIALIZED (
+    s"""f AS MATERIALIZED (
        |  SELECT doc_id, CAST(1 AS BIGINT) AS x0,
        |    CAST(least(len(ws), 100) AS BIGINT) AS x1,
        |    CAST(len(list_distinct(ws)) * 100 // len(ws) AS BIGINT) AS x2,
@@ -153,15 +208,11 @@ object QualityClassifier {
        |    CAST(CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS BIGINT) AS y
        |  FROM (SELECT doc_id, source,
        |          regexp_extract_all(lower(text), '[a-z]+') AS ws
-       |        FROM documents)
+       |        FROM documents WHERE $trainPred)
        |  WHERE len(ws) >= 1),
        |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM f),
        |w0r AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
        |        CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
-       |$rounds
-       |SELECT rnd, w_bias, w_len, w_ttr, w_awl, loss_fp, msum_pos, msum_neg
-       |FROM (${(1 to Rounds).map(i => s"SELECT * FROM rep$i")
-        .mkString(" UNION ALL ")})
-       |ORDER BY rnd""".stripMargin
+       |$rounds""".stripMargin
   }
 }

@@ -510,6 +510,21 @@ object StreamingQueries {
         FROM w ORDER BY doc_id"""),
       (s, dir) => StreamPipelines.docStreamDsir(s, dir)),
 
+    // Continuous quality-classifier scoring — qav's streaming twin: the
+    // fixed-point linear scorer trains its full GD chain batch-side on
+    // the historical slice, folds to one broadcast weight row, and
+    // CDC-arriving documents score row-locally (stateless append, zero
+    // state rows — the q8p serve shape applied to a TRAINED model).
+    // The oracle re-runs the unrolled training on the same slice and
+    // batch-scores the streamed slice: drained margins and selection
+    // flags must be indistinguishable from batch scoring, which
+    // re-certifies training inside a streaming query.
+    QueryDef(
+      "q8u_stream_quality_score",
+      Some(graft.operators.QualityClassifier
+        .serveOracleSql("doc_id < 250", "doc_id >= 250")),
+      (s, dir) => StreamPipelines.docStreamQualityScore(s, dir)),
+
     // Streaming near-dup serve — qa5's serve half online: arriving docs
     // screen against the persisted snapshot LSH index through row-local
     // shingling/capping/signing and stateless stream-static probes (see

@@ -625,6 +625,41 @@ object StreamPipelines {
     }
   }
 
+  /** q8u: continuous quality-classifier scoring — qav's streaming twin
+    * on the q8k/q8l/q8n/q8p template (train batch-side, serve on the
+    * ingest stream): the fixed-point linear scorer trains its three GD
+    * rounds on the historical corpus, the final weights fold to ONE
+    * broadcastable row, and every CDC-arriving document scores
+    * ROW-LOCALLY (features are per-row HOFs, the margin is column
+    * algebra) — stateless append, zero state rows. This is the
+    * model-based-filtering serve shape at 100 TB: the classifier
+    * retrains on a slow cadence batch-side and the new weight row swaps
+    * in without touching the stream topology (exactly q8n's baseline
+    * argument, applied to a TRAINED model). */
+  def docStreamQualityScore(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_qc_stream")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("source"))
+    val incoming = docs.filter(col("doc_id") >= 250)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    val weights = graft.operators.QualityClassifier
+      .weightsFrame(docs.filter(col("doc_id") < 250))
+      .withColumn("k", lit(1))
+    withStreamShufflePartitions(s, 8) {
+      val scored = graft.operators.QualityClassifier.scoreCols(
+        graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+          .select(col("_id").cast("long").as("doc_id"), col("text"),
+            lit(1).as("k"))
+          .join(broadcast(weights), Seq("k")))
+      runToMemory(s, scored, "append")
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** q8m: streaming heavy hitters — a running token-frequency table over
     * the document ingest stream, COMPLETE output mode: the stateful agg
     * re-emits the full standings each micro-batch (the live "top terms"
