@@ -111,6 +111,57 @@ object DedupQueries {
       .join(sz.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n", "nb"), "id_b")
   }
 
+  /** EXACT eps-neighbor pairs (cosine >= thresh, id_a < id_b, unrounded
+    * `c`) via the triangle-inequality multi-probe cell-blocked join —
+    * the q6c machinery, parameterized by threshold (shared by q6c and
+    * qaw's DBSCAN). Completeness is by construction, not recall: v
+    * probes cell c iff dist(v,c) <= t + r_c, and any true pair (u,v)
+    * with u assigned to c satisfies dist(v,c) <= dist(v,u) + dist(u,c)
+    * <= t + r_c — so the cell-blocked equi-join provably sees every
+    * qualifying pair while never comparing across distant cells. */
+  private[graft] def epsPairs(e: DataFrame, thresh: Double): DataFrame = {
+    // adaptive cell count k = ceil(sqrt(N)) — see SimilarityQueries.centroids
+    val cent = SimilarityQueries.centroids(e)
+    val t = math.sqrt(2.0 - 2.0 * thresh) // cos ⇔ dist on unit vectors
+    // 2−2cos clamped at 0: a vector scored against ITSELF (centroids
+    // are corpus members) can see cos = 1 + 2 ulp, and sqrt of the
+    // tiny negative is NaN — which silently assigns the centroid to a
+    // far cell and inflates that cell's radius to ~max distance,
+    // wrecking probe pruning (found by the clustered ScaleProbe).
+    def distTo(cos: Column): Column =
+      sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cos))
+    // nearest-centroid assignment (one broadcast pass, as q66) —
+    // argmin as a hash aggregate: min over struct(dist, cid) picks
+    // the closest cell (ties to the smaller cid) with map-side
+    // partial combine, one shuffle row per vector instead of k
+    val assign = e.crossJoin(broadcast(cent))
+      .withColumn("dist",
+        distTo(VectorFunctions.cosine_sim(col("embedding"), col("ce"))))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
+    val radius = assign.groupBy(col("cid")).agg(max(col("dist")).as("r"))
+    // triangle-inequality multi-probe: v probes cell c iff dist(v,c) ≤ t + r_c
+    val probes = e.crossJoin(broadcast(cent.join(radius, "cid")))
+      .withColumn("dist",
+        distTo(VectorFunctions.cosine_sim(col("embedding"), col("ce"))))
+      .filter(col("dist") <= lit(t) + col("r"))
+      .select(col("vec_id").as("probe_id"), col("cid"))
+    // cell-blocked candidates (equi-join on cell), then exact verify
+    val cand = assign.select(col("cid"), col("vec_id").as("member_id"))
+      .join(probes, "cid")
+      .filter(col("member_id") =!= col("probe_id"))
+      .select(least(col("member_id"), col("probe_id")).as("id_a"),
+        greatest(col("member_id"), col("probe_id")).as("id_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .withColumn("c", VectorFunctions.cosine_sim(col("ea"), col("eb")))
+      .filter(col("c") >= thresh)
+      .select(col("id_a"), col("id_b"), col("c"))
+  }
+
   /** The corpus's Jaccard-0.7 pair graph as a bare (id_a, id_b) edge
     * list — the shared input of the cluster-formation family (q6a/q6k
     * batch, the q8f streaming drain). */
@@ -741,51 +792,10 @@ object DedupQueries {
     QueryDef(
       "q6c_embedding_dedup_bucketed",
       Some(embeddingPairsSql),
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val e = emb(s, dir)
-        // adaptive cell count k = ceil(sqrt(N)) — see SimilarityQueries.centroids
-        val cent = SimilarityQueries.centroids(e)
-        val t = math.sqrt(2.0 - 2.0 * 0.45) // cos 0.45 ⇔ dist 1.0488 (unit vectors)
-        // 2−2cos clamped at 0: a vector scored against ITSELF (centroids
-        // are corpus members) can see cos = 1 + 2 ulp, and sqrt of the
-        // tiny negative is NaN — which silently assigns the centroid to a
-        // far cell and inflates that cell's radius to ~max distance,
-        // wrecking probe pruning (found by the clustered ScaleProbe).
-        def distTo(cos: Column): Column =
-          sqrt(greatest(lit(0.0), lit(2.0) - lit(2.0) * cos))
-        // nearest-centroid assignment (one broadcast pass, as q66) —
-        // argmin as a hash aggregate: min over struct(dist, cid) picks
-        // the closest cell (ties to the smaller cid) with map-side
-        // partial combine, one shuffle row per vector instead of k
-        val assign = e.crossJoin(broadcast(cent))
-          .withColumn("dist",
-            distTo(VectorFunctions.cosine_sim(col("embedding"), col("ce"))))
-          .groupBy(col("vec_id"))
-          .agg(min(struct(col("dist"), col("cid"))).as("m"))
-          .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
-        val radius = assign.groupBy(col("cid")).agg(max(col("dist")).as("r"))
-        // triangle-inequality multi-probe: v probes cell c iff dist(v,c) ≤ t + r_c
-        val probes = e.crossJoin(broadcast(cent.join(radius, "cid")))
-          .withColumn("dist",
-            distTo(VectorFunctions.cosine_sim(col("embedding"), col("ce"))))
-          .filter(col("dist") <= lit(t) + col("r"))
-          .select(col("vec_id").as("probe_id"), col("cid"))
-        // cell-blocked candidates (equi-join on cell), then exact verify
-        val cand = assign.select(col("cid"), col("vec_id").as("member_id"))
-          .join(probes, "cid")
-          .filter(col("member_id") =!= col("probe_id"))
-          .select(least(col("member_id"), col("probe_id")).as("id_a"),
-            greatest(col("member_id"), col("probe_id")).as("id_b"))
-          .distinct()
-        cand
-          .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
-          .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
-          .withColumn("c", VectorFunctions.cosine_sim(col("ea"), col("eb")))
-          .filter(col("c") >= 0.45)
+      (s, dir) =>
+        epsPairs(emb(s, dir), 0.45)
           .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
-          .orderBy(col("id_a"), col("id_b"))
-      }),
+          .orderBy(col("id_a"), col("id_b"))),
 
     // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, arXiv:2303.09540):
     // cluster the embedding space (the q66 IVF cells), pick one
@@ -1284,7 +1294,91 @@ object DedupQueries {
     QueryDef(
       "qau_suffix_ranks",
       Some(graft.operators.SuffixRanks.oracleSql),
-      (s, dir) => graft.operators.SuffixRanks.audit(docs(s, dir)))
+      (s, dir) => graft.operators.SuffixRanks.audit(docs(s, dir))) :+
+    // DBSCAN density-based clustering over the embedding space (Ester
+    // et al. 1996, KDD) — the clustering family k-means (q58/q5k)
+    // cannot express: clusters of arbitrary shape, an explicit NOISE
+    // verdict, no preset k. Exact relational form at eps = cos 0.35,
+    // MinPts = 4 (point inclusive): the eps-graph comes from
+    // [[epsPairs]] — the triangle-inequality multi-probe cell-blocked
+    // join that is provably COMPLETE (q6c's machinery, its exactness
+    // already hash-proven against brute force), so DBSCAN's density
+    // counts are exact, not recall-approximate. Core points (degree >=
+    // MinPts) cluster via hook+shortcut connected components over
+    // core-core edges (q6a's operator; the oracle's recursive closure
+    // is the spec); border points take the MIN cluster label among
+    // their core neighbors (the deterministic convention for DBSCAN's
+    // order-dependent border tie); everything else is noise. Scale:
+    // cell-blocked pair generation + narrow degree agg + O(log N) CC
+    // rounds + one label join — no stage touches an N x N pass.
+    QueryDef(
+      "qaw_dbscan_clusters",
+      Some("""WITH RECURSIVE p AS MATERIALIZED (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                b.embedding::DOUBLE[]) >= 0.35),
+        sym AS (SELECT id_a AS a, id_b AS b FROM p
+                UNION ALL SELECT id_b, id_a FROM p),
+        deg AS (SELECT a, COUNT(*) + 1 AS d FROM sym GROUP BY a),
+        core AS (SELECT a FROM deg WHERE d >= 4),
+        ce AS (SELECT s.a, s.b FROM sym s
+               JOIN core c1 ON c1.a = s.a JOIN core c2 ON c2.a = s.b),
+        reach(a, b) AS (
+          SELECT a, a FROM core
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN ce s ON r.b = s.a),
+        comp AS (SELECT a, min(b) AS cl FROM reach GROUP BY a),
+        bl AS (SELECT s.a, min(c2.cl) AS cl
+               FROM sym s JOIN comp c2 ON c2.a = s.b
+               WHERE s.a NOT IN (SELECT a FROM core)
+               GROUP BY s.a)
+        SELECT e.vec_id, CAST(COALESCE(d.d, 1) AS BIGINT) AS deg,
+          CASE WHEN co.a IS NOT NULL THEN 'core'
+               WHEN bl.a IS NOT NULL THEN 'border'
+               ELSE 'noise' END AS role,
+          CAST(COALESCE(cm.cl, bl.cl, -1) AS BIGINT) AS cluster
+        FROM embeddings e
+        LEFT JOIN deg d ON d.a = e.vec_id
+        LEFT JOIN core co ON co.a = e.vec_id
+        LEFT JOIN comp cm ON cm.a = e.vec_id
+        LEFT JOIN bl ON bl.a = e.vec_id
+        ORDER BY e.vec_id"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val pairs = graft.operators.IterationCheckpoint.cut(
+          epsPairs(e, 0.35).select(col("id_a"), col("id_b")))
+        val sym = pairs.unionByName(pairs.select(col("id_b").as("id_a"),
+          col("id_a").as("id_b")))
+        val deg = sym.groupBy(col("id_a").as("node"))
+          .agg((count(lit(1)) + 1).as("deg"))
+        val core = deg.filter(col("deg") >= 4).select(col("node"))
+        val coreEdges = pairs
+          .join(core.select(col("node").as("id_a")), Seq("id_a"), "semi")
+          .join(core.select(col("node").as("id_b")), Seq("id_b"), "semi")
+        // CC over core-core edges; isolated cores label themselves
+        val cc = graft.operators.ConnectedComponents.run(coreEdges)
+        val comp = core.join(cc, Seq("node"), "left")
+          .select(col("node"), coalesce(col("component"), col("node")).as("cl"))
+        val borderLab = sym
+          .join(comp.select(col("node").as("id_b"), col("cl")), Seq("id_b"))
+          .join(core.select(col("node").as("id_a")), Seq("id_a"), "anti")
+          .groupBy(col("id_a").as("node")).agg(min(col("cl")).as("bcl"))
+        e.select(col("vec_id"))
+          .join(deg.withColumnRenamed("node", "vec_id"), Seq("vec_id"), "left")
+          .join(comp.select(col("node").as("vec_id"), col("cl")),
+            Seq("vec_id"), "left")
+          .join(borderLab.withColumnRenamed("node", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("deg"), lit(1L)).cast("long").as("deg"),
+            when(col("cl").isNotNull, "core")
+              .when(col("bcl").isNotNull, "border")
+              .otherwise("noise").as("role"),
+            coalesce(col("cl"), col("bcl"), lit(-1L)).cast("long")
+              .as("cluster"))
+          .orderBy(col("vec_id"))
+      })
 
   /** qa5's engine on any (doc_id, text) frame — exposed (with the split
     * id and DF cap as dials) for the property spec, which replays random
