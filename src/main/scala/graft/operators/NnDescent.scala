@@ -201,6 +201,144 @@ object NnDescent {
     traj.reduce(_ unionByName _)
   }
 
+  /** Hierarchical two-layer serve — the full HNSW shape (Malkov &
+    * Yashunin 2016, arXiv:1603.09320): an upper layer holds a sparse
+    * deterministic sample of the corpus (vec_id % [[L1Mod]] == 0, the
+    * id-algebra stand-in for HNSW's geometric level draw) with its OWN
+    * NN-Descent k-NN graph; a query first walks the upper layer from a
+    * fixed global entry ([[L1Hops]] hops over ~N/[[L1Mod]] nodes), then
+    * uses the endpoint as a per-query entry into the layer-0 walk
+    * ([[L0Hops]] hops) — replacing qaq's fixed layer-0 entry with a
+    * query-adapted one at the cost of O(L1Hops·K) extra distance evals.
+    * Both graphs are built by the SAME (qao-certified) construction —
+    * layer 1 on the remapped dense sub-table — and PERSISTED; the serve
+    * walks stored edges only. Output: both layers' full trajectories
+    * with exact-top-5 flags, directly comparable row-for-row to qaq
+    * (same queries) — the hierarchy's value is readable in the
+    * artifact. */
+  val L1Mod = 8
+  val L1Entry = 16L
+  val L1Hops = 3
+  val L0Hops = 4
+
+  /** Layer-1 node set remapped to dense ids for the build id-algebra,
+    * then translated back: (vec_id, nid, c) on ORIGINAL ids. */
+  def layer1Graph(e: DataFrame): DataFrame = {
+    val e1 = e.filter(pmod(col("vec_id"), lit(L1Mod)) === 0)
+      .select(expr(s"vec_id div $L1Mod").as("vec_id"), col("embedding"))
+    knnGraph(e1).select((col("vec_id") * L1Mod).as("vec_id"),
+      (col("nid") * L1Mod).as("nid"), col("c"))
+  }
+
+  /** One greedy hop chain over graph `g` starting from `st` =
+    * (qid, qe, cur, curc); returns (finalState, trajectory rows
+    * (qid, layer, hop, cur, curc) for hop = 1..hops). */
+  private def walk(e: DataFrame, g: DataFrame, st0: DataFrame, hops: Int,
+      layer: Int): (DataFrame, Seq[DataFrame]) = {
+    var st = st0
+    val traj = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (h <- 1 to hops) {
+      val cand = st
+        .join(g.select(col("vec_id").as("cur"), col("nid")), Seq("cur"))
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
+          Seq("nid"))
+        .filter(col("nid") =!= col("qid"))
+        .select(col("qid"), col("qe"), col("nid").as("cand"),
+          round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
+      val unioned = cand.unionByName(
+        st.select(col("qid"), col("qe"), col("cur").as("cand"),
+          col("curc").as("c")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("cand"))
+      st = IterationCheckpoint.cut(
+        unioned.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("qid"), col("qe"), col("cand").as("cur"),
+            col("c").as("curc")))
+      traj += st.select(col("qid"), lit(layer).as("layer"), lit(h).as("hop"),
+        col("cur"), col("curc"))
+    }
+    (st, traj.toSeq)
+  }
+
+  def hierarchicalServe(e: DataFrame, g1: DataFrame,
+      g0: DataFrame): DataFrame = {
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val entry = e.filter(col("vec_id") === L1Entry)
+      .select(col("embedding").as("ne"))
+    val st0 = q.crossJoin(broadcast(entry))
+      .select(col("qid"), col("qe"), lit(L1Entry).as("cur"),
+        round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("curc"))
+    val head = st0.select(col("qid"), lit(1).as("layer"), lit(0).as("hop"),
+      col("cur"), col("curc"))
+    val (mid, traj1) = walk(e, g1, st0, L1Hops, layer = 1)
+    val mid0 = mid.select(col("qid"), lit(0).as("layer"), lit(0).as("hop"),
+      col("cur"), col("curc"))
+    val (_, traj0) = walk(e, g0, mid, L0Hops, layer = 0)
+    (Seq(head) ++ traj1 ++ Seq(mid0) ++ traj0).reduce(_ unionByName _)
+  }
+
+  /** Hierarchical-serve oracle over the two persisted graphs: replays
+    * the upper-layer walk, the per-query hand-off, every layer-0 hop,
+    * and flags all trajectory rows against the exact top-[[ReportK]]. */
+  def hierarchicalOracleSql(l1Path: String, l0Path: String): String = {
+    def hopCtes(layer: Int, g: String, hops: Int, s0: String): String =
+      (1 to hops).map { i =>
+        val prev = if (i == 1) s0 else s"s${layer}_${i - 1}"
+        s"""c${layer}_$i AS MATERIALIZED (
+           |  SELECT s.qid, g.nid AS cand,
+           |    round(list_cosine_similarity(q.qe::DOUBLE[],
+           |      e.embedding::DOUBLE[]), 9) AS c
+           |  FROM $prev s
+           |  JOIN $g g ON g.vec_id = s.cur
+           |  JOIN q ON q.qid = s.qid
+           |  JOIN embeddings e ON e.vec_id = g.nid
+           |  WHERE g.nid <> s.qid),
+           |s${layer}_$i AS MATERIALIZED (
+           |  SELECT qid, cur, curc FROM (
+           |    SELECT qid, cand AS cur, c AS curc,
+           |      row_number() OVER (PARTITION BY qid
+           |        ORDER BY c DESC, cand) AS rn
+           |    FROM (SELECT qid, cand, c FROM c${layer}_$i
+           |          UNION ALL SELECT qid, cur AS cand, curc AS c FROM $prev))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+    val trajSel = (
+      (0 to L1Hops).map(h => s"SELECT 1 AS layer, $h AS hop, qid, cur, curc " +
+        s"FROM s1_$h") ++
+      (0 to L0Hops).map(h => s"SELECT 0 AS layer, $h AS hop, qid, cur, curc " +
+        s"FROM s0_$h")).mkString(" UNION ALL ")
+    s"""WITH g1 AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('$l1Path/*.parquet')),
+       |g0 AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('$l0Path/*.parquet')),
+       |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
+       |  FROM embeddings WHERE vec_id < 10),
+       |s1_0 AS MATERIALIZED (
+       |  SELECT q.qid, CAST($L1Entry AS BIGINT) AS cur,
+       |    round(list_cosine_similarity(q.qe::DOUBLE[],
+       |      e.embedding::DOUBLE[]), 9) AS curc
+       |  FROM q JOIN embeddings e ON e.vec_id = $L1Entry),
+       |${hopCtes(1, "g1", L1Hops, "s1_0")},
+       |s0_0 AS MATERIALIZED (SELECT qid, cur, curc FROM s1_$L1Hops),
+       |${hopCtes(0, "g0", L0Hops, "s0_0")},
+       |exact AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT qq.vec_id AS qid, e.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY qq.vec_id
+       |        ORDER BY round(list_cosine_similarity(qq.embedding::DOUBLE[],
+       |          e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
+       |    FROM embeddings qq JOIN embeddings e ON e.vec_id <> qq.vec_id
+       |    WHERE qq.vec_id < 10)
+       |  WHERE rnk <= $ReportK),
+       |traj AS ($trajSel)
+       |SELECT t.qid, t.layer, t.hop, t.cur AS nid,
+       |  CAST(round(t.curc, 4) AS DOUBLE) AS cos,
+       |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_top5
+       |FROM traj t LEFT JOIN exact x ON x.qid = t.qid AND x.nid = t.cur
+       |ORDER BY t.qid, t.layer DESC, t.hop""".stripMargin
+  }
+
   /** Beam-serve oracle over the same persisted graph: replays the
     * entry, every hop's expand/dedup/top-B cut, and flags every
     * trajectory row against the exact top-[[ReportK]]. */

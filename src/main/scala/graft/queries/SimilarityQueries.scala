@@ -131,6 +131,10 @@ object SimilarityQueries {
   private[queries] def qatGraphPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "qat_knn_graph")
 
+  /** qax: the two persisted layers of the hierarchical graph index. */
+  private[queries] def qaxLayerPath(sfDir: String, layer: Int): String =
+    QueryDef.materializePath(sfDir, s"qax_l${layer}_graph")
+
   /** The q66 assignment rule as a helper: nearest centroid per vector,
     * argmax as a map-side-combining hash aggregate (one shuffled row per
     * vector), round-9 quantized scores, tie-break (cc DESC, cid ASC). */
@@ -1858,6 +1862,42 @@ object SimilarityQueries {
             round(col("c"), 4).as("cos"),
             coalesce(col("in_top5"), lit(0)).cast("int").as("in_top5"))
           .orderBy(traj("qid"), col("hop"), col("rank"))
+      }),
+
+    // Hierarchical two-layer graph serve — the full HNSW shape (Malkov
+    // & Yashunin 2016): a sparse upper layer (every 8th vector,
+    // id-algebra sample) carries its OWN NN-Descent graph; queries walk
+    // it from one global entry, then hand the endpoint off as a
+    // PER-QUERY entry into the layer-0 walk — a query-adapted entry
+    // for O(L1Hops·K) extra distance evals, where qaq pays its whole
+    // walk from one fixed node. Both layers build with the
+    // qao-certified construction (layer 1 on the remapped dense
+    // sub-table) and persist; the serve walks stored edges only, both
+    // trajectories dumped with exact-top-5 flags, row-comparable to
+    // qaq/qat on the same queries. Design:
+    // [[graft.operators.NnDescent.hierarchicalServe]].
+    QueryDef(
+      "qax_hierarchical_graph_serve",
+      Some(graft.operators.NnDescent.hierarchicalOracleSql(
+        qaxLayerPath(sfDir, 1), qaxLayerPath(sfDir, 0))),
+      (s, dir) => {
+        import graft.operators.NnDescent
+        val e = emb(s, dir)
+        val p1 = qaxLayerPath(dir, 1)
+        val p0 = qaxLayerPath(dir, 0)
+        NnDescent.layer1Graph(e).write.mode("overwrite").parquet(p1)
+        NnDescent.knnGraph(e).write.mode("overwrite").parquet(p0)
+        val traj = NnDescent.hierarchicalServe(
+          e, s.read.parquet(p1), s.read.parquet(p0))
+        val exact = exactTopK(e, NnDescent.ReportK)
+          .withColumn("in_top5", lit(1))
+        traj.join(exact,
+            traj("qid") === exact("qid") && traj("cur") === exact("nid"),
+            "left")
+          .select(traj("qid"), col("layer"), col("hop"),
+            col("cur").as("nid"), round(col("curc"), 4).as("cos"),
+            coalesce(col("in_top5"), lit(0)).cast("int").as("in_top5"))
+          .orderBy(traj("qid"), col("layer").desc, col("hop"))
       })
   )
 
