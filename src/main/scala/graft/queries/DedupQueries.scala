@@ -1348,6 +1348,28 @@ object DedupQueries {
         val e = emb(s, dir)
         val pairs = graft.operators.IterationCheckpoint.cut(
           epsPairs(e, 0.35).select(col("id_a"), col("id_b")))
+        dbscanRun(s, dir, e, pairs)
+      }) :+
+    // Maximal-independent-set dedup keep policy (Luby 1986) over the
+    // Jaccard-0.7 near-dup graph — the third keep rule of the dedup
+    // family: q60/q62 keep min-id per duplicate group, q6d keeps one
+    // canonical per CLUSTER; an MIS keeps a MAXIMAL set of documents
+    // no two of which are near-dups — strictly more corpus survives
+    // under the same no-dup invariant, and every drop is witnessed by
+    // a kept neighbor. Deterministic Luby rounds (qao's id-algebra
+    // priorities, distinct by construction), leftovers an explicit
+    // 'undecided' status; per-row decided_round certifies WHICH round
+    // decided every document, so the hash pins all four rounds.
+    // Design + scale shape: [[graft.operators.LubyMis]].
+    QueryDef(
+      "qay_mis_keep_policy",
+      Some("WITH " + graft.operators.LubyMis.oracleSql(
+        jaccardPairsCte, "SELECT doc_id FROM documents")),
+      (s, dir) => graft.operators.LubyMis.run(
+        docs(s, dir).select(col("doc_id")), jaccardPairEdges(s, dir)))
+
+  private def dbscanRun(s: SparkSession, dir: String,
+      e: DataFrame, pairs: DataFrame): DataFrame = {
         val sym = pairs.unionByName(pairs.select(col("id_b").as("id_a"),
           col("id_a").as("id_b")))
         val deg = sym.groupBy(col("id_a").as("node"))
@@ -1378,7 +1400,7 @@ object DedupQueries {
             coalesce(col("cl"), col("bcl"), lit(-1L)).cast("long")
               .as("cluster"))
           .orderBy(col("vec_id"))
-      })
+  }
 
   /** qa5's engine on any (doc_id, text) frame — exposed (with the split
     * id and DF cap as dials) for the property spec, which replays random
