@@ -147,6 +147,70 @@ object Windows {
             col("l_extendedprice"))
           .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
           .limit(100)
-          .drop("l_extendedprice"))
+          .drop("l_extendedprice")),
+
+    // Skyline / Pareto-frontier extraction (Börzsönyi, Kossmann &
+    // Stocker 2001, ICDE — "The Skyline Operator"): the
+    // multi-criteria-optimal subset no single ORDER BY can produce —
+    // here every customer not dominated on (total spend, account
+    // balance), both maximized. The oracle IS the dominance definition
+    // (a NOT EXISTS anti-join, quadratic); the engine computes the same
+    // frontier in the 2-D special form that scales: sort by spend DESC
+    // and a point is on the frontier iff its balance strictly exceeds
+    // the running max balance over all STRICTLY greater spends (and
+    // tops its own spend group). That running extreme is NOT a global
+    // single-task window: per-spend group maxima (narrow agg) get
+    // StableIds' two-phase range-partitioned numbering + running max,
+    // and the strictly-greater shift is an equi join on sid-1 — every
+    // stage keyed and parallel. Doubles quantize to cents via
+    // floor(x*100+0.5) BEFORE any aggregation, so sums are exact
+    // integers on both engines (the UnigramLm quantization idiom).
+    QueryDef(
+      "qaz_skyline",
+      Some("""WITH sp AS (
+          SELECT o_custkey,
+            SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend
+          FROM orders GROUP BY o_custkey),
+        pts AS (
+          SELECT c.c_custkey,
+            CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal, s.spend
+          FROM customer c JOIN sp s ON s.o_custkey = c.c_custkey)
+        SELECT p.c_custkey, p.spend AS spend_cents, p.bal AS bal_cents,
+          CAST(CASE WHEN NOT EXISTS (
+            SELECT 1 FROM pts q
+            WHERE q.spend >= p.spend AND q.bal >= p.bal
+              AND (q.spend > p.spend OR q.bal > p.bal))
+          THEN 1 ELSE 0 END AS INT) AS sky
+        FROM pts p ORDER BY c_custkey"""),
+      (s, dir) => {
+        import graft.operators.StableIds
+        val spend = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("ct"))
+          .groupBy(col("o_custkey")).agg(sum(col("ct")).as("spend"))
+        val pts = t(s, dir, "customer")
+          .select(col("c_custkey"),
+            expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal"))
+          .join(spend, col("o_custkey") === col("c_custkey"))
+          .select(col("c_custkey"), col("spend"), col("bal"))
+        val grp = pts.groupBy(col("spend")).agg(max(col("bal")).as("gmax"))
+        val keyed = StableIds.runningMax(
+          StableIds.assign(grp, Seq(col("spend").desc), 32, "sid"),
+          Seq(col("spend").desc), col("gmax"), 32, "mincl")
+        val withExcl = keyed.join(
+          keyed.select((col("sid") + 1).as("sid"), col("mincl").as("mexcl")),
+          Seq("sid"), "left")
+        // plain equi join on spend — the group table can approach N
+        // distinct values, so no broadcast hint (AQE may still pick one
+        // when it is actually small)
+        pts.join(withExcl.select(col("spend"), col("gmax"),
+            col("mexcl")), Seq("spend"))
+          .select(col("c_custkey"), col("spend").as("spend_cents"),
+            col("bal").as("bal_cents"),
+            when(col("bal") === col("gmax") &&
+                (col("mexcl").isNull || col("bal") > col("mexcl")), 1)
+              .otherwise(0).cast("int").as("sky"))
+          .orderBy(col("c_custkey"))
+      })
   )
 }

@@ -372,6 +372,34 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "suffix") {
+      // qau: prefix-doubling suffix ranking must scale LINEARLY in total
+      // corpus characters — each round is one narrow (doc_id, pos, rank)
+      // equi self-join plus a StableIds dense rank over the distinct key
+      // set (suffix strings never move, only integer ranks shuffle).
+      // Replication is the adversarial case for the rank table: every
+      // copy shares the original's 16-gram content, so duplicate-group
+      // sizes MULTIPLY while the distinct-key count stays content-bound
+      // — exactly the regime a boilerplate-heavy 100 TB corpus presents.
+      import graft.operators.SuffixRanks
+      val d0 = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      SuffixRanks.rounds(d0.limit(64)).last.count() // untimed codegen warmup
+      for (mult <- Seq(1, 4)) {
+        val d = replicate(d0, "doc_id", mult, 1000000L).cache()
+        val nPos = d.agg(sum(length(col("text")))).head().getLong(0)
+        val t0 = System.nanoTime()
+        val fin = SuffixRanks.rounds(d).last
+        val nRanks = fin.agg(countDistinct(col("r"))).head().getLong(0)
+        val wall = (System.nanoTime() - t0) / 1e9
+        println(f"[scale]   suffix positions=$nPos build=$wall%.2fs " +
+          f"(${SuffixRanks.Rounds} rounds) distinct16=$nRanks " +
+          f"us_per_pos=${wall * 1e6 / nPos}%.2f")
+        d.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "nndescent") {
       // qao: per-round cost must grow LINEARLY in N (capped-degree
       // candidate generation — ≤(4K)² pairs per node regardless of
