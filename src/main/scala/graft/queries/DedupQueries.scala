@@ -1366,7 +1366,40 @@ object DedupQueries {
       Some("WITH " + graft.operators.LubyMis.oracleSql(
         jaccardPairsCte, "SELECT doc_id FROM documents")),
       (s, dir) => graft.operators.LubyMis.run(
-        docs(s, dir).select(col("doc_id")), jaccardPairEdges(s, dir)))
+        docs(s, dir).select(col("doc_id")), jaccardPairEdges(s, dir))) :+
+    // One-to-one record linking by parallel local-max matching (Preis
+    // 1999) — the ASSIGNMENT step q9k/qa4 stop short of: candidate
+    // pairs score many-to-many, but entity resolution must link each
+    // record at most once, greedily preferring higher similarity. A
+    // pair locks iff it is the best incident pair of BOTH endpoints
+    // (priority sim DESC, ids ASC — total per vertex), which
+    // parallelizes the inherently-serial greedy scan; four rounds
+    // unrolled, leftovers an explicit 'open' status, and pairs that
+    // lost an endpoint report 'dropped' — the full disposition of
+    // every candidate pair is in the hash. Input pairs are exactly
+    // q9k's sorted-neighborhood Jaro-Winkler candidates (the oracle
+    // re-derives them, keeping the two queries pinned together).
+    // Design + scale shape: [[graft.operators.LocalMaxMatching]].
+    QueryDef(
+      "qb0_linkage_matching",
+      Some("WITH " + graft.operators.LocalMaxMatching.oracleSql(
+        """k AS (SELECT doc_id, lang,
+               array_to_string((string_split(text, ' '))[1:8], ' ') AS key
+              FROM documents),
+        r AS (SELECT doc_id, lang, key,
+               row_number() OVER (ORDER BY lang, key, doc_id) AS rn FROM k),
+        p0 AS MATERIALIZED (
+          SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
+            GREATEST(a.doc_id, b.doc_id) AS id_b,
+            round(jaro_winkler_similarity(a.key, b.key), 6) AS sim
+          FROM r a JOIN r b
+            ON b.rn BETWEEN a.rn + 1 AND a.rn + 10 AND a.lang = b.lang
+          WHERE round(jaro_winkler_similarity(a.key, b.key), 6) >= 0.82)""")),
+      (s, dir) => graft.operators.LocalMaxMatching.run(
+        sortedNeighborhoodLinkage(
+          docs(s, dir).select(col("doc_id"), col("lang"),
+            concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+              .as("key")))))
 
   private def dbscanRun(s: SparkSession, dir: String,
       e: DataFrame, pairs: DataFrame): DataFrame = {
