@@ -35,7 +35,7 @@ class QueryContractSpec extends AnyFunSuite {
       val refs = fromRe.findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       // CTE names and aliases are fine; flag only identifiers that look like
       // base tables but aren't (catches typos like `lineitems`)
-      val cteNames = "(?is)\\b([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+      val cteNames = "(?is)\\b([a-z_][a-z0-9_]*)\\s+AS\\s*(?:MATERIALIZED\\s*)?\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = refs -- tables -- cteNames
       val suspicious = unknown.filter(u => tables.exists(t =>
