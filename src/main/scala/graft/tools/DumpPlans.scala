@@ -117,7 +117,16 @@ object DumpPlans {
     "qak_histogram_maintenance" -> "histogram maintenance: serve reads the merged generation, one exact-eval corpus pass only",
     "q9v_centroid_drift"      -> "centroid drift: long-format decimal means, 64-row global frame broadcast",
     "q9w_pareto_users"        -> "Pareto 80/20: per-type window, exact decimal running share",
-    "q9y_canonical_authority" -> "canonical by authority: PageRank rounds + map-side family argmax")
+    "q9y_canonical_authority" -> "canonical by authority: PageRank rounds + map-side family argmax",
+    "qar_wordpiece_train"     -> "WordPiece round: vocab-sized pair+unit aggs, broadcast unit joins, decimal fixed-point argmax",
+    "qas_wordpiece_encode"    -> "MaxMatch encode: row-local cursor HOF per vocab word, broadcast (word, counts) onto the doc scan",
+    "qat_beam_graph_serve"    -> "beam serve: per-hop stored-edge equi join + dedup agg + per-query top-B window over the persisted graph",
+    "qau_suffix_ranks"        -> "prefix doubling: per-round (doc_id,pos+gap) self-join + StableIds dense rank over distinct keys",
+    "qav_quality_classifier"  -> "GD round: one narrow 4-sum gradient agg (map-side combine), 1-row weight frame broadcast back",
+    "qaw_dbscan_clusters"     -> "DBSCAN: cell-blocked eps pairs, degree agg, CC rounds on core edges, min-label border join",
+    "qay_mis_keep_policy"     -> "Luby round: undecided-subgraph semi joins, per-node min-priority agg, winner/loser retirement",
+    "qaz_skyline"             -> "skyline: per-spend group max, StableIds numbering + running max, sid-1 shift equi join",
+    "qb0_linkage_matching"    -> "local-max round: per-vertex struct-argmax agg, both-endpoint lock join, anti-join retirement")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
