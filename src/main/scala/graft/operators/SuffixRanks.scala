@@ -83,14 +83,18 @@ object SuffixRanks {
 
   /** qau: per-round position detail for the sampled documents —
     * (rnd, doc_id, pos, rank, grp) where grp counts EVERY corpus
-    * position sharing the rank (a keyed window, parallel by rank).
-    * A drift in any round's global dense-rank assignment moves the
-    * sampled rows' ranks or group sizes. */
+    * position sharing the rank. Group sizes come from a narrow
+    * groupBy(rank) count (map-side combinable) joined onto the
+    * already-SAMPLED rows — measurably cheaper than a corpus-wide
+    * partition-by-rank window per round (which shuffles every position
+    * into rank-keyed frames just to count them). A drift in any
+    * round's global dense-rank assignment moves the sampled rows'
+    * ranks or group sizes. */
   def audit(d: DataFrame): DataFrame = {
-    val wG = Window.partitionBy(col("r"))
     rounds(d).zipWithIndex.map { case (ranks, i) =>
-      ranks.withColumn("grp", count(lit(1)).over(wG))
-        .filter(col("doc_id") % SampleMod === 0)
+      val grp = ranks.groupBy(col("r")).agg(count(lit(1)).as("grp"))
+      ranks.filter(col("doc_id") % SampleMod === 0)
+        .join(grp, Seq("r"))
         .select(lit(i + 1).as("rnd"), col("doc_id"), col("pos"),
           col("r").as("rank"), col("grp"))
     }.reduce(_ unionByName _)

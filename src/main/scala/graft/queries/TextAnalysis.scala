@@ -1906,7 +1906,111 @@ object TextAnalysis {
     QueryDef(
       "qav_quality_classifier",
       Some(graft.operators.QualityClassifier.oracleSql),
-      (s, dir) => graft.operators.QualityClassifier.train(docs(s, dir)))
+      (s, dir) => graft.operators.QualityClassifier.train(docs(s, dir))),
+
+    // Kneser-Ney-smoothed LM perplexity filtering (Kneser & Ney 1995;
+    // the CCNet pipeline, Wenzek et al. 2020, arXiv:1911.00359) — the
+    // PRODUCTION perplexity filter q5w's in-corpus MLE scorer cannot
+    // be: q5w trains and scores on the same corpus (every bigram seen);
+    // filtering requires training on a REFERENCE slice and scoring
+    // held-out text, which is exactly where unsmoothed MLE emits
+    // log(0). Interpolated KN with absolute discount D = 0.75 (exact
+    // in binary): P(w2|w1) = max(c12-D,0)/c1 + (D·N1+(w1·)/c1)·Pcont,
+    // Pcont = N1+(·w2)/|bigram types|; unseen context backs off to
+    // Pcont; a spec'd 2^-20 floor covers never-seen right contexts.
+    // All probabilities are single-expression doubles from int64
+    // counts (identical op order both engines), ln rounds to 9 (the
+    // q5w idiom), per-doc sums ride DECIMAL(30,12). Every doc then
+    // gets CCNet's head/middle/tail verdict by perplexity tercile —
+    // the global rank is StableIds' two-phase numbering, never a
+    // single-task window. Scale: training aggregates are vocab-sized;
+    // scoring is one broadcast-joined corpus pass; the shuffle carries
+    // grams + counts, never bodies.
+    QueryDef(
+      "qb1_kn_perplexity",
+      Some("""WITH trt AS (SELECT string_split(text, ' ') AS t
+               FROM documents WHERE doc_id < 250 AND len(string_split(text, ' ')) >= 2),
+        trb AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                  i -> t[i] || ' ' || t[i+1])) AS g FROM trt),
+        bc AS (SELECT g, COUNT(*) AS c12 FROM trb GROUP BY g),
+        w1s AS (SELECT split_part(g, ' ', 1) AS w1, SUM(c12) AS c1,
+                  COUNT(*) AS n1fw FROM bc GROUP BY 1),
+        w2s AS (SELECT split_part(g, ' ', 2) AS w2, COUNT(*) AS nctx
+                FROM bc GROUP BY 1),
+        nt AS (SELECT COUNT(*) AS ntypes FROM bc),
+        sd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+               WHERE len(string_split(text, ' ')) >= 2),
+        sb AS (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1])) AS g FROM sd),
+        pr AS (SELECT s.doc_id,
+                 greatest(CASE WHEN w1s.w1 IS NOT NULL THEN
+                     greatest(COALESCE(bc.c12, 0) - 0.75, 0.0) / w1s.c1
+                     + (0.75 * w1s.n1fw / w1s.c1)
+                       * (COALESCE(w2s.nctx, 0) * 1.0 / nt.ntypes)
+                   ELSE COALESCE(w2s.nctx, 0) * 1.0 / nt.ntypes END,
+                   9.5367431640625e-7) AS p
+               FROM sb s
+               LEFT JOIN bc ON bc.g = s.g
+               LEFT JOIN w1s ON w1s.w1 = split_part(s.g, ' ', 1)
+               LEFT JOIN w2s ON w2s.w2 = split_part(s.g, ' ', 2), nt),
+        sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                 ROUND(CAST(SUM(CAST(round(-ln(p), 9) AS DECIMAL(30,12)))
+                   AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+               FROM pr GROUP BY doc_id),
+        rk AS (SELECT doc_id, n_bigrams, avg_neg_logp,
+                 row_number() OVER (ORDER BY avg_neg_logp, doc_id) AS rn,
+                 COUNT(*) OVER () AS n
+               FROM sc)
+        SELECT doc_id, n_bigrams, avg_neg_logp,
+          CASE (rn - 1) * 3 // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+        FROM rk ORDER BY doc_id"""),
+      (s, dir) => {
+        val toks = docs(s, dir)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .filter(size(col("t")) >= 2)
+        val trb = toks.filter(col("doc_id") < 250)
+          .select(explode(expr(
+            "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+            .as("g"))
+        val bc = trb.groupBy(col("g")).agg(count(lit(1)).as("c12"))
+        val w1s = bc.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+          .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+        val w2s = bc.groupBy(substring_index(col("g"), " ", -1).as("w2"))
+          .agg(count(lit(1)).as("nctx"))
+        val nt = bc.agg(count(lit(1)).as("ntypes"))
+        val sb = toks.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+          .as("g"))
+        val scored = sb
+          .join(bc, Seq("g"), "left")
+          .join(w1s, substring_index(col("g"), " ", 1) === col("w1"), "left")
+          .join(w2s, substring_index(col("g"), " ", -1) === col("w2"), "left")
+          .crossJoin(broadcast(nt))
+          .withColumn("p", greatest(
+            when(col("w1").isNotNull,
+              greatest(coalesce(col("c12"), lit(0L)) - lit(0.75), lit(0.0))
+                / col("c1")
+                + (lit(0.75) * col("n1fw") / col("c1"))
+                  * (coalesce(col("nctx"), lit(0L)) * lit(1.0) / col("ntypes")))
+              .otherwise(
+                coalesce(col("nctx"), lit(0L)) * lit(1.0) / col("ntypes")),
+            lit(9.5367431640625e-7)))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(sum(round(-log(col("p")), 9).cast("decimal(30,12)"))
+              .cast("double") / count(lit(1)), 6).as("avg_neg_logp"))
+        val n = scored.agg(count(lit(1)).as("n"))
+        graft.operators.StableIds.assign(scored,
+            Seq(col("avg_neg_logp"), col("doc_id")), 32, "rn")
+          .crossJoin(broadcast(n))
+          .select(col("doc_id"), col("n_bigrams"), col("avg_neg_logp"),
+            when(expr("(rn - 1) * 3 div n") === 0, "head")
+              .when(expr("(rn - 1) * 3 div n") === 1, "middle")
+              .otherwise("tail").as("bucket"))
+          .orderBy(col("doc_id"))
+      })
   )
 
   /** qa1's hashed-bigram feature stream over a (doc_id, source, text)
