@@ -525,6 +525,34 @@ object StreamingQueries {
         .serveOracleSql("doc_id < 250", "doc_id >= 250")),
       (s, dir) => StreamPipelines.docStreamQualityScore(s, dir)),
 
+    // Continuous Kneser-Ney perplexity filtering — qb1's streaming twin,
+    // the CCNet production serve: the smoothed LM and its tercile
+    // cutoffs FREEZE at train time (batch-side, historical slice) and
+    // fold to one broadcast row of maps; CDC-arriving docs score and
+    // classify row-locally (stateless append, zero state rows). The
+    // oracle re-trains the full model in SQL, re-derives the frozen
+    // cutoffs from the training slice's own ranked scores, and
+    // batch-scores the streamed slice — drained scores AND head/middle/
+    // tail verdicts must be indistinguishable from batch.
+    QueryDef(
+      "q8v_stream_kn_perplexity",
+      Some(s"""WITH ${TextAnalysis.knTrainCtesSql("doc_id < 250")},
+        ${TextAnalysis.knScoreCtesSql("doc_id < 250", "_tr")},
+        ${TextAnalysis.knScoreCtesSql("doc_id >= 250", "_sv")},
+        rk0 AS (SELECT avg_neg_logp,
+                  row_number() OVER (ORDER BY avg_neg_logp, doc_id) AS rn,
+                  COUNT(*) OVER () AS n
+                FROM sc_tr),
+        c1 AS (SELECT avg_neg_logp AS b1 FROM rk0 WHERE rn = (n + 2) // 3),
+        c2 AS (SELECT avg_neg_logp AS b2 FROM rk0
+               WHERE rn = (2 * n + 2) // 3)
+        SELECT doc_id, n_bigrams, avg_neg_logp,
+          CASE WHEN avg_neg_logp <= b1 THEN 'head'
+               WHEN avg_neg_logp <= b2 THEN 'middle'
+               ELSE 'tail' END AS bucket
+        FROM sc_sv, c1, c2 ORDER BY doc_id"""),
+      (s, dir) => StreamPipelines.docStreamKnPerplexity(s, dir)),
+
     // Streaming near-dup serve — qa5's serve half online: arriving docs
     // screen against the persisted snapshot LSH index through row-local
     // shingling/capping/signing and stateless stream-static probes (see

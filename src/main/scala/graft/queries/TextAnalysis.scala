@@ -1928,36 +1928,8 @@ object TextAnalysis {
     // grams + counts, never bodies.
     QueryDef(
       "qb1_kn_perplexity",
-      Some("""WITH trt AS (SELECT string_split(text, ' ') AS t
-               FROM documents WHERE doc_id < 250 AND len(string_split(text, ' ')) >= 2),
-        trb AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
-                  i -> t[i] || ' ' || t[i+1])) AS g FROM trt),
-        bc AS (SELECT g, COUNT(*) AS c12 FROM trb GROUP BY g),
-        w1s AS (SELECT split_part(g, ' ', 1) AS w1, SUM(c12) AS c1,
-                  COUNT(*) AS n1fw FROM bc GROUP BY 1),
-        w2s AS (SELECT split_part(g, ' ', 2) AS w2, COUNT(*) AS nctx
-                FROM bc GROUP BY 1),
-        nt AS (SELECT COUNT(*) AS ntypes FROM bc),
-        sd AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-               WHERE len(string_split(text, ' ')) >= 2),
-        sb AS (SELECT doc_id, unnest(list_transform(
-                 generate_series(1, len(t) - 1),
-                 i -> t[i] || ' ' || t[i+1])) AS g FROM sd),
-        pr AS (SELECT s.doc_id,
-                 greatest(CASE WHEN w1s.w1 IS NOT NULL THEN
-                     greatest(COALESCE(bc.c12, 0) - 0.75, 0.0) / w1s.c1
-                     + (0.75 * w1s.n1fw / w1s.c1)
-                       * (COALESCE(w2s.nctx, 0) * 1.0 / nt.ntypes)
-                   ELSE COALESCE(w2s.nctx, 0) * 1.0 / nt.ntypes END,
-                   9.5367431640625e-7) AS p
-               FROM sb s
-               LEFT JOIN bc ON bc.g = s.g
-               LEFT JOIN w1s ON w1s.w1 = split_part(s.g, ' ', 1)
-               LEFT JOIN w2s ON w2s.w2 = split_part(s.g, ' ', 2), nt),
-        sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-                 ROUND(CAST(SUM(CAST(round(-ln(p), 9) AS DECIMAL(30,12)))
-                   AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
-               FROM pr GROUP BY doc_id),
+      Some(s"""WITH ${knTrainCtesSql("doc_id < 250")},
+        ${knScoreCtesSql("TRUE", "")},
         rk AS (SELECT doc_id, n_bigrams, avg_neg_logp,
                  row_number() OVER (ORDER BY avg_neg_logp, doc_id) AS rn,
                  COUNT(*) OVER () AS n
@@ -2012,6 +1984,176 @@ object TextAnalysis {
           .orderBy(col("doc_id"))
       })
   )
+
+  // ---------------------------------------------------------------- KN LM
+  // (qb1 + q8v): interpolated Kneser-Ney bigram model pieces, shared so
+  // the batch query and the streaming serve can never drift.
+
+  /** DuckDB CTEs trt/trb/bc/w1s/w2s/nt: KN stats trained over documents
+    * matching `pred`. */
+  private[queries] def knTrainCtesSql(pred: String): String =
+    s"""trt AS (SELECT string_split(text, ' ') AS t
+         FROM documents WHERE ($pred) AND len(string_split(text, ' ')) >= 2),
+       trb AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1])) AS g FROM trt),
+       bc AS (SELECT g, COUNT(*) AS c12 FROM trb GROUP BY g),
+       w1s AS (SELECT split_part(g, ' ', 1) AS w1, SUM(c12) AS c1,
+                 COUNT(*) AS n1fw FROM bc GROUP BY 1),
+       w2s AS (SELECT split_part(g, ' ', 2) AS w2, COUNT(*) AS nctx
+               FROM bc GROUP BY 1),
+       nt AS (SELECT COUNT(*) AS ntypes FROM bc)"""
+
+  /** DuckDB CTEs sd$sfx/sb$sfx/pr$sfx/sc$sfx: per-doc KN scores
+    * (doc_id, n_bigrams, avg_neg_logp) for documents matching `pred`,
+    * under the [[knTrainCtesSql]] stats. The probability is ONE
+    * expression over int64 counts — identical op order to the engine
+    * side, ln rounded to 9, sums in DECIMAL(30,12). */
+  private[queries] def knScoreCtesSql(pred: String, sfx: String): String =
+    s"""sd$sfx AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+              WHERE ($pred) AND len(string_split(text, ' ')) >= 2),
+       sb$sfx AS (SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1])) AS g FROM sd$sfx),
+       pr$sfx AS (SELECT s.doc_id,
+                greatest(CASE WHEN w1s.w1 IS NOT NULL THEN
+                    greatest(COALESCE(bc.c12, 0) - 0.75, 0.0) / w1s.c1
+                    + (0.75 * w1s.n1fw / w1s.c1)
+                      * (COALESCE(w2s.nctx, 0) * 1.0 / nt.ntypes)
+                  ELSE COALESCE(w2s.nctx, 0) * 1.0 / nt.ntypes END,
+                  9.5367431640625e-7) AS p
+              FROM sb$sfx s
+              LEFT JOIN bc ON bc.g = s.g
+              LEFT JOIN w1s ON w1s.w1 = split_part(s.g, ' ', 1)
+              LEFT JOIN w2s ON w2s.w2 = split_part(s.g, ' ', 2), nt),
+       sc$sfx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                ROUND(CAST(SUM(CAST(round(-ln(p), 9) AS DECIMAL(30,12)))
+                  AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+              FROM pr$sfx GROUP BY doc_id)"""
+
+  /** q8v: the trained KN model folded to ONE broadcastable row — a
+    * seen-bigram probability map, the w1 backoff-weight map, the
+    * continuation map, and the two perplexity-tercile cutoffs frozen
+    * from the TRAINING slice's own scores (the CCNet serve shape:
+    * model and cutoffs retrain on a slow cadence, the stream
+    * classifies row-locally against the frozen row). Map values are
+    * the EXACT doubles the batch path computes — seen-bigram P stores
+    * the full interpolated expression, lmap stores 0.75·N1+(w1·)/c1,
+    * cmap stores N1+(·w2)/types — so map-composed serve arithmetic
+    * reproduces qb1's per-occurrence doubles bit-for-bit. */
+  private[graft] def knModelFrame(dTrain: DataFrame): DataFrame = {
+    val toks = dTrain
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val trb = toks.select(explode(expr(
+      "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+      .as("g"))
+    val bc = trb.groupBy(col("g")).agg(count(lit(1)).as("c12"))
+    val w1s = bc.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val w2s = bc.groupBy(substring_index(col("g"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("nctx"))
+    val nt = bc.agg(count(lit(1)).as("ntypes"))
+    val pmap = bc
+      .join(w1s, substring_index(col("g"), " ", 1) === col("w1"))
+      .join(w2s, substring_index(col("g"), " ", -1) === col("w2"))
+      .crossJoin(broadcast(nt))
+      .withColumn("p", greatest(
+        greatest(coalesce(col("c12"), lit(0L)) - lit(0.75), lit(0.0))
+          / col("c1")
+          + (lit(0.75) * col("n1fw") / col("c1"))
+            * (coalesce(col("nctx"), lit(0L)) * lit(1.0) / col("ntypes")),
+        lit(9.5367431640625e-7)))
+      .agg(map_from_entries(collect_list(struct(col("g"), col("p"))))
+        .as("pmap"))
+    val lmap = w1s
+      .withColumn("lw", lit(0.75) * col("n1fw") / col("c1"))
+      .agg(map_from_entries(collect_list(struct(col("w1"), col("lw"))))
+        .as("lmap"))
+    val cmap = w2s.crossJoin(broadcast(nt))
+      .withColumn("cw", col("nctx") * lit(1.0) / col("ntypes"))
+      .agg(map_from_entries(collect_list(struct(col("w2"), col("cw"))))
+        .as("cmap"))
+    // tercile cutoffs from the training slice's own scores: the score
+    // at global rank (n+2) div 3 and (2n+2) div 3 (StableIds rank —
+    // the same boundary ranks qb1's (rn-1)*3 div n bucketing yields)
+    val trScored = knScoreDocs(toks)
+    val nF = trScored.agg(count(lit(1)).as("n"))
+    val ranked = graft.operators.StableIds.assign(trScored,
+      Seq(col("avg_neg_logp"), col("doc_id")), 8, "rn")
+      .crossJoin(broadcast(nF))
+    val b1 = ranked.filter(col("rn") === expr("(n + 2) div 3"))
+      .select(col("avg_neg_logp").as("b1"))
+    val b2 = ranked.filter(col("rn") === expr("(2 * n + 2) div 3"))
+      .select(col("avg_neg_logp").as("b2"))
+    pmap.crossJoin(lmap).crossJoin(cmap)
+      .crossJoin(broadcast(b1)).crossJoin(broadcast(b2))
+  }
+
+  /** Per-doc KN scores (doc_id, n_bigrams, avg_neg_logp) for a
+    * (doc_id, t) token frame under in-scope stat frames — the exact
+    * batch scoring qb1 runs, reused for the model row's cutoffs. */
+  private def knScoreDocs(toks: DataFrame): DataFrame = {
+    val trb = toks.select(explode(expr(
+      "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+      .as("g"))
+    val bc = trb.groupBy(col("g")).agg(count(lit(1)).as("c12"))
+    val w1s = bc.groupBy(substring_index(col("g"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1fw"))
+    val w2s = bc.groupBy(substring_index(col("g"), " ", -1).as("w2"))
+      .agg(count(lit(1)).as("nctx"))
+    val nt = bc.agg(count(lit(1)).as("ntypes"))
+    toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+        .as("g"))
+      .join(bc, Seq("g"), "left")
+      .join(w1s, substring_index(col("g"), " ", 1) === col("w1"), "left")
+      .join(w2s, substring_index(col("g"), " ", -1) === col("w2"), "left")
+      .crossJoin(broadcast(nt))
+      .withColumn("p", greatest(
+        when(col("w1").isNotNull,
+          greatest(coalesce(col("c12"), lit(0L)) - lit(0.75), lit(0.0))
+            / col("c1")
+            + (lit(0.75) * col("n1fw") / col("c1"))
+              * (coalesce(col("nctx"), lit(0L)) * lit(1.0) / col("ntypes")))
+          .otherwise(
+            coalesce(col("nctx"), lit(0L)) * lit(1.0) / col("ntypes")),
+        lit(9.5367431640625e-7)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(round(-log(col("p")), 9).cast("decimal(30,12)"))
+          .cast("double") / count(lit(1)), 6).as("avg_neg_logp"))
+  }
+
+  /** Row-local KN scoring + cutoff classification of a frame carrying
+    * (doc_id, text) AND the [[knModelFrame]] columns — one aggregate
+    * HOF over the doc's bigrams, zero shuffle, which is what lets the
+    * same columns serve inside a stateless streaming micro-batch plan
+    * (q8v). */
+  private[graft] def knScoreCols(withModel: DataFrame): DataFrame =
+    withModel
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 2)
+      .withColumn("gs", expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))"))
+      .withColumn("wsum", expr(
+        """aggregate(gs, CAST(0 AS DECIMAL(30,12)), (acc, g) ->
+             CAST(acc + CAST(round(-ln(greatest(
+               coalesce(element_at(pmap, g),
+                 IF(element_at(lmap, substring_index(g, ' ', 1)) IS NOT NULL,
+                    element_at(lmap, substring_index(g, ' ', 1))
+                      * coalesce(element_at(cmap, substring_index(g, ' ', -1)),
+                          CAST(0.0 AS DOUBLE)),
+                    coalesce(element_at(cmap, substring_index(g, ' ', -1)),
+                      CAST(0.0 AS DOUBLE)))),
+               9.5367431640625e-7D)), 9) AS DECIMAL(30,12))
+             AS DECIMAL(30,12)))"""))
+      .withColumn("avg_neg_logp",
+        round(col("wsum").cast("double") / size(col("gs")), 6))
+      .select(col("doc_id"), size(col("gs")).cast("long").as("n_bigrams"),
+        col("avg_neg_logp"),
+        when(col("avg_neg_logp") <= col("b1"), "head")
+          .when(col("avg_neg_logp") <= col("b2"), "middle")
+          .otherwise("tail").as("bucket"))
 
   /** qa1's hashed-bigram feature stream over a (doc_id, source, text)
     * frame: one row per bigram OCCURRENCE with its 512-bucket id. The

@@ -660,6 +660,42 @@ object StreamPipelines {
     }
   }
 
+  /** q8v: continuous Kneser-Ney perplexity filtering — qb1's streaming
+    * twin and the CCNet production serve shape: the smoothed bigram LM
+    * trains on the historical corpus, folds to ONE broadcastable row
+    * (seen-bigram probability map + backoff-weight map + continuation
+    * map + the two perplexity-tercile cutoffs FROZEN from the training
+    * slice's own scores), and every CDC-arriving document scores and
+    * classifies ROW-LOCALLY via one aggregate HOF over its bigrams —
+    * stateless append, zero state rows. The map values are the exact
+    * doubles the batch path computes, so serve arithmetic reproduces
+    * qb1's scoring bit-for-bit; the frozen-cutoff classification is
+    * what distinguishes a SERVE (train-time terciles) from qb1's batch
+    * terciles over the whole corpus. */
+  def docStreamKnPerplexity(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_kn_stream")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") >= 250)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    val model = graft.queries.TextAnalysis
+      .knModelFrame(docs.filter(col("doc_id") < 250))
+      .withColumn("k", lit(1))
+    withStreamShufflePartitions(s, 8) {
+      val scored = graft.queries.TextAnalysis.knScoreCols(
+        graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+          .select(col("_id").cast("long").as("doc_id"), col("text"),
+            lit(1).as("k"))
+          .join(broadcast(model), Seq("k")))
+      runToMemory(s, scored, "append")
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** q8m: streaming heavy hitters — a running token-frequency table over
     * the document ingest stream, COMPLETE output mode: the stateful agg
     * re-emits the full standings each micro-batch (the live "top terms"
