@@ -1399,7 +1399,85 @@ object DedupQueries {
         sortedNeighborhoodLinkage(
           docs(s, dir).select(col("doc_id"), col("lang"),
             concat_ws(" ", slice(split(col("text"), " "), 1, 8))
-              .as("key")))))
+              .as("key"))))) :+
+    // Single-linkage dendrogram LEVEL SETS (Sibson 1973's SLINK object,
+    // computed as threshold sweep): single-linkage clustering at cut
+    // height t is exactly connected components over the pairs with
+    // similarity >= t, so sweeping t materializes the dendrogram's
+    // level sets — the CLUSTER-level tuning curve q9s's pairwise
+    // histogram cannot show. The sweep spans both modes of the pair
+    // distribution (this corpus is bimodal: ~11.5k incidental
+    // weak-overlap pairs under jac 0.1, 25 true near-dups above 0.9),
+    // so the output EXHIBITS single-linkage's chaining failure: at low
+    // cuts the weak pairs chain most of the corpus into one giant
+    // cluster (max_cluster ≈ n_docs_linked), and only high cuts
+    // recover the true duplicate families — the reason production
+    // dedup picks thresholds from cluster-level curves, not pair
+    // counts. Shape: the DF-capped candidate pair set (q9s's) is
+    // generated ONCE and lineage-cut; each level is a filter + the
+    // hook+shortcut CC operator (O(log N) rounds) + three narrow aggs.
+    // The oracle replays every level's closure recursively.
+    {
+      val thresholds = Seq(2, 5, 8, 70, 90)
+      QueryDef(
+        "qb2_linkage_dendrogram",
+        Some {
+          val levels = thresholds.map { t =>
+            s"""e$t AS MATERIALIZED (
+               |  SELECT id_a, id_b FROM pcj WHERE jac >= $t / 100.0),
+               |sym$t AS (SELECT id_a AS a, id_b AS b FROM e$t
+               |          UNION ALL SELECT id_b, id_a FROM e$t),
+               |reach$t(a, b) AS (
+               |  SELECT a, a FROM (SELECT DISTINCT a FROM sym$t)
+               |  UNION
+               |  SELECT r.a, s.b FROM reach$t r JOIN sym$t s ON r.b = s.a),
+               |comp$t AS (SELECT a, min(b) AS c FROM reach$t GROUP BY a),
+               |lv$t AS (SELECT $t AS thr_pct,
+               |  (SELECT COUNT(*) FROM e$t) AS n_pairs,
+               |  (SELECT COUNT(*) FROM comp$t) AS n_docs_linked,
+               |  (SELECT COUNT(DISTINCT c) FROM comp$t) AS n_clusters,
+               |  (SELECT COALESCE(MAX(n), 0) FROM (
+               |     SELECT COUNT(*) AS n FROM comp$t GROUP BY c))
+               |    AS max_cluster)""".stripMargin
+          }.mkString(",\n")
+          val sel = thresholds.map(t => s"SELECT * FROM lv$t")
+            .mkString(" UNION ALL ")
+          // pairCountsCte wraps || concats across lines starting with
+          // '|' — keep it OUTSIDE the stripMargin blocks (LubyMis rule)
+          s"WITH RECURSIVE $pairCountsCte,\n" +
+            "pcj AS MATERIALIZED (SELECT id_a, id_b, " +
+            "inter * 1.0 / (na + nb - inter) AS jac FROM pc),\n" + levels +
+            s"""\nSELECT CAST(thr_pct AS INT) AS thr_pct,
+               |  CAST(n_pairs AS BIGINT) AS n_pairs,
+               |  CAST(n_docs_linked AS BIGINT) AS n_docs_linked,
+               |  CAST(n_clusters AS BIGINT) AS n_clusters,
+               |  CAST(max_cluster AS BIGINT) AS max_cluster
+               |FROM ($sel) ORDER BY thr_pct""".stripMargin
+        },
+        (s, dir) => {
+          val pairs = graft.operators.IterationCheckpoint.cut(
+            pairCounts(withShingles(docs(s, dir)))
+              .withColumn("jac", col("inter") * 1.0
+                / (col("na") + col("nb") - col("inter")))
+              .select(col("id_a"), col("id_b"), col("jac")))
+          thresholds.map { t =>
+            val e = pairs.filter(col("jac") >= lit(t) / 100.0)
+              .select(col("id_a"), col("id_b"))
+            val comp = graft.operators.ConnectedComponents.run(e)
+            val grp = comp.groupBy(col("component"))
+              .agg(count(lit(1)).as("n"))
+            e.agg(count(lit(1)).as("n_pairs"))
+              .crossJoin(comp.agg(count(lit(1)).as("n_docs_linked")))
+              .crossJoin(grp.agg(count(lit(1)).as("n_clusters"),
+                coalesce(max(col("n")), lit(0L)).as("max_cluster")))
+              .select(lit(t).as("thr_pct"),
+                col("n_pairs").cast("long").as("n_pairs"),
+                col("n_docs_linked").cast("long").as("n_docs_linked"),
+                col("n_clusters").cast("long").as("n_clusters"),
+                col("max_cluster").cast("long").as("max_cluster"))
+          }.reduce(_ unionByName _).orderBy(col("thr_pct"))
+        })
+    }
 
   private def dbscanRun(s: SparkSession, dir: String,
       e: DataFrame, pairs: DataFrame): DataFrame = {
