@@ -553,6 +553,47 @@ object StreamingQueries {
         FROM sc_sv, c1, c2 ORDER BY doc_id"""),
       (s, dir) => StreamPipelines.docStreamKnPerplexity(s, dir)),
 
+    // Streaming Pareto-frontier screening — qaz's serve half under the
+    // frozen-model contract: the skyline computes batch-side over the
+    // standing 75% of customers and freezes as one broadcast array;
+    // CDC-arriving customers (the 25% slice, two commits) join their
+    // static spend aggregate stream-statically and take a row-local
+    // dominance verdict; pareto_new flags the arrivals that would
+    // extend the frontier (the production refresh trigger). The oracle
+    // derives the same frontier by the NOT EXISTS dominance definition
+    // and classifies the arriving slice identically — so the hash
+    // certifies the frozen-frontier serve against the declarative spec.
+    QueryDef(
+      "q8w_stream_skyline",
+      Some("""WITH sp AS (
+          SELECT o_custkey,
+            SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend
+          FROM orders GROUP BY o_custkey),
+        pts AS (
+          SELECT c.c_custkey,
+            CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT) AS bal, s.spend
+          FROM customer c JOIN sp s ON s.o_custkey = c.c_custkey),
+        tr AS (SELECT * FROM pts WHERE c_custkey % 4 <> 0),
+        fr AS (SELECT spend, bal FROM tr p
+               WHERE NOT EXISTS (
+                 SELECT 1 FROM tr q
+                 WHERE q.spend >= p.spend AND q.bal >= p.bal
+                   AND (q.spend > p.spend OR q.bal > p.bal))),
+        sv AS (SELECT * FROM pts WHERE c_custkey % 4 = 0)
+        SELECT sv.c_custkey, sv.spend AS spend_cents, sv.bal AS bal_cents,
+          CAST(CASE WHEN EXISTS (
+            SELECT 1 FROM fr f
+            WHERE f.spend >= sv.spend AND f.bal >= sv.bal
+              AND (f.spend > sv.spend OR f.bal > sv.bal))
+          THEN 1 ELSE 0 END AS INT) AS dominated,
+          CAST(CASE WHEN EXISTS (
+            SELECT 1 FROM fr f
+            WHERE f.spend >= sv.spend AND f.bal >= sv.bal
+              AND (f.spend > sv.spend OR f.bal > sv.bal))
+          THEN 0 ELSE 1 END AS INT) AS pareto_new
+        FROM sv ORDER BY c_custkey"""),
+      (s, dir) => StreamPipelines.docStreamSkyline(s, dir)),
+
     // Streaming near-dup serve — qa5's serve half online: arriving docs
     // screen against the persisted snapshot LSH index through row-local
     // shingling/capping/signing and stateless stream-static probes (see

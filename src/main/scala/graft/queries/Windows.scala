@@ -182,35 +182,47 @@ object Windows {
               AND (q.spend > p.spend OR q.bal > p.bal))
           THEN 1 ELSE 0 END AS INT) AS sky
         FROM pts p ORDER BY c_custkey"""),
-      (s, dir) => {
-        import graft.operators.StableIds
-        val spend = t(s, dir, "orders")
-          .select(col("o_custkey"),
-            expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("ct"))
-          .groupBy(col("o_custkey")).agg(sum(col("ct")).as("spend"))
-        val pts = t(s, dir, "customer")
-          .select(col("c_custkey"),
-            expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal"))
-          .join(spend, col("o_custkey") === col("c_custkey"))
-          .select(col("c_custkey"), col("spend"), col("bal"))
-        val grp = pts.groupBy(col("spend")).agg(max(col("bal")).as("gmax"))
-        val keyed = StableIds.runningMax(
-          StableIds.assign(grp, Seq(col("spend").desc), 32, "sid"),
-          Seq(col("spend").desc), col("gmax"), 32, "mincl")
-        val withExcl = keyed.join(
-          keyed.select((col("sid") + 1).as("sid"), col("mincl").as("mexcl")),
-          Seq("sid"), "left")
-        // plain equi join on spend — the group table can approach N
-        // distinct values, so no broadcast hint (AQE may still pick one
-        // when it is actually small)
-        pts.join(withExcl.select(col("spend"), col("gmax"),
-            col("mexcl")), Seq("spend"))
-          .select(col("c_custkey"), col("spend").as("spend_cents"),
-            col("bal").as("bal_cents"),
-            when(col("bal") === col("gmax") &&
-                (col("mexcl").isNull || col("bal") > col("mexcl")), 1)
-              .otherwise(0).cast("int").as("sky"))
-          .orderBy(col("c_custkey"))
-      })
+      (s, dir) => skylineFlags(custPoints(s, dir))
+        .select(col("c_custkey"), col("spend").as("spend_cents"),
+          col("bal").as("bal_cents"), col("sky"))
+        .orderBy(col("c_custkey")))
   )
+
+  /** qaz/q8w shared: per-customer (c_custkey, spend, bal) points —
+    * doubles quantized to cents BEFORE aggregation so sums are exact
+    * integers on both engines. */
+  private[graft] def custPoints(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("ct"))
+      .groupBy(col("o_custkey")).agg(sum(col("ct")).as("spend"))
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("bal"))
+      .join(spend, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("spend"), col("bal"))
+  }
+
+  /** The 2-D skyline flags over a (c_custkey, spend, bal) frame — the
+    * scale form (see the qaz QueryDef comment): per-spend group maxima,
+    * StableIds two-phase numbering + running max, sid-1 shift join. */
+  private[graft] def skylineFlags(pts: DataFrame): DataFrame = {
+    import graft.operators.StableIds
+    val grp = pts.groupBy(col("spend")).agg(max(col("bal")).as("gmax"))
+    val keyed = StableIds.runningMax(
+      StableIds.assign(grp, Seq(col("spend").desc), 32, "sid"),
+      Seq(col("spend").desc), col("gmax"), 32, "mincl")
+    val withExcl = keyed.join(
+      keyed.select((col("sid") + 1).as("sid"), col("mincl").as("mexcl")),
+      Seq("sid"), "left")
+    // plain equi join on spend — the group table can approach N
+    // distinct values, so no broadcast hint (AQE may still pick one
+    // when it is actually small)
+    pts.join(withExcl.select(col("spend"), col("gmax"),
+        col("mexcl")), Seq("spend"))
+      .select(col("c_custkey"), col("spend"), col("bal"),
+        when(col("bal") === col("gmax") &&
+            (col("mexcl").isNull || col("bal") > col("mexcl")), 1)
+          .otherwise(0).cast("int").as("sky"))
+  }
 }

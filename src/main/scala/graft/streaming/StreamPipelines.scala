@@ -696,6 +696,54 @@ object StreamPipelines {
     }
   }
 
+  /** q8w: streaming Pareto-frontier screening — qaz's serve half on the
+    * frozen-model template (q8v's cutoffs, qaa's frozen-cap contract,
+    * applied to a FRONTIER): the 2-D skyline computes batch-side over
+    * the standing customers (StableIds machinery, qaz) and folds to one
+    * broadcast row (a sorted array of frontier points — the frontier is
+    * tiny by construction); each CDC-arriving customer joins its static
+    * spend aggregate (stream-static, stateless) and takes a row-local
+    * dominance verdict via one exists() HOF over the frozen array.
+    * An undominated arrival is flagged pareto_new = the event that
+    * triggers a frontier refresh in production — the between-refreshes
+    * contract this pipeline serves. Zero state rows, append. */
+  def docStreamSkyline(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_sky_stream")
+    val pts = graft.queries.Windows.custPoints(s, sfDir)
+    val incoming = pts.filter(pmod(col("c_custkey"), lit(4)) === 0)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("c_custkey"), lit(8)) === 0)
+        .select(col("c_custkey"), col("bal")), "c_custkey", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("c_custkey"), lit(8)) =!= 0)
+        .select(col("c_custkey"), col("bal")), "c_custkey", s"$tmp/in")
+    val frontier = graft.queries.Windows
+      .skylineFlags(pts.filter(pmod(col("c_custkey"), lit(4)) =!= 0))
+      .filter(col("sky") === 1)
+      .agg(sort_array(collect_list(struct(col("spend"), col("bal"))))
+        .as("front"))
+      .withColumn("k", lit(1))
+    val spend = pts.select(col("c_custkey"), col("spend"))
+    withStreamShufflePartitions(s, 8) {
+      val flagged = graft.connector.GraftDoc
+        .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+        .select(col("_id").cast("long").as("c_custkey"), col("bal"),
+          lit(1).as("k"))
+        .join(spend, Seq("c_custkey")) // stream-static, stateless
+        .join(broadcast(frontier), Seq("k"))
+        .select(col("c_custkey"), col("spend").as("spend_cents"),
+          col("bal").as("bal_cents"),
+          expr("""CAST(exists(front, f ->
+                 f.spend >= spend AND f.bal >= bal
+                 AND (f.spend > spend OR f.bal > bal)) AS INT)""")
+            .as("dominated"))
+        .withColumn("pareto_new",
+          (lit(1) - col("dominated")).cast("int"))
+      runToMemory(s, flagged, "append")
+        .orderBy(col("c_custkey"))
+    }
+  }
+
   /** q8m: streaming heavy hitters — a running token-frequency table over
     * the document ingest stream, COMPLETE output mode: the stateful agg
     * re-emits the full standings each micro-batch (the live "top terms"
