@@ -5,8 +5,11 @@ Usage: python3 scripts/check_correctness.py [VERIFY_OUT] [SF_DIR]
 
 Reads graft.Verify output (one parquet dir per query + oracle_sql.json),
 runs each oracle statement in DuckDB against the same parquet tables, and
-compares: schema (column names sorted), row count, and values (rows
-compared both as-emitted and sorted, exact equality; NaN==NaN, None==None).
+compares: schema (column names sorted), ARROW COLUMN TYPES (strict — the
+driver's hash is type-sensitive, so a DuckDB DECIMAL(38,0) vs Spark BIGINT
+mismatch fails the driver even when every value is identical; round-11
+escape class), row count, and values (rows compared both as-emitted and
+sorted, exact equality; NaN==NaN, None==None).
 
 Dev-only tool — NOT part of the engine (the engine is Scala/Spark only).
 """
@@ -33,6 +36,29 @@ def norm(v):
     if isinstance(v, bytes):
         return ("b", v.hex())
     return v
+
+
+def canon_type(t):
+    """Canonical arrow type string for strict compare. Only unify families
+    the driver's hash provably treats as equal (string storage width); every
+    numeric width/kind difference is a REAL driver-hash failure."""
+    s = str(t)
+    if s in ("large_string", "string_view"):
+        return "string"
+    if s in ("large_binary", "binary_view"):
+        return "binary"
+    s = s.replace("large_list<", "list<").replace("large_string", "string")
+    return s
+
+
+def type_mismatches(s_schema, d_schema, cols):
+    out = []
+    for c in cols:
+        a = canon_type(s_schema.field(c).type)
+        b = canon_type(d_schema.field(c).type)
+        if a != b:
+            out.append((c, a, b))
+    return out
 
 
 def rows_of(cols, table):
@@ -68,6 +94,11 @@ def main():
         scols, dcols = sorted(st.column_names), sorted(d.column_names)
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
+            n_fail += 1; failures.append(name); continue
+        tmism = type_mismatches(st.schema, d.schema, scols)
+        if tmism:
+            print(f"FAIL {name}: column TYPES differ (driver hash is "
+                  f"type-sensitive) spark-vs-duck: {tmism}")
             n_fail += 1; failures.append(name); continue
         if st.num_rows != d.num_rows:
             print(f"FAIL {name}: rows spark={st.num_rows} duck={d.num_rows}")

@@ -162,6 +162,9 @@ object NnDescent {
     * side by side — same graph, same queries, same entry). */
   val BeamWidth = 4
   val BeamHops = 4
+  /** qb3 seeding: id-algebra random probes per new vector (≈3·K — the
+    * build-init coverage rule, see [[insertDelta]]). */
+  val InsertProbes = 32
 
   def beamServe(e: DataFrame, g: DataFrame): DataFrame = {
     val q = broadcast(e.filter(col("vec_id") < 10)
@@ -389,7 +392,7 @@ object NnDescent {
        |    WHERE qq.vec_id < 10)
        |  WHERE rnk <= $ReportK),
        |traj AS ($trajSel)
-       |SELECT t.qid, t.hop, t.rank, t.nid,
+       |SELECT t.qid, t.hop, CAST(t.rank AS INT) AS rank, t.nid,
        |  CAST(round(t.c, 4) AS DOUBLE) AS cos,
        |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_top5
        |FROM traj t LEFT JOIN exact x ON x.qid = t.qid AND x.nid = t.nid
@@ -523,7 +526,246 @@ object NnDescent {
        |  SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY c DESC, nid) AS rnk
        |  FROM k$Rounds WHERE vec_id < 10)
-       |SELECT f.vec_id AS qid, f.rnk, f.nid,
+       |SELECT f.vec_id AS qid, CAST(f.rnk AS INT) AS rnk, f.nid,
+       |  CAST(round(f.c, 4) AS DOUBLE) AS cos,
+       |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
+       |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
+       |WHERE f.rnk <= $ReportK
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
+  // ------------------------------------------------------ incremental add
+
+  /** qb3: incremental graph maintenance — the insert path the family was
+    * missing (IVF got q5m, MinHash got qa8, stats got qaj). A delta
+    * batch (the top nn/16 ids — the "newest" vectors) joins a PERSISTED
+    * base graph without a rebuild:
+    *
+    *   1. SEED: each new vector scores [[InsertProbes]] pseudo-random
+    *      base vectors (the build's own id-algebra init, mod nBase —
+    *      a bare k-NN graph is NOT navigable across clusters, so a
+    *      beam alone can never leave the entry's cluster; random
+    *      probes restore NN-Descent's cluster-coverage property) and
+    *      beam-searches the base graph from the fixed entry
+    *      ([[BeamWidth]]/[[BeamHops]], the qat machinery). Its forward
+    *      list is the top-[[K]] of the whole candidate POOL scored
+    *      (not just the surviving beam: dropped candidates are exactly
+    *      the near-misses an initial list wants).
+    *   2. BACK-EDGES: every seeded edge (v → u) is offered back to u,
+    *      whose list re-top-Ks — only TOUCHED base nodes recompute
+    *      (semi/anti split), the rest of the graph is untouched bytes.
+    *   3. One LOCAL NN-Descent refinement round over the new nodes only:
+    *      candidates via the merged lists of their forward targets
+    *      (neighbor-of-neighbor) plus new-new pairs through a shared,
+    *      degree-capped base pivot — the Dong et al. round restricted
+    *      to the insertion neighborhood.
+    *
+    * Per-new-node work is O(BeamHops·BeamWidth·K + K²) distance evals,
+    * independent of N and of delta size; base-side work touches only
+    * nodes a new edge lands on. At 100 TB this is the shape that admits
+    * a continuous ingest: the base graph is a parquet table, deltas
+    * arrive in batches, and a rebuild is never on the serving path.
+    * `GraphInsertPropSpec` proves recall parity with a full rebuild;
+    * ScaleProbe's `graphinsert` mode measures flat-in-delta cost. */
+  def insertDelta(e: DataFrame, g0: DataFrame, nBase: Long): DataFrame = {
+    val q = e.filter(col("vec_id") >= nBase)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val entry = e.filter(col("vec_id") === EntryNode)
+      .select(col("embedding").as("ne"))
+    val wB = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+    val entryCand = q.crossJoin(broadcast(entry))
+      .select(col("qid"), lit(EntryNode).as("nid"),
+        round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
+    // id-algebra random probes (the build's init, mod nBase): cluster
+    // coverage a beam over a non-navigable k-NN graph cannot provide
+    val probes = q.select(col("qid"),
+        explode(sequence(lit(1), lit(InsertProbes))).as("j"))
+      .select(col("qid"),
+        pmod(pmod(col("qid") * 2654435761L + col("j") * 40503L,
+          lit(1000003L)), lit(nBase)).as("nid"))
+      .distinct()
+      .join(q, Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+      .select(col("qid"), col("nid"),
+        round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
+    var pool = entryCand.unionByName(probes)
+      .groupBy(col("qid"), col("nid")).agg(max(col("c")).as("c"))
+    var beam = pool.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= BeamWidth)
+      .select(col("qid"), col("nid"), col("c"))
+    for (_ <- 1 to BeamHops) {
+      val cand = beam
+        .join(g0.select(col("vec_id").as("nid"), col("nid").as("nn2")), Seq("nid"))
+        .select(col("qid"), col("nn2").as("nid")).distinct()
+        .filter(col("nid") =!= col("qid"))
+        .join(q, Seq("qid"))
+        .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+        .select(col("qid"), col("nid"),
+          round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
+      pool = IterationCheckpoint.cut(
+        pool.unionByName(cand)
+          .groupBy(col("qid"), col("nid")).agg(max(col("c")).as("c")))
+      beam = pool.withColumn("rn", row_number().over(wB))
+        .filter(col("rn") <= BeamWidth)
+        .select(col("qid"), col("nid"), col("c"))
+    }
+    val fwd = pool.withColumn("rn", row_number().over(wB))
+      .filter(col("rn") <= K)
+      .select(col("qid").as("vec_id"), col("nid"), col("c"))
+    // back-edges: only touched base nodes re-top-K
+    val back = fwd.select(col("nid").as("vec_id"), col("vec_id").as("nid"),
+      col("c"))
+    val touched = back.select(col("vec_id")).distinct()
+    val mergedTouched = topK(
+      g0.join(touched, Seq("vec_id"), "left_semi").unionByName(back)
+        .groupBy(col("vec_id"), col("nid")).agg(max(col("c")).as("c")))
+    val mergedBase = g0.join(touched, Seq("vec_id"), "left_anti")
+      .unionByName(mergedTouched)
+    // one local refinement round over the new nodes
+    val viaBase = fwd.select(col("vec_id").as("qid"), col("nid").as("w"))
+      .join(mergedBase.select(col("vec_id").as("w"), col("nid")), Seq("w"))
+      .select(col("qid"), col("nid"))
+    val wPiv = Window.partitionBy(col("w")).orderBy(col("c").desc, col("qid"))
+    val capped = fwd
+      .select(col("vec_id").as("qid"), col("nid").as("w"), col("c"))
+      .withColumn("rn", row_number().over(wPiv))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("w"))
+    val newNew = capped
+      .join(capped.select(col("qid").as("nid"), col("w")), Seq("w"))
+      .select(col("qid"), col("nid"))
+    val refCand = viaBase.unionByName(newNew)
+      .filter(col("nid") =!= col("qid")).distinct()
+      .join(q, Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
+      .select(col("qid").as("vec_id"), col("nid"),
+        round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
+    val refined = topK(
+      fwd.unionByName(refCand)
+        .groupBy(col("vec_id"), col("nid")).agg(max(col("c")).as("c")))
+    mergedBase.unionByName(refined)
+  }
+
+  /** The qb3 oracle: replays the whole insert — seed beams (pool
+    * semantics), back-edge re-top-K on touched nodes, the local
+    * refinement round — against the PERSISTED base graph, then emits
+    * every new node's served top-[[ReportK]] with exact-top-k flags
+    * over the FULL corpus. */
+  def insertOracleSql(graphPath: String): String = {
+    val hops = (1 to BeamHops).map { i =>
+      val prev = s"p${i - 1}"
+      s"""bm$i AS MATERIALIZED (
+         |  SELECT qid, nid, c FROM (
+         |    SELECT qid, nid, c, row_number() OVER (PARTITION BY qid
+         |      ORDER BY c DESC, nid) AS rn FROM $prev)
+         |  WHERE rn <= $BeamWidth),
+         |cd$i AS MATERIALIZED (
+         |  SELECT d.qid, d.nid,
+         |    round(list_cosine_similarity(q.qe::DOUBLE[],
+         |      e.embedding::DOUBLE[]), 9) AS c
+         |  FROM (SELECT DISTINCT b.qid, g.nid
+         |        FROM bm$i b JOIN g ON g.vec_id = b.nid
+         |        WHERE g.nid <> b.qid) d
+         |  JOIN q ON q.qid = d.qid
+         |  JOIN embeddings e ON e.vec_id = d.nid),
+         |p$i AS MATERIALIZED (
+         |  SELECT qid, nid, max(c) AS c FROM (
+         |    SELECT qid, nid, c FROM $prev
+         |    UNION ALL SELECT qid, nid, c FROM cd$i)
+         |  GROUP BY qid, nid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nb AS MATERIALIZED (
+       |  SELECT CAST(nn - nn // 16 AS BIGINT) AS nb
+       |  FROM (SELECT COUNT(*) AS nn FROM embeddings)),
+       |g AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('$graphPath/*.parquet')),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id AS qid, embedding AS qe FROM embeddings, nb
+       |  WHERE vec_id >= nb.nb),
+       |pr AS MATERIALIZED (
+       |  SELECT DISTINCT q.qid,
+       |    ((q.qid * 2654435761 + j.j * 40503) % 1000003)
+       |      % (SELECT nb FROM nb) AS nid
+       |  FROM q, (SELECT unnest(generate_series(1, $InsertProbes)) AS j) j),
+       |p0 AS MATERIALIZED (
+       |  SELECT qid, nid, max(c) AS c FROM (
+       |    SELECT q.qid, CAST($EntryNode AS BIGINT) AS nid,
+       |      round(list_cosine_similarity(q.qe::DOUBLE[],
+       |        e.embedding::DOUBLE[]), 9) AS c
+       |    FROM q JOIN embeddings e ON e.vec_id = $EntryNode
+       |    UNION ALL
+       |    SELECT pr.qid, pr.nid,
+       |      round(list_cosine_similarity(q.qe::DOUBLE[],
+       |        e.embedding::DOUBLE[]), 9) AS c
+       |    FROM pr JOIN q ON q.qid = pr.qid
+       |    JOIN embeddings e ON e.vec_id = pr.nid)
+       |  GROUP BY qid, nid),
+       |$hops,
+       |fwd AS MATERIALIZED (
+       |  SELECT qid AS vec_id, nid, c FROM (
+       |    SELECT qid, nid, c, row_number() OVER (PARTITION BY qid
+       |      ORDER BY c DESC, nid) AS rn FROM p$BeamHops)
+       |  WHERE rn <= $K),
+       |bk AS MATERIALIZED (
+       |  SELECT nid AS vec_id, vec_id AS nid, c FROM fwd),
+       |tch AS MATERIALIZED (SELECT DISTINCT vec_id FROM bk),
+       |mb AS MATERIALIZED (
+       |  SELECT g.vec_id, g.nid, g.c FROM g
+       |  WHERE NOT EXISTS (SELECT 1 FROM tch t WHERE t.vec_id = g.vec_id)
+       |  UNION ALL
+       |  SELECT vec_id, nid, c FROM (
+       |    SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, nid) AS rn
+       |    FROM (SELECT vec_id, nid, max(c) AS c FROM (
+       |            SELECT g.vec_id, g.nid, g.c FROM g
+       |            JOIN tch t ON t.vec_id = g.vec_id
+       |            UNION ALL SELECT vec_id, nid, c FROM bk)
+       |          GROUP BY vec_id, nid))
+       |  WHERE rn <= $K),
+       |vb AS MATERIALIZED (
+       |  SELECT f.vec_id AS qid, m.nid
+       |  FROM fwd f JOIN mb m ON m.vec_id = f.nid),
+       |cap AS MATERIALIZED (
+       |  SELECT qid, w FROM (
+       |    SELECT vec_id AS qid, nid AS w, c, row_number() OVER (
+       |      PARTITION BY nid ORDER BY c DESC, vec_id) AS rn FROM fwd)
+       |  WHERE rn <= $K),
+       |nn2 AS MATERIALIZED (
+       |  SELECT a.qid, b.qid AS nid FROM cap a JOIN cap b ON a.w = b.w),
+       |rc AS MATERIALIZED (
+       |  SELECT DISTINCT qid, nid FROM (
+       |    SELECT qid, nid FROM vb UNION ALL SELECT qid, nid FROM nn2)
+       |  WHERE nid <> qid),
+       |sc AS MATERIALIZED (
+       |  SELECT rc.qid AS vec_id, rc.nid,
+       |    round(list_cosine_similarity(q.qe::DOUBLE[],
+       |      e.embedding::DOUBLE[]), 9) AS c
+       |  FROM rc JOIN q ON q.qid = rc.qid
+       |  JOIN embeddings e ON e.vec_id = rc.nid),
+       |rf AS MATERIALIZED (
+       |  SELECT vec_id, nid, c FROM (
+       |    SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, nid) AS rn
+       |    FROM (SELECT vec_id, nid, max(c) AS c FROM (
+       |            SELECT vec_id, nid, c FROM fwd
+       |            UNION ALL SELECT vec_id, nid, c FROM sc)
+       |          GROUP BY vec_id, nid))
+       |  WHERE rn <= $K),
+       |exact AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT qq.vec_id AS qid, e.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY qq.vec_id
+       |        ORDER BY round(list_cosine_similarity(qq.embedding::DOUBLE[],
+       |          e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
+       |    FROM embeddings qq
+       |    JOIN embeddings e ON e.vec_id <> qq.vec_id
+       |    WHERE qq.vec_id >= (SELECT nb FROM nb))
+       |  WHERE rnk <= $ReportK),
+       |fin AS (
+       |  SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY c DESC, nid) AS rnk
+       |  FROM rf)
+       |SELECT f.vec_id AS qid, CAST(f.rnk AS INT) AS rnk, f.nid,
        |  CAST(round(f.c, 4) AS DOUBLE) AS cos,
        |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
        |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid

@@ -101,10 +101,10 @@ object QualityClassifier {
         .withColumn("r",
           expr(s"w0*x0 + w1*x1 + w2*x2 + w3*x3 - y * $Scale"))
       val g = resid.agg(
-        expr("sum(CAST(r AS DECIMAL(28,0)) * x0)").as("g0"),
-        expr("sum(CAST(r AS DECIMAL(28,0)) * x1)").as("g1"),
-        expr("sum(CAST(r AS DECIMAL(28,0)) * x2)").as("g2"),
-        expr("sum(CAST(r AS DECIMAL(28,0)) * x3)").as("g3"))
+        expr("sum(CAST(r AS DECIMAL(38,0)) * x0)").as("g0"),
+        expr("sum(CAST(r AS DECIMAL(38,0)) * x1)").as("g1"),
+        expr("sum(CAST(r AS DECIMAL(38,0)) * x2)").as("g2"),
+        expr("sum(CAST(r AS DECIMAL(38,0)) * x3)").as("g3"))
       w = IterationCheckpoint.cut(
         w.crossJoin(g).crossJoin(broadcast(n))
           .select(
@@ -116,10 +116,10 @@ object QualityClassifier {
         .withColumn("m", expr("w0*x0 + w1*x1 + w2*x2 + w3*x3"))
         .withColumn("r", expr(s"m - y * $Scale"))
       val rep = scored.agg(
-          expr("sum(CAST(r AS DECIMAL(28,0)) * r)").as("sl"),
-          expr("sum(CASE WHEN y = 1 THEN CAST(m AS DECIMAL(28,0)) END)")
+          expr("sum(CAST(r AS DECIMAL(38,0)) * r)").as("sl"),
+          expr("sum(CASE WHEN y = 1 THEN CAST(m AS DECIMAL(38,0)) END)")
             .as("mp"),
-          expr("sum(CASE WHEN y = 0 THEN CAST(m AS DECIMAL(28,0)) END)")
+          expr("sum(CASE WHEN y = 0 THEN CAST(m AS DECIMAL(38,0)) END)")
             .as("mn"))
         .crossJoin(broadcast(n)).crossJoin(w)
         .select(lit(rnd).as("rnd"),

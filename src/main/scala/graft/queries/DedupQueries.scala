@@ -157,7 +157,9 @@ object DedupQueries {
     cand
       .join(e.select(col("vec_id").as("id_a"), col("embedding").as("ea")), "id_a")
       .join(e.select(col("vec_id").as("id_b"), col("embedding").as("eb")), "id_b")
-      .withColumn("c", VectorFunctions.cosine_sim(col("ea"), col("eb")))
+      // quantize-before-compare (round-9, the ANN idiom): membership at
+      // the threshold must not hinge on a 1-ulp engine divergence
+      .withColumn("c", round(VectorFunctions.cosine_sim(col("ea"), col("eb")), 9))
       .filter(col("c") >= thresh)
       .select(col("id_a"), col("id_b"), col("c"))
   }
@@ -182,12 +184,17 @@ object DedupQueries {
 
   /** Exact all-pairs cosine ≥ 0.45 — oracle for q64 AND q6c (shared, so
     * the bucketed path must reproduce the brute-force answer bit-exactly). */
+  // quantize-before-compare (the round-9 ANN idiom): both engines round
+  // the cosine to 9 places BEFORE the threshold test, so a 1-ulp
+  // divergence between the two engines' float paths can't flip pair
+  // membership at the threshold
   private val embeddingPairsSql =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          CAST(round(list_cosine_similarity(a.embedding::DOUBLE[],
-               b.embedding::DOUBLE[]), 4) AS DOUBLE) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45
+    """SELECT id_a, id_b, CAST(round(c, 4) AS DOUBLE) AS cos FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            round(list_cosine_similarity(a.embedding::DOUBLE[],
+                  b.embedding::DOUBLE[]), 9) AS c
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        WHERE c >= 0.45
         ORDER BY id_a, id_b"""
 
   /** Materialization path for q63's two-stage oracle, derived from the
@@ -759,7 +766,9 @@ object DedupQueries {
         val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
         a.join(b, col("id_a") < col("id_b"))
-          .withColumn("c", VectorFunctions.cosine_sim(col("ea"), col("eb")))
+          // round-9 quantize before the threshold test (matches epsPairs
+          // and the shared oracle)
+          .withColumn("c", round(VectorFunctions.cosine_sim(col("ea"), col("eb")), 9))
           .filter(col("c") >= 0.45)
           .select(col("id_a"), col("id_b"), round(col("c"), 4).as("cos"))
           .orderBy(col("id_a"), col("id_b"))
@@ -1070,7 +1079,7 @@ object DedupQueries {
                 round(CAST(SUM(CAST(jac AS DECIMAL(30,12))) AS DOUBLE)
                   / COUNT(*), 6) AS mean_jac
               FROM j GROUP BY bin)
-        SELECT a.bin, CAST(a.n_pairs AS BIGINT) AS n_pairs, a.mean_jac,
+        SELECT CAST(a.bin AS INT) AS bin, CAST(a.n_pairs AS BIGINT) AS n_pairs, a.mean_jac,
           CAST(SUM(b.n_pairs) AS BIGINT) AS cum_pairs_at_or_above
         FROM h a JOIN h b ON b.bin >= a.bin
         GROUP BY a.bin, a.n_pairs, a.mean_jac ORDER BY a.bin"""),
@@ -1316,8 +1325,8 @@ object DedupQueries {
       Some("""WITH RECURSIVE p AS MATERIALIZED (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-                b.embedding::DOUBLE[]) >= 0.35),
+          WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                b.embedding::DOUBLE[]), 9) >= 0.35),
         sym AS (SELECT id_a AS a, id_b AS b FROM p
                 UNION ALL SELECT id_b, id_a FROM p),
         deg AS (SELECT a, COUNT(*) + 1 AS d FROM sym GROUP BY a),

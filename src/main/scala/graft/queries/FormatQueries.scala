@@ -65,7 +65,7 @@ object FormatQueries {
     // F2 text (+ F1/F6 binary is the identity version, unit-tested)
     QueryDef(
       "q72_text_decode",
-      Some("""SELECT event_id, props AS message, LENGTH(props) AS msg_len
+      Some("""SELECT event_id, props AS message, CAST(LENGTH(props) AS INT) AS msg_len
         FROM events ORDER BY event_id"""),
       (s, dir) => {
         val src = t(s, dir, "events")

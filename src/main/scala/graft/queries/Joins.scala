@@ -728,7 +728,8 @@ object Joins {
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment)
-      SELECT section, k, n, v FROM (
+      SELECT section, k, CAST(n AS BIGINT) AS n, CAST(v AS BIGINT) AS v
+      FROM (
         SELECT 'price' AS section, k, est_im AS n, cost AS v FROM pr
         UNION ALL
         SELECT 'pick' AS section, k, CAST(1 AS BIGINT) AS n,

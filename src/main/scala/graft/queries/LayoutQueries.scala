@@ -245,7 +245,7 @@ object LayoutQueries {
                   MIN(l_orderkey) AS mink, MAX(l_orderkey) AS maxk
                 FROM asg GROUP BY pid),
         pids AS (SELECT i AS pid FROM generate_series(0, 15) AS g(i))
-        SELECT pids.pid AS pid,
+        SELECT CAST(pids.pid AS INT) AS pid,
           CAST(COALESCE(agg.n_rows, 0) AS BIGINT) AS n_rows,
           CAST(COALESCE(agg.mink, -1) AS BIGINT) AS min_key,
           CAST(COALESCE(agg.maxk, -1) AS BIGINT) AS max_key,

@@ -21,7 +21,7 @@ object Scalars {
       Some("""SELECT p_partkey,
         UPPER(p_brand) AS up_brand,
         LOWER(p_type) AS low_type,
-        LENGTH(p_name) AS name_len,
+        CAST(LENGTH(p_name) AS INT) AS name_len,
         SUBSTRING(p_type, 1, 5) AS type5,
         REPLACE(p_name, ' ', '_') AS name_us,
         CONCAT(p_brand, ':', p_type) AS brand_type,
@@ -47,7 +47,7 @@ object Scalars {
         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
         CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
         CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
-        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
         CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS INT) AS days_since,
         CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
         FROM orders ORDER BY o_orderkey"""),
@@ -57,7 +57,9 @@ object Scalars {
           year(col("o_orderdate")).as("yr"),
           month(col("o_orderdate")).as("mo"),
           dayofmonth(col("o_orderdate")).as("dom"),
-          date_trunc("month", col("o_orderdate")).as("month_start"),
+          // DATE, not timestamp: both engines emit date32 (a timestamp
+          // here ships parquet ns-vs-us unit skew across engines)
+          trunc(col("o_orderdate"), "month").as("month_start"),
           datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
           last_day(col("o_orderdate")).as("month_end"))
           .orderBy(col("o_orderkey"))),

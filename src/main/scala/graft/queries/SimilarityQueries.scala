@@ -135,6 +135,10 @@ object SimilarityQueries {
   private[queries] def qaxLayerPath(sfDir: String, layer: Int): String =
     QueryDef.materializePath(sfDir, s"qax_l${layer}_graph")
 
+  /** qb3: the persisted BASE graph the incremental insert maintains. */
+  private[queries] def qb3GraphPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qb3_base_graph")
+
   /** The q66 assignment rule as a helper: nearest centroid per vector,
     * argmax as a map-side-combining hash aggregate (one shuffled row per
     * vector), round-9 quantized scores, tie-break (cc DESC, cid ASC). */
@@ -206,6 +210,19 @@ object SimilarityQueries {
       .select(col("qid"), col("vec_id").as("nid"))
   }
 
+  /** exactTopK with the query set = ids >= `minId` (qb3's delta probes). */
+  private[graft] def exactTopKFrom(e: DataFrame, k: Int, minId: Long): DataFrame = {
+    val q = e.filter(col("vec_id") >= minId)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("c",
+        round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 9))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("nid"))
+  }
+
   /** One assignTo exposure for the probe (build the membership index). */
   private[graft] def buildIndex(e: DataFrame): (DataFrame, DataFrame) = {
     val cent = centroids(e)
@@ -240,7 +257,7 @@ object SimilarityQueries {
         r AS (SELECT qid, nid, c,
                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
               FROM s)
-        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, rnk
+        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -281,7 +298,7 @@ object SimilarityQueries {
                 row_number() OVER (PARTITION BY qid
                   ORDER BY round(list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]), 9) DESC, nid) AS rnk
               FROM cand)
-        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, rnk
+        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -373,7 +390,7 @@ object SimilarityQueries {
                 row_number() OVER (PARTITION BY qid
                   ORDER BY round(list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]), 9) DESC, nid) AS rnk
               FROM cand)
-        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, rnk
+        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -568,7 +585,7 @@ object SimilarityQueries {
               ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
                 c.nid) AS rnk
           FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
-        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, rnk
+        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -641,7 +658,7 @@ object SimilarityQueries {
               ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
                 c.nid) AS rnk
           FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
-        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, rnk
+        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -695,7 +712,7 @@ object SimilarityQueries {
               ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
                 c.nid) AS rnk
           FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
-        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, rnk
+        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -871,7 +888,7 @@ object SimilarityQueries {
           r AS (SELECT qid, nid, adc,
                   row_number() OVER (PARTITION BY qid
                     ORDER BY adc DESC, nid) AS rnk FROM adc)
-          SELECT qid, nid, CAST(adc AS DOUBLE) AS adc, rnk
+          SELECT qid, nid, CAST(adc AS DOUBLE) AS adc, CAST(rnk AS INT) AS rnk
           FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")
       },
       (s, dir) => {
@@ -948,7 +965,7 @@ object SimilarityQueries {
           r AS (SELECT qid, nid, adc,
                   row_number() OVER (PARTITION BY qid
                     ORDER BY adc DESC, nid) AS rnk FROM adc)
-          SELECT qid, nid, CAST(adc AS DOUBLE) AS adc, rnk
+          SELECT qid, nid, CAST(adc AS DOUBLE) AS adc, CAST(rnk AS INT) AS rnk
           FROM r WHERE rnk <= 3 ORDER BY qid, rnk""")
       },
       (s, dir) => {
@@ -1048,7 +1065,7 @@ object SimilarityQueries {
           r AS (SELECT qid, nid, c,
                   row_number() OVER (PARTITION BY qid
                     ORDER BY c DESC, nid) AS rnk FROM rr)
-          SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) + 0 AS cos, rnk
+          SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) + 0 AS cos, CAST(rnk AS INT) AS rnk
           FROM r WHERE rnk <= 3 ORDER BY qid, rnk""")
       },
       (s, dir) => {
@@ -1134,7 +1151,7 @@ object SimilarityQueries {
               ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
                 c.nid) AS rnk
           FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
-        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, rnk
+        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         import graft.connector.{GraftDoc, GraftDocLog}
@@ -1221,7 +1238,7 @@ object SimilarityQueries {
               FROM rt FULL JOIN rv ON rv.qid = rt.qid AND rv.nid = rt.nid),
         r AS (SELECT qid, nid, rrf, row_number() OVER (PARTITION BY qid
                 ORDER BY rrf DESC, nid) AS rnk FROM f)
-        SELECT qid, nid, CAST(rrf AS DOUBLE) AS rrf, rnk
+        SELECT qid, nid, CAST(rrf AS DOUBLE) AS rrf, CAST(rnk AS INT) AS rnk
         FROM r WHERE rnk <= 10 ORDER BY qid, rnk"""),
       (s, dir) => {
         val d = Tables.load(s, dir, "documents")
@@ -1898,6 +1915,46 @@ object SimilarityQueries {
             col("cur").as("nid"), round(col("curc"), 4).as("cos"),
             coalesce(col("in_top5"), lit(0)).cast("int").as("in_top5"))
           .orderBy(traj("qid"), col("layer").desc, col("hop"))
+      }),
+
+    // Incremental graph-ANN maintenance — the insert path that completes
+    // the graph family's lifecycle (IVF has q5m, MinHash has qa8, stats
+    // have qaj): the newest nn/16 vectors join a PERSISTED base graph
+    // with NO rebuild — beam-seed from the candidate pool, back-edge
+    // re-top-K on touched base nodes only, one local NN-Descent
+    // refinement round over the insertion neighborhood. Output: every
+    // new node's merged-graph top-5 with exact-top-5 flags over the FULL
+    // corpus, so the insert's recall is readable next to qao's build
+    // recall. Design: [[graft.operators.NnDescent.insertDelta]];
+    // `GraphInsertPropSpec` proves recall parity vs a full rebuild.
+    QueryDef(
+      "qb3_graph_insert",
+      Some(graft.operators.NnDescent.insertOracleSql(qb3GraphPath(sfDir))),
+      (s, dir) => {
+        import graft.operators.NnDescent
+        val e = emb(s, dir)
+        // plan-time split point (the qae/qam metadata-scalar precedent):
+        // base = all but the newest nn/16 ids, delta = the rest
+        val nn = e.count()
+        val nBase = nn - nn / 16
+        val p = qb3GraphPath(dir)
+        NnDescent.knnGraph(e.filter(col("vec_id") < nBase))
+          .write.mode("overwrite").parquet(p)
+        val merged = NnDescent.insertDelta(e, s.read.parquet(p), nBase)
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c").desc, col("nid"))
+        val fin = merged.filter(col("vec_id") >= nBase)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= NnDescent.ReportK)
+        val exact = exactTopKFrom(e, NnDescent.ReportK, nBase)
+          .withColumn("in_exact", lit(1))
+        fin.join(exact,
+            fin("vec_id") === exact("qid") && fin("nid") === exact("nid"),
+            "left")
+          .select(fin("vec_id").as("qid"), col("rnk"), fin("nid"),
+            round(col("c"), 4).as("cos"),
+            coalesce(col("in_exact"), lit(0)).cast("int").as("in_exact"))
+          .orderBy(col("qid"), col("rnk"))
       })
   )
 

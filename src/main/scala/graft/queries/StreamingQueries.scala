@@ -281,7 +281,7 @@ object StreamingQueries {
                 row_number() OVER (PARTITION BY c.qid
                   ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC, c.nid) AS rnk
               FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
-        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, rnk
+        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => StreamPipelines.docStreamAnnServe(s, dir)),
 
@@ -567,7 +567,8 @@ object StreamingQueries {
       "q8w_stream_skyline",
       Some("""WITH sp AS (
           SELECT o_custkey,
-            SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend
+            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS spend
           FROM orders GROUP BY o_custkey),
         pts AS (
           SELECT c.c_custkey,
@@ -672,7 +673,8 @@ object StreamingQueries {
     QueryDef(
       "q8t_kafka_wire_doc_sink",
       Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,
-          SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS cents
+          CAST(SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS cents
         FROM customer WHERE c_custkey < 1000
         GROUP BY 1 ORDER BY 1"""),
       (s, dir) => StreamPipelines.kafkaWireToDocSink(s, dir))

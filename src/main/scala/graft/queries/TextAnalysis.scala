@@ -49,8 +49,8 @@ object TextAnalysis {
     QueryDef(
       "q50_token_stats",
       Some("""SELECT doc_id,
-        len(string_split(text, ' ')) AS ws_tokens,
-        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS bpe_tokens,
+        CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INT) AS bpe_tokens,
         length(text) AS n_chars,
         CAST(round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE)
           AS chars_per_token
@@ -159,7 +159,7 @@ object TextAnalysis {
                 row_number() OVER (PARTITION BY doc_id
                   ORDER BY score DESC, w) AS rnk
               FROM scored)
-        SELECT doc_id, w AS term, CAST(round(score, 4) AS DOUBLE) AS tfidf, rnk
+        SELECT doc_id, w AS term, CAST(round(score, 4) AS DOUBLE) AS tfidf, CAST(rnk AS INT) AS rnk
         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
       (s, dir) => {
         val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("w"))
@@ -218,7 +218,7 @@ object TextAnalysis {
                 row_number() OVER (PARTITION BY term
                   ORDER BY s4 DESC, doc_id) AS rnk
               FROM sc)
-        SELECT term, doc_id, CAST(s4 AS DOUBLE) AS bm25, rnk
+        SELECT term, doc_id, CAST(s4 AS DOUBLE) AS bm25, CAST(rnk AS INT) AS rnk
         FROM r WHERE rnk <= 10 ORDER BY term, rnk"""),
       (s, dir) => {
         val terms = Seq("batch", "join", "scan", "stream", "window")
@@ -266,7 +266,7 @@ object TextAnalysis {
         r AS (SELECT doc_id, lang, hkey,
                 row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rnk
               FROM h)
-        SELECT lang, doc_id, rnk FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""),
+        SELECT lang, doc_id, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 10 ORDER BY lang, rnk"""),
       (s, dir) => {
         val w = Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))
         docs(s, dir)
@@ -837,7 +837,7 @@ object TextAnalysis {
                 row_number() OVER (PARTITION BY source
                   ORDER BY ky DESC, doc_id) AS rk
               FROM k)
-        SELECT source, doc_id, rk AS sample_rank,
+        SELECT source, doc_id, CAST(rk AS INT) AS sample_rank,
           CAST(ky AS DOUBLE) + 0 AS sample_key
         FROM r WHERE rk <= 5 ORDER BY source, sample_rank"""),
       (s, dir) => {

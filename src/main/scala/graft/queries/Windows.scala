@@ -26,7 +26,10 @@ object Windows {
 
     QueryDef(
       "q20_window_ranking",
-      Some("""SELECT * FROM (
+      Some("""SELECT c_mktsegment, c_custkey, acctbal,
+        CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk,
+        CAST(drnk AS INT) AS drnk, CAST(quartile AS INT) AS quartile
+      FROM (
         SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
           ROW_NUMBER() OVER w AS rn,
           RANK() OVER w AS rnk,
@@ -117,7 +120,8 @@ object Windows {
 
     QueryDef(
       "q24_topk_per_group",
-      Some("""SELECT * FROM (
+      Some("""SELECT o_orderpriority, o_orderkey, price, CAST(rn AS INT) AS rn
+        FROM (
         SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price,
           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
@@ -169,7 +173,8 @@ object Windows {
       "qaz_skyline",
       Some("""WITH sp AS (
           SELECT o_custkey,
-            SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS spend
+            CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS spend
           FROM orders GROUP BY o_custkey),
         pts AS (
           SELECT c.c_custkey,

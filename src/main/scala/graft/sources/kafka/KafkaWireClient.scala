@@ -99,4 +99,15 @@ final class KafkaWireClient(host: String, port: Int,
     require(p.error == ErrNone, s"produce error ${p.error} for $topic-$partition")
     p.baseOffset
   }
+
+  /** Produce a batch as ONE gzip wrapper message — what a 0.9 producer
+    * with compression.type=gzip puts on the wire. */
+  def produceGzip(topic: String, partition: Int, msgs: Seq[WireMessage]): Long = {
+    val r = decodeProduceResponse(call(ApiProduce, encodeProduceRequest(
+      ProduceRequest(acks = 1, timeoutMs = 10000, topic,
+        Seq((partition, gzipWrap(msgs)))))))
+    val p = r.head._2.head
+    require(p.error == ErrNone, s"produce error ${p.error} for $topic-$partition")
+    p.baseOffset
+  }
 }

@@ -110,11 +110,14 @@ object KafkaWireProtocol {
   /** Encode messages as a v0/v1 MessageSet. Offsets are taken from each
     * [[WireMessage]] (producers conventionally send 0s; the broker
     * assigns real offsets on append, as Kafka does). */
-  def encodeMessageSet(msgs: Seq[WireMessage]): Array[Byte] = {
+  def encodeMessageSet(msgs: Seq[WireMessage]): Array[Byte] =
+    encodeMessageSetAttr(msgs, 0)
+
+  private def encodeMessageSetAttr(msgs: Seq[WireMessage], attr: Int): Array[Byte] = {
     val o = new Out
     msgs.foreach { m =>
       val body = new Out
-      body.i8(m.magic).i8(0) // attributes: no compression
+      body.i8(m.magic).i8(attr.toByte)
       if (m.magic >= 1) body.i64(m.timestampMs)
       body.bytes(m.key).bytes(m.value)
       val b = body.toBytes
@@ -128,9 +131,49 @@ object KafkaWireProtocol {
     o.toBytes
   }
 
+  /** Wrap `msgs` into ONE gzip wrapper message, exactly as a 0.9 producer
+    * with compression.type=gzip does: the inner set is a plain MessageSet
+    * (producer-side inner offsets 0..n-1), gzip'd into the wrapper's
+    * value; wrapper key is null, attributes low bits = 1 (gzip). The
+    * wrapper's offset follows the broker convention of the LAST inner
+    * message's absolute offset (on produce the broker reassigns it).
+    * Reference behavior: kafka-clients 0.9 decompresses these wrappers
+    * transparently inside the consumer's fetch iterator
+    * (mapr-plugins MapRStreamingSource.java:77-78 inherits it). */
+  def gzipWrap(msgs: Seq[WireMessage], wrapperOffset: Long = 0L): Array[Byte] = {
+    require(msgs.nonEmpty, "empty compressed set")
+    val inner = encodeMessageSetAttr(
+      msgs.zipWithIndex.map { case (m, i) => m.copy(offset = i.toLong) }, 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(inner); gz.close()
+    val magic = msgs.map(_.magic).max
+    val ts = msgs.map(_.timestampMs).max
+    encodeMessageSetAttr(
+      Seq(WireMessage(wrapperOffset, null, bos.toByteArray, magic, ts)),
+      attr = 1)
+  }
+
+  private def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val bos = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+    in.close()
+    bos.toByteArray
+  }
+
   /** Decode a MessageSet, verifying every CRC. A partial trailing message
     * (the broker's max_bytes cut mid-record — legal in 0.9) is dropped,
-    * exactly as the real consumer does. */
+    * exactly as the real consumer does. Gzip wrapper messages (attributes
+    * low bits = 1) are decompressed and their inner set decoded
+    * recursively, with absolute offsets reconstructed from the wrapper
+    * offset (= last inner message, the 0.9 broker convention) — matching
+    * kafka-clients 0.9, whose fetch iterator decompresses transparently.
+    * Snappy/LZ4 (codec bits 2/3) fail LOUDLY: silent compressed blobs as
+    * record values are the worst failure mode. */
   def decodeMessageSet(bytes: Array[Byte]): Seq[WireMessage] = {
     val bb = ByteBuffer.wrap(bytes)
     val out = Seq.newBuilder[WireMessage]
@@ -149,11 +192,30 @@ object KafkaWireProtocol {
           s"CRC mismatch at offset $offset: wire-corrupt message")
         val mb = ByteBuffer.wrap(body)
         val magic = mb.get()
-        mb.get() // attributes
+        val attr = mb.get()
         val ts = if (magic >= 1) mb.getLong else -1L
         val key = readBytes(mb)
         val value = readBytes(mb)
-        out += WireMessage(offset, key, value, magic, ts)
+        (attr & 0x07) match {
+          case 0 =>
+            out += WireMessage(offset, key, value, magic, ts)
+          case 1 =>
+            require(value != null,
+              s"gzip wrapper at offset $offset has null value")
+            val inner = decodeMessageSet(gunzip(value))
+            require(inner.nonEmpty,
+              s"gzip wrapper at offset $offset decoded to an empty set")
+            // wrapper offset = absolute offset of the LAST inner message
+            val base = offset - (inner.size - 1)
+            out ++= inner.zipWithIndex.map { case (m, i) =>
+              m.copy(offset = base + i)
+            }
+          case c =>
+            throw new IllegalArgumentException(
+              s"unsupported compression codec $c (snappy/lz4) in message " +
+                s"set at offset $offset: graft-kafka decodes none/gzip " +
+                "only — recompress the topic or produce uncompressed")
+        }
         true
       }
     }) ()

@@ -66,8 +66,13 @@ object KafkaWireConf {
     val subscribe = o.get("subscribe")
     require(subscribe != null && subscribe.nonEmpty, "subscribe is required")
     val starting = Option(o.get("startingOffsets")).getOrElse("latest")
-    KafkaWireConf(hp(0), hp(1).toInt,
-      subscribe.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+    val topics = subscribe.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // Kafka's own legal charset; also keeps KafkaWireOffset's canonical
+    // JSON checkpoint format unambiguous (no quotes/braces in names)
+    val bad = topics.filterNot(_.matches("[a-zA-Z0-9._-]+"))
+    require(bad.isEmpty, s"illegal topic name(s) $bad: Kafka topic names " +
+      "are [a-zA-Z0-9._-]+")
+    KafkaWireConf(hp(0), hp(1).toInt, topics,
       starting.equalsIgnoreCase("earliest"))
   }
 }
@@ -102,11 +107,23 @@ case class KafkaWireOffset(offsets: Map[String, Map[Int, Long]]) extends Offset 
 object KafkaWireOffset {
   private val TopicRe = """"([^"]+)":\{([^}]*)\}""".r
   private val PartRe = """"(\d+)":(\d+)""".r
-  def fromJson(s: String): KafkaWireOffset =
-    KafkaWireOffset(TopicRe.findAllMatchIn(s).map { m =>
+
+  /** Parse a checkpointed position. The input is always produced by
+    * [[KafkaWireOffset.json]] (canonical form), so a successful parse
+    * must round-trip to the same bytes — anything else (e.g. a topic
+    * name containing '"' or '}' that the regex silently drops) would
+    * otherwise restart that topic from offset 0, a silent re-read.
+    * Fail loudly instead. */
+  def fromJson(s: String): KafkaWireOffset = {
+    val o = KafkaWireOffset(TopicRe.findAllMatchIn(s).map { m =>
       m.group(1) -> PartRe.findAllMatchIn(m.group(2))
         .map(p => p.group(1).toInt -> p.group(2).toLong).toMap
     }.toMap)
+    require(o.json() == s,
+      s"checkpoint offset JSON did not round-trip (topic name with " +
+        s"reserved characters?): parsed ${o.json()} from $s")
+    o
+  }
 }
 
 class KafkaWireMicroBatchStream(conf: KafkaWireConf)

@@ -152,20 +152,32 @@ final class MiniKafkaBroker(nodeId: Int = 0) extends AutoCloseable {
       val parts = r.partitions.map { case (p, off, maxBytes) =>
         logs.get((r.topic, p)) match {
           case Some(buf) =>
-            val (end, slice) = buf.synchronized {
+            // honor max_bytes with the 0.9 cut rule: a MessageSet may
+            // end mid-message; the consumer drops the partial tail and
+            // re-fetches from the last whole offset with a bigger cap.
+            // Encode message-by-message and stop once the cap is hit —
+            // each poll is linear in bytes SERVED, not in log remaining.
+            val (end, cut) = buf.synchronized {
               val e = buf.length.toLong
-              (e, if (off >= 0 && off <= e) buf.drop(off.toInt).toSeq else null)
+              if (off < 0 || off > e) (e, null)
+              else {
+                val out = new java.io.ByteArrayOutputStream()
+                var i = off.toInt // safe: 0 <= off <= e = buf.length (Int)
+                var partial = false
+                while (i < buf.length && !partial) {
+                  val one = encodeMessageSet(Seq(buf(i)))
+                  if (out.size + one.length <= maxBytes) {
+                    out.write(one); i += 1
+                  } else {
+                    out.write(one, 0, math.max(0, maxBytes - out.size))
+                    partial = true
+                  }
+                }
+                (e, out.toByteArray)
+              }
             }
-            if (slice == null) FetchPartition(p, ErrOffsetOutOfRange, end, Array.empty)
-            else {
-              // honor max_bytes with the 0.9 cut rule: a MessageSet may
-              // end mid-message; the consumer drops the partial tail and
-              // re-fetches from the last whole offset with a bigger cap
-              val full = encodeMessageSet(slice)
-              val cut =
-                if (full.length <= maxBytes) full else full.take(maxBytes)
-              FetchPartition(p, ErrNone, end, cut)
-            }
+            if (cut == null) FetchPartition(p, ErrOffsetOutOfRange, end, Array.empty)
+            else FetchPartition(p, ErrNone, end, cut)
           case None =>
             FetchPartition(p, ErrUnknownTopicOrPartition, -1L, Array.empty)
         }

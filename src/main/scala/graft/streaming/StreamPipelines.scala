@@ -56,6 +56,22 @@ object StreamPipelines {
     try f finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Persist + materialize a stream-static model frame for the duration
+    * of `body`. Without this, every micro-batch re-plans the static side
+    * of the stream-static join and RE-EXECUTES the whole training
+    * subtree (2 triggers = 2 extra retrains, plus their scheduling
+    * noise) — the q8p fixed-cost bimodality: under ambient contention
+    * the repeated training job is the part that inflates 3-4x. Frozen
+    * serves pay the training job exactly once per run; the per-trigger
+    * join then reads the one cached row. At 100 TB this is also the
+    * right production shape: the model retrains on a slow cadence and
+    * the serving stream only ever sees the materialized frame. */
+  private def withFrozenModel[T](m: DataFrame)(body: DataFrame => T): T = {
+    val p = m.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    p.count()
+    try body(p) finally { p.unpersist(false); () }
+  }
+
   /** One-shot drains are ephemeral — the result lands in a memory sink and
     * the checkpoint is discarded — so there is nothing to make durable;
     * placing the checkpoint on tmpfs removes the state store's per-commit
@@ -574,18 +590,20 @@ object StreamPipelines {
       incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
     graft.connector.GraftDoc.write(
       incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
-    val merges = graft.queries.TextAnalysis
+    val merges0 = graft.queries.TextAnalysis
       .bpeMergeFrame(docs.filter(col("doc_id") < 250))
       .withColumn("k", lit(1))
-    withStreamShufflePartitions(s, 8) {
-      val encoded = graft.queries.TextAnalysis.bpeEncodeCols(
-        graft.connector.GraftDoc
-          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
-          .select(col("_id").cast("long").as("doc_id"), col("text"),
-            lit(1).as("k"))
-          .join(broadcast(merges), Seq("k")))
-      runToMemory(s, encoded, "append")
-        .orderBy(col("doc_id"))
+    withFrozenModel(merges0) { merges =>
+      withStreamShufflePartitions(s, 8) {
+        val encoded = graft.queries.TextAnalysis.bpeEncodeCols(
+          graft.connector.GraftDoc
+            .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+            .select(col("_id").cast("long").as("doc_id"), col("text"),
+              lit(1).as("k"))
+            .join(broadcast(merges), Seq("k")))
+        runToMemory(s, encoded, "append")
+          .orderBy(col("doc_id"))
+      }
     }
   }
 
@@ -610,18 +628,20 @@ object StreamPipelines {
       incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
     graft.connector.GraftDoc.write(
       incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
-    val model = graft.queries.TextAnalysis
+    val model0 = graft.queries.TextAnalysis
       .dsirModelFrame(docs.filter(col("doc_id") < 250))
       .withColumn("k", lit(1))
-    withStreamShufflePartitions(s, 8) {
-      val scored = graft.queries.TextAnalysis.dsirScoreCols(
-        graft.connector.GraftDoc
-          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
-          .select(col("_id").cast("long").as("doc_id"), col("text"),
-            lit(1).as("k"))
-          .join(broadcast(model), Seq("k")))
-      runToMemory(s, scored, "append")
-        .orderBy(col("doc_id"))
+    withFrozenModel(model0) { model =>
+      withStreamShufflePartitions(s, 8) {
+        val scored = graft.queries.TextAnalysis.dsirScoreCols(
+          graft.connector.GraftDoc
+            .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+            .select(col("_id").cast("long").as("doc_id"), col("text"),
+              lit(1).as("k"))
+            .join(broadcast(model), Seq("k")))
+        runToMemory(s, scored, "append")
+          .orderBy(col("doc_id"))
+      }
     }
   }
 
@@ -645,18 +665,20 @@ object StreamPipelines {
       incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
     graft.connector.GraftDoc.write(
       incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
-    val weights = graft.operators.QualityClassifier
+    val weights0 = graft.operators.QualityClassifier
       .weightsFrame(docs.filter(col("doc_id") < 250))
       .withColumn("k", lit(1))
-    withStreamShufflePartitions(s, 8) {
-      val scored = graft.operators.QualityClassifier.scoreCols(
-        graft.connector.GraftDoc
-          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
-          .select(col("_id").cast("long").as("doc_id"), col("text"),
-            lit(1).as("k"))
-          .join(broadcast(weights), Seq("k")))
-      runToMemory(s, scored, "append")
-        .orderBy(col("doc_id"))
+    withFrozenModel(weights0) { weights =>
+      withStreamShufflePartitions(s, 8) {
+        val scored = graft.operators.QualityClassifier.scoreCols(
+          graft.connector.GraftDoc
+            .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+            .select(col("_id").cast("long").as("doc_id"), col("text"),
+              lit(1).as("k"))
+            .join(broadcast(weights), Seq("k")))
+        runToMemory(s, scored, "append")
+          .orderBy(col("doc_id"))
+      }
     }
   }
 
@@ -681,18 +703,20 @@ object StreamPipelines {
       incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
     graft.connector.GraftDoc.write(
       incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
-    val model = graft.queries.TextAnalysis
+    val model0 = graft.queries.TextAnalysis
       .knModelFrame(docs.filter(col("doc_id") < 250))
       .withColumn("k", lit(1))
-    withStreamShufflePartitions(s, 8) {
-      val scored = graft.queries.TextAnalysis.knScoreCols(
-        graft.connector.GraftDoc
-          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
-          .select(col("_id").cast("long").as("doc_id"), col("text"),
-            lit(1).as("k"))
-          .join(broadcast(model), Seq("k")))
-      runToMemory(s, scored, "append")
-        .orderBy(col("doc_id"))
+    withFrozenModel(model0) { model =>
+      withStreamShufflePartitions(s, 8) {
+        val scored = graft.queries.TextAnalysis.knScoreCols(
+          graft.connector.GraftDoc
+            .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+            .select(col("_id").cast("long").as("doc_id"), col("text"),
+              lit(1).as("k"))
+            .join(broadcast(model), Seq("k")))
+        runToMemory(s, scored, "append")
+          .orderBy(col("doc_id"))
+      }
     }
   }
 

@@ -130,11 +130,25 @@ object BenchGate {
     * above the line no matter how many re-measures run, while a one-off
     * spike on an otherwise healthy query sinks below it. A single-sample
     * query is its own estimate. */
+  /** Upper median of the warmed attempts, tempered by the RECOVERY
+    * WINDOW — the upper median of the last 3 warmed attempts. A
+    * transient contended stretch early in the sample (q8p round 11:
+    * [3.9, 8.3, 14.7, 6.7, 5.3, 3.2] — steady was decided 6.7 by
+    * samples taken DURING the stretch even though every re-measure
+    * after it came back clean) must not decide the estimate once the
+    * tail has recovered. The window can only LOWER the estimate (a
+    * genuinely slow query keeps a high tail and is unaffected); late
+    * contention still flags, which re-arms the confirm/sentinel
+    * machinery built for exactly that case. Baselines are minted with
+    * this same statistic (scripts/make_baseline.py mirrors it). */
   def steadyEstimate(attempts: Seq[Double]): Double =
     if (attempts.size <= 1) attempts.headOption.getOrElse(-1.0)
     else {
-      val warm = attempts.drop(1).sorted
-      warm(warm.size / 2)
+      def upperMedian(xs: Seq[Double]): Double = {
+        val s = xs.sorted; s(s.size / 2)
+      }
+      val warm = attempts.drop(1)
+      math.min(upperMedian(warm), upperMedian(warm.takeRight(3)))
     }
 
   /** Baseline tables keyed by environment: a heading containing

@@ -434,6 +434,44 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "graphinsert") {
+      // qb3: inserting a FIXED delta batch into a growing base graph
+      // must cost ~flat in the base size (per-new-node work is
+      // O(BeamHops·BeamWidth·K + K²) distance evals plus a base-graph
+      // SCAN), while the naive alternative — rebuild the whole graph per
+      // batch — grows with the base (the incmh/deltacc amortization
+      // argument, applied to the graph family). Base replicates 1x → 4x
+      // with contiguous ids; the delta batch stays the corpus's top
+      // nn/16 vectors, re-id'd above each base.
+      import graft.operators.NnDescent
+      val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val nn0 = e0.count()
+      val nB0 = nn0 - nn0 / 16
+      val delta0 = e0.filter(col("vec_id") >= nB0)
+      println(s"[scale] fixed delta batch: ${delta0.count()} vectors")
+      for (mult <- Seq(1, 4)) {
+        val nBase = mult * nB0
+        val base = replicate(e0.filter(col("vec_id") < nB0), "vec_id",
+          mult, nB0).cache()
+        val delta = delta0
+          .withColumn("vec_id", col("vec_id") - nB0 + lit(nBase)).cache()
+        val e = base.unionByName(delta)
+        val p = s"/tmp/graft_scale_ginsert_$mult"
+        time(s"naive: full graph rebuild (base n=$nBase)") {
+          NnDescent.knnGraph(base).write.mode("overwrite").parquet(p)
+        }
+        val g0 = spark.read.parquet(p)
+        val edges = time(s"insert fixed delta (base n=$nBase)") {
+          NnDescent.insertDelta(e, g0, nBase).count()
+        }
+        println(s"[scale]   merged edges=$edges — per-batch incremental " +
+          "cost = insert only; per-batch naive cost = rebuild")
+        base.unpersist(); delta.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "joinorder") {
       // qam: does the catalog's pick match measured reality, and what
       // does picking wrong cost? Prices both left-deep orders from the

@@ -297,6 +297,19 @@ class BenchGateSpec extends AnyFunSuite {
     assert(BenchGate.steadyEstimate(Nil) == -1.0)
   }
 
+  test("steadyEstimate recovery window: an early contended stretch cannot decide a clean tail") {
+    // q8p round 11: mid-run contention inflated attempts 2-4, every
+    // re-measure after it came back clean — the estimate must follow
+    // the recovered tail, not the stretch
+    val q8p = Seq(3.851, 8.337, 14.658, 6.655, 5.254, 3.242)
+    assert(BenchGate.steadyEstimate(q8p) == 5.254)
+    // genuinely slow: high tail keeps the high estimate
+    assert(BenchGate.steadyEstimate(Seq(3.0, 7.0, 7.2, 7.1, 7.3)) == 7.2)
+    // LATE contention is not absorbed — it keeps flagging (and re-arms
+    // the confirm/sentinel machinery built for a live-contended tail)
+    assert(BenchGate.steadyEstimate(Seq(3.0, 3.1, 3.2, 14.0, 15.0)) >= 14.0)
+  }
+
   test("attempts parse: arrays keyed by query, scalar map untouched") {
     val json = bench(2.0, 3.0, 0.2).replace(
       """"sf":"sf0.1"""",
@@ -357,19 +370,21 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   test("the committed artifacts pass the gate end to end") {
-    def read(p: String) = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
-    BenchGate.check(read("BENCH_LOCAL.json"), read("BASELINE_LOCAL.md")) match {
-      case Right(r) => assert(r.pass, r)
-      case Left(reason) =>
-        // The round driver overwrites BENCH_LOCAL.json in place with its
-        // own run. If that run self-stamped contended, the artifact is
-        // unusable garbage by the gate's own rule — refusing to grade it
-        // is the correct outcome, not a regression (the committed
-        // artifact this repo ships always passes outright). Any OTHER
-        // refusal reason (unparseable artifact, missing baseline env)
-        // is a real configuration failure and must stay loud.
-        assert(reason.contains("contended"), reason)
-    }
+    // Gate the COMMITTED pair (git show HEAD:...), not the working tree:
+    // the round driver overwrites BENCH_LOCAL.json in place with its own
+    // (possibly contended) run every round, and `sbt test` must stay
+    // meaningful on the as-committed state. Working-tree fallback only
+    // when git itself is unavailable (e.g. an exported source tarball).
+    def gitShow(p: String): Option[String] =
+      try {
+        val proc = new ProcessBuilder("git", "show", s"HEAD:$p").start()
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        if (proc.waitFor() == 0 && out.nonEmpty) Some(out) else None
+      } catch { case _: Exception => None }
+    def read(p: String) = gitShow(p).getOrElse(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+    val Right(r) =
+      BenchGate.check(read("BENCH_LOCAL.json"), read("BASELINE_LOCAL.md"))
+    assert(r.pass, r)
   }
 }

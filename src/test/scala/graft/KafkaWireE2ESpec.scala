@@ -76,6 +76,31 @@ class KafkaWireE2ESpec extends SparkSpec {
     }
   }
 
+  test("gzip-compressed produce decodes transparently on the wire (0.9 producer parity)") {
+    withBroker { b =>
+      b.createTopic("t_gz", 1)
+      withClient(b) { c =>
+        c.produceGzip("t_gz", 0, Seq(
+          WireMessage(0, "a".getBytes(UTF_8), "compressed-1".getBytes(UTF_8)),
+          WireMessage(0, null, "compressed-2".getBytes(UTF_8))))
+        c.produce("t_gz", 0, Seq(
+          WireMessage(0, null, "plain-3".getBytes(UTF_8))))
+      }
+      val cfg = StreamSource.StreamConfig(
+        referenceName = "e2e_gz", brokers = b.bootstrapServers,
+        topics = Seq("t_gz"), initialOffset = "beginning",
+        format = Some("text"))
+      drain(cfg, "e2e_gz")
+      val rows = spark.table("e2e_gz")
+        .select(col("offset"), col("key").cast("string"), col("message"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (0L, "a", "compressed-1"),
+        (1L, null, "compressed-2"),
+        (2L, null, "plain-3")))
+    }
+  }
+
   test("csv decode end-to-end, and magic-1 timestamps surface as CREATE_TIME") {
     withBroker { b =>
       b.createTopic("t_csv", 1)

@@ -132,4 +132,60 @@ class KafkaWireProtocolSpec extends AnyFunSuite {
     assert(KafkaWireOffset.fromJson(o.json()) == o)
     assert(KafkaWireOffset.fromJson("{}") == KafkaWireOffset(Map.empty))
   }
+
+  test("a checkpoint whose topic would be dropped by the parser fails loudly") {
+    // a topic name with '"' serializes but cannot parse back — silent
+    // offset-0 restart is the failure mode this guards against
+    val bad = KafkaWireOffset(Map("t\"x" -> Map(0 -> 4L))).json()
+    val e = intercept[IllegalArgumentException](KafkaWireOffset.fromJson(bad))
+    assert(e.getMessage.contains("round-trip"))
+  }
+
+  test("gzip wrapper messages decode to the inner set with reconstructed offsets") {
+    samples(Gen.listOfN(4, genMsg), 40).foreach { msgs0 =>
+      // inner values must be non-null for equality (null value is legal
+      // but the wrapper path never produces it from a real producer batch)
+      val msgs = msgs0.zipWithIndex.map { case (m, i) =>
+        m.copy(value = if (m.value == null) Array[Byte]() else m.value)
+      }
+      val wrapperOffset = 100L + msgs.size - 1
+      val decoded = decodeMessageSet(gzipWrap(msgs, wrapperOffset))
+      assert(decoded.size == msgs.size)
+      decoded.zip(msgs).zipWithIndex.foreach { case ((d, m), i) =>
+        // absolute offsets: wrapper = last inner (0.9 broker convention)
+        assert(d.offset == 100L + i)
+        assert(sameBytes(d.key, m.key))
+        assert(sameBytes(d.value, m.value))
+      }
+    }
+  }
+
+  test("gzip wrappers survive the broker's max_bytes partial-tail cut") {
+    val msgs = (0 until 3).map(i =>
+      WireMessage(i.toLong, null, s"payload-number-$i".getBytes))
+    val wrapped = gzipWrap(msgs, 2L)
+    val plain = encodeMessageSet(Seq(WireMessage(3L, null, "after".getBytes)))
+    val stream = wrapped ++ plain
+    // cut mid-second-record: wrapper decodes whole, partial tail dropped
+    val cut = stream.take(wrapped.length + 5)
+    val decoded = decodeMessageSet(cut)
+    assert(decoded.map(_.offset) == Seq(0L, 1L, 2L))
+    assert(decoded.map(m => new String(m.value)) ==
+      Seq("payload-number-0", "payload-number-1", "payload-number-2"))
+  }
+
+  test("snappy/lz4 codec bits fail loudly, never silent blobs") {
+    for (codec <- Seq(2, 3)) {
+      val body = new Out
+      body.i8(0).i8(codec.toByte)
+      body.bytes(null).bytes("compressed-gibberish".getBytes)
+      val b = body.toBytes
+      val crc = new java.util.zip.CRC32
+      crc.update(b, 0, b.length)
+      val o = new Out
+      o.i64(0L).i32(4 + b.length).i32(crc.getValue.toInt).raw(b)
+      val e = intercept[IllegalArgumentException](decodeMessageSet(o.toBytes))
+      assert(e.getMessage.contains("unsupported compression codec"))
+    }
+  }
 }

@@ -50,4 +50,152 @@ class QueryContractSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.size == defs.count(_.oracle.isDefined))
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  // Round-11 escape class: DuckDB promotes SUM(BIGINT) to DECIMAL(38,0)
+  // and row_number() to BIGINT, while Spark emits BIGINT / INT — identical
+  // values, different arrow types, and the driver's hash is TYPE-sensitive.
+  // This lint taint-traces every uncast integer-SUM / row_number alias
+  // through re-aliasing (cents AS v, p.spend AS spend_cents, ...) and fails
+  // if any tainted name (or inline risky expression) reaches the oracle's
+  // final top-level projection uncast. check_correctness.py enforces the
+  // same contract dynamically (strict arrow-type compare).
+  test("oracle final projections never emit uncast int-SUM or row_number") {
+    val bad = for {
+      d <- defs; sql <- d.oracle.toSeq
+      v = OracleTypeLint.check(sql) if v.nonEmpty
+    } yield s"${d.name}: ${v.mkString("; ")}"
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+}
+
+/** Textual lint for the DuckDB output-type promotion trap (see the spec
+  * above). Heuristic by design: paren-matched spans + alias taint closure,
+  * no full SQL parse — tuned to zero false positives on the suite.
+  */
+object OracleTypeLint {
+  private val IntCastArg = "(?is)AS\\s+(BIGINT|INT|INTEGER|SMALLINT|HUGEINT)\\b".r
+
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** All spans `CAST( ... )` blanked (offsets preserved) — taint does not
+    * propagate through an explicit cast. */
+  private def blankCasts(sql: String): String = {
+    val sb = new StringBuilder(sql)
+    val re = "(?i)\\bCAST\\s*\\(".r
+    for (m <- re.findAllMatchIn(sql)) {
+      val close = matchParen(sql, m.end - 1)
+      if (close > 0) for (i <- m.start to close) sb.setCharAt(i, ' ')
+    }
+    sb.toString
+  }
+
+  /** (start, end-exclusive) of the final top-level SELECT's projection in
+    * `s` — from the last depth-0 SELECT to the next depth-0 FROM. */
+  private def finalProjection(s: String): (Int, Int) = {
+    var lastSel = -1
+    val sel = "(?i)\\bSELECT\\b".r.findAllMatchIn(s).map(_.start).toList
+    val depthAt = {
+      val d = new Array[Int](s.length + 1)
+      var c = 0
+      for (i <- s.indices) {
+        if (s.charAt(i) == '(') c += 1 else if (s.charAt(i) == ')') c -= 1
+        d(i + 1) = c
+      }
+      d
+    }
+    for (p <- sel if depthAt(p) == 0) lastSel = p
+    if (lastSel < 0) return (0, 0)
+    val from = "(?i)\\bFROM\\b".r.findAllMatchIn(s)
+      .map(_.start).find(p => p > lastSel && depthAt(p) == 0)
+    (lastSel, from.getOrElse(s.length))
+  }
+
+  def check(sql: String): Seq[String] = {
+    // 1. risky sites: uncast integer-SUM (arg contains an int cast — the
+    //    cents/quantize idiom) and uncast row_number().
+    case class Site(start: Int, end: Int, what: String, alias: Option[String])
+    def castWrapped(pos: Int): Boolean =
+      sql.substring(0, pos).matches("(?is).*\\bCAST\\s*\\(\\s*")
+    def aliasAfter(pos: Int): Option[String] = {
+      val m = "(?s)^\\s+AS\\s+(\\w+)".r.findFirstMatchIn(sql.substring(pos))
+      m.map(_.group(1))
+    }
+    val sites = collection.mutable.Buffer[Site]()
+    for (m <- "(?i)\\bSUM\\s*\\(".r.findAllMatchIn(sql)) {
+      val close = matchParen(sql, m.end - 1)
+      if (close > 0) {
+        val arg = sql.substring(m.end, close)
+        if (IntCastArg.findFirstIn(arg).isDefined && !castWrapped(m.start))
+          sites += Site(m.start, close + 1, "SUM", aliasAfter(close + 1))
+      }
+    }
+    for (m <- "(?i)\\bROW_NUMBER\\s*\\(\\s*\\)\\s*OVER\\s*\\(".r.findAllMatchIn(sql)) {
+      val close = matchParen(sql, m.end - 1)
+      if (close > 0 && !castWrapped(m.start))
+        sites += Site(m.start, close + 1, "row_number", aliasAfter(close + 1))
+    }
+    if (sites.isEmpty) return Nil
+
+    // 2. taint closure over re-aliasing, computed on a cast-blanked copy.
+    val blanked = blankCasts(sql)
+    val tainted = collection.mutable.Map[String, String]() // name -> origin
+    for (s <- sites; a <- s.alias) tainted(a.toLowerCase) = s.what
+    var changed = true
+    while (changed) {
+      changed = false
+      for ((name, what) <- tainted.toList) {
+        val re = ("(?i)\\b(?:\\w+\\.)?" + java.util.regex.Pattern.quote(name) +
+          "\\s+AS\\s+(\\w+)").r
+        for (m <- re.findAllMatchIn(blanked)) {
+          val a = m.group(1).toLowerCase
+          if (!tainted.contains(a)) { tainted(a) = what; changed = true }
+        }
+      }
+    }
+
+    // 3. violation = tainted name or inline risky site in the final
+    //    top-level projection (cast-blanked, so wrapped uses are clean).
+    val (ps, pe) = finalProjection(blanked)
+    val proj = blanked.substring(ps, pe)
+    val inline = sites.filter(s => s.alias.isEmpty && s.start >= ps && s.end <= pe)
+      .map(s => s"inline uncast ${s.what} in final projection")
+    // Only a projection ITEM that is exactly `[tbl.]name [AS alias]`
+    // emits the tainted column's type; a read inside a wider expression
+    // (CASE band, arithmetic) emits that expression's type instead.
+    val items: Seq[String] = {
+      val body = proj.replaceFirst("(?is)^\\s*SELECT\\s+(DISTINCT\\s+)?", "")
+      val parts = collection.mutable.Buffer[String]()
+      var depth = 0; var start = 0
+      for (i <- body.indices) body.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          parts += body.substring(start, i); start = i + 1
+        case _ =>
+      }
+      parts += body.substring(start)
+      parts.map(_.trim).toSeq
+    }
+    def emitsName(name: String): Boolean = {
+      val re = ("(?is)^(?:\\w+\\.)?" + java.util.regex.Pattern.quote(name) +
+        "(\\s+AS\\s+\\w+)?$").r
+      items.exists(it => re.findFirstIn(it).isDefined)
+    }
+    val aliased = tainted.toSeq.sortBy(_._1).collect {
+      case (name, what) if emitsName(name) =>
+        s"uncast $what reaches final projection via alias '$name'"
+    }
+    inline.toSeq ++ aliased
+  }
 }
