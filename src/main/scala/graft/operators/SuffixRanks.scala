@@ -101,12 +101,41 @@ object SuffixRanks {
       .orderBy(col("rnd"), col("doc_id"), col("pos"))
   }
 
+  // ------------------------------------------------- incremental (q8x)
+
+  /** Suffix-key width: rank_[[Rounds]] orders by exactly this many
+    * characters. */
+  val KeyLen: Int = 1 << Rounds
+
+  /** (doc_id, pos, key): each suffix's first-[[KeyLen]]-char prefix —
+    * the ROW-LOCAL delta form of the structure. For an ASCII corpus,
+    * rank_[[Rounds]] is exactly the dense rank of this string
+    * (induction over the doubling: "past-the-end = 0, lowest" IS
+    * "shorter prefix sorts before any extension", which IS
+    * lexicographic string order), so a NEW document contributes keys
+    * from its own text alone — no old position is ever recomputed.
+    * That equivalence is what q8x's oracle certifies: the streaming
+    * key-merge must land bit-exactly on the doubling rounds' output. */
+  def suffixKeys(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("p"))
+      .select(col("doc_id"), col("p").cast("long").as("pos"),
+        expr(s"substring(text, p, $KeyLen)").as("key"))
+
+  /** Dense-rank a distinct key set — [[StableIds.assign]], the same
+    * scale-safe global numbering the doubling rounds use. Renumbering
+    * is O(|distinct keys|) rows, never O(corpus positions): the merge
+    * pays for the dictionary, not the corpus. */
+  def rankDict(keys: DataFrame): DataFrame =
+    StableIds.assign(keys.select(col("key")).distinct(),
+      Seq(col("key")), Partitions, "r")
+
   // --------------------------------------------------------------- oracle
 
-  /** The same rounds as DuckDB SQL — dense_rank() IS the semantic spec
-    * the StableIds plan implements; the unroll depth comes from the
-    * same [[Rounds]] constant. */
-  def oracleSql: String = {
+  /** r0..r[[Rounds]] CTE text, shared by qau's per-round audit oracle
+    * and q8x's streaming-merge oracle (the shared-oracle equivalence
+    * idiom: one spec, two execution paths). */
+  def roundCtesSql: String = {
     val rounds = (1 to Rounds).map { k =>
       val gap = 1 << (k - 1)
       val prev = s"r${k - 1}"
@@ -117,22 +146,45 @@ object SuffixRanks {
          |  FROM $prev a LEFT JOIN $prev b
          |    ON b.doc_id = a.doc_id AND b.pos = a.pos + $gap)""".stripMargin
     }.mkString(",\n")
+    val r0 =
+      """r0 AS MATERIALIZED (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS r
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, length(text))) AS i
+        |        FROM documents))""".stripMargin
+    r0 + ",\n" + rounds
+  }
+
+  /** The same rounds as DuckDB SQL — dense_rank() IS the semantic spec
+    * the StableIds plan implements; the unroll depth comes from the
+    * same [[Rounds]] constant. */
+  def oracleSql: String = {
     val details = (1 to Rounds).map { k =>
       s"""SELECT $k AS rnd, doc_id, pos, r AS rank,
          |  COUNT(*) OVER (PARTITION BY r) AS grp
          |FROM r$k""".stripMargin
     }.map(s => s"SELECT * FROM ($s) WHERE doc_id % $SampleMod = 0")
       .mkString(" UNION ALL ")
-    s"""WITH r0 AS MATERIALIZED (
-       |  SELECT doc_id, i AS pos,
-       |    CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS r
-       |  FROM (SELECT doc_id, text,
-       |          unnest(generate_series(1, length(text))) AS i
-       |        FROM documents)),
-       |$rounds
-       |SELECT CAST(rnd AS INT) AS rnd, doc_id, CAST(pos AS BIGINT) AS pos,
-       |  CAST(rank AS BIGINT) AS rank, CAST(grp AS BIGINT) AS grp
-       |FROM ($details)
-       |ORDER BY rnd, doc_id, pos""".stripMargin
+    // shared CTE text concatenated OUTSIDE the stripMargin literal
+    "WITH " + roundCtesSql + "\n" +
+      s"""SELECT CAST(rnd AS INT) AS rnd, doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(rank AS BIGINT) AS rank, CAST(grp AS BIGINT) AS grp
+         |FROM ($details)
+         |ORDER BY rnd, doc_id, pos""".stripMargin
   }
+
+  /** q8x oracle: the FINAL round only, over the full corpus — the spec
+    * the streaming key-merge must converge to after draining every
+    * batch (rank_[[Rounds]] ≡ dense rank of the [[KeyLen]]-char suffix
+    * key; see [[suffixKeys]]). */
+  def mergeOracleSql: String =
+    "WITH " + roundCtesSql + "\n" +
+      s"""SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(rank AS BIGINT) AS rank, CAST(grp AS BIGINT) AS grp
+         |FROM (SELECT doc_id, pos, r AS rank,
+         |        COUNT(*) OVER (PARTITION BY r) AS grp
+         |      FROM r$Rounds)
+         |WHERE doc_id % $SampleMod = 0
+         |ORDER BY doc_id, pos""".stripMargin
 }

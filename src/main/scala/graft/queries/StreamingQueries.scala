@@ -670,6 +670,20 @@ object StreamingQueries {
     // the hash proves offset-resume AND commit-2-beats-commit-1 upsert
     // for every key: one surviving 'PENDING' row is a new group and a
     // different hash.
+    // Streaming suffix-structure maintenance — qau's prefix-doubling
+    // rank table maintained under continuous ingest: arriving documents
+    // contribute row-local (pos, 16-char-key) rows; each micro-batch
+    // renumbers only the key DICTIONARY (distinct 16-grams), never the
+    // old positions. The oracle replays qau's doubling rounds (SHARED
+    // round CTEs) over the full corpus — the hash certifies the
+    // equivalence rank_4 ≡ dense-rank-of-16-char-prefix AND that the
+    // generation chain converged to the rebuilt structure. See
+    // [[graft.streaming.StreamPipelines.docStreamSuffixMerge]].
+    QueryDef(
+      "q8x_stream_suffix_merge",
+      Some(graft.operators.SuffixRanks.mergeOracleSql),
+      (s, dir) => StreamPipelines.docStreamSuffixMerge(s, dir)),
+
     QueryDef(
       "q8t_kafka_wire_doc_sink",
       Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,

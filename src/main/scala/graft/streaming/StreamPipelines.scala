@@ -1141,6 +1141,73 @@ object StreamPipelines {
       docs.filter(col("doc_id") >= 375), s"$tmp/idx_v${version.get()}")
   }
 
+  /** q8x: streaming suffix-structure maintenance — qau's rank table as
+    * the standing index the Lee-et-al dedup actually needs (continuous
+    * ingest, not a batch artifact). The delta form rides the key
+    * equivalence [[graft.operators.SuffixRanks.suffixKeys]] proves:
+    * rank_Rounds ≡ dense rank of each suffix's 16-char prefix, and that
+    * prefix is ROW-LOCAL to the document — so an arriving batch
+    * contributes (doc_id, pos, key) rows from its own text alone, and
+    * the per-batch merge renumbers only the KEY DICTIONARY (distinct
+    * 16-grams, ≪ corpus positions), never re-running a doubling round
+    * over old positions. Generations are batch-id-keyed files (the
+    * labels_v<N> replay rule). After the drain, positions serve through
+    * the FINAL dictionary; the oracle replays qau's doubling rounds
+    * over the FULL corpus — hash equality proves the streaming
+    * key-merge converged bit-exactly to the prefix-doubling structure. */
+  def docStreamSuffixMerge(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.SuffixRanks
+    val tmp = graft.TempDirs.create("graft_sfx_stream")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    SuffixRanks.suffixKeys(docs.filter(col("doc_id") < 250))
+      .write.mode("overwrite").parquet(s"$tmp/pos_b0")
+    SuffixRanks.rankDict(s.read.parquet(s"$tmp/pos_b0"))
+      .write.mode("overwrite").parquet(s"$tmp/dict_v0")
+    val incoming = docs.filter(col("doc_id") >= 250)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    val version = new AtomicInteger(0)
+    val ckpt = ephemeralCheckpoint("sfx_merge")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+          .select(col("_id").cast("long").as("doc_id"), col("text"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // generation = batchId: a replayed batch re-reads the
+            // untouched dict_v<id> and overwrites pos_b<id+1> /
+            // dict_v<id+1> — idempotent under at-least-once delivery
+            val v = batchId.toInt
+            SuffixRanks.suffixKeys(batch)
+              .write.mode("overwrite").parquet(s"$tmp/pos_b${v + 1}")
+            val old = s.read.parquet(s"$tmp/dict_v$v").select(col("key"))
+            SuffixRanks.rankDict(old.unionByName(
+                s.read.parquet(s"$tmp/pos_b${v + 1}").select(col("key"))))
+              .write.mode("overwrite").parquet(s"$tmp/dict_v${v + 1}")
+            version.getAndUpdate(g => math.max(g, v + 1))
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    val pos = s.read.parquet(s"$tmp/pos_b*")
+    val dict = s.read.parquet(s"$tmp/dict_v${version.get()}")
+    val ranked = pos.join(dict, Seq("key"))
+      .select(col("doc_id"), col("pos"), col("r"))
+    val grp = ranked.groupBy(col("r")).agg(count(lit(1)).as("grp"))
+    ranked.filter(col("doc_id") % SuffixRanks.SampleMod === 0)
+      .join(grp, Seq("r"))
+      .select(col("doc_id"), col("pos"), col("r").as("rank"), col("grp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** q8g: streaming ANN serve from a PERSISTED index — the online half of
     * the q5i build/serve split. The IVF index (centroids + cell
     * memberships) is built once and persisted; queries then ARRIVE as a

@@ -126,7 +126,15 @@ object DumpPlans {
     "qaw_dbscan_clusters"     -> "DBSCAN: cell-blocked eps pairs, degree agg, CC rounds on core edges, min-label border join",
     "qay_mis_keep_policy"     -> "Luby round: undecided-subgraph semi joins, per-node min-priority agg, winner/loser retirement",
     "qaz_skyline"             -> "skyline: per-spend group max, StableIds numbering + running max, sid-1 shift equi join",
-    "qb0_linkage_matching"    -> "local-max round: per-vertex struct-argmax agg, both-endpoint lock join, anti-join retirement")
+    "qb0_linkage_matching"    -> "local-max round: per-vertex struct-argmax agg, both-endpoint lock join, anti-join retirement",
+    "qal_unigram_lm"          -> "unigram-LM EM: integer Viterbi DP unrolled as narrow per-position joins, vocab-sized count aggs",
+    "qap_unigram_encode"      -> "unigram encode: vocab folded to one broadcast frame, row-local Viterbi over the doc scan",
+    "qam_join_order"          -> "CBO pick: 2-row catalog read prices both left-deep orders, picked star executes broadcast-first",
+    "qaq_graph_ann_serve"     -> "greedy serve: per-hop stored-edge equi join + 10-row argmax window over the persisted graph",
+    "qax_hierarchical_graph_serve" -> "two-layer serve: sparse upper-layer walk hands per-query entry to the layer-0 walk, stored edges only",
+    "qb1_kn_perplexity"       -> "Kneser-Ney: gram-count shuffles for the model, one broadcast model row onto the scoring pass",
+    "qb2_linkage_dendrogram"  -> "dendrogram levels: DF-capped pair set built once + lineage-cut, per-level filter + CC + narrow aggs",
+    "qb3_graph_insert"        -> "graph insert: id-algebra probe + beam seed scored per delta node, touched-only base re-top-K, one local refine round")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
