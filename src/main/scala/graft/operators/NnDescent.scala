@@ -567,8 +567,19 @@ object NnDescent {
     * arrive in batches, and a rebuild is never on the serving path.
     * `GraphInsertPropSpec` proves recall parity with a full rebuild;
     * ScaleProbe's `graphinsert` mode measures flat-in-delta cost. */
-  def insertDelta(e: DataFrame, g0: DataFrame, nBase: Long): DataFrame = {
-    val q = e.filter(col("vec_id") >= nBase)
+  def insertDelta(e: DataFrame, g0: DataFrame, nBase: Long): DataFrame =
+    insertDeltaFrame(e, g0, e.filter(col("vec_id") >= nBase), nBase)
+
+  /** [[insertDelta]] generalized to an arbitrary delta FRAME (q8y's
+    * per-micro-batch inserts): `delta` rows join graph `g0`; the
+    * id-algebra probes target ids in [0, probeMod) — the ORIGINAL
+    * base id space, which spans every cluster by construction (later
+    * generations' nodes are reachable through the back-edges earlier
+    * inserts planted in base lists). */
+  def insertDeltaFrame(e: DataFrame, g0: DataFrame, delta: DataFrame,
+      probeMod: Long): DataFrame = {
+    val nBase = probeMod
+    val q = delta
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val entry = e.filter(col("vec_id") === EntryNode)
       .select(col("embedding").as("ne"))
@@ -772,4 +783,106 @@ object NnDescent {
        |WHERE f.rnk <= $ReportK
        |ORDER BY qid, rnk""".stripMargin
   }
+
+  // ---------------------------------------------------------------- delete
+
+  /** qb4's tombstone rule: vec_id % [[DeleteMod]] == [[DeleteRes]]
+    * (the q6w idiom — IVF uses % 9 == 3). */
+  val DeleteMod = 16L
+  val DeleteRes = 3L
+
+  /** qb4: delete with LOCAL repair — the remove path completing the
+    * graph lifecycle (IVF has q6w tombstones, MinHash has qaa
+    * serve-under-deletes). Dropping a node's list is trivial; the real
+    * work is the HOLES it leaves in surviving lists. The FreshDiskANN
+    * repair rule (Singh et al. 2021, arXiv:2105.09613 §4.2): a
+    * survivor u that lost edge u→d considers d's former out-neighbors
+    * as replacement candidates — d was close to u, so d's neighbors
+    * are the best local patch, no global search needed. Shape: the
+    * affected set comes from one semi join (edges INTO the tombstone
+    * set); repair candidates are one equi join of u→d edges against
+    * d's stored list (≤K·K per affected node, independent of N);
+    * untouched lists — the overwhelming majority — are untouched
+    * bytes through the semi/anti split. */
+  def deleteRepair(e: DataFrame, g0: DataFrame): DataFrame = {
+    def dead(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      pmod(c, lit(DeleteMod)) === DeleteRes
+    val survivors = g0.filter(!dead(col("vec_id")))
+    val cleaned = survivors.filter(!dead(col("nid")))
+    val lostEdges = survivors.filter(dead(col("nid")))
+      .select(col("vec_id"), col("nid").as("d"))
+    val touched = lostEdges.select(col("vec_id")).distinct()
+    // d's former out-list, minus other tombstones and u itself
+    val cand = lostEdges
+      .join(g0.filter(dead(col("vec_id")))
+          .select(col("vec_id").as("d"), col("nid").as("w"))
+          .filter(!dead(col("w"))), Seq("d"))
+      .filter(col("w") =!= col("vec_id"))
+      .select(col("vec_id"), col("w").as("nid"))
+      .distinct()
+    val repaired = topK(
+      cleaned.join(touched, Seq("vec_id"), "left_semi")
+        .unionByName(score(cand, e))
+        .groupBy(col("vec_id"), col("nid")).agg(max(col("c")).as("c")))
+    cleaned.join(touched, Seq("vec_id"), "left_anti").unionByName(repaired)
+  }
+
+  /** qb4 oracle: replays the tombstone drop, the affected-set semi
+    * join, the d's-former-list repair candidates, and the touched
+    * re-top-K against the same persisted graph; emits every REPAIRED
+    * node's served top-[[ReportK]] with exact flags over the
+    * SURVIVING corpus. */
+  def deleteOracleSql(graphPath: String): String =
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('$graphPath/*.parquet')),
+       |sur AS MATERIALIZED (
+       |  SELECT * FROM g WHERE vec_id % $DeleteMod <> $DeleteRes),
+       |cln AS MATERIALIZED (
+       |  SELECT * FROM sur WHERE nid % $DeleteMod <> $DeleteRes),
+       |td AS MATERIALIZED (
+       |  SELECT vec_id, nid AS d FROM sur
+       |  WHERE nid % $DeleteMod = $DeleteRes),
+       |tch AS MATERIALIZED (SELECT DISTINCT vec_id FROM td),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT t.vec_id, gd.nid
+       |  FROM td t JOIN g gd ON gd.vec_id = t.d
+       |  WHERE gd.nid % $DeleteMod <> $DeleteRes AND gd.nid <> t.vec_id),
+       |sc AS MATERIALIZED (
+       |  SELECT c2.vec_id, c2.nid,
+       |    round(list_cosine_similarity(ev.embedding::DOUBLE[],
+       |      eu.embedding::DOUBLE[]), 9) AS c
+       |  FROM cand c2
+       |  JOIN embeddings ev ON ev.vec_id = c2.vec_id
+       |  JOIN embeddings eu ON eu.vec_id = c2.nid),
+       |rep AS MATERIALIZED (
+       |  SELECT vec_id, nid, c FROM (
+       |    SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, nid) AS rn
+       |    FROM (SELECT vec_id, nid, max(c) AS c FROM (
+       |            SELECT c3.vec_id, c3.nid, c3.c FROM cln c3
+       |            JOIN tch t ON t.vec_id = c3.vec_id
+       |            UNION ALL SELECT vec_id, nid, c FROM sc)
+       |          GROUP BY vec_id, nid))
+       |  WHERE rn <= $K),
+       |exact AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT qq.vec_id AS qid, e.vec_id AS nid,
+       |      row_number() OVER (PARTITION BY qq.vec_id
+       |        ORDER BY round(list_cosine_similarity(qq.embedding::DOUBLE[],
+       |          e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
+       |    FROM embeddings qq
+       |    JOIN tch t ON t.vec_id = qq.vec_id
+       |    JOIN embeddings e ON e.vec_id <> qq.vec_id
+       |      AND e.vec_id % $DeleteMod <> $DeleteRes)
+       |  WHERE rnk <= $ReportK),
+       |fin AS (
+       |  SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY c DESC, nid) AS rnk
+       |  FROM rep)
+       |SELECT f.vec_id AS qid, CAST(f.rnk AS INT) AS rnk, f.nid,
+       |  CAST(round(f.c, 4) AS DOUBLE) AS cos,
+       |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
+       |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
+       |WHERE f.rnk <= $ReportK
+       |ORDER BY qid, rnk""".stripMargin
 }

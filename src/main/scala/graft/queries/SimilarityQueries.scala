@@ -139,6 +139,10 @@ object SimilarityQueries {
   private[queries] def qb3GraphPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "qb3_base_graph")
 
+  /** qb4: the persisted graph the delete-repair maintains. */
+  private[queries] def qb4GraphPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qb4_full_graph")
+
   /** The q66 assignment rule as a helper: nearest centroid per vector,
     * argmax as a map-side-combining hash aggregate (one shuffled row per
     * vector), round-9 quantized scores, tie-break (cc DESC, cid ASC). */
@@ -200,6 +204,20 @@ object SimilarityQueries {
     * top-`k` per query (vec_id < 10), the recall denominator. */
   private[graft] def exactTopK(e: DataFrame, k: Int): DataFrame = {
     val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("c",
+        round(VectorFunctions.cosine_sim(col("qe"), col("embedding")), 9))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id").as("nid"))
+  }
+
+  /** exactTopK with an explicit query-id frame (qb4's touched probes);
+    * candidates = all of `e` except self. */
+  private[graft] def exactTopKOf(e: DataFrame, k: Int, qids: DataFrame): DataFrame = {
+    val q = e.join(qids.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("vec_id"))
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
@@ -1947,6 +1965,49 @@ object SimilarityQueries {
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= NnDescent.ReportK)
         val exact = exactTopKFrom(e, NnDescent.ReportK, nBase)
+          .withColumn("in_exact", lit(1))
+        fin.join(exact,
+            fin("vec_id") === exact("qid") && fin("nid") === exact("nid"),
+            "left")
+          .select(fin("vec_id").as("qid"), col("rnk"), fin("nid"),
+            round(col("c"), 4).as("cos"),
+            coalesce(col("in_exact"), lit(0)).cast("int").as("in_exact"))
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
+    // Graph-ANN delete with LOCAL repair — the remove path completing
+    // the graph lifecycle (IVF has q6w tombstones, MinHash qaa):
+    // dropping a node's list is trivial; the holes it leaves in
+    // SURVIVING lists are the real work. FreshDiskANN's repair rule:
+    // a survivor that lost edge u→d considers d's former out-neighbors
+    // (d was close to u, so d's neighborhood is the best local patch —
+    // no global search). Affected set = one semi join; candidates =
+    // one equi join into d's stored list (≤K² per affected node,
+    // N-independent); untouched lists pass through the anti join as
+    // untouched bytes. Output: every repaired node's served top-5 with
+    // exact flags over the SURVIVING corpus. Design:
+    // [[graft.operators.NnDescent.deleteRepair]].
+    QueryDef(
+      "qb4_graph_delete",
+      Some(graft.operators.NnDescent.deleteOracleSql(qb4GraphPath(sfDir))),
+      (s, dir) => {
+        import graft.operators.NnDescent
+        val e = emb(s, dir)
+        val p = qb4GraphPath(dir)
+        NnDescent.knnGraph(e).write.mode("overwrite").parquet(p)
+        val g0 = s.read.parquet(p)
+        val repairedG = NnDescent.deleteRepair(e, g0)
+        def dead(c: org.apache.spark.sql.Column) =
+          pmod(c, lit(NnDescent.DeleteMod)) === lit(NnDescent.DeleteRes)
+        val touched = g0.filter(!dead(col("vec_id")) && dead(col("nid")))
+          .select(col("vec_id")).distinct()
+        val surE = e.filter(!dead(col("vec_id")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c").desc, col("nid"))
+        val fin = repairedG.join(touched, Seq("vec_id"), "left_semi")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= NnDescent.ReportK)
+        val exact = exactTopKOf(surE, NnDescent.ReportK, touched)
           .withColumn("in_exact", lit(1))
         fin.join(exact,
             fin("vec_id") === exact("qid") && fin("nid") === exact("nid"),
