@@ -9,11 +9,13 @@ compares: schema (column names sorted), ARROW COLUMN TYPES (strict — the
 driver's hash is type-sensitive, so a DuckDB DECIMAL(38,0) vs Spark BIGINT
 mismatch fails the driver even when every value is identical; round-11
 escape class), row count, and values (rows compared both as-emitted and
-sorted, exact equality; NaN==NaN, None==None).
+sorted; floats compared as raw IEEE-754 BITS with NaN canonicalized — the
+driver's hash distinguishes +0.0 from -0.0, round-12 escape class;
+None==None).
 
 Dev-only tool — NOT part of the engine (the engine is Scala/Spark only).
 """
-import sys, os, json, glob, math
+import sys, os, json, glob, math, struct
 
 import duckdb
 import pyarrow.parquet as pq
@@ -26,9 +28,12 @@ def norm(v):
     if v is None:
         return ("null",)
     if isinstance(v, float):
+        # Bit-strict: the driver's hash is value-BIT sensitive (round-12
+        # escape class: Spark +0.0 vs DuckDB -0.0 compared equal under
+        # Python's == and the old round(v, 9)). Canonicalize NaN only.
         if math.isnan(v):
             return ("nan",)
-        return ("f", round(v, 9))
+        return ("f", struct.pack("<d", v).hex())
     if isinstance(v, (list, tuple)):
         return tuple(norm(x) for x in v)
     if hasattr(v, "isoformat"):

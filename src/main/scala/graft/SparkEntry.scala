@@ -24,7 +24,7 @@ object SparkEntry {
     Aggregates.all ++ Joins.all ++ LayoutQueries.all(sfDir) ++ Windows.all ++
       SetOps.all ++ Scalars.all ++ EventsQueries.all ++ FormatQueries.all ++
       TextAnalysis.all ++ DedupQueries.all(sfDir) ++ SimilarityQueries.all(sfDir) ++
-      MultimodalQueries.all ++ GraphQueries.all ++ StreamingQueries.all
+      MultimodalQueries.all ++ GraphQueries.all ++ StreamingQueries.all(sfDir)
 
   def defs: Seq[QueryDef] = defsFor(DefaultVerifySf)
 

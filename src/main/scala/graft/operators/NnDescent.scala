@@ -166,22 +166,20 @@ object NnDescent {
     * build-init coverage rule, see [[insertDelta]]). */
   val InsertProbes = 32
 
-  def beamServe(e: DataFrame, g: DataFrame): DataFrame = {
-    val q = broadcast(e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+  /** One beam walk over a persisted graph for an arbitrary (qid, qe)
+    * query frame: the per-hop beams, hop 0 (entry) through
+    * [[BeamHops]]. Shared by the batch trajectory serve (qat) and the
+    * streaming per-micro-batch serve (q8y). */
+  private def beamHopsOf(q: DataFrame, e: DataFrame,
+      g: DataFrame): IndexedSeq[DataFrame] = {
     val entry = e.filter(col("vec_id") === EntryNode)
       .select(col("embedding").as("ne"))
     var beam = q.crossJoin(broadcast(entry))
       .select(col("qid"), lit(EntryNode).as("nid"),
         round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
     val wB = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
-    def ranked(b: DataFrame, hop: Int): DataFrame =
-      b.withColumn("rank", row_number().over(wB))
-        .select(col("qid"), lit(hop).as("hop"), col("rank"), col("nid"),
-          col("c"))
-    val traj = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    traj += ranked(beam, 0)
-    for (h <- 1 to BeamHops) {
+    val beams = scala.collection.mutable.ArrayBuffer[DataFrame](beam)
+    for (_ <- 1 to BeamHops) {
       val cand = beam
         .join(g.select(col("vec_id").as("nid"), col("nid").as("nn")),
           Seq("nid"))
@@ -199,9 +197,37 @@ object NnDescent {
           .withColumn("rn", row_number().over(wB))
           .filter(col("rn") <= BeamWidth)
           .select(col("qid"), col("nid"), col("c")))
-      traj += ranked(beam, h)
+      beams += beam
     }
-    traj.reduce(_ unionByName _)
+    beams.toIndexedSeq
+  }
+
+  def beamServe(e: DataFrame, g: DataFrame): DataFrame = {
+    val q = broadcast(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val wB = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+    def ranked(b: DataFrame, hop: Int): DataFrame =
+      b.withColumn("rank", row_number().over(wB))
+        .select(col("qid"), lit(hop).as("hop"), col("rank"), col("nid"),
+          col("c"))
+    beamHopsOf(q, e, g).zipWithIndex
+      .map { case (b, h) => ranked(b, h) }
+      .reduce(_ unionByName _)
+  }
+
+  /** q8y: the serve form of [[beamServe]] — an arbitrary query frame
+    * (CDC micro-batches), answered from the PERSISTED graph, returning
+    * only the FINAL beam ranked (qid, rnk, nid, c). Stateless per
+    * batch: the walk touches the corpus only through beam nodes' id
+    * joins (≤ BeamWidth·K distance evals per query per hop, independent
+    * of N), so a micro-batch of queries costs exactly its own walks —
+    * the retrain-never/serve-fast production shape for graph indexes. */
+  def beamServeFor(q0: DataFrame, e: DataFrame, g: DataFrame): DataFrame = {
+    val q = broadcast(q0.select(col("qid"), col("qe")))
+    val wB = Window.partitionBy(col("qid")).orderBy(col("c").desc, col("nid"))
+    beamHopsOf(q, e, g).last
+      .withColumn("rnk", row_number().over(wB))
+      .select(col("qid"), col("rnk"), col("nid"), col("c"))
   }
 
   /** Hierarchical two-layer serve — the full HNSW shape (Malkov &
@@ -291,7 +317,7 @@ object NnDescent {
         s"""c${layer}_$i AS MATERIALIZED (
            |  SELECT s.qid, g.nid AS cand,
            |    round(list_cosine_similarity(q.qe::DOUBLE[],
-           |      e.embedding::DOUBLE[]), 9) AS c
+           |      e.embedding::DOUBLE[]), 9) + 0 AS c
            |  FROM $prev s
            |  JOIN $g g ON g.vec_id = s.cur
            |  JOIN q ON q.qid = s.qid
@@ -320,7 +346,7 @@ object NnDescent {
        |s1_0 AS MATERIALIZED (
        |  SELECT q.qid, CAST($L1Entry AS BIGINT) AS cur,
        |    round(list_cosine_similarity(q.qe::DOUBLE[],
-       |      e.embedding::DOUBLE[]), 9) AS curc
+       |      e.embedding::DOUBLE[]), 9) + 0 AS curc
        |  FROM q JOIN embeddings e ON e.vec_id = $L1Entry),
        |${hopCtes(1, "g1", L1Hops, "s1_0")},
        |s0_0 AS MATERIALIZED (SELECT qid, cur, curc FROM s1_$L1Hops),
@@ -336,22 +362,23 @@ object NnDescent {
        |  WHERE rnk <= $ReportK),
        |traj AS ($trajSel)
        |SELECT t.qid, t.layer, t.hop, t.cur AS nid,
-       |  CAST(round(t.curc, 4) AS DOUBLE) AS cos,
+       |  CAST(round(t.curc, 4) + 0 AS DOUBLE) AS cos,
        |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_top5
        |FROM traj t LEFT JOIN exact x ON x.qid = t.qid AND x.nid = t.cur
        |ORDER BY t.qid, t.layer DESC, t.hop""".stripMargin
   }
 
-  /** Beam-serve oracle over the same persisted graph: replays the
-    * entry, every hop's expand/dedup/top-B cut, and flags every
-    * trajectory row against the exact top-[[ReportK]]. */
-  def beamServeOracleSql(graphPath: String): String = {
+  /** The shared beam-walk replay CTE chain (g, q, bm0, hops 1..B,
+    * exact) — qat's trajectory oracle and q8y's streaming-serve oracle
+    * both build on exactly these CTEs, so the two queries make one
+    * equivalence claim against one replay. */
+  private def beamReplayCtes(graphPath: String): String = {
     val hops = (1 to BeamHops).map { i =>
       val prev = s"bm${i - 1}"
       s"""cd$i AS MATERIALIZED (
          |  SELECT x.qid, x.nid,
          |    round(list_cosine_similarity(q.qe::DOUBLE[],
-         |      e.embedding::DOUBLE[]), 9) AS c
+         |      e.embedding::DOUBLE[]), 9) + 0 AS c
          |  FROM (SELECT DISTINCT b.qid, g.nid FROM $prev b
          |        JOIN g ON g.vec_id = b.nid) x
          |  JOIN q ON q.qid = x.qid
@@ -367,19 +394,14 @@ object NnDescent {
          |          GROUP BY qid, nid))
          |  WHERE rn <= $BeamWidth)""".stripMargin
     }.mkString(",\n")
-    val trajSel = (0 to BeamHops).map { h =>
-      s"""SELECT $h AS hop, qid, nid, c,
-         |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
-         |FROM bm$h""".stripMargin
-    }.map(s => s"($s)").mkString(" UNION ALL ")
-    s"""WITH g AS MATERIALIZED (
+    s"""g AS MATERIALIZED (
        |  SELECT * FROM read_parquet('$graphPath/*.parquet')),
        |q AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qe
        |  FROM embeddings WHERE vec_id < 10),
        |bm0 AS MATERIALIZED (
        |  SELECT q.qid, CAST($EntryNode AS BIGINT) AS nid,
        |    round(list_cosine_similarity(q.qe::DOUBLE[],
-       |      e.embedding::DOUBLE[]), 9) AS c
+       |      e.embedding::DOUBLE[]), 9) + 0 AS c
        |  FROM q JOIN embeddings e ON e.vec_id = $EntryNode),
        |$hops,
        |exact AS MATERIALIZED (
@@ -390,21 +412,48 @@ object NnDescent {
        |          e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
        |    FROM embeddings qq JOIN embeddings e ON e.vec_id <> qq.vec_id
        |    WHERE qq.vec_id < 10)
-       |  WHERE rnk <= $ReportK),
+       |  WHERE rnk <= $ReportK)""".stripMargin
+  }
+
+  /** Beam-serve oracle over the same persisted graph: replays the
+    * entry, every hop's expand/dedup/top-B cut, and flags every
+    * trajectory row against the exact top-[[ReportK]]. */
+  def beamServeOracleSql(graphPath: String): String = {
+    val trajSel = (0 to BeamHops).map { h =>
+      s"""SELECT $h AS hop, qid, nid, c,
+         |  row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rank
+         |FROM bm$h""".stripMargin
+    }.map(s => s"($s)").mkString(" UNION ALL ")
+    s"""WITH ${beamReplayCtes(graphPath)},
        |traj AS ($trajSel)
        |SELECT t.qid, t.hop, CAST(t.rank AS INT) AS rank, t.nid,
-       |  CAST(round(t.c, 4) AS DOUBLE) AS cos,
+       |  CAST(round(t.c, 4) + 0 AS DOUBLE) AS cos,
        |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_top5
        |FROM traj t LEFT JOIN exact x ON x.qid = t.qid AND x.nid = t.nid
        |ORDER BY t.qid, t.hop, t.rank""".stripMargin
   }
+
+  /** q8y oracle: qat's replay CTEs, final beam only — the drained
+    * batch-at-a-time streaming serve must be indistinguishable from
+    * the batch beam walk's endpoint (same cells, q66's rule). */
+  def beamFinalOracleSql(graphPath: String): String =
+    s"""WITH ${beamReplayCtes(graphPath)},
+       |fin AS (
+       |  SELECT qid, nid, c, row_number() OVER (PARTITION BY qid
+       |    ORDER BY c DESC, nid) AS rnk
+       |  FROM bm$BeamHops)
+       |SELECT f.qid, CAST(f.rnk AS INT) AS rnk, f.nid,
+       |  CAST(round(f.c, 4) + 0 AS DOUBLE) AS cos,
+       |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_top5
+       |FROM fin f LEFT JOIN exact x ON x.qid = f.qid AND x.nid = f.nid
+       |ORDER BY f.qid, rnk""".stripMargin
   def serveOracleSql(graphPath: String): String = {
     val hops = (1 to ServeHops).map { i =>
       val prev = s"s${i - 1}"
       s"""cand$i AS MATERIALIZED (
          |  SELECT s.qid, g.nid AS cand,
          |    round(list_cosine_similarity(q.qe::DOUBLE[],
-         |      e.embedding::DOUBLE[]), 9) AS c
+         |      e.embedding::DOUBLE[]), 9) + 0 AS c
          |  FROM $prev s
          |  JOIN g ON g.vec_id = s.cur
          |  JOIN q ON q.qid = s.qid
@@ -429,7 +478,7 @@ object NnDescent {
        |s0 AS MATERIALIZED (
        |  SELECT q.qid, CAST($EntryNode AS BIGINT) AS cur,
        |    round(list_cosine_similarity(q.qe::DOUBLE[],
-       |      e.embedding::DOUBLE[]), 9) AS curc
+       |      e.embedding::DOUBLE[]), 9) + 0 AS curc
        |  FROM q JOIN embeddings e ON e.vec_id = $EntryNode),
        |$hops,
        |exact AS MATERIALIZED (
@@ -443,7 +492,7 @@ object NnDescent {
        |  WHERE rnk <= $ReportK),
        |traj AS ($trajSel)
        |SELECT t.qid, t.hop, t.cur AS nid,
-       |  CAST(round(t.curc, 4) AS DOUBLE) AS cos,
+       |  CAST(round(t.curc, 4) + 0 AS DOUBLE) AS cos,
        |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_top5
        |FROM traj t LEFT JOIN exact x ON x.qid = t.qid AND x.nid = t.cur
        |ORDER BY t.qid, t.hop""".stripMargin
@@ -454,7 +503,20 @@ object NnDescent {
     * exponentially otherwise). Final select: the 10 query nodes' lists
     * with per-edge exact-top-k membership flags (recall@k readable per
     * node as Σ in_exact / k). */
-  def oracleSql: String = {
+  def oracleSql: String = buildOracleSql("embeddings", "")
+
+  /** qb5 oracle: the SAME unrolled build replay as qao, over the LIVE
+    * corpus (tombstone rule excluded) — compaction's whole claim is
+    * "folding the generation chain equals a from-scratch rebuild of the
+    * live corpus", so its oracle IS the rebuild oracle, parameterized
+    * by the corpus. */
+  def compactionOracleSql: String = buildOracleSql("le",
+    s"""le AS MATERIALIZED (
+       |  SELECT * FROM embeddings
+       |  WHERE vec_id % $DeleteMod <> $DeleteRes),
+       |""".stripMargin)
+
+  private def buildOracleSql(corpus: String, prefixCtes: String): String = {
     def roundCtes(i: Int, prev: String): String =
       s"""rev$i AS MATERIALIZED (
          |  SELECT nid AS vec_id, vec_id AS nid FROM (
@@ -476,10 +538,10 @@ object NnDescent {
          |sc$i AS MATERIALIZED (
          |  SELECT c2.vec_id, c2.nid,
          |    round(list_cosine_similarity(ev.embedding::DOUBLE[],
-         |      eu.embedding::DOUBLE[]), 9) AS c
+         |      eu.embedding::DOUBLE[]), 9) + 0 AS c
          |  FROM cand$i c2
-         |  JOIN embeddings ev ON ev.vec_id = c2.vec_id
-         |  JOIN embeddings eu ON eu.vec_id = c2.nid),
+         |  JOIN $corpus ev ON ev.vec_id = c2.vec_id
+         |  JOIN $corpus eu ON eu.vec_id = c2.nid),
          |u$i AS MATERIALIZED (
          |  SELECT vec_id, nid, max(c) AS c FROM (
          |    SELECT vec_id, nid, c FROM $prev
@@ -493,20 +555,20 @@ object NnDescent {
     val rounds = (1 to Rounds)
       .map(i => roundCtes(i, if (i == 1) "k0" else s"k${i - 1}"))
       .mkString(",\n")
-    s"""WITH n0 AS MATERIALIZED (SELECT COUNT(*) AS nn FROM embeddings),
+    s"""WITH ${prefixCtes}n0 AS MATERIALIZED (SELECT COUNT(*) AS nn FROM $corpus),
        |init AS MATERIALIZED (
        |  SELECT DISTINCT e.vec_id,
        |    (e.vec_id + ((e.vec_id * 2654435761 + j.j * 40503) % 1000003)
        |      % (n0.nn - 1) + 1) % n0.nn AS nid
-       |  FROM embeddings e, n0,
+       |  FROM $corpus e, n0,
        |    (SELECT unnest(generate_series(1, $K)) AS j) j),
        |sc0 AS MATERIALIZED (
        |  SELECT i.vec_id, i.nid,
        |    round(list_cosine_similarity(ev.embedding::DOUBLE[],
-       |      eu.embedding::DOUBLE[]), 9) AS c
+       |      eu.embedding::DOUBLE[]), 9) + 0 AS c
        |  FROM init i
-       |  JOIN embeddings ev ON ev.vec_id = i.vec_id
-       |  JOIN embeddings eu ON eu.vec_id = i.nid),
+       |  JOIN $corpus ev ON ev.vec_id = i.vec_id
+       |  JOIN $corpus eu ON eu.vec_id = i.nid),
        |k0 AS MATERIALIZED (
        |  SELECT vec_id, nid, c FROM (
        |    SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
@@ -519,7 +581,7 @@ object NnDescent {
        |      row_number() OVER (PARTITION BY q.vec_id
        |        ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[],
        |          e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
-       |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+       |    FROM $corpus q JOIN $corpus e ON e.vec_id <> q.vec_id
        |    WHERE q.vec_id < 10)
        |  WHERE rnk <= $ReportK),
        |fin AS (
@@ -527,7 +589,7 @@ object NnDescent {
        |    ORDER BY c DESC, nid) AS rnk
        |  FROM k$Rounds WHERE vec_id < 10)
        |SELECT f.vec_id AS qid, CAST(f.rnk AS INT) AS rnk, f.nid,
-       |  CAST(round(f.c, 4) AS DOUBLE) AS cos,
+       |  CAST(round(f.c, 4) + 0 AS DOUBLE) AS cos,
        |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
        |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
        |WHERE f.rnk <= $ReportK
@@ -567,19 +629,10 @@ object NnDescent {
     * arrive in batches, and a rebuild is never on the serving path.
     * `GraphInsertPropSpec` proves recall parity with a full rebuild;
     * ScaleProbe's `graphinsert` mode measures flat-in-delta cost. */
-  def insertDelta(e: DataFrame, g0: DataFrame, nBase: Long): DataFrame =
-    insertDeltaFrame(e, g0, e.filter(col("vec_id") >= nBase), nBase)
-
-  /** [[insertDelta]] generalized to an arbitrary delta FRAME (q8y's
-    * per-micro-batch inserts): `delta` rows join graph `g0`; the
-    * id-algebra probes target ids in [0, probeMod) — the ORIGINAL
-    * base id space, which spans every cluster by construction (later
-    * generations' nodes are reachable through the back-edges earlier
-    * inserts planted in base lists). */
-  def insertDeltaFrame(e: DataFrame, g0: DataFrame, delta: DataFrame,
-      probeMod: Long): DataFrame = {
-    val nBase = probeMod
-    val q = delta
+  def insertDelta(e: DataFrame, g0: DataFrame, nBase: Long): DataFrame = {
+    // id-algebra probes target ids in [0, nBase) — the ORIGINAL base id
+    // space, which spans every cluster by construction
+    val q = e.filter(col("vec_id") >= nBase)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val entry = e.filter(col("vec_id") === EntryNode)
       .select(col("embedding").as("ne"))
@@ -673,7 +726,7 @@ object NnDescent {
          |cd$i AS MATERIALIZED (
          |  SELECT d.qid, d.nid,
          |    round(list_cosine_similarity(q.qe::DOUBLE[],
-         |      e.embedding::DOUBLE[]), 9) AS c
+         |      e.embedding::DOUBLE[]), 9) + 0 AS c
          |  FROM (SELECT DISTINCT b.qid, g.nid
          |        FROM bm$i b JOIN g ON g.vec_id = b.nid
          |        WHERE g.nid <> b.qid) d
@@ -702,12 +755,12 @@ object NnDescent {
        |  SELECT qid, nid, max(c) AS c FROM (
        |    SELECT q.qid, CAST($EntryNode AS BIGINT) AS nid,
        |      round(list_cosine_similarity(q.qe::DOUBLE[],
-       |        e.embedding::DOUBLE[]), 9) AS c
+       |        e.embedding::DOUBLE[]), 9) + 0 AS c
        |    FROM q JOIN embeddings e ON e.vec_id = $EntryNode
        |    UNION ALL
        |    SELECT pr.qid, pr.nid,
        |      round(list_cosine_similarity(q.qe::DOUBLE[],
-       |        e.embedding::DOUBLE[]), 9) AS c
+       |        e.embedding::DOUBLE[]), 9) + 0 AS c
        |    FROM pr JOIN q ON q.qid = pr.qid
        |    JOIN embeddings e ON e.vec_id = pr.nid)
        |  GROUP BY qid, nid),
@@ -750,7 +803,7 @@ object NnDescent {
        |sc AS MATERIALIZED (
        |  SELECT rc.qid AS vec_id, rc.nid,
        |    round(list_cosine_similarity(q.qe::DOUBLE[],
-       |      e.embedding::DOUBLE[]), 9) AS c
+       |      e.embedding::DOUBLE[]), 9) + 0 AS c
        |  FROM rc JOIN q ON q.qid = rc.qid
        |  JOIN embeddings e ON e.vec_id = rc.nid),
        |rf AS MATERIALIZED (
@@ -777,7 +830,7 @@ object NnDescent {
        |    ORDER BY c DESC, nid) AS rnk
        |  FROM rf)
        |SELECT f.vec_id AS qid, CAST(f.rnk AS INT) AS rnk, f.nid,
-       |  CAST(round(f.c, 4) AS DOUBLE) AS cos,
+       |  CAST(round(f.c, 4) + 0 AS DOUBLE) AS cos,
        |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
        |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
        |WHERE f.rnk <= $ReportK
@@ -804,9 +857,17 @@ object NnDescent {
     * d's stored list (≤K·K per affected node, independent of N);
     * untouched lists — the overwhelming majority — are untouched
     * bytes through the semi/anti split. */
-  def deleteRepair(e: DataFrame, g0: DataFrame): DataFrame = {
+  def deleteRepair(e: DataFrame, g0: DataFrame): DataFrame =
+    deleteRepair(e, g0, DeleteMod, DeleteRes)
+
+  /** [[deleteRepair]] with an explicit tombstone rule — ScaleProbe's
+    * `graphdelete` mode uses `mod = 16·mult` to hold the tombstone SET
+    * fixed while the corpus replicates (the fixed-delta twin of
+    * `graphinsert`). */
+  def deleteRepair(e: DataFrame, g0: DataFrame, deleteMod: Long,
+      deleteRes: Long): DataFrame = {
     def dead(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      pmod(c, lit(DeleteMod)) === DeleteRes
+      pmod(c, lit(deleteMod)) === deleteRes
     val survivors = g0.filter(!dead(col("vec_id")))
     val cleaned = survivors.filter(!dead(col("nid")))
     val lostEdges = survivors.filter(dead(col("nid")))
@@ -826,6 +887,26 @@ object NnDescent {
         .groupBy(col("vec_id"), col("nid")).agg(max(col("c")).as("c")))
     cleaned.join(touched, Seq("vec_id"), "left_anti").unionByName(repaired)
   }
+
+  /** qb5: compaction — fold the generation chain (base build, insert
+    * merges, tombstone repairs) back into ONE rebuilt-equivalent graph.
+    * Incremental maintenance is the fast path (qb3 insert is
+    * N-independent, qb4 repair is local), but it drifts: insert recall
+    * ~0.92 vs build 1.0, repair candidates are local patches, and the
+    * physical chain accretes a file generation per maintenance batch.
+    * Compaction is the reset: derive the LIVE id set from the chain
+    * itself (every live node owns a list — tombstoned nodes own none
+    * after [[deleteRepair]]) and re-run the deterministic [[knnGraph]]
+    * construction on exactly that corpus. The claim "compact(chain) ≡
+    * rebuild(live)" is the qa8/qaj merged-≡-rebuilt pattern, graph
+    * edition — certified by [[compactionOracleSql]] (qao's unrolled
+    * build replay over the live corpus). Scale shape: the rebuild runs
+    * OFF the serving path at a chosen cadence; its cost is qao's
+    * (capped-degree rounds, no N² term), and it reclaims the
+    * generation files the incremental path accreted. */
+  def compact(e: DataFrame, chain: DataFrame): DataFrame =
+    knnGraph(e.join(chain.select(col("vec_id")).distinct(),
+      Seq("vec_id"), "left_semi"))
 
   /** qb4 oracle: replays the tombstone drop, the affected-set semi
     * join, the d's-former-list repair candidates, and the touched
@@ -850,7 +931,7 @@ object NnDescent {
        |sc AS MATERIALIZED (
        |  SELECT c2.vec_id, c2.nid,
        |    round(list_cosine_similarity(ev.embedding::DOUBLE[],
-       |      eu.embedding::DOUBLE[]), 9) AS c
+       |      eu.embedding::DOUBLE[]), 9) + 0 AS c
        |  FROM cand c2
        |  JOIN embeddings ev ON ev.vec_id = c2.vec_id
        |  JOIN embeddings eu ON eu.vec_id = c2.nid),
@@ -880,7 +961,7 @@ object NnDescent {
        |    ORDER BY c DESC, nid) AS rnk
        |  FROM rep)
        |SELECT f.vec_id AS qid, CAST(f.rnk AS INT) AS rnk, f.nid,
-       |  CAST(round(f.c, 4) AS DOUBLE) AS cos,
+       |  CAST(round(f.c, 4) + 0 AS DOUBLE) AS cos,
        |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
        |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
        |WHERE f.rnk <= $ReportK

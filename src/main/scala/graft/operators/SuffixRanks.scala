@@ -117,7 +117,10 @@ object SuffixRanks {
     * That equivalence is what q8x's oracle certifies: the streaming
     * key-merge must land bit-exactly on the doubling rounds' output. */
   def suffixKeys(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), col("text"),
+    // empty-doc guard: Spark's sequence(1, 0) DESCENDS to [1, 0] (two
+    // spurious rows) where the oracle's generate_series(1, 0) is empty
+    d.filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
         explode(sequence(lit(1), length(col("text")))).as("p"))
       .select(col("doc_id"), col("p").cast("long").as("pos"),
         expr(s"substring(text, p, $KeyLen)").as("key"))

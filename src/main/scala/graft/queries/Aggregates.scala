@@ -34,13 +34,13 @@ object Aggregates {
     QueryDef(
       "q01_pricing_summary",
       Some("""SELECT l_returnflag, l_linestatus,
-        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_qty,
-        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_base_price,
-        ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_disc_price,
-        ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_charge,
-        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) AS avg_qty,
-        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
-        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS sum_qty,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS sum_base_price,
+        ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS sum_disc_price,
+        ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS sum_charge,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) + 0 AS avg_qty,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) + 0 AS avg_price,
+        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 4) + 0 AS avg_disc,
         COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -65,7 +65,7 @@ object Aggregates {
     QueryDef(
       "q02_agg_rollup",
       Some("""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_qty
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS sum_qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""),
       (s, dir) =>
@@ -77,7 +77,7 @@ object Aggregates {
     QueryDef(
       "q03_agg_cube",
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS sum_price
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS sum_price
         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""),
       (s, dir) =>
@@ -121,7 +121,7 @@ object Aggregates {
       Some("""SELECT o_orderpriority,
         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
         CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-        ROUND(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE), 2) AS open_value
+        ROUND(CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS open_value
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       (s, dir) =>
         t(s, dir, "orders")
@@ -165,9 +165,9 @@ object Aggregates {
     QueryDef(
       "q08_stats_agg",
       Some("""SELECT l_returnflag,
-        ROUND(MIN(l_extendedprice), 2) AS min_price,
-        ROUND(MAX(l_extendedprice), 2) AS max_price,
-        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) AS avg_price,
+        ROUND(MIN(l_extendedprice), 2) + 0 AS min_price,
+        ROUND(MAX(l_extendedprice), 2) + 0 AS max_price,
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / COUNT(*), 2) + 0 AS avg_price,
         COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
       (s, dir) =>
@@ -186,9 +186,9 @@ object Aggregates {
     QueryDef(
       "q09_pivot",
       Some("""SELECT n_name,
-        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 2) AS p1_urgent,
-        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE), 2) AS p2_high,
-        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE), 2) AS p3_medium
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE), 2) + 0 AS p1_urgent,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (WHERE o_orderpriority = '2-HIGH') AS DOUBLE), 2) + 0 AS p2_high,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS DOUBLE), 2) + 0 AS p3_medium
         FROM orders
         JOIN customer ON c_custkey = o_custkey
         JOIN nation ON n_nationkey = c_nationkey
@@ -227,9 +227,9 @@ object Aggregates {
     QueryDef(
       "q0b_percentiles",
       Some("""SELECT o_orderpriority,
-        ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
-        ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
-        ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+        ROUND(quantile_cont(o_totalprice, 0.5), 2) + 0 AS p50,
+        ROUND(quantile_cont(o_totalprice, 0.9), 2) + 0 AS p90,
+        ROUND(quantile_cont(o_totalprice, 0.99), 2) + 0 AS p99
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       (s, dir) =>
         t(s, dir, "orders")
@@ -253,7 +253,7 @@ object Aggregates {
     QueryDef(
       "q0c_approx_percentiles",
       Some("""SELECT o_orderpriority,
-        ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+        ROUND(quantile_cont(o_totalprice, 0.5), 2) + 0 AS p50_exact,
         true AS p50_in_band, true AS p90_in_band, true AS p99_in_band
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""),
       (s, dir) =>
@@ -626,7 +626,7 @@ object Aggregates {
                             / NULLIF(bk.mxb - bk.mnb, 0), 9))),
                       CASE WHEN cs.c >= bk.mnb THEN CAST(1.0 AS DOUBLE)
                         ELSE CAST(0.0 AS DOUBLE) END,
-                      CAST(0.0 AS DOUBLE)) END), 0), 4) AS est_rows
+                      CAST(0.0 AS DOUBLE)) END), 0), 4) + 0 AS est_rows
                 FROM cs LEFT JOIN bk
                   ON (bk.hi_s IS NOT NULL AND cs.c > bk.hi_s)
                   OR ((bk.lo_s IS NULL OR cs.c > bk.lo_s)
@@ -647,7 +647,7 @@ object Aggregates {
         SELECT est.c AS c, CAST(est.est_rows AS DOUBLE) AS est_rows,
           CAST(ex.x AS BIGINT) AS exact_rows,
           COALESCE(CAST(floor(round(ABS(est.est_rows - ex.x) * 1000000.0
-            / NULLIF(CAST(ex.x AS DOUBLE), 0), 6)) AS BIGINT), -1)
+            / NULLIF(CAST(ex.x AS DOUBLE), 0), 6) + 0) AS BIGINT), -1)
             AS err_ppm
         FROM est JOIN ex ON ex.c = est.c ORDER BY c"""
 

@@ -80,7 +80,7 @@ object DedupQueries {
   /** Exact all-pairs shingle-Jaccard ≥ 0.7 — oracle for q61 AND q62. */
   private val exactJaccardSql =
     s"""WITH $jaccardPairsCte
-       SELECT id_a, id_b, CAST(round(jac, 4) AS DOUBLE) AS jac
+       SELECT id_a, id_b, CAST(round(jac, 4) + 0 AS DOUBLE) AS jac
        FROM jp ORDER BY id_a, id_b"""
 
   /** Spark side of the exact inverted-index Jaccard join (shared q61/q62
@@ -189,10 +189,10 @@ object DedupQueries {
   // divergence between the two engines' float paths can't flip pair
   // membership at the threshold
   private val embeddingPairsSql =
-    """SELECT id_a, id_b, CAST(round(c, 4) AS DOUBLE) AS cos FROM (
+    """SELECT id_a, id_b, CAST(round(c, 4) + 0 AS DOUBLE) AS cos FROM (
           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
             round(list_cosine_similarity(a.embedding::DOUBLE[],
-                  b.embedding::DOUBLE[]), 9) AS c
+                  b.embedding::DOUBLE[]), 9) + 0 AS c
           FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         WHERE c >= 0.45
         ORDER BY id_a, id_b"""
@@ -599,7 +599,7 @@ object DedupQueries {
       "q5p_containment_dedup",
       Some(s"""WITH $pairCountsCte
           SELECT id_a, id_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
-            CAST(round(inter * 1.0 / least(na, nb), 4) AS DOUBLE) AS containment
+            CAST(round(inter * 1.0 / least(na, nb), 4) + 0 AS DOUBLE) AS containment
           FROM pc WHERE inter * 1.0 / least(na, nb) >= 0.9
           ORDER BY id_a, id_b"""),
       (s, dir) =>
@@ -633,7 +633,7 @@ object DedupQueries {
                 JOIN documents da ON da.doc_id = c.id_a
                 JOIN documents db ON db.doc_id = c.id_b)
           SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev,
-            CAST(round(1.0 - lev * 1.0 / mx, 4) AS DOUBLE) AS sim,
+            CAST(round(1.0 - lev * 1.0 / mx, 4) + 0 AS DOUBLE) AS sim,
             (1.0 - lev * 1.0 / mx) >= 0.98 AS is_dup
           FROM v ORDER BY id_a, id_b"""),
       (s, dir) => {
@@ -829,11 +829,11 @@ object DedupQueries {
         a AS (SELECT vec_id, embedding, cid FROM a0 WHERE rn = 1),
         rep AS (SELECT cid, min(vec_id) AS rep_id FROM a GROUP BY cid),
         scored AS (SELECT a.vec_id, a.cid, r.rep_id,
-                round(list_cosine_similarity(a.embedding::DOUBLE[], re.embedding::DOUBLE[]), 9) AS c
+                round(list_cosine_similarity(a.embedding::DOUBLE[], re.embedding::DOUBLE[]), 9) + 0 AS c
               FROM a JOIN rep r ON r.cid = a.cid
               JOIN embeddings re ON re.vec_id = r.rep_id)
         SELECT vec_id, cid, rep_id,
-          CAST(round(c, 4) AS DOUBLE) + 0 AS cos_to_rep,
+          CAST(round(c, 4) + 0 AS DOUBLE) + 0 AS cos_to_rep,
           (vec_id = rep_id OR c < 0.45) AS kept
         FROM scored ORDER BY vec_id"""),
       (s, dir) => {
@@ -897,7 +897,7 @@ object DedupQueries {
           JOIN sz sa ON sa.doc_id = id_a
           JOIN sz sb ON sb.doc_id = id_b
           WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.7)
-        SELECT id_a, id_b, CAST(round(jac, 4) AS DOUBLE) AS jac
+        SELECT id_a, id_b, CAST(round(jac, 4) + 0 AS DOUBLE) AS jac
         FROM jp ORDER BY id_a, id_b"""),
       (s, dir) =>
         prefixJaccardPairs(withShingles(docs(s, dir)))
@@ -1046,7 +1046,7 @@ object DedupQueries {
                row_number() OVER (ORDER BY lang, key, doc_id) AS rn FROM k)
         SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
           GREATEST(a.doc_id, b.doc_id) AS id_b,
-          round(jaro_winkler_similarity(a.key, b.key), 6) AS sim
+          round(jaro_winkler_similarity(a.key, b.key), 6) + 0 AS sim
         FROM r a JOIN r b
           ON b.rn BETWEEN a.rn + 1 AND a.rn + 10 AND a.lang = b.lang
         WHERE round(jaro_winkler_similarity(a.key, b.key), 6) >= 0.82
@@ -1073,11 +1073,11 @@ object DedupQueries {
       Some(s"""WITH $pairCountsCte,
         j AS (SELECT LEAST(CAST(floor(inter * CAST(10 AS DOUBLE)
                   / (na + nb - inter)) AS INT), 9) AS bin,
-                round(inter * CAST(1 AS DOUBLE) / (na + nb - inter), 9) AS jac
+                round(inter * CAST(1 AS DOUBLE) / (na + nb - inter), 9) + 0 AS jac
               FROM pc),
         h AS (SELECT bin, COUNT(*) AS n_pairs,
                 round(CAST(SUM(CAST(jac AS DECIMAL(30,12))) AS DOUBLE)
-                  / COUNT(*), 6) AS mean_jac
+                  / COUNT(*), 6) + 0 AS mean_jac
               FROM j GROUP BY bin)
         SELECT CAST(a.bin AS INT) AS bin, CAST(a.n_pairs AS BIGINT) AS n_pairs, a.mean_jac,
           CAST(SUM(b.n_pairs) AS BIGINT) AS cum_pairs_at_or_above
@@ -1183,7 +1183,7 @@ object DedupQueries {
             UNION ALL SELECT id_a, id_b, 0 AS pa, 1 AS pb FROM cb)
           GROUP BY id_a, id_b),
         sc AS (SELECT c.id_a, c.id_b, c.n_passes,
-                round(jaro_winkler_similarity(ka.key, kb.key), 6) AS sim
+                round(jaro_winkler_similarity(ka.key, kb.key), 6) + 0 AS sim
                FROM cand c JOIN k ka ON ka.doc_id = c.id_a
                            JOIN k kb ON kb.doc_id = c.id_b)
         SELECT id_a, id_b, sim, CAST(n_passes AS INT) AS n_passes
@@ -1400,7 +1400,7 @@ object DedupQueries {
         p0 AS MATERIALIZED (
           SELECT LEAST(a.doc_id, b.doc_id) AS id_a,
             GREATEST(a.doc_id, b.doc_id) AS id_b,
-            round(jaro_winkler_similarity(a.key, b.key), 6) AS sim
+            round(jaro_winkler_similarity(a.key, b.key), 6) + 0 AS sim
           FROM r a JOIN r b
             ON b.rn BETWEEN a.rn + 1 AND a.rn + 10 AND a.lang = b.lang
           WHERE round(jaro_winkler_similarity(a.key, b.key), 6) >= 0.82)""")),
@@ -1708,7 +1708,7 @@ object DedupQueries {
                   COUNT(*) OVER (PARTITION BY doc_id) AS n_cand
                  FROM jd)
         SELECT doc_id, mid AS match_id,
-          CAST(round(jac, 4) AS DOUBLE) AS jac,
+          CAST(round(jac, 4) + 0 AS DOUBLE) AS jac,
           CAST(n_cand AS BIGINT) AS n_cand
         FROM best WHERE rn = 1 ORDER BY doc_id"""
 

@@ -72,7 +72,7 @@ object EventsQueries {
       Some("""SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d,
         CAST(EXTRACT(hour FROM ts) AS INT) AS h,
         event_type, COUNT(*) AS n,
-        ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2) AS total_value
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS total_value
         FROM events GROUP BY 1, 2, 3 ORDER BY d, h, event_type"""),
       (s, dir) =>
         t(s, dir, "events")
@@ -222,14 +222,14 @@ object EventsQueries {
     QueryDef(
       "q9i_event_anomaly",
       Some("""WITH med AS (SELECT event_type,
-               round(quantile_cont(value, 0.5), 9) AS med
+               round(quantile_cont(value, 0.5), 9) + 0 AS med
               FROM events GROUP BY event_type),
         mad AS (SELECT e.event_type,
-               round(quantile_cont(abs(e.value - m.med), 0.5), 9) AS mad
+               round(quantile_cont(abs(e.value - m.med), 0.5), 9) + 0 AS mad
               FROM events e JOIN med m USING (event_type)
               GROUP BY e.event_type)
         SELECT e.event_id, e.event_type,
-          round((e.value - m.med) / (CAST(1.4826 AS DOUBLE) * d.mad), 6) AS z
+          round((e.value - m.med) / (CAST(1.4826 AS DOUBLE) * d.mad), 6) + 0 AS z
         FROM events e JOIN med m USING (event_type)
                       JOIN mad d USING (event_type)
         WHERE d.mad > 0 AND abs(e.value - m.med)
@@ -271,13 +271,13 @@ object EventsQueries {
       Some("""WITH mx AS (SELECT MAX(epoch_ns(ts)) AS m FROM events),
         w AS (SELECT event_type,
                round(exp(-(((SELECT m FROM mx) - epoch_ns(ts))
-                 / CAST(86400000000000 AS DOUBLE))), 9) AS dw
+                 / CAST(86400000000000 AS DOUBLE))), 9) + 0 AS dw
               FROM events)
         SELECT event_type, COUNT(*) AS n,
-          round(CAST(SUM(CAST(dw AS DECIMAL(30,12))) AS DOUBLE), 6)
+          round(CAST(SUM(CAST(dw AS DECIMAL(30,12))) AS DOUBLE), 6) + 0
             AS decayed_n,
           round(round(CAST(SUM(CAST(dw AS DECIMAL(30,12))) AS DOUBLE), 6)
-            / COUNT(*), 6) AS freshness
+            / COUNT(*), 6) + 0 AS freshness
         FROM w GROUP BY event_type ORDER BY event_type"""),
       (s, dir) => {
         val ev = t(s, dir, "events").select(col("event_type"), col("ts_ns"))
@@ -315,20 +315,20 @@ object EventsQueries {
         su AS (SELECT 'user_id' AS key_col, COUNT(*) AS n_keys,
                  CAST(SUM(c) AS BIGINT) AS n_rows,
                  CAST(MAX(c) AS BIGINT) AS max_rows,
-                 round(MAX(c) * COUNT(*) * CAST(1 AS DOUBLE) / SUM(c), 4)
+                 round(MAX(c) * COUNT(*) * CAST(1 AS DOUBLE) / SUM(c), 4) + 0
                    AS max_over_mean,
                  round(CAST(SUM(CAST(round(c * CAST(1 AS DOUBLE) / (SELECT SUM(c) FROM pu), 9)
                      * round(c * CAST(1 AS DOUBLE) / (SELECT SUM(c) FROM pu), 9) AS DECIMAL(30,14)))
-                   AS DOUBLE), 8) AS hhi
+                   AS DOUBLE), 8) + 0 AS hhi
                FROM pu),
         st AS (SELECT 'event_type' AS key_col, COUNT(*) AS n_keys,
                  CAST(SUM(c) AS BIGINT) AS n_rows,
                  CAST(MAX(c) AS BIGINT) AS max_rows,
-                 round(MAX(c) * COUNT(*) * CAST(1 AS DOUBLE) / SUM(c), 4)
+                 round(MAX(c) * COUNT(*) * CAST(1 AS DOUBLE) / SUM(c), 4) + 0
                    AS max_over_mean,
                  round(CAST(SUM(CAST(round(c * CAST(1 AS DOUBLE) / (SELECT SUM(c) FROM pt), 9)
                      * round(c * CAST(1 AS DOUBLE) / (SELECT SUM(c) FROM pt), 9) AS DECIMAL(30,14)))
-                   AS DOUBLE), 8) AS hhi
+                   AS DOUBLE), 8) + 0 AS hhi
                FROM pt)
         SELECT * FROM su UNION ALL SELECT * FROM st ORDER BY key_col"""),
       (s, dir) => {
@@ -378,7 +378,7 @@ object EventsQueries {
           CAST(SUM(CASE WHEN cum - uv < total * CAST(0.8 AS DECIMAL(3,2))
             THEN 1 ELSE 0 END) AS BIGINT) AS n_users_80pct,
           round(SUM(CASE WHEN cum - uv < total * CAST(0.8 AS DECIMAL(3,2))
-            THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / MAX(n_users), 4)
+            THEN 1 ELSE 0 END) * CAST(1 AS DOUBLE) / MAX(n_users), 4) + 0
             AS share_of_users
         FROM c GROUP BY event_type ORDER BY event_type"""),
       (s, dir) => {
@@ -492,11 +492,11 @@ object EventsQueries {
         SELECT event_type, COUNT(*) AS n,
           CAST(MAX(late_ns) // 1000000 AS BIGINT) AS max_late_ms,
           ROUND(quantile_cont(CAST(late_ns AS DOUBLE), 0.95) / 1000000.0,
-            4) AS p95_late_ms,
+            4) + 0 AS p95_late_ms,
           CAST(SUM(CASE WHEN late_ns > 5000000000 THEN 1 ELSE 0 END)
             * 1000000 // COUNT(*) AS BIGINT) AS late_over_5s_ppm,
           CAST(ceil(round(quantile_cont(CAST(late_ns AS DOUBLE), 0.99)
-            / 1000000.0, 9)) AS BIGINT) AS rec_delay_ms
+            / 1000000.0, 9) + 0) AS BIGINT) AS rec_delay_ms
         FROM w GROUP BY event_type ORDER BY event_type"""),
       (s, dir) => {
         val b = t(s, dir, "events").select(

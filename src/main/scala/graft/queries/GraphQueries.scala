@@ -62,7 +62,7 @@ object GraphQueries {
        r$k AS (SELECT $prev.id,
            round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
              + CAST(0.85 AS DOUBLE) * (COALESCE(c$k.c, 0.0)
-               + (SELECT d FROM d$k) / (SELECT n FROM nn)), 9) AS r
+               + (SELECT d FROM d$k) / (SELECT n FROM nn)), 9) + 0 AS r
          FROM $prev LEFT JOIN c$k ON $prev.id = c$k.id)"""
   }
 
@@ -83,7 +83,7 @@ object GraphQueries {
       Some(s"""WITH $EdgeCtes,
         deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
         r0 AS (SELECT doc_id AS id,
-            round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 9) AS r
+            round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 9) + 0 AS r
           FROM documents),
         ${oracleRound(1)},
         ${oracleRound(2)},
@@ -437,11 +437,11 @@ object GraphQueries {
       Some(s"""WITH $EdgeCtes,
         ind AS (SELECT dst, COUNT(*) AS indeg FROM e GROUP BY dst),
         pr AS (SELECT a.src AS id_a, b.src AS id_b,
-            round(1.0 / round(ln(ind.indeg), 9), 12) AS w
+            round(1.0 / round(ln(ind.indeg), 9), 12) + 0 AS w
           FROM e a JOIN e b ON a.dst = b.dst AND a.src < b.src
                JOIN ind ON a.dst = ind.dst)
         SELECT id_a, id_b,
-          round(CAST(SUM(CAST(w AS DECIMAL(30,14))) AS DOUBLE), 9)
+          round(CAST(SUM(CAST(w AS DECIMAL(30,14))) AS DOUBLE), 9) + 0
             AS aa_score
         FROM pr GROUP BY id_a, id_b
         ORDER BY aa_score DESC, id_a, id_b LIMIT 100"""),
@@ -567,7 +567,7 @@ object GraphQueries {
       Some(s"""WITH $EdgeCtes,
         deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
         r0 AS (SELECT doc_id AS id,
-            round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 9) AS r
+            round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 9) + 0 AS r
           FROM documents),
         ${oracleRound(1)},
         ${oracleRound(2)},
@@ -624,7 +624,7 @@ object GraphQueries {
        ${rawPfx}s$k AS (SELECT CAST(SUM(CAST(raw AS DECIMAL(30,12))) AS DOUBLE) AS s
          FROM $rawPfx$k),
        $outPfx$k AS (SELECT d.doc_id AS id,
-           round(COALESCE(r.raw, 0.0) / (SELECT s FROM ${rawPfx}s$k), 9)
+           round(COALESCE(r.raw, 0.0) / (SELECT s FROM ${rawPfx}s$k), 9) + 0
              AS $outCol
          FROM documents d LEFT JOIN $rawPfx$k r ON d.doc_id = r.id)"""
 
@@ -644,7 +644,7 @@ object GraphQueries {
              + CASE WHEN $prev.id % 50 = 0
                     THEN (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT ns FROM sn)
                        + CAST(0.85 AS DOUBLE) * ((SELECT d FROM d$k) / (SELECT ns FROM sn))
-                    ELSE 0.0 END, 9) AS r
+                    ELSE 0.0 END, 9) + 0 AS r
          FROM $prev LEFT JOIN c$k ON $prev.id = c$k.id)"""
   }
 

@@ -32,7 +32,7 @@ object Joins {
     QueryDef(
       "q10_join_inner",
       Some("""SELECT c_mktsegment, COUNT(*) AS n_orders,
-        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS revenue
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
       (s, dir) =>
@@ -45,7 +45,7 @@ object Joins {
     QueryDef(
       "q11_join_multiway",
       Some("""SELECT r_name, n_name, COUNT(*) AS n_items,
-        ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+        ROUND(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS revenue
         FROM region
         JOIN nation   ON n_regionkey = r_regionkey
         JOIN customer ON c_nationkey = n_nationkey
@@ -405,7 +405,7 @@ object Joins {
     QueryDef(
       "q19_join_salted",
       Some("""SELECT p_brand, COUNT(*) AS n,
-        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS revenue
+        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand ORDER BY p_brand"""),
       (s, dir) => {

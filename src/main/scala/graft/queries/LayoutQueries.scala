@@ -117,7 +117,7 @@ object LayoutQueries {
       "q1j_bucketed_join",
       Some("""SELECT o.o_orderpriority,
           COUNT(*) AS n_items,
-          ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2)
+          ROUND(CAST(SUM(CAST(l.l_quantity AS DECIMAL(30,8))) AS DOUBLE), 2) + 0
             AS sum_qty
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""),
@@ -189,7 +189,7 @@ object LayoutQueries {
     QueryDef(
       "q1k_partition_pruning",
       Some("""SELECT event_type, COUNT(*) AS n,
-          ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2)
+          ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2) + 0
             AS total_value
         FROM events
         WHERE CAST(EXTRACT(day FROM ts) AS INT) = 15

@@ -67,12 +67,12 @@ object Scalars {
     QueryDef(
       "q32_scalar_math",
       Some("""SELECT l_orderkey, l_linenumber,
-        ROUND(ABS(l_discount - 0.05), 4) AS abs_disc,
+        ROUND(ABS(l_discount - 0.05), 4) + 0 AS abs_disc,
         CAST(CEIL(l_extendedprice) AS BIGINT) AS ceil_price,
         CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
-        ROUND(SQRT(l_extendedprice), 4) AS sqrt_price,
+        ROUND(SQRT(l_extendedprice), 4) + 0 AS sqrt_price,
         l_orderkey % 7 AS key_mod,
-        ROUND(l_quantity * l_quantity, 2) AS qty_sq
+        ROUND(l_quantity * l_quantity, 2) + 0 AS qty_sq
         FROM lineitem WHERE l_orderkey <= 2000
         ORDER BY l_orderkey, l_linenumber"""),
       (s, dir) =>
@@ -94,7 +94,7 @@ object Scalars {
              WHEN o_totalprice < 350000 THEN 'large'
              ELSE 'jumbo' END AS bucket,
         COUNT(*) AS n,
-        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) AS total
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS total
         FROM orders GROUP BY 1 ORDER BY bucket"""),
       (s, dir) =>
         t(s, dir, "orders")

@@ -19,9 +19,9 @@ object SetOps {
     QueryDef(
       "q26_union_all",
       Some("""SELECT * FROM (
-        SELECT c_custkey AS id, 'customer' AS kind, ROUND(c_acctbal, 2) AS acctbal FROM customer
+        SELECT c_custkey AS id, 'customer' AS kind, ROUND(c_acctbal, 2) + 0 AS acctbal FROM customer
         UNION ALL
-        SELECT s_suppkey AS id, 'supplier' AS kind, ROUND(s_acctbal, 2) AS acctbal FROM supplier
+        SELECT s_suppkey AS id, 'supplier' AS kind, ROUND(s_acctbal, 2) + 0 AS acctbal FROM supplier
       ) ORDER BY kind, id"""),
       (s, dir) => {
         val c = t(s, dir, "customer").select(

@@ -143,6 +143,11 @@ object SimilarityQueries {
   private[queries] def qb4GraphPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "qb4_full_graph")
 
+  /** qb5: the persisted generation chain the compaction folds —
+    * gen 0 = base build, gen 1 = insert merge, gen 2 = delete repair. */
+  private[queries] def qb5GenPath(sfDir: String, gen: Int): String =
+    QueryDef.materializePath(sfDir, s"qb5_gen$gen")
+
   /** The q66 assignment rule as a helper: nearest centroid per vector,
     * argmax as a map-side-combining hash aggregate (one shuffled row per
     * vector), round-9 quantized scores, tie-break (cc DESC, cid ASC). */
@@ -259,7 +264,7 @@ object SimilarityQueries {
         FROM embeddings e, $prev c),
       a$i AS (SELECT vec_id, embedding, cid FROM a${i}_0 WHERE rn = 1),
       c${i}l AS (SELECT a.cid, g.i AS dim,
-          round(avg(a.embedding[g.i]), 10) AS m, count(*) AS n_members
+          round(avg(a.embedding[g.i]), 10) + 0 AS m, count(*) AS n_members
         FROM a$i a, generate_series(1, 64) AS g(i) GROUP BY a.cid, g.i),
       c$i AS (SELECT cid, list(m::FLOAT ORDER BY dim) AS ce FROM c${i}l GROUP BY cid)"""
 
@@ -270,12 +275,12 @@ object SimilarityQueries {
       "q65_knn_bruteforce",
       Some("""WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
         s AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
-                round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c
+                round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9) + 0 AS c
               FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
         r AS (SELECT qid, nid, c,
                 row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
               FROM s)
-        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
+        SELECT qid, nid, CAST(round(c, 4) + 0 AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -299,7 +304,7 @@ object SimilarityQueries {
       "q66_ann_ivf",
       Some(s"""WITH $centSql,
         assign0 AS (SELECT e.vec_id, e.embedding, c.cid,
-                round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) AS cc,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) + 0 AS cc,
                 row_number() OVER (PARTITION BY e.vec_id
                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
               FROM embeddings e, cent c),
@@ -312,11 +317,11 @@ object SimilarityQueries {
         cand AS (SELECT p.qid, p.qe, a.vec_id AS nid, a.embedding AS ne
               FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
         rr AS (SELECT qid, nid,
-                round(list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]), 9) AS c,
+                round(list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]), 9) + 0 AS c,
                 row_number() OVER (PARTITION BY qid
                   ORDER BY round(list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]), 9) DESC, nid) AS rnk
               FROM cand)
-        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
+        SELECT qid, nid, CAST(round(c, 4) + 0 AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -408,7 +413,7 @@ object SimilarityQueries {
                 row_number() OVER (PARTITION BY qid
                   ORDER BY round(list_cosine_similarity(qe::DOUBLE[], ne::DOUBLE[]), 9) DESC, nid) AS rnk
               FROM cand)
-        SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
+        SELECT qid, nid, CAST(round(c, 4) + 0 AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -474,7 +479,7 @@ object SimilarityQueries {
     QueryDef(
       "q56_vector_centroids",
       Some("""SELECT label, i AS dim,
-          CAST(round(avg(embedding[i]), 4) AS DOUBLE) + 0 AS mean_val
+          CAST(round(avg(embedding[i]), 4) + 0 AS DOUBLE) + 0 AS mean_val
         FROM embeddings, generate_series(1, 64) AS g(i)
         GROUP BY label, i ORDER BY label, dim"""),
       (s, dir) =>
@@ -508,7 +513,7 @@ object SimilarityQueries {
               FROM embeddings e, cent c),
         a AS (SELECT vec_id, embedding, cid FROM a0 WHERE rn = 1)
         SELECT cid, i AS dim,
-          CAST(round(avg(embedding[i]), 4) AS DOUBLE) + 0 AS c_mean,
+          CAST(round(avg(embedding[i]), 4) + 0 AS DOUBLE) + 0 AS c_mean,
           count(*) AS n_members
         FROM a, generate_series(1, 64) AS g(i)
         GROUP BY cid, i ORDER BY cid, dim"""),
@@ -551,9 +556,9 @@ object SimilarityQueries {
             127.0 / list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale
           FROM embeddings)
         SELECT vec_id,
-          CAST(round(scale, 4) AS DOUBLE) AS scale_r,
+          CAST(round(scale, 4) + 0 AS DOUBLE) AS scale_r,
           CAST(round(list_max(list_transform(e,
-            x -> abs(x - round(x * scale) / scale))), 6) AS DOUBLE) AS max_err
+            x -> abs(x - round(x * scale) / scale))), 6) + 0 AS DOUBLE) AS max_err
         FROM s ORDER BY vec_id"""),
       (s, dir) => {
         val withScale = emb(s, dir).select(col("vec_id"),
@@ -598,12 +603,12 @@ object SimilarityQueries {
         cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
           FROM probe p JOIN ia a ON a.cid = p.cid AND a.vec_id <> p.qid),
         rr AS (SELECT c.qid, c.nid,
-            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c0,
+            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) + 0 AS c0,
             row_number() OVER (PARTITION BY c.qid
               ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
                 c.nid) AS rnk
           FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
-        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
+        SELECT qid, nid, CAST(round(c0, 4) + 0 AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -630,7 +635,7 @@ object SimilarityQueries {
         ${kmeansRoundSql("c1", 2)},
         ${kmeansRoundSql("c2", 3)}
         SELECT cid, dim,
-          CAST(round(m, 4) AS DOUBLE) + 0 AS c_mean,
+          CAST(round(m, 4) + 0 AS DOUBLE) + 0 AS c_mean,
           n_members
         FROM c3l ORDER BY cid, dim"""),
       (s, dir) => {
@@ -671,12 +676,12 @@ object SimilarityQueries {
         cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
           FROM probe p JOIN ia a ON a.cid = p.cid AND a.vec_id <> p.qid),
         rr AS (SELECT c.qid, c.nid,
-            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c0,
+            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) + 0 AS c0,
             row_number() OVER (PARTITION BY c.qid
               ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
                 c.nid) AS rnk
           FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
-        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
+        SELECT qid, nid, CAST(round(c0, 4) + 0 AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -725,12 +730,12 @@ object SimilarityQueries {
         cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
           FROM probe p JOIN ia a ON a.cid = p.cid AND a.vec_id <> p.qid),
         rr AS (SELECT c.qid, c.nid,
-            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c0,
+            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) + 0 AS c0,
             row_number() OVER (PARTITION BY c.qid
               ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
                 c.nid) AS rnk
           FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
-        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
+        SELECT qid, nid, CAST(round(c0, 4) + 0 AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         val e = emb(s, dir)
@@ -890,17 +895,17 @@ object SimilarityQueries {
           cb AS (SELECT j, vec_id AS code, svec AS cvec
                  FROM sub WHERE vec_id < 16),
           d2 AS (SELECT s.vec_id, s.j, cb.code,
-                   round(${l2("s.svec", "cb.cvec")}, 9) AS d2
+                   round(${l2("s.svec", "cb.cvec")}, 9) + 0 AS d2
                  FROM sub s JOIN cb ON cb.j = s.j),
           codes AS (SELECT vec_id, j, code FROM (
                    SELECT vec_id, j, code,
                      row_number() OVER (PARTITION BY vec_id, j
                        ORDER BY d2, code) AS rn FROM d2) WHERE rn = 1),
           dotq AS (SELECT q.vec_id AS qid, cb.j, cb.code,
-                     round(${dot("q.svec", "cb.cvec")}, 9) AS dq
+                     round(${dot("q.svec", "cb.cvec")}, 9) + 0 AS dq
                    FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 10),
           adc AS (SELECT d.qid, c.vec_id AS nid,
-                    round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc
+                    round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) + 0 AS adc
                   FROM codes c JOIN dotq d ON d.j = c.j AND d.code = c.code
                   WHERE c.vec_id <> d.qid GROUP BY 1, 2),
           r AS (SELECT qid, nid, adc,
@@ -962,20 +967,20 @@ object SimilarityQueries {
           cb AS (SELECT j, vec_id AS code, svec AS cvec
                  FROM sub WHERE vec_id < 16),
           d2 AS (SELECT s.vec_id, s.j, cb.code,
-                   round(${l2("s.svec", "cb.cvec")}, 9) AS d2
+                   round(${l2("s.svec", "cb.cvec")}, 9) + 0 AS d2
                  FROM sub s JOIN cb ON cb.j = s.j),
           codes AS (SELECT vec_id, j, code FROM (
                    SELECT vec_id, j, code,
                      row_number() OVER (PARTITION BY vec_id, j
                        ORDER BY d2, code) AS rn FROM d2) WHERE rn = 1),
           dotq AS (SELECT q.vec_id AS qid, cb.j, cb.code,
-                     round(${dot("q.svec", "cb.cvec")}, 9) AS dq
+                     round(${dot("q.svec", "cb.cvec")}, 9) + 0 AS dq
                    FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 10),
           cand AS (SELECT p.qid, a.vec_id AS nid
                    FROM probe p JOIN assign a
                      ON a.cid = p.cid AND a.vec_id <> p.qid),
           adc AS (SELECT cd.qid, cd.nid,
-                    round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc
+                    round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) + 0 AS adc
                   FROM cand cd
                   JOIN codes c ON c.vec_id = cd.nid
                   JOIN dotq d ON d.qid = cd.qid AND d.j = c.j AND d.code = c.code
@@ -1054,20 +1059,20 @@ object SimilarityQueries {
           cb AS (SELECT j, vec_id AS code, svec AS cvec
                  FROM sub WHERE vec_id < 16),
           d2 AS (SELECT s.vec_id, s.j, cb.code,
-                   round(${l2("s.svec", "cb.cvec")}, 9) AS d2
+                   round(${l2("s.svec", "cb.cvec")}, 9) + 0 AS d2
                  FROM sub s JOIN cb ON cb.j = s.j),
           codes AS (SELECT vec_id, j, code FROM (
                    SELECT vec_id, j, code,
                      row_number() OVER (PARTITION BY vec_id, j
                        ORDER BY d2, code) AS rn FROM d2) WHERE rn = 1),
           dotq AS (SELECT q.vec_id AS qid, cb.j, cb.code,
-                     round(${dot("q.svec", "cb.cvec")}, 9) AS dq
+                     round(${dot("q.svec", "cb.cvec")}, 9) + 0 AS dq
                    FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 10),
           cand AS (SELECT p.qid, a.vec_id AS nid
                    FROM probe p JOIN assign a
                      ON a.cid = p.cid AND a.vec_id <> p.qid),
           adc AS (SELECT cd.qid, cd.nid,
-                    round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) AS adc
+                    round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) + 0 AS adc
                   FROM cand cd
                   JOIN codes c ON c.vec_id = cd.nid
                   JOIN dotq d ON d.qid = cd.qid AND d.j = c.j AND d.code = c.code
@@ -1076,14 +1081,14 @@ object SimilarityQueries {
                   SELECT qid, nid, row_number() OVER (PARTITION BY qid
                     ORDER BY adc DESC, nid) AS rnk FROM adc) WHERE rnk <= 10),
           rr AS (SELECT p.qid, p.nid,
-                   round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 9) AS c
+                   round(list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]), 9) + 0 AS c
                  FROM pre p
                  JOIN embeddings q ON q.vec_id = p.qid
                  JOIN embeddings n ON n.vec_id = p.nid),
           r AS (SELECT qid, nid, c,
                   row_number() OVER (PARTITION BY qid
                     ORDER BY c DESC, nid) AS rnk FROM rr)
-          SELECT qid, nid, CAST(round(c, 4) AS DOUBLE) + 0 AS cos, CAST(rnk AS INT) AS rnk
+          SELECT qid, nid, CAST(round(c, 4) + 0 AS DOUBLE) + 0 AS cos, CAST(rnk AS INT) AS rnk
           FROM r WHERE rnk <= 3 ORDER BY qid, rnk""")
       },
       (s, dir) => {
@@ -1164,12 +1169,12 @@ object SimilarityQueries {
         cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
           FROM probe p JOIN ia a ON a.cid = p.cid AND a.vec_id <> p.qid),
         rr AS (SELECT c.qid, c.nid,
-            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c0,
+            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) + 0 AS c0,
             row_number() OVER (PARTITION BY c.qid
               ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
                 c.nid) AS rnk
           FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
-        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
+        SELECT qid, nid, CAST(round(c0, 4) + 0 AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => {
         import graft.connector.{GraftDoc, GraftDocLog}
@@ -1236,7 +1241,7 @@ object SimilarityQueries {
                FROM dtok d JOIN qtok q ON q.tok = d.tok AND d.doc_id <> q.qid
                GROUP BY 1, 2),
         jac AS (SELECT ov.qid, ov.nid,
-                  round(CAST(ov.ov AS DOUBLE) / (dq.dn + dd.dn - ov.ov), 9) AS j
+                  round(CAST(ov.ov AS DOUBLE) / (dq.dn + dd.dn - ov.ov), 9) + 0 AS j
                 FROM ov JOIN dn dd ON dd.doc_id = ov.nid
                         JOIN dn dq ON dq.doc_id = ov.qid),
         rt AS (SELECT qid, nid, rt FROM (
@@ -1252,7 +1257,7 @@ object SimilarityQueries {
         f AS (SELECT coalesce(rt.qid, rv.qid) AS qid,
                 coalesce(rt.nid, rv.nid) AS nid,
                 round(coalesce(1.0 / (60 + rt.rt), 0)
-                    + coalesce(1.0 / (60 + rv.rv), 0), 9) AS rrf
+                    + coalesce(1.0 / (60 + rv.rv), 0), 9) + 0 AS rrf
               FROM rt FULL JOIN rv ON rv.qid = rt.qid AND rv.nid = rt.nid),
         r AS (SELECT qid, nid, rrf, row_number() OVER (PARTITION BY qid
                 ORDER BY rrf DESC, nid) AS rnk FROM f)
@@ -1344,7 +1349,7 @@ object SimilarityQueries {
               GROUP BY ex.qid),
         d AS (SELECT qid, COUNT(*) AS n_exact FROM ex GROUP BY qid)
         SELECT d.qid, CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
-          CAST(round(COALESCE(o.n_overlap, 0) * 1.0 / d.n_exact, 4) AS DOUBLE)
+          CAST(round(COALESCE(o.n_overlap, 0) * 1.0 / d.n_exact, 4) + 0 AS DOUBLE)
             AS recall
         FROM d LEFT JOIN o ON o.qid = d.qid ORDER BY d.qid"""),
       (s, dir) => {
@@ -1400,20 +1405,20 @@ object SimilarityQueries {
       "q9j_cluster_quality",
       Some(s"""WITH $centSql,
         a0 AS (SELECT e.vec_id, c.cid,
-                round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) AS cc,
+                round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) + 0 AS cc,
                 row_number() OVER (PARTITION BY e.vec_id
                   ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
               FROM embeddings e, cent c),
         a AS (SELECT vec_id, cid, cc FROM a0 WHERE rn = 1),
         sc AS (SELECT cid, COUNT(*) AS n_members,
                 round(CAST(SUM(CAST(CAST(1 AS DOUBLE) - cc
-                    AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 9) AS scatter
+                    AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 9) + 0 AS scatter
               FROM a GROUP BY cid),
         pair AS (SELECT c1.cid, c2.cid AS cid2,
                 CAST(1 AS DOUBLE)
-                  - round(list_cosine_similarity(c1.ce::DOUBLE[], c2.ce::DOUBLE[]), 9) AS d
+                  - round(list_cosine_similarity(c1.ce::DOUBLE[], c2.ce::DOUBLE[]), 9) + 0 AS d
               FROM cent c1, cent c2 WHERE c1.cid <> c2.cid),
-        r AS (SELECT p.cid, round((s1.scatter + s2.scatter) / p.d, 9) AS ratio
+        r AS (SELECT p.cid, round((s1.scatter + s2.scatter) / p.d, 9) + 0 AS ratio
               FROM pair p JOIN sc s1 ON p.cid = s1.cid
                           JOIN sc s2 ON p.cid2 = s2.cid
               WHERE p.d > 0)
@@ -1476,7 +1481,7 @@ object SimilarityQueries {
       Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
                FROM embeddings WHERE vec_id < 10),
         s AS (SELECT q.qid, e.vec_id AS nid,
-                round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c,
+                round(list_cosine_similarity(q.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) + 0 AS c,
                 CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS rel
               FROM q JOIN embeddings e ON e.vec_id <> q.qid),
         r AS (SELECT qid, rel,
@@ -1499,8 +1504,8 @@ object SimilarityQueries {
                   AS DECIMAL(30,14))) AS DOUBLE) AS idcg
                FROM ii GROUP BY qid)
         SELECT d.qid,
-          COALESCE(round(CAST(1 AS DOUBLE) / d.minr, 6), CAST(0 AS DOUBLE)) AS mrr,
-          COALESCE(round(d.dcg / id.idcg, 6), CAST(0 AS DOUBLE)) AS ndcg,
+          COALESCE(round(CAST(1 AS DOUBLE) / d.minr, 6) + 0, CAST(0 AS DOUBLE)) AS mrr,
+          COALESCE(round(d.dcg / id.idcg, 6) + 0, CAST(0 AS DOUBLE)) AS ndcg,
           d.n_rel_top10
         FROM d LEFT JOIN id ON d.qid = id.qid
         ORDER BY d.qid"""),
@@ -1563,12 +1568,12 @@ object SimilarityQueries {
                FROM embeddings, generate_series(1, 64) AS g(i)),
         ml AS (SELECT label, dim,
                 round(CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE)
-                  / COUNT(*), 9) AS m,
+                  / COUNT(*), 9) + 0 AS m,
                 COUNT(*) AS n
               FROM x GROUP BY label, dim),
         mg AS (SELECT dim,
                 round(CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE)
-                  / COUNT(*), 9) AS m
+                  / COUNT(*), 9) + 0 AS m
               FROM x GROUP BY dim),
         ng AS (SELECT CAST(SUM(CAST(round(m * m, 12) AS DECIMAL(30,14)))
                  AS DOUBLE) AS s FROM mg),
@@ -1582,8 +1587,8 @@ object SimilarityQueries {
               FROM ml JOIN mg USING (dim) GROUP BY ml.label, ml.n)
         SELECT label, CAST(n AS BIGINT) AS n_vecs,
           round(CAST(1 AS DOUBLE)
-            - dot / (sqrt(nl) * sqrt((SELECT s FROM ng))), 6) AS cos_drift,
-          round(sqrt(d2), 6) AS l2_drift
+            - dot / (sqrt(nl) * sqrt((SELECT s FROM ng))), 6) + 0 AS cos_drift,
+          round(sqrt(d2), 6) + 0 AS l2_drift
         FROM t ORDER BY label"""),
       (s, dir) => {
         val x = emb(s, dir).select(col("label"),
@@ -1650,7 +1655,7 @@ object SimilarityQueries {
                FROM qt q JOIN mm m ON m.i = q.i GROUP BY q.vec_id),
         sc AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
                  round(list_cosine_similarity(a.dv::DOUBLE[],
-                   b.dv::DOUBLE[]), 9) AS s
+                   b.dv::DOUBLE[]), 9) + 0 AS s
                FROM dq a JOIN dq b ON b.vec_id <> a.vec_id
                WHERE a.vec_id < 10),
         appr AS (SELECT qid, nid FROM (
@@ -1658,7 +1663,7 @@ object SimilarityQueries {
                      ORDER BY s DESC, nid) AS rnk FROM sc) WHERE rnk <= 5),
         ex0 AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
                  round(list_cosine_similarity(q.embedding::DOUBLE[],
-                   e.embedding::DOUBLE[]), 9) AS c
+                   e.embedding::DOUBLE[]), 9) + 0 AS c
                FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
                WHERE q.vec_id < 10),
         exact AS (SELECT qid, nid FROM (
@@ -1757,7 +1762,7 @@ object SimilarityQueries {
           FROM b, ic),
         probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
         cand AS (SELECT p.qid, a.vec_id AS nid,
-            round(list_cosine_similarity(p.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS cs
+            round(list_cosine_similarity(p.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) + 0 AS cs
           FROM probe p JOIN ia a ON a.cid = p.cid
           JOIN embeddings e ON e.vec_id = a.vec_id),
         r AS (SELECT nid, qid, cs,
@@ -1765,7 +1770,7 @@ object SimilarityQueries {
               ORDER BY cs DESC, qid) AS rn
           FROM cand)
         SELECT nid AS vec_id, qid AS bench_id,
-          CAST(round(cs, 4) AS DOUBLE) AS cos,
+          CAST(round(cs, 4) + 0 AS DOUBLE) AS cos,
           CASE WHEN cs >= 0.45 THEN 1 ELSE 0 END AS contaminated
         FROM r WHERE rn = 1 ORDER BY vec_id"""),
       (s, dir) => {
@@ -2007,7 +2012,66 @@ object SimilarityQueries {
         val fin = repairedG.join(touched, Seq("vec_id"), "left_semi")
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= NnDescent.ReportK)
+        // evidence flags only (the repair itself is N-independent): with
+        // DeleteMod=16 and K=10 ~half the survivors are touched, so this
+        // exact probe is O(touched·N) — at a larger corpus, sample the
+        // touched set first (the qau SampleMod idiom)
         val exact = exactTopKOf(surE, NnDescent.ReportK, touched)
+          .withColumn("in_exact", lit(1))
+        fin.join(exact,
+            fin("vec_id") === exact("qid") && fin("nid") === exact("nid"),
+            "left")
+          .select(fin("vec_id").as("qid"), col("rnk"), fin("nid"),
+            round(col("c"), 4).as("cos"),
+            coalesce(col("in_exact"), lit(0)).cast("int").as("in_exact"))
+          .orderBy(col("qid"), col("rnk"))
+      }),
+
+    // Graph-index COMPACTION — the verb completing the lifecycle the
+    // family now has end to end (build qao, serve qaq/qat/qax, insert
+    // qb3, delete qb4): incremental maintenance trades recall for
+    // locality, and generation chains accrete files — periodically the
+    // index folds its chain (base build + insert merge + tombstone
+    // repair, persisted here as three generations) back into ONE
+    // rebuilt-equivalent graph. The compaction derives the LIVE id set
+    // from the chain itself (every live node owns a list; tombstoned
+    // nodes own none) and re-runs the qao-certified construction on
+    // exactly that corpus — so the oracle is qao's own unrolled build
+    // replay parameterized by the live corpus (the qa8/qaj "merged ≡
+    // rebuilt" claim, graph edition). Output: the live query nodes'
+    // compacted top-5 with exact flags over the live corpus — row-
+    // comparable to qao's build recall, with incremental drift reset
+    // to zero. Design: [[graft.operators.NnDescent.compact]];
+    // `GraphCompactionPropSpec` proves chain-derived live set ≡ rule-
+    // derived on random corpora + insert/delete/compact ≡ rebuild.
+    QueryDef(
+      "qb5_graph_compaction",
+      Some(graft.operators.NnDescent.compactionOracleSql),
+      (s, dir) => {
+        import graft.operators.NnDescent
+        val e = emb(s, dir)
+        // the qb3 generation chain: base = all but the newest nn/16
+        val nn = e.count()
+        val nBase = nn - nn / 16
+        val p0 = qb5GenPath(dir, 0)
+        val p1 = qb5GenPath(dir, 1)
+        val p2 = qb5GenPath(dir, 2)
+        NnDescent.knnGraph(e.filter(col("vec_id") < nBase))
+          .write.mode("overwrite").parquet(p0)
+        NnDescent.insertDelta(e, s.read.parquet(p0), nBase)
+          .write.mode("overwrite").parquet(p1)
+        NnDescent.deleteRepair(e, s.read.parquet(p1))
+          .write.mode("overwrite").parquet(p2)
+        val compacted = NnDescent.compact(e, s.read.parquet(p2))
+        val liveE = e.join(
+          s.read.parquet(p2).select(col("vec_id")).distinct(),
+          Seq("vec_id"), "left_semi")
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("c").desc, col("nid"))
+        val fin = compacted.filter(col("vec_id") < 10)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= NnDescent.ReportK)
+        val exact = exactTopK(liveE, NnDescent.ReportK)
           .withColumn("in_exact", lit(1))
         fin.join(exact,
             fin("vec_id") === exact("qid") && fin("nid") === exact("nid"),

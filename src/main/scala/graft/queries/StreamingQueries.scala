@@ -10,7 +10,13 @@ import graft.streaming.StreamPipelines
   */
 object StreamingQueries {
 
-  val all: Seq[QueryDef] = Seq(
+  /** q8y: the persisted NN-Descent graph the streaming beam serve walks
+    * (its own copy — queries must not order-depend on each other's
+    * staging). */
+  private[queries] def q8yGraphPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "q8y_knn_graph")
+
+  def all(sfDir: String): Seq[QueryDef] = Seq(
 
     // Streaming twin of q41_event_windows: watermarked tumbling windows,
     // append mode (each window emits once on watermark close). Both
@@ -22,7 +28,7 @@ object StreamingQueries {
         SELECT CAST(EXTRACT(day FROM ts) AS INT) AS d,
         CAST(EXTRACT(hour FROM ts) AS INT) AS h,
         event_type, COUNT(*) AS n,
-        ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2) AS total_value
+        ROUND(CAST(SUM(CAST(value AS DECIMAL(30,8))) AS DOUBLE), 2) + 0 AS total_value
         FROM events
         WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
               < (SELECT m - INTERVAL 2 HOUR FROM mx)
@@ -79,7 +85,7 @@ object StreamingQueries {
     QueryDef(
       "q83_stream_stateful",
       Some("""SELECT user_id, COUNT(*) AS n_events,
-        ROUND(MAX(value), 2) AS max_value
+        ROUND(MAX(value), 2) + 0 AS max_value
         FROM events GROUP BY user_id ORDER BY user_id"""),
       (s, dir) => StreamPipelines.statefulUserTotals(s, dir)),
 
@@ -153,7 +159,7 @@ object StreamingQueries {
     QueryDef(
       "q89_stream_tws_stateful",
       Some("""SELECT user_id, COUNT(*) AS n_events,
-        ROUND(MAX(value), 2) AS max_value
+        ROUND(MAX(value), 2) + 0 AS max_value
         FROM events GROUP BY user_id ORDER BY user_id"""),
       (s, dir) => StreamPipelines.statefulUserTotalsTws(s, dir)),
 
@@ -277,11 +283,11 @@ object StreamingQueries {
         cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
               FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
         rr AS (SELECT c.qid, c.nid,
-                round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) AS c0,
+                round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) + 0 AS c0,
                 row_number() OVER (PARTITION BY c.qid
                   ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC, c.nid) AS rnk
               FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
-        SELECT qid, nid, CAST(round(c0, 4) AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
+        SELECT qid, nid, CAST(round(c0, 4) + 0 AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
         FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
       (s, dir) => StreamPipelines.docStreamAnnServe(s, dir)),
 
@@ -415,14 +421,14 @@ object StreamingQueries {
     QueryDef(
       "q8n_stream_anomaly",
       Some("""WITH hist AS (SELECT * FROM events WHERE event_id % 2 = 0),
-        med AS (SELECT event_type, round(quantile_cont(value, 0.5), 9) AS med
+        med AS (SELECT event_type, round(quantile_cont(value, 0.5), 9) + 0 AS med
                 FROM hist GROUP BY event_type),
         mad AS (SELECT h.event_type,
-                round(quantile_cont(abs(h.value - m.med), 0.5), 9) AS mad
+                round(quantile_cont(abs(h.value - m.med), 0.5), 9) + 0 AS mad
                 FROM hist h JOIN med m USING (event_type)
                 GROUP BY h.event_type)
         SELECT s.event_id, s.event_type,
-          round((s.value - m.med) / (CAST(1.4826 AS DOUBLE) * d.mad), 6) AS z
+          round((s.value - m.med) / (CAST(1.4826 AS DOUBLE) * d.mad), 6) + 0 AS z
         FROM events s JOIN med m USING (event_type)
                       JOIN mad d USING (event_type)
         WHERE s.event_id % 2 = 1 AND d.mad > 0
@@ -484,9 +490,9 @@ object StreamingQueries {
                        (SELECT COALESCE(SUM(ct), 0) FROM ct) AS tt),
         term AS (SELECT cr.f,
                   round(ln(((COALESCE(ct.ct, 0) + 1) * (tot.rr + 512)) * 1.0
-                    / ((cr.cr + 1) * (tot.tt + 512))), 9) AS term
+                    / ((cr.cr + 1) * (tot.tt + 512))), 9) + 0 AS term
                  FROM cr LEFT JOIN ct ON ct.f = cr.f, tot),
-        pr AS (SELECT round(ln((tot.rr + 512) * 1.0 / (tot.tt + 512)), 9)
+        pr AS (SELECT round(ln((tot.rr + 512) * 1.0 / (tot.tt + 512)), 9) + 0
                  AS prior FROM tot),
         stoks AS (SELECT doc_id, string_split(text, ' ') AS t
                   FROM documents WHERE doc_id >= 250 AND len(string_split(text, ' ')) >= 2),
@@ -504,7 +510,7 @@ object StreamingQueries {
               FROM sfe LEFT JOIN term ON term.f = sfe.f, pr
               GROUP BY sfe.doc_id)
         SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
-          ROUND(CAST(wsum AS DOUBLE), 6) AS logw,
+          ROUND(CAST(wsum AS DOUBLE), 6) + 0 AS logw,
           CAST(CASE WHEN CAST(wsum AS DOUBLE) > 0 THEN 1 ELSE 0 END AS INT)
             AS selected
         FROM w ORDER BY doc_id"""),
@@ -683,6 +689,23 @@ object StreamingQueries {
       "q8x_stream_suffix_merge",
       Some(graft.operators.SuffixRanks.mergeOracleSql),
       (s, dir) => StreamPipelines.docStreamSuffixMerge(s, dir)),
+
+    // Streaming graph-ANN serve — the q8g IVF-serve pattern applied to
+    // the graph index family: the NN-Descent graph persists once,
+    // CDC-arriving queries are answered per micro-batch by the width-4
+    // beam walk over stored edges (N-independent per query, stateless,
+    // zero state rows — the graph is a parquet read, no per-trigger
+    // retrain). The oracle is qat's replay CTE chain, FINAL hop only:
+    // the drained batch-at-a-time serves must be indistinguishable
+    // from the batch beam walk's endpoint. Design:
+    // [[graft.streaming.StreamPipelines.docStreamGraphServe]] /
+    // [[graft.operators.NnDescent.beamServeFor]].
+    QueryDef(
+      "q8y_stream_graph_serve",
+      Some(graft.operators.NnDescent.beamFinalOracleSql(
+        q8yGraphPath(sfDir))),
+      (s, dir) => StreamPipelines.docStreamGraphServe(s, dir,
+        q8yGraphPath(dir))),
 
     QueryDef(
       "q8t_kafka_wire_doc_sink",

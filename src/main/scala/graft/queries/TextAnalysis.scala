@@ -52,7 +52,7 @@ object TextAnalysis {
         CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS INT) AS bpe_tokens,
         length(text) AS n_chars,
-        CAST(round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE)
+        CAST(round(length(text) * 1.0 / len(string_split(text, ' ')), 4) + 0 AS DOUBLE)
           AS chars_per_token
         FROM documents ORDER BY doc_id"""),
       (s, dir) =>
@@ -80,12 +80,12 @@ object TextAnalysis {
           len(list_distinct(string_split(text, ' '))) AS n_uniq
         FROM documents)
         SELECT doc_id, n_chars, n_toks,
-          CAST(round(n_stop * 1.0 / n_toks, 4) AS DOUBLE) AS stop_ratio,
-          CAST(round(n_uniq * 1.0 / n_toks, 4) AS DOUBLE) AS uniq_ratio,
+          CAST(round(n_stop * 1.0 / n_toks, 4) + 0 AS DOUBLE) AS stop_ratio,
+          CAST(round(n_uniq * 1.0 / n_toks, 4) + 0 AS DOUBLE) AS uniq_ratio,
           CAST(round(
             0.4 * CASE WHEN n_chars BETWEEN 100 AND 5000 THEN 1.0 ELSE 0.0 END
             + 0.3 * least(n_stop * 5.0 / n_toks, 1.0)
-            + 0.3 * (n_uniq * 1.0 / n_toks), 4) AS DOUBLE) AS quality
+            + 0.3 * (n_uniq * 1.0 / n_toks), 4) + 0 AS DOUBLE) AS quality
         FROM f ORDER BY doc_id"""),
       (s, dir) => {
         val nToks = size(toks)
@@ -159,7 +159,7 @@ object TextAnalysis {
                 row_number() OVER (PARTITION BY doc_id
                   ORDER BY score DESC, w) AS rnk
               FROM scored)
-        SELECT doc_id, w AS term, CAST(round(score, 4) AS DOUBLE) AS tfidf, CAST(rnk AS INT) AS rnk
+        SELECT doc_id, w AS term, CAST(round(score, 4) + 0 AS DOUBLE) AS tfidf, CAST(rnk AS INT) AS rnk
         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk"""),
       (s, dir) => {
         val tok = docs(s, dir).select(col("doc_id"), explode(toks).as("w"))
@@ -212,7 +212,7 @@ object TextAnalysis {
         sc AS (SELECT tp.term, tp.doc_id,
                  round(ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
                    * (tp.tf * 2.2)
-                   / (tp.tf + 1.2 * (0.25 + 0.75 * tp.dl / st.avgdl)), 4) AS s4
+                   / (tp.tf + 1.2 * (0.25 + 0.75 * tp.dl / st.avgdl)), 4) + 0 AS s4
                FROM tp JOIN dfr USING (term) CROSS JOIN st),
         r AS (SELECT term, doc_id, s4,
                 row_number() OVER (PARTITION BY term
@@ -400,8 +400,8 @@ object TextAnalysis {
                 SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
               FROM c GROUP BY doc_id)
         SELECT doc_id,
-          ROUND(CAST(mx AS DOUBLE) / CAST(total AS DOUBLE), 4) AS top_2gram_frac,
-          ROUND(CAST(dup AS DOUBLE) / CAST(total AS DOUBLE), 4) AS dup_2gram_frac,
+          ROUND(CAST(mx AS DOUBLE) / CAST(total AS DOUBLE), 4) + 0 AS top_2gram_frac,
+          ROUND(CAST(dup AS DOUBLE) / CAST(total AS DOUBLE), 4) + 0 AS dup_2gram_frac,
           (CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) > 0.5) AS repetitive
         FROM m ORDER BY doc_id"""),
       (s, dir) =>
@@ -646,11 +646,11 @@ object TextAnalysis {
                   i -> t[i] || ' ' || t[i+1])) AS g
                 FROM toks),
         bc AS (SELECT g, COUNT(*) AS c12 FROM big GROUP BY g),
-        sc AS (SELECT b.doc_id, round(ln(bc.c12 * 1.0 / uc.c1), 9) AS term
+        sc AS (SELECT b.doc_id, round(ln(bc.c12 * 1.0 / uc.c1), 9) + 0 AS term
                FROM big b JOIN bc ON b.g = bc.g
                JOIN uc ON split_part(b.g, ' ', 1) = uc.w)
         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-          ROUND(CAST(SUM(CAST(term AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6)
+          ROUND(CAST(SUM(CAST(term AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*), 6) + 0
             AS avg_logp
         FROM sc GROUP BY doc_id ORDER BY doc_id"""),
       (s, dir) => {
@@ -706,7 +706,7 @@ object TextAnalysis {
               FROM g gg LEFT JOIN b ON gg.g = b.g)
         SELECT doc_id, COUNT(*) AS n_grams,
           CAST(SUM(is_b) AS BIGINT) AS n_boiler,
-          ROUND(CAST(SUM(is_b) AS DOUBLE) / COUNT(*), 4) AS boiler_frac
+          ROUND(CAST(SUM(is_b) AS DOUBLE) / COUNT(*), 4) + 0 AS boiler_frac
         FROM j GROUP BY doc_id ORDER BY doc_id"""),
       (s, dir) => {
         val grams = docs(s, dir)
@@ -831,7 +831,7 @@ object TextAnalysis {
             ((doc_id * 2654435761) % 1000003 + 1) / 1000004.0 AS u
           FROM documents),
         k AS (SELECT doc_id, source,
-                round(ln(u) / n_chars, 9) AS ky
+                round(ln(u) / n_chars, 9) + 0 AS ky
               FROM s),
         r AS (SELECT doc_id, source, ky,
                 row_number() OVER (PARTITION BY source
@@ -1023,7 +1023,7 @@ object TextAnalysis {
         SELECT term_a, term_b,
           CAST(ta.df AS BIGINT) AS df_a, CAST(tb.df AS BIGINT) AS df_b,
           CAST(dfab AS BIGINT) AS df_ab,
-          round(dfab * 1.0 * (SELECT n FROM nn) / (ta.df * tb.df), 6)
+          round(dfab * 1.0 * (SELECT n FROM nn) / (ta.df * tb.df), 6) + 0
             AS lift
         FROM pr JOIN top ta ON pr.term_a = ta.term
                 JOIN top tb ON pr.term_b = tb.term
@@ -1156,12 +1156,12 @@ object TextAnalysis {
         term AS (SELECT sc.source,
             round((sc.c * 1.0 / st.t)
               * (round(ln(sc.c * 1.0 / st.t), 9)
-                 - round(ln(cw.cw * 1.0 / (SELECT tt FROM ct)), 9)), 12)
+                 - round(ln(cw.cw * 1.0 / (SELECT tt FROM ct)), 9)), 12) + 0
               AS kl_term
           FROM sc JOIN st ON sc.source = st.source
                   JOIN cw ON sc.w = cw.w)
         SELECT source,
-          round(CAST(SUM(CAST(kl_term AS DECIMAL(30,14))) AS DOUBLE), 9)
+          round(CAST(SUM(CAST(kl_term AS DECIMAL(30,14))) AS DOUBLE), 9) + 0
             AS kl_nats
         FROM term GROUP BY source ORDER BY source"""),
       (s, dir) => {
@@ -1209,7 +1209,7 @@ object TextAnalysis {
           CAST(n.n_unique AS BIGINT) AS n_unique,
           round(-CAST(SUM(CAST(round(c.c * 1.0 / n.n
               * round(ln(c.c * 1.0 / n.n), 9), 12) AS DECIMAL(30,14)))
-            AS DOUBLE), 9) AS entropy
+            AS DOUBLE), 9) + 0 AS entropy
         FROM c JOIN n USING (doc_id)
         GROUP BY c.doc_id, n.n, n.n_unique ORDER BY doc_id"""),
       (s, dir) => {
@@ -1255,7 +1255,7 @@ object TextAnalysis {
         SELECT source, CAST(n AS BIGINT) AS n_true,
           round(CAST(n AS DOUBLE)
             + CASE WHEN u < 0.5 THEN 2.0 * round(ln(2.0 * u), 9)
-                   ELSE -2.0 * round(ln(2.0 * (1.0 - u)), 9) END, 6)
+                   ELSE -2.0 * round(ln(2.0 * (1.0 - u)), 9) END, 6) + 0
             AS n_released,
           CAST(0.5 AS DOUBLE) AS epsilon
         FROM u ORDER BY source"""),
@@ -1299,7 +1299,7 @@ object TextAnalysis {
           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
           round(CAST(SUM(CAST(n_chars AS DECIMAL(30,8))) AS DOUBLE)
-            / COUNT(*), 4) AS mean_chars
+            / COUNT(*), 4) + 0 AS mean_chars
         FROM a GROUP BY bin ORDER BY bin"""),
       (s, dir) => {
         val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
@@ -1344,7 +1344,7 @@ object TextAnalysis {
         SELECT bg.w1 || ' ' || bg.w2 AS bigram, CAST(bg.c12 AS BIGINT) AS c12,
           round(round(ln(bg.c12 * 1.0 / (SELECT t FROM tb)), 9)
             - round(ln(u1.c * 1.0 / (SELECT t FROM tu)), 9)
-            - round(ln(u2.c * 1.0 / (SELECT t FROM tu)), 9), 9) AS pmi
+            - round(ln(u2.c * 1.0 / (SELECT t FROM tu)), 9), 9) + 0 AS pmi
         FROM bg JOIN uc u1 ON bg.w1 = u1.term
                 JOIN uc u2 ON bg.w2 = u2.term
         WHERE bg.c12 >= 5
@@ -1459,14 +1459,14 @@ object TextAnalysis {
                 round(ln((yt + CAST(0.5 AS DOUBLE))
                     / ((SELECT nt FROM n) - yt + CAST(0.5 AS DOUBLE))), 9)
                 - round(ln((yr + CAST(0.5 AS DOUBLE))
-                    / ((SELECT nr FROM n) - yr + CAST(0.5 AS DOUBLE))), 9)
+                    / ((SELECT nr FROM n) - yr + CAST(0.5 AS DOUBLE))), 9) + 0
                   AS delta,
                 sqrt(CAST(1 AS DOUBLE) / (yt + CAST(0.5 AS DOUBLE))
                   + CAST(1 AS DOUBLE) / (yr + CAST(0.5 AS DOUBLE))) AS sd
               FROM c)
         SELECT w AS word, CAST(yt AS BIGINT) AS n_target,
           CAST(yr AS BIGINT) AS n_rest,
-          round(delta / sd, 6) AS z
+          round(delta / sd, 6) + 0 AS z
         FROM z ORDER BY abs(round(delta / sd, 6)) DESC, word LIMIT 20"""),
       (s, dir) => {
         val tok = docs(s, dir).select((col("source") === "src0").as("tgt"),
@@ -1525,13 +1525,13 @@ object TextAnalysis {
                        (SELECT COALESCE(SUM(ct), 0) FROM ct) AS tt),
         term AS (SELECT cr.f,
                   round(ln(((COALESCE(ct.ct, 0) + 1) * (tot.rr + 512)) * 1.0
-                    / ((cr.cr + 1) * (tot.tt + 512))), 9) AS term
+                    / ((cr.cr + 1) * (tot.tt + 512))), 9) + 0 AS term
                  FROM cr LEFT JOIN ct ON ct.f = cr.f, tot),
         w AS (SELECT fe.doc_id, COUNT(*) AS n_feats,
                 SUM(CAST(term.term AS DECIMAL(30,12))) AS wsum
               FROM fe JOIN term ON term.f = fe.f GROUP BY fe.doc_id)
         SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
-          ROUND(CAST(wsum AS DOUBLE), 6) AS logw,
+          ROUND(CAST(wsum AS DOUBLE), 6) + 0 AS logw,
           CAST(CASE WHEN CAST(wsum AS DOUBLE) > 0 THEN 1 ELSE 0 END AS INT)
             AS selected
         FROM w ORDER BY doc_id"""),
@@ -2027,7 +2027,7 @@ object TextAnalysis {
               LEFT JOIN w2s ON w2s.w2 = split_part(s.g, ' ', 2), nt),
        sc$sfx AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                 ROUND(CAST(SUM(CAST(round(-ln(p), 9) AS DECIMAL(30,12)))
-                  AS DOUBLE) / COUNT(*), 6) AS avg_neg_logp
+                  AS DOUBLE) / COUNT(*), 6) + 0 AS avg_neg_logp
               FROM pr$sfx GROUP BY doc_id)"""
 
   /** q8v: the trained KN model folded to ONE broadcastable row — a
@@ -2355,7 +2355,7 @@ object TextAnalysis {
     s"""WITH ${bpeEncodeCntCte(trainPred, encodePred)}
         SELECT doc_id, n_words, n_units, n_tokens,
           CASE WHEN n_tokens > 0
-               THEN CAST(round(n_units * 1.0 / n_tokens, 4) AS DOUBLE) END
+               THEN CAST(round(n_units * 1.0 / n_tokens, 4) + 0 AS DOUBLE) END
             AS compression
         FROM cnt ORDER BY doc_id"""
 

@@ -30,7 +30,7 @@ object Windows {
         CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk,
         CAST(drnk AS INT) AS drnk, CAST(quartile AS INT) AS quartile
       FROM (
-        SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS acctbal,
+        SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) + 0 AS acctbal,
           ROW_NUMBER() OVER w AS rn,
           RANK() OVER w AS rnk,
           DENSE_RANK() OVER w AS drnk,
@@ -56,9 +56,9 @@ object Windows {
     QueryDef(
       "q21_window_analytic",
       Some("""SELECT o_orderkey, o_custkey,
-        ROUND(LAG(o_totalprice) OVER w, 2) AS prev_price,
-        ROUND(LEAD(o_totalprice) OVER w, 2) AS next_price,
-        ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS first_price
+        ROUND(LAG(o_totalprice) OVER w, 2) + 0 AS prev_price,
+        ROUND(LEAD(o_totalprice) OVER w, 2) + 0 AS next_price,
+        ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) + 0 AS first_price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_orderkey"""),
@@ -79,7 +79,7 @@ object Windows {
       Some("""SELECT o_orderkey, o_custkey,
         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS running_spend,
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) + 0 AS running_spend,
         CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_so_far
         FROM orders ORDER BY o_orderkey"""),
@@ -102,7 +102,7 @@ object Windows {
         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,8)))
           OVER (PARTITION BY o_custkey
                 ORDER BY date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
-                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS trailing_30d
+                RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) + 0 AS trailing_30d
         FROM orders ORDER BY o_orderkey"""),
       (s, dir) => {
         val withDays = t(s, dir, "orders")
@@ -122,7 +122,7 @@ object Windows {
       "q24_topk_per_group",
       Some("""SELECT o_orderpriority, o_orderkey, price, CAST(rn AS INT) AS rn
         FROM (
-        SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price,
+        SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) + 0 AS price,
           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
         FROM orders) WHERE rn <= 3
@@ -141,7 +141,7 @@ object Windows {
 
     QueryDef(
       "q25_top_global",
-      Some("""SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price
+      Some("""SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) + 0 AS price
         FROM lineitem
         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100"""),
       (s, dir) =>

@@ -154,6 +154,21 @@ object KafkaWireProtocol {
       attr = 1)
   }
 
+  /** [[gzipWrap]]'s snappy twin: ONE snappy wrapper message (attributes
+    * low bits = 2), value = the xerial-framed compression of the inner
+    * plain MessageSet — byte-layout what a 0.9 producer with
+    * compression.type=snappy emits (snappy-java SnappyOutputStream
+    * framing; see [[Snappy]]). */
+  def snappyWrap(msgs: Seq[WireMessage], wrapperOffset: Long = 0L): Array[Byte] = {
+    require(msgs.nonEmpty, "empty compressed set")
+    val inner = encodeMessageSetAttr(
+      msgs.zipWithIndex.map { case (m, i) => m.copy(offset = i.toLong) }, 0)
+    encodeMessageSetAttr(
+      Seq(WireMessage(wrapperOffset, null, Snappy.compress(inner),
+        msgs.map(_.magic).max, msgs.map(_.timestampMs).max)),
+      attr = 2)
+  }
+
   private def gunzip(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -199,12 +214,14 @@ object KafkaWireProtocol {
         (attr & 0x07) match {
           case 0 =>
             out += WireMessage(offset, key, value, magic, ts)
-          case 1 =>
+          case c @ (1 | 2) =>
+            val name = if (c == 1) "gzip" else "snappy"
             require(value != null,
-              s"gzip wrapper at offset $offset has null value")
-            val inner = decodeMessageSet(gunzip(value))
+              s"$name wrapper at offset $offset has null value")
+            val inner = decodeMessageSet(
+              if (c == 1) gunzip(value) else Snappy.uncompress(value))
             require(inner.nonEmpty,
-              s"gzip wrapper at offset $offset decoded to an empty set")
+              s"$name wrapper at offset $offset decoded to an empty set")
             // wrapper offset = absolute offset of the LAST inner message
             val base = offset - (inner.size - 1)
             out ++= inner.zipWithIndex.map { case (m, i) =>
@@ -212,9 +229,10 @@ object KafkaWireProtocol {
             }
           case c =>
             throw new IllegalArgumentException(
-              s"unsupported compression codec $c (snappy/lz4) in message " +
-                s"set at offset $offset: graft-kafka decodes none/gzip " +
-                "only — recompress the topic or produce uncompressed")
+              s"unsupported compression codec $c (lz4) in message " +
+                s"set at offset $offset: graft-kafka decodes " +
+                "none/gzip/snappy only — recompress the topic or " +
+                "produce uncompressed")
         }
         true
       }

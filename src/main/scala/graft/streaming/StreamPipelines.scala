@@ -1255,6 +1255,65 @@ object StreamPipelines {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** q8y: streaming graph-ANN serve from the PERSISTED NN-Descent
+    * graph — the q8g IVF-serve pattern applied to the graph index
+    * family (build qao / serve qat / insert qb3 / delete qb4 /
+    * compact qb5 now all have their streaming or batch counterpart).
+    * The k-NN graph is built once and persisted; queries ARRIVE as a
+    * CDC stream (two commits, odd ids then even) and every micro-batch
+    * is answered by [[graft.operators.NnDescent.beamServeFor]] — the
+    * width-4 beam walk over stored edges, ≤ BeamWidth·K distance evals
+    * per query per hop, N-independent, completely STATELESS (zero
+    * state rows; the graph is a parquet read, so no per-trigger
+    * retrain — the q8p lesson pre-applied). Per-batch results land in
+    * batch-id-keyed files (overwrite → replay idempotent, the
+    * labels_v<N> rule); the drained union must be indistinguishable
+    * from the batch walk's final beam — the oracle is qat's replay
+    * CTEs, final hop only. */
+  def docStreamGraphServe(s: SparkSession, sfDir: String,
+      graphPath: String): DataFrame = {
+    import graft.operators.NnDescent
+    val tmp = graft.TempDirs.create("graft_graph_serve_stream")
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+    NnDescent.knnGraph(e).write.mode("overwrite").parquet(graphPath)
+    val g = s.read.parquet(graphPath)
+    val q = e.filter(col("vec_id") < 10)
+    graft.connector.GraftDoc.write(
+      q.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", s"$tmp/queries")
+    graft.connector.GraftDoc.write(
+      q.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", s"$tmp/queries")
+    val ckpt = ephemeralCheckpoint("graph_serve")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val stream = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/queries", maxCommitsPerTrigger = Some(1L))
+          // the sink hoisted vec_id into the string `_id` key (P2's rule)
+          .select(col("_id").cast("long").as("qid"), col("embedding").as("qe"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            NnDescent.beamServeFor(batch, e, g)
+              .write.mode("overwrite").parquet(s"$tmp/served_b$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        stream.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    val served = s.read.parquet(s"$tmp/served_b*")
+    val exact = graft.queries.SimilarityQueries
+      .exactTopK(e, NnDescent.ReportK)
+      .withColumn("in_top5", lit(1))
+    served.join(exact,
+        served("qid") === exact("qid") && served("nid") === exact("nid"),
+        "left")
+      .select(served("qid"), col("rnk"), served("nid"),
+        round(col("c"), 4).as("cos"),
+        coalesce(col("in_top5"), lit(0)).cast("int").as("in_top5"))
+      .orderBy(served("qid"), col("rnk"))
+  }
+
   /** q8h: streaming range join — clicks ARRIVE as a CDC stream (two
     * commits) and every micro-batch joins to the STATIC attribution-window
     * table through [[graft.operators.RangeJoin]]'s bin key: the static

@@ -472,6 +472,42 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "graphdelete") {
+      // qb4: repairing a FIXED tombstone sweep in a growing graph must
+      // cost ~flat (per-affected-node work ≤K² distance evals plus a
+      // graph scan through the semi/anti split), while the naive
+      // alternative — rebuild the surviving graph — pays the full
+      // construction that grows with N (the graphinsert twin, remove
+      // side). The tombstone SET is held fixed by widening the modulus
+      // with the replication factor (mod = 16·mult keeps ~n0/16
+      // tombstones at every scale; 1e6 ≡ 0 (mod 16·4), so replicated
+      // ids preserve the residue structure).
+      import graft.operators.NnDescent
+      val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      for (mult <- Seq(1, 4)) {
+        val e = replicate(e0, "vec_id", mult, 1000000L).cache()
+        val n = e.count()
+        val mod = NnDescent.DeleteMod * mult
+        val nDead = e.filter(
+          pmod(col("vec_id"), lit(mod)) === NnDescent.DeleteRes).count()
+        val p = s"/tmp/graft_scale_gdelete_$mult"
+        NnDescent.knnGraph(e).write.mode("overwrite").parquet(p)
+        val g0 = spark.read.parquet(p)
+        val edges = time(s"repair fixed sweep (n=$n, tombstones=$nDead)") {
+          NnDescent.deleteRepair(e, g0, mod, NnDescent.DeleteRes).count()
+        }
+        val rebuilt = time(s"naive: rebuild surviving graph (n=$n)") {
+          NnDescent.knnGraph(e.filter(
+            pmod(col("vec_id"), lit(mod)) =!= NnDescent.DeleteRes)).count()
+        }
+        println(s"[scale]   repaired edges=$edges rebuilt edges=$rebuilt " +
+          "— per-sweep incremental cost = repair only")
+        e.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "joinorder") {
       // qam: does the catalog's pick match measured reality, and what
       // does picking wrong cost? Prices both left-deep orders from the

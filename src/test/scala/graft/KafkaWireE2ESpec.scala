@@ -101,6 +101,31 @@ class KafkaWireE2ESpec extends SparkSpec {
     }
   }
 
+  test("snappy-compressed produce decodes transparently on the wire (0.9 producer parity)") {
+    withBroker { b =>
+      b.createTopic("t_sn", 1)
+      withClient(b) { c =>
+        c.produceSnappy("t_sn", 0, Seq(
+          WireMessage(0, "k".getBytes(UTF_8), "snappy-1".getBytes(UTF_8)),
+          WireMessage(0, null, "snappy-2".getBytes(UTF_8))))
+        c.produce("t_sn", 0, Seq(
+          WireMessage(0, null, "plain-3".getBytes(UTF_8))))
+      }
+      val cfg = StreamSource.StreamConfig(
+        referenceName = "e2e_sn", brokers = b.bootstrapServers,
+        topics = Seq("t_sn"), initialOffset = "beginning",
+        format = Some("text"))
+      drain(cfg, "e2e_sn")
+      val rows = spark.table("e2e_sn")
+        .select(col("offset"), col("key").cast("string"), col("message"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (0L, "k", "snappy-1"),
+        (1L, null, "snappy-2"),
+        (2L, null, "plain-3")))
+    }
+  }
+
   test("csv decode end-to-end, and magic-1 timestamps surface as CREATE_TIME") {
     withBroker { b =>
       b.createTopic("t_csv", 1)

@@ -174,8 +174,8 @@ class KafkaWireProtocolSpec extends AnyFunSuite {
       Seq("payload-number-0", "payload-number-1", "payload-number-2"))
   }
 
-  test("snappy/lz4 codec bits fail loudly, never silent blobs") {
-    for (codec <- Seq(2, 3)) {
+  test("lz4 codec bits fail loudly; snappy gibberish fails loudly, never silent blobs") {
+    def wrapper(codec: Int): Array[Byte] = {
       val body = new Out
       body.i8(0).i8(codec.toByte)
       body.bytes(null).bytes("compressed-gibberish".getBytes)
@@ -184,8 +184,83 @@ class KafkaWireProtocolSpec extends AnyFunSuite {
       crc.update(b, 0, b.length)
       val o = new Out
       o.i64(0L).i32(4 + b.length).i32(crc.getValue.toInt).raw(b)
-      val e = intercept[IllegalArgumentException](decodeMessageSet(o.toBytes))
-      assert(e.getMessage.contains("unsupported compression codec"))
+      o.toBytes
+    }
+    val e3 = intercept[IllegalArgumentException](decodeMessageSet(wrapper(3)))
+    assert(e3.getMessage.contains("unsupported compression codec"))
+    // codec 2 now DECODES — but gibberish must still die loudly, not
+    // surface as a corrupt row value
+    val e2 = intercept[IllegalArgumentException](decodeMessageSet(wrapper(2)))
+    assert(e2.getMessage.contains("snappy"))
+  }
+
+  // ------------------------------------------------------------- snappy
+
+  test("snappy golden vectors: copy ops with 1/2/4-byte offsets, overlap RLE, long literal") {
+    import graft.sources.kafka.Snappy
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // literal "ab" + copy-1 (len 8, off 2): the overlapping RLE idiom
+    assert(new String(Snappy.uncompressBlock(
+      bytes(10, 0x04, 'a', 'b', 0x11, 0x02))) == "ababababab")
+    // literal "abcd" + copy-2 (len 4, off 4 LE)
+    assert(new String(Snappy.uncompressBlock(
+      bytes(8, 0x0c, 'a', 'b', 'c', 'd', 0x0e, 0x04, 0x00))) == "abcdabcd")
+    // literal "abcd" + copy-4 (len 4, off 4 LE32)
+    assert(new String(Snappy.uncompressBlock(
+      bytes(8, 0x0c, 'a', 'b', 'c', 'd', 0x0f, 0x04, 0x00, 0x00, 0x00)))
+      == "abcdabcd")
+    // long literal: tag 0xf0 = 1 extra length byte, value 69 → len 70
+    val seventy = Array.tabulate(70)(i => ('a' + i % 26).toByte)
+    assert(Snappy.uncompressBlock(
+      bytes(70, 0xf0, 69) ++ seventy).sameElements(seventy))
+  }
+
+  test("snappy malformed input dies loudly: bad offsets, overruns, length lies") {
+    import graft.sources.kafka.Snappy
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // copy before any output (offset > produced)
+    intercept[IllegalArgumentException](
+      Snappy.uncompressBlock(bytes(4, 0x11, 0x02)))
+    // literal overruns the promised length
+    intercept[IllegalArgumentException](
+      Snappy.uncompressBlock(bytes(1, 0x04, 'a', 'b')))
+    // block decodes short of the promised length
+    intercept[IllegalArgumentException](
+      Snappy.uncompressBlock(bytes(9, 0x04, 'a', 'b')))
+    // xerial frame whose block length overruns the buffer
+    val bad = Array[Byte](0x82.toByte, 'S', 'N', 'A', 'P', 'P', 'Y', 0x0,
+      0, 0, 0, 1, 0, 0, 0, 1, 0, 0, 0, 99, 1, 2)
+    intercept[IllegalArgumentException](Snappy.uncompress(bad))
+  }
+
+  test("snappy round-trips: raw block, xerial multi-block, empty, unframed fallback") {
+    import graft.sources.kafka.Snappy
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(0, 1, 59, 60, 61, 1000, 40 * 1024, 70 * 1024)) {
+      val data = new Array[Byte](n); rnd.nextBytes(data)
+      assert(Snappy.uncompress(Snappy.compress(data)).sameElements(data),
+        s"xerial round-trip failed at n=$n")
+      assert(Snappy.uncompressBlock(Snappy.compressBlock(data))
+        .sameElements(data), s"raw-block round-trip failed at n=$n")
+      // unframed values (pre-xerial producers) decode via the fallback
+      assert(Snappy.uncompress(Snappy.compressBlock(data))
+        .sameElements(data), s"unframed fallback failed at n=$n")
+    }
+  }
+
+  test("snappy wrapper messages decode with reconstructed offsets (gzip parity)") {
+    samples(Gen.listOfN(4, genMsg), 40).foreach { msgs0 =>
+      val msgs = msgs0.map { m =>
+        m.copy(value = if (m.value == null) Array[Byte]() else m.value)
+      }
+      val wrapperOffset = 100L + msgs.size - 1
+      val decoded = decodeMessageSet(snappyWrap(msgs, wrapperOffset))
+      assert(decoded.size == msgs.size)
+      decoded.zip(msgs).zipWithIndex.foreach { case ((d, m), i) =>
+        assert(d.offset == 100L + i)
+        assert(sameBytes(d.key, m.key))
+        assert(sameBytes(d.value, m.value))
+      }
     }
   }
 }

@@ -66,6 +66,23 @@ class QueryContractSpec extends AnyFunSuite {
     } yield s"${d.name}: ${v.mkString("; ")}"
     assert(bad.isEmpty, bad.mkString("\n"))
   }
+
+  // Round-12 escape class (qat): DuckDB round() preserves the sign of a
+  // tiny negative (round(-1e-9, 4) → -0.0 raw bits 0x800...) while Spark's
+  // round goes through BigDecimal, which has no -0.0 — a one-BIT hash
+  // divergence in an otherwise identical cell. Protection = `+ 0` on the
+  // emitted value (a no-op on every value except -0.0). This lint flags
+  // every oracle final-projection item that emits a DOUBLE-typed round()
+  // — inline or via alias taint — without the normalization.
+  // check_correctness.py enforces the same contract dynamically (float
+  // cells compared as raw IEEE-754 bits).
+  test("oracle final projections never emit rounded DOUBLEs without + 0") {
+    val bad = for {
+      d <- defs; sql <- d.oracle.toSeq
+      v = OracleTypeLint.checkSignedZero(sql) if v.nonEmpty
+    } yield s"${d.name}: ${v.mkString("; ")}"
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
 }
 
 /** Textual lint for the DuckDB output-type promotion trap (see the spec
@@ -197,5 +214,106 @@ object OracleTypeLint {
         s"uncast $what reaches final projection via alias '$name'"
     }
     inline.toSeq ++ aliased
+  }
+
+  /** Signed-zero lint (round-12 escape class, qat): DuckDB `round()`
+    * preserves the sign of a tiny negative (`round(-1e-9, 4)` → `-0.0`)
+    * while Spark's round goes through BigDecimal, which cannot represent
+    * −0.0 — so any DOUBLE-typed rounded value the oracle emits is one
+    * data nudge away from a one-bit hash divergence. The repo-wide
+    * protection idiom is `+ 0` on the emitted value (a no-op on every
+    * value except −0.0). Flags every final-projection item that emits a
+    * DOUBLE round() — inline, or by exact-name emission of an alias the
+    * taint closure traced back to an unprotected round — without `+ 0`.
+    * Heuristic like [[check]]: paren-matched spans, no SQL parse, tuned
+    * to zero false positives on the suite.
+    */
+  def checkSignedZero(sql: String): Seq[String] = {
+    val prot = "\\+\\s*0(?![.\\w])".r // `+ 0` but not `+ 0.5` / `+ 0x1`
+    case class Site(start: Int, end: Int, alias: Option[String])
+    def aliasAfter(pos: Int): Option[(String, Int)] = {
+      val m = "(?s)^\\s+AS\\s+(\\w+)".r.findFirstMatchIn(sql.substring(pos))
+      m.map(mm => (mm.group(1), pos + mm.start(1)))
+    }
+    val sites = collection.mutable.Buffer[Site]()
+    for (m <- "(?i)\\bround\\s*\\(".r.findAllMatchIn(sql)) {
+      val close = matchParen(sql, m.end - 1)
+      if (close > 0) {
+        val pre = sql.substring(0, m.start)
+        val wrapped = "(?is).*\\bCAST\\s*\\(\\s*$".r.findFirstIn(pre).isDefined
+        val castTarget =
+          if (!wrapped) None
+          else "(?is)^\\s*AS\\s+([A-Z]+)".r
+            .findFirstMatchIn(sql.substring(close + 1)).map(_.group(1).toUpperCase)
+        if (!castTarget.exists(_ != "DOUBLE")) {
+          // DOUBLE-producing round: bare, or CAST(round(...) AS DOUBLE)
+          val aliasPos = castTarget match {
+            case Some(_) => // skip past the enclosing cast's close paren
+              val castOpen = pre.lastIndexOf('(')
+              matchParen(sql, castOpen) + 1
+            case None => close + 1
+          }
+          val a = aliasAfter(aliasPos)
+          // site-level protection: `round(...) + 0 AS name`
+          val siteProt = a.exists { case (_, apos) =>
+            prot.findFirstIn(sql.substring(close + 1, apos)).isDefined
+          }
+          if (!siteProt) sites += Site(m.start, close + 1, a.map(_._1))
+        }
+      }
+    }
+    if (sites.isEmpty) return Nil
+
+    // taint closure over plain re-aliasing (a CAST to a non-double type
+    // would clean the taint, but `CAST(x AS BIGINT) AS y` does not match
+    // the `x AS y` shape, so it never propagates here anyway)
+    val tainted = collection.mutable.Set[String]()
+    for (s <- sites; a <- s.alias) tainted += a.toLowerCase
+    var changed = true
+    while (changed) {
+      changed = false
+      for (name <- tainted.toList) {
+        val re = ("(?i)\\b(?:\\w+\\.)?" + java.util.regex.Pattern.quote(name) +
+          "\\s+AS\\s+(\\w+)").r
+        for (m <- re.findAllMatchIn(sql)) {
+          val a = m.group(1).toLowerCase
+          if (!tainted.contains(a) && a != "double") { tainted += a; changed = true }
+        }
+      }
+    }
+
+    val (ps, pe) = finalProjection(sql)
+    val proj = sql.substring(ps, pe)
+    // absolute spans of the final projection's comma-split items
+    val items: Seq[(Int, Int)] = {
+      val selLen = "(?is)^\\s*SELECT\\s+(DISTINCT\\s+)?".r
+        .findFirstIn(proj).map(_.length).getOrElse(0)
+      val spans = collection.mutable.Buffer[(Int, Int)]()
+      var depth = 0; var start = ps + selLen
+      for (i <- (ps + selLen) until pe) sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => spans += ((start, i)); start = i + 1
+        case _ =>
+      }
+      spans += ((start, pe))
+      spans.toSeq
+    }
+    def itemText(sp: (Int, Int)) = sql.substring(sp._1, sp._2).trim
+    val inline = for {
+      sp <- items
+      s <- sites if s.start >= sp._1 && s.end <= sp._2
+      if prot.findFirstIn(itemText(sp)).isEmpty
+    } yield s"unprotected DOUBLE round() in final projection item '${itemText(sp).take(60)}'"
+    val viaAlias = for {
+      sp <- items
+      it = itemText(sp)
+      name <- tainted.toSeq.sorted
+      re = ("(?is)^(?:CAST\\s*\\(\\s*)?(?:\\w+\\.)?" +
+        java.util.regex.Pattern.quote(name) +
+        "(\\s+AS\\s+DOUBLE\\s*\\))?(\\s+AS\\s+\\w+)?$").r
+      if re.findFirstIn(it).isDefined
+    } yield s"rounded DOUBLE reaches final projection unprotected via alias '$name'"
+    (inline ++ viaAlias).distinct
   }
 }
