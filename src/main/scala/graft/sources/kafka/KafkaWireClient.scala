@@ -121,4 +121,15 @@ final class KafkaWireClient(host: String, port: Int,
     require(p.error == ErrNone, s"produce error ${p.error} for $topic-$partition")
     p.baseOffset
   }
+
+  /** Produce a batch as ONE lz4 wrapper message — what a 0.9 producer
+    * with compression.type=lz4 puts on the wire (frame format). */
+  def produceLz4(topic: String, partition: Int, msgs: Seq[WireMessage]): Long = {
+    val r = decodeProduceResponse(call(ApiProduce, encodeProduceRequest(
+      ProduceRequest(acks = 1, timeoutMs = 10000, topic,
+        Seq((partition, lz4Wrap(msgs)))))))
+    val p = r.head._2.head
+    require(p.error == ErrNone, s"produce error ${p.error} for $topic-$partition")
+    p.baseOffset
+  }
 }

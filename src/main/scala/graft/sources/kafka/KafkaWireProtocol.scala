@@ -169,6 +169,20 @@ object KafkaWireProtocol {
       attr = 2)
   }
 
+  /** [[gzipWrap]]'s lz4 twin: ONE lz4 wrapper message (attributes low
+    * bits = 3), value = the LZ4-framed compression of the inner plain
+    * MessageSet — what a 0.9 producer with compression.type=lz4 emits
+    * (KafkaLZ4BlockOutputStream; see [[Lz4]]). */
+  def lz4Wrap(msgs: Seq[WireMessage], wrapperOffset: Long = 0L): Array[Byte] = {
+    require(msgs.nonEmpty, "empty compressed set")
+    val inner = encodeMessageSetAttr(
+      msgs.zipWithIndex.map { case (m, i) => m.copy(offset = i.toLong) }, 0)
+    encodeMessageSetAttr(
+      Seq(WireMessage(wrapperOffset, null, Lz4.compress(inner),
+        msgs.map(_.magic).max, msgs.map(_.timestampMs).max)),
+      attr = 3)
+  }
+
   private def gunzip(bytes: Array[Byte]): Array[Byte] = {
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes))
@@ -214,12 +228,17 @@ object KafkaWireProtocol {
         (attr & 0x07) match {
           case 0 =>
             out += WireMessage(offset, key, value, magic, ts)
-          case c @ (1 | 2) =>
-            val name = if (c == 1) "gzip" else "snappy"
+          case c @ (1 | 2 | 3) =>
+            val name = c match {
+              case 1 => "gzip"; case 2 => "snappy"; case _ => "lz4"
+            }
             require(value != null,
               s"$name wrapper at offset $offset has null value")
-            val inner = decodeMessageSet(
-              if (c == 1) gunzip(value) else Snappy.uncompress(value))
+            val inner = decodeMessageSet(c match {
+              case 1 => gunzip(value)
+              case 2 => Snappy.uncompress(value)
+              case _ => Lz4.decompress(value)
+            })
             require(inner.nonEmpty,
               s"$name wrapper at offset $offset decoded to an empty set")
             // wrapper offset = absolute offset of the LAST inner message
@@ -229,10 +248,8 @@ object KafkaWireProtocol {
             }
           case c =>
             throw new IllegalArgumentException(
-              s"unsupported compression codec $c (lz4) in message " +
-                s"set at offset $offset: graft-kafka decodes " +
-                "none/gzip/snappy only — recompress the topic or " +
-                "produce uncompressed")
+              s"unknown compression codec $c in message set at offset " +
+                s"$offset: the 0.9 wire defines none/gzip/snappy/lz4 only")
         }
         true
       }

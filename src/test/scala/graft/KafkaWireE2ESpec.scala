@@ -126,6 +126,31 @@ class KafkaWireE2ESpec extends SparkSpec {
     }
   }
 
+  test("lz4-compressed produce decodes transparently on the wire (0.9 producer parity)") {
+    withBroker { b =>
+      b.createTopic("t_lz", 1)
+      withClient(b) { c =>
+        c.produceLz4("t_lz", 0, Seq(
+          WireMessage(0, "k".getBytes(UTF_8), "lz4-1".getBytes(UTF_8)),
+          WireMessage(0, null, "lz4-2".getBytes(UTF_8))))
+        c.produce("t_lz", 0, Seq(
+          WireMessage(0, null, "plain-3".getBytes(UTF_8))))
+      }
+      val cfg = StreamSource.StreamConfig(
+        referenceName = "e2e_lz", brokers = b.bootstrapServers,
+        topics = Seq("t_lz"), initialOffset = "beginning",
+        format = Some("text"))
+      drain(cfg, "e2e_lz")
+      val rows = spark.table("e2e_lz")
+        .select(col("offset"), col("key").cast("string"), col("message"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      assert(rows.toSeq == Seq(
+        (0L, "k", "lz4-1"),
+        (1L, null, "lz4-2"),
+        (2L, null, "plain-3")))
+    }
+  }
+
   test("csv decode end-to-end, and magic-1 timestamps surface as CREATE_TIME") {
     withBroker { b =>
       b.createTopic("t_csv", 1)

@@ -174,7 +174,7 @@ class KafkaWireProtocolSpec extends AnyFunSuite {
       Seq("payload-number-0", "payload-number-1", "payload-number-2"))
   }
 
-  test("lz4 codec bits fail loudly; snappy gibberish fails loudly, never silent blobs") {
+  test("compressed gibberish fails loudly per codec; unknown codec bits rejected") {
     def wrapper(codec: Int): Array[Byte] = {
       val body = new Out
       body.i8(0).i8(codec.toByte)
@@ -186,12 +186,14 @@ class KafkaWireProtocolSpec extends AnyFunSuite {
       o.i64(0L).i32(4 + b.length).i32(crc.getValue.toInt).raw(b)
       o.toBytes
     }
-    val e3 = intercept[IllegalArgumentException](decodeMessageSet(wrapper(3)))
-    assert(e3.getMessage.contains("unsupported compression codec"))
-    // codec 2 now DECODES — but gibberish must still die loudly, not
+    // codecs 2/3 now DECODE — but gibberish must still die loudly, not
     // surface as a corrupt row value
     val e2 = intercept[IllegalArgumentException](decodeMessageSet(wrapper(2)))
     assert(e2.getMessage.contains("snappy"))
+    val e3 = intercept[IllegalArgumentException](decodeMessageSet(wrapper(3)))
+    assert(e3.getMessage.contains("lz4"))
+    val e4 = intercept[IllegalArgumentException](decodeMessageSet(wrapper(4)))
+    assert(e4.getMessage.contains("unknown compression codec"))
   }
 
   // ------------------------------------------------------------- snappy
@@ -248,6 +250,71 @@ class KafkaWireProtocolSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- lz4
+
+  test("xxHash32 matches the published reference vectors") {
+    import graft.sources.kafka.Lz4
+    def h(s: String): Int = Lz4.xxHash32(s.getBytes, 0, s.length, 0)
+    assert(h("") == 0x02cc5d05)
+    assert(h("a") == 0x550d7456)
+    assert(h("abc") == 0x32d153ff)
+  }
+
+  test("lz4 golden vectors: match copy, overlap RLE, literal-only tail") {
+    import graft.sources.kafka.Lz4
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // token lit=4/match=0(+4), offset 4 → "abcdabcd"
+    assert(new String(Lz4.decompressBlock(
+      bytes(0x40, 'a', 'b', 'c', 'd', 0x04, 0x00), 8)) == "abcdabcd")
+    // token lit=1/match=3(+4), offset 1 → 8 × 'a' (overlap RLE)
+    assert(new String(Lz4.decompressBlock(
+      bytes(0x13, 'a', 0x01, 0x00), 8)) == "aaaaaaaa")
+    // literal-only final sequence
+    assert(new String(Lz4.decompressBlock(
+      bytes(0x30, 'x', 'y', 'z'), 3)) == "xyz")
+    // 15+ literal length extension: 15 + 5 = 20 literals
+    val lits = Array.tabulate(20)(i => ('a' + i).toByte)
+    assert(Lz4.decompressBlock(bytes(0xf0, 5) ++ lits, 20).sameElements(lits))
+  }
+
+  test("lz4 malformed input dies loudly: bad offsets, overruns, bad frames") {
+    import graft.sources.kafka.Lz4
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // match before any output
+    intercept[IllegalArgumentException](
+      Lz4.decompressBlock(bytes(0x03, 0x01, 0x00), 7))
+    // literal overruns the promised length
+    intercept[IllegalArgumentException](
+      Lz4.decompressBlock(bytes(0x30, 'x', 'y', 'z'), 2))
+    // decodes short of the promised length
+    intercept[IllegalArgumentException](
+      Lz4.decompressBlock(bytes(0x30, 'x', 'y', 'z'), 9))
+    // bad frame magic
+    intercept[IllegalArgumentException](
+      Lz4.decompress("not-an-lz4-frame".getBytes))
+    // good magic, corrupt header checksum
+    val good = Lz4.compress("payload".getBytes)
+    val bad = good.clone(); bad(6) = (bad(6) ^ 0x5a).toByte
+    val e = intercept[IllegalArgumentException](Lz4.decompress(bad))
+    assert(e.getMessage.contains("header checksum"))
+  }
+
+  test("lz4 frame round-trips, incl. the KAFKA-3160 magic-inclusive checksum variant") {
+    import graft.sources.kafka.Lz4
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(0, 1, 100, 64 * 1024, 100 * 1024)) {
+      val data = new Array[Byte](n); rnd.nextBytes(data)
+      assert(Lz4.decompress(Lz4.compress(data)).sameElements(data),
+        s"frame round-trip failed at n=$n")
+      // rewrite the header checksum to kafka-0.9's buggy value (covers
+      // the magic) — the decoder must accept BOTH
+      val f = Lz4.compress(data)
+      f(6) = ((Lz4.xxHash32(f, 0, 6, 0) >> 8) & 0xff).toByte
+      assert(Lz4.decompress(f).sameElements(data),
+        s"kafka-checksum variant failed at n=$n")
+    }
+  }
+
   test("snappy wrapper messages decode with reconstructed offsets (gzip parity)") {
     samples(Gen.listOfN(4, genMsg), 40).foreach { msgs0 =>
       val msgs = msgs0.map { m =>
@@ -255,6 +322,22 @@ class KafkaWireProtocolSpec extends AnyFunSuite {
       }
       val wrapperOffset = 100L + msgs.size - 1
       val decoded = decodeMessageSet(snappyWrap(msgs, wrapperOffset))
+      assert(decoded.size == msgs.size)
+      decoded.zip(msgs).zipWithIndex.foreach { case ((d, m), i) =>
+        assert(d.offset == 100L + i)
+        assert(sameBytes(d.key, m.key))
+        assert(sameBytes(d.value, m.value))
+      }
+    }
+  }
+
+  test("lz4 wrapper messages decode with reconstructed offsets (gzip parity)") {
+    samples(Gen.listOfN(4, genMsg), 40).foreach { msgs0 =>
+      val msgs = msgs0.map { m =>
+        m.copy(value = if (m.value == null) Array[Byte]() else m.value)
+      }
+      val wrapperOffset = 100L + msgs.size - 1
+      val decoded = decodeMessageSet(lz4Wrap(msgs, wrapperOffset))
       assert(decoded.size == msgs.size)
       decoded.zip(msgs).zipWithIndex.foreach { case ((d, m), i) =>
         assert(d.offset == 100L + i)
