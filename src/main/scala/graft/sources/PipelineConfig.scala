@@ -17,20 +17,36 @@ import graft.schema.AvroSchemaBridge
   * [[DocSinkSpec]]; nothing downstream changes.
   *
   * Macro semantics follow CDAP's: `${name}` resolves from the runtime
-  * arguments, resolution is recursive (an argument's value may itself
+  * arguments, resolution is recursive and INNERMOST-first (an
+  * argument's value — or a function macro's argument — may itself
   * contain macros) with a depth cap so a cycle fails loudly instead of
-  * spinning, an unresolvable name is a configure-time error (the
-  * reference surfaces it at provisioning), and function macros
-  * (`${secure(...)}`, `${logicalStartTime(...)}`) are rejected with a
-  * clear message — they need a CDAP runtime, not a table of strings.
+  * spinning, and an unresolvable name is a configure-time error (the
+  * reference surfaces it at provisioning). The two CDAP macro
+  * FUNCTIONS the reference's host evaluates are implemented against
+  * explicitly-supplied runtime values — never ambient state, so a
+  * ported config resolves identically on every run:
+  *   - `${logicalStartTime(format[,offset[,timezone]])}` formats the
+  *     SUPPLIED logical start instant (CDAP semantics: the offset —
+  *     `1d-4h+30m` style, units s/m/h/d — is SUBTRACTED; timezone
+  *     defaults to UTC; no format → epoch millis). A config that uses
+  *     it without a supplied instant fails loudly — the engine never
+  *     invents a wall-clock default.
+  *   - `${secure(key)}` resolves from the supplied secure map (the
+  *     porting stand-in for the CDAP secure store) or fails loudly.
   */
 object PipelineConfig {
 
-  private val MacroRe = """\$\{([^}]*)\}""".r
+  // innermost-first: no braces inside the body, so nested macros
+  // (`${logicalStartTime(${fmt})}`) resolve inner → outer across the
+  // iteration loop
+  private val MacroRe = """\$\{([^{}]*)\}""".r
 
-  /** `${name}` substitution over one property value. Non-macro text
-    * passes through untouched; `$` without `{` is literal. */
-  def substitute(value: String, macros: Map[String, String]): String = {
+  /** `${name}` / `${fn(args)}` substitution over one property value.
+    * Non-macro text passes through untouched; `$` without `{` is
+    * literal. */
+  def substitute(value: String, macros: Map[String, String],
+      logicalStartTime: Option[Long] = None,
+      secure: Map[String, String] = Map.empty): String = {
     var cur = value
     var depth = 0
     while (MacroRe.findFirstIn(cur).isDefined) {
@@ -39,16 +55,98 @@ object PipelineConfig {
         s"macro recursion exceeds depth 10 resolving '$value' — cycle?")
       cur = MacroRe.replaceAllIn(cur, m => {
         val name = m.group(1)
-        require(!name.contains("("),
-          s"function macro '$${$name}' is not supported — only plain " +
-            "runtime-argument substitution (secure()/logicalStartTime() " +
-            "need a CDAP runtime)")
-        val v = macros.getOrElse(name, throw new IllegalArgumentException(
-          s"unresolvable macro '$${$name}' — not in the runtime arguments"))
+        val v =
+          if (name.contains("(")) evalFunction(name, logicalStartTime, secure)
+          else macros.getOrElse(name, throw new IllegalArgumentException(
+            s"unresolvable macro '$${$name}' — not in the runtime arguments"))
         scala.util.matching.Regex.quoteReplacement(v)
       })
     }
     cur
+  }
+
+  /** One CDAP macro-function call, evaluated deterministically. */
+  private def evalFunction(call: String, logicalStartTime: Option[Long],
+      secure: Map[String, String]): String = {
+    val open = call.indexOf('(')
+    require(call.endsWith(")"),
+      s"malformed function macro '$${$call}' — missing closing paren")
+    val fn = call.substring(0, open).trim
+    val argStr = call.substring(open + 1, call.length - 1)
+    fn match {
+      case "secure" =>
+        val key = argStr.trim
+        require(key.nonEmpty, "secure() needs a key argument")
+        secure.getOrElse(key, throw new IllegalArgumentException(
+          s"secure key '$key' not in the supplied secure map — the " +
+            "porting adapter substitutes from explicit values only"))
+      case "logicalStartTime" =>
+        val t0 = logicalStartTime.getOrElse(throw new IllegalArgumentException(
+          "config uses ${logicalStartTime(...)} but no logical start " +
+            "instant was supplied — the adapter never defaults to the " +
+            "wall clock (a ported config must resolve identically on " +
+            "every run)"))
+        val args = splitArgs(argStr)
+        if (args.isEmpty) t0.toString
+        else {
+          val fmt = args.head
+          val offsetMs = if (args.size > 1) parseOffset(args(1)) else 0L
+          val tz = if (args.size > 2) {
+            val id = args(2)
+            val z = java.util.TimeZone.getTimeZone(id)
+            require(z.getID == id || id == "UTC",
+              s"unknown timezone '$id' in logicalStartTime()")
+            z
+          } else java.util.TimeZone.getTimeZone("UTC")
+          require(args.size <= 3,
+            s"logicalStartTime() takes at most 3 arguments, got ${args.size}")
+          val sdf = new java.text.SimpleDateFormat(fmt)
+          sdf.setTimeZone(tz)
+          sdf.format(new java.util.Date(t0 - offsetMs))
+        }
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown function macro '$${$other(...)}' — CDAP defines " +
+            "secure() and logicalStartTime()")
+    }
+  }
+
+  /** Comma-split that respects single-quoted format sections
+    * (`yyyy-MM-dd'T'HH,mm` keeps the quoted comma). */
+  private def splitArgs(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Nil
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQuote = false
+    for (c <- s) c match {
+      case '\'' => inQuote = !inQuote; sb += c
+      case ',' if !inQuote => out += sb.result().trim; sb.clear()
+      case c2 => sb += c2
+    }
+    out += sb.result().trim
+    out.result()
+  }
+
+  /** CDAP's logicalStartTime offset algebra: terms like `1d-4h+30m`
+    * (units s/m/h/d), the whole value SUBTRACTED from the instant —
+    * so `1d-4h+30m` means 20h30m earlier. */
+  private def parseOffset(s: String): Long = {
+    val TermRe = """([+-]?)(\d+)([smhd])""".r
+    val terms = TermRe.findAllMatchIn(s).toSeq
+    val consumed = terms.map(_.matched.length).sum
+    require(consumed == s.replaceAll("\\s", "").length && terms.nonEmpty,
+      s"malformed logicalStartTime offset '$s' — expected terms like 1d-4h+30m")
+    terms.map { t =>
+      val sign = if (t.group(1) == "-") -1L else 1L
+      val n = t.group(2).toLong
+      val unit = t.group(3) match {
+        case "s" => 1000L
+        case "m" => 60000L
+        case "h" => 3600000L
+        case _ => 86400000L
+      }
+      sign * n * unit
+    }.sum
   }
 
   private def prop(properties: Map[String, String], key: String): Option[String] =
@@ -86,16 +184,18 @@ object PipelineConfig {
     * matching where CDAP would substitute. */
   def streamConfig(properties: Map[String, String],
       macros: Map[String, String] = Map.empty,
-      defaultBrokers: String = "localhost:9092"): StreamSource.StreamConfig = {
+      defaultBrokers: String = "localhost:9092",
+      logicalStartTime: Option[Long] = None,
+      secure: Map[String, String] = Map.empty): StreamSource.StreamConfig = {
+    def sub(v: String) = substitute(v, macros, logicalStartTime, secure)
     // same configure-time discipline as docSinkConfig: an invalid
     // referenceName fails HERE, not later inside StreamSource.read —
     // the reference plugin validates both stage kinds at configure time
     // (round-9 advice closed the source-side gap)
     require(Lineage.isValidReferenceName(required(properties, "referenceName")),
       s"invalid referenceName '${properties("referenceName")}'")
-    val topics = substitute(required(properties, "topics"), macros)
-    val offset = prop(properties, "offsetField")
-      .map(substitute(_, macros)).getOrElse("latest")
+    val topics = sub(required(properties, "topics"))
+    val offset = prop(properties, "offsetField").map(sub).getOrElse("latest")
     StreamSource.StreamConfig(
       referenceName = required(properties, "referenceName"),
       brokers = prop(properties, "brokers").getOrElse(defaultBrokers),
@@ -114,15 +214,18 @@ object PipelineConfig {
       avroSchemaJson: Option[String])
 
   def docSinkConfig(properties: Map[String, String],
-      macros: Map[String, String] = Map.empty): DocSinkSpec = {
+      macros: Map[String, String] = Map.empty,
+      logicalStartTime: Option[Long] = None,
+      secure: Map[String, String] = Map.empty): DocSinkSpec = {
+    def sub(v: String) = substitute(v, macros, logicalStartTime, secure)
     require(Lineage.isValidReferenceName(required(properties, "referenceName")),
       s"invalid referenceName '${properties("referenceName")}'")
     DocSinkSpec(
       referenceName = required(properties, "referenceName"),
-      tableName = substitute(required(properties, "tableName"), macros),
-      keyField = substitute(required(properties, "key"), macros),
+      tableName = sub(required(properties, "tableName")),
+      keyField = sub(required(properties, "key")),
       avroSchemaJson =
-        validatedSchema(prop(properties, "schema").map(substitute(_, macros))))
+        validatedSchema(prop(properties, "schema").map(sub)))
   }
 
   /** All source + sink configs of ONE CDAP pipeline document — the JSON
@@ -142,7 +245,9 @@ object PipelineConfig {
 
   def fromPipelineJson(json: String,
       macros: Map[String, String] = Map.empty,
-      defaultBrokers: String = "localhost:9092"): PipelinePlugins = {
+      defaultBrokers: String = "localhost:9092",
+      logicalStartTime: Option[Long] = None,
+      secure: Map[String, String] = Map.empty): PipelinePlugins = {
     import com.fasterxml.jackson.databind.ObjectMapper
     import scala.jdk.CollectionConverters._
     val root = new ObjectMapper().readTree(json)
@@ -156,10 +261,11 @@ object PipelineConfig {
     }
     val sources = stages
       .filter(_.path("plugin").path("name").asText() == "MapRStream")
-      .map(st => streamConfig(props(st), macros, defaultBrokers))
+      .map(st => streamConfig(props(st), macros, defaultBrokers,
+        logicalStartTime, secure))
     val sinks = stages
       .filter(_.path("plugin").path("name").asText() == "MapRDBJSON")
-      .map(st => docSinkConfig(props(st), macros))
+      .map(st => docSinkConfig(props(st), macros, logicalStartTime, secure))
     require(sources.nonEmpty || sinks.nonEmpty,
       "pipeline has no MapRStream source or MapRDBJSON sink stage")
     PipelinePlugins(sources, sinks)

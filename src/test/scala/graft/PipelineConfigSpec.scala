@@ -7,8 +7,9 @@ import graft.sources.{PipelineConfig, StreamSource}
 /** The CDAP pipeline-config porting shim: stage property maps with
   * `${macro}` values resolve to the engine's constructor configs exactly
   * where the reference marks @Macro, with CDAP's resolution semantics
-  * (recursive, unresolvable = loud, function macros rejected). No
-  * SparkSession — pure config parsing. */
+  * (recursive innermost-first, unresolvable = loud, function macros
+  * evaluated from explicitly-supplied values only). No SparkSession —
+  * pure config parsing. */
 class PipelineConfigSpec extends AnyFunSuite {
 
   test("plain, recursive and repeated macro substitution") {
@@ -24,7 +25,7 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(PipelineConfig.substitute("cost: $5", macros) == "cost: $5")
   }
 
-  test("unresolvable, cyclic and function macros fail loudly") {
+  test("unresolvable, cyclic and unknown-function macros fail loudly") {
     val e1 = intercept[IllegalArgumentException] {
       PipelineConfig.substitute("${missing}", Map.empty)
     }
@@ -34,9 +35,56 @@ class PipelineConfigSpec extends AnyFunSuite {
     }
     assert(e2.getMessage.contains("depth"))
     val e3 = intercept[IllegalArgumentException] {
+      PipelineConfig.substitute("${token(apikey)}", Map.empty)
+    }
+    assert(e3.getMessage.contains("unknown function macro"))
+  }
+
+  test("secure() resolves from the supplied map only; absent key/map is loud") {
+    assert(PipelineConfig.substitute("${secure(apikey)}", Map.empty,
+      secure = Map("apikey" -> "s3cr3t")) == "s3cr3t")
+    val e = intercept[IllegalArgumentException] {
       PipelineConfig.substitute("${secure(apikey)}", Map.empty)
     }
-    assert(e3.getMessage.contains("function macro"))
+    assert(e.getMessage.contains("secure key 'apikey'"))
+  }
+
+  test("logicalStartTime(): format, subtracted offset algebra, timezone, epoch default") {
+    // 2021-03-02T10:00:00 UTC
+    val t0 = Some(1614679200000L)
+    def sub(v: String) =
+      PipelineConfig.substitute(v, Map.empty, logicalStartTime = t0)
+    assert(sub("${logicalStartTime()}") == "1614679200000")
+    assert(sub("${logicalStartTime(yyyy-MM-dd)}") == "2021-03-02")
+    // CDAP's documented shape: offset 1d-4h+30m is SUBTRACTED → 20h30m earlier
+    assert(sub("${logicalStartTime(yyyy-MM-dd'T'HH:mm,1d-4h+30m)}")
+      == "2021-03-01T13:30")
+    // quoted comma inside the format survives the arg split
+    assert(sub("${logicalStartTime(yyyy-MM-dd','HH,1h)}") == "2021-03-02,09")
+    // explicit timezone (3rd arg)
+    assert(sub("${logicalStartTime(HH:mm,0s,America/New_York)}") == "05:00")
+    // nested plain macro inside the function args resolves innermost-first
+    assert(PipelineConfig.substitute("${logicalStartTime(${fmt})}",
+      Map("fmt" -> "yyyy"), logicalStartTime = t0) == "2021")
+    // no supplied instant = loud (never the wall clock)
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.substitute("${logicalStartTime(yyyy)}", Map.empty)
+    }
+    assert(e.getMessage.contains("no logical start instant"))
+    // malformed offset is loud
+    val e2 = intercept[IllegalArgumentException](sub(
+      "${logicalStartTime(yyyy,tomorrow)}"))
+    assert(e2.getMessage.contains("malformed logicalStartTime offset"))
+  }
+
+  test("function macros flow through the @Macro config fields") {
+    val props = Map(
+      "referenceName" -> "daily",
+      "topics" -> "events-${logicalStartTime(yyyy-MM-dd,1d)}",
+      "offsetField" -> "beginning")
+    val cfg = PipelineConfig.streamConfig(props,
+      logicalStartTime = Some(1614679200000L))
+    assert(cfg.topics == Seq("events-2021-03-01"))
   }
 
   test("a MapRStream stage's properties build a StreamConfig (macro fields substituted)") {
