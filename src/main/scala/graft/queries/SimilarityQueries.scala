@@ -148,10 +148,15 @@ object SimilarityQueries {
   private[queries] def qb5GenPath(sfDir: String, gen: Int): String =
     QueryDef.materializePath(sfDir, s"qb5_gen$gen")
 
+  /** qb6: the IVF generation chain (base cent+assign, delta assign
+    * against the STALE centroids, tombstone set) its compaction folds. */
+  private[queries] def qb6GenPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qb6_ivf_chain")
+
   /** The q66 assignment rule as a helper: nearest centroid per vector,
     * argmax as a map-side-combining hash aggregate (one shuffled row per
     * vector), round-9 quantized scores, tie-break (cc DESC, cid ASC). */
-  private def assignTo(v: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def assignTo(v: DataFrame, cent: DataFrame): DataFrame =
     v.crossJoin(broadcast(cent))
       .withColumn("cc",
         round(VectorFunctions.cosine_sim(col("embedding"), col("ce")), 9))
@@ -2080,6 +2085,80 @@ object SimilarityQueries {
             round(col("c"), 4).as("cos"),
             coalesce(col("in_exact"), lit(0)).cast("int").as("in_exact"))
           .orderBy(col("qid"), col("rnk"))
+      }),
+
+    // IVF-index COMPACTION — qb5's claim carried to the SECOND index
+    // family (IVF now has build q66/q5i, refine q5k/q5l, update q5m,
+    // serve-under-tombstones q6w, and the fold that resets them): the
+    // incremental chain is stale two ways — the delta generation was
+    // assigned against the BASE's centroids (never re-seeded, so k no
+    // longer tracks √N), and tombstoned memberships still occupy file
+    // bytes. Compaction derives the LIVE id set from the chain itself
+    // (membership generations minus the tombstone set), re-seeds and
+    // re-assigns over exactly that corpus, and serves q66's probe from
+    // the compacted index — the oracle is q66's own build+serve replay
+    // parameterized by the live corpus, so the hash certifies
+    // compact(chain) ≡ build(live). Design: the qa8/qaj merged-≡-rebuilt
+    // pattern; spec `IvfCompactionPropSpec`.
+    QueryDef(
+      "qb6_ivf_compaction",
+      Some("""WITH le AS MATERIALIZED (
+          SELECT * FROM embeddings WHERE vec_id % 9 <> 3),
+        cent AS (SELECT vec_id AS cid, embedding AS ce FROM le
+          WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) FROM le)),
+        assign0 AS (SELECT e.vec_id, c.cid,
+                row_number() OVER (PARTITION BY e.vec_id
+                  ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+              FROM le e, cent c),
+        assign AS (SELECT vec_id, cid FROM assign0 WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM le WHERE vec_id < 10),
+        probe0 AS (SELECT q.qid, q.qe, c.cid,
+                row_number() OVER (PARTITION BY q.qid
+                  ORDER BY round(list_cosine_similarity(q.qe::DOUBLE[], c.ce::DOUBLE[]), 9) DESC, c.cid) AS rn
+              FROM q, cent c),
+        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
+        cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
+              FROM probe p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        rr AS (SELECT c.qid, c.nid,
+                round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) + 0 AS c0,
+                row_number() OVER (PARTITION BY c.qid
+                  ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC, c.nid) AS rnk
+              FROM cand c JOIN le e ON e.vec_id = c.nid)
+        SELECT qid, nid, CAST(round(c0, 4) + 0 AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
+        FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val nn = e.count()
+        val nBase = nn - nn / 16
+        val p = qb6GenPath(dir)
+        // gen0: base build — centroids seeded from the BASE corpus, so
+        // they are stale by design once the delta lands
+        val base = e.filter(col("vec_id") < nBase)
+        val c0 = centroids(base)
+        c0.write.mode("overwrite").parquet(s"$p/gen0_cent")
+        assignTo(base, c0).write.mode("overwrite").parquet(s"$p/gen0_assign")
+        // gen1: the q5m update — delta assigned against the PERSISTED
+        // stale centroids, appended as its own generation
+        assignTo(e.filter(col("vec_id") >= nBase),
+            s.read.parquet(s"$p/gen0_cent"))
+          .write.mode("overwrite").parquet(s"$p/gen1_assign")
+        // gen2: compliance tombstones (q6w's rule)
+        e.filter(pmod(col("vec_id"), lit(9)) === 3).select("vec_id")
+          .write.mode("overwrite").parquet(s"$p/gen2_tombstones")
+        // COMPACT: live ids from the chain itself, then a re-seeded
+        // build over exactly that corpus — k tracks √(live) again and
+        // tombstone bytes are gone
+        val members = s.read.parquet(s"$p/gen0_assign").select("vec_id")
+          .unionByName(s.read.parquet(s"$p/gen1_assign").select("vec_id"))
+        val live = members
+          .join(s.read.parquet(s"$p/gen2_tombstones"), Seq("vec_id"), "left_anti")
+          .distinct()
+        val liveE = e.join(live, Seq("vec_id"), "left_semi")
+        val (cc, ca) = buildIndex(liveE)
+        ivfServeFor(
+          liveE.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          liveE, cc, ca)
       })
   )
 
