@@ -508,6 +508,51 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "graphcompact") {
+      // qb5: what compaction BUYS — the incremental chain (insert merge
+      // + delete repair) trades recall for locality; compaction pays a
+      // rebuild (off the serving path) to reset that drift and fold the
+      // generation chain. Measures recall@ReportK over ALL live nodes
+      // for the chain graph vs the compacted graph, plus the walls, so
+      // the drift-reset trade is a number, not a claim.
+      import graft.operators.NnDescent
+      import graft.queries.SimilarityQueries
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding")).cache()
+      val nn = e.count()
+      val nBase = nn - nn / 16
+      def dead(c: org.apache.spark.sql.Column) =
+        pmod(c, lit(NnDescent.DeleteMod)) === lit(NnDescent.DeleteRes)
+      val g0 = time(s"chain: base build (n=$nBase)") {
+        NnDescent.knnGraph(e.filter(col("vec_id") < nBase)).cache()
+      }
+      val g1 = time("chain: insert merge") {
+        NnDescent.insertDelta(e, g0, nBase).cache()
+      }
+      val g2 = time("chain: delete repair") {
+        NnDescent.deleteRepair(e, g1).cache()
+      }
+      val compacted = time("compact: rebuild over the chain's live set") {
+        NnDescent.compact(e, g2).cache()
+      }
+      val liveE = e.filter(!dead(col("vec_id"))).cache()
+      val exact = SimilarityQueries
+        .exactTopKOf(liveE, NnDescent.ReportK, liveE.select(col("vec_id")))
+        .cache()
+      val nExact = exact.count()
+      def recall(g: org.apache.spark.sql.DataFrame): Double = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("c").desc, col("nid"))
+        val top = g.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= NnDescent.ReportK)
+          .select(col("vec_id").as("qid"), col("nid"))
+        top.join(exact, Seq("qid", "nid"), "left_semi").count() * 1.0 / nExact
+      }
+      println(f"[scale]   chain recall@${NnDescent.ReportK} = ${recall(g2)}%.3f " +
+        f"vs compacted = ${recall(compacted)}%.3f over ${liveE.count()} live nodes")
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "joinorder") {
       // qam: does the catalog's pick match measured reality, and what
       // does picking wrong cost? Prices both left-deep orders from the
