@@ -134,7 +134,11 @@ object DumpPlans {
     "qax_hierarchical_graph_serve" -> "two-layer serve: sparse upper-layer walk hands per-query entry to the layer-0 walk, stored edges only",
     "qb1_kn_perplexity"       -> "Kneser-Ney: gram-count shuffles for the model, one broadcast model row onto the scoring pass",
     "qb2_linkage_dendrogram"  -> "dendrogram levels: DF-capped pair set built once + lineage-cut, per-level filter + CC + narrow aggs",
-    "qb3_graph_insert"        -> "graph insert: id-algebra probe + beam seed scored per delta node, touched-only base re-top-K, one local refine round")
+    "qb3_graph_insert"        -> "graph insert: id-algebra probe + beam seed scored per delta node, touched-only base re-top-K, one local refine round",
+    "qb4_graph_delete"        -> "graph delete: tombstone drop + FreshDiskANN local repair (former-list candidates, semi/anti touched split)",
+    "qb5_graph_compaction"    -> "graph compaction: generation chain folded, live set from the chain, qao rebuild over exactly the live corpus",
+    "qb6_ivf_compaction"      -> "IVF compaction: membership generations minus tombstones, re-seeded build + q66 probe over the live corpus",
+    "q8y_stream_graph_serve"  -> "streaming graph-ANN serve: per-micro-batch beam walk over the persisted graph (stateless, batch-keyed outputs)")
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
