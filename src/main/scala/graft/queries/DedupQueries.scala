@@ -1285,6 +1285,42 @@ object DedupQueries {
           pmod(col("doc_id"), lit(5)) === 0).select(col("doc_id"))
         serveMinhashBatch(s, d.filter(col("doc_id") >= 250), idx, Some(tomb))
       })
+  } :+ {
+    // MinHash-index COMPACTION — the verb qaa explicitly defers to, and
+    // the third index family to get it (graph qb5, IVF qb6, MinHash
+    // here): the chain is build v0 (docs < 250) → merge v1 (250–374) →
+    // tombstone every 5th MEMBER (both generations — the tombstone set
+    // derives from the chain's own manifest, never the corpus). Between
+    // compactions the drop list is frozen (qaa's contract: a delete
+    // lowers DF but capped sets forgot who carried the dropped shingle);
+    // compaction is where that debt is paid — and unlike qb5/qb6, which
+    // re-run construction over the live corpus, this one never reads the
+    // corpus at all: sets ∪ dropped reconstructs every tombstoned doc's
+    // full shingle set, the DF table is debited, the drop list re-cut
+    // (deletes only lower DF, so re-admission is the only direction),
+    // and re-admitted shingles fold back into exactly the live docs that
+    // carried them — emptied-set resurrection included. The oracle is
+    // the from-scratch rebuild measure over the live corpus (DF cap
+    // RE-COUNTED over live docs — the un-frozen half qaa couldn't have),
+    // so the hash certifies compact(chain) ≡ build(live) through the
+    // serve. Cost: O(tombstoned + touched) index rows; see
+    // [[compactMinhashIndex]]; spec `MinhashCompactionPropSpec`.
+    val v0 = QueryDef.materializePath(sfDir, "qb7_idx_v0")
+    val v1 = QueryDef.materializePath(sfDir, "qb7_idx_v1")
+    val v2 = QueryDef.materializePath(sfDir, "qb7_idx_v2")
+    QueryDef(
+      "qb7_minhash_compaction",
+      Some(incMinhashOracleSql(375L, "a.doc_id % 5 <> 0", "doc_id % 5 <> 0")),
+      (s, dir) => {
+        val d = docs(s, dir)
+        buildMinhashIndex(s, d.filter(col("doc_id") < 250), v0)
+        mergeMinhashIndex(s,
+          d.filter(col("doc_id") >= 250 && col("doc_id") < 375), v0, v1)
+        val tomb = s.read.parquet(s"$v1/members")
+          .filter(pmod(col("doc_id"), lit(5)) === 0)
+        compactMinhashIndex(s, tomb, v1, v2)
+        serveMinhashBatch(s, d.filter(col("doc_id") >= 375), v2)
+      })
   } :+
     // Distributed suffix-array construction by prefix doubling (Manber
     // & Myers 1990; Flick & Aluru SC'15) — the EXACT index behind
@@ -1545,9 +1581,19 @@ object DedupQueries {
 
   /** qa5 BUILD half: persist the snapshot's drop list, capped shingle
     * sets, and LSH band buckets — runs once per snapshot, amortized over
-    * every batch [[serveMinhashBatch]] answers. */
+    * every batch [[serveMinhashBatch]] answers. Two more frames make the
+    * index COMPACTABLE (qb7) without re-reading the corpus: `members`
+    * (the id manifest — a doc whose every shingle is hot, or that is too
+    * short to shingle, appears in no other frame yet is a member) and
+    * `dropped` (the complement postings: for each doc, the hot shingles
+    * its capped set lost — sets ∪ dropped is the doc's FULL distinct
+    * shingle set, which is exactly what a later delete-compaction needs
+    * to subtract from the DF table and to re-admit un-hotted shingles;
+    * its size is Σ df over hot shingles, the hottest slice only). */
   private[graft] def buildMinhashIndex(s: SparkSession, base: DataFrame,
       idxPath: String, dfCap: Long = 200L): Unit = {
+    base.select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$idxPath/members")
     val basePosting = withShingles(base)
       .select(col("doc_id"), explode(col("sh")).as("sh"))
     // the FULL document-frequency table is part of the index (narrow:
@@ -1559,6 +1605,8 @@ object DedupQueries {
       .filter(col("df") > dfCap).select(col("sh"))
       .write.mode("overwrite").parquet(s"$idxPath/hot")
     val hotR = s.read.parquet(s"$idxPath/hot")
+    basePosting.join(broadcast(hotR), Seq("sh"), "left_semi")
+      .write.mode("overwrite").parquet(s"$idxPath/dropped")
     basePosting.join(broadcast(hotR), Seq("sh"), "left_anti")
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
       .write.mode("overwrite").parquet(s"$idxPath/sets")
@@ -1590,6 +1638,9 @@ object DedupQueries {
     * batch plus the (few) boilerplate-crossing rows, not the corpus. */
   private[graft] def mergeMinhashIndex(s: SparkSession, delta: DataFrame,
       oldPath: String, newPath: String, dfCap: Long = 200L): Unit = {
+    s.read.parquet(s"$oldPath/members")
+      .unionByName(delta.select(col("doc_id")))
+      .write.mode("overwrite").parquet(s"$newPath/members")
     val deltaPosting = withShingles(delta)
       .select(col("doc_id"), explode(col("sh")).as("sh"))
     val deltaDf = deltaPosting.groupBy(col("sh")).agg(count(lit(1)).as("ddf"))
@@ -1608,16 +1659,25 @@ object DedupQueries {
       .agg(sort_array(collect_list(col("sh"))).as("nh"))
     val fixed = s.read.parquet(s"$oldPath/sets")
       .crossJoin(broadcast(nhArr))
-      .select(col("doc_id"), col("sh").as("sh0"),
-        array_except(col("sh"), col("nh")).as("sh"))
-      .withColumn("changed", size(col("sh")) =!= size(col("sh0")))
-      .drop("sh0")
+      .select(col("doc_id"), array_except(col("sh"), col("nh")).as("sh"),
+        array_intersect(col("sh"), col("nh")).as("removed"))
+      .withColumn("changed", size(col("removed")) > 0)
     val deltaSets = deltaPosting
       .join(broadcast(hotR), Seq("sh"), "left_anti")
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
     fixed.filter(size(col("sh")) > 0).select(col("doc_id"), col("sh"))
       .unionByName(deltaSets)
       .write.mode("overwrite").parquet(s"$newPath/sets")
+    // complement postings stay exact across the merge: shingles the fix
+    // removed from existing sets move over (a row per (doc, newly-hot
+    // shingle) — emptied sets included), delta docs contribute their
+    // merged-hot shingles, and the old rows carry (merge is append-only,
+    // so a dropped shingle can never un-hot here)
+    s.read.parquet(s"$oldPath/dropped")
+      .unionByName(fixed.filter(col("changed"))
+        .select(col("doc_id"), explode(col("removed")).as("sh")))
+      .unionByName(deltaPosting.join(broadcast(hotR), Seq("sh"), "left_semi"))
+      .write.mode("overwrite").parquet(s"$newPath/dropped")
     // re-sign only changed + new rows; keep unchanged bucket rows as-is
     val changedIds = fixed.filter(col("changed"))
       .select(col("doc_id").as("mid"))
@@ -1628,6 +1688,77 @@ object DedupQueries {
         .select(col("doc_id"), col("sh"))
         .unionByName(deltaSets), "mid")
     keptBuckets.unionByName(resigned)
+      .write.mode("overwrite").parquet(s"$newPath/buckets")
+  }
+
+  /** qb7: fold tombstones OUT of a persisted index — the compaction qaa
+    * defers to ("re-admitting an un-hotted shingle requires the raw
+    * corpus, i.e. the next compaction"). This one beats that bound: the
+    * CORPUS IS NEVER READ. sets ∪ dropped is each doc's full distinct
+    * shingle set, so the compaction (1) subtracts the tombstoned docs'
+    * contributions from the DF table, (2) re-cuts the drop list — deletes
+    * only LOWER DF, so the new hot list is a subset of the old and the
+    * difference is the re-admission set, (3) folds each live doc's
+    * re-admitted dropped postings back into its capped set ROW-LOCALLY —
+    * including resurrecting docs the merge dropped as emptied (their
+    * whole set lives in `dropped`), and (4) re-signs ONLY the docs that
+    * gained shingles, keeping everyone else's bucket rows. Cost:
+    * O(tombstoned + touched) index rows — never the corpus, never the
+    * unaffected members. The result is frame-for-frame identical to
+    * [[buildMinhashIndex]] over the live corpus
+    * (`MinhashCompactionPropSpec`), which is what qb7's oracle certifies
+    * through the serve measure. */
+  private[graft] def compactMinhashIndex(s: SparkSession, tombs: DataFrame,
+      oldPath: String, newPath: String, dfCap: Long = 200L): Unit = {
+    val tombIds = tombs.select(col(tombs.columns.head).as("doc_id"))
+    s.read.parquet(s"$oldPath/members")
+      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$newPath/members")
+    // full shingle sets of the tombstoned docs, from the index alone
+    val tombPosting = s.read.parquet(s"$oldPath/sets")
+      .join(broadcast(tombIds), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(col("sh")).as("sh"))
+      .unionByName(s.read.parquet(s"$oldPath/dropped")
+        .join(broadcast(tombIds), Seq("doc_id"), "left_semi"))
+    val tombDf = tombPosting.groupBy(col("sh")).agg(count(lit(1)).as("tdf"))
+    s.read.parquet(s"$oldPath/dfs")
+      .join(tombDf, Seq("sh"), "left")
+      .select(col("sh"), (col("df") - coalesce(col("tdf"), lit(0L))).as("df"))
+      .filter(col("df") > 0) // a shingle no live doc carries leaves the table
+      .write.mode("overwrite").parquet(s"$newPath/dfs")
+    s.read.parquet(s"$newPath/dfs")
+      .filter(col("df") > dfCap).select(col("sh"))
+      .write.mode("overwrite").parquet(s"$newPath/hot")
+    // the re-admission set: hot before, no longer hot over the live DF
+    val readmitted = s.read.parquet(s"$oldPath/hot")
+      .join(s.read.parquet(s"$newPath/hot"), Seq("sh"), "left_anti")
+    val liveDropped = s.read.parquet(s"$oldPath/dropped")
+      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+    val gains = liveDropped.join(broadcast(readmitted), Seq("sh"))
+      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("gain"))
+    val liveSets = s.read.parquet(s"$oldPath/sets")
+      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+    // outer on doc_id: a gains-only row is a RESURRECTED doc (its capped
+    // set emptied at some merge's cut and every shingle sat in dropped)
+    val fixedSets = liveSets.join(gains, Seq("doc_id"), "outer")
+      .select(col("doc_id"),
+        when(col("gain").isNull, col("sh"))
+          .when(col("sh").isNull, col("gain"))
+          .otherwise(array_union(col("sh"), col("gain"))).as("sh"),
+        col("gain").isNotNull.as("changed"))
+    fixedSets.select(col("doc_id"), col("sh"))
+      .write.mode("overwrite").parquet(s"$newPath/sets")
+    liveDropped.join(broadcast(readmitted), Seq("sh"), "left_anti")
+      .write.mode("overwrite").parquet(s"$newPath/dropped")
+    val changedIds = fixedSets.filter(col("changed"))
+      .select(col("doc_id").as("mid"))
+    s.read.parquet(s"$oldPath/buckets")
+      .join(broadcast(tombIds.select(col("doc_id").as("mid"))),
+        Seq("mid"), "left_anti")
+      .join(broadcast(changedIds), Seq("mid"), "left_anti")
+      .unionByName(minhashBands(
+        fixedSets.filter(col("changed")).select(col("doc_id"), col("sh")),
+        "mid"))
       .write.mode("overwrite").parquet(s"$newPath/buckets")
   }
 
@@ -1682,10 +1813,10 @@ object DedupQueries {
     * Sharing one exact all-pairs oracle across the batch serve and the
     * streaming serve is the equivalence claim, machine-checked. */
   private[graft] def incMinhashOracleSql(split: Long = 250L,
-      liveMidPred: String = "TRUE"): String =
+      liveMidPred: String = "TRUE", capPred: String = "TRUE"): String =
     s"""WITH t0 AS (
           SELECT doc_id, unnest($shinglesSql) AS sh FROM documents),
-        hot AS (SELECT sh FROM t0 WHERE doc_id < $split
+        hot AS (SELECT sh FROM t0 WHERE doc_id < $split AND ($capPred)
                 GROUP BY sh HAVING count(*) > 200),
         d AS (SELECT doc_id, sh FROM t0
               WHERE sh NOT IN (SELECT sh FROM hot)),
