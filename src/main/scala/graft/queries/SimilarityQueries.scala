@@ -888,37 +888,7 @@ object SimilarityQueries {
     // (qid, nid) partial sums map-side. Raw vectors never shuffle.
     QueryDef(
       "q5s_pq_adc",
-      {
-        def l2 (s: String, c: String) = (1 to 8)
-          .map(i => s"($s[$i]-$c[$i])*($s[$i]-$c[$i])").mkString(" + ")
-        def dot(s: String, c: String) = (1 to 8)
-          .map(i => s"$s[$i]*$c[$i]").mkString(" + ")
-        Some(s"""WITH js AS (SELECT unnest(generate_series(0, 7)) AS j),
-          sub AS (SELECT vec_id, j,
-                    list_transform(embedding[j*8+1 : j*8+8], x -> x::DOUBLE) AS svec
-                  FROM embeddings, js),
-          cb AS (SELECT j, vec_id AS code, svec AS cvec
-                 FROM sub WHERE vec_id < 16),
-          d2 AS (SELECT s.vec_id, s.j, cb.code,
-                   round(${l2("s.svec", "cb.cvec")}, 9) + 0 AS d2
-                 FROM sub s JOIN cb ON cb.j = s.j),
-          codes AS (SELECT vec_id, j, code FROM (
-                   SELECT vec_id, j, code,
-                     row_number() OVER (PARTITION BY vec_id, j
-                       ORDER BY d2, code) AS rn FROM d2) WHERE rn = 1),
-          dotq AS (SELECT q.vec_id AS qid, cb.j, cb.code,
-                     round(${dot("q.svec", "cb.cvec")}, 9) + 0 AS dq
-                   FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 10),
-          adc AS (SELECT d.qid, c.vec_id AS nid,
-                    round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) + 0 AS adc
-                  FROM codes c JOIN dotq d ON d.j = c.j AND d.code = c.code
-                  WHERE c.vec_id <> d.qid GROUP BY 1, 2),
-          r AS (SELECT qid, nid, adc,
-                  row_number() OVER (PARTITION BY qid
-                    ORDER BY adc DESC, nid) AS rnk FROM adc)
-          SELECT qid, nid, CAST(adc AS DOUBLE) AS adc, CAST(rnk AS INT) AS rnk
-          FROM r WHERE rnk <= 5 ORDER BY qid, rnk""")
-      },
+      Some(pqAdcOracleSql),
       (s, dir) => {
         val e = emb(s, dir)
         val sub = pqSub(e)
@@ -2206,4 +2176,75 @@ object SimilarityQueries {
     * inputs), rounded to 4 as the comparable score. */
   private[graft] def pqAdcSum: Column =
     round(sum(col("dq").cast("decimal(30,12)")).cast("double"), 4)
+
+  /** [[pqDotq]] generalized to an arbitrary (qid, qe) query frame — the
+    * lookup table a PQ serve builds per arriving query (8 subspaces × 16
+    * codes = 128 dq rows per query, from the persisted codebook alone). */
+  private[graft] def pqLutFor(q: DataFrame, cb: DataFrame): DataFrame =
+    q.select(col("qid"),
+        explode(array((0 to 7).map { j =>
+          struct(lit(j).as("j"),
+            transform(slice(col("qe"), j * 8 + 1, 8),
+              x => x.cast("double")).as("svec"))
+        }: _*)).as("x"))
+      .select(col("qid"), col("x.j").as("j"), col("x.svec").as("svec"))
+      .join(broadcast(cb), Seq("j"))
+      .withColumn("dq", round(chain8(_ * _)(col("svec"), col("cvec")), 9))
+      .select(col("qid"), col("j"), col("code"), col("dq"))
+
+  /** q5s's serve half on an arbitrary query batch against a PERSISTED
+    * PQ index (codebook + codes) — what the streaming twin q8z runs per
+    * micro-batch: build the batch's lookup tables from the codebook
+    * (vector math touches 128 rows per query, nothing corpus-sized),
+    * then score every corpus code by TABLE LOOKUP (an equi join on
+    * (j, code) against the broadcast LUT — 8 bytes read per candidate,
+    * the whole point of PQ) and keep the top-5 per query. */
+  private[graft] def pqServeFor(q: DataFrame, codes: DataFrame,
+      cb: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("nid"))
+    codes.join(broadcast(pqLutFor(q, cb)), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      .agg(pqAdcSum.as("adc"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("nid"), col("adc"), col("rnk"))
+  }
+
+  /** q5s's full replay — codebook from the id-prefix seeds, argmin
+    * encode, per-query lookup tables, decimal ADC sum, top-5 — SHARED
+    * VERBATIM by q5s (one-shot batch) and q8z (streaming serve from the
+    * persisted index): one oracle across both is the machine-checked
+    * equivalence claim (the q62/q8q discipline). */
+  private[graft] def pqAdcOracleSql: String = {
+    def l2 (s: String, c: String) = (1 to 8)
+      .map(i => s"($s[$i]-$c[$i])*($s[$i]-$c[$i])").mkString(" + ")
+    def dot(s: String, c: String) = (1 to 8)
+      .map(i => s"$s[$i]*$c[$i]").mkString(" + ")
+    s"""WITH js AS (SELECT unnest(generate_series(0, 7)) AS j),
+      sub AS (SELECT vec_id, j,
+                list_transform(embedding[j*8+1 : j*8+8], x -> x::DOUBLE) AS svec
+              FROM embeddings, js),
+      cb AS (SELECT j, vec_id AS code, svec AS cvec
+             FROM sub WHERE vec_id < 16),
+      d2 AS (SELECT s.vec_id, s.j, cb.code,
+               round(${l2("s.svec", "cb.cvec")}, 9) + 0 AS d2
+             FROM sub s JOIN cb ON cb.j = s.j),
+      codes AS (SELECT vec_id, j, code FROM (
+               SELECT vec_id, j, code,
+                 row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY d2, code) AS rn FROM d2) WHERE rn = 1),
+      dotq AS (SELECT q.vec_id AS qid, cb.j, cb.code,
+                 round(${dot("q.svec", "cb.cvec")}, 9) + 0 AS dq
+               FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 10),
+      adc AS (SELECT d.qid, c.vec_id AS nid,
+                round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) + 0 AS adc
+              FROM codes c JOIN dotq d ON d.j = c.j AND d.code = c.code
+              WHERE c.vec_id <> d.qid GROUP BY 1, 2),
+      r AS (SELECT qid, nid, adc,
+              row_number() OVER (PARTITION BY qid
+                ORDER BY adc DESC, nid) AS rnk FROM adc)
+      SELECT qid, nid, CAST(adc AS DOUBLE) AS adc, CAST(rnk AS INT) AS rnk
+      FROM r WHERE rnk <= 5 ORDER BY qid, rnk"""
+  }
 }

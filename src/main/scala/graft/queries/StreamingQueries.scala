@@ -707,6 +707,20 @@ object StreamingQueries {
       (s, dir) => StreamPipelines.docStreamGraphServe(s, dir,
         q8yGraphPath(dir))),
 
+    // Streaming PQ-ADC serve — the persisted-index streaming serve
+    // reaches its fourth and last index family (IVF q8g, MinHash q8q,
+    // graph q8y, PQ here): codebook + 8-byte codes persist once,
+    // CDC-arriving queries are answered per micro-batch by lookup-table
+    // scoring over the stored codes (raw vectors never read at serve
+    // time — the PQ contract). Stateless, zero state rows. The oracle
+    // is q5s's SHARED replay verbatim: the drained batch-at-a-time
+    // serves must be indistinguishable from the one-shot batch ADC.
+    // Design: [[graft.streaming.StreamPipelines.docStreamPqServe]].
+    QueryDef(
+      "q8z_stream_pq_serve",
+      Some(graft.queries.SimilarityQueries.pqAdcOracleSql),
+      (s, dir) => StreamPipelines.docStreamPqServe(s, dir)),
+
     QueryDef(
       "q8t_kafka_wire_doc_sink",
       Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,

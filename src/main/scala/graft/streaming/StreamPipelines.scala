@@ -1314,6 +1314,60 @@ object StreamPipelines {
       .orderBy(served("qid"), col("rnk"))
   }
 
+  /** q8z: streaming PQ-ADC serve from a PERSISTED product-quantization
+    * index — the persisted-index streaming serve carried to its FOURTH
+    * family (IVF q8g, MinHash q8q, graph q8y, PQ here): the codebook and
+    * the 8-byte-per-vector codes persist once; queries ARRIVE as a CDC
+    * stream (two commits, odd then even ids) and each micro-batch builds
+    * its 128-row-per-query lookup tables from the codebook
+    * ([[graft.queries.SimilarityQueries.pqLutFor]]) and scores the whole
+    * code table by (j, code) EQUI JOIN against the broadcast LUT — raw
+    * corpus vectors are never touched at serve time, which is the PQ
+    * contract (8 bytes read per candidate). Completely stateless (zero
+    * state rows; codebook + codes are parquet reads, no per-trigger
+    * retrain — the q8p lesson). Per-batch results land in batch-id-keyed
+    * files (overwrite → replay idempotent, the labels_v<N> rule); the
+    * drained union must be indistinguishable from q5s's one-shot batch
+    * ADC — q8z shares q5s's oracle verbatim, which IS that claim. */
+  def docStreamPqServe(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.SimilarityQueries
+    val tmp = graft.TempDirs.create("graft_pq_serve_stream")
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val sub = SimilarityQueries.pqSub(e)
+    SimilarityQueries.pqCodebook(sub)
+      .write.mode("overwrite").parquet(s"$tmp/cb")
+    val icb = s.read.parquet(s"$tmp/cb")
+    SimilarityQueries.pqCodes(sub, icb)
+      .write.mode("overwrite").parquet(s"$tmp/codes")
+    val icodes = s.read.parquet(s"$tmp/codes")
+    val q = e.filter(col("vec_id") < 10)
+    graft.connector.GraftDoc.write(
+      q.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", s"$tmp/queries")
+    graft.connector.GraftDoc.write(
+      q.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", s"$tmp/queries")
+    val ckpt = ephemeralCheckpoint("pq_serve")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val stream = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/queries", maxCommitsPerTrigger = Some(1L))
+          // the sink hoisted vec_id into the string `_id` key (P2's rule)
+          .select(col("_id").cast("long").as("qid"), col("embedding").as("qe"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            SimilarityQueries.pqServeFor(batch, icodes, icb)
+              .write.mode("overwrite").parquet(s"$tmp/served_b$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        stream.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    s.read.parquet(s"$tmp/served_b*")
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** q8h: streaming range join — clicks ARRIVE as a CDC stream (two
     * commits) and every micro-batch joins to the STATIC attribution-window
     * table through [[graft.operators.RangeJoin]]'s bin key: the static
