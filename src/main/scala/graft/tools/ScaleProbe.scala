@@ -553,6 +553,45 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "minhashcompact") {
+      // qb7: compacting a FIXED tombstone sweep out of a growing MinHash
+      // index must cost ~flat — the compaction never reads the corpus
+      // (it debits the DF table from the tombstoned docs' own index
+      // rows, re-cuts the drop list, and touches only re-admission-
+      // affected sets) — while the naive alternative, a rebuild over
+      // the live corpus, re-shingles and re-signs everything and grows
+      // with N. Tombstones come from the ORIGINAL id range only, so the
+      // sweep stays fixed while the corpus replicates (the graphdelete
+      // discipline, index edition).
+      import graft.queries.DedupQueries
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      for (mult <- Seq(1, 4)) {
+        val base = replicate(docs0, "doc_id", mult, 10000000L).cache()
+        val n = base.count()
+        val p = s"/tmp/graft_scale_mhcompact_$mult"
+        DedupQueries.buildMinhashIndex(spark, base, s"$p/v0")
+        val tomb = spark.read.parquet(s"$p/v0/members")
+          .filter(col("doc_id") < 10000000L &&
+            pmod(col("doc_id"), lit(25)) === 0).cache()
+        val nDead = tomb.count()
+        time(s"compact fixed sweep (n=$n, tombstones=$nDead)") {
+          DedupQueries.compactMinhashIndex(spark, tomb, s"$p/v0", s"$p/v1")
+        }
+        val readmitted = spark.read.parquet(s"$p/v0/hot")
+          .join(spark.read.parquet(s"$p/v1/hot"), Seq("sh"), "left_anti")
+          .count()
+        time(s"naive: rebuild over live corpus (n=$n)") {
+          DedupQueries.buildMinhashIndex(spark,
+            base.join(tomb, Seq("doc_id"), "left_anti"), s"$p/rebuild")
+        }
+        println(s"[scale]   n=$n tombstones=$nDead readmitted_shingles=" +
+          s"$readmitted — per-sweep incremental cost = compact only")
+        base.unpersist(); tomb.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "joinorder") {
       // qam: does the catalog's pick match measured reality, and what
       // does picking wrong cost? Prices both left-deep orders from the
