@@ -133,12 +133,50 @@ object SuffixRanks {
     StableIds.assign(keys.select(col("key")).distinct(),
       Seq(col("key")), Partitions, "r")
 
+  // ------------------------------------------------ delete-compact (qb8)
+
+  /** qb8: fold tombstoned documents OUT of the persisted suffix
+    * structure (`pos` row-local keys, `counts` per-key position counts,
+    * `dict` dense ranks) — the verb that completes the family's
+    * lifecycle (build qau, streaming merge q8x, delete-compact here).
+    * Deletes are where the dictionary's ranks go STALE in a way the
+    * q8x merge never faces: ingest only ADDS keys (existing ranks keep
+    * their relative order under the StableIds renumber), but a delete
+    * can make a key VANISH from the corpus, and every dense rank above
+    * it must shift down. The compaction (1) drops the tombstoned docs'
+    * position rows (a row-local anti join — text is never re-read, no
+    * key is recomputed), (2) debits the per-key counts by the
+    * tombstoned docs' own position rows and drops keys that reach
+    * zero, and (3) renumbers the SURVIVING key dictionary — O(|dict|)
+    * renumber work, never O(corpus positions), the same asymmetry q8x
+    * rides on the insert side. `SuffixCompactionPropSpec` proves the
+    * result frame-for-frame equal to staging the structure from
+    * scratch over the live corpus, including the rank-shift case. */
+  def compactDelete(s: org.apache.spark.sql.SparkSession,
+      tombs: DataFrame, oldPath: String, newPath: String): Unit = {
+    val tombIds = tombs.select(col(tombs.columns.head).as("doc_id"))
+    val pos = s.read.parquet(s"$oldPath/pos")
+    pos.join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$newPath/pos")
+    val deadCounts = pos.join(broadcast(tombIds), Seq("doc_id"), "left_semi")
+      .groupBy(col("key")).agg(count(lit(1)).as("dn"))
+    s.read.parquet(s"$oldPath/counts")
+      .join(deadCounts, Seq("key"), "left")
+      .select(col("key"), (col("n") - coalesce(col("dn"), lit(0L))).as("n"))
+      .filter(col("n") > 0) // a key no live position carries vanishes
+      .write.mode("overwrite").parquet(s"$newPath/counts")
+    rankDict(s.read.parquet(s"$newPath/counts"))
+      .write.mode("overwrite").parquet(s"$newPath/dict")
+  }
+
   // --------------------------------------------------------------- oracle
 
-  /** r0..r[[Rounds]] CTE text, shared by qau's per-round audit oracle
-    * and q8x's streaming-merge oracle (the shared-oracle equivalence
-    * idiom: one spec, two execution paths). */
-  def roundCtesSql: String = {
+  /** r0..r[[Rounds]] CTE text, shared by qau's per-round audit oracle,
+    * q8x's streaming-merge oracle and qb8's delete-compaction oracle
+    * (the shared-oracle equivalence idiom: one spec, three execution
+    * paths). `corpus` parameterizes the r0 scan — qb8 replays the
+    * rounds over the LIVE corpus only. */
+  def roundCtesSql(corpus: String = "documents"): String = {
     val rounds = (1 to Rounds).map { k =>
       val gap = 1 << (k - 1)
       val prev = s"r${k - 1}"
@@ -155,7 +193,7 @@ object SuffixRanks {
         |    CAST(ord(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS r
         |  FROM (SELECT doc_id, text,
         |          unnest(generate_series(1, length(text))) AS i
-        |        FROM documents))""".stripMargin
+        |        FROM CORPUS))""".stripMargin.replace("CORPUS", corpus)
     r0 + ",\n" + rounds
   }
 
@@ -170,7 +208,7 @@ object SuffixRanks {
     }.map(s => s"SELECT * FROM ($s) WHERE doc_id % $SampleMod = 0")
       .mkString(" UNION ALL ")
     // shared CTE text concatenated OUTSIDE the stripMargin literal
-    "WITH " + roundCtesSql + "\n" +
+    "WITH " + roundCtesSql() + "\n" +
       s"""SELECT CAST(rnd AS INT) AS rnd, doc_id, CAST(pos AS BIGINT) AS pos,
          |  CAST(rank AS BIGINT) AS rank, CAST(grp AS BIGINT) AS grp
          |FROM ($details)
@@ -182,7 +220,25 @@ object SuffixRanks {
     * batch (rank_[[Rounds]] ≡ dense rank of the [[KeyLen]]-char suffix
     * key; see [[suffixKeys]]). */
   def mergeOracleSql: String =
-    "WITH " + roundCtesSql + "\n" +
+    "WITH " + roundCtesSql() + "\n" +
+      s"""SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(rank AS BIGINT) AS rank, CAST(grp AS BIGINT) AS grp
+         |FROM (SELECT doc_id, pos, r AS rank,
+         |        COUNT(*) OVER (PARTITION BY r) AS grp
+         |      FROM r$Rounds)
+         |WHERE doc_id % $SampleMod = 0
+         |ORDER BY doc_id, pos""".stripMargin
+
+  /** qb8 oracle: q8x's final-round measure replayed over the LIVE
+    * corpus only — the doubling rounds, the dense rank and the global
+    * group sizes all recomputed as if the tombstoned documents had
+    * never existed. Hash equality certifies the compaction's dictionary
+    * renumber landed exactly on the rebuilt dense ranks (rank SHIFTS
+    * from vanished keys included — the case ingest-only maintenance
+    * never exercises). */
+  def compactionOracleSql(livePred: String): String =
+    "WITH " +
+      roundCtesSql(s"(SELECT * FROM documents WHERE $livePred)") + "\n" +
       s"""SELECT doc_id, CAST(pos AS BIGINT) AS pos,
          |  CAST(rank AS BIGINT) AS rank, CAST(grp AS BIGINT) AS grp
          |FROM (SELECT doc_id, pos, r AS rank,

@@ -1321,6 +1321,54 @@ object DedupQueries {
         compactMinhashIndex(s, tomb, v1, v2)
         serveMinhashBatch(s, d.filter(col("doc_id") >= 375), v2)
       })
+  } :+ {
+    // Suffix-structure DELETE-COMPACTION — the lifecycle verb the
+    // family was missing (build qau, streaming ingest-merge q8x, this):
+    // deletes are the case ingest-only maintenance never faces, because
+    // a removed document can make a suffix key VANISH from the corpus
+    // and every dense rank above it must SHIFT down — the persisted
+    // dictionary is wrong, not merely incomplete. The compaction works
+    // from the structure alone (text never re-read): tombstoned docs'
+    // position rows drop by a row-local anti join, the per-key counts
+    // are debited by those same rows and zeroed keys vanish, and the
+    // SURVIVING dictionary is renumbered — O(|dict|) renumber work,
+    // never O(positions), the q8x asymmetry on the remove side. The
+    // oracle replays qau's doubling rounds over the LIVE corpus only
+    // (shared round CTEs, corpus-parameterized): hash equality
+    // certifies the renumbered dictionary landed exactly on the
+    // rebuilt dense ranks, global group sizes included. Tombstone rule
+    // doc_id % 5 = 3 keeps the % 25 = 0 sample fully live. Design:
+    // [[graft.operators.SuffixRanks.compactDelete]]; spec
+    // `SuffixCompactionPropSpec`.
+    val p = QueryDef.materializePath(sfDir, "qb8_suffix")
+    QueryDef(
+      "qb8_suffix_compaction",
+      Some(graft.operators.SuffixRanks.compactionOracleSql("doc_id % 5 <> 3")),
+      (s, dir) => {
+        import graft.operators.SuffixRanks
+        val d = docs(s, dir)
+        // stage the q8x structure: row-local keys, counted dictionary
+        SuffixRanks.suffixKeys(d)
+          .write.mode("overwrite").parquet(s"$p/pos")
+        val pos = s.read.parquet(s"$p/pos")
+        pos.groupBy(col("key")).agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$p/counts")
+        SuffixRanks.rankDict(s.read.parquet(s"$p/counts"))
+          .write.mode("overwrite").parquet(s"$p/dict")
+        // tombstones from the structure's own rows, never the corpus
+        val tomb = pos.select(col("doc_id")).distinct()
+          .filter(pmod(col("doc_id"), lit(5)) === 3)
+        SuffixRanks.compactDelete(s, tomb, p, s"$p/v1")
+        // the q8x audit measure, served from the compacted structure
+        val ranked = s.read.parquet(s"$p/v1/pos")
+          .join(s.read.parquet(s"$p/v1/dict"), Seq("key"))
+          .select(col("doc_id"), col("pos"), col("r"))
+        val grp = ranked.groupBy(col("r")).agg(count(lit(1)).as("grp"))
+        ranked.filter(col("doc_id") % SuffixRanks.SampleMod === 0)
+          .join(grp, Seq("r"))
+          .select(col("doc_id"), col("pos"), col("r").as("rank"), col("grp"))
+          .orderBy(col("doc_id"), col("pos"))
+      })
   } :+
     // Distributed suffix-array construction by prefix doubling (Manber
     // & Myers 1990; Flick & Aluru SC'15) — the EXACT index behind
