@@ -138,6 +138,9 @@ object DumpPlans {
     "qb4_graph_delete"        -> "graph delete: tombstone drop + FreshDiskANN local repair (former-list candidates, semi/anti touched split)",
     "qb5_graph_compaction"    -> "graph compaction: generation chain folded, live set from the chain, qao rebuild over exactly the live corpus",
     "qb6_ivf_compaction"      -> "IVF compaction: membership generations minus tombstones, re-seeded build + q66 probe over the live corpus",
+    "qb7_minhash_compaction"  -> "MinHash compaction: corpus-free DF debit from tombstoned index rows, drop-list re-cut, row-local re-admission, touched-only re-sign",
+    "qb8_suffix_compaction"   -> "suffix compaction: row-local position drop, per-key count debit, O(dict) StableIds renumber of the surviving dictionary",
+    "q8z_stream_pq_serve"     -> "streaming PQ serve: per-micro-batch 128-row LUT from the persisted codebook, (j,code) equi join over stored codes",
     "q8y_stream_graph_serve"  -> "streaming graph-ANN serve: per-micro-batch beam walk over the persisted graph (stateless, batch-keyed outputs)")
 
   def main(args: Array[String]): Unit = {
