@@ -592,6 +592,53 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "suffixcompact") {
+      // qb8: folding a FIXED tombstone sweep out of a growing suffix
+      // structure — the compaction's renumber term is O(|dict|) and its
+      // copy term is a row-local anti join over positions (no re-key,
+      // no text read), while the naive restage re-explodes every
+      // document and re-ranks from scratch. Sweep fixed to the original
+      // id range (the graphdelete/minhashcompact discipline).
+      import graft.operators.SuffixRanks
+      val docs0 = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      for (mult <- Seq(1, 4)) {
+        val base = replicate(docs0, "doc_id", mult, 10000000L).cache()
+        val n = base.count()
+        val p = s"/tmp/graft_scale_sfxcompact_$mult"
+        SuffixRanks.suffixKeys(base)
+          .write.mode("overwrite").parquet(s"$p/v0/pos")
+        spark.read.parquet(s"$p/v0/pos").groupBy(col("key"))
+          .agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$p/v0/counts")
+        SuffixRanks.rankDict(spark.read.parquet(s"$p/v0/counts"))
+          .write.mode("overwrite").parquet(s"$p/v0/dict")
+        val tomb = spark.read.parquet(s"$p/v0/pos")
+          .select(col("doc_id")).distinct()
+          .filter(col("doc_id") < 10000000L &&
+            pmod(col("doc_id"), lit(25)) === 0).cache()
+        val nDead = tomb.count()
+        time(s"compact fixed sweep (n=$n, tombstones=$nDead)") {
+          SuffixRanks.compactDelete(spark, tomb, s"$p/v0", s"$p/v1")
+        }
+        time(s"naive: restage over live corpus (n=$n)") {
+          val live = base.join(tomb, Seq("doc_id"), "left_anti")
+          SuffixRanks.suffixKeys(live)
+            .write.mode("overwrite").parquet(s"$p/rb/pos")
+          spark.read.parquet(s"$p/rb/pos").groupBy(col("key"))
+            .agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$p/rb/counts")
+          SuffixRanks.rankDict(spark.read.parquet(s"$p/rb/counts"))
+            .write.mode("overwrite").parquet(s"$p/rb/dict")
+        }
+        val dictN = spark.read.parquet(s"$p/v1/dict").count()
+        println(s"[scale]   n=$n tombstones=$nDead dict=$dictN — the " +
+          "renumber term is O(dict), the copy term row-local")
+        base.unpersist(); tomb.unpersist()
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "joinorder") {
       // qam: does the catalog's pick match measured reality, and what
       // does picking wrong cost? Prices both left-deep orders from the
