@@ -52,4 +52,69 @@ object BloomFunctions {
         bridge.expression(bloom),
         bridge.expression(xxhash64(c))),
       Literal(false))))
+
+  // ------------------------------------------------- counting filter (qb9)
+
+  /** The k cell indices of a key — double hashing (Kirsch & Mitzenmacher
+    * 2006: two hash functions simulate k independent ones with no FPP
+    * loss): cell_i = (h1 + i·h2) mod m, stride forced nonzero. Shared by
+    * the build and probe sides, which is what makes "equal keys always
+    * hit" a construction property rather than a hope. */
+  def counting_cells(c: Column, m: Long, k: Int): Column = {
+    val h1 = pmod(xxhash64(c), lit(m))
+    val h2 = pmod(xxhash64(c, lit(1L)), lit(m - 1)) + lit(1L)
+    array((0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m))): _*)
+  }
+
+  /** COUNTING Bloom filter (Fan et al. 2000) over inserts MINUS deletes,
+    * folded to one broadcast-able map row — the membership sketch that
+    * supports RETRACTION, which plain Bloom bits cannot (a bit cannot be
+    * unset: after a delete a plain filter either lies "present" forever
+    * or, if bits were cleared, silently drops other keys sharing them).
+    * Counters make the delete exact-by-multiset: every key contributes
+    * +1 to its k cells, every retraction −1, and because the cells are
+    * SUMS the build is order-independent and map-side combinable — the
+    * whole filter is one narrow (cell, ±1) aggregate, k rows per key,
+    * never the keys themselves. Zeroed cells drop out, so the map is the
+    * dense counter array minus its zeros (≤ min(m, n·k) entries; size m
+    * at ~10·n cells for the usual ~1% FPP and the map stays
+    * broadcast-sized for the same n a plain Bloom handles).
+    *
+    * Contract (the q6g discipline, delete edition): a LIVE key always
+    * tests true — its +1s were never matched by a retraction, even if a
+    * duplicate holding the same cells was deleted (the multiset case a
+    * naive clear-the-bits delete corrupts). False positives (a fully
+    * deleted or never-inserted key landing on busy cells) are resolved
+    * by the exact confirm join, so results stay bit-identical to the
+    * plain anti join against the live set. */
+  def counting_bloom(inserts: org.apache.spark.sql.DataFrame,
+      deletes: org.apache.spark.sql.DataFrame,
+      m: Long, k: Int): Column = {
+    def rows(d: org.apache.spark.sql.DataFrame, w: Long) =
+      d.select(explode(counting_cells(col(d.columns.head), m, k)).as("cell"),
+        lit(w).as("w"))
+    rows(inserts, 1L).unionByName(rows(deletes, -1L))
+      .groupBy(col("cell")).agg(sum(col("w")).as("n"))
+      .filter(col("n") > 0)
+      .agg(map_from_entries(collect_list(struct(col("cell"), col("n"))))
+        .as("cbf"))
+      .scalar()
+  }
+
+  /** True iff all k counters of xxhash64-cells(c) are positive in the
+    * counting filter `cbf` (a map Column — scalar subquery). The k
+    * lookups are an UNROLLED conjunction, not a `forall` lambda —
+    * Spark disallows subquery expressions inside higher-order
+    * functions, and k is a compile-time constant anyway. Missing cells
+    * read as 0, so an empty filter (empty build side, or every insert
+    * retracted) verdicts false — the bootstrap rule [[might_contain]]
+    * documents, inherited here. */
+  def counting_might_contain(cbf: Column, c: Column, m: Long, k: Int): Column = {
+    val h1 = pmod(xxhash64(c), lit(m))
+    val h2 = pmod(xxhash64(c, lit(1L)), lit(m - 1)) + lit(1L)
+    (0 until k).map { i =>
+      coalesce(element_at(cbf, pmod(h1 + lit(i.toLong) * h2, lit(m))),
+        lit(0L)) > 0
+    }.reduceLeft(_ && _)
+  }
 }

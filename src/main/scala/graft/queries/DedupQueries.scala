@@ -381,6 +381,58 @@ object DedupQueries {
         novel.unionByName(confirmed).orderBy(col("doc_id"))
       }),
 
+    // Incremental dedup under DELETES, counting-Bloom scale path — the
+    // retraction verb for the membership sketch, completing the
+    // indexes-under-deletes family (MinHash compaction qb7, suffix
+    // compaction qb8, and here the q6g gate itself): a compliance sweep
+    // retracts every 7th snapshot doc, and the incoming batch must be
+    // screened against the LIVE snapshot — an incoming text whose only
+    // snapshot match was deleted is NOVEL again (re-admission), the
+    // verdict a plain Bloom filter can never produce (bits cannot be
+    // unset; q6g's filter would answer "maybe present" forever and at
+    // best pay the confirm join for every re-admitted row — at worst, a
+    // naive clear-the-bits delete silently drops OTHER keys sharing the
+    // cells). Counters make retraction exact by multiset arithmetic:
+    // the filter is inserts − deletes as one narrow order-independent
+    // (cell, ±1) aggregate (k rows per key, map-side combinable, never
+    // the keys), folded to a single broadcast map row; deleting one
+    // copy of a duplicated text leaves the live copy's counters
+    // positive — the case the spec pins. Probe is row-local against
+    // the scalar; only filter-positive candidates (true live dups + the
+    // FPP tail, where fully-deleted keys land) reach the exact confirm
+    // anti join against the LIVE hashes — so the result is
+    // bit-identical to the plain live anti join, which is exactly what
+    // the oracle asserts. The delete costs |deletes|·k sketch rows,
+    // never a filter rebuild over the surviving snapshot.
+    QueryDef(
+      "qb9_counting_bloom_dedup",
+      Some("""SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id >= 250
+          AND sha256(d.text) NOT IN (
+            SELECT sha256(text) FROM documents
+            WHERE doc_id < 250 AND doc_id % 7 <> 0)
+        ORDER BY d.doc_id"""),
+      (s, dir) => {
+        val all = docs(s, dir).withColumn("h", sha2(col("text"), 256))
+        val snapshot = all.filter(col("doc_id") < 250)
+        val retracted = snapshot
+          .filter(pmod(col("doc_id"), lit(7)) === 0).select(col("h"))
+        val liveH = snapshot
+          .filter(pmod(col("doc_id"), lit(7)) =!= 0).select(col("h"))
+        val incoming = all.filter(col("doc_id") >= 250)
+        val (m, k) = (65536L, 4)
+        val cbf = BloomFunctions.counting_bloom(
+          snapshot.select(col("h")), retracted, m, k)
+        val flagged = incoming.withColumn("cand",
+          BloomFunctions.counting_might_contain(cbf, col("h"), m, k))
+        val novel = flagged.filter(!col("cand"))
+          .select(col("doc_id"), col("lang"))
+        val confirmed = flagged.filter(col("cand"))
+          .join(liveH, Seq("h"), "left_anti")
+          .select(col("doc_id"), col("lang"))
+        novel.unionByName(confirmed).orderBy(col("doc_id"))
+      }),
+
     // Near-dup cluster formation: connected components over the Jaccard
     // pair graph (iterative min-label propagation — see
     // graft.operators.ConnectedComponents). The oracle replays the
