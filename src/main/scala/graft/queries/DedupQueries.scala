@@ -406,12 +406,7 @@ object DedupQueries {
     // never a filter rebuild over the surviving snapshot.
     QueryDef(
       "qb9_counting_bloom_dedup",
-      Some("""SELECT d.doc_id, d.lang FROM documents d
-        WHERE d.doc_id >= 250
-          AND sha256(d.text) NOT IN (
-            SELECT sha256(text) FROM documents
-            WHERE doc_id < 250 AND doc_id % 7 <> 0)
-        ORDER BY d.doc_id"""),
+      Some(countingBloomOracleSql),
       (s, dir) => {
         val all = docs(s, dir).withColumn("h", sha2(col("text"), 256))
         val snapshot = all.filter(col("doc_id") < 250)
@@ -1905,6 +1900,20 @@ object DedupQueries {
         round(col("b.jac"), 4).as("jac"), col("n_cand"))
       .orderBy(col("doc_id"))
   }
+
+  /** The exact live anti join — SHARED VERBATIM by qb9 (batch counting-
+    * Bloom gate) and qc0 (its streaming twin: the same filter maintained
+    * as versioned state under CDC inserts AND deletes): one oracle text
+    * across both is the machine-checked equivalence claim (the q5s/q8z
+    * discipline). Live set = snapshot minus the every-7th retraction
+    * sweep; output = incoming docs novel against it. */
+  private[graft] val countingBloomOracleSql: String =
+    """SELECT d.doc_id, d.lang FROM documents d
+        WHERE d.doc_id >= 250
+          AND sha256(d.text) NOT IN (
+            SELECT sha256(text) FROM documents
+            WHERE doc_id < 250 AND doc_id % 7 <> 0)
+        ORDER BY d.doc_id"""
 
   /** Exact incremental near-dup measure — the shared oracle of qa5 AND
     * its streaming serve twin (q8q): for every incoming doc (>= 250),

@@ -721,6 +721,21 @@ object StreamingQueries {
       Some(graft.queries.SimilarityQueries.pqAdcOracleSql),
       (s, dir) => StreamPipelines.docStreamPqServe(s, dir)),
 
+    // Streaming counting-Bloom dedup under CDC RETRACTIONS — qb9's
+    // filter maintained as versioned state across a live feed (insert
+    // commit → delete sweep → incoming commit, one micro-batch each):
+    // counters fold per batch as order-independent (cell, ±1) sums,
+    // deletes decrement through the narrow (doc_id, h) live map (a
+    // delete CDC row carries no text), and each batch's inserts screen
+    // against the PRE-batch state — so a doc whose only snapshot
+    // partner died mid-stream comes out NOVEL. Shares qb9's oracle
+    // verbatim: the drained gate ≡ the one-shot batch gate. Design:
+    // [[graft.streaming.StreamPipelines.docStreamRetractionDedup]].
+    QueryDef(
+      "qc0_stream_retraction_dedup",
+      Some(graft.queries.DedupQueries.countingBloomOracleSql),
+      (s, dir) => StreamPipelines.docStreamRetractionDedup(s, dir)),
+
     QueryDef(
       "q8t_kafka_wire_doc_sink",
       Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,

@@ -1314,6 +1314,103 @@ object StreamPipelines {
       .orderBy(served("qid"), col("rnk"))
   }
 
+  /** qc0: the qb9 counting-Bloom dedup gate under a LIVE CDC feed — the
+    * sketch-state-under-retraction shape no plain-Bloom pipeline can
+    * run: the doc store takes three commits (snapshot insert →
+    * compliance DELETE sweep → incoming insert), the CDC tail replays
+    * them one micro-batch each with `_op` change types, and every batch
+    * folds into VERSIONED counter state (`cnt_v<B>` = cnt_v<B-1> +
+    * this batch's (cell, ±1) rows — order-independent sums, so the fold
+    * is one narrow aggregate; generation = batchId, replay-idempotent
+    * by layout, the labels_v<N> rule) plus the narrow (doc_id, h) live
+    * map the decrement needs (a delete CDC row carries no text — the
+    * id→hash side table is what any production counting-filter service
+    * keeps so it knows WHAT to decrement). Each batch's inserts are
+    * screened against the PRE-batch state: filter verdict from the
+    * folded counter map (one scalar), exact confirm anti join against
+    * the pre-batch live hashes — so batch-3 docs whose only snapshot
+    * partner died in batch 2 come out NOVEL, the re-admission verdict
+    * the filter exists to make. Drained novel set ≡ qb9's one-shot
+    * batch gate: qc0 SHARES qb9's oracle verbatim. */
+  def docStreamRetractionDedup(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    val (m, k) = (65536L, 4)
+    val tmp = graft.TempDirs.create("graft_cbf_stream")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    graft.connector.GraftDoc.write(
+      d.filter(col("doc_id") < 250), "doc_id", s"$tmp/tbl")
+    graft.connector.GraftDoc.delete(s, s"$tmp/tbl",
+      d.filter(col("doc_id") < 250 && pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id")))
+    graft.connector.GraftDoc.write(
+      d.filter(col("doc_id") >= 250), "doc_id", s"$tmp/tbl")
+    // v0 state: empty counters, empty live-id map
+    s.range(0).select(col("id").as("cell"), col("id").as("n"))
+      .write.mode("overwrite").parquet(s"$tmp/cnt_v0")
+    s.range(0).select(col("id").as("doc_id"), lit("").as("h"))
+      .write.mode("overwrite").parquet(s"$tmp/ids_v0")
+    val ckpt = ephemeralCheckpoint("cbf_stream")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/tbl", maxCommitsPerTrigger = Some(1L),
+            withOp = true)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val v = batchId
+            val ins = batch.filter(col("_op") === "insert")
+              .select(col("_id").cast("long").as("doc_id"),
+                col("text"), col("lang"))
+              .withColumn("h", sha2(col("text"), 256))
+            val del = batch.filter(col("_op") === "delete")
+              .select(col("_id").cast("long").as("doc_id"))
+            val prevCnt = s.read.parquet(s"$tmp/cnt_v$v")
+            val prevIds = s.read.parquet(s"$tmp/ids_v$v")
+            // screen this batch's inserts against the PRE-batch state
+            val cbf = prevCnt
+              .agg(map_from_entries(
+                collect_list(struct(col("cell"), col("n")))).as("cbf"))
+              .scalar()
+            val flagged = ins.withColumn("cand",
+              BloomFunctions.counting_might_contain(cbf, col("h"), m, k))
+            flagged.filter(!col("cand"))
+              .select(col("doc_id"), col("lang"))
+              .unionByName(flagged.filter(col("cand"))
+                .join(prevIds.select(col("h")), Seq("h"), "left_anti")
+                .select(col("doc_id"), col("lang")))
+              .write.mode("overwrite").parquet(s"$tmp/novel_b$v")
+            // fold the batch into the next state generation
+            val delH = del.join(prevIds, Seq("doc_id"))
+              .select(col("doc_id"), col("h"))
+            val deltaCells = ins.select(
+                explode(BloomFunctions.counting_cells(col("h"), m, k))
+                  .as("cell"), lit(1L).as("w"))
+              .unionByName(delH.select(
+                explode(BloomFunctions.counting_cells(col("h"), m, k))
+                  .as("cell"), lit(-1L).as("w")))
+            prevCnt.select(col("cell"), col("n").as("w"))
+              .unionByName(deltaCells)
+              .groupBy(col("cell")).agg(sum(col("w")).as("n"))
+              .filter(col("n") > 0)
+              .write.mode("overwrite").parquet(s"$tmp/cnt_v${v + 1}")
+            prevIds.join(del, Seq("doc_id"), "left_anti")
+              .unionByName(ins.select(col("doc_id"), col("h")))
+              .write.mode("overwrite").parquet(s"$tmp/ids_v${v + 1}")
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    // batch-1's bootstrap novelties (the snapshot itself) fall away here
+    s.read.parquet(s"$tmp/novel_b*")
+      .filter(col("doc_id") >= 250)
+      .orderBy(col("doc_id"))
+  }
+
   /** q8z: streaming PQ-ADC serve from a PERSISTED product-quantization
     * index — the persisted-index streaming serve carried to its FOURTH
     * family (IVF q8g, MinHash q8q, graph q8y, PQ here): the codebook and
