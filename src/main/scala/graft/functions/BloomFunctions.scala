@@ -57,12 +57,21 @@ object BloomFunctions {
 
   /** The k cell indices of a key — double hashing (Kirsch & Mitzenmacher
     * 2006: two hash functions simulate k independent ones with no FPP
-    * loss): cell_i = (h1 + i·h2) mod m, stride forced nonzero. Shared by
-    * the build and probe sides, which is what makes "equal keys always
-    * hit" a construction property rather than a hope. */
+    * loss): cell_i = (h1 + i·h2) mod m, stride forced ODD. `m` must be
+    * even (callers use powers of two), so gcd(h2, m) = 1 and the k cells
+    * are all DISTINCT — an even stride with power-of-two m can collapse
+    * cells onto each other (h2 = m/2 folds k=4 onto 2 cells), which
+    * keeps build/probe symmetric (no false negatives) but silently
+    * doubles the effective FPP. This is the ONE derivation of a key's
+    * cells: [[counting_bloom]] builds through it and
+    * [[counting_might_contain]] probes through it, which is what makes
+    * "equal keys always hit" a construction property rather than a
+    * hope. */
   def counting_cells(c: Column, m: Long, k: Int): Column = {
+    require(m % 2 == 0, s"counting_cells needs an even m (got $m): the odd" +
+      " stride guarantees k distinct cells only when gcd(stride, m) = 1")
     val h1 = pmod(xxhash64(c), lit(m))
-    val h2 = pmod(xxhash64(c, lit(1L)), lit(m - 1)) + lit(1L)
+    val h2 = pmod(xxhash64(c, lit(1L)), lit(m / 2)) * lit(2L) + lit(1L)
     array((0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m))): _*)
   }
 
@@ -110,11 +119,11 @@ object BloomFunctions {
     * retracted) verdicts false — the bootstrap rule [[might_contain]]
     * documents, inherited here. */
   def counting_might_contain(cbf: Column, c: Column, m: Long, k: Int): Column = {
-    val h1 = pmod(xxhash64(c), lit(m))
-    val h2 = pmod(xxhash64(c, lit(1L)), lit(m - 1)) + lit(1L)
-    (0 until k).map { i =>
-      coalesce(element_at(cbf, pmod(h1 + lit(i.toLong) * h2, lit(m))),
-        lit(0L)) > 0
+    // probe through counting_cells — ONE shared derivation with the build
+    // side, so the no-false-negative contract cannot drift apart silently
+    val cells = counting_cells(c, m, k)
+    (1 to k).map { i =>
+      coalesce(element_at(cbf, element_at(cells, i)), lit(0L)) > 0
     }.reduceLeft(_ && _)
   }
 }

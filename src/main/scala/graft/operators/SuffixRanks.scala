@@ -152,10 +152,27 @@ object SuffixRanks {
     * rides on the insert side. `SuffixCompactionPropSpec` proves the
     * result frame-for-frame equal to staging the structure from
     * scratch over the live corpus, including the rank-shift case. */
+  /** The loud half of the tombstones-≪-corpus contract: the tombstone
+    * id set is BROADCAST (anti-join build side) and must stay
+    * broadcast-sized. 4M ids ≈ 32 MB serialized — past that, shard the
+    * compaction by id range instead of silently building a giant
+    * broadcast. */
+  val MaxBroadcastTombstones = 4L * 1000 * 1000
+
   def compactDelete(s: org.apache.spark.sql.SparkSession,
       tombs: DataFrame, oldPath: String, newPath: String): Unit = {
     val tombIds = tombs.select(col(tombs.columns.head).as("doc_id"))
-    val pos = s.read.parquet(s"$oldPath/pos")
+    val nTomb = tombIds.count()
+    require(nTomb <= MaxBroadcastTombstones,
+      s"SuffixRanks.compactDelete broadcasts the tombstone id set and got " +
+        s"$nTomb ids (> $MaxBroadcastTombstones): the tombstones-≪-corpus " +
+        s"contract is violated — shard the compaction by id range")
+    // ONE scan of the corpus-sized position frame: materialize it once
+    // (IterationCheckpoint blocks — durable-checkpoint switchable, the
+    // iterative-operator trade), then both consumers (the survivor
+    // write and the dead-key count debit) read the same blocks instead
+    // of re-scanning the parquet per consumer.
+    val pos = IterationCheckpoint.cut(s.read.parquet(s"$oldPath/pos"))
     pos.join(broadcast(tombIds), Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$newPath/pos")
     val deadCounts = pos.join(broadcast(tombIds), Seq("doc_id"), "left_semi")

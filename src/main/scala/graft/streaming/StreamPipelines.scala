@@ -1380,8 +1380,17 @@ object StreamPipelines {
                 .join(prevIds.select(col("h")), Seq("h"), "left_anti")
                 .select(col("doc_id"), col("lang")))
               .write.mode("overwrite").parquet(s"$tmp/novel_b$v")
-            // fold the batch into the next state generation
-            val delH = del.join(prevIds, Seq("doc_id"))
+            // fold the batch into the next state generation. Delete
+            // hashes resolve against prevIds ∪ THIS batch's inserts —
+            // not prevIds alone — so an insert and its retraction
+            // landing in one micro-batch still cancel (+1/−1 per
+            // copy, multiset-exact) instead of leaving the insert's
+            // counters in place forever; the fold does NOT depend on
+            // maxCommitsPerTrigger=1 isolating deletes into their own
+            // batch. Within a batch, deletes apply AFTER inserts.
+            val delH = del
+              .join(prevIds.unionByName(ins.select(col("doc_id"), col("h"))),
+                Seq("doc_id"))
               .select(col("doc_id"), col("h"))
             val deltaCells = ins.select(
                 explode(BloomFunctions.counting_cells(col("h"), m, k))
@@ -1395,7 +1404,8 @@ object StreamPipelines {
               .filter(col("n") > 0)
               .write.mode("overwrite").parquet(s"$tmp/cnt_v${v + 1}")
             prevIds.join(del, Seq("doc_id"), "left_anti")
-              .unionByName(ins.select(col("doc_id"), col("h")))
+              .unionByName(ins.select(col("doc_id"), col("h"))
+                .join(del, Seq("doc_id"), "left_anti"))
               .write.mode("overwrite").parquet(s"$tmp/ids_v${v + 1}")
             ()
           }
