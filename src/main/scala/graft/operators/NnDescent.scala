@@ -823,7 +823,8 @@ object NnDescent {
        |          e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
        |    FROM embeddings qq
        |    JOIN embeddings e ON e.vec_id <> qq.vec_id
-       |    WHERE qq.vec_id >= (SELECT nb FROM nb))
+       |    WHERE qq.vec_id >= (SELECT nb FROM nb)
+       |      AND qq.vec_id % $FlagSampleMod = 0)
        |  WHERE rnk <= $ReportK),
        |fin AS (
        |  SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
@@ -833,7 +834,7 @@ object NnDescent {
        |  CAST(round(f.c, 4) + 0 AS DOUBLE) AS cos,
        |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
        |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
-       |WHERE f.rnk <= $ReportK
+       |WHERE f.rnk <= $ReportK AND f.vec_id % $FlagSampleMod = 0
        |ORDER BY qid, rnk""".stripMargin
   }
 
@@ -843,6 +844,17 @@ object NnDescent {
     * (the q6w idiom — IVF uses % 9 == 3). */
   val DeleteMod = 16L
   val DeleteRes = 3L
+
+  /** qb3/qb4's exact-recall EVIDENCE flags are O(probed · N) brute
+    * probes — pure measurement, not part of the insert/repair work
+    * (which stays N-independent). The probe samples the reported node
+    * set by id (the qau SampleMod idiom): only nodes with
+    * vec_id % [[FlagSampleMod]] == 0 are reported and flagged, so the
+    * probe cost scales with sampled nodes while the maintenance itself
+    * still runs for EVERY node. Both engines sample by the same rule,
+    * so the oracle hash still certifies the full merge/repair through
+    * the sampled rows' ranks and scores. */
+  val FlagSampleMod = 4L
 
   /** qb4: delete with LOCAL repair — the remove path completing the
     * graph lifecycle (IVF has q6w tombstones, MinHash has qaa
@@ -954,7 +966,8 @@ object NnDescent {
        |    FROM embeddings qq
        |    JOIN tch t ON t.vec_id = qq.vec_id
        |    JOIN embeddings e ON e.vec_id <> qq.vec_id
-       |      AND e.vec_id % $DeleteMod <> $DeleteRes)
+       |      AND e.vec_id % $DeleteMod <> $DeleteRes
+       |    WHERE qq.vec_id % $FlagSampleMod = 0)
        |  WHERE rnk <= $ReportK),
        |fin AS (
        |  SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
@@ -964,6 +977,6 @@ object NnDescent {
        |  CAST(round(f.c, 4) + 0 AS DOUBLE) AS cos,
        |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
        |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
-       |WHERE f.rnk <= $ReportK
+       |WHERE f.rnk <= $ReportK AND f.vec_id % $FlagSampleMod = 0
        |ORDER BY qid, rnk""".stripMargin
 }

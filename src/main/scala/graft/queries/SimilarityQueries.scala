@@ -153,6 +153,16 @@ object SimilarityQueries {
   private[queries] def qb6GenPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "qb6_ivf_chain")
 
+  /** qc1: the persisted PQ index (codebook + codes) the tombstone serve
+    * reads — built over the FULL corpus before any delete arrives. */
+  private[queries] def qc1IndexPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qc1_pq_tomb")
+
+  /** qc2: the PQ generation chain (base codebook+codes, delta codes
+    * encoded against the STALE persisted codebook, tombstone set). */
+  private[queries] def qc2GenPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qc2_pq_chain")
+
   /** The q66 assignment rule as a helper: nearest centroid per vector,
     * argmax as a map-side-combining hash aggregate (one shuffled row per
     * vector), round-9 quantized scores, tie-break (cc DESC, cid ASC). */
@@ -1941,10 +1951,18 @@ object SimilarityQueries {
         val merged = NnDescent.insertDelta(e, s.read.parquet(p), nBase)
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("c").desc, col("nid"))
-        val fin = merged.filter(col("vec_id") >= nBase)
+        // evidence is SAMPLED (the qau SampleMod idiom, via
+        // NnDescent.FlagSampleMod): the merge above ran for every new
+        // node; only sampled nodes are reported and brute-probed, so
+        // the O(probed·N) exact flags scale with the sample, not the
+        // delta
+        val qS = e.filter(col("vec_id") >= nBase &&
+          pmod(col("vec_id"), lit(NnDescent.FlagSampleMod)) === 0)
+        val fin = merged
+          .join(qS.select(col("vec_id")), Seq("vec_id"), "left_semi")
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= NnDescent.ReportK)
-        val exact = exactTopKFrom(e, NnDescent.ReportK, nBase)
+        val exact = exactTopKOf(e, NnDescent.ReportK, qS)
           .withColumn("in_exact", lit(1))
         fin.join(exact,
             fin("vec_id") === exact("qid") && fin("nid") === exact("nid"),
@@ -1984,14 +2002,17 @@ object SimilarityQueries {
         val surE = e.filter(!dead(col("vec_id")))
         val w = Window.partitionBy(col("vec_id"))
           .orderBy(col("c").desc, col("nid"))
-        val fin = repairedG.join(touched, Seq("vec_id"), "left_semi")
+        // evidence flags only (the repair itself is N-independent): with
+        // DeleteMod=16 and K=10 ~half the survivors are touched, so the
+        // exact probe SAMPLES the touched set (the qau SampleMod idiom,
+        // via NnDescent.FlagSampleMod) — the repair above still ran for
+        // every touched node; only sampled nodes are reported/probed
+        val touchedS = touched.filter(
+          pmod(col("vec_id"), lit(NnDescent.FlagSampleMod)) === 0)
+        val fin = repairedG.join(touchedS, Seq("vec_id"), "left_semi")
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= NnDescent.ReportK)
-        // evidence flags only (the repair itself is N-independent): with
-        // DeleteMod=16 and K=10 ~half the survivors are touched, so this
-        // exact probe is O(touched·N) — at a larger corpus, sample the
-        // touched set first (the qau SampleMod idiom)
-        val exact = exactTopKOf(surE, NnDescent.ReportK, touched)
+        val exact = exactTopKOf(surE, NnDescent.ReportK, touchedS)
           .withColumn("in_exact", lit(1))
         fin.join(exact,
             fin("vec_id") === exact("qid") && fin("nid") === exact("nid"),
@@ -2129,6 +2150,128 @@ object SimilarityQueries {
           liveE.filter(col("vec_id") < 10)
             .select(col("vec_id").as("qid"), col("embedding").as("qe")),
           liveE, cc, ca)
+      }),
+
+    // PQ serve under DELETES — the q6w/qaa serve-under-tombstones verb
+    // carried to the PQ index family (which had build q5s/q5t and
+    // batch/streaming serve q8z, but no compliance answer): the codebook
+    // and the 8-byte codes persist BEFORE any delete arrives (the index
+    // is stale by design), right-to-be-forgotten lands as graft-doc
+    // tombstone commits (q79's flow), and the serve drops deleted ids
+    // from the persisted CODES table at query time via an anti join
+    // against the tombstone set extracted from the store's own change
+    // log (`_op = 'delete'`, latest version per key — the serve trusts
+    // the store, not the intent). A deleted vector can never appear in
+    // any top-k, effective at the NEXT query after the tombstone
+    // commit; codebook retrain and code re-encode are deferred to
+    // compaction (qc2). Scale shape: tombstones ≪ corpus (broadcast
+    // anti join on narrow ids against the codes table — the 8-byte
+    // rows, never raw vectors); everything downstream is q8z's serve
+    // (128-row-per-query LUT broadcast, (j, code) equi join, map-side
+    // partial ADC sums). Oracle = q5s's replay with the tombstone rule
+    // applied to candidates AND queries — the q6w convention.
+    QueryDef(
+      "qc1_pq_tombstone_serve",
+      Some(pqAdcOracleSqlFor("embeddings",
+        "c.vec_id % 9 <> 3", "q.vec_id % 9 <> 3")),
+      (s, dir) => {
+        import graft.connector.{GraftDoc, GraftDocLog}
+        val e = emb(s, dir)
+        val p = qc1IndexPath(dir)
+        // standing PQ index over the FULL corpus, persisted before any
+        // delete arrives — stale by design
+        val sub = pqSub(e)
+        pqCodebook(sub).write.mode("overwrite").parquet(s"$p/cb")
+        val icb = s.read.parquet(s"$p/cb")
+        pqCodes(sub, icb).write.mode("overwrite").parquet(s"$p/codes")
+        // keyed doc store over the corpus; the compliance delete lands
+        // as a tombstone commit (q79's flow)
+        val store = QueryDef.materializePath(dir, "qc1_store")
+        GraftDoc.write(e.select(col("vec_id"), col("label")), "vec_id",
+          store, overwrite = true)
+        GraftDoc.delete(s, store,
+          e.filter(pmod(col("vec_id"), lit(9)) === 3).select("vec_id"))
+        // tombstone set FROM THE STORE'S CHANGE LOG (latest version per
+        // key is a delete), never the delete predicate re-derived
+        val wOp = Window.partitionBy(col("_id"))
+          .orderBy(col(GraftDocLog.CommitCol).desc)
+        val tomb = s.read.format("graft-doc")
+          .option(GraftDocLog.WithOpOpt, "true").load(store)
+          .withColumn("__rn", row_number().over(wOp))
+          .filter(col("__rn") === 1 && col(GraftDocLog.OpCol) === "delete")
+          .select(col("_id").cast("long").as("vec_id"))
+        // serve from the persisted index MINUS tombstoned code rows
+        // (tombstones ≪ corpus: broadcast-size anti join by contract —
+        // past broadcast size, compact instead, which is qc2's verb);
+        // deleted ids are excluded as queries too
+        val codes = s.read.parquet(s"$p/codes")
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        val q = e.filter(col("vec_id") < 10)
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        pqServeFor(q, codes, icb).orderBy(col("qid"), col("rnk"))
+      }),
+
+    // PQ-index COMPACTION — the fold that completes the FOURTH index
+    // family's lifecycle (IVF qb6, graph qb5, MinHash qb7, suffix qb8;
+    // PQ now has build q5s/q5t, serve q8z, tombstones qc1, and this
+    // reset): the incremental chain is stale two ways — the delta
+    // generation was ENCODED against the base's codebook (codes stop
+    // tracking the corpus distribution as it drifts), and tombstoned
+    // codes still occupy file bytes. Compaction derives the LIVE id set
+    // from the chain itself (code generations minus the tombstone set),
+    // RETRAINS the codebook on exactly that corpus (the live id-prefix
+    // seed rule — live ∩ [0, 16), so tombstoned prefix ids are gone,
+    // the qb6 seed detail), re-encodes every live vector, and serves
+    // q5s's probe from the compacted index. Oracle = q5s's own
+    // build+serve replay parameterized by the live corpus, so the hash
+    // certifies compact(chain) ≡ build(live) — the qa8/qaj
+    // merged-≡-rebuilt pattern, PQ edition. Scale shape: compaction is
+    // one corpus pass (explode ×8 + broadcast codebook + map-side
+    // argmin — qao's build cost class), runs OFF the serving path, and
+    // reclaims the generation files. Spec: `PqCompactionPropSpec`;
+    // ScaleProbe mode `pqcompact` measures compact-vs-rebuild.
+    QueryDef(
+      "qc2_pq_compaction",
+      Some(pqAdcOracleSqlFor(
+        "(SELECT * FROM embeddings WHERE vec_id % 9 <> 3) le",
+        "TRUE", "TRUE")),
+      (s, dir) => {
+        val e = emb(s, dir)
+        val nn = e.count()
+        val nBase = nn - nn / 16
+        val p = qc2GenPath(dir)
+        // gen0: base codebook + codes — the codebook is seeded from the
+        // BASE corpus, so it is stale by design once the delta lands
+        val sub0 = pqSub(e.filter(col("vec_id") < nBase))
+        pqCodebook(sub0).write.mode("overwrite").parquet(s"$p/gen0_cb")
+        val cb0 = s.read.parquet(s"$p/gen0_cb")
+        pqCodes(sub0, cb0).write.mode("overwrite").parquet(s"$p/gen0_codes")
+        // gen1: the delta ENCODED against the persisted stale codebook,
+        // appended as its own generation (the q5m update rule, PQ
+        // edition)
+        pqCodes(pqSub(e.filter(col("vec_id") >= nBase)), cb0)
+          .write.mode("overwrite").parquet(s"$p/gen1_codes")
+        // gen2: compliance tombstones (q6w's rule)
+        e.filter(pmod(col("vec_id"), lit(9)) === 3).select("vec_id")
+          .write.mode("overwrite").parquet(s"$p/gen2_tombstones")
+        // COMPACT: live ids from the chain itself, codebook RETRAINED
+        // on exactly that corpus, every live vector re-encoded —
+        // codes track the live distribution again and tombstone bytes
+        // are gone
+        val members = s.read.parquet(s"$p/gen0_codes").select("vec_id")
+          .unionByName(s.read.parquet(s"$p/gen1_codes").select("vec_id"))
+        val live = members
+          .join(s.read.parquet(s"$p/gen2_tombstones"),
+            Seq("vec_id"), "left_anti")
+          .distinct()
+        val liveE = e.join(live, Seq("vec_id"), "left_semi")
+        val subL = pqSub(liveE)
+        val cbL = pqCodebook(subL)
+        val codesL = pqCodes(subL, cbL)
+        val q = liveE.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        pqServeFor(q, codesL, cbL).orderBy(col("qid"), col("rnk"))
       })
   )
 
@@ -2216,7 +2359,19 @@ object SimilarityQueries {
     * VERBATIM by q5s (one-shot batch) and q8z (streaming serve from the
     * persisted index): one oracle across both is the machine-checked
     * equivalence claim (the q62/q8q discipline). */
-  private[graft] def pqAdcOracleSql: String = {
+  private[graft] def pqAdcOracleSql: String =
+    pqAdcOracleSqlFor("embeddings", "TRUE", "TRUE")
+
+  /** [[pqAdcOracleSql]] PARAMETERIZED — the qb5/qb6 merged-≡-rebuilt
+    * oracle pattern carried to the PQ family: `corpus` swaps the scan
+    * (qc2 replays the whole build over the LIVE corpus only), `candPred`
+    * filters scored candidates (qc1's tombstone anti join re-expressed
+    * as the oracle's WHERE) and `qPred` filters the query set (a deleted
+    * user gets no serve — the q6w rule). At defaults this IS q5s's
+    * oracle, so all four consumers (q5s, q8z, qc1, qc2) share one spec
+    * text modulo the staged predicates. */
+  private[graft] def pqAdcOracleSqlFor(corpus: String, candPred: String,
+      qPred: String): String = {
     def l2 (s: String, c: String) = (1 to 8)
       .map(i => s"($s[$i]-$c[$i])*($s[$i]-$c[$i])").mkString(" + ")
     def dot(s: String, c: String) = (1 to 8)
@@ -2224,7 +2379,7 @@ object SimilarityQueries {
     s"""WITH js AS (SELECT unnest(generate_series(0, 7)) AS j),
       sub AS (SELECT vec_id, j,
                 list_transform(embedding[j*8+1 : j*8+8], x -> x::DOUBLE) AS svec
-              FROM embeddings, js),
+              FROM $corpus, js),
       cb AS (SELECT j, vec_id AS code, svec AS cvec
              FROM sub WHERE vec_id < 16),
       d2 AS (SELECT s.vec_id, s.j, cb.code,
@@ -2236,11 +2391,12 @@ object SimilarityQueries {
                    ORDER BY d2, code) AS rn FROM d2) WHERE rn = 1),
       dotq AS (SELECT q.vec_id AS qid, cb.j, cb.code,
                  round(${dot("q.svec", "cb.cvec")}, 9) + 0 AS dq
-               FROM sub q JOIN cb ON cb.j = q.j WHERE q.vec_id < 10),
+               FROM sub q JOIN cb ON cb.j = q.j
+               WHERE q.vec_id < 10 AND $qPred),
       adc AS (SELECT d.qid, c.vec_id AS nid,
                 round(CAST(SUM(CAST(d.dq AS DECIMAL(30,12))) AS DOUBLE), 4) + 0 AS adc
               FROM codes c JOIN dotq d ON d.j = c.j AND d.code = c.code
-              WHERE c.vec_id <> d.qid GROUP BY 1, 2),
+              WHERE c.vec_id <> d.qid AND $candPred GROUP BY 1, 2),
       r AS (SELECT qid, nid, adc,
               row_number() OVER (PARTITION BY qid
                 ORDER BY adc DESC, nid) AS rnk FROM adc)

@@ -639,6 +639,96 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    if (args.length > 1 && args(1) == "pqcompact") {
+      // qc1/qc2: what the PQ fold costs and buys. The tombstone SERVE
+      // (qc1's shape) is one broadcast anti join over 8-byte code rows —
+      // it must stay ~flat as the corpus grows with the sweep fixed. The
+      // COMPACTION (qc2: chain-derived live set → codebook retrain →
+      // re-encode) is one corpus pass, q5s's build cost class — measured
+      // against the from-scratch restage it must equal (compact IS the
+      // rebuild, run off the serving path). What it BUYS is the
+      // drift reset: ADC recall@5 vs exact dot under the STALE base
+      // codebook vs the RETRAINED one, printed per scale.
+      import graft.queries.SimilarityQueries
+      val e0 = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      for (mult <- Seq(1, 4)) {
+        val e = replicate(e0, "vec_id", mult, 1000000L).cache()
+        val n = e.count()
+        // base/delta split: 1/16 of ids arrive after the base build;
+        // tombstones fixed to the ORIGINAL id range (the graphdelete/
+        // minhashcompact discipline: sweep fixed, corpus grows)
+        def isDelta(c: org.apache.spark.sql.Column) =
+          pmod(c, lit(16)) === 7
+        val tombPred = col("vec_id") < 1000000L &&
+          pmod(col("vec_id"), lit(9)) === 3
+        val (cb0, codesAll) = time(s"chain: stage (n=$n)") {
+          val sub0 = SimilarityQueries.pqSub(e.filter(!isDelta(col("vec_id"))))
+          val cb0 = SimilarityQueries.pqCodebook(sub0).cache()
+          val c0 = SimilarityQueries.pqCodes(sub0, cb0)
+          val c1 = SimilarityQueries.pqCodes(
+            SimilarityQueries.pqSub(e.filter(isDelta(col("vec_id")))), cb0)
+          val all = c0.unionByName(c1).cache()
+          all.count(); (cb0, all)
+        }
+        val tomb = e.filter(tombPred).select("vec_id").cache()
+        val nDead = tomb.count()
+        val liveQ = e.filter(col("vec_id") < 10 && !tombPred)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")).cache()
+        time(s"qc1 serve under tombstones (n=$n, tombstones=$nDead)") {
+          SimilarityQueries.pqServeFor(liveQ,
+            codesAll.join(broadcast(tomb), Seq("vec_id"), "left_anti"),
+            cb0).count()
+        }
+        val liveE = e.join(
+          codesAll.select("vec_id").distinct()
+            .join(tomb, Seq("vec_id"), "left_anti"),
+          Seq("vec_id"), "left_semi").cache()
+        val (cbL, codesL) = time(s"qc2 compact: retrain + re-encode (n=$n)") {
+          val subL = SimilarityQueries.pqSub(liveE)
+          val cbL = SimilarityQueries.pqCodebook(subL).cache()
+          val codesL = SimilarityQueries.pqCodes(subL, cbL).cache()
+          codesL.count(); (cbL, codesL)
+        }
+        time(s"naive: restage over rule-live corpus (n=$n)") {
+          val subR = SimilarityQueries.pqSub(e.filter(!tombPred))
+          SimilarityQueries.pqCodes(subR,
+            SimilarityQueries.pqCodebook(subR)).count()
+        }
+        // drift reset as a number: ADC recall@5 vs exact dot over the
+        // live corpus, stale codebook vs retrained
+        val subLive = SimilarityQueries.pqSub(liveE).cache()
+        val exact = subLive.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("j"), col("svec").as("qvec"))
+          .join(subLive.select(col("vec_id").as("nid"), col("j"),
+            col("svec").as("nvec")), Seq("j"))
+          .filter(col("nid") =!= col("qid"))
+          .withColumn("dq", round(
+            (1 to 8).map(i =>
+              element_at(col("qvec"), i) * element_at(col("nvec"), i))
+              .reduceLeft(_ + _), 9))
+          .groupBy(col("qid"), col("nid"))
+          .agg(SimilarityQueries.pqAdcSum.as("adc"))
+          .withColumn("rnk", row_number().over(Window.partitionBy(col("qid"))
+            .orderBy(col("adc").desc, col("nid"))))
+          .filter(col("rnk") <= 5).select(col("qid"), col("nid")).cache()
+        val denom = exact.count()
+        def recall(label: String, codes: DataFrame, book: DataFrame): Unit = {
+          val hits = SimilarityQueries.pqServeFor(liveQ, codes, book)
+            .select(col("qid"), col("nid"))
+            .join(exact, Seq("qid", "nid"), "left_semi").count()
+          println(f"[scale]   $label adc_recall@5=" +
+            s"${hits * 1000000L / math.max(1L, denom)}ppm ($hits/$denom)")
+        }
+        recall("chain (stale codebook + anti join)",
+          codesAll.join(broadcast(tomb), Seq("vec_id"), "left_anti"), cb0)
+        recall("compacted (retrained codebook)", codesL, cbL)
+        Seq(e, tomb, liveQ, liveE, cb0, codesAll, cbL, codesL, subLive,
+          exact).foreach(_.unpersist())
+      }
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "joinorder") {
       // qam: does the catalog's pick match measured reality, and what
       // does picking wrong cost? Prices both left-deep orders from the
