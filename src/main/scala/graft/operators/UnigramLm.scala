@@ -227,12 +227,20 @@ object UnigramLm {
     * per document with the qa7-comparable fertility_ppm. Shares the
     * full training CTE chain, so the encode oracle re-certifies the
     * training it consumes. */
-  def encodeOracleSql: String =
-    s"""WITH $oracleCtes,
+  def encodeOracleSql: String = encodeOracleSqlFor("TRUE", "TRUE")
+
+  /** [[encodeOracleSql]] PARAMETERIZED by a training slice and an encode
+    * slice — qc3's streaming twin trains on the historical corpus
+    * (`trainPred`) and encodes only the CDC-arriving documents
+    * (`encodePred`); at defaults this is qap's whole-corpus oracle. Both
+    * share the full training CTE chain, so either consumer re-certifies
+    * the training it serves from. */
+  def encodeOracleSqlFor(trainPred: String, encodePred: String): String =
+    s"""WITH ${oracleCtes(trainPred)},
        |wp AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS np FROM seg2 GROUP BY word),
        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-       |       FROM documents),
+       |       FROM documents WHERE $encodePred),
        |enc AS (SELECT d.doc_id, COUNT(*) AS n_words, SUM(wp.np) AS n_pieces
        |        FROM dw d JOIN wp ON wp.word = d.word
        |        WHERE length(d.word) BETWEEN 1 AND $MaxWordLen
@@ -242,7 +250,9 @@ object UnigramLm {
        |  CAST(n_pieces * 1000000 // n_words AS BIGINT) AS fertility_ppm
        |FROM enc ORDER BY doc_id""".stripMargin
 
-  private def oracleCtes: String = {
+  private def oracleCtes: String = oracleCtes("TRUE")
+
+  private def oracleCtes(trainPred: String): String = {
     val S = Scale
     def dpStages(r: Int, costCte: String): String = {
       val d0 =
@@ -298,7 +308,8 @@ object UnigramLm {
     }
     s"""w AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS wfreq FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |    WHERE $trainPred)
        |  WHERE length(word) BETWEEN 1 AND $MaxWordLen GROUP BY word),
        |sf AS MATERIALIZED (
        |  SELECT substr(word, st, pl) AS piece, SUM(wfreq) AS pfreq FROM (
@@ -361,4 +372,39 @@ object UnigramLm {
         expr("(n_pieces * 1000000) div n_words").as("fertility_ppm"))
       .orderBy(col("doc_id"))
   }
+
+  /** qc3: the trained model folded to ONE broadcastable row — the final
+    * round's per-word piece counts as a word → np MAP (the q8p
+    * dsir-model shape). The map is vocab-sized (Heaps'-law bounded, with
+    * the [[MaxWordLen]] cap), which is the train-once / serve-forever
+    * contract: the row broadcasts once per executor and every arriving
+    * document encodes ROW-LOCALLY against it. */
+  def npMapFrame(docs: DataFrame): DataFrame = {
+    val w = IterationCheckpoint.cut(words(docs))
+    val seed = withCosts(seedVocab(w))
+    val counts1 = IterationCheckpoint.cut(
+      emCounts(segments(w, viterbi(w, seed))))
+    val vocab2 = withCosts(mStep(counts1, w))
+    segments(w, viterbi(w, vocab2))
+      .groupBy(col("word")).agg(count(lit(1)).as("np"))
+      .agg(map_from_entries(collect_list(struct(col("word"), col("np"))))
+        .as("np_map"))
+  }
+
+  /** The ROW-LOCAL encode against a frame carrying (doc_id, text,
+    * np_map): words not in the trained vocabulary drop out (exactly
+    * [[encodeCorpus]]'s inner join — map keys already satisfy the
+    * length cap), per-doc accounting is two HOFs over the kept words
+    * (no explode, no per-token shuffle — the streaming-plan shape qc3
+    * needs: stateless append, zero state rows). Documents with no
+    * trained word vanish, the inner-join rule. */
+  def encodeCols(df: DataFrame): DataFrame =
+    df.withColumn("__ws", filter(split(col("text"), " "),
+        w => map_contains_key(col("np_map"), w)))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        aggregate(col("__ws"), lit(0L),
+          (a, w) => a + element_at(col("np_map"), w)).as("n_pieces"))
+      .withColumn("fertility_ppm", expr("(n_pieces * 1000000) div n_words"))
 }

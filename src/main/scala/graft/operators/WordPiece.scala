@@ -201,12 +201,50 @@ object WordPiece {
       .orderBy(col("doc_id"))
   }
 
+  /** qc4: the trained encode lookup folded to ONE broadcastable row —
+    * every trained word's MaxMatch accounting as a word →
+    * (n_units, n_tokens) MAP (the qc3/q8p model-row shape). The cursor
+    * walk runs ONCE per vocabulary word at training time; arriving
+    * documents then encode by pure map lookup, which is the
+    * train-once / serve-forever split qas's batch form already rides
+    * (its per-word broadcast join, folded row-local). */
+  def wpMapFrame(d: DataFrame): DataFrame = {
+    val w = IterationCheckpoint.cut(wordFreqs(d))
+    maxMatch(w.crossJoin(broadcast(pieceFrame(d))))
+      .agg(map_from_entries(collect_list(struct(col("word"),
+        struct(col("n_units"), col("n_tokens"))))).as("wp_map"))
+  }
+
+  /** The ROW-LOCAL encode against a frame carrying (doc_id, text,
+    * wp_map): words outside the trained vocabulary drop out (exactly
+    * [[encodeCorpus]]'s inner join — map keys already satisfy the
+    * length cap), per-doc accounting is HOFs over the kept words (no
+    * explode, no per-token shuffle — stateless append, zero state
+    * rows). Documents with no trained word vanish, the inner-join
+    * rule. */
+  def encodeCols(df: DataFrame): DataFrame =
+    df.withColumn("__ws",
+        filter(expr("regexp_extract_all(lower(text), '[a-z]+', 0)"),
+          w => map_contains_key(col("wp_map"), w)))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        aggregate(col("__ws"), lit(0L), (a, w) =>
+          a + element_at(col("wp_map"), w).getField("n_units"))
+          .as("n_units"),
+        aggregate(col("__ws"), lit(0L), (a, w) =>
+          a + element_at(col("wp_map"), w).getField("n_tokens"))
+          .as("n_tokens"))
+      .withColumn("fertility_ppm", expr("(n_tokens * 1000000) div n_words"))
+
   // --------------------------------------------------------------- oracle
 
   /** Shared training CTE chain: w, t0..t3, and per-round winners
     * b1..b3 (lt, rt, c, fl, fr, score). Generated from the same
     * [[Rounds]] constant as the engine. */
-  private def trainCtes: String = {
+  private def trainCtes: String = trainCtes("TRUE")
+
+  private def trainCtes(trainPred: String): String = {
     def roundCtes(i: Int): String = {
       val t = s"t${i - 1}"
       s"""l$i AS MATERIALIZED (
@@ -238,7 +276,7 @@ object WordPiece {
     s"""w AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS wf FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       |    FROM documents)
+       |    FROM documents WHERE $trainPred)
        |  WHERE length(word) BETWEEN 1 AND $MaxWordLen GROUP BY word),
        |t0 AS MATERIALIZED (
        |  SELECT regexp_replace(word || '_', '(.)', '(\\1)', 'g') AS ts, wf
@@ -261,7 +299,14 @@ object WordPiece {
     * pivots the pieces to one row, replays the MaxMatch cursor walk as
     * [[MaxSteps]] unrolled vocab-sized stages, and aggregates per doc
     * exactly like the engine. */
-  def encodeOracleSql: String = {
+  def encodeOracleSql: String = encodeOracleSqlFor("TRUE", "TRUE")
+
+  /** [[encodeOracleSql]] PARAMETERIZED by a training slice and an
+    * encode slice — qc4's streaming twin trains on the historical
+    * corpus and encodes only the CDC-arriving documents; at defaults
+    * this is qas's whole-corpus oracle (the qc3/qap relationship,
+    * WordPiece edition). */
+  def encodeOracleSqlFor(trainPred: String, encodePred: String): String = {
     val stages = (1 to MaxSteps).map { k =>
       s"""e$k AS MATERIALIZED (
          |  SELECT word, wf, u, p1, p2, p3,
@@ -275,7 +320,7 @@ object WordPiece {
          |    CASE WHEN pos >= length(u) THEN ntok ELSE ntok + 1 END AS ntok
          |  FROM e${k - 1})""".stripMargin
     }.mkString(",\n")
-    s"""WITH $trainCtes,
+    s"""WITH ${trainCtes(trainPred)},
        |pp AS MATERIALIZED (
        |  SELECT b1.lt || b1.rt AS p1, b2.lt || b2.rt AS p2,
        |         b3.lt || b3.rt AS p3
@@ -289,7 +334,7 @@ object WordPiece {
        |  FROM e$MaxSteps),
        |dw AS (SELECT doc_id,
        |         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       |       FROM documents),
+       |       FROM documents WHERE $encodePred),
        |enc AS (SELECT d.doc_id, COUNT(*) AS n_words,
        |          SUM(wp.n_units) AS n_units, SUM(wp.n_tokens) AS n_tokens
        |        FROM dw d JOIN wp ON wp.word = d.word

@@ -736,6 +736,37 @@ object StreamingQueries {
       Some(graft.queries.DedupQueries.countingBloomOracleSql),
       (s, dir) => StreamPipelines.docStreamRetractionDedup(s, dir)),
 
+    // Continuous unigram-LM tokenization — qap's streaming twin,
+    // giving the SECOND tokenizer family its encode-on-ingest story
+    // (BPE has q8l): the two EM rounds train once on the historical
+    // corpus, the final segmentation folds to one broadcastable
+    // word→piece-count map row, and every CDC-arriving document
+    // encodes row-locally (two HOFs, zero state rows, stateless
+    // append). The oracle trains on the same historical slice and
+    // batch-encodes the streamed slice through the FULL training CTE
+    // chain — drained per-doc accounting must be indistinguishable
+    // from batch encoding, and the encode re-certifies the training
+    // it consumes (qap's discipline, stream edition).
+    QueryDef(
+      "qc3_stream_unigram_encode",
+      Some(graft.operators.UnigramLm.encodeOracleSqlFor(
+        "doc_id < 250", "doc_id >= 250")),
+      (s, dir) => StreamPipelines.docStreamUnigramEncode(s, dir)),
+
+    // Continuous WordPiece tokenization — qas's streaming twin,
+    // completing the tokenizer TRIAD's streaming story (BPE q8l,
+    // unigram qc3, WordPiece here): MaxMatch runs once per vocabulary
+    // word at training time, the per-word accounting folds to one
+    // broadcastable word→(units, tokens) map row, and arriving
+    // documents encode by pure row-local map lookup — stateless
+    // append, zero state rows. Oracle = qas's full train+encode replay
+    // parameterized by the historical/streamed split.
+    QueryDef(
+      "qc4_stream_wordpiece_encode",
+      Some(graft.operators.WordPiece.encodeOracleSqlFor(
+        "doc_id < 250", "doc_id >= 250")),
+      (s, dir) => StreamPipelines.docStreamWordPieceEncode(s, dir)),
+
     QueryDef(
       "q8t_kafka_wire_doc_sink",
       Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,

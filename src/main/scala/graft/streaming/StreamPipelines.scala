@@ -607,6 +607,78 @@ object StreamPipelines {
     }
   }
 
+  /** qc3: continuous unigram-LM tokenization — qap's streaming twin on
+    * the q8l/q8v frozen-model template, completing the tokenizer
+    * TRIAD's streaming story (BPE q8l, unigram here, WordPiece qc4):
+    * the two EM rounds train once on the historical corpus and the
+    * final segmentation folds to ONE broadcastable row (a word → np
+    * map, [[graft.operators.UnigramLm.npMapFrame]]); every
+    * CDC-arriving document encodes ROW-LOCALLY via two HOFs over its
+    * kept words — no explode, no per-token shuffle, zero state rows
+    * (stateless append). The q8p serve-shape argument applies
+    * verbatim: the model broadcasts once per executor and scoring runs
+    * at scan bandwidth; retrains land batch-side on a slow cadence and
+    * swap in without touching the stream topology. */
+  def docStreamUnigramEncode(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_uni_stream")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") >= 250)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    val model0 = graft.operators.UnigramLm
+      .npMapFrame(docs.filter(col("doc_id") < 250))
+      .withColumn("k", lit(1))
+    withFrozenModel(model0) { model =>
+      withStreamShufflePartitions(s, 8) {
+        val encoded = graft.operators.UnigramLm.encodeCols(
+          graft.connector.GraftDoc
+            .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+            .select(col("_id").cast("long").as("doc_id"), col("text"),
+              lit(1).as("k"))
+            .join(broadcast(model), Seq("k")))
+        runToMemory(s, encoded, "append")
+          .orderBy(col("doc_id"))
+      }
+    }
+  }
+
+  /** qc4: continuous WordPiece tokenization — qas's streaming twin,
+    * the third and last tokenizer family's encode on the ingest
+    * stream (the qc3 shape): MaxMatch runs ONCE per vocabulary word
+    * at training time, the per-word accounting folds to one
+    * broadcastable map row
+    * ([[graft.operators.WordPiece.wpMapFrame]]), and arriving
+    * documents encode by pure row-local map lookup — stateless
+    * append, zero state rows. */
+  def docStreamWordPieceEncode(s: SparkSession, sfDir: String): DataFrame = {
+    val tmp = graft.TempDirs.create("graft_wp_stream")
+    val docs = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") >= 250)
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    val model0 = graft.operators.WordPiece
+      .wpMapFrame(docs.filter(col("doc_id") < 250))
+      .withColumn("k", lit(1))
+    withFrozenModel(model0) { model =>
+      withStreamShufflePartitions(s, 8) {
+        val encoded = graft.operators.WordPiece.encodeCols(
+          graft.connector.GraftDoc
+            .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+            .select(col("_id").cast("long").as("doc_id"), col("text"),
+              lit(1).as("k"))
+            .join(broadcast(model), Seq("k")))
+        runToMemory(s, encoded, "append")
+          .orderBy(col("doc_id"))
+      }
+    }
+  }
+
   /** q8p: continuous DSIR scoring — qa1's streaming twin on the
     * q8k/q8l/q8n template (train batch-side, serve on the ingest stream):
     * the log-ratio model trains once on the historical corpus and folds

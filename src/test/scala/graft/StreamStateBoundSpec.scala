@@ -215,6 +215,51 @@ class StreamStateBoundSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("broadcast vocab-map encode (qc3/qc4 shape) is stateless") {
+    implicit val sql = spark.sqlContext
+    // the streaming tokenizer-encode shape: the trained per-word table
+    // folded to ONE map row broadcast onto the stream; kept words =
+    // row-local filter against the map keys (the batch side's inner
+    // join), accounting = size + aggregate HOFs — no explode, no
+    // streaming aggregation, zero state rows regardless of ingest
+    val model = Seq(1).toDF("k")
+      .select(lit(1).as("k"),
+        map_from_entries(array(
+          struct(lit("aa").as("w"), lit(2L).as("np")),
+          struct(lit("bb").as("w"), lit(3L).as("np")))).as("np_map"))
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val enc = in.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("k", lit(1))
+      .join(org.apache.spark.sql.functions.broadcast(model), Seq("k"))
+      .withColumn("__ws", expr(
+        "filter(split(text, ' '), w -> map_contains_key(np_map, w))"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        expr("aggregate(__ws, CAST(0 AS BIGINT), " +
+          "(a, w) -> a + element_at(np_map, w))").as("n_pieces"))
+    val q = enc.writeStream.format("memory").queryName("sb_vocab")
+      .outputMode("append").start()
+    try {
+      for (c <- 0 until 4) {
+        in.addData((0 until 10).map(i =>
+          (hourTs(c), c * 10L + i,
+            if (i % 3 == 0) "aa bb aa" else if (i % 3 == 1) "aa zz"
+            else "zz yy")): _*)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0),
+        "vocab-map encode must carry no state store rows")
+      val rows = spark.table("sb_vocab")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      // i%3==2 docs ("zz yy") have no trained word and vanish — the
+      // inner-join rule; the rest account exactly
+      assert(rows.size == 28, s"expected 28 surviving docs, got ${rows.size}")
+      assert(rows(0L) == ((3L, 7L)) && rows(1L) == ((1L, 2L)))
+      assert(!rows.contains(2L))
+    } finally q.stop()
+  }
+
   test("broadcast band-index probe (q8o shape) is stateless") {
     implicit val sql = spark.sqlContext
     // the image-dedup shape: a broadcast (band, key) index probed per
