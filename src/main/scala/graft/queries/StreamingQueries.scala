@@ -767,6 +767,24 @@ object StreamingQueries {
         "doc_id < 250", "doc_id >= 250")),
       (s, dir) => StreamPipelines.docStreamWordPieceEncode(s, dir)),
 
+    // Streaming suffix-structure deletes — the qc0 retraction pattern
+    // applied to the q8x index: a three-commit CDC drain (snapshot
+    // insert → compliance delete sweep → incoming insert) folds into
+    // versioned structure state per micro-batch; deletes debit the
+    // per-key counts from the tombstoned docs' OWN stored position
+    // rows (qb8's count-debit — a delete CDC row carries no text),
+    // vanished keys shift every dense rank above them, and the
+    // dictionary renumber stays O(dict). Oracle = qau's doubling
+    // rounds over the LIVE corpus (qb8's oracle, shared CTE chain):
+    // the drained fold must be bit-identical to rebuilding the
+    // structure as if the swept docs had never existed. Design:
+    // [[graft.streaming.StreamPipelines.docStreamSuffixRetraction]].
+    QueryDef(
+      "qc5_stream_suffix_retraction",
+      Some(graft.operators.SuffixRanks.compactionOracleSql(
+        "NOT (doc_id < 250 AND doc_id % 10 = 5)")),
+      (s, dir) => StreamPipelines.docStreamSuffixRetraction(s, dir)),
+
     QueryDef(
       "q8t_kafka_wire_doc_sink",
       Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,

@@ -1493,6 +1493,110 @@ object StreamPipelines {
       .orderBy(col("doc_id"))
   }
 
+  /** qc5: streaming suffix-structure maintenance under DELETES — the
+    * qc0 retraction pattern applied to the q8x index (and the verb the
+    * suffix family's streaming story was missing: q8x folds CDC
+    * ingests, qb8 compacts batch tombstones, but a delete arriving ON
+    * the stream had no answer). The doc store takes three commits
+    * (snapshot insert → compliance DELETE sweep → incoming insert),
+    * the CDC tail replays them one micro-batch each with `_op` change
+    * types, and every batch folds into VERSIONED structure state
+    * (generation = batchId, replay-idempotent by layout — the
+    * labels_v<N> rule):
+    *   - inserts contribute row-local (doc_id, pos, key) rows from
+    *     their own text alone (pos_b<B>, the q8x asymmetry — no old
+    *     position recomputed);
+    *   - deletes ride qb8's count-debit: dead keys come from the
+    *     tombstoned docs' OWN stored position rows (a delete CDC row
+    *     carries no text — the accumulated pos generations are the
+    *     id→keys side table), debited from the per-key counts as
+    *     order-independent (key, ±n) sums; keys reaching zero VANISH
+    *     and the dictionary renumber shifts every rank above them —
+    *     the case ingest-only maintenance never exercises;
+    *   - the dictionary renumbers per batch over the SURVIVING key
+    *     set: O(|dict|), never O(corpus positions).
+    * Dead position rows from the SAME batch's inserts debit too (the
+    * qc0 lesson: the fold must not depend on maxCommitsPerTrigger=1
+    * isolating deletes). After the drain, positions serve through the
+    * final dictionary minus the tombstone set; the oracle replays
+    * qau's doubling rounds over the LIVE corpus (qb8's oracle), so
+    * hash equality certifies the streamed insert/delete/insert fold
+    * landed bit-exactly on the rebuilt structure — rank shifts
+    * included. */
+  def docStreamSuffixRetraction(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.SuffixRanks
+    val tmp = graft.TempDirs.create("graft_sfx_del_stream")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val sweep = col("doc_id") < 250 && pmod(col("doc_id"), lit(10)) === 5
+    graft.connector.GraftDoc.write(
+      d.filter(col("doc_id") < 250), "doc_id", s"$tmp/tbl")
+    graft.connector.GraftDoc.delete(s, s"$tmp/tbl",
+      d.filter(sweep).select(col("doc_id")))
+    graft.connector.GraftDoc.write(
+      d.filter(col("doc_id") >= 250), "doc_id", s"$tmp/tbl")
+    // v0 state: empty counts, empty dictionary, empty tombstone set
+    s.range(0).select(lit("").as("key"), col("id").as("n"))
+      .write.mode("overwrite").parquet(s"$tmp/counts_v0")
+    s.range(0).select(col("id").as("doc_id"))
+      .write.mode("overwrite").parquet(s"$tmp/tomb_v0")
+    val version = new AtomicInteger(0)
+    val ckpt = ephemeralCheckpoint("sfx_del")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/tbl", maxCommitsPerTrigger = Some(1L),
+            withOp = true)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val v = batchId
+            val ins = batch.filter(col("_op") === "insert")
+              .select(col("_id").cast("long").as("doc_id"), col("text"))
+            val del = batch.filter(col("_op") === "delete")
+              .select(col("_id").cast("long").as("doc_id"))
+            // inserts: row-local keys from this batch's text alone
+            SuffixRanks.suffixKeys(ins)
+              .write.mode("overwrite").parquet(s"$tmp/pos_b${v + 1}")
+            val newCounts = s.read.parquet(s"$tmp/pos_b${v + 1}")
+              .groupBy(col("key")).agg(count(lit(1)).as("n"))
+            // deletes: dead keys from the tombstoned docs' stored rows
+            // (ALL generations incl. this batch's inserts — same-batch
+            // insert+delete must cancel, the qc0 rule)
+            val deadCounts = s.read.parquet(s"$tmp/pos_b*")
+              .join(del, Seq("doc_id"), "left_semi")
+              .groupBy(col("key")).agg((-count(lit(1))).as("n"))
+            // fold: order-independent (key, ±n) sums; zeroed keys vanish
+            s.read.parquet(s"$tmp/counts_v$v")
+              .unionByName(newCounts).unionByName(deadCounts)
+              .groupBy(col("key")).agg(sum(col("n")).as("n"))
+              .filter(col("n") > 0)
+              .write.mode("overwrite").parquet(s"$tmp/counts_v${v + 1}")
+            // renumber the SURVIVING dictionary: O(dict), the qb8 term
+            SuffixRanks.rankDict(s.read.parquet(s"$tmp/counts_v${v + 1}"))
+              .write.mode("overwrite").parquet(s"$tmp/dict_v${v + 1}")
+            s.read.parquet(s"$tmp/tomb_v$v").unionByName(del).distinct()
+              .write.mode("overwrite").parquet(s"$tmp/tomb_v${v + 1}")
+            version.getAndUpdate(g => math.max(g, (v + 1).toInt))
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    val fv = version.get()
+    val pos = s.read.parquet(s"$tmp/pos_b*")
+      .join(s.read.parquet(s"$tmp/tomb_v$fv"), Seq("doc_id"), "left_anti")
+    val ranked = pos.join(s.read.parquet(s"$tmp/dict_v$fv"), Seq("key"))
+      .select(col("doc_id"), col("pos"), col("r"))
+    val grp = ranked.groupBy(col("r")).agg(count(lit(1)).as("grp"))
+    ranked.filter(col("doc_id") % SuffixRanks.SampleMod === 0)
+      .join(grp, Seq("r"))
+      .select(col("doc_id"), col("pos"), col("r").as("rank"), col("grp"))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
   /** q8z: streaming PQ-ADC serve from a PERSISTED product-quantization
     * index — the persisted-index streaming serve carried to its FOURTH
     * family (IVF q8g, MinHash q8q, graph q8y, PQ here): the codebook and
