@@ -1806,6 +1806,17 @@ object DedupQueries {
   private[graft] def compactMinhashIndex(s: SparkSession, tombs: DataFrame,
       oldPath: String, newPath: String, dfCap: Long = 200L): Unit = {
     val tombIds = tombs.select(col(tombs.columns.head).as("doc_id"))
+    // the loud half of the tombstones-≪-corpus contract (the
+    // SuffixRanks.compactDelete guard, MinHash edition): the id set is
+    // an anti-join broadcast build side — past broadcast size, shard
+    // the compaction by id range instead of silently building a giant
+    // broadcast
+    val nTomb = tombIds.count()
+    require(nTomb <= graft.operators.SuffixRanks.MaxBroadcastTombstones,
+      s"compactMinhashIndex broadcasts the tombstone id set and got " +
+        s"$nTomb ids (> " +
+        s"${graft.operators.SuffixRanks.MaxBroadcastTombstones}): shard " +
+        s"the compaction by id range")
     s.read.parquet(s"$oldPath/members")
       .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$newPath/members")
