@@ -158,6 +158,49 @@ object SimilarityQueries {
   private[queries] def qc1IndexPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "qc1_pq_tomb")
 
+  /** qc6: the persisted IVF index (centroids + base memberships) the
+    * STREAMING update maintains — q5m's layout, stream edition. */
+  private[queries] def qc6IndexPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qc6_ivf_stream_update")
+
+  /** q5m's oracle, path-parameterized and SHARED VERBATIM with its
+    * streaming twin qc6 (the qb9/qc0 discipline): reads the persisted
+    * centroids + base memberships, RECOMPUTES the delta assignment from
+    * the raw table (a wrong update-path assignment cannot hide behind
+    * persistence), unions, and replays the q66 serve — so the drained
+    * per-micro-batch update must be indistinguishable from the one-shot
+    * batch update. */
+  private[queries] def ivfUpdateOracleSql(indexPath: String): String =
+    s"""WITH ic AS (
+          SELECT * FROM read_parquet('$indexPath/cent/*.parquet')),
+        base AS (
+          SELECT * FROM read_parquet('$indexPath/assign_base/*.parquet')),
+        d0 AS (SELECT e.vec_id, ic.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
+                ic.cid) AS rn
+          FROM embeddings e, ic WHERE e.vec_id % 10 = 0),
+        ia AS (SELECT vec_id, cid FROM base
+               UNION ALL SELECT vec_id, cid FROM d0 WHERE rn = 1),
+        q AS (SELECT vec_id AS qid, embedding AS qe
+              FROM embeddings WHERE vec_id < 10),
+        probe0 AS (SELECT q.qid, q.qe, ic.cid,
+            row_number() OVER (PARTITION BY q.qid
+              ORDER BY round(list_cosine_similarity(q.qe::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
+                ic.cid) AS rn
+          FROM q, ic),
+        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
+        cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
+          FROM probe p JOIN ia a ON a.cid = p.cid AND a.vec_id <> p.qid),
+        rr AS (SELECT c.qid, c.nid,
+            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) + 0 AS c0,
+            row_number() OVER (PARTITION BY c.qid
+              ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
+                c.nid) AS rnk
+          FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
+        SELECT qid, nid, CAST(round(c0, 4) + 0 AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
+        FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""
+
   /** qc2: the PQ generation chain (base codebook+codes, delta codes
     * encoded against the STALE persisted codebook, tombstone set). */
   private[queries] def qc2GenPath(sfDir: String): String =
@@ -723,35 +766,7 @@ object SimilarityQueries {
     // combined memberships.
     QueryDef(
       "q5m_ann_index_update",
-      Some(s"""WITH ic AS (
-          SELECT * FROM read_parquet('${q5mIndexPath(sfDir)}/cent/*.parquet')),
-        base AS (
-          SELECT * FROM read_parquet('${q5mIndexPath(sfDir)}/assign_base/*.parquet')),
-        d0 AS (SELECT e.vec_id, ic.cid,
-            row_number() OVER (PARTITION BY e.vec_id
-              ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
-                ic.cid) AS rn
-          FROM embeddings e, ic WHERE e.vec_id % 10 = 0),
-        ia AS (SELECT vec_id, cid FROM base
-               UNION ALL SELECT vec_id, cid FROM d0 WHERE rn = 1),
-        q AS (SELECT vec_id AS qid, embedding AS qe
-              FROM embeddings WHERE vec_id < 10),
-        probe0 AS (SELECT q.qid, q.qe, ic.cid,
-            row_number() OVER (PARTITION BY q.qid
-              ORDER BY round(list_cosine_similarity(q.qe::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
-                ic.cid) AS rn
-          FROM q, ic),
-        probe AS (SELECT qid, qe, cid FROM probe0 WHERE rn <= 2),
-        cand AS (SELECT p.qid, p.qe, a.vec_id AS nid
-          FROM probe p JOIN ia a ON a.cid = p.cid AND a.vec_id <> p.qid),
-        rr AS (SELECT c.qid, c.nid,
-            round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) + 0 AS c0,
-            row_number() OVER (PARTITION BY c.qid
-              ORDER BY round(list_cosine_similarity(c.qe::DOUBLE[], e.embedding::DOUBLE[]), 9) DESC,
-                c.nid) AS rnk
-          FROM cand c JOIN embeddings e ON e.vec_id = c.nid)
-        SELECT qid, nid, CAST(round(c0, 4) + 0 AS DOUBLE) AS cos, CAST(rnk AS INT) AS rnk
-        FROM rr WHERE rnk <= 3 ORDER BY qid, rnk"""),
+      Some(ivfUpdateOracleSql(q5mIndexPath(sfDir))),
       (s, dir) => {
         val e = emb(s, dir)
         val p = q5mIndexPath(dir)

@@ -785,6 +785,24 @@ object StreamingQueries {
         "NOT (doc_id < 250 AND doc_id % 10 = 5)")),
       (s, dir) => StreamPipelines.docStreamSuffixRetraction(s, dir)),
 
+    // Streaming IVF index maintenance — q5m's update verb on the ingest
+    // stream (the q8r/q8x maintenance pattern, IVF edition; the family's
+    // streaming story was serve-only, q8g): new vectors arrive as CDC
+    // commits, each micro-batch assigns only its own rows against the
+    // persisted centroids (one broadcast join, O(|batch|·k), standing
+    // memberships untouched) and appends a batch-keyed membership
+    // generation; the q66 probe then serves over base ∪ generations.
+    // Shares q5m's oracle verbatim (path-parameterized, the qb9/qc0
+    // discipline): the oracle re-derives the delta assignment from the
+    // raw table, so drained per-batch maintenance ≡ the one-shot batch
+    // update. Design: [[graft.streaming.StreamPipelines.docStreamIvfUpdate]].
+    QueryDef(
+      "qc6_stream_ivf_update",
+      Some(graft.queries.SimilarityQueries.ivfUpdateOracleSql(
+        graft.queries.SimilarityQueries.qc6IndexPath(sfDir))),
+      (s, dir) => StreamPipelines.docStreamIvfUpdate(s, dir,
+        graft.queries.SimilarityQueries.qc6IndexPath(dir))),
+
     QueryDef(
       "q8t_kafka_wire_doc_sink",
       Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,

@@ -1280,6 +1280,65 @@ object StreamPipelines {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** qc6: streaming IVF index MAINTENANCE — q5m's update verb on the
+    * ingest stream (the q8r/q8x maintenance pattern applied to the IVF
+    * family, whose streaming story so far was serve-only, q8g): the
+    * standing index (centroids + 90% base memberships) persists once;
+    * new VECTORS then arrive as a CDC stream (two commits) and every
+    * micro-batch assigns ONLY its own rows against the persisted
+    * centroids — one broadcast join per batch, O(|batch|·k), the
+    * standing memberships never touched — appending a batch-id-keyed
+    * membership generation (overwrite → replay-idempotent, the
+    * labels_v<N> rule). After the drain the q66 probe serves over base
+    * ∪ appended generations. Shares q5m's oracle verbatim (path-
+    * parameterized): the oracle re-derives the delta assignment from
+    * the raw table, so the drained per-batch update must land exactly
+    * where the one-shot batch update lands. */
+  def docStreamIvfUpdate(s: SparkSession, sfDir: String,
+      indexPath: String): DataFrame = {
+    import graft.queries.SimilarityQueries
+    val tmp = graft.TempDirs.create("graft_ivf_update_stream")
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val existing = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+    // BUILD: q5m's order — centroids persist first (adaptive k from the
+    // FULL corpus), base memberships assigned against the read-back
+    // frame
+    SimilarityQueries.centroids(e).write.mode("overwrite")
+      .parquet(s"$indexPath/cent")
+    val ic = s.read.parquet(s"$indexPath/cent")
+    SimilarityQueries.assignTo(existing, ic).write.mode("overwrite")
+      .parquet(s"$indexPath/assign_base")
+    // the delta VECTORS arrive via CDC, two commits
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(20)) === 0), "vec_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(20)) === 10), "vec_id", s"$tmp/in")
+    val ckpt = ephemeralCheckpoint("ivf_update")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+          .select(col("_id").cast("long").as("vec_id"), col("embedding"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // one broadcast join per batch against the persisted
+            // centroids; a replayed batch rewrites the same file
+            SimilarityQueries.assignTo(batch, ic)
+              .write.mode("overwrite").parquet(s"$tmp/assign_b$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    val ia = s.read.parquet(s"$indexPath/assign_base")
+      .unionByName(s.read.parquet(s"$tmp/assign_b*"))
+    SimilarityQueries.ivfServe(e, ic, ia)
+  }
+
   /** q8g: streaming ANN serve from a PERSISTED index — the online half of
     * the q5i build/serve split. The IVF index (centroids + cell
     * memberships) is built once and persisted; queries then ARRIVE as a
