@@ -803,6 +803,20 @@ object StreamingQueries {
       (s, dir) => StreamPipelines.docStreamIvfUpdate(s, dir,
         graft.queries.SimilarityQueries.qc6IndexPath(dir))),
 
+    // Streaming PQ index maintenance — the qc6 verb, PQ edition: new
+    // vectors arrive as CDC commits, each micro-batch argmin-encodes
+    // only its own rows against the persisted codebook (one broadcast
+    // join, 8 bytes appended per vector, batch-keyed generations), and
+    // q5s's ADC probe serves over base ∪ generations. Shares q5s's
+    // oracle VERBATIM — the third consumer of that exact text (q5s
+    // batch, q8z streamed serve, streamed maintenance here): one
+    // oracle IS the machine-checked equivalence ladder. Design:
+    // [[graft.streaming.StreamPipelines.docStreamPqUpdate]].
+    QueryDef(
+      "qc7_stream_pq_update",
+      Some(graft.queries.SimilarityQueries.pqAdcOracleSql),
+      (s, dir) => StreamPipelines.docStreamPqUpdate(s, dir)),
+
     QueryDef(
       "q8t_kafka_wire_doc_sink",
       Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,

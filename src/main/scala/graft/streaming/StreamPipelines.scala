@@ -1339,6 +1339,71 @@ object StreamPipelines {
     SimilarityQueries.ivfServe(e, ic, ia)
   }
 
+  /** qc7: streaming PQ index MAINTENANCE — the qc6 verb carried to the
+    * PQ family (every index family now has BOTH streaming serve and
+    * streaming maintenance: IVF q8g/qc6, MinHash q8q/q8r, suffix
+    * q8x/qc5, PQ q8z/here; graph has q8y serve, its maintenance is the
+    * named round-15 item): the codebook and the base codes persist
+    * once; new VECTORS then arrive as CDC commits and every micro-batch
+    * encodes ONLY its own rows against the persisted codebook — one
+    * broadcast join per batch, O(|batch|·128), 8 bytes appended per
+    * vector as a batch-keyed generation — then q5s's ADC probe serves
+    * over base ∪ generations. Because the codebook is the id-prefix
+    * seed frame (stable under the delta split) and the encode is a
+    * pure per-row argmin against it, the drained union must equal the
+    * one-shot whole-corpus encode: qc7 shares q5s's oracle VERBATIM
+    * (the third consumer of that exact text, after q5s and q8z — the
+    * machine-checked equivalence ladder batch ≡ streamed-serve ≡
+    * streamed-maintenance). */
+  def docStreamPqUpdate(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.SimilarityQueries
+    val tmp = graft.TempDirs.create("graft_pq_update_stream")
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val existing = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+    // BUILD: codebook from the full corpus's id-prefix seeds, persisted
+    // BEFORE the stream (a seed id can also be a delta member — vec_id
+    // 10 is both — which is fine: its role as a seed is frozen in the
+    // persisted codebook, while its CODE arrives through the stream
+    // like any other delta row); base codes encoded against the
+    // read-back codebook
+    SimilarityQueries.pqCodebook(SimilarityQueries.pqSub(e))
+      .write.mode("overwrite").parquet(s"$tmp/cb")
+    val icb = s.read.parquet(s"$tmp/cb")
+    SimilarityQueries.pqCodes(SimilarityQueries.pqSub(existing), icb)
+      .write.mode("overwrite").parquet(s"$tmp/base_codes")
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(20)) === 0), "vec_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(20)) === 10), "vec_id", s"$tmp/in")
+    val ckpt = ephemeralCheckpoint("pq_update")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+          .select(col("_id").cast("long").as("vec_id"), col("embedding"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // per-batch argmin encode against the persisted codebook;
+            // a replayed batch rewrites the same file
+            SimilarityQueries.pqCodes(SimilarityQueries.pqSub(batch), icb)
+              .write.mode("overwrite").parquet(s"$tmp/codes_b$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    val codes = s.read.parquet(s"$tmp/base_codes")
+      .unionByName(s.read.parquet(s"$tmp/codes_b*"))
+    val qf = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    SimilarityQueries.pqServeFor(qf, codes, icb)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** q8g: streaming ANN serve from a PERSISTED index — the online half of
     * the q5i build/serve split. The IVF index (centroids + cell
     * memberships) is built once and persisted; queries then ARRIVE as a
