@@ -629,10 +629,20 @@ object NnDescent {
     * arrive in batches, and a rebuild is never on the serving path.
     * `GraphInsertPropSpec` proves recall parity with a full rebuild;
     * ScaleProbe's `graphinsert` mode measures flat-in-delta cost. */
-  def insertDelta(e: DataFrame, g0: DataFrame, nBase: Long): DataFrame = {
-    // id-algebra probes target ids in [0, nBase) — the ORIGINAL base id
-    // space, which spans every cluster by construction
-    val q = e.filter(col("vec_id") >= nBase)
+  def insertDelta(e: DataFrame, g0: DataFrame, nBase: Long): DataFrame =
+    insertDeltaOf(e, g0, nBase, e.filter(col("vec_id") >= nBase))
+
+  /** [[insertDelta]] with an EXPLICIT delta frame — the per-micro-batch
+    * form qc8's streaming maintenance folds with (each batch inserts
+    * only its own vectors against the PREVIOUS generation's graph; the
+    * id-algebra probes still target the original [0, nBase) base id
+    * space, which spans every cluster by construction regardless of
+    * how many generations the graph has absorbed). `deltaE` must carry
+    * (vec_id, embedding); rows already in `g0` are the caller's
+    * contract to exclude. */
+  def insertDeltaOf(e: DataFrame, g0: DataFrame, nBase: Long,
+      deltaE: DataFrame): DataFrame = {
+    val q = deltaE
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val entry = e.filter(col("vec_id") === EntryNode)
       .select(col("embedding").as("ne"))
@@ -710,112 +720,124 @@ object NnDescent {
     mergedBase.unionByName(refined)
   }
 
-  /** The qb3 oracle: replays the whole insert — seed beams (pool
-    * semantics), back-edge re-top-K on touched nodes, the local
-    * refinement round — against the PERSISTED base graph, then emits
-    * every new node's served top-[[ReportK]] with exact-top-k flags
-    * over the FULL corpus. */
-  def insertOracleSql(graphPath: String): String = {
+  /** One insert GENERATION's full CTE chain, name-prefixed `p`: delta
+    * selection, seed beams (pool semantics), forward top-K, back-edge
+    * re-top-K on touched nodes, the local refinement round, and the
+    * generation's OUTPUT graph (`${p}graph` = merged base ∪ refined new
+    * lists — [[insertDelta]]'s return frame). `gSrc` names the CTE
+    * holding the graph this generation inserts INTO; `deltaPred`
+    * selects this generation's slice of the delta id space. Shared by
+    * qb3's one-generation oracle (empty prefix, whole delta) and qc8's
+    * two-generation unroll — sequential insert folds are NOT
+    * union-equivalent (back-edges re-top-K lists the next generation
+    * then walks), so the honest spec replays each generation against
+    * the previous generation's SQL-derived output. */
+  private def insertGenCtes(p: String, gSrc: String,
+      deltaPred: String): String = {
     val hops = (1 to BeamHops).map { i =>
-      val prev = s"p${i - 1}"
-      s"""bm$i AS MATERIALIZED (
+      val prev = s"${p}p${i - 1}"
+      s"""${p}bm$i AS MATERIALIZED (
          |  SELECT qid, nid, c FROM (
          |    SELECT qid, nid, c, row_number() OVER (PARTITION BY qid
          |      ORDER BY c DESC, nid) AS rn FROM $prev)
          |  WHERE rn <= $BeamWidth),
-         |cd$i AS MATERIALIZED (
+         |${p}cd$i AS MATERIALIZED (
          |  SELECT d.qid, d.nid,
          |    round(list_cosine_similarity(q.qe::DOUBLE[],
          |      e.embedding::DOUBLE[]), 9) + 0 AS c
          |  FROM (SELECT DISTINCT b.qid, g.nid
-         |        FROM bm$i b JOIN g ON g.vec_id = b.nid
+         |        FROM ${p}bm$i b JOIN $gSrc g ON g.vec_id = b.nid
          |        WHERE g.nid <> b.qid) d
-         |  JOIN q ON q.qid = d.qid
+         |  JOIN ${p}q q ON q.qid = d.qid
          |  JOIN embeddings e ON e.vec_id = d.nid),
-         |p$i AS MATERIALIZED (
+         |${p}p$i AS MATERIALIZED (
          |  SELECT qid, nid, max(c) AS c FROM (
          |    SELECT qid, nid, c FROM $prev
-         |    UNION ALL SELECT qid, nid, c FROM cd$i)
+         |    UNION ALL SELECT qid, nid, c FROM ${p}cd$i)
          |  GROUP BY qid, nid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH nb AS MATERIALIZED (
-       |  SELECT CAST(nn - nn // 16 AS BIGINT) AS nb
-       |  FROM (SELECT COUNT(*) AS nn FROM embeddings)),
-       |g AS MATERIALIZED (
-       |  SELECT * FROM read_parquet('$graphPath/*.parquet')),
-       |q AS MATERIALIZED (
+    s"""${p}q AS MATERIALIZED (
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings, nb
-       |  WHERE vec_id >= nb.nb),
-       |pr AS MATERIALIZED (
+       |  WHERE vec_id >= nb.nb AND ($deltaPred)),
+       |${p}pr AS MATERIALIZED (
        |  SELECT DISTINCT q.qid,
        |    ((q.qid * 2654435761 + j.j * 40503) % 1000003)
        |      % (SELECT nb FROM nb) AS nid
-       |  FROM q, (SELECT unnest(generate_series(1, $InsertProbes)) AS j) j),
-       |p0 AS MATERIALIZED (
+       |  FROM ${p}q q, (SELECT unnest(generate_series(1, $InsertProbes)) AS j) j),
+       |${p}p0 AS MATERIALIZED (
        |  SELECT qid, nid, max(c) AS c FROM (
        |    SELECT q.qid, CAST($EntryNode AS BIGINT) AS nid,
        |      round(list_cosine_similarity(q.qe::DOUBLE[],
        |        e.embedding::DOUBLE[]), 9) + 0 AS c
-       |    FROM q JOIN embeddings e ON e.vec_id = $EntryNode
+       |    FROM ${p}q q JOIN embeddings e ON e.vec_id = $EntryNode
        |    UNION ALL
        |    SELECT pr.qid, pr.nid,
        |      round(list_cosine_similarity(q.qe::DOUBLE[],
        |        e.embedding::DOUBLE[]), 9) + 0 AS c
-       |    FROM pr JOIN q ON q.qid = pr.qid
+       |    FROM ${p}pr pr JOIN ${p}q q ON q.qid = pr.qid
        |    JOIN embeddings e ON e.vec_id = pr.nid)
        |  GROUP BY qid, nid),
        |$hops,
-       |fwd AS MATERIALIZED (
+       |${p}fwd AS MATERIALIZED (
        |  SELECT qid AS vec_id, nid, c FROM (
        |    SELECT qid, nid, c, row_number() OVER (PARTITION BY qid
-       |      ORDER BY c DESC, nid) AS rn FROM p$BeamHops)
+       |      ORDER BY c DESC, nid) AS rn FROM ${p}p$BeamHops)
        |  WHERE rn <= $K),
-       |bk AS MATERIALIZED (
-       |  SELECT nid AS vec_id, vec_id AS nid, c FROM fwd),
-       |tch AS MATERIALIZED (SELECT DISTINCT vec_id FROM bk),
-       |mb AS MATERIALIZED (
-       |  SELECT g.vec_id, g.nid, g.c FROM g
-       |  WHERE NOT EXISTS (SELECT 1 FROM tch t WHERE t.vec_id = g.vec_id)
+       |${p}bk AS MATERIALIZED (
+       |  SELECT nid AS vec_id, vec_id AS nid, c FROM ${p}fwd),
+       |${p}tch AS MATERIALIZED (SELECT DISTINCT vec_id FROM ${p}bk),
+       |${p}mb AS MATERIALIZED (
+       |  SELECT g.vec_id, g.nid, g.c FROM $gSrc g
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}tch t WHERE t.vec_id = g.vec_id)
        |  UNION ALL
        |  SELECT vec_id, nid, c FROM (
        |    SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY c DESC, nid) AS rn
        |    FROM (SELECT vec_id, nid, max(c) AS c FROM (
-       |            SELECT g.vec_id, g.nid, g.c FROM g
-       |            JOIN tch t ON t.vec_id = g.vec_id
-       |            UNION ALL SELECT vec_id, nid, c FROM bk)
+       |            SELECT g.vec_id, g.nid, g.c FROM $gSrc g
+       |            JOIN ${p}tch t ON t.vec_id = g.vec_id
+       |            UNION ALL SELECT vec_id, nid, c FROM ${p}bk)
        |          GROUP BY vec_id, nid))
        |  WHERE rn <= $K),
-       |vb AS MATERIALIZED (
+       |${p}vb AS MATERIALIZED (
        |  SELECT f.vec_id AS qid, m.nid
-       |  FROM fwd f JOIN mb m ON m.vec_id = f.nid),
-       |cap AS MATERIALIZED (
+       |  FROM ${p}fwd f JOIN ${p}mb m ON m.vec_id = f.nid),
+       |${p}cap AS MATERIALIZED (
        |  SELECT qid, w FROM (
        |    SELECT vec_id AS qid, nid AS w, c, row_number() OVER (
-       |      PARTITION BY nid ORDER BY c DESC, vec_id) AS rn FROM fwd)
+       |      PARTITION BY nid ORDER BY c DESC, vec_id) AS rn FROM ${p}fwd)
        |  WHERE rn <= $K),
-       |nn2 AS MATERIALIZED (
-       |  SELECT a.qid, b.qid AS nid FROM cap a JOIN cap b ON a.w = b.w),
-       |rc AS MATERIALIZED (
+       |${p}nn2 AS MATERIALIZED (
+       |  SELECT a.qid, b.qid AS nid FROM ${p}cap a JOIN ${p}cap b ON a.w = b.w),
+       |${p}rc AS MATERIALIZED (
        |  SELECT DISTINCT qid, nid FROM (
-       |    SELECT qid, nid FROM vb UNION ALL SELECT qid, nid FROM nn2)
+       |    SELECT qid, nid FROM ${p}vb UNION ALL SELECT qid, nid FROM ${p}nn2)
        |  WHERE nid <> qid),
-       |sc AS MATERIALIZED (
+       |${p}sc AS MATERIALIZED (
        |  SELECT rc.qid AS vec_id, rc.nid,
        |    round(list_cosine_similarity(q.qe::DOUBLE[],
        |      e.embedding::DOUBLE[]), 9) + 0 AS c
-       |  FROM rc JOIN q ON q.qid = rc.qid
+       |  FROM ${p}rc rc JOIN ${p}q q ON q.qid = rc.qid
        |  JOIN embeddings e ON e.vec_id = rc.nid),
-       |rf AS MATERIALIZED (
+       |${p}rf AS MATERIALIZED (
        |  SELECT vec_id, nid, c FROM (
        |    SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY c DESC, nid) AS rn
        |    FROM (SELECT vec_id, nid, max(c) AS c FROM (
-       |            SELECT vec_id, nid, c FROM fwd
-       |            UNION ALL SELECT vec_id, nid, c FROM sc)
+       |            SELECT vec_id, nid, c FROM ${p}fwd
+       |            UNION ALL SELECT vec_id, nid, c FROM ${p}sc)
        |          GROUP BY vec_id, nid))
        |  WHERE rn <= $K),
-       |exact AS MATERIALIZED (
+       |${p}graph AS MATERIALIZED (
+       |  SELECT vec_id, nid, c FROM ${p}mb
+       |  UNION ALL SELECT vec_id, nid, c FROM ${p}rf)""".stripMargin
+  }
+
+  /** The sampled exact-flag probe + reporting tail shared by qb3 and
+    * qc8: brute top-[[ReportK]] over the full corpus for SAMPLED new
+    * nodes, left-joined onto the served rows of `finSrc`. */
+  private def insertReportSql(finSrc: String): String =
+    s"""exact AS MATERIALIZED (
        |  SELECT qid, nid FROM (
        |    SELECT qq.vec_id AS qid, e.vec_id AS nid,
        |      row_number() OVER (PARTITION BY qq.vec_id
@@ -829,14 +851,53 @@ object NnDescent {
        |fin AS (
        |  SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
        |    ORDER BY c DESC, nid) AS rnk
-       |  FROM rf)
+       |  FROM $finSrc)
        |SELECT f.vec_id AS qid, CAST(f.rnk AS INT) AS rnk, f.nid,
        |  CAST(round(f.c, 4) + 0 AS DOUBLE) AS cos,
        |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
        |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
        |WHERE f.rnk <= $ReportK AND f.vec_id % $FlagSampleMod = 0
        |ORDER BY qid, rnk""".stripMargin
-  }
+
+  /** The qb3 oracle: replays the whole insert — seed beams (pool
+    * semantics), back-edge re-top-K on touched nodes, the local
+    * refinement round — against the PERSISTED base graph, then emits
+    * every SAMPLED new node's served top-[[ReportK]] with exact-top-k
+    * flags over the FULL corpus. */
+  def insertOracleSql(graphPath: String): String =
+    s"""WITH nb AS MATERIALIZED (
+       |  SELECT CAST(nn - nn // 16 AS BIGINT) AS nb
+       |  FROM (SELECT COUNT(*) AS nn FROM embeddings)),
+       |g AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('$graphPath/*.parquet')),
+       |""".stripMargin +
+      insertGenCtes("", "g", "TRUE") + ",\n" +
+      insertReportSql("rf")
+
+  /** The qc8 oracle: TWO insert generations unrolled — gen 1 folds the
+    * even half of the delta into the persisted base graph, gen 2 folds
+    * the odd half into gen 1's OUTPUT graph, which is DERIVED IN SQL
+    * (g1graph), never read back from the pipeline's persisted
+    * generation — so a wrong batch-1 fold cannot hide behind
+    * persistence. The final measure reports every SAMPLED new node's
+    * top-[[ReportK]] from the FINAL graph: gen-1 nodes' lists may have
+    * been re-top-K'd by gen 2's back-edges, and reading them from
+    * g2graph is exactly what certifies that second-generation
+    * interaction. */
+  def streamInsertOracleSql(graphPath: String): String =
+    s"""WITH nb AS MATERIALIZED (
+       |  SELECT CAST(nn - nn // 16 AS BIGINT) AS nb
+       |  FROM (SELECT COUNT(*) AS nn FROM embeddings)),
+       |g AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('$graphPath/*.parquet')),
+       |""".stripMargin +
+      insertGenCtes("g1", "g", "vec_id % 2 = 0") + ",\n" +
+      insertGenCtes("g2", "g1graph", "vec_id % 2 = 1") + ",\n" +
+      s"""newg AS MATERIALIZED (
+         |  SELECT gg.vec_id, gg.nid, gg.c FROM g2graph gg, nb
+         |  WHERE gg.vec_id >= nb.nb),
+         |""".stripMargin +
+      insertReportSql("newg")
 
   // ---------------------------------------------------------------- delete
 

@@ -16,6 +16,11 @@ object StreamingQueries {
   private[queries] def q8yGraphPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "q8y_knn_graph")
 
+  /** qc8: the persisted BASE graph the streaming insert folds into (the
+    * oracle reads it and derives both generations in SQL). */
+  private[queries] def qc8GraphPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qc8_knn_graph")
+
   def all(sfDir: String): Seq[QueryDef] = Seq(
 
     // Streaming twin of q41_event_windows: watermarked tumbling windows,
@@ -816,6 +821,24 @@ object StreamingQueries {
       "qc7_stream_pq_update",
       Some(graft.queries.SimilarityQueries.pqAdcOracleSql),
       (s, dir) => StreamPipelines.docStreamPqUpdate(s, dir)),
+
+    // Streaming graph-ANN index maintenance — the LAST index family to
+    // get the verb (IVF qc6, PQ qc7, MinHash q8r, suffix q8x): each
+    // micro-batch folds insertDeltaOf against the previous generation's
+    // graph (seed beams + back-edge re-top-K + one local refinement
+    // round, N-independent per inserted node), writing batch-keyed
+    // full-graph generations. Sequential insert folds are NOT
+    // union-equivalent, so the oracle unrolls BOTH generations in SQL —
+    // gen 2 replays against gen 1's SQL-DERIVED output graph, never the
+    // pipeline's persisted intermediate. Output: sampled new nodes'
+    // served top-K from the FINAL graph with exact flags (qb3's shape).
+    // Design: [[graft.streaming.StreamPipelines.docStreamGraphInsert]].
+    QueryDef(
+      "qc8_stream_graph_insert",
+      Some(graft.operators.NnDescent.streamInsertOracleSql(
+        qc8GraphPath(sfDir))),
+      (s, dir) => StreamPipelines.docStreamGraphInsert(s, dir,
+        qc8GraphPath(dir))),
 
     QueryDef(
       "q8t_kafka_wire_doc_sink",

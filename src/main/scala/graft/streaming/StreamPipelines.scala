@@ -1339,6 +1339,85 @@ object StreamPipelines {
     SimilarityQueries.ivfServe(e, ic, ia)
   }
 
+  /** qc8: streaming graph-ANN index MAINTENANCE — the last index family
+    * to get the verb (IVF qc6, PQ qc7, MinHash q8r, suffix q8x): new
+    * vectors arrive as CDC commits and every micro-batch folds
+    * [[graft.operators.NnDescent.insertDeltaOf]] against the PREVIOUS
+    * generation's graph — seed beams + back-edge re-top-K + one local
+    * refinement round, all N-independent per inserted node — writing a
+    * batch-id-keyed full-graph generation (a replayed batch re-reads
+    * the untouched generation v−1 and overwrites generation v:
+    * idempotent, the q8r rule). Unlike qc6/qc7, sequential insert folds
+    * are NOT union-equivalent (gen 2's beams WALK the lists gen 1
+    * re-top-K'd), so the oracle unrolls BOTH generations in SQL against
+    * the persisted base graph — gen 2 replays against gen 1's
+    * SQL-derived output, never the pipeline's persisted intermediate,
+    * so a wrong batch-1 fold cannot hide behind persistence
+    * ([[graft.operators.NnDescent.streamInsertOracleSql]]). Output:
+    * every SAMPLED new node's served top-K from the FINAL graph with
+    * exact flags over the full corpus (qb3's reporting shape — gen-1
+    * nodes' lists may have been re-top-K'd by gen 2's back-edges, and
+    * reading the final graph certifies exactly that interaction). */
+  def docStreamGraphInsert(s: SparkSession, sfDir: String,
+      graphPath: String): DataFrame = {
+    import graft.operators.NnDescent
+    import graft.queries.SimilarityQueries
+    val tmp = graft.TempDirs.create("graft_graph_insert_stream")
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nn = e.count()
+    val nBase = nn - nn / 16
+    NnDescent.knnGraph(e.filter(col("vec_id") < nBase))
+      .write.mode("overwrite").parquet(graphPath)
+    val delta = e.filter(col("vec_id") >= nBase)
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", s"$tmp/in")
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", s"$tmp/in")
+    val version = new AtomicInteger(-1)
+    val ckpt = ephemeralCheckpoint("graph_insert")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L))
+          .select(col("_id").cast("long").as("vec_id"), col("embedding"))
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val v = batchId.toInt
+            val prev = if (v == 0) s.read.parquet(graphPath)
+              else s.read.parquet(s"$tmp/g_b${v - 1}")
+            NnDescent.insertDeltaOf(e, prev, nBase,
+                batch.select(col("vec_id"), col("embedding")))
+              .write.mode("overwrite").parquet(s"$tmp/g_b$v")
+            version.getAndUpdate(g => math.max(g, v))
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    // qb3's sampled reporting shape, from the FINAL generation
+    val g2 = s.read.parquet(s"$tmp/g_b${version.get()}")
+    val qS = e.filter(col("vec_id") >= nBase &&
+      pmod(col("vec_id"), lit(NnDescent.FlagSampleMod)) === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("c").desc, col("nid"))
+    val fin = g2.join(qS.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= NnDescent.ReportK)
+    val exact = SimilarityQueries.exactTopKOf(e, NnDescent.ReportK, qS)
+      .withColumn("in_exact", lit(1))
+    fin.join(exact,
+        fin("vec_id") === exact("qid") && fin("nid") === exact("nid"),
+        "left")
+      .select(fin("vec_id").as("qid"), col("rnk"), fin("nid"),
+        round(col("c"), 4).as("cos"),
+        coalesce(col("in_exact"), lit(0)).cast("int").as("in_exact"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** qc7: streaming PQ index MAINTENANCE — the qc6 verb carried to the
     * PQ family (every index family now has BOTH streaming serve and
     * streaming maintenance: IVF q8g/qc6, MinHash q8q/q8r, suffix
