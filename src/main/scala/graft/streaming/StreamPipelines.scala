@@ -1421,8 +1421,8 @@ object StreamPipelines {
   /** qc7: streaming PQ index MAINTENANCE — the qc6 verb carried to the
     * PQ family (every index family now has BOTH streaming serve and
     * streaming maintenance: IVF q8g/qc6, MinHash q8q/q8r, suffix
-    * q8x/qc5, PQ q8z/here; graph has q8y serve, its maintenance is the
-    * named round-15 item): the codebook and the base codes persist
+    * q8x/qc5, PQ q8z/here, graph q8y/qc8): the codebook and the base
+    * codes persist
     * once; new VECTORS then arrive as CDC commits and every micro-batch
     * encodes ONLY its own rows against the persisted codebook — one
     * broadcast join per batch, O(|batch|·128), 8 bytes appended per
