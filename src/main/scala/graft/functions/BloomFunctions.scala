@@ -57,9 +57,9 @@ object BloomFunctions {
 
   /** The k cell indices of a key — double hashing (Kirsch & Mitzenmacher
     * 2006: two hash functions simulate k independent ones with no FPP
-    * loss): cell_i = (h1 + i·h2) mod m, stride forced ODD. `m` must be
-    * even (callers use powers of two), so gcd(h2, m) = 1 and the k cells
-    * are all DISTINCT — an even stride with power-of-two m can collapse
+    * loss): cell_i = (h1 + i·h2) mod m, stride forced ODD. `m` must be a
+    * power of two (what every caller uses), so gcd(h2, m) = 1 and the k
+    * cells are all DISTINCT — an even stride with power-of-two m can collapse
     * cells onto each other (h2 = m/2 folds k=4 onto 2 cells), which
     * keeps build/probe symmetric (no false negatives) but silently
     * doubles the effective FPP. This is the ONE derivation of a key's
@@ -68,8 +68,14 @@ object BloomFunctions {
     * "equal keys always hit" a construction property rather than a
     * hope. */
   def counting_cells(c: Column, m: Long, k: Int): Column = {
-    require(m % 2 == 0, s"counting_cells needs an even m (got $m): the odd" +
-      " stride guarantees k distinct cells only when gcd(stride, m) = 1")
+    // power-of-two, not merely even: an odd stride has gcd(h2, m) = 1
+    // only when m's odd part is 1 (m = 12, h2 = 3 collapses k cells),
+    // so the "k distinct cells" guarantee this derivation claims holds
+    // exactly for power-of-two m — which is what every caller uses
+    require(m > 0 && (m & (m - 1)) == 0,
+      s"counting_cells needs a power-of-two m (got $m): the odd stride" +
+        " guarantees k distinct cells only when gcd(stride, m) = 1, which" +
+        " an odd-free m is the only even shape to provide")
     val h1 = pmod(xxhash64(c), lit(m))
     val h2 = pmod(xxhash64(c, lit(1L)), lit(m / 2)) * lit(2L) + lit(1L)
     array((0 until k).map(i => pmod(h1 + lit(i.toLong) * h2, lit(m))): _*)

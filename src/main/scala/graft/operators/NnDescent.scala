@@ -912,9 +912,16 @@ object NnDescent {
     * set by id (the qau SampleMod idiom): only nodes with
     * vec_id % [[FlagSampleMod]] == 0 are reported and flagged, so the
     * probe cost scales with sampled nodes while the maintenance itself
-    * still runs for EVERY node. Both engines sample by the same rule,
-    * so the oracle hash still certifies the full merge/repair through
-    * the sampled rows' ranks and scores. */
+    * still runs for EVERY node. Both engines sample by the same rule.
+    * The honest scope of the resulting certificate: sampled nodes'
+    * lists are verified rank-for-rank and score-for-score; non-sampled
+    * nodes' lists are EXERCISED by the fold but not directly verified —
+    * they reach the hash only through the edges they contribute to
+    * sampled nodes' merges (back-edges, repair candidates). Full-graph
+    * verification is the prop specs' job:
+    * `GraphInsertPropSpec`/`GraphDeletePropSpec` check ALL
+    * inserted/touched nodes' recall and assert untouched lists
+    * byte-identical at spec scale. */
   val FlagSampleMod = 4L
 
   /** qb4: delete with LOCAL repair — the remove path completing the
@@ -932,6 +939,45 @@ object NnDescent {
     * bytes through the semi/anti split. */
   def deleteRepair(e: DataFrame, g0: DataFrame): DataFrame =
     deleteRepair(e, g0, DeleteMod, DeleteRes)
+
+  /** [[deleteRepair]] with an EXPLICIT tombstone id frame — the
+    * per-micro-batch fold qd1's streaming maintenance runs (each CDC
+    * delete batch repairs only its own tombstones' holes against the
+    * previous generation's graph; sequential folds are NOT equivalent
+    * to one big fold — gen 1 may patch with a node gen 2 then deletes
+    * and re-repairs, which is exactly what the two-generation oracle
+    * unroll certifies). Same FreshDiskANN rule as the predicate form:
+    * affected set from one semi join, candidates from the dead nodes'
+    * former out-lists, untouched lists pass through as untouched
+    * bytes. `tomb` is one id column, ≪ graph by contract (routed
+    * through [[Tombstones]] — broadcast to the cap, shuffle-hash
+    * sharded past it). */
+  def deleteRepairOf(e: DataFrame, g0: DataFrame,
+      tomb: DataFrame): DataFrame = {
+    import graft.operators.Tombstones
+    val t = tomb.select(col(tomb.columns.head).as("vec_id"))
+    val nT = Some(t.count())
+    val tn = t.select(col("vec_id").as("nid"))
+    val survivors = Tombstones.antiJoin(g0, "vec_id", t, nT)
+    val cleaned = Tombstones.antiJoin(survivors, "nid", tn, nT)
+    val lostEdges = Tombstones.semiJoin(survivors, "nid", tn, nT)
+      .select(col("vec_id"), col("nid").as("d"))
+    val touched = lostEdges.select(col("vec_id")).distinct()
+    // d's former out-list, minus other tombstones and u itself
+    val deadLists = Tombstones.antiJoin(
+      Tombstones.semiJoin(g0, "vec_id", t, nT)
+        .select(col("vec_id").as("d"), col("nid").as("w")),
+      "w", t.select(col("vec_id").as("w")), nT)
+    val cand = lostEdges.join(deadLists, Seq("d"))
+      .filter(col("w") =!= col("vec_id"))
+      .select(col("vec_id"), col("w").as("nid"))
+      .distinct()
+    val repaired = topK(
+      cleaned.join(touched, Seq("vec_id"), "left_semi")
+        .unionByName(score(cand, e))
+        .groupBy(col("vec_id"), col("nid")).agg(max(col("c")).as("c")))
+    cleaned.join(touched, Seq("vec_id"), "left_anti").unionByName(repaired)
+  }
 
   /** [[deleteRepair]] with an explicit tombstone rule — ScaleProbe's
     * `graphdelete` mode uses `mod = 16·mult` to hold the tombstone SET
@@ -1040,4 +1086,104 @@ object NnDescent {
        |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
        |WHERE f.rnk <= $ReportK AND f.vec_id % $FlagSampleMod = 0
        |ORDER BY qid, rnk""".stripMargin
+
+  /** One delete GENERATION's full CTE chain, name-prefixed `p` (the
+    * [[insertGenCtes]] pattern, delete edition): survivors, cleaned
+    * lists, lost edges, the FreshDiskANN repair candidates from the dead
+    * nodes' former out-lists IN THIS GENERATION'S INPUT GRAPH, the
+    * touched re-top-K, and the generation's OUTPUT graph (`${p}graph` =
+    * untouched cleaned lists ∪ repaired lists — [[deleteRepairOf]]'s
+    * return frame). `gSrc` names the CTE holding the graph this
+    * generation deletes FROM; `dead` renders the generation's tombstone
+    * rule on a column. */
+  private def deleteGenCtes(p: String, gSrc: String,
+      dead: String => String): String =
+    s"""${p}sur AS MATERIALIZED (
+       |  SELECT vec_id, nid, c FROM $gSrc WHERE NOT (${dead("vec_id")})),
+       |${p}cln AS MATERIALIZED (
+       |  SELECT vec_id, nid, c FROM ${p}sur WHERE NOT (${dead("nid")})),
+       |${p}td AS MATERIALIZED (
+       |  SELECT vec_id, nid AS d FROM ${p}sur WHERE ${dead("nid")}),
+       |${p}tch AS MATERIALIZED (SELECT DISTINCT vec_id FROM ${p}td),
+       |${p}cand AS MATERIALIZED (
+       |  SELECT DISTINCT t.vec_id, gd.nid
+       |  FROM ${p}td t JOIN $gSrc gd ON gd.vec_id = t.d
+       |  WHERE NOT (${dead("gd.nid")}) AND gd.nid <> t.vec_id),
+       |${p}sc AS MATERIALIZED (
+       |  SELECT c2.vec_id, c2.nid,
+       |    round(list_cosine_similarity(ev.embedding::DOUBLE[],
+       |      eu.embedding::DOUBLE[]), 9) + 0 AS c
+       |  FROM ${p}cand c2
+       |  JOIN embeddings ev ON ev.vec_id = c2.vec_id
+       |  JOIN embeddings eu ON eu.vec_id = c2.nid),
+       |${p}rep AS MATERIALIZED (
+       |  SELECT vec_id, nid, c FROM (
+       |    SELECT vec_id, nid, c, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY c DESC, nid) AS rn
+       |    FROM (SELECT vec_id, nid, max(c) AS c FROM (
+       |            SELECT c3.vec_id, c3.nid, c3.c FROM ${p}cln c3
+       |            JOIN ${p}tch t ON t.vec_id = c3.vec_id
+       |            UNION ALL SELECT vec_id, nid, c FROM ${p}sc)
+       |          GROUP BY vec_id, nid))
+       |  WHERE rn <= $K),
+       |${p}graph AS MATERIALIZED (
+       |  SELECT c4.vec_id, c4.nid, c4.c FROM ${p}cln c4
+       |  WHERE NOT EXISTS (SELECT 1 FROM ${p}tch t WHERE t.vec_id = c4.vec_id)
+       |  UNION ALL SELECT vec_id, nid, c FROM ${p}rep)""".stripMargin
+
+  /** qd1's streamed tombstone split: the qb4 rule (% [[DeleteMod]] ==
+    * [[DeleteRes]]) cut into two CDC sweeps — %32==3 lands in the first
+    * delete commit, %32==19 in the second, so the union is exactly
+    * qb4's tombstone set but the fold is SEQUENTIAL. */
+  val StreamDeleteRes2: Long = DeleteRes + DeleteMod
+
+  /** The qd1 oracle: TWO delete generations unrolled — gen 1 repairs
+    * the %32==3 sweep against the persisted full graph, gen 2 repairs
+    * the %32==19 sweep against gen 1's OUTPUT graph, DERIVED IN SQL
+    * (g1graph), never read back from the pipeline's persisted
+    * generation — so a wrong batch-1 repair cannot hide behind
+    * persistence (the qc8 discipline, delete edition). Sequential
+    * repairs are NOT one-big-repair: gen 1 may patch a hole with a node
+    * gen 2 then deletes and re-repairs, and a gen-1-touched node's list
+    * read from the FINAL graph certifies exactly that interaction. The
+    * measure reports every SAMPLED touched SURVIVOR's top-[[ReportK]]
+    * from the final graph with exact flags over the surviving corpus
+    * (qb4's reporting shape; touched-then-deleted nodes are excluded —
+    * a deleted user gets no serve). */
+  def streamDeleteOracleSql(graphPath: String): String = {
+    val d1 = (c: String) => s"$c % ${DeleteMod * 2} = $DeleteRes"
+    val d2 = (c: String) => s"$c % ${DeleteMod * 2} = $StreamDeleteRes2"
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('$graphPath/*.parquet')),
+       |""".stripMargin +
+      deleteGenCtes("g1", "g", d1) + ",\n" +
+      deleteGenCtes("g2", "g1graph", d2) + ",\n" +
+      s"""tchall AS MATERIALIZED (
+         |  SELECT DISTINCT vec_id FROM (
+         |    SELECT vec_id FROM g1tch
+         |    WHERE NOT (${d2("vec_id")})
+         |    UNION ALL SELECT vec_id FROM g2tch)
+         |  WHERE vec_id % $FlagSampleMod = 0),
+         |exact AS MATERIALIZED (
+         |  SELECT qid, nid FROM (
+         |    SELECT qq.vec_id AS qid, e.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY qq.vec_id
+         |        ORDER BY round(list_cosine_similarity(qq.embedding::DOUBLE[],
+         |          e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
+         |    FROM embeddings qq
+         |    JOIN tchall t ON t.vec_id = qq.vec_id
+         |    JOIN embeddings e ON e.vec_id <> qq.vec_id
+         |      AND e.vec_id % $DeleteMod <> $DeleteRes)
+         |  WHERE rnk <= $ReportK),
+         |fin AS (
+         |  SELECT gg.vec_id, gg.nid, gg.c, row_number() OVER (
+         |    PARTITION BY gg.vec_id ORDER BY gg.c DESC, gg.nid) AS rnk
+         |  FROM g2graph gg JOIN tchall t ON t.vec_id = gg.vec_id)
+         |SELECT f.vec_id AS qid, CAST(f.rnk AS INT) AS rnk, f.nid,
+         |  CAST(round(f.c, 4) + 0 AS DOUBLE) AS cos,
+         |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
+         |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
+         |WHERE f.rnk <= $ReportK
+         |ORDER BY qid, rnk""".stripMargin
+  }
 }

@@ -152,30 +152,29 @@ object SuffixRanks {
     * rides on the insert side. `SuffixCompactionPropSpec` proves the
     * result frame-for-frame equal to staging the structure from
     * scratch over the live corpus, including the rank-shift case. */
-  /** The loud half of the tombstones-≪-corpus contract: the tombstone
-    * id set is BROADCAST (anti-join build side) and must stay
-    * broadcast-sized. 4M ids ≈ 32 MB serialized — past that, shard the
-    * compaction by id range instead of silently building a giant
-    * broadcast. */
-  val MaxBroadcastTombstones = 4L * 1000 * 1000
+  /** Broadcast ceiling for the tombstone id set, re-exported from
+    * [[Tombstones.MaxBroadcast]] for existing callers: up to 4M ids the
+    * anti/semi joins broadcast; past it they degrade to shuffle-hash
+    * joins sharded by id (round 14 refused here instead — the degrade
+    * path replaced the refusal). */
+  val MaxBroadcastTombstones: Long = Tombstones.MaxBroadcast
 
   def compactDelete(s: org.apache.spark.sql.SparkSession,
       tombs: DataFrame, oldPath: String, newPath: String): Unit = {
     val tombIds = tombs.select(col(tombs.columns.head).as("doc_id"))
-    val nTomb = tombIds.count()
-    require(nTomb <= MaxBroadcastTombstones,
-      s"SuffixRanks.compactDelete broadcasts the tombstone id set and got " +
-        s"$nTomb ids (> $MaxBroadcastTombstones): the tombstones-≪-corpus " +
-        s"contract is violated — shard the compaction by id range")
+    // one count decides the regime for BOTH joins below (broadcast vs
+    // shuffle-hash past MaxBroadcastTombstones — the degrade path that
+    // replaced round-14's refusal)
+    val nTomb = Some(tombIds.count())
     // ONE scan of the corpus-sized position frame: materialize it once
     // (IterationCheckpoint blocks — durable-checkpoint switchable, the
     // iterative-operator trade), then both consumers (the survivor
     // write and the dead-key count debit) read the same blocks instead
     // of re-scanning the parquet per consumer.
     val pos = IterationCheckpoint.cut(s.read.parquet(s"$oldPath/pos"))
-    pos.join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+    Tombstones.antiJoin(pos, "doc_id", tombIds, nTomb)
       .write.mode("overwrite").parquet(s"$newPath/pos")
-    val deadCounts = pos.join(broadcast(tombIds), Seq("doc_id"), "left_semi")
+    val deadCounts = Tombstones.semiJoin(pos, "doc_id", tombIds, nTomb)
       .groupBy(col("key")).agg(count(lit(1)).as("dn"))
     s.read.parquet(s"$oldPath/counts")
       .join(deadCounts, Seq("key"), "left")

@@ -1805,27 +1805,23 @@ object DedupQueries {
     * through the serve measure. */
   private[graft] def compactMinhashIndex(s: SparkSession, tombs: DataFrame,
       oldPath: String, newPath: String, dfCap: Long = 200L): Unit = {
+    import graft.operators.Tombstones
     val tombIds = tombs.select(col(tombs.columns.head).as("doc_id"))
-    // the loud half of the tombstones-≪-corpus contract (the
-    // SuffixRanks.compactDelete guard, MinHash edition): the id set is
-    // an anti-join broadcast build side — past broadcast size, shard
-    // the compaction by id range instead of silently building a giant
-    // broadcast
-    val nTomb = tombIds.count()
-    require(nTomb <= graft.operators.SuffixRanks.MaxBroadcastTombstones,
-      s"compactMinhashIndex broadcasts the tombstone id set and got " +
-        s"$nTomb ids (> " +
-        s"${graft.operators.SuffixRanks.MaxBroadcastTombstones}): shard " +
-        s"the compaction by id range")
-    s.read.parquet(s"$oldPath/members")
-      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+    // the tombstones-vs-corpus contract (the SuffixRanks.compactDelete
+    // shape, MinHash edition): one count decides the regime for every
+    // join below — broadcast while the id set fits, shuffle-hash
+    // sharded by id past Tombstones.MaxBroadcast (the degrade path
+    // that replaced round-14's refusal)
+    val nTomb = Some(tombIds.count())
+    Tombstones.antiJoin(s.read.parquet(s"$oldPath/members"),
+        "doc_id", tombIds, nTomb)
       .write.mode("overwrite").parquet(s"$newPath/members")
     // full shingle sets of the tombstoned docs, from the index alone
-    val tombPosting = s.read.parquet(s"$oldPath/sets")
-      .join(broadcast(tombIds), Seq("doc_id"), "left_semi")
+    val tombPosting = Tombstones.semiJoin(s.read.parquet(s"$oldPath/sets"),
+        "doc_id", tombIds, nTomb)
       .select(col("doc_id"), explode(col("sh")).as("sh"))
-      .unionByName(s.read.parquet(s"$oldPath/dropped")
-        .join(broadcast(tombIds), Seq("doc_id"), "left_semi"))
+      .unionByName(Tombstones.semiJoin(
+        s.read.parquet(s"$oldPath/dropped"), "doc_id", tombIds, nTomb))
     val tombDf = tombPosting.groupBy(col("sh")).agg(count(lit(1)).as("tdf"))
     s.read.parquet(s"$oldPath/dfs")
       .join(tombDf, Seq("sh"), "left")
@@ -1838,12 +1834,12 @@ object DedupQueries {
     // the re-admission set: hot before, no longer hot over the live DF
     val readmitted = s.read.parquet(s"$oldPath/hot")
       .join(s.read.parquet(s"$newPath/hot"), Seq("sh"), "left_anti")
-    val liveDropped = s.read.parquet(s"$oldPath/dropped")
-      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+    val liveDropped = Tombstones.antiJoin(
+      s.read.parquet(s"$oldPath/dropped"), "doc_id", tombIds, nTomb)
     val gains = liveDropped.join(broadcast(readmitted), Seq("sh"))
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("gain"))
-    val liveSets = s.read.parquet(s"$oldPath/sets")
-      .join(broadcast(tombIds), Seq("doc_id"), "left_anti")
+    val liveSets = Tombstones.antiJoin(
+      s.read.parquet(s"$oldPath/sets"), "doc_id", tombIds, nTomb)
     // outer on doc_id: a gains-only row is a RESURRECTED doc (its capped
     // set emptied at some merge's cut and every shingle sat in dropped)
     val fixedSets = liveSets.join(gains, Seq("doc_id"), "outer")
@@ -1858,9 +1854,8 @@ object DedupQueries {
       .write.mode("overwrite").parquet(s"$newPath/dropped")
     val changedIds = fixedSets.filter(col("changed"))
       .select(col("doc_id").as("mid"))
-    s.read.parquet(s"$oldPath/buckets")
-      .join(broadcast(tombIds.select(col("doc_id").as("mid"))),
-        Seq("mid"), "left_anti")
+    Tombstones.antiJoin(s.read.parquet(s"$oldPath/buckets"),
+        "mid", tombIds.select(col("doc_id").as("mid")), nTomb)
       .join(broadcast(changedIds), Seq("mid"), "left_anti")
       .unionByName(minhashBands(
         fixedSets.filter(col("changed")).select(col("doc_id"), col("sh")),
@@ -1883,18 +1878,18 @@ object DedupQueries {
       .join(s.read.parquet(s"$idxPath/buckets"), Seq("band", "bh"))
       .select(col("doc_id"), col("mid")).distinct()
     // serve-time deletes (qaa): deleted snapshot docs drop out at the
-    // CANDIDATE stage through a broadcast anti join on narrow ids — the
-    // q6w tombstone pattern. The index frames themselves are untouched:
-    // the drop list stays FROZEN at its build/merge-time cut (a delete
-    // lowers DF, which could un-hot a shingle, but the capped sets no
-    // longer know which docs carried it — re-admitting it requires the
-    // raw corpus, i.e. the next compaction/rebuild). Serving against
-    // the frozen-cap measure restricted to live docs is exactly the
-    // contract real systems run between compactions, and it is what
-    // the oracle states.
-    val cand = tombstones.fold(cand0)(t => cand0.join(
-      broadcast(t.select(col(t.columns.head).as("mid"))), Seq("mid"),
-      "left_anti"))
+    // CANDIDATE stage through a tombstone anti join on narrow ids — the
+    // q6w pattern (broadcast while the set fits, shuffle-hash sharded
+    // past Tombstones.MaxBroadcast). The index frames themselves are
+    // untouched: the drop list stays FROZEN at its build/merge-time cut
+    // (a delete lowers DF, which could un-hot a shingle, but the capped
+    // sets no longer know which docs carried it — re-admitting it
+    // requires the raw corpus, i.e. the next compaction/rebuild).
+    // Serving against the frozen-cap measure restricted to live docs is
+    // exactly the contract real systems run between compactions, and it
+    // is what the oracle states.
+    val cand = tombstones.fold(cand0)(t => graft.operators.Tombstones
+      .antiJoin(cand0, "mid", t.select(col(t.columns.head).as("mid"))))
     val verified = cand
       .join(deltaSets.withColumnRenamed("sh", "sh_q"), "doc_id")
       .join(baseSetsR.select(col("doc_id").as("mid"),

@@ -171,6 +171,17 @@ object SimilarityQueries {
     * per-micro-batch update must be indistinguishable from the one-shot
     * batch update. */
   private[queries] def ivfUpdateOracleSql(indexPath: String): String =
+    ivfUpdateOracleSqlFor(indexPath, "TRUE", "TRUE")
+
+  /** [[ivfUpdateOracleSql]] PARAMETERIZED (the pqAdcOracleSqlFor
+    * pattern, IVF edition): `candPred` filters the unioned membership
+    * frame (qc9's streamed tombstones re-expressed as the oracle's
+    * WHERE on `vec_id`) and `qPred` filters the query set (a deleted
+    * user gets no serve — the q6w rule). At TRUE/TRUE defaults this IS
+    * q5m's oracle, so q5m, qc6 and qc9 share one spec text modulo the
+    * staged predicates. */
+  private[queries] def ivfUpdateOracleSqlFor(indexPath: String,
+      candPred: String, qPred: String): String =
     s"""WITH ic AS (
           SELECT * FROM read_parquet('$indexPath/cent/*.parquet')),
         base AS (
@@ -180,10 +191,12 @@ object SimilarityQueries {
               ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
                 ic.cid) AS rn
           FROM embeddings e, ic WHERE e.vec_id % 10 = 0),
-        ia AS (SELECT vec_id, cid FROM base
-               UNION ALL SELECT vec_id, cid FROM d0 WHERE rn = 1),
+        ia AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid FROM base
+                 UNION ALL SELECT vec_id, cid FROM d0 WHERE rn = 1)
+               WHERE $candPred),
         q AS (SELECT vec_id AS qid, embedding AS qe
-              FROM embeddings WHERE vec_id < 10),
+              FROM embeddings WHERE vec_id < 10 AND $qPred),
         probe0 AS (SELECT q.qid, q.qe, ic.cid,
             row_number() OVER (PARTITION BY q.qid
               ORDER BY round(list_cosine_similarity(q.qe::DOUBLE[], ic.ce::DOUBLE[]), 9) DESC,
@@ -205,6 +218,24 @@ object SimilarityQueries {
     * encoded against the STALE persisted codebook, tombstone set). */
   private[queries] def qc2GenPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "qc2_pq_chain")
+
+  /** qc9: the persisted IVF index (centroids + base memberships) whose
+    * STREAMING maintenance folds both CDC verbs — qc6's layout, with
+    * delete commits in the drain. */
+  private[queries] def qc9IndexPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qc9_ivf_stream_delete")
+
+  /** The qc9/qd0 streamed tombstone rule: the delete sweep hits base
+    * ids AND the first insert commit's delta ids (retraction of both
+    * offline-persisted and stream-appended index rows), never the
+    * second commit's (%20==10 inserts land after the sweep — no revival
+    * ambiguity; the suffix family's generation-stamped revival is qc5's
+    * subject). */
+  private[graft] def streamDeadCol(c: org.apache.spark.sql.Column) =
+    pmod(c, lit(9)) === 3 && pmod(c, lit(20)) =!= 10
+  /** The same rule as the oracles' LIVE predicate on a named column. */
+  private[graft] def streamLivePred(c: String): String =
+    s"($c % 9 <> 3 OR $c % 20 = 10)"
 
   /** The q66 assignment rule as a helper: nearest centroid per vector,
     * argmax as a map-side-combining hash aggregate (one shuffled row per
@@ -1205,10 +1236,14 @@ object SimilarityQueries {
         // deleted ids are excluded as queries too (a deleted user gets
         // no serve)
         val ic = s.read.parquet(s"$p/cent")
-        val ia = s.read.parquet(s"$p/assign")
-          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-        val q = e.filter(col("vec_id") < 10)
-          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        // one count decides both joins' regime: broadcast while the
+        // tombstone set fits, shuffle-hash sharded past
+        // Tombstones.MaxBroadcast (the qaa/q6w serve contract)
+        val nT = Some(tomb.count())
+        val ia = graft.operators.Tombstones.antiJoin(
+          s.read.parquet(s"$p/assign"), "vec_id", tomb, nT)
+        val q = graft.operators.Tombstones.antiJoin(
+            e.filter(col("vec_id") < 10), "vec_id", tomb, nT)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         ivfServeFor(q, e, ic, ia)
       }),
@@ -2216,13 +2251,15 @@ object SimilarityQueries {
           .filter(col("__rn") === 1 && col(GraftDocLog.OpCol) === "delete")
           .select(col("_id").cast("long").as("vec_id"))
         // serve from the persisted index MINUS tombstoned code rows
-        // (tombstones ≪ corpus: broadcast-size anti join by contract —
-        // past broadcast size, compact instead, which is qc2's verb);
-        // deleted ids are excluded as queries too
-        val codes = s.read.parquet(s"$p/codes")
-          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
-        val q = e.filter(col("vec_id") < 10)
-          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        // (broadcast anti join while the set fits, shuffle-hash sharded
+        // past Tombstones.MaxBroadcast — and past that scale a
+        // compaction, qc2's verb, is overdue anyway); deleted ids are
+        // excluded as queries too
+        val nT = Some(tomb.count())
+        val codes = graft.operators.Tombstones.antiJoin(
+          s.read.parquet(s"$p/codes"), "vec_id", tomb, nT)
+        val q = graft.operators.Tombstones.antiJoin(
+            e.filter(col("vec_id") < 10), "vec_id", tomb, nT)
           .select(col("vec_id").as("qid"), col("embedding").as("qe"))
         pqServeFor(q, codes, icb).orderBy(col("qid"), col("rnk"))
       }),

@@ -21,6 +21,11 @@ object StreamingQueries {
   private[queries] def qc8GraphPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "qc8_knn_graph")
 
+  /** qd1: the persisted BASE graph the streaming DELETE maintenance
+    * folds against (the qc8 layout, delete edition). */
+  private[queries] def qd1GraphPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qd1_knn_graph")
+
   def all(sfDir: String): Seq[QueryDef] = Seq(
 
     // Streaming twin of q41_event_windows: watermarked tumbling windows,
@@ -786,8 +791,11 @@ object StreamingQueries {
     // [[graft.streaming.StreamPipelines.docStreamSuffixRetraction]].
     QueryDef(
       "qc5_stream_suffix_retraction",
+      // live = never swept, OR swept-and-revived (%20==15 re-inserts in
+      // the third commit — the latest-op-per-doc resolution the fold's
+      // generation stamps exist for; the %20==5 half stays dead)
       Some(graft.operators.SuffixRanks.compactionOracleSql(
-        "NOT (doc_id < 250 AND doc_id % 10 = 5)")),
+        "NOT (doc_id < 250 AND doc_id % 10 = 5 AND doc_id % 20 <> 15)")),
       (s, dir) => StreamPipelines.docStreamSuffixRetraction(s, dir)),
 
     // Streaming IVF index maintenance — q5m's update verb on the ingest
@@ -839,6 +847,68 @@ object StreamingQueries {
         qc8GraphPath(sfDir))),
       (s, dir) => StreamPipelines.docStreamGraphInsert(s, dir,
         qc8GraphPath(dir))),
+
+    // Streaming IVF index maintenance under DELETES — the inverse verb
+    // of qc6, closing the round-14 symmetry gap (streamed maintenance
+    // folded inserts only; a right-to-be-forgotten delete arriving ON
+    // the stream had only batch answers): the CDC tail delivers
+    // insert / delete-sweep / insert, every micro-batch folds BOTH
+    // verbs (inserts assign against the persisted centroids, deletes
+    // append to versioned tombstone generations — O(|batch|) rows,
+    // memberships untouched), and the serve anti-joins the final
+    // tombstone set at query time. The sweep hits base ids AND the
+    // first commit's already-streamed delta ids, so the retraction
+    // covers both offline-persisted and stream-appended memberships.
+    // Oracle = q5m's replay parameterized by the live predicate (q5m,
+    // qc6, qc9 share one spec text modulo the staged predicates).
+    // Design: [[graft.streaming.StreamPipelines.docStreamIvfRetraction]].
+    QueryDef(
+      "qc9_stream_ivf_retraction",
+      Some(graft.queries.SimilarityQueries.ivfUpdateOracleSqlFor(
+        graft.queries.SimilarityQueries.qc9IndexPath(sfDir),
+        graft.queries.SimilarityQueries.streamLivePred("vec_id"),
+        graft.queries.SimilarityQueries.streamLivePred("vec_id"))),
+      (s, dir) => StreamPipelines.docStreamIvfRetraction(s, dir,
+        graft.queries.SimilarityQueries.qc9IndexPath(dir))),
+
+    // Streaming PQ index maintenance under DELETES — qc9's verb, PQ
+    // edition: per batch, inserts argmin-encode against the persisted
+    // codebook (8 bytes appended per vector), deletes append to
+    // versioned tombstone generations; the ADC serve anti-joins the
+    // final set out of base ∪ streamed codes (8-byte rows, raw vectors
+    // never read). Oracle = q5s's replay with the live predicate on
+    // candidates and queries — the SIXTH consumer of the pqAdc spec
+    // text: one oracle is the machine-checked equivalence ladder
+    // batch ≡ streamed-serve ≡ streamed-insert ≡ streamed-delete.
+    // Design: [[graft.streaming.StreamPipelines.docStreamPqRetraction]].
+    QueryDef(
+      "qd0_stream_pq_retraction",
+      Some(graft.queries.SimilarityQueries.pqAdcOracleSqlFor("embeddings",
+        graft.queries.SimilarityQueries.streamLivePred("c.vec_id"),
+        graft.queries.SimilarityQueries.streamLivePred("q.vec_id"))),
+      (s, dir) => StreamPipelines.docStreamPqRetraction(s, dir)),
+
+    // Streaming graph-ANN maintenance under DELETES — the hard case
+    // (qc9/qd0 retract by anti join; a graph delete leaves HOLES in
+    // surviving lists): qb4's tombstone rule arrives as TWO CDC delete
+    // sweeps (%32==3 then %32==19) and every micro-batch folds the
+    // FreshDiskANN delete-with-local-repair against the previous
+    // generation's graph, writing batch-keyed full-graph generations.
+    // Sequential repairs are NOT one-shot-equivalent (gen 1 may patch a
+    // hole with a node gen 2 then deletes and re-repairs), so the
+    // oracle unrolls BOTH generations in SQL — gen 2 replays against
+    // gen 1's SQL-DERIVED output graph, never the pipeline's persisted
+    // intermediate. Output: sampled touched SURVIVORS' top-K from the
+    // FINAL graph with exact flags over the surviving corpus (qb4's
+    // shape; touched-then-deleted nodes get no serve). Design:
+    // [[graft.streaming.StreamPipelines.docStreamGraphRetraction]] /
+    // [[graft.operators.NnDescent.deleteRepairOf]].
+    QueryDef(
+      "qd1_stream_graph_retraction",
+      Some(graft.operators.NnDescent.streamDeleteOracleSql(
+        qd1GraphPath(sfDir))),
+      (s, dir) => StreamPipelines.docStreamGraphRetraction(s, dir,
+        qd1GraphPath(dir))),
 
     QueryDef(
       "q8t_kafka_wire_doc_sink",

@@ -1483,6 +1483,282 @@ object StreamPipelines {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** qc9: streaming IVF index maintenance under DELETES — the inverse
+    * verb of qc6, completing the round-14 symmetry gap (IVF/PQ/graph
+    * streaming maintenance handled inserts only; a right-to-be-forgotten
+    * delete arriving ON the stream had batch answers — q6w, qc1, qb4 —
+    * but no per-batch fold). The standing index (centroids + 90% base
+    * memberships) persists once; the CDC tail then delivers THREE
+    * commits — delta inserts (%20==0), a compliance DELETE sweep hitting
+    * base ids AND the already-streamed delta ids
+    * ([[graft.queries.SimilarityQueries.streamDeadCol]]), delta inserts
+    * (%20==10) — and every micro-batch folds BOTH verbs: inserts assign
+    * against the persisted centroids (one broadcast join, O(|batch|·k),
+    * the qc6 fold), deletes append to a VERSIONED tombstone generation
+    * (tomb_v<B+1> = tomb_v<B> ∪ batch — O(|batch|) rows, memberships
+    * untouched, replay-idempotent by layout). The serve anti-joins the
+    * final tombstone set out of base ∪ appended generations at query
+    * time ([[graft.operators.Tombstones]] — broadcast to the cap,
+    * sharded past it) and excludes deleted ids as queries; membership
+    * rebuild stays deferred to compaction (qb6's verb). Oracle = q5m's
+    * replay parameterized by the live predicate
+    * ([[graft.queries.SimilarityQueries.ivfUpdateOracleSqlFor]]): the
+    * drained insert+delete fold must be indistinguishable from the
+    * one-shot batch update over the live corpus. */
+  def docStreamIvfRetraction(s: SparkSession, sfDir: String,
+      indexPath: String): DataFrame = {
+    import graft.queries.SimilarityQueries
+    val tmp = graft.TempDirs.create("graft_ivf_del_stream")
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val existing = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+    // BUILD: q5m/qc6's order — centroids persist first (adaptive k from
+    // the FULL corpus), base memberships assigned against the read-back
+    // frame
+    SimilarityQueries.centroids(e).write.mode("overwrite")
+      .parquet(s"$indexPath/cent")
+    val ic = s.read.parquet(s"$indexPath/cent")
+    SimilarityQueries.assignTo(existing, ic).write.mode("overwrite")
+      .parquet(s"$indexPath/assign_base")
+    // the CDC tail: insert / delete sweep / insert
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(20)) === 0), "vec_id", s"$tmp/in")
+    graft.connector.GraftDoc.delete(s, s"$tmp/in",
+      e.filter(SimilarityQueries.streamDeadCol(col("vec_id")))
+        .select(col("vec_id")))
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(20)) === 10), "vec_id", s"$tmp/in")
+    // v0 tombstone state: empty
+    s.range(0).select(col("id").as("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/tomb_v0")
+    val version = new AtomicInteger(0)
+    val ckpt = ephemeralCheckpoint("ivf_del")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L),
+            withOp = true)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val v = batchId
+            val ins = batch.filter(col("_op") === "insert")
+              .select(col("_id").cast("long").as("vec_id"), col("embedding"))
+            val del = batch.filter(col("_op") === "delete")
+              .select(col("_id").cast("long").as("vec_id"))
+            // inserts: one broadcast join against the persisted
+            // centroids (a replayed batch rewrites the same file)
+            SimilarityQueries.assignTo(ins, ic)
+              .write.mode("overwrite").parquet(s"$tmp/assign_b$v")
+            // deletes: versioned tombstone fold, O(|batch|) rows
+            s.read.parquet(s"$tmp/tomb_v$v").unionByName(del)
+              .write.mode("overwrite").parquet(s"$tmp/tomb_v${v + 1}")
+            version.getAndUpdate(g => math.max(g, (v + 1).toInt))
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    val tomb = s.read.parquet(s"$tmp/tomb_v${version.get()}")
+    val nT = Some(tomb.count())
+    val ia = graft.operators.Tombstones.antiJoin(
+      s.read.parquet(s"$indexPath/assign_base")
+        .unionByName(s.read.parquet(s"$tmp/assign_b*")),
+      "vec_id", tomb, nT)
+    val q = graft.operators.Tombstones.antiJoin(
+        e.filter(col("vec_id") < 10), "vec_id", tomb, nT)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    SimilarityQueries.ivfServeFor(q, e, ic, ia)
+  }
+
+  /** qd0: streaming PQ index maintenance under DELETES — qc9's verb,
+    * PQ edition (with qd1 this closes the maintenance symmetry: every
+    * index family folds BOTH CDC verbs per micro-batch, batch AND
+    * streamed). Codebook + base codes persist once; the same
+    * insert / delete-sweep / insert CDC tail then folds per batch:
+    * inserts argmin-encode against the persisted codebook (8 bytes
+    * appended per vector — the qc7 fold), deletes append to versioned
+    * tombstone generations. The sweep hits base ids AND the first
+    * commit's already-encoded delta ids, so the serve-time anti join
+    * retracts rows from BOTH the offline codes and a streamed
+    * generation; codebook retrain stays deferred to compaction (qc2's
+    * verb). Oracle = q5s's replay with the live predicate on candidates
+    * and queries — the SIXTH consumer of the pqAdc spec text (q5s, q8z,
+    * qc1, qc2, qc7, here): one oracle IS the equivalence ladder
+    * batch ≡ streamed-serve ≡ streamed-insert ≡ streamed-delete. */
+  def docStreamPqRetraction(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.SimilarityQueries
+    val tmp = graft.TempDirs.create("graft_pq_del_stream")
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+    val existing = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+    // BUILD: codebook from the full corpus's id-prefix seeds (stable
+    // under the delta split — the qc7 rule), base codes against the
+    // read-back codebook
+    SimilarityQueries.pqCodebook(SimilarityQueries.pqSub(e))
+      .write.mode("overwrite").parquet(s"$tmp/cb")
+    val icb = s.read.parquet(s"$tmp/cb")
+    SimilarityQueries.pqCodes(SimilarityQueries.pqSub(existing), icb)
+      .write.mode("overwrite").parquet(s"$tmp/base_codes")
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(20)) === 0), "vec_id", s"$tmp/in")
+    graft.connector.GraftDoc.delete(s, s"$tmp/in",
+      e.filter(SimilarityQueries.streamDeadCol(col("vec_id")))
+        .select(col("vec_id")))
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(20)) === 10), "vec_id", s"$tmp/in")
+    s.range(0).select(col("id").as("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/tomb_v0")
+    val version = new AtomicInteger(0)
+    val ckpt = ephemeralCheckpoint("pq_del")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L),
+            withOp = true)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val v = batchId
+            val ins = batch.filter(col("_op") === "insert")
+              .select(col("_id").cast("long").as("vec_id"), col("embedding"))
+            val del = batch.filter(col("_op") === "delete")
+              .select(col("_id").cast("long").as("vec_id"))
+            SimilarityQueries.pqCodes(SimilarityQueries.pqSub(ins), icb)
+              .write.mode("overwrite").parquet(s"$tmp/codes_b$v")
+            s.read.parquet(s"$tmp/tomb_v$v").unionByName(del)
+              .write.mode("overwrite").parquet(s"$tmp/tomb_v${v + 1}")
+            version.getAndUpdate(g => math.max(g, (v + 1).toInt))
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    val tomb = s.read.parquet(s"$tmp/tomb_v${version.get()}")
+    val nT = Some(tomb.count())
+    val codes = graft.operators.Tombstones.antiJoin(
+      s.read.parquet(s"$tmp/base_codes")
+        .unionByName(s.read.parquet(s"$tmp/codes_b*")),
+      "vec_id", tomb, nT)
+    val qf = graft.operators.Tombstones.antiJoin(
+        e.filter(col("vec_id") < 10), "vec_id", tomb, nT)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    SimilarityQueries.pqServeFor(qf, codes, icb)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** qd1: streaming graph-ANN maintenance under DELETES — the hard case
+    * of the three (qc9/qd0 retractions are anti joins; a graph delete
+    * leaves HOLES in surviving lists that need local repair): the full
+    * NN-Descent graph persists once; the qb4 tombstone rule (%16==3)
+    * then arrives as TWO CDC delete sweeps (%32==3, then %32==19), and
+    * every micro-batch folds
+    * [[graft.operators.NnDescent.deleteRepairOf]] — drop the batch's
+    * tombstoned lists, repair only the survivors that lost an edge,
+    * candidates from the dead nodes' former out-lists in the PREVIOUS
+    * generation's graph (FreshDiskANN's rule, ≤K² per affected node,
+    * N-independent) — writing batch-keyed full-graph generations (a
+    * replayed batch re-reads the untouched generation v−1 and
+    * overwrites generation v: idempotent, the qc8 rule). Sequential
+    * repairs are NOT one-shot-equivalent (gen 1 may patch a hole with a
+    * node gen 2 then deletes), so the oracle unrolls BOTH generations
+    * against the persisted base graph, gen 2 replaying over gen 1's
+    * SQL-DERIVED output
+    * ([[graft.operators.NnDescent.streamDeleteOracleSql]]). Output:
+    * every SAMPLED touched SURVIVOR's served top-K from the FINAL graph
+    * with exact flags over the surviving corpus (qb4's shape —
+    * touched-then-deleted nodes drop out: a deleted user gets no
+    * serve). */
+  def docStreamGraphRetraction(s: SparkSession, sfDir: String,
+      graphPath: String): DataFrame = {
+    import graft.operators.NnDescent
+    import graft.queries.SimilarityQueries
+    val tmp = graft.TempDirs.create("graft_graph_del_stream")
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    NnDescent.knnGraph(e).write.mode("overwrite").parquet(graphPath)
+    // keyed doc store over the corpus (the q6w flow); the two
+    // compliance sweeps land as tombstone commits and the CDC tail
+    // replays snapshot + sweeps one micro-batch each
+    graft.connector.GraftDoc.write(
+      s.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("label")), "vec_id", s"$tmp/tbl")
+    graft.connector.GraftDoc.delete(s, s"$tmp/tbl",
+      e.filter(pmod(col("vec_id"), lit(NnDescent.DeleteMod * 2))
+          === NnDescent.DeleteRes)
+        .select(col("vec_id")))
+    graft.connector.GraftDoc.delete(s, s"$tmp/tbl",
+      e.filter(pmod(col("vec_id"), lit(NnDescent.DeleteMod * 2))
+          === NnDescent.StreamDeleteRes2)
+        .select(col("vec_id")))
+    s.range(0).select(col("id").as("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/tomb_v0")
+    val version = new AtomicInteger(-1)
+    val ckpt = ephemeralCheckpoint("graph_del")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/tbl", maxCommitsPerTrigger = Some(1L),
+            withOp = true)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val v = batchId.toInt
+            val del = batch.filter(col("_op") === "delete")
+              .select(col("_id").cast("long").as("vec_id"))
+            val prev = if (v == 0) s.read.parquet(graphPath)
+              else s.read.parquet(s"$tmp/g_b${v - 1}")
+            // the batch's affected survivors, recorded BEFORE the
+            // repair (the reporting set — repair work touches exactly
+            // these lists); the snapshot batch's set is empty
+            prev.join(broadcast(del), Seq("vec_id"), "left_anti")
+              .join(broadcast(del.select(col("vec_id").as("nid"))),
+                Seq("nid"), "left_semi")
+              .select(col("vec_id")).distinct()
+              .write.mode("overwrite").parquet(s"$tmp/tch_b$v")
+            NnDescent.deleteRepairOf(e, prev, del)
+              .write.mode("overwrite").parquet(s"$tmp/g_b$v")
+            s.read.parquet(s"$tmp/tomb_v$v").unionByName(del)
+              .write.mode("overwrite").parquet(s"$tmp/tomb_v${v + 1}")
+            version.getAndUpdate(g => math.max(g, v))
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    val fv = version.get()
+    val g2 = s.read.parquet(s"$tmp/g_b$fv")
+    // sampled touched SURVIVORS: a gen-1-touched node deleted by gen 2
+    // gets no serve (anti join against the final tombstone set)
+    val tchAll = s.read.parquet(s"$tmp/tch_b*")
+      .join(s.read.parquet(s"$tmp/tomb_v${fv + 1}"),
+        Seq("vec_id"), "left_anti")
+      .filter(pmod(col("vec_id"), lit(NnDescent.FlagSampleMod)) === 0)
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("c").desc, col("nid"))
+    val fin = g2.join(tchAll, Seq("vec_id"), "left_semi")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= NnDescent.ReportK)
+    val surE = e.filter(pmod(col("vec_id"), lit(NnDescent.DeleteMod))
+      =!= NnDescent.DeleteRes)
+    val exact = SimilarityQueries.exactTopKOf(surE, NnDescent.ReportK, tchAll)
+      .withColumn("in_exact", lit(1))
+    fin.join(exact,
+        fin("vec_id") === exact("qid") && fin("nid") === exact("nid"),
+        "left")
+      .select(fin("vec_id").as("qid"), col("rnk"), fin("nid"),
+        round(col("c"), 4).as("cos"),
+        coalesce(col("in_exact"), lit(0)).cast("int").as("in_exact"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** q8g: streaming ANN serve from a PERSISTED index — the online half of
     * the q5i build/serve split. The IVF index (centroids + cell
     * memberships) is built once and persisted; queries then ARRIVE as a
@@ -1720,7 +1996,13 @@ object StreamPipelines {
     *     set: O(|dict|), never O(corpus positions).
     * Dead position rows from the SAME batch's inserts debit too (the
     * qc0 lesson: the fold must not depend on maxCommitsPerTrigger=1
-    * isolating deletes). After the drain, positions serve through the
+    * isolating deletes). Position rows are GENERATION-STAMPED and
+    * tombstones carry the generation they landed in, so ops resolve by
+    * LATEST PER DOC: a delete debits (and the serve drops) only rows
+    * newer than the doc's previous tombstone, and a re-insert after a
+    * delete serves its new rows — the fold does not depend on the
+    * drain's insert/delete id spaces staying disjoint. After the
+    * drain, positions serve through the
     * final dictionary minus the tombstone set; the oracle replays
     * qau's doubling rounds over the LIVE corpus (qb8's oracle), so
     * hash equality certifies the streamed insert/delete/insert fold
@@ -1732,16 +2014,20 @@ object StreamPipelines {
     val d = s.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val sweep = col("doc_id") < 250 && pmod(col("doc_id"), lit(10)) === 5
+    // half the swept docs are RE-INSERTED with the incoming commit
+    // (%20==15 — the other half stays dead): the drain itself exercises
+    // the latest-op revival path, not just the disjoint-id case
+    val revived = col("doc_id") < 250 && pmod(col("doc_id"), lit(20)) === 15
     graft.connector.GraftDoc.write(
       d.filter(col("doc_id") < 250), "doc_id", s"$tmp/tbl")
     graft.connector.GraftDoc.delete(s, s"$tmp/tbl",
       d.filter(sweep).select(col("doc_id")))
     graft.connector.GraftDoc.write(
-      d.filter(col("doc_id") >= 250), "doc_id", s"$tmp/tbl")
+      d.filter(col("doc_id") >= 250 || revived), "doc_id", s"$tmp/tbl")
     // v0 state: empty counts, empty dictionary, empty tombstone set
     s.range(0).select(lit("").as("key"), col("id").as("n"))
       .write.mode("overwrite").parquet(s"$tmp/counts_v0")
-    s.range(0).select(col("id").as("doc_id"))
+    s.range(0).select(col("id").as("doc_id"), col("id").as("gen"))
       .write.mode("overwrite").parquet(s"$tmp/tomb_v0")
     val version = new AtomicInteger(0)
     val ckpt = ephemeralCheckpoint("sfx_del")
@@ -1757,16 +2043,28 @@ object StreamPipelines {
               .select(col("_id").cast("long").as("doc_id"), col("text"))
             val del = batch.filter(col("_op") === "delete")
               .select(col("_id").cast("long").as("doc_id"))
-            // inserts: row-local keys from this batch's text alone
+            // inserts: row-local keys from this batch's text alone,
+            // GENERATION-STAMPED — a later delete debits (and the serve
+            // drops) exactly the rows of generations after the doc's
+            // last tombstone, so delete-then-reinsert resolves by
+            // LATEST OP per doc instead of relying on the drain's id
+            // spaces staying disjoint
             SuffixRanks.suffixKeys(ins)
+              .withColumn("gen", lit(v + 1))
               .write.mode("overwrite").parquet(s"$tmp/pos_b${v + 1}")
             val newCounts = s.read.parquet(s"$tmp/pos_b${v + 1}")
               .groupBy(col("key")).agg(count(lit(1)).as("n"))
             // deletes: dead keys from the tombstoned docs' stored rows
             // (ALL generations incl. this batch's inserts — same-batch
-            // insert+delete must cancel, the qc0 rule)
+            // insert+delete must cancel, the qc0 rule) — but only rows
+            // NEWER than the doc's last tombstone: generations a prior
+            // delete already debited must not debit twice
+            val priorDel = s.read.parquet(s"$tmp/tomb_v$v")
+              .groupBy(col("doc_id")).agg(max(col("gen")).as("dgen"))
             val deadCounts = s.read.parquet(s"$tmp/pos_b*")
               .join(del, Seq("doc_id"), "left_semi")
+              .join(priorDel, Seq("doc_id"), "left")
+              .filter(col("gen") > coalesce(col("dgen"), lit(0L)))
               .groupBy(col("key")).agg((-count(lit(1))).as("n"))
             // fold: order-independent (key, ±n) sums; zeroed keys vanish
             s.read.parquet(s"$tmp/counts_v$v")
@@ -1777,7 +2075,8 @@ object StreamPipelines {
             // renumber the SURVIVING dictionary: O(dict), the qb8 term
             SuffixRanks.rankDict(s.read.parquet(s"$tmp/counts_v${v + 1}"))
               .write.mode("overwrite").parquet(s"$tmp/dict_v${v + 1}")
-            s.read.parquet(s"$tmp/tomb_v$v").unionByName(del).distinct()
+            s.read.parquet(s"$tmp/tomb_v$v")
+              .unionByName(del.withColumn("gen", lit((v + 1))))
               .write.mode("overwrite").parquet(s"$tmp/tomb_v${v + 1}")
             version.getAndUpdate(g => math.max(g, (v + 1).toInt))
             ()
@@ -1789,8 +2088,16 @@ object StreamPipelines {
       }
     } finally deleteRecursively(ckpt)
     val fv = version.get()
+    // latest-op resolution: a doc's live rows are the generations AFTER
+    // its last tombstone (none if never deleted) — a delete followed by
+    // a re-insert serves the re-inserted rows, a trailing delete serves
+    // nothing, and the no-reinsert drain below reduces to the plain
+    // anti join this replaces
+    val lastDel = s.read.parquet(s"$tmp/tomb_v$fv")
+      .groupBy(col("doc_id")).agg(max(col("gen")).as("dgen"))
     val pos = s.read.parquet(s"$tmp/pos_b*")
-      .join(s.read.parquet(s"$tmp/tomb_v$fv"), Seq("doc_id"), "left_anti")
+      .join(lastDel, Seq("doc_id"), "left")
+      .filter(col("gen") > coalesce(col("dgen"), lit(0L)))
     val ranked = pos.join(s.read.parquet(s"$tmp/dict_v$fv"), Seq("key"))
       .select(col("doc_id"), col("pos"), col("r"))
     val grp = ranked.groupBy(col("r")).agg(count(lit(1)).as("grp"))

@@ -27,7 +27,10 @@ object ScaleEvidence {
 
   private def densify(df: DataFrame, idCol: String, copies: Int,
       saltText: Boolean): DataFrame = {
-    val n = df.count()
+    // stride = max(id) + 1, not count(): source ids with gaps or offsets
+    // would otherwise collide replicated ids across copies, silently
+    // corrupting the scaled corpus and every count-based split over it
+    val n = df.agg(max(col(idCol))).head.getLong(0) + 1L
     val rep = df
       .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
       .withColumn(idCol, col(idCol) + col("copy") * lit(n))

@@ -240,6 +240,42 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // "tombshard": broadcast vs shuffle-hash tombstone anti join as the
+    // id set grows through Tombstones.MaxBroadcast — measures the
+    // crossover the degrade path exists for (small sets: broadcast wins,
+    // no corpus shuffle; past the cap: broadcast would OOM, the sharded
+    // join pays one corpus shuffle and stays flat in tombstone count)
+    if (args.length > 1 && args(1) == "tombshard") {
+      import graft.operators.Tombstones
+      // corpus frame: copies × a synthetic (doc_id, payload) table —
+      // wide enough that the anti join dominates, ids dense
+      val n = 2000000L * math.max(1, copies / 4)
+      val corpus = spark.range(n).select(col("id").as("doc_id"),
+        sha2(concat(lit("p"), col("id")), 256).as("payload"))
+        .cache()
+      corpus.count()
+      for (tn <- Seq(10000L, 100000L, 1000000L, 4000000L, 8000000L)
+          if tn <= n) {
+        // every `stride`-th id dead → tn tombstones spread over the corpus
+        val stride = math.max(1L, n / tn)
+        val tomb = spark.range(tn).select((col("id") * stride).as("doc_id"))
+        for ((label, cap) <- Seq(
+            ("broadcast", Long.MaxValue), ("shard", 0L))
+            // never force a broadcast PAST the contract's cap — that is
+            // the OOM the helper exists to avoid; measure it only below
+            if !(label == "broadcast" && tn > Tombstones.MaxBroadcast)) {
+          time(f"tombshard $label%-9s corpus=$n tomb=$tn") {
+            println(s"[scale]   survivors=" + Tombstones
+              .joinWith(corpus, "doc_id", tomb, "left_anti", Some(tn),
+                maxBroadcast = cap)
+              .count())
+          }
+        }
+      }
+      corpus.unpersist()
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "incmh") {
       // qa5's incremental near-dup split: per-batch cost of SERVING a
       // fixed incoming batch against a persisted snapshot index vs the
