@@ -57,44 +57,85 @@ object SuffixRanks {
       .select(col("doc_id"), (col("p0") + 1).cast("long").as("pos"),
         ascii(col("ch")).cast("long").as("r"))
 
-  /** One doubling round: join the gap-shifted ranks, dense-rank the
-    * pairs via StableIds over the distinct key set, map back. */
-  private def doubling(ranks: DataFrame, gap: Int): DataFrame = {
-    val shifted = ranks.select(col("doc_id"),
-      (col("pos") - gap).as("pos"), col("r").as("r2"))
-    val keyed = ranks.join(shifted, Seq("doc_id", "pos"), "left")
-      .select(col("doc_id"), col("pos"), col("r").as("r1"),
-        coalesce(col("r2"), lit(0L)).as("r2"))
-    val keys = StableIds.assign(
-      keyed.select(col("r1"), col("r2")).distinct(),
-      Seq(col("r1"), col("r2")), Partitions, "nr")
-    keyed.join(keys, Seq("r1", "r2"))
-      .select(col("doc_id"), col("pos"), col("nr").as("r"))
-  }
-
-  /** All rounds' rank frames: index k = rank_k (k = 1..[[Rounds]]). */
-  def rounds(d: DataFrame): Seq[DataFrame] = {
-    var ranks = IterationCheckpoint.cut(positions(d))
+  /** All rounds' rank frames WITH inline group sizes — (doc_id, pos,
+    * r, grp), index k = rank_k (k = 1..[[Rounds]]) — built with
+    * SETTLED-GROUP PRUNING, the classic prefix-doubling optimization:
+    * a position whose rank group is a singleton can never split again
+    * (its relative order is final), so it leaves the corpus-sized
+    * doubling machinery — the gap-shift join, the key aggregate, the
+    * wide map-back join — and rides a NARROW per-round rank
+    * translation instead.
+    *
+    * Identical output by construction, not by luck:
+    *   - a settled position's r1 is GLOBALLY unique (group size 1
+    *     counts every corpus position sharing the rank), so its pair
+    *     key's dense rank is independent of its r2 — the synthetic key
+    *     (r1, 0) occupies exactly the position (r1, r2_true) would
+    *     have, and settled vs active r1 sets are disjoint (active
+    *     ranks are shared by ≥2 positions), so no collision exists;
+    *   - settled rows still carry CURRENT ranks each round (the
+    *     translation join) because dense ranks inflate as other groups
+    *     split, and they still serve as r2 providers to active
+    *     positions through the full-frame shift;
+    *   - group sizes come free: the old `distinct()` over keys becomes
+    *     a `groupBy().count()` — the SAME shuffle — and grp == 1 is
+    *     settledness for the next round.
+    *
+    * Per-round cost shape: the shift source stays corpus-sized (it
+    * must — settled positions provide r2 to active ones), but the
+    * keyed join, the key aggregate, StableIds' range sort and the wide
+    * map-back all shrink to the ACTIVE set, which on real text
+    * collapses fast (16-char prefixes are mostly unique by round 3–4).
+    * `SuffixRanksPropSpec` pins pruned ≡ unpruned per round and
+    * measures the active-set shrink on a mostly-unique corpus. */
+  def roundsWithGroups(d: DataFrame): Seq[DataFrame] = {
+    var active = IterationCheckpoint.cut(positions(d))
+    var settled = active.filter(lit(false))
     (1 to Rounds).map { k =>
-      ranks = IterationCheckpoint.cut(doubling(ranks, 1 << (k - 1)))
-      ranks
+      val gap = 1 << (k - 1)
+      val full = active.unionByName(settled)
+      val shifted = full.select(col("doc_id"),
+        (col("pos") - gap).as("pos"), col("r").as("r2"))
+      val keyedA = active.join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("r").as("r1"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+      val keyCnt = keyedA.groupBy(col("r1"), col("r2"))
+        .agg(count(lit(1)).as("grp"))
+      val keysS = settled.select(col("r").as("r1"), lit(0L).as("r2"),
+        lit(1L).as("grp"))
+      val allKeys = StableIds.assign(keyCnt.unionByName(keysS),
+        Seq(col("r1"), col("r2")), Partitions, "nr")
+      val aNew = keyedA.join(allKeys, Seq("r1", "r2"))
+        .select(col("doc_id"), col("pos"), col("nr").as("r"), col("grp"))
+      val sNew = settled
+        .select(col("doc_id"), col("pos"), col("r").as("r1"),
+          lit(0L).as("r2"))
+        .join(allKeys, Seq("r1", "r2"))
+        .select(col("doc_id"), col("pos"), col("nr").as("r"), col("grp"))
+      val merged = IterationCheckpoint.cut(aNew.unionByName(sNew))
+      active = merged.filter(col("grp") > 1)
+        .select(col("doc_id"), col("pos"), col("r"))
+      settled = merged.filter(col("grp") === 1)
+        .select(col("doc_id"), col("pos"), col("r"))
+      merged
     }
   }
 
+  /** All rounds' rank frames: index k = rank_k (k = 1..[[Rounds]]). */
+  def rounds(d: DataFrame): Seq[DataFrame] =
+    roundsWithGroups(d).map(_.select(col("doc_id"), col("pos"), col("r")))
+
   /** qau: per-round position detail for the sampled documents —
     * (rnd, doc_id, pos, rank, grp) where grp counts EVERY corpus
-    * position sharing the rank. Group sizes come from a narrow
-    * groupBy(rank) count (map-side combinable) joined onto the
-    * already-SAMPLED rows — measurably cheaper than a corpus-wide
-    * partition-by-rank window per round (which shuffles every position
-    * into rank-keyed frames just to count them). A drift in any
-    * round's global dense-rank assignment moves the sampled rows'
-    * ranks or group sizes. */
+    * position sharing the rank. Group sizes ride inline from
+    * [[roundsWithGroups]] (they fall out of the key aggregate the
+    * doubling pays anyway — the pre-round-15 per-round
+    * groupBy(rank)+join is gone). A drift in any round's global
+    * dense-rank assignment moves the sampled rows' ranks or group
+    * sizes. */
   def audit(d: DataFrame): DataFrame = {
-    rounds(d).zipWithIndex.map { case (ranks, i) =>
-      val grp = ranks.groupBy(col("r")).agg(count(lit(1)).as("grp"))
+    roundsWithGroups(d).zipWithIndex.map { case (ranks, i) =>
       ranks.filter(col("doc_id") % SampleMod === 0)
-        .join(grp, Seq("r"))
         .select(lit(i + 1).as("rnd"), col("doc_id"), col("pos"),
           col("r").as("rank"), col("grp"))
     }.reduce(_ unionByName _)

@@ -590,8 +590,12 @@ object Aggregates {
     * (TRUE = the whole corpus, qaf; a snapshot predicate = qak's
     * rebuild measure), bucket counts and the exact side always over the
     * FULL corpus. */
-  private def histOracleSql(samplePred: String): String =
-    s"""WITH tot AS (SELECT COUNT(*) AS nn FROM lineitem
+  /** The histogram-build CTE chain (tot/sp/samp/spl/asg/bk) shared by
+    * qaf/qak's eval oracle and qd3's selectivity-composed DP oracle —
+    * one spec text for "what the equi-depth histogram over
+    * l_extendedprice IS". */
+  private[queries] def histBucketCtesSql(samplePred: String): String =
+    s"""tot AS (SELECT COUNT(*) AS nn FROM lineitem
           WHERE $samplePred),
         sp AS (SELECT GREATEST(1, nn // 2048) AS sdiv FROM tot),
         samp AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x
@@ -611,7 +615,30 @@ object Aggregates {
         bk AS (SELECT pid, COUNT(*) AS cnt, MIN(x) AS mnb, MAX(x) AS mxb,
                  MIN(CASE WHEN pid >= 1 THEN qs[pid] END) AS lo_s,
                  MIN(CASE WHEN pid <= 14 THEN qs[pid + 1] END) AS hi_s
-               FROM asg GROUP BY pid),
+               FROM asg GROUP BY pid)"""
+
+  /** The histogram estimate of `x <= c` as oracle SQL, over the `bk`
+    * CTE — buckets strictly below contribute full counts, c's bucket a
+    * clamped round-9 interpolation (the exact double algebra
+    * [[priceHistEstimate]] computes engine-side). */
+  private[queries] def histEstCteSql(name: String, c: String): String =
+    s"""$name AS (SELECT ROUND(
+            COALESCE(SUM(CASE WHEN bk.hi_s IS NOT NULL
+                AND $c > bk.hi_s
+              THEN CAST(bk.cnt AS DOUBLE) END), 0)
+          + COALESCE(SUM(CASE WHEN (bk.lo_s IS NULL OR $c > bk.lo_s)
+                AND (bk.hi_s IS NULL OR $c <= bk.hi_s)
+              THEN bk.cnt * COALESCE(LEAST(CAST(1.0 AS DOUBLE),
+                  GREATEST(CAST(0.0 AS DOUBLE),
+                    ROUND(($c - bk.mnb)
+                      / NULLIF(bk.mxb - bk.mnb, 0), 9))),
+                CASE WHEN $c >= bk.mnb THEN CAST(1.0 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END,
+                CAST(0.0 AS DOUBLE)) END), 0), 4) AS est_rows
+        FROM bk)"""
+
+  private def histOracleSql(samplePred: String): String =
+    s"""WITH ${histBucketCtesSql(samplePred)},
         cs AS (SELECT CAST(c AS DOUBLE) AS c FROM (VALUES (2000.0),
                  (10000.0), (25000.0), (50000.0), (90000.0)) v(c)),
         est AS (SELECT cs.c, ROUND(
@@ -689,20 +716,16 @@ object Aggregates {
         min(expr("IF(pid <= 14, element_at(qs, pid + 1), null)"))
           .as("hi_s"))
 
-  /** The selectivity eval: estimate `x <= c` for the 5 constants from
-    * the bucket frame (buckets strictly below c contribute full counts,
-    * c's own bucket a clamped interpolation fraction — ONE OR-join with
-    * disjoint conditional sums), compare against the exact counts over
-    * `corpus` (one conditional-agg pass, unpivoted row-locally). */
-  private[graft] def priceHistEval(s: SparkSession, buckets: DataFrame,
-      corpus: DataFrame): DataFrame = {
-    val consts = s.range(1).select(explode(array(
-      lit(2000.0), lit(10000.0), lit(25000.0), lit(50000.0),
-      lit(90000.0))).as("c"))
+  /** Histogram estimate of `x <= c` per constant in `consts` (column
+    * `c`, double): buckets strictly below c contribute full counts, c's
+    * own bucket a clamped round-9 interpolation fraction — ONE OR-join
+    * with disjoint conditional sums. Shared by qaf/qak's eval and
+    * qd3's single-constant planner scalar. */
+  private def histEstFor(consts: DataFrame, buckets: DataFrame): DataFrame = {
     val belowCond = col("hi_s").isNotNull && col("c") > col("hi_s")
     val ownCond = (col("lo_s").isNull || col("c") > col("lo_s")) &&
       (col("hi_s").isNull || col("c") <= col("hi_s"))
-    val est = consts
+    consts
       .join(broadcast(buckets), belowCond || ownCond, "left")
       .groupBy(col("c"))
       .agg(round(
@@ -713,6 +736,24 @@ object Aggregates {
               round((c - mnb) / nullif(mxb - mnb, 0), 9))),
             IF(c >= mnb, 1.0d, 0.0d), 0.0d)"""))), lit(0.0)), 4)
         .as("est_rows"))
+  }
+
+  /** The qd3 planner scalar: the histogram estimate of
+    * `l_extendedprice <= c` as a 1-row (est_rows double) frame. */
+  private[graft] def priceHistEstimate(s: SparkSession,
+      buckets: DataFrame, c: Double): DataFrame =
+    histEstFor(s.range(1).select(lit(c).as("c")), buckets)
+
+  /** The selectivity eval: estimate `x <= c` for the 5 constants from
+    * the bucket frame via [[histEstFor]], compare against the exact
+    * counts over `corpus` (one conditional-agg pass, unpivoted
+    * row-locally). */
+  private[graft] def priceHistEval(s: SparkSession, buckets: DataFrame,
+      corpus: DataFrame): DataFrame = {
+    val consts = s.range(1).select(explode(array(
+      lit(2000.0), lit(10000.0), lit(25000.0), lit(50000.0),
+      lit(90000.0))).as("c"))
+    val est = histEstFor(consts, buckets)
     val exact = corpus.agg(
         sum(when(col("l_extendedprice") <= 2000.0, 1L).otherwise(0L)).as("e1"),
         sum(when(col("l_extendedprice") <= 10000.0, 1L).otherwise(0L)).as("e2"),

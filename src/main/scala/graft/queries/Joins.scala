@@ -27,6 +27,13 @@ object Joins {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
+  /** qd3's filtered probe's scan constant (priced by qaf's histogram,
+    * applied for real in the executed tree). Declared ABOVE `all`: the
+    * query list is a val whose construction forces the lazy oracle
+    * text — a later declaration would interpolate the default 0.0
+    * (object-init order). */
+  private val SelingerFilterC = 25000.0
+
   val all: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -507,6 +514,36 @@ object Joins {
         val cat = QueryDef.materializePath(dir, "qam_catalog.parquet")
         starCatalog(s, dir).write.mode("overwrite").parquet(cat)
         joinOrderRun(s, dir, s.read.parquet(cat))
+      }),
+
+    // Selinger DP join ordering over the 4-table chain — qam priced the
+    // two left-deep orders of a 3-table star; this is the full System-R
+    // lattice (Selinger et al. 1979) over lineitem–orders–customer–
+    // nation WITH a filtered probe: the scan predicate
+    // `l_extendedprice <= 25000` is priced by qaf's equi-depth
+    // histogram (the composed-stats step — selectivity feeds
+    // cardinality feeds join order), every CONNECTED subset of the
+    // chain gets a containment estimate (canonical-order integer folds,
+    // fixed div sequence) and a C_out cost = own estimate + cheapest
+    // split, INCLUDING the bushy split (LO)(CN) a left-deep-only
+    // enumerator never prices. At TPC-H ratios the bushy plan WINS —
+    // the filtered fact⋈fact intermediate (~|σL|) plus the tiny
+    // dimension⋈dimension side (~|C|) undercuts both left-deep chains —
+    // and the engine executes exactly the picked tree. Output = the
+    // full priced lattice + the picked plan string + the executed
+    // result, so the oracle replays the histogram estimate, the DP
+    // algebra, the argmin pick and the answer. Driver-side reads stay
+    // catalog-sized (one 1-row pricing frame — the metadata read every
+    // cost-based planner does at plan time). Headroom (qam's rule):
+    // pricing multiplies two int64 row counts before each div — fine to
+    // ~3e9 rows per table, price in decimal(38,0) past that.
+    QueryDef(
+      "qd3_selinger_bushy",
+      Some(selingerOracleSql),
+      (s, dir) => {
+        val cat = QueryDef.materializePath(dir, "qd3_catalog.parquet")
+        selingerCatalog(s, dir).write.mode("overwrite").parquet(cat)
+        selingerRun(s, dir, s.read.parquet(cat))
       })
   )
 
@@ -737,5 +774,243 @@ object Joins {
         UNION ALL
         SELECT 'result' AS section, c_mktsegment AS k, n, cents AS v
         FROM res)
+      ORDER BY section, k"""
+
+  // --------------------------------------------------- qd3 Selinger DP
+
+  /** qd3's ANALYZE artifact: one row per chain table with row count and
+    * join-key NDVs — L(l_orderkey), O(o_orderkey, o_custkey),
+    * C(c_custkey, c_nationkey), N(n_nationkey). */
+  private[graft] def selingerCatalog(s: SparkSession,
+      dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("ndv_ok"))
+      .select(lit("lineitem").as("tbl"), col("n_rows"), col("ndv_ok"),
+        lit(0L).as("ndv_ck"), lit(0L).as("ndv_nk"))
+    val ord = t(s, dir, "orders")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("ndv_ok"),
+        countDistinct(col("o_custkey")).as("ndv_ck"))
+      .select(lit("orders").as("tbl"), col("n_rows"), col("ndv_ok"),
+        col("ndv_ck"), lit(0L).as("ndv_nk"))
+    val cust = t(s, dir, "customer")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("c_custkey")).as("ndv_ck"),
+        countDistinct(col("c_nationkey")).as("ndv_nk"))
+      .select(lit("customer").as("tbl"), col("n_rows"), lit(0L).as("ndv_ok"),
+        col("ndv_ck"), col("ndv_nk"))
+    val nat = t(s, dir, "nation")
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("n_nationkey")).as("ndv_nk"))
+      .select(lit("nation").as("tbl"), col("n_rows"), lit(0L).as("ndv_ok"),
+        lit(0L).as("ndv_ck"), col("ndv_nk"))
+    li.unionByName(ord).unionByName(cust).unionByName(nat)
+  }
+
+  /** Price the full connected-subset lattice of the L–O–C–N chain from
+    * the catalog + the histogram-estimated filtered leaf, in-plan: one
+    * 1-row frame carrying every subset's containment estimate
+    * (canonical-order folds, FIXED integer-div sequence) and C_out cost
+    * (own estimate + cheapest split — the bushy (LO)(CN) split
+    * included). */
+  private[graft] def selingerLattice(cat: DataFrame,
+      nlEff: DataFrame): DataFrame = {
+    val l = cat.filter(col("tbl") === "lineitem")
+      .select(col("ndv_ok").as("l_ok"))
+    val o = cat.filter(col("tbl") === "orders")
+      .select(col("n_rows").as("no_"), col("ndv_ok").as("o_ok"),
+        col("ndv_ck").as("o_ck"))
+    val c = cat.filter(col("tbl") === "customer")
+      .select(col("n_rows").as("nc"), col("ndv_ck").as("c_ck"),
+        col("ndv_nk").as("c_nk"))
+    val n = cat.filter(col("tbl") === "nation")
+      .select(col("n_rows").as("nn_"), col("ndv_nk").as("n_nk"))
+    nlEff.crossJoin(broadcast(l)).crossJoin(broadcast(o))
+      .crossJoin(broadcast(c)).crossJoin(broadcast(n))
+      .withColumn("est_lo", expr("(nl_eff * no_) div greatest(l_ok, o_ok)"))
+      .withColumn("est_oc", expr("(no_ * nc) div greatest(o_ck, c_ck)"))
+      .withColumn("est_cn", expr("(nc * nn_) div greatest(c_nk, n_nk)"))
+      .withColumn("est_loc", expr("(est_lo * nc) div greatest(o_ck, c_ck)"))
+      .withColumn("est_ocn", expr("(est_oc * nn_) div greatest(c_nk, n_nk)"))
+      .withColumn("est_locn",
+        expr("(est_loc * nn_) div greatest(c_nk, n_nk)"))
+      .withColumn("cost_lo", col("est_lo"))
+      .withColumn("cost_oc", col("est_oc"))
+      .withColumn("cost_cn", col("est_cn"))
+      .withColumn("cost_loc", expr("est_loc + least(cost_lo, cost_oc)"))
+      .withColumn("cost_ocn", expr("est_ocn + least(cost_oc, cost_cn)"))
+      .withColumn("cost_locn",
+        expr("est_locn + least(cost_loc, cost_lo + cost_cn, cost_ocn)"))
+  }
+
+  /** The DP's decisions from the 1-row lattice: top split over
+    * {(LOC)N, (LO)(CN), L(OCN)} and the chosen composite's sub-split,
+    * argmin by (cost, label ASC), rendered as the fully-parenthesized
+    * plan string. One driver-side read of ONE metadata row — the
+    * plan-time catalog read every cost-based planner performs. */
+  private[graft] def selingerPick(lattice: DataFrame): String = {
+    val r = lattice.select(
+      col("cost_lo"), col("cost_oc"), col("cost_cn"),
+      col("cost_loc"), col("cost_ocn")).collect()(0)
+    val (lo, oc, cn, loc, ocn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val top = Seq((loc, "LOC_N"), (lo + cn, "LO_CN"), (ocn, "L_OCN")).min._2
+    top match {
+      case "LOC_N" =>
+        if (Seq((lo, "LO_C"), (oc, "L_OC")).min._2 == "LO_C") "((LO)C)N"
+        else "(L(OC))N"
+      case "LO_CN" => "(LO)(CN)"
+      case _ =>
+        if (Seq((oc, "OC_N"), (cn, "O_CN")).min._2 == "OC_N") "L((OC)N)"
+        else "L(O(CN))"
+    }
+  }
+
+  /** Execute the chain query in the picked tree shape. The filtered
+    * fact scan applies the REAL predicate the histogram priced; the
+    * dimension sides broadcast (`hintBroadcast = false` models the
+    * regime where they don't fit — ScaleProbe's `selinger` mode
+    * measures the bushy-vs-left-deep gap there). */
+  private[graft] def selingerJoinOn(li: DataFrame, ord: DataFrame,
+      cust: DataFrame, nat: DataFrame, pick: String,
+      hintBroadcast: Boolean = true): DataFrame = {
+    def b(df: DataFrame) = if (hintBroadcast) broadcast(df) else df
+    val ok = col("l_orderkey") === col("o_orderkey")
+    val ck = col("o_custkey") === col("c_custkey")
+    val nk = col("c_nationkey") === col("n_nationkey")
+    val joined = pick match {
+      case "((LO)C)N" => li.join(ord, ok).join(b(cust), ck).join(b(nat), nk)
+      case "(L(OC))N" => li.join(ord.join(b(cust), ck), ok).join(b(nat), nk)
+      case "(LO)(CN)" => li.join(ord, ok).join(b(cust.join(b(nat), nk)), ck)
+      case "L((OC)N)" =>
+        li.join(ord.join(b(cust), ck).join(b(nat), nk), ok)
+      case "L(O(CN))" =>
+        li.join(ord.join(b(cust.join(b(nat), nk)), ck), ok)
+    }
+    joined.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+          .as("cents"))
+  }
+
+  private[graft] def selingerRun(s: SparkSession, dir: String,
+      cat: DataFrame): DataFrame = {
+    import Aggregates.{priceHistBounds, priceHistBuckets, priceHistEstimate}
+    val li0 = t(s, dir, "lineitem")
+    // the filtered leaf's cardinality from qaf's histogram machinery
+    val nlEff = priceHistEstimate(s,
+        priceHistBuckets(li0, priceHistBounds(li0)), SelingerFilterC)
+      .select(floor(col("est_rows")).cast("long").as("nl_eff"))
+    val lattice = selingerLattice(cat, nlEff).localCheckpoint()
+    val pick = selingerPick(lattice)
+    val priceRows = lattice.select(explode(array(
+        struct(lit("l_eff").as("k"), col("nl_eff").as("n"), lit(0L).as("v")),
+        struct(lit("lo").as("k"), col("est_lo").as("n"),
+          col("cost_lo").as("v")),
+        struct(lit("oc").as("k"), col("est_oc").as("n"),
+          col("cost_oc").as("v")),
+        struct(lit("cn").as("k"), col("est_cn").as("n"),
+          col("cost_cn").as("v")),
+        struct(lit("loc").as("k"), col("est_loc").as("n"),
+          col("cost_loc").as("v")),
+        struct(lit("ocn").as("k"), col("est_ocn").as("n"),
+          col("cost_ocn").as("v")),
+        struct(lit("locn").as("k"), col("est_locn").as("n"),
+          col("cost_locn").as("v")))).as("p"))
+      .select(lit("price").as("section"), col("p.k").as("k"),
+        col("p.n").as("n"), col("p.v").as("v"))
+    val pickRow = s.range(1).select(lit("pick").as("section"),
+      lit(pick).as("k"), lit(1L).as("n"), lit(0L).as("v"))
+    val resRows = selingerJoinOn(
+        li0.filter(col("l_extendedprice") <= SelingerFilterC)
+          .select(col("l_orderkey"), col("l_extendedprice")),
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+        pick)
+      .select(lit("result").as("section"), col("n_name").as("k"),
+        col("n").cast("long").as("n"), col("cents").as("v"))
+    priceRows.unionByName(pickRow).unionByName(resRows)
+      .orderBy(col("section"), col("k"))
+  }
+
+  /** qd3 oracle: replays the histogram estimate for the filtered leaf
+    * (qaf's own CTE chain), the four catalog stats, every connected
+    * subset's containment estimate and C_out cost (same integer-div
+    * sequence, bushy split priced), the two-level argmin pick with the
+    * (cost, label ASC) tiebreak, and the executed chain result. */
+  private lazy val selingerOracleSql: String =
+    s"""WITH ${Aggregates.histBucketCtesSql("TRUE")},
+      ${Aggregates.histEstCteSql("e25", SelingerFilterC.toString)},
+      nle AS (SELECT CAST(floor(est_rows) AS BIGINT) AS nl_eff FROM e25),
+      stl AS (SELECT COUNT(DISTINCT l_orderkey) AS l_ok FROM lineitem),
+      sto AS (SELECT COUNT(*) AS no_, COUNT(DISTINCT o_orderkey) AS o_ok,
+          COUNT(DISTINCT o_custkey) AS o_ck FROM orders),
+      stc AS (SELECT COUNT(*) AS nc, COUNT(DISTINCT c_custkey) AS c_ck,
+          COUNT(DISTINCT c_nationkey) AS c_nk FROM customer),
+      stn AS (SELECT COUNT(*) AS nn_,
+          COUNT(DISTINCT n_nationkey) AS n_nk FROM nation),
+      j0 AS (SELECT * FROM nle, stl, sto, stc, stn),
+      j1 AS (SELECT *,
+          (nl_eff * no_) // GREATEST(l_ok, o_ok) AS est_lo,
+          (no_ * nc) // GREATEST(o_ck, c_ck) AS est_oc,
+          (nc * nn_) // GREATEST(c_nk, n_nk) AS est_cn
+        FROM j0),
+      j2 AS (SELECT *,
+          (est_lo * nc) // GREATEST(o_ck, c_ck) AS est_loc,
+          (est_oc * nn_) // GREATEST(c_nk, n_nk) AS est_ocn
+        FROM j1),
+      j3 AS (SELECT *,
+          (est_loc * nn_) // GREATEST(c_nk, n_nk) AS est_locn,
+          est_loc + LEAST(est_lo, est_oc) AS cost_loc,
+          est_ocn + LEAST(est_oc, est_cn) AS cost_ocn
+        FROM j2),
+      lat AS (SELECT *,
+          est_locn + LEAST(cost_loc, est_lo + est_cn, cost_ocn)
+            AS cost_locn
+        FROM j3),
+      top AS (SELECT k FROM (
+          SELECT 'LOC_N' AS k, cost_loc AS c FROM lat
+          UNION ALL SELECT 'LO_CN', est_lo + est_cn FROM lat
+          UNION ALL SELECT 'L_OCN', cost_ocn FROM lat)
+        ORDER BY c, k LIMIT 1),
+      subloc AS (SELECT k FROM (
+          SELECT 'LO_C' AS k, est_lo AS c FROM lat
+          UNION ALL SELECT 'L_OC', est_oc FROM lat)
+        ORDER BY c, k LIMIT 1),
+      subocn AS (SELECT k FROM (
+          SELECT 'OC_N' AS k, est_oc AS c FROM lat
+          UNION ALL SELECT 'O_CN', est_cn FROM lat)
+        ORDER BY c, k LIMIT 1),
+      pk AS (SELECT CASE
+          WHEN top.k = 'LO_CN' THEN '(LO)(CN)'
+          WHEN top.k = 'LOC_N' THEN
+            CASE WHEN subloc.k = 'LO_C' THEN '((LO)C)N' ELSE '(L(OC))N' END
+          ELSE
+            CASE WHEN subocn.k = 'OC_N' THEN 'L((OC)N)' ELSE 'L(O(CN))' END
+          END AS k
+        FROM top, subloc, subocn),
+      res AS (
+        SELECT n_name, COUNT(*) AS n,
+          SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_extendedprice <= $SelingerFilterC
+        GROUP BY n_name)
+      SELECT section, k, CAST(n AS BIGINT) AS n, CAST(v AS BIGINT) AS v
+      FROM (
+        SELECT 'price' AS section, 'l_eff' AS k, nl_eff AS n,
+          CAST(0 AS BIGINT) AS v FROM lat
+        UNION ALL SELECT 'price', 'lo', est_lo, est_lo FROM lat
+        UNION ALL SELECT 'price', 'oc', est_oc, est_oc FROM lat
+        UNION ALL SELECT 'price', 'cn', est_cn, est_cn FROM lat
+        UNION ALL SELECT 'price', 'loc', est_loc, cost_loc FROM lat
+        UNION ALL SELECT 'price', 'ocn', est_ocn, cost_ocn FROM lat
+        UNION ALL SELECT 'price', 'locn', est_locn, cost_locn FROM lat
+        UNION ALL SELECT 'pick', k, CAST(1 AS BIGINT),
+          CAST(0 AS BIGINT) FROM pk
+        UNION ALL SELECT 'result', n_name, n, cents FROM res)
       ORDER BY section, k"""
 }

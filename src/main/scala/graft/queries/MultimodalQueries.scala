@@ -540,6 +540,242 @@ object MultimodalQueries {
     }
   }
 
+  // ------------------------------------------------ qd2 GIF disposal
+
+  /** qd2 composited decode output: exact integer stats over the COMPOSED
+    * canvas at every 2nd frame — composition state carries across the
+    * skipped frames, so a decode-only-sampled-frames shortcut cannot
+    * reproduce these numbers (see `MultimodalCodecSpec`'s shortcut-fails
+    * row). */
+  final case class AnimStats(doc_id: Long, n_frames: Long, width: Long,
+      height: Long, n_sampled: Long, composed_sum: Long, corner_sum: Long,
+      peak: Long)
+
+  /** Deterministic inter-frame-predicted animation spec for doc_id:
+    * frame 0 paints the full canvas; frames k ≥ 1 are 2×2 PARTIAL
+    * patches placed on the aligned cell grid (slot (id+k) mod cells —
+    * consecutive k land on distinct cells, so patches never overlap
+    * each other, only the base frame) with per-frame DISPOSAL cycling
+    * through doNotDispose / restoreToBackgroundColor /
+    * restoreToPrevious by (id+k) mod 3. Every quantity is an integer
+    * function of (id, k, x, y), so the oracle replays the composition
+    * in closed form. */
+  private[graft] def animW(id: Long): Int = (8 + id % 8).toInt
+  private[graft] def animH(id: Long): Int = (8 + (id * 3) % 6).toInt
+  private[graft] def animFrames(id: Long): Int = (4 + id % 4).toInt
+  private[graft] def animBasePx(id: Long, x: Int, y: Int): Int =
+    ((id + 7L * x + 13L * y) % 256).toInt
+  private[graft] def animPatchPx(id: Long, k: Int, x: Int, y: Int): Int =
+    ((3L * id + 17L * k + 5L * x + 11L * y) % 256).toInt
+  /** Patch k's cell slot and top-left corner on the aligned 2×2 grid. */
+  private[graft] def animSlot(id: Long, k: Int): Int = {
+    val m = (animW(id) / 2) * (animH(id) / 2)
+    (((id + k) % m + m) % m).toInt
+  }
+  private[graft] def animLeft(id: Long, k: Int): Int =
+    (animSlot(id, k) % (animW(id) / 2)) * 2
+  private[graft] def animTop(id: Long, k: Int): Int =
+    (animSlot(id, k) / (animW(id) / 2)) * 2
+  /** 0 = doNotDispose, 1 = restoreToBackgroundColor,
+    * 2 = restoreToPrevious. */
+  private[graft] def animDisposal(id: Long, k: Int): Int =
+    ((id + k) % 3).toInt
+
+  private def gifFrameMeta(writer: javax.imageio.ImageWriter,
+      img: java.awt.image.BufferedImage, left: Int, top: Int,
+      disposal: String): javax.imageio.metadata.IIOMetadata = {
+    import javax.imageio.metadata.IIOMetadataNode
+    val typ =
+      javax.imageio.ImageTypeSpecifier.createFromRenderedImage(img)
+    val meta = writer.getDefaultImageMetadata(typ, null)
+    val fmt = "javax_imageio_gif_image_1.0"
+    val root = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+    def child(name: String): IIOMetadataNode = {
+      val nodes = root.getElementsByTagName(name)
+      if (nodes.getLength > 0) nodes.item(0).asInstanceOf[IIOMetadataNode]
+      else { val n = new IIOMetadataNode(name); root.appendChild(n); n }
+    }
+    val gce = child("GraphicControlExtension")
+    gce.setAttribute("disposalMethod", disposal)
+    gce.setAttribute("userInputFlag", "FALSE")
+    gce.setAttribute("transparentColorFlag", "FALSE")
+    gce.setAttribute("delayTime", "10")
+    gce.setAttribute("transparentColorIndex", "0")
+    // the DEFAULT image metadata ignores the image's IndexColorModel and
+    // emits a generic 6-6-6 web-cube local color table — written as-is
+    // it silently REMAPS every gray (index 7 reads back as 51): replace
+    // it in place with the identity grayscale palette the raster
+    // indexes actually mean (in-place keeps the DTD's child order)
+    val oldLct = root.getElementsByTagName("LocalColorTable")
+    if (oldLct.getLength > 0) {
+      val lct = new IIOMetadataNode("LocalColorTable")
+      lct.setAttribute("sizeOfLocalColorTable", "256")
+      lct.setAttribute("sortFlag", "FALSE")
+      var gi = 0
+      while (gi < 256) {
+        val e = new IIOMetadataNode("ColorTableEntry")
+        e.setAttribute("index", gi.toString)
+        e.setAttribute("red", gi.toString)
+        e.setAttribute("green", gi.toString)
+        e.setAttribute("blue", gi.toString)
+        lct.appendChild(e)
+        gi += 1
+      }
+      root.replaceChild(lct, oldLct.item(0))
+    }
+    val desc = child("ImageDescriptor")
+    desc.setAttribute("imageLeftPosition", left.toString)
+    desc.setAttribute("imageTopPosition", top.toString)
+    desc.setAttribute("imageWidth", img.getWidth.toString)
+    desc.setAttribute("imageHeight", img.getHeight.toString)
+    desc.setAttribute("interlaceFlag", "FALSE")
+    meta.setFromTree(fmt, root)
+    meta
+  }
+
+  /** Synthesize a genuine inter-frame-predicted GIF89a: a full base
+    * frame + per-frame 2×2 patches at real ImageDescriptor offsets with
+    * real GraphicControlExtension disposal methods — the one
+    * inter-frame-predicted format that stays pure-JDK and
+    * oracle-replayable (q6m's frames were each full repaints; H.264
+    * class codecs remain the documented synthetic seam). */
+  def synthesizeAnimGif(id: Long): Array[Byte] = {
+    val (w, h, nf) = (animW(id), animH(id), animFrames(id))
+    val gray = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    def img(iw: Int, ih: Int)(px: (Int, Int) => Int) = {
+      val im = new java.awt.image.BufferedImage(
+        iw, ih, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      val raster = im.getRaster
+      var y = 0
+      while (y < ih) {
+        var x = 0
+        while (x < iw) { raster.setSample(x, y, 0, px(x, y)); x += 1 }
+        y += 1
+      }
+      im
+    }
+    val base = img(w, h)((x, y) => animBasePx(id, x, y))
+    writer.writeToSequence(new javax.imageio.IIOImage(base, null,
+      gifFrameMeta(writer, base, 0, 0, "doNotDispose")), null)
+    var k = 1
+    while (k < nf) {
+      val (l, t) = (animLeft(id, k), animTop(id, k))
+      val patch = img(2, 2)((x, y) => animPatchPx(id, k, l + x, t + y))
+      val disposal = animDisposal(id, k) match {
+        case 0 => "doNotDispose"
+        case 1 => "restoreToBackgroundColor"
+        case _ => "restoreToPrevious"
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(patch, null,
+        gifFrameMeta(writer, patch, l, t, disposal)), null)
+      k += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** TRUE compositing decoder behind the seam: a canvas carries state
+    * across frames, each frame's PATCH paints at its ImageDescriptor
+    * offset, stats read the canvas at sampled frames (every 2nd), and
+    * the GraphicControlExtension disposal applies AFTER display —
+    * restoreToBackgroundColor zeroes the patch rect, restoreToPrevious
+    * snapshots and restores. Skipped frames must still decode (their
+    * patches and disposals shape what a sampled frame sees) — under
+    * inter-frame prediction, frame sampling saves STATS work, not the
+    * dependency-chain decode; this is the semantic the q6m
+    * full-repaint decoder never had to face. */
+  def decodeAnimComposited(rows: Iterator[MediaVideo]): Iterator[AnimStats] = {
+    import javax.imageio.metadata.IIOMetadataNode
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.map { m =>
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(m.gif))
+      try {
+        reader.setInput(iis, /* seekForwardOnly = */ false)
+        val nf = reader.getNumImages(/* allowSearch = */ true)
+        require(nf > 0, s"doc ${m.doc_id}: payload holds no decodable frames")
+        val first = reader.read(0)
+        val (w, h) = (first.getWidth, first.getHeight)
+        val canvas = new Array[Int](w * h) // background = palette 0
+        var (composedSum, cornerSum, peak, nSampled) = (0L, 0L, 0L, 0L)
+        var f = 0
+        while (f < nf) {
+          val img = if (f == 0) first else reader.read(f)
+          val md = reader.getImageMetadata(f)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[IIOMetadataNode]
+          def node(name: String): Option[IIOMetadataNode] = {
+            val ns = md.getElementsByTagName(name)
+            if (ns.getLength > 0) Some(ns.item(0).asInstanceOf[IIOMetadataNode])
+            else None
+          }
+          val desc = node("ImageDescriptor")
+          val left = desc.map(_.getAttribute("imageLeftPosition").toInt)
+            .getOrElse(0)
+          val top = desc.map(_.getAttribute("imageTopPosition").toInt)
+            .getOrElse(0)
+          val disposal = node("GraphicControlExtension")
+            .map(_.getAttribute("disposalMethod")).getOrElse("none")
+          val before =
+            if (disposal == "restoreToPrevious") canvas.clone() else null
+          var py = 0
+          while (py < img.getHeight) {
+            var px = 0
+            while (px < img.getWidth) {
+              canvas((top + py) * w + (left + px)) =
+                img.getRGB(px, py) & 0xFF
+              px += 1
+            }
+            py += 1
+          }
+          if (f % 2 == 0) {
+            nSampled += 1
+            cornerSum += canvas(0)
+            var i = 0
+            while (i < canvas.length) {
+              composedSum += canvas(i)
+              if (canvas(i) > peak) peak = canvas(i)
+              i += 1
+            }
+          }
+          // disposal applies AFTER the frame is displayed
+          disposal match {
+            case "restoreToBackgroundColor" =>
+              var py2 = 0
+              while (py2 < img.getHeight) {
+                var px2 = 0
+                while (px2 < img.getWidth) {
+                  canvas((top + py2) * w + (left + px2)) = 0
+                  px2 += 1
+                }
+                py2 += 1
+              }
+            case "restoreToPrevious" =>
+              System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ => ()
+          }
+          f += 1
+        }
+        AnimStats(m.doc_id, nf.toLong, w.toLong, h.toLong, nSampled,
+          composedSum, cornerSum, peak)
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
+    }
+  }
+
   /** real-video row: doc provenance + genuine RIFF/AVI container bytes. */
   final case class MediaAviVideo(doc_id: Long, avi: Array[Byte])
 
@@ -1195,6 +1431,73 @@ object MultimodalQueries {
           .select(col("doc_id")).as[Long]
           .mapPartitions(_.map(id => MediaVideo(id, synthesizeGif(id))))
           .mapPartitions(decodeVideo)
+          .toDF()
+          .orderBy(col("doc_id"))
+      }),
+
+    // INTER-FRAME-PREDICTED decode + frame sampling — the semantic q6m's
+    // full-repaint frames never exercised and the last codec seam short
+    // of H.264: genuine animated GIFs whose frames 1..n−1 are PARTIAL
+    // 2×2 patches at real ImageDescriptor offsets with real
+    // GraphicControlExtension DISPOSAL methods (doNotDispose /
+    // restoreToBackgroundColor / restoreToPrevious cycling per frame).
+    // The decoder keeps a canvas, paints every frame's patch, applies
+    // disposal AFTER display, and reads stats at every 2nd frame — a
+    // decode-only-sampled-frames shortcut CANNOT match (skipped frames'
+    // patches and disposals shape what a sampled frame sees; the
+    // MultimodalCodecSpec pins that divergence). Under inter-frame
+    // prediction, sampling saves stats work, not the dependency-chain
+    // decode — exactly H.264's I/P-frame cost shape, in a container the
+    // JDK writes/reads losslessly and the oracle replays in closed
+    // form (disjoint patch slots make the per-pixel winner a CASE, not
+    // a recursion). Row-local behind the one mapPartitions seam.
+    QueryDef(
+      "qd2_gif_disposal_composite",
+      Some("""WITH g AS (
+          SELECT doc_id,
+                 CAST(4 + doc_id % 4 AS INT) AS nf,
+                 CAST(8 + doc_id % 8 AS INT) AS w,
+                 CAST(8 + (doc_id * 3) % 6 AS INT) AS h
+          FROM documents),
+        js AS (SELECT doc_id, nf, w, h,
+                 unnest(generate_series(0, (nf - 1) // 2)) AS j FROM g),
+        px AS (SELECT doc_id, nf, w, h, 2 * j AS f,
+                 unnest(generate_series(0, CAST(w * h - 1 AS INT))) AS i
+               FROM js),
+        c1 AS (SELECT doc_id, nf, w, h, f, i, i % w AS x, i // w AS y,
+                 (w // 2) * (h // 2) AS m FROM px),
+        c2 AS (SELECT *, x // 2 AS cx, y // 2 AS cy FROM c1),
+        c3 AS (SELECT *,
+                 CASE WHEN cx < w // 2 AND cy < h // 2
+                   THEN ((cx + cy * (w // 2) - doc_id) % m + m) % m
+                   ELSE -1 END AS k0 FROM c2),
+        c4 AS (SELECT *,
+                 (doc_id + 7 * x + 13 * y) % 256 AS v0,
+                 (3 * doc_id + 17 * k0 + 5 * x + 11 * y) % 256 AS vk
+               FROM c3),
+        c5 AS (SELECT doc_id, f, i,
+                 CASE WHEN k0 < 1 OR k0 > nf - 1 OR k0 > f THEN v0
+                      WHEN k0 = f OR (doc_id + k0) % 3 = 0 THEN vk
+                      WHEN (doc_id + k0) % 3 = 1 THEN 0
+                      ELSE v0 END AS val
+               FROM c4),
+        a AS (SELECT doc_id, SUM(val) AS cs,
+                SUM(CASE WHEN i = 0 THEN val ELSE 0 END) AS corner,
+                MAX(val) AS pk
+              FROM c5 GROUP BY doc_id)
+        SELECT g.doc_id, CAST(nf AS BIGINT) AS n_frames,
+          CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+          CAST(a.cs AS BIGINT) AS composed_sum,
+          CAST(a.corner AS BIGINT) AS corner_sum,
+          CAST(a.pk AS BIGINT) AS peak
+        FROM g JOIN a USING (doc_id) ORDER BY doc_id"""),
+      (s, dir) => {
+        import s.implicits._
+        docs(s, dir)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => MediaVideo(id, synthesizeAnimGif(id))))
+          .mapPartitions(decodeAnimComposited)
           .toDF()
           .orderBy(col("doc_id"))
       }),

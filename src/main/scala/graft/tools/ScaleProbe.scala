@@ -835,6 +835,51 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // "selinger": qd3's bushy-vs-left-deep gap in the SHUFFLE regime
+    // (broadcast off — the 100 TB reality the C_out lattice prices).
+    // The bushy (LO)(CN) plan shuffles the tiny C⋈N intermediate into
+    // the filtered-fact join where the left-deep chains shuffle a fact
+    // intermediate into every subsequent join.
+    if (args.length > 1 && args(1) == "selinger") {
+      import graft.queries.Joins
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val off = 100000000L
+      val li = replicate(spark.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_extendedprice") <= 25000.0)
+          .select(col("l_orderkey"), col("l_extendedprice")),
+          "l_orderkey", copies, off).cache()
+      val ord0 = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select((col("o_orderkey") + col("copy") * off).as("o_orderkey"),
+          (col("o_custkey") + col("copy") * off).as("o_custkey"))
+        .cache()
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select((col("c_custkey") + col("copy") * off).as("c_custkey"),
+          col("c_nationkey"))
+        .cache()
+      val nat = spark.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name")).cache()
+      Seq(li, ord0, cust, nat).foreach(_.count())
+      def run(plan: String): Double = {
+        val t0 = System.nanoTime()
+        Joins.selingerJoinOn(li, ord0, cust, nat, plan,
+          hintBroadcast = false).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        for (plan <- Seq("(LO)(CN)", "((LO)C)N", "L(O(CN))")) {
+          run(plan) // warm (codegen)
+          val t = (1 to 3).map(_ => run(plan)).min
+          println(f"[scale]   selinger $plan%-10s $t%.2fs at ${copies}x " +
+            "(shuffle regime)")
+        }
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "cbo") {
       // qad/qaf: do the planner estimates stay cheap AND trustworthy as
       // the corpus grows? Replication multiplies every day count on both

@@ -114,6 +114,99 @@ class MultimodalCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("qd2: disposal compositing replays the closed-form spec across the shape lattice") {
+    import MultimodalQueries._
+    // driver-side reference: the oracle's closed form (disjoint patch
+    // slots — per pixel the winner is a CASE, not a recursion)
+    def refStats(id: Long): (Long, Long, Long) = {
+      val (w, h, nf) = (animW(id), animH(id), animFrames(id))
+      val m = (w / 2) * (h / 2)
+      var (cs, corner, pk) = (0L, 0L, 0L)
+      for (f <- 0 until nf by 2; y <- 0 until h; x <- 0 until w) {
+        val (cx, cy) = (x / 2, y / 2)
+        val k0 = if (cx < w / 2 && cy < h / 2)
+          (((cx + cy * (w / 2) - id) % m + m) % m).toInt else -1
+        val v0 = animBasePx(id, x, y)
+        val v = if (k0 < 1 || k0 > nf - 1 || k0 > f) v0
+          else if (k0 == f || animDisposal(id, k0) == 0) animPatchPx(id, k0, x, y)
+          else if (animDisposal(id, k0) == 1) 0
+          else v0
+        cs += v; if (x == 0 && y == 0) corner += v
+        if (v > pk) pk = v
+      }
+      (cs, corner, pk)
+    }
+    // ids covering every (nf mod, disposal-phase, w/h) combination class
+    for (id <- 0L to 23L) {
+      val s = decodeAnimComposited(
+        Iterator(MediaVideo(id, synthesizeAnimGif(id)))).next()
+      val (cs, corner, pk) = refStats(id)
+      assert((s.composed_sum, s.corner_sum, s.peak) == (cs, corner, pk),
+        s"id=$id: composited stats diverge from the closed form")
+      assert(s.n_frames == animFrames(id) && s.n_sampled == (animFrames(id) + 1) / 2)
+    }
+  }
+
+  test("qd2: a decode-only-sampled-frames shortcut CANNOT reproduce the composited stats") {
+    import MultimodalQueries._
+    // the naive shortcut every full-repaint decoder (q6m) gets away
+    // with: paint ONLY the sampled frames' patches, skip odd frames
+    def shortcutSum(id: Long): Long = {
+      val gif = synthesizeAnimGif(id)
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(gif))
+      try {
+        reader.setInput(iis, false)
+        val nf = reader.getNumImages(true)
+        val first = reader.read(0)
+        val (w, h) = (first.getWidth, first.getHeight)
+        val canvas = new Array[Int](w * h)
+        var cs = 0L
+        for (f <- 0 until nf by 2) { // SKIPS the odd frames entirely
+          val img = reader.read(f)
+          val md = reader.getImageMetadata(f)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val d = md.getElementsByTagName("ImageDescriptor").item(0)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val (l, t) = (d.getAttribute("imageLeftPosition").toInt,
+            d.getAttribute("imageTopPosition").toInt)
+          for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+            canvas((t + y) * w + (l + x)) = img.getRGB(x, y) & 0xFF
+          cs += canvas.map(_.toLong).sum
+        }
+        cs
+      } finally { reader.dispose(); iis.close() }
+    }
+    val diverged = (0L to 23L).count { id =>
+      val full = decodeAnimComposited(
+        Iterator(MediaVideo(id, synthesizeAnimGif(id)))).next().composed_sum
+      shortcutSum(id) != full
+    }
+    assert(diverged >= 12,
+      s"only $diverged/24 ids diverged — the fixtures no longer force " +
+        "cross-frame composition")
+  }
+
+  test("qd2: garbage bytes fail crisply; a truncated stream never fabricates frames") {
+    import MultimodalQueries._
+    val e = intercept[Exception] {
+      decodeAnimComposited(
+        Iterator(MediaVideo(7L, Array.fill[Byte](64)(0x41)))).next()
+    }
+    assert(e.isInstanceOf[IllegalArgumentException] ||
+      e.isInstanceOf[javax.imageio.IIOException] ||
+      e.isInstanceOf[java.io.IOException], s"unexpected failure type: $e")
+    val good = synthesizeAnimGif(3L) // 7 frames
+    val torn = good.take(good.length / 2)
+    val res = try Some(decodeAnimComposited(
+        Iterator(MediaVideo(3L, torn))).next())
+      catch { case _: Exception => None } // a crisp refusal is also fine
+    res.foreach(stats => assert(stats.n_frames < animFrames(3L),
+      s"decoded ${stats.n_frames} frames from a truncated stream"))
+  }
+
   test("a truncated PNG fails crisply, naming the document") {
     val good = MultimodalQueries.synthesizePng(7L)
     val torn = good.take(good.length / 2)

@@ -854,4 +854,60 @@ class PlanSpec extends SparkSpec {
           p.toString.contains("lineitem")),
       "lineitem must join ABOVE the dimension intermediate, not inside it")
   }
+
+  test("qd3: the DP prices the BUSHY (LO)(CN) split cheapest and executes it") {
+    import graft.queries.{Aggregates, Joins}
+    import graft.sources.Tables
+    import org.apache.spark.sql.functions.col
+    // the filtered-leaf estimate feeds the lattice; at TPC-H ratios the
+    // bushy split must undercut both left-deep chains — a left-deep-only
+    // enumerator (qam's) cannot see this plan at all
+    val li0 = Tables.load(spark, dir, "lineitem")
+    val nlEff = Aggregates.priceHistEstimate(spark,
+        Aggregates.priceHistBuckets(li0, Aggregates.priceHistBounds(li0)),
+        25000.0)
+      .select(org.apache.spark.sql.functions.floor(col("est_rows"))
+        .cast("long").as("nl_eff"))
+    val pick = Joins.selingerPick(
+      Joins.selingerLattice(Joins.selingerCatalog(spark, dir), nlEff))
+    assert(pick == "(LO)(CN)",
+      s"TPC-H ratios must price the bushy split cheapest, got $pick")
+    // executed shape: the (customer ⋈ nation) intermediate is built
+    // INDEPENDENTLY of the fact side — a broadcast join on c_custkey
+    // whose subtree scans customer and nation but NEITHER fact table
+    val plans = collectAll(executed(Joins.selingerJoinOn(
+      li0.filter(col("l_extendedprice") <= 25000.0)
+        .select(col("l_orderkey"), col("l_extendedprice")),
+      Tables.load(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey")),
+      Tables.load(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
+      Tables.load(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")),
+      pick)))
+    val bushyJoin = plans.collectFirst {
+      case b: BroadcastHashJoinExec
+          if (b.leftKeys ++ b.rightKeys)
+            .exists(_.toString.contains("c_custkey")) => b
+    }
+    assert(bushyJoin.nonEmpty, "the (LO)⋈(CN) join must be a broadcast join")
+    val cnSide = collectAll(bushyJoin.get).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(cnSide.exists(_.toString.contains("nation")) &&
+        cnSide.exists(_.toString.contains("customer")),
+      "the broadcast side must be the customer⋈nation intermediate")
+    // and the fact tables meet BELOW it in their own subtree: the bushy
+    // join's build side never scans a fact table
+    val buildPlan = bushyJoin.get.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+        bushyJoin.get.left
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+        bushyJoin.get.right
+    }
+    val buildScans = collectAll(buildPlan)
+      .filter(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(!buildScans.exists(p => p.toString.contains("lineitem") ||
+        p.toString.contains("orders")),
+      "no fact scan may sit inside the (CN) build side")
+  }
 }

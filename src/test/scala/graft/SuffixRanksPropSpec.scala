@@ -45,6 +45,65 @@ class SuffixRanksPropSpec extends SparkSpec {
     }
   }
 
+  test("settled-group pruning ≡ unpruned doubling, every round, ranks AND group sizes") {
+    import graft.operators.{IterationCheckpoint, StableIds}
+    val rnd = new scala.util.Random(20260816)
+    // a corpus with BOTH regimes: repetitive docs (groups persist) and
+    // mostly-unique docs (groups settle early — the pruning's subject)
+    val texts = (0L until 30L).map { i =>
+      val t =
+        if (i % 3 == 0) (1 to 40).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+        else rnd.alphanumeric.take(8 + rnd.nextInt(30)).mkString
+      (i, t)
+    }
+    val d = texts.toDF("doc_id", "text")
+    // the pre-round-15 unpruned doubling, replayed verbatim as the
+    // reference (every position through every round's join + key map)
+    def unpruned(dd: org.apache.spark.sql.DataFrame) = {
+      var ranks = IterationCheckpoint.cut(SuffixRanks.positions(dd))
+      (1 to SuffixRanks.Rounds).map { k =>
+        val gap = 1 << (k - 1)
+        val shifted = ranks.select(col("doc_id"),
+          (col("pos") - gap).as("pos"), col("r").as("r2"))
+        val keyed = ranks.join(shifted, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"), col("r").as("r1"),
+            coalesce(col("r2"), lit(0L)).as("r2"))
+        val keys = StableIds.assign(
+          keyed.select(col("r1"), col("r2")).distinct(),
+          Seq(col("r1"), col("r2")), SuffixRanks.Partitions, "nr")
+        ranks = IterationCheckpoint.cut(keyed.join(keys, Seq("r1", "r2"))
+          .select(col("doc_id"), col("pos"), col("nr").as("r")))
+        ranks
+      }
+    }
+    val pruned = SuffixRanks.roundsWithGroups(d)
+    val ref = unpruned(d)
+    for (k <- 0 until SuffixRanks.Rounds) {
+      val got = pruned(k)
+        .select(col("doc_id"), col("pos"), col("r"), col("grp"))
+      val refGrp = ref(k).groupBy(col("r")).agg(count(lit(1)).as("grp"))
+      val want = ref(k).join(refGrp, Seq("r"))
+        .select(col("doc_id"), col("pos"), col("r"), col("grp"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        s"round ${k + 1}: pruned doubling diverged from unpruned")
+    }
+  }
+
+  test("mostly-unique corpus: the active set shrinks round over round") {
+    val rnd = new scala.util.Random(20260817)
+    val texts = (0L until 40L)
+      .map(i => (i, rnd.alphanumeric.take(20 + rnd.nextInt(40)).mkString))
+    val d = texts.toDF("doc_id", "text")
+    val sizes = SuffixRanks.roundsWithGroups(d)
+      .map(_.filter(col("grp") > 1).count())
+    // alphanumeric text: nearly everything is settled by 8–16 chars —
+    // the round inputs must shrink monotonically and end near zero
+    assert(sizes == sizes.sorted.reverse,
+      s"active set not monotone: $sizes")
+    assert(sizes.last < sizes.head / 4,
+      s"active set failed to collapse on a mostly-unique corpus: $sizes")
+  }
+
   test("equal final ranks mean identical 16-char windows, and groups cross docs") {
     val d = Seq(
       (1L, "xxhello world suffix arrays are neat"),
