@@ -61,14 +61,16 @@ def load(p):
                  "baselines are per-environment; re-run graft.Bench")
     att = d.get("attempts", {})
     qs = {q: steady(att.get(q, [v])) for q, v in d["queries"].items()}
-    return int(d["cpus"]), qs
+    return int(d["cpus"]), qs, d.get("speed_index")
 
 runs = [load(p) for p in sys.argv[1:]]
 if len(runs) < 2:
     sys.exit("need at least two runs")
-envs = {}
-for cpus, qs in runs:
+envs, speeds = {}, {}
+for cpus, qs, spd in runs:
     envs.setdefault(cpus, []).append(qs)
+    if spd is not None:
+        speeds.setdefault(cpus, []).append(spd)
 
 print("""# Local per-query bench baseline
 
@@ -116,8 +118,13 @@ for cpus in sorted(envs):
 Total: {total:.3f} s over {len(best)} queries ({len(group)} runs).
 Streaming drains (q8x) {stream:.1f} s of that — each append-mode drain
 carries ~1-3 s of fixed micro-batch + state-store machinery cost that
-amortizes at real state volumes.
-
+amortizes at real state volumes.""")
+    if cpus in speeds:
+        spd = upper_median(speeds[cpus])
+        print(f"""Speed index: {spd:.3f} s (upper median across these runs of each
+run's median calibration probe — the machine-speed anchor BenchGate
+uses to report the speed-normalized total ratio; informational only).""")
+    print("""
 | query | sec |
 |---|---|""")
     for q in sorted(best):

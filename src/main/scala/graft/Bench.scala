@@ -25,6 +25,17 @@ object Bench {
     probes.exists(p => p > m * 1.75 && p - m > arm)
   }
 
+  /** The run's MACHINE-SPEED INDEX: the median calibration probe — the
+    * one number that tracks the box's ambient speed state (round 14's
+    * clean window moved 381–448 s → 520–615 s between rounds, making
+    * raw cross-round totals meaningless). Recorded in the artifact and
+    * the baseline so BenchGate can report a speed-normalized total
+    * ratio ALONGSIDE the raw one (informational — the gate still
+    * judges raw like-for-like numbers; normalization is for reading
+    * cross-round drift, not for excusing regressions). */
+  def speedIndex(probes: Seq[Double]): Double =
+    if (probes.isEmpty) 0.0 else probes.sorted.apply(probes.size / 2)
+
   /** Pre-recording suspicion bar, deliberately LOWER than
     * [[contendedRule]]'s stamping bar: any sentinel excursion that could
     * influence the stamp is re-measured before it enters the trace
@@ -326,6 +337,7 @@ object Bench {
         s""""calib_end_sec":${r3(calib1)},""" +
         s""""calib_probes":${allProbes.map(r3).mkString("[", ",", "]")},""" +
         s""""calib_probes_raw":${rawProbes.toSeq.map(r3).mkString("[", ",", "]")},""" +
+        s""""speed_index":${r3(Bench.speedIndex(allProbes))},""" +
         s""""contended":$contended,""" +
         s""""steady_total":${r3(steadyTotal)},""" +
         s""""metric":"total","unit":"sec","value":${r3(total)}}"""

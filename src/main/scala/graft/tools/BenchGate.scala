@@ -66,7 +66,16 @@ object BenchGate {
       newQueries: Seq[String],
       failedQueries: Seq[String],
       missingQueries: Seq[String],
-      suspectViolations: Seq[Violation] = Nil) {
+      suspectViolations: Seq[Violation] = Nil,
+      // informational machine-speed normalization (round-15): the raw
+      // shared-total ratio, and the same ratio scaled by baselineSpeed /
+      // artifactSpeed when BOTH sides recorded a speed index (the
+      // median calibration probe). Never part of `pass` — the gate
+      // judges raw like-for-like numbers; these exist so cross-round
+      // totals stay readable while the box drifts between speed states.
+      rawTotalRatio: Option[Double] = None,
+      normalizedTotalRatio: Option[Double] = None,
+      speedRatio: Option[Double] = None) {
     def pass: Boolean =
       violations.isEmpty && failedQueries.isEmpty && missingQueries.isEmpty
   }
@@ -89,6 +98,34 @@ object BenchGate {
 
   def parseCpus(json: String): Option[Int] =
     CpusRe.findFirstMatchIn(json).map(_.group(1).toInt)
+
+  private val SpeedIndexRe = """"speed_index":\s*([0-9.]+)""".r
+  private val BaselineSpeedRe =
+    """(?m)^Speed index:\s*([0-9.]+)\s*s""".r
+
+  /** The artifact's recorded machine-speed index (median calibration
+    * probe, `"speed_index"` in round-15+ artifacts). */
+  def parseSpeedIndex(json: String): Option[Double] =
+    SpeedIndexRe.findFirstMatchIn(json).map(_.group(1).toDouble)
+
+  /** Per-environment speed index from the baseline file (`Speed index:
+    * X s` under each cpus heading, minted by make_baseline.py from the
+    * runs' own recorded indexes). */
+  def parseBaselineSpeeds(md: String): Map[Option[Int], Double] = {
+    val heads = BaselineCpusHeadRe.findAllMatchIn(md).toSeq
+    if (heads.isEmpty)
+      BaselineSpeedRe.findFirstMatchIn(md)
+        .map(m => (Option.empty[Int], m.group(1).toDouble)).toMap
+    else {
+      val bounds = heads.map(_.start) :+ md.length
+      heads.zipWithIndex.flatMap { case (h, i) =>
+        BaselineSpeedRe
+          .findFirstMatchIn(md.substring(h.start, bounds(i + 1)))
+          .map(m => (Some(h.group(1).toInt): Option[Int]) ->
+            m.group(1).toDouble)
+      }.toMap
+    }
+  }
 
   /** Per-query full attempt sample (`"attempts"` in round-9+ artifacts):
     * every successful execution's timing, in measurement order. Absent
@@ -248,21 +285,37 @@ object BenchGate {
     // through the aggregate
     val ungradable = suspectViolations.map(_.query).toSet
     val shared = ok.keySet.intersect(base.keySet) -- ungradable
-    val totalViolation =
+    val sums =
       if (shared.isEmpty) None
-      else {
-        val gotSum = shared.toSeq
-          .map(q => steadyEstimate(attempts.getOrElse(q, Seq(ok(q))))).sum
-        val baseSum = shared.toSeq.map(base).sum
-        if (gotSum > baseSum * 2.0) Some(Violation("TOTAL", baseSum, gotSum))
-        else None
-      }
+      else Some((
+        shared.toSeq
+          .map(q => steadyEstimate(attempts.getOrElse(q, Seq(ok(q))))).sum,
+        shared.toSeq.map(base).sum))
+    val totalViolation = sums.collect {
+      case (gotSum, baseSum) if gotSum > baseSum * 2.0 =>
+        Violation("TOTAL", baseSum, gotSum)
+    }
+    // informational speed normalization (never gates): ratio of the two
+    // medians of the calibration probe — >1 = this run's box slower
+    // than the baseline's box
+    val speedRatio = for {
+      a <- parseSpeedIndex(benchJson)
+      b <- parseBaselineSpeeds(baselineMd).get(cpus)
+      if b > 0
+    } yield a / b
+    val rawRatio = sums.collect { case (g, b) if b > 0 => g / b }
+    val normRatio = for {
+      r <- rawRatio; s <- speedRatio if s > 0
+    } yield r / s
     Right(GateResult(
       violations ++ totalViolation,
       got.keys.filterNot(base.contains).toSeq.sorted,
       failed,
       base.keys.filterNot(got.contains).toSeq.sorted,
-      suspectViolations))
+      suspectViolations,
+      rawRatio,
+      normRatio,
+      speedRatio))
   }
 
   def main(args: Array[String]): Unit = {
@@ -288,6 +341,15 @@ object BenchGate {
         r.missingQueries.foreach(q => System.err.println(
           s"[bench-gate] FAIL: baseline query $q missing from the artifact"))
         r.violations.foreach(v => System.err.println(s"[bench-gate] FAIL: $v"))
+        for (raw <- r.rawTotalRatio) {
+          val speed = r.speedRatio
+            .map(s => f" (machine at $s%.2fx baseline speed index)")
+            .getOrElse(" (no speed index on one side)")
+          val norm = r.normalizedTotalRatio
+            .map(n => f", speed-normalized $n%.3fx")
+            .getOrElse("")
+          println(f"[bench-gate] INFO: shared-total ratio raw $raw%.3fx$norm$speed")
+        }
         if (r.pass) {
           println(s"[bench-gate] PASS: no uncontended per-query ratio > 2x, " +
             "no failed or vanished queries")

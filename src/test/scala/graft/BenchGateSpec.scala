@@ -111,6 +111,50 @@ class BenchGateSpec extends AnyFunSuite {
     assert(r2.violations.exists(_.query == "TOTAL"), r2)
   }
 
+  test("speed index: normalized total ratio reported when both sides carry one") {
+    // artifact on a box running at 2x the baseline's speed index: raw
+    // shared-total ratio ~2x, normalized back to ~1x — informational
+    // only (pass/fail judged on RAW numbers, so this artifact still
+    // fails the per-query gate)
+    val slowBase = baseline.replace("|---|---|",
+      "|---|---|") + "\nSpeed index: 0.100 s (median calibration probe).\n"
+    val json = bench(4.5, 6.8, 0.5)
+      .replace(""""contended":false""", """"speed_index":0.200,"contended":false""")
+    val Right(r) = BenchGate.check(json, slowBase)
+    assert(r.speedRatio.exists(s => math.abs(s - 2.0) < 1e-9), r.speedRatio)
+    assert(r.rawTotalRatio.exists(x => x > 2.1 && x < 2.4), r.rawTotalRatio)
+    assert(r.normalizedTotalRatio.exists(n => n > 1.05 && n < 1.2),
+      r.normalizedTotalRatio)
+    // the informational ratios never change the verdict
+    assert(!r.pass, "raw numbers still gate: a 2x run must not pass")
+  }
+
+  test("speed index: absent on either side -> no normalized ratio, gate unchanged") {
+    val Right(r0) = BenchGate.check(bench(2.1, 3.4, 0.3), baseline)
+    assert(r0.speedRatio.isEmpty && r0.normalizedTotalRatio.isEmpty)
+    assert(r0.rawTotalRatio.nonEmpty, "raw ratio reports regardless")
+    assert(r0.pass)
+  }
+
+  test("speed index: per-environment selection from sectioned baselines") {
+    val md =
+      """# baseline
+        |## Baseline, cpus=8
+        |Speed index: 0.400 s (median calibration probe).
+        || q01_pricing_summary | 2.00 |
+        |## Baseline, cpus=32
+        |Speed index: 0.150 s (median calibration probe).
+        || q01_pricing_summary | 1.00 |
+        |""".stripMargin
+    val speeds = BenchGate.parseBaselineSpeeds(md)
+    assert(speeds == Map(Some(8) -> 0.4, Some(32) -> 0.15), speeds)
+    val json = """{"queries":{"q01_pricing_summary":1.1},"cpus":32,""" +
+      """"speed_index":0.300,"contended":false}"""
+    val Right(r) = BenchGate.check(json, md)
+    assert(r.speedRatio.exists(s => math.abs(s - 2.0) < 1e-9),
+      s"must select the cpus=32 speed index: ${r.speedRatio}")
+  }
+
   test("contended rule: mid-run spike flags, idle JIT drift does not") {
     // the round-6 driver incident: start/end clean, middle inflated 3x
     assert(Bench.contendedRule(Seq(0.2, 0.21, 0.65, 0.7, 0.22, 0.2)))
@@ -390,9 +434,12 @@ class BenchGateSpec extends AnyFunSuite {
         // own run and commits it; when that run was contended the gate
         // REFUSES (can neither pass nor fail) — the same tolerance the
         // pre-commit hook applies (refusal warns, violation blocks).
-        // The next builder re-baseline replaces the artifact and this
-        // branch stops being taken.
-        info(s"committed artifact refused, not graded: $reason")
+        // CANCEL (not a green pass): a contended committed artifact must
+        // stay VISIBLE in every test report until a builder re-baseline
+        // replaces it — an artifact that is refused-contended round
+        // after round would otherwise mean the perf gate silently
+        // stopped binding (round-14 advice).
+        cancel(s"committed artifact refused, not graded: $reason")
       case Left(other) => fail(s"gate refused for a non-contended reason: $other")
     }
   }
