@@ -84,13 +84,30 @@ object SuffixRanks {
     * Per-round cost shape: the shift source stays corpus-sized (it
     * must — settled positions provide r2 to active ones), but the
     * keyed join, the key aggregate, StableIds' range sort and the wide
-    * map-back all shrink to the ACTIVE set, which on real text
-    * collapses fast (16-char prefixes are mostly unique by round 3–4).
+    * map-back all shrink to the ACTIVE set. The shrink is
+    * corpus-dependent — mostly-unique text collapses by round 1–2,
+    * boilerplate-heavy corpora barely collapse at all — so pruning is
+    * ADAPTIVE ([[PruneMinSettledFraction]]): below the bar each round
+    * carries everything active and the settled machinery folds away to
+    * the pre-round-15 plan (plus the inline group sizes, which delete
+    * the audit's per-round groupBy+join either way).
     * `SuffixRanksPropSpec` pins pruned ≡ unpruned per round and
-    * measures the active-set shrink on a mostly-unique corpus. */
+    * measures the active-set shrink on a mostly-unique corpus;
+    * `tools/SuffixPruneProbe` is the same-box A/B. */
+  /** Pruning engages only once at least this fraction of positions has
+    * settled: the settled-side machinery (translation join, synthetic
+    * keys, the split) is pure overhead on a corpus whose rank groups
+    * barely collapse (the driver's boilerplate-heavy documents table:
+    * 72% of positions still share a 16-char window, measured by
+    * `tools/SuffixPruneProbe`), while a mostly-unique corpus crosses
+    * the bar by round 1–2 and rides the shrink. The decision costs one
+    * count per round on the already-materialized round frame. */
+  val PruneMinSettledFraction = 0.15
+
   def roundsWithGroups(d: DataFrame): Seq[DataFrame] = {
     var active = IterationCheckpoint.cut(positions(d))
     var settled = active.filter(lit(false))
+    val total = active.count().toDouble
     (1 to Rounds).map { k =>
       val gap = 1 << (k - 1)
       val full = active.unionByName(settled)
@@ -113,10 +130,21 @@ object SuffixRanks {
         .join(allKeys, Seq("r1", "r2"))
         .select(col("doc_id"), col("pos"), col("nr").as("r"), col("grp"))
       val merged = IterationCheckpoint.cut(aNew.unionByName(sNew))
-      active = merged.filter(col("grp") > 1)
-        .select(col("doc_id"), col("pos"), col("r"))
-      settled = merged.filter(col("grp") === 1)
-        .select(col("doc_id"), col("pos"), col("r"))
+      val nActive = merged.filter(col("grp") > 1).count()
+      if (total - nActive >= total * PruneMinSettledFraction) {
+        active = merged.filter(col("grp") > 1)
+          .select(col("doc_id"), col("pos"), col("r"))
+        settled = merged.filter(col("grp") === 1)
+          .select(col("doc_id"), col("pos"), col("r"))
+      } else {
+        // below the bar: carry everything active (a settled position is
+        // harmless there — its key is unique, so it just re-derives the
+        // same rank through the general machinery) and keep the settled
+        // frame STATICALLY empty so its joins fold away
+        active = merged.select(col("doc_id"), col("pos"), col("r"))
+        settled = merged.filter(lit(false))
+          .select(col("doc_id"), col("pos"), col("r"))
+      }
       merged
     }
   }

@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{IterationCheckpoint, StableIds, SuffixRanks}
+
+/** A/B probe for the round-15 settled-group pruning: time qau's audit
+  * through the PRUNED rounds (production path) against an in-place
+  * replica of the pre-round-15 unpruned doubling, same session, same
+  * corpus — the box-drift-proof comparison a baseline row can't give.
+  *
+  * Run: sbt "runMain graft.tools.SuffixPruneProbe [sfDir] [passes]"
+  */
+object SuffixPruneProbe {
+
+  /** The pre-round-15 doubling, replayed verbatim (the
+    * SuffixRanksPropSpec reference, audit shape included: per-round
+    * corpus-wide keyed join + distinct + map-back + the audit's
+    * groupBy(rank) count join). */
+  private def unprunedAudit(d: DataFrame): DataFrame = {
+    var ranks = IterationCheckpoint.cut(SuffixRanks.positions(d))
+    val frames = (1 to SuffixRanks.Rounds).map { k =>
+      val gap = 1 << (k - 1)
+      val shifted = ranks.select(col("doc_id"),
+        (col("pos") - gap).as("pos"), col("r").as("r2"))
+      val keyed = ranks.join(shifted, Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"), col("r").as("r1"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+      val keys = StableIds.assign(
+        keyed.select(col("r1"), col("r2")).distinct(),
+        Seq(col("r1"), col("r2")), SuffixRanks.Partitions, "nr")
+      ranks = IterationCheckpoint.cut(keyed.join(keys, Seq("r1", "r2"))
+        .select(col("doc_id"), col("pos"), col("nr").as("r")))
+      ranks
+    }
+    frames.zipWithIndex.map { case (rk, i) =>
+      val grp = rk.groupBy(col("r")).agg(count(lit(1)).as("grp"))
+      rk.filter(col("doc_id") % SuffixRanks.SampleMod === 0)
+        .join(grp, Seq("r"))
+        .select(lit(i + 1).as("rnd"), col("doc_id"), col("pos"),
+          col("r").as("rank"), col("grp"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("rnd"), col("doc_id"), col("pos"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val passes = if (args.length > 1) args(1).toInt else 3
+    val spark: SparkSession = GraftSession.local(32)
+    spark.sparkContext.setLogLevel("WARN")
+    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def time(label: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[prune] $label rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    // per-round active-set sizes (the shrink the pruning monetizes)
+    val sizes = SuffixRanks.roundsWithGroups(d)
+      .map(_.filter(col("grp") > 1).count())
+    println(s"[prune] active positions entering each round's successor: " +
+      sizes.mkString(", "))
+    for (p <- 1 to passes) {
+      time(s"pass$p pruned  ")(SuffixRanks.audit(d).count())
+      time(s"pass$p unpruned")(unprunedAudit(d).count())
+    }
+    spark.stop()
+  }
+}
