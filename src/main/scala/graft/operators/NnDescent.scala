@@ -641,7 +641,20 @@ object NnDescent {
     * (vec_id, embedding); rows already in `g0` are the caller's
     * contract to exclude. */
   def insertDeltaOf(e: DataFrame, g0: DataFrame, nBase: Long,
-      deltaE: DataFrame): DataFrame = {
+      deltaE: DataFrame): DataFrame =
+    insertDeltaOf(e, g0, nBase, deltaE, None)
+
+  /** [[insertDeltaOf]] with TOMBSTONE-AWARE probes — the form a mixed
+    * insert/delete CDC stream needs (qd4): the id-algebra probes target
+    * the raw [0, nBase) id space, and on a graph that has absorbed
+    * deletes a probed-and-scored TOMBSTONED id would re-enter fresh
+    * nodes' forward lists (every other candidate source is already
+    * clean: beam candidates walk the repaired graph's stored edges,
+    * back-edges target live list owners, refinement candidates come
+    * from repaired lists). `tomb` anti-joins the probe set; the beam
+    * walk, scoring and merge are unchanged. */
+  def insertDeltaOf(e: DataFrame, g0: DataFrame, nBase: Long,
+      deltaE: DataFrame, tomb: Option[DataFrame]): DataFrame = {
     val q = deltaE
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val entry = e.filter(col("vec_id") === EntryNode)
@@ -652,12 +665,14 @@ object NnDescent {
         round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
     // id-algebra random probes (the build's init, mod nBase): cluster
     // coverage a beam over a non-navigable k-NN graph cannot provide
-    val probes = q.select(col("qid"),
+    val probes0 = q.select(col("qid"),
         explode(sequence(lit(1), lit(InsertProbes))).as("j"))
       .select(col("qid"),
         pmod(pmod(col("qid") * 2654435761L + col("j") * 40503L,
           lit(1000003L)), lit(nBase)).as("nid"))
       .distinct()
+    val probes = tomb.fold(probes0)(t => Tombstones.antiJoin(probes0,
+        "nid", t.select(col(t.columns.head).as("nid"))))
       .join(q, Seq("qid"))
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
       .select(col("qid"), col("nid"),
@@ -733,7 +748,14 @@ object NnDescent {
     * then walks), so the honest spec replays each generation against
     * the previous generation's SQL-derived output. */
   private def insertGenCtes(p: String, gSrc: String,
-      deltaPred: String): String = {
+      deltaPred: String): String =
+    insertGenCtes(p, gSrc, deltaPred, "TRUE")
+
+  /** [[insertGenCtes]] with a live-probe predicate on the probe target
+    * id (qd4's tombstone-aware probes — the SQL twin of
+    * [[insertDeltaOf]]'s `tomb` filter; "TRUE" = the qb3/qc8 form). */
+  private def insertGenCtes(p: String, gSrc: String,
+      deltaPred: String, probeLive: String): String = {
     val hops = (1 to BeamHops).map { i =>
       val prev = s"${p}p${i - 1}"
       s"""${p}bm$i AS MATERIALIZED (
@@ -760,10 +782,13 @@ object NnDescent {
        |  SELECT vec_id AS qid, embedding AS qe FROM embeddings, nb
        |  WHERE vec_id >= nb.nb AND ($deltaPred)),
        |${p}pr AS MATERIALIZED (
-       |  SELECT DISTINCT q.qid,
-       |    ((q.qid * 2654435761 + j.j * 40503) % 1000003)
-       |      % (SELECT nb FROM nb) AS nid
-       |  FROM ${p}q q, (SELECT unnest(generate_series(1, $InsertProbes)) AS j) j),
+       |  SELECT qid, nid FROM (
+       |    SELECT DISTINCT q.qid,
+       |      ((q.qid * 2654435761 + j.j * 40503) % 1000003)
+       |        % (SELECT nb FROM nb) AS nid
+       |    FROM ${p}q q,
+       |      (SELECT unnest(generate_series(1, $InsertProbes)) AS j) j)
+       |  WHERE ($probeLive)),
        |${p}p0 AS MATERIALIZED (
        |  SELECT qid, nid, max(c) AS c FROM (
        |    SELECT q.qid, CAST($EntryNode AS BIGINT) AS nid,
@@ -1186,4 +1211,62 @@ object NnDescent {
          |WHERE f.rnk <= $ReportK
          |ORDER BY qid, rnk""".stripMargin
   }
+
+  /** qd4's mid-stream tombstone rule: the qb4 residue on BASE ids only
+    * (delta inserts are never swept — no revival ambiguity; the suffix
+    * family's generation-stamped revival is qc5's subject). */
+  private def lifecycleDead(c: String): String =
+    s"($c % $DeleteMod = $DeleteRes AND $c < (SELECT nb FROM nb))"
+
+  /** The qd4 oracle: the FULL CDC lifecycle on one stream — THREE
+    * generations unrolled in SQL, each replaying against the previous
+    * generation's SQL-DERIVED output graph (never a persisted
+    * intermediate): gen 1 INSERTS the even delta half into the
+    * persisted base graph, gen 2 DELETES the %16==3 base sweep from
+    * gen 1's output with local repair, gen 3 INSERTS the odd delta
+    * half into gen 2's output with TOMBSTONE-AWARE probes (a probed
+    * dead id must not re-enter fresh lists — the one candidate source
+    * the repaired graph's stored edges don't already launder). The
+    * measure reports every SAMPLED (delta ∪ repair-touched survivor)
+    * node's top-[[ReportK]] from the FINAL graph with exact flags over
+    * the LIVE corpus — gen-1 nodes re-top-K'd by gen-2 repair or
+    * gen-3 back-edges are read exactly where those interactions
+    * landed. */
+  def lifecycleOracleSql(graphPath: String): String =
+    s"""WITH nb AS MATERIALIZED (
+       |  SELECT CAST(nn - nn // 16 AS BIGINT) AS nb
+       |  FROM (SELECT COUNT(*) AS nn FROM embeddings)),
+       |g AS MATERIALIZED (
+       |  SELECT * FROM read_parquet('$graphPath/*.parquet')),
+       |""".stripMargin +
+      insertGenCtes("g1", "g", "vec_id % 2 = 0") + ",\n" +
+      deleteGenCtes("g2", "g1graph", lifecycleDead) + ",\n" +
+      insertGenCtes("g3", "g2graph", "vec_id % 2 = 1",
+        s"NOT ${lifecycleDead("nid")}") + ",\n" +
+      s"""rpt AS MATERIALIZED (
+         |  SELECT DISTINCT vec_id FROM (
+         |    SELECT vec_id FROM embeddings, nb WHERE vec_id >= nb.nb
+         |    UNION ALL SELECT vec_id FROM g2tch)
+         |  WHERE vec_id % $FlagSampleMod = 0),
+         |exact AS MATERIALIZED (
+         |  SELECT qid, nid FROM (
+         |    SELECT qq.vec_id AS qid, e.vec_id AS nid,
+         |      row_number() OVER (PARTITION BY qq.vec_id
+         |        ORDER BY round(list_cosine_similarity(qq.embedding::DOUBLE[],
+         |          e.embedding::DOUBLE[]), 9) DESC, e.vec_id) AS rnk
+         |    FROM embeddings qq
+         |    JOIN rpt t ON t.vec_id = qq.vec_id
+         |    JOIN embeddings e ON e.vec_id <> qq.vec_id
+         |      AND NOT ${lifecycleDead("e.vec_id")})
+         |  WHERE rnk <= $ReportK),
+         |fin AS (
+         |  SELECT gg.vec_id, gg.nid, gg.c, row_number() OVER (
+         |    PARTITION BY gg.vec_id ORDER BY gg.c DESC, gg.nid) AS rnk
+         |  FROM g3graph gg JOIN rpt t ON t.vec_id = gg.vec_id)
+         |SELECT f.vec_id AS qid, CAST(f.rnk AS INT) AS rnk, f.nid,
+         |  CAST(round(f.c, 4) + 0 AS DOUBLE) AS cos,
+         |  CASE WHEN x.nid IS NULL THEN 0 ELSE 1 END AS in_exact
+         |FROM fin f LEFT JOIN exact x ON x.qid = f.vec_id AND x.nid = f.nid
+         |WHERE f.rnk <= $ReportK
+         |ORDER BY qid, rnk""".stripMargin
 }

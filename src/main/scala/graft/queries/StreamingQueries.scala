@@ -26,6 +26,11 @@ object StreamingQueries {
   private[queries] def qd1GraphPath(sfDir: String): String =
     QueryDef.materializePath(sfDir, "qd1_knn_graph")
 
+  /** qd4: the persisted BASE graph the full-lifecycle CDC stream
+    * (insert → delete sweep → insert) folds against. */
+  private[queries] def qd4GraphPath(sfDir: String): String =
+    QueryDef.materializePath(sfDir, "qd4_knn_graph")
+
   def all(sfDir: String): Seq[QueryDef] = Seq(
 
     // Streaming twin of q41_event_windows: watermarked tumbling windows,
@@ -909,6 +914,28 @@ object StreamingQueries {
         qd1GraphPath(sfDir))),
       (s, dir) => StreamPipelines.docStreamGraphRetraction(s, dir,
         qd1GraphPath(dir))),
+
+    // The FULL CDC lifecycle for the graph index on ONE stream — the
+    // capstone the verb symmetry points at (qc8 = inserts only, qd1 =
+    // deletes only; IVF/PQ interleave both in qc9/qd0, but their
+    // retractions are anti joins — the graph's verbs are a structural
+    // merge AND a structural repair): insert (even delta) → compliance
+    // delete sweep (%16==3 base ids) → insert (odd delta), each batch
+    // folding its verb against the previous generation's graph, with
+    // gen-3 probes TOMBSTONE-AWARE (a probed dead id must not re-enter
+    // fresh lists — the one candidate source stored edges don't
+    // launder). Oracle = THREE generations unrolled in SQL, each
+    // replaying against the previous generation's SQL-DERIVED output
+    // graph; sampled (delta ∪ repair-touched) nodes' top-K from the
+    // FINAL graph with exact flags over the LIVE corpus. Design:
+    // [[graft.streaming.StreamPipelines.docStreamGraphLifecycle]] /
+    // [[graft.operators.NnDescent.lifecycleOracleSql]].
+    QueryDef(
+      "qd4_stream_graph_lifecycle",
+      Some(graft.operators.NnDescent.lifecycleOracleSql(
+        qd4GraphPath(sfDir))),
+      (s, dir) => StreamPipelines.docStreamGraphLifecycle(s, dir,
+        qd4GraphPath(dir))),
 
     QueryDef(
       "q8t_kafka_wire_doc_sink",

@@ -1759,6 +1759,116 @@ object StreamPipelines {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** qd4: the FULL CDC lifecycle for the graph index on ONE stream —
+    * the capstone the verb symmetry now points at (qc8 folds inserts
+    * only, qd1 deletes only; qc9/qd0 already interleave both for
+    * IVF/PQ, whose retractions are anti joins — the graph's two verbs
+    * are a structural merge AND a structural repair, so their
+    * interleave is the hard case): the CDC tail delivers insert
+    * (even delta half) → compliance DELETE sweep (%16==3 base ids) →
+    * insert (odd delta half), and every micro-batch folds the verb it
+    * carries against the PREVIOUS generation's graph —
+    * [[graft.operators.NnDescent.insertDeltaOf]] for inserts (gen 3
+    * with TOMBSTONE-AWARE probes: the raw-id-algebra probe set is the
+    * one candidate source the repaired graph's stored edges don't
+    * already launder, and without the filter a probed dead id re-enters
+    * fresh lists), [[graft.operators.NnDescent.deleteRepairOf]] for
+    * deletes — writing batch-keyed full-graph generations plus the
+    * qd1-style versioned tombstone state the gen-3 probe filter reads.
+    * Sequential folds are NOT reorderable (gen 2 repairs lists gen 1
+    * merged; gen 3 walks lists gen 2 repaired), so the oracle unrolls
+    * all THREE generations against the persisted base graph, each
+    * replaying over the previous generation's SQL-DERIVED output
+    * ([[graft.operators.NnDescent.lifecycleOracleSql]]). Output: every
+    * SAMPLED (delta ∪ repair-touched survivor) node's top-K from the
+    * FINAL graph with exact flags over the LIVE corpus. */
+  def docStreamGraphLifecycle(s: SparkSession, sfDir: String,
+      graphPath: String): DataFrame = {
+    import graft.operators.NnDescent
+    import graft.queries.SimilarityQueries
+    val tmp = graft.TempDirs.create("graft_graph_cdc_stream")
+    val e = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val nn = e.count()
+    val nBase = nn - nn / 16
+    NnDescent.knnGraph(e.filter(col("vec_id") < nBase))
+      .write.mode("overwrite").parquet(graphPath)
+    val delta = e.filter(col("vec_id") >= nBase)
+    val dead = pmod(col("vec_id"), lit(NnDescent.DeleteMod)) ===
+      NnDescent.DeleteRes && col("vec_id") < nBase
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(2)) === 0), "vec_id", s"$tmp/in")
+    graft.connector.GraftDoc.delete(s, s"$tmp/in",
+      e.filter(dead).select(col("vec_id")))
+    graft.connector.GraftDoc.write(
+      delta.filter(pmod(col("vec_id"), lit(2)) === 1), "vec_id", s"$tmp/in")
+    s.range(0).select(col("id").as("vec_id"))
+      .write.mode("overwrite").parquet(s"$tmp/tomb_v0")
+    val version = new AtomicInteger(-1)
+    val ckpt = ephemeralCheckpoint("graph_cdc")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L),
+            withOp = true)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val v = batchId.toInt
+            val ins = batch.filter(col("_op") === "insert")
+              .select(col("_id").cast("long").as("vec_id"), col("embedding"))
+            val del = batch.filter(col("_op") === "delete")
+              .select(col("_id").cast("long").as("vec_id"))
+            val prev = if (v == 0) s.read.parquet(graphPath)
+              else s.read.parquet(s"$tmp/g_b${v - 1}")
+            val prevTomb = s.read.parquet(s"$tmp/tomb_v$v")
+            // one verb per commit here, but the fold composes both for
+            // generality (inserts before deletes — the qc0 order): each
+            // half is the identity on an empty frame
+            val inserted = NnDescent.insertDeltaOf(e, prev, nBase, ins,
+              Some(prevTomb))
+            // touched survivors recorded BEFORE the repair (qd1's
+            // reporting set; empty on insert-only batches)
+            inserted.join(broadcast(del), Seq("vec_id"), "left_anti")
+              .join(broadcast(del.select(col("vec_id").as("nid"))),
+                Seq("nid"), "left_semi")
+              .select(col("vec_id")).distinct()
+              .write.mode("overwrite").parquet(s"$tmp/tch_b$v")
+            NnDescent.deleteRepairOf(e, inserted, del)
+              .write.mode("overwrite").parquet(s"$tmp/g_b$v")
+            prevTomb.unionByName(del)
+              .write.mode("overwrite").parquet(s"$tmp/tomb_v${v + 1}")
+            version.getAndUpdate(g => math.max(g, v))
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    val fv = version.get()
+    val gFin = s.read.parquet(s"$tmp/g_b$fv")
+    val rpt = delta.select(col("vec_id"))
+      .unionByName(s.read.parquet(s"$tmp/tch_b*"))
+      .filter(pmod(col("vec_id"), lit(NnDescent.FlagSampleMod)) === 0)
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("c").desc, col("nid"))
+    val fin = gFin.join(rpt, Seq("vec_id"), "left_semi")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= NnDescent.ReportK)
+    val liveE = e.filter(!dead)
+    val exact = SimilarityQueries.exactTopKOf(liveE, NnDescent.ReportK, rpt)
+      .withColumn("in_exact", lit(1))
+    fin.join(exact,
+        fin("vec_id") === exact("qid") && fin("nid") === exact("nid"),
+        "left")
+      .select(fin("vec_id").as("qid"), col("rnk"), fin("nid"),
+        round(col("c"), 4).as("cos"),
+        coalesce(col("in_exact"), lit(0)).cast("int").as("in_exact"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** q8g: streaming ANN serve from a PERSISTED index — the online half of
     * the q5i build/serve split. The IVF index (centroids + cell
     * memberships) is built once and persisted; queries then ARRIVE as a
