@@ -654,7 +654,17 @@ object NnDescent {
     * from repaired lists). `tomb` anti-joins the probe set; the beam
     * walk, scoring and merge are unchanged. */
   def insertDeltaOf(e: DataFrame, g0: DataFrame, nBase: Long,
-      deltaE: DataFrame, tomb: Option[DataFrame]): DataFrame = {
+      deltaE: DataFrame, tomb: Option[DataFrame]): DataFrame =
+    insertDeltaOf(e, g0, nBase, deltaE, tomb, None)
+
+  /** [[insertDeltaOf]] with a caller-known tombstone cardinality —
+    * saves [[Tombstones]]' fallback `count()` action per fold when the
+    * caller already tracks the running tombstone count (qd4 folds this
+    * per micro-batch, including insert-only batches where the set is
+    * known-empty). */
+  def insertDeltaOf(e: DataFrame, g0: DataFrame, nBase: Long,
+      deltaE: DataFrame, tomb: Option[DataFrame],
+      tombCount: Option[Long]): DataFrame = {
     val q = deltaE
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val entry = e.filter(col("vec_id") === EntryNode)
@@ -672,7 +682,7 @@ object NnDescent {
           lit(1000003L)), lit(nBase)).as("nid"))
       .distinct()
     val probes = tomb.fold(probes0)(t => Tombstones.antiJoin(probes0,
-        "nid", t.select(col(t.columns.head).as("nid"))))
+        "nid", t.select(col(t.columns.head).as("nid")), tombCount))
       .join(q, Seq("qid"))
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
       .select(col("qid"), col("nid"),
@@ -978,10 +988,17 @@ object NnDescent {
     * through [[Tombstones]] — broadcast to the cap, shuffle-hash
     * sharded past it). */
   def deleteRepairOf(e: DataFrame, g0: DataFrame,
-      tomb: DataFrame): DataFrame = {
+      tomb: DataFrame): DataFrame = deleteRepairOf(e, g0, tomb, None)
+
+  /** [[deleteRepairOf]] with a caller-known tombstone cardinality —
+    * one shared count across all five [[Tombstones]] joins either way;
+    * passing it saves the count action entirely (qd4's insert-only
+    * batches repair against a known-empty frame). */
+  def deleteRepairOf(e: DataFrame, g0: DataFrame,
+      tomb: DataFrame, tombCount: Option[Long]): DataFrame = {
     import graft.operators.Tombstones
     val t = tomb.select(col(tomb.columns.head).as("vec_id"))
-    val nT = Some(t.count())
+    val nT = Some(tombCount.getOrElse(t.count()))
     val tn = t.select(col("vec_id").as("nid"))
     val survivors = Tombstones.antiJoin(g0, "vec_id", t, nT)
     val cleaned = Tombstones.antiJoin(survivors, "nid", tn, nT)
@@ -1051,6 +1068,30 @@ object NnDescent {
   def compact(e: DataFrame, chain: DataFrame): DataFrame =
     knnGraph(e.join(chain.select(col("vec_id")).distinct(),
       Seq("vec_id"), "left_semi"))
+
+  /** [[compact]] through the [[GenerationChain]] claim fence — the form
+    * an OUT-OF-BAND compactor must use when a live maintenance fold may
+    * be writing the same chain (round-15 verdict #4: two writers that
+    * both read head v and write v+1 silently orphan one result). Claims
+    * the next slot, compacts the committed head it claimed against,
+    * publishes, commits; a racing fold that lost the claim folds against
+    * THIS compacted generation instead (linearized —
+    * `GenerationFenceSpec` replays the committed order serially and
+    * matches bit-for-bit). Returns the committed slot. The same contract
+    * applies verbatim to the other families' chains (IVF `assign_b<v>` +
+    * tombstone generations, PQ code generations, MinHash/suffix
+    * `idx_v<v>`/`dict_v<v>`): one full-state generation per slot, claim
+    * before derive, commit after publish — see SURVEY §2.12's fence row. */
+  def compactFenced(s: org.apache.spark.sql.SparkSession, e: DataFrame,
+      root: String): Int = {
+    val (slot, basis) = GenerationChain.claimNext(root)
+    require(basis >= 0,
+      s"GenerationChain at $root is empty — nothing to compact")
+    compact(e, s.read.parquet(GenerationChain.genPath(root, basis)))
+      .write.mode("overwrite").parquet(GenerationChain.genPath(root, slot))
+    GenerationChain.commit(root, slot)
+    slot
+  }
 
   /** qb4 oracle: replays the tombstone drop, the affected-set semi
     * join, the d's-former-list repair candidates, and the touched

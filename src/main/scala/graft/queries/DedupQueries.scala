@@ -1804,15 +1804,18 @@ object DedupQueries {
     * (`MinhashCompactionPropSpec`), which is what qb7's oracle certifies
     * through the serve measure. */
   private[graft] def compactMinhashIndex(s: SparkSession, tombs: DataFrame,
-      oldPath: String, newPath: String, dfCap: Long = 200L): Unit = {
+      oldPath: String, newPath: String, dfCap: Long = 200L,
+      tombCount: Option[Long] = None): Unit = {
     import graft.operators.Tombstones
     val tombIds = tombs.select(col(tombs.columns.head).as("doc_id"))
     // the tombstones-vs-corpus contract (the SuffixRanks.compactDelete
     // shape, MinHash edition): one count decides the regime for every
     // join below — broadcast while the id set fits, shuffle-hash
     // sharded by id past Tombstones.MaxBroadcast (the degrade path
-    // that replaced round-14's refusal)
-    val nTomb = Some(tombIds.count())
+    // that replaced round-14's refusal). The per-micro-batch fold
+    // (qd5) threads its caller-known batch cardinality to skip the
+    // count action entirely.
+    val nTomb = Some(tombCount.getOrElse(tombIds.count()))
     Tombstones.antiJoin(s.read.parquet(s"$oldPath/members"),
         "doc_id", tombIds, nTomb)
       .write.mode("overwrite").parquet(s"$newPath/members")

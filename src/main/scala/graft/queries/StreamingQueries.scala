@@ -937,6 +937,26 @@ object StreamingQueries {
       (s, dir) => StreamPipelines.docStreamGraphLifecycle(s, dir,
         qd4GraphPath(dir))),
 
+    // Streaming MinHash maintenance under DELETES — the LAST delete-verb
+    // hole (IVF qc9, PQ qd0, graph qd1, suffix qc5 fold CDC deletes per
+    // micro-batch; MinHash had batch qaa/qb7 only): four CDC commits
+    // alternate insert and compliance-sweep verbs, inserts fold via
+    // qa8's merge, deletes via qb7's count-debit compaction (corpus
+    // never read — sets ∪ dropped reconstructs dead docs' shingle sets,
+    // DF debited, un-hotted shingles re-admitted, resurrection
+    // included), each batch a new index generation. The serve through
+    // the FINAL generation shares qb7's rebuild-over-live oracle (DF
+    // cap RE-COUNTED over live docs): hash equality proves the
+    // merge/compact ALTERNATION converged to exactly the from-scratch
+    // index over live docs — the frame-for-frame claim
+    // `MinhashCompactionPropSpec`'s streamed-chain row pins. Design:
+    // [[graft.streaming.StreamPipelines.docStreamMinhashRetraction]].
+    QueryDef(
+      "qd5_stream_minhash_retraction",
+      Some(graft.queries.DedupQueries.incMinhashOracleSql(
+        375L, "a.doc_id % 5 <> 0", "doc_id % 5 <> 0")),
+      (s, dir) => StreamPipelines.docStreamMinhashRetraction(s, dir)),
+
     QueryDef(
       "q8t_kafka_wire_doc_sink",
       Some("""SELECT c_mktsegment AS seg, COUNT(*) AS n,

@@ -1805,6 +1805,11 @@ object StreamPipelines {
     s.range(0).select(col("id").as("vec_id"))
       .write.mode("overwrite").parquet(s"$tmp/tomb_v0")
     val version = new AtomicInteger(-1)
+    // running tombstone cardinality, threaded into the folds so the
+    // Tombstones joins never pay a fallback count() action (v0 is the
+    // known-empty frame; each batch adds its own delete count — one
+    // cheap action on the in-batch frame replacing two frame counts)
+    val tombTotal = new java.util.concurrent.atomic.AtomicLong(0L)
     val ckpt = ephemeralCheckpoint("graph_cdc")
     try {
       withStreamShufflePartitions(s, 8) {
@@ -1824,8 +1829,9 @@ object StreamPipelines {
             // one verb per commit here, but the fold composes both for
             // generality (inserts before deletes — the qc0 order): each
             // half is the identity on an empty frame
+            val nDel = del.count()
             val inserted = NnDescent.insertDeltaOf(e, prev, nBase, ins,
-              Some(prevTomb))
+              Some(prevTomb), Some(tombTotal.get()))
             // touched survivors recorded BEFORE the repair (qd1's
             // reporting set; empty on insert-only batches)
             inserted.join(broadcast(del), Seq("vec_id"), "left_anti")
@@ -1833,10 +1839,11 @@ object StreamPipelines {
                 Seq("nid"), "left_semi")
               .select(col("vec_id")).distinct()
               .write.mode("overwrite").parquet(s"$tmp/tch_b$v")
-            NnDescent.deleteRepairOf(e, inserted, del)
+            NnDescent.deleteRepairOf(e, inserted, del, Some(nDel))
               .write.mode("overwrite").parquet(s"$tmp/g_b$v")
             prevTomb.unionByName(del)
               .write.mode("overwrite").parquet(s"$tmp/tomb_v${v + 1}")
+            tombTotal.addAndGet(nDel)
             version.getAndUpdate(g => math.max(g, v))
             ()
           }
@@ -1867,6 +1874,111 @@ object StreamPipelines {
         round(col("c"), 4).as("cos"),
         coalesce(col("in_exact"), lit(0)).cast("int").as("in_exact"))
       .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** qd5: streaming MinHash index maintenance under DELETES — the LAST
+    * delete-verb hole (IVF qc9, PQ qd0, graph qd1, suffix qc5 already
+    * fold CDC deletes per micro-batch; MinHash had batch
+    * serve-under-deletes qaa and batch compaction qb7 but no streamed
+    * retraction fold). The snapshot index (docs < 250) persists once;
+    * the CDC tail then delivers FOUR commits — insert (even delta
+    * docs 250–374), a compliance DELETE sweep (every 5th doc among the
+    * ids streamed or persisted so far), insert (odd delta), a second
+    * sweep (every 5th odd delta doc) — and every micro-batch folds its
+    * verb into a NEW index generation: inserts ride
+    * [[graft.queries.DedupQueries.mergeMinhashIndex]] (qa8's narrow DF
+    * full-outer + changed-rows-only re-sign), deletes ride
+    * [[graft.queries.DedupQueries.compactMinhashIndex]] (qb7's
+    * count-debit machinery: the corpus is NEVER read — sets ∪ dropped
+    * reconstructs the dead docs' full shingle sets, the DF table is
+    * debited, un-hotted shingles re-admit into exactly the live docs
+    * that carried them, resurrection included). Interleaving matters:
+    * the second merge lands on a COMPACTED generation and the second
+    * compaction on a re-merged one — `MinhashCompactionPropSpec`'s
+    * streamed-chain row proves the whole alternation stays
+    * frame-for-frame identical to a from-scratch build over the live
+    * corpus, which is why the serve through the FINAL generation can
+    * share qb7's rebuild-over-live oracle (DF cap RE-COUNTED over live
+    * docs — the un-frozen measure qaa's frozen-cap serve defers to
+    * compaction). Generations are batch-id-keyed (replay-idempotent);
+    * the fold is pure foreachBatch — zero state-store rows
+    * (`StreamStateBoundSpec`'s generation-fold pin). */
+  def docStreamMinhashRetraction(s: SparkSession, sfDir: String): DataFrame = {
+    import graft.queries.DedupQueries
+    val tmp = graft.TempDirs.create("graft_mh_del_stream")
+    val d = s.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    DedupQueries.buildMinhashIndex(
+      s, d.filter(col("doc_id") < 250), s"$tmp/idx_v0")
+    val incoming = d.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+    // the CDC tail: insert / delete sweep / insert / delete sweep —
+    // each sweep hits only ids already persisted or streamed, so the
+    // retraction covers snapshot members AND stream-appended ones
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.delete(s, s"$tmp/in",
+      d.filter(col("doc_id") < 375 && pmod(col("doc_id"), lit(5)) === 0 &&
+          (col("doc_id") < 250 || pmod(col("doc_id"), lit(2)) === 0))
+        .select(col("doc_id")))
+    graft.connector.GraftDoc.write(
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", s"$tmp/in")
+    graft.connector.GraftDoc.delete(s, s"$tmp/in",
+      incoming.filter(pmod(col("doc_id"), lit(2)) === 1 &&
+          pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id")))
+    val version = new AtomicInteger(0)
+    val ckpt = ephemeralCheckpoint("mh_del")
+    try {
+      withStreamShufflePartitions(s, 8) {
+        val q = graft.connector.GraftDoc
+          .readStream(s, s"$tmp/in", maxCommitsPerTrigger = Some(1L),
+            withOp = true)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val v = batchId.toInt
+            val ins = batch.filter(col("_op") === "insert")
+              .select(col("_id").cast("long").as("doc_id"), col("text"))
+            val del = batch.filter(col("_op") === "delete")
+              .select(col("_id").cast("long").as("doc_id"))
+            // one verb per commit here, but the fold composes both for
+            // generality (inserts merge first — the qc0 order — then
+            // deletes compact the merged result). The identity half is
+            // SKIPPED rather than run: each half rewrites the full
+            // frame set, so running it on an empty frame would copy the
+            // index once per batch. Two cheap in-batch counts decide;
+            // the delete count doubles as the compaction's threaded
+            // tombstone cardinality. Generation = batchId either way —
+            // a replayed batch re-reads the untouched idx_v<id> and
+            // overwrites idx_v<id+1>, idempotent under at-least-once.
+            val nIns = ins.count()
+            val nDel = del.count()
+            val merged =
+              if (nIns == 0) s"$tmp/idx_v$v"
+              else {
+                val out = if (nDel == 0) s"$tmp/idx_v${v + 1}"
+                  else s"$tmp/m_b$v"
+                DedupQueries.mergeMinhashIndex(s, ins, s"$tmp/idx_v$v", out)
+                out
+              }
+            if (nDel > 0)
+              DedupQueries.compactMinhashIndex(s, del, merged,
+                s"$tmp/idx_v${v + 1}", tombCount = Some(nDel))
+            else if (nIns == 0)
+              // an empty redelivered commit: carry the generation
+              // forward so the chain stays batch-id-keyed
+              DedupQueries.mergeMinhashIndex(
+                s, ins, s"$tmp/idx_v$v", s"$tmp/idx_v${v + 1}")
+            version.getAndUpdate(g => math.max(g, v + 1))
+            ()
+          }
+          .option("checkpointLocation", ckpt.getAbsolutePath)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally deleteRecursively(ckpt)
+    DedupQueries.serveMinhashBatch(s,
+      d.filter(col("doc_id") >= 375), s"$tmp/idx_v${version.get()}")
   }
 
   /** q8g: streaming ANN serve from a PERSISTED index — the online half of

@@ -30,7 +30,9 @@ object ScaleEvidence {
     // stride = max(id) + 1, not count(): source ids with gaps or offsets
     // would otherwise collide replicated ids across copies, silently
     // corrupting the scaled corpus and every count-based split over it
-    val n = df.agg(max(col(idCol))).head.getLong(0) + 1L
+    // (coalesce guards the empty-frame null; cast guards non-long ids)
+    val n = df.agg(coalesce(max(col(idCol)).cast("long"), lit(-1L)))
+      .head.getLong(0) + 1L
     val rep = df
       .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
       .withColumn(idCol, col(idCol) + col("copy") * lit(n))

@@ -98,6 +98,65 @@ class MinhashCompactionPropSpec extends SparkSpec {
       "no trial re-admitted a shingle — lower the cap or enlarge corpora")
   }
 
+  test("streamed chain: merge/compact ALTERNATION equals rebuild(live), frame by frame") {
+    // qd5's fold order: build v0 → merge(half 1) → compact(sweep 1) →
+    // merge(half 2) → compact(sweep 2). The new cases beyond the single
+    // compact-after-merge above: a MERGE landing on a COMPACTED
+    // generation (its DF table was debited and its hot list re-cut —
+    // the merge's append-only-DF assumption must hold relative to THAT
+    // state, re-hotting shingles the compaction just re-admitted) and a
+    // second compaction landing on the re-merged result. Frame equality
+    // against the from-scratch build over the final live corpus is the
+    // induction step qd5's oracle measures through the serve.
+    import spark.implicits._
+    val rnd = new scala.util.Random(4170216)
+    var rehotFired = false
+    for (trial <- 0 until 4) {
+      val nBase = 14 + rnd.nextInt(6)
+      val base = (0 until nBase).map(i => (i.toLong, randomDoc(rnd)))
+      val delta = (0 until 12).map { i =>
+        val id = (nBase + i).toLong
+        if (rnd.nextBoolean()) (id, mutate(base(rnd.nextInt(nBase))._2, rnd))
+        else (id, randomDoc(rnd))
+      }
+      val (half1, half2) = delta.partition(_._1 % 2 == 0)
+      val cap = 2L
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_mhstream_$trial").toString
+      DedupQueries.buildMinhashIndex(
+        spark, base.toDF("doc_id", "text"), s"$root/v0", cap)
+      DedupQueries.mergeMinhashIndex(
+        spark, half1.toDF("doc_id", "text"), s"$root/v0", s"$root/v1", cap)
+      // sweep 1: every 3rd id present so far (base ∪ half1)
+      val tomb1 = spark.read.parquet(s"$root/v1/members")
+        .filter(col("doc_id") % 3 === 0)
+      DedupQueries.compactMinhashIndex(
+        spark, tomb1, s"$root/v1", s"$root/v2", cap)
+      val hotAfterCompact = spark.read.parquet(s"$root/v2/hot")
+        .as[String].collect().toSet
+      DedupQueries.mergeMinhashIndex(
+        spark, half2.toDF("doc_id", "text"), s"$root/v2", s"$root/v3", cap)
+      if (spark.read.parquet(s"$root/v3/hot").as[String].collect().toSet
+          .diff(hotAfterCompact).nonEmpty) rehotFired = true
+      // sweep 2: every 3rd id of the second half (odd delta ids)
+      val tomb2 = half2.map(_._1).filter(_ % 3 == 0).toDF("doc_id")
+      DedupQueries.compactMinhashIndex(
+        spark, tomb2, s"$root/v3", s"$root/v4", cap)
+      val live = (base ++ delta).filter(_._1 % 3 != 0)
+      DedupQueries.buildMinhashIndex(
+        spark, live.toDF("doc_id", "text"), s"$root/rebuild", cap)
+      val got = frames(s"$root/v4")
+      val want = frames(s"$root/rebuild")
+      for (f <- Seq("members", "dfs", "hot", "sets", "dropped", "buckets"))
+        assert(got(f) == want(f),
+          s"trial $trial: streamed chain $f diverges from the live rebuild\n" +
+            s" got=${got(f)}\nwant=${want(f)}")
+    }
+    assert(rehotFired,
+      "no trial re-hotted a shingle across the post-compaction merge — " +
+        "lower the cap or enlarge corpora")
+  }
+
   test("a doc emptied by the cap RESURRECTS when its shingle un-hots") {
     // crafted corpus: "ant bee cat" appears in six docs (df 6 > cap 4 →
     // hot), one of which carries NOTHING else — its capped set is empty,

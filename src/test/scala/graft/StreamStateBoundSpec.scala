@@ -284,6 +284,47 @@ class StreamStateBoundSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch generation fold (q8r/qc9/qd5 shape) is stateless") {
+    implicit val sql = spark.sqlContext
+    // the index-maintenance folds' shape: every micro-batch runs a
+    // BATCH job against persisted generation files inside foreachBatch
+    // (merge / compact / tombstone append) — the streaming side itself
+    // carries zero state-store rows no matter how many generations
+    // accrete, because all cross-batch memory lives in the batch-id-
+    // keyed files, never the state store. The pin matters: rewriting
+    // any fold as a streaming aggregation (e.g. a running tombstone
+    // set via groupBy) would put the FULL id history in state.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sb_genfold").toString
+    spark.range(0).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$root/gen_v0")
+    val in = MemoryStream[(Long, String)]
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = in.toDF().toDF("doc_id", "op").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val v = folds.getAndIncrement()
+        spark.read.parquet(s"$root/gen_v$v")
+          .unionByName(batch.filter(col("op") === "delete").select(col("doc_id")))
+          .write.mode("overwrite").parquet(s"$root/gen_v${v + 1}")
+        ()
+      }
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_sb_genfold_ckpt").toString)
+      .start()
+    try {
+      for (c <- 0 until 4) {
+        in.addData((0 until 10).map(i =>
+          (c * 10L + i, if (i % 2 == 0) "insert" else "delete")): _*)
+        q.processAllAvailable()
+      }
+      assert(q.recentProgress.flatMap(_.stateOperators).forall(_.numRowsTotal == 0),
+        "generation fold must carry no state store rows")
+      // the cross-batch memory is all in the files: 4 batches × 5
+      // deletes accreted into the final generation
+      assert(spark.read.parquet(s"$root/gen_v${folds.get()}").count() == 20)
+    } finally q.stop()
+  }
+
   test("row-local capped-set serve (q8q shape) is stateless") {
     implicit val sql = spark.sqlContext
     // the streaming near-dup serve shape: the drop list folded to ONE
