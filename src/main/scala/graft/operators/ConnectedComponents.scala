@@ -57,14 +57,23 @@ object ConnectedComponents {
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // HOOK: every node has >= 1 sym row (isolated self-loops included),
-      // so the left join below always matches; kept left for safety.
-      val nbrMin = sym.join(labels, sym("dst") === labels("node"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val hooked = labels.join(nbrMin, labels("node") === nbrMin("src"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"),
-          coalesce(col("nbr_label") < col("label"), lit(false)).as("hook_changed"))
+      // HOOK, fused to ONE join + ONE aggregate (round 16): the node's
+      // own label rides the same shuffle as its neighbors' labels as a
+      // tagged self-message, so min(l(u), min_nbr l(v)) falls out of one
+      // groupBy — the old labels⋈nbrMin re-join (a second label-table
+      // exchange and a whole join stage per round) is gone. The self
+      // branch also keeps the aggregate total over nodes (every node
+      // emits its self row even with no neighbors), and min(old) over
+      // the single self row recovers the pre-hook label for the change
+      // flag. Identical per-round algebra to the unfused form — the
+      // prop spec's round-count and fixpoint claims are unchanged.
+      val hooked = sym.join(labels, sym("dst") === labels("node"))
+        .select(col("src").as("node"), col("label"), lit(null).cast("long").as("own"))
+        .unionByName(labels.select(col("node"), col("label"), col("label").as("own")))
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"), min(col("own")).as("old"))
+        .select(col("node"), col("label"),
+          (col("label") < col("old")).as("hook_changed"))
       // SHORTCUT: l(u) := l(l(u)). Every label IS a node id (invariant
       // above), so the inner join is total. The `changed` flag rides
       // inside the SAME materializing job as the round's joins (the eager

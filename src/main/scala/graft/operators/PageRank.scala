@@ -43,16 +43,25 @@ object PageRank {
     var ranks = n.select(col("id"),
       round(lit(1.0) / nCount, 9).as("pr"))
     for (_ <- 1 to iters) {
-      // mass parked on dangling nodes this round (exact decimal sum of
-      // already-quantized ranks — order-independent)
-      val dang: Column = ranks
-        .join(outdeg, ranks("id") === outdeg("src"), "left_anti")
+      // ONE pass of ranks against outdeg per round (round-16 fusion):
+      // the materialized (id, pr, outdeg) frame feeds BOTH the dangling
+      // total (rows whose outdeg is null — the exact decimal sum of
+      // already-quantized ranks the old anti-join subquery computed,
+      // value-identical) and the contribution messages (one join with
+      // the edge list instead of the old edges⋈ranks⋈outdeg double
+      // join). The cut makes the shared frame cached blocks, so the
+      // scalar subquery reads node-sized cache instead of re-running a
+      // join per round.
+      val shared = IterationCheckpoint.cut(
+        ranks.join(outdeg, ranks("id") === outdeg("src"), "left")
+          .select(col("id"), col("pr"), col("outdeg")))
+      val dang: Column = shared.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("pr").cast("decimal(30,12)")), lit(0))
           .cast("double").as("d"))
         .scalar()
       val contrib = edges
-        .join(ranks, edges("src") === ranks("id"))
-        .join(outdeg, Seq("src"))
+        .join(shared.filter(col("outdeg").isNotNull),
+          edges("src") === col("id"))
         .select(col("dst"),
           round(col("pr") / col("outdeg"), 12).as("c"))
         .groupBy(col("dst"))
@@ -93,14 +102,20 @@ object PageRank {
         when(col("seed").isNotNull, round(lit(1.0) / sCount, 9))
           .otherwise(lit(0.0)).as("pr"))
     for (_ <- 1 to iters) {
-      val dang: Column = ranks
-        .join(outdeg, ranks("id") === outdeg("src"), "left_anti")
+      // the run() round-16 fusion, personalized edition: one shared
+      // (id, pr, outdeg) pass feeds the dangling total and the
+      // contribution messages — value-identical to the old anti-join
+      // subquery + double join
+      val shared = IterationCheckpoint.cut(
+        ranks.join(outdeg, ranks("id") === outdeg("src"), "left")
+          .select(col("id"), col("pr"), col("outdeg")))
+      val dang: Column = shared.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("pr").cast("decimal(30,12)")), lit(0))
           .cast("double").as("d"))
         .scalar()
       val contrib = edges
-        .join(ranks, edges("src") === ranks("id"))
-        .join(outdeg, Seq("src"))
+        .join(shared.filter(col("outdeg").isNotNull),
+          edges("src") === col("id"))
         .select(col("dst"),
           round(col("pr") / col("outdeg"), 12).as("c"))
         .groupBy(col("dst"))

@@ -118,14 +118,19 @@ object Scc {
     var rounds = 0
     while (!converged && rounds < 64) {
       rounds += 1
-      // HOOK: min over in-neighbors' labels (left join — sources and
-      // sinks of the core can still lack in-edges mid-iteration)
-      val nbrMin = edges.join(labels, edges("src") === labels("node"))
-        .groupBy(col("dst")).agg(min(col("lab")).as("nbr"))
-      val hooked = labels.join(nbrMin, labels("node") === nbrMin("dst"), "left")
-        .select(col("node"),
-          least(col("lab"), coalesce(col("nbr"), col("lab"))).as("lab"),
-          coalesce(col("nbr") < col("lab"), lit(false)).as("hook_changed"))
+      // HOOK, fused to one join + one aggregate (round 16, the
+      // ConnectedComponents fusion): each node's own label rides the
+      // hook shuffle as a tagged self-message, so min over {v} ∪
+      // in-neighbor labels falls out of one groupBy — no labels⋈nbrMin
+      // re-join, and nodes without in-edges are covered by their self
+      // row (what the old left join was for)
+      val hooked = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("lab"), lit(null).cast("long").as("own"))
+        .unionByName(labels.select(col("node"), col("lab"), col("lab").as("own")))
+        .groupBy(col("node"))
+        .agg(min(col("lab")).as("lab"), min(col("own")).as("old"))
+        .select(col("node"), col("lab"),
+          (col("lab") < col("old")).as("hook_changed"))
       // SHORTCUT: l(v) := min(l(v), l(l(v))) — labels are node ids, so
       // the self-join is total within the core
       val lmap = hooked.select(col("node").as("ln"), col("lab").as("llab"))
