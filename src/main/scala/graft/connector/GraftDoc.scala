@@ -22,11 +22,14 @@ object GraftDoc {
     * `MapRDBJSONSink.java:140-146`) and append a commit.
     * `overwrite = true` truncates the log first (a fresh table). */
   def write(df: DataFrame, keyField: String, path: String,
-      overwrite: Boolean = false, targetFileRows: Option[Long] = None): Unit = {
+      overwrite: Boolean = false, targetFileRows: Option[Long] = None,
+      statsColumns: Seq[String] = Nil): Unit = {
     val w = DocumentSink.toDocuments(df, keyField).write
       .format("graft-doc")
       .mode(if (overwrite) "overwrite" else "append")
     targetFileRows.foreach(n => w.option(GraftDocLog.TargetFileRowsOpt, n.toString))
+    if (statsColumns.nonEmpty)
+      w.option(GraftDocLog.StatsColumnsOpt, statsColumns.mkString(","))
     w.save(path)
   }
 

@@ -206,13 +206,18 @@ class GraftDocScanBuilder(docSchema: StructType, path: String,
 private[connector] object GraftDocFilters {
   private val Id = "_id"
 
+  // range predicates on ANY single column are accepted: `_id`/`_commit`
+  // prune against their dedicated stats, and a payload column prunes
+  // against the manifest's declared-column min/max when the writer
+  // recorded them (files without stats for the column always pass —
+  // all filters are returned residual, so acceptance is never wrong)
   def supported(f: Filter): Boolean = f match {
-    case EqualTo(c, _) => c == Id || c == GraftDocLog.CommitCol
-    case In(c, _) => c == Id || c == GraftDocLog.CommitCol
-    case GreaterThan(c, _) => c == Id || c == GraftDocLog.CommitCol
-    case GreaterThanOrEqual(c, _) => c == Id || c == GraftDocLog.CommitCol
-    case LessThan(c, _) => c == Id || c == GraftDocLog.CommitCol
-    case LessThanOrEqual(c, _) => c == Id || c == GraftDocLog.CommitCol
+    case EqualTo(_, _) => true
+    case In(_, _) => true
+    case GreaterThan(_, _) => true
+    case GreaterThanOrEqual(_, _) => true
+    case LessThan(_, _) => true
+    case LessThanOrEqual(_, _) => true
     case StringStartsWith(c, _) => c == Id // key-prefix scan (reference store range read)
     case _ => false
   }
@@ -262,6 +267,58 @@ private[connector] object GraftDocFilters {
     }
     case _ => true
   }
+
+  /** File passes when every payload-column predicate can hold somewhere
+    * inside the column's recorded [min, max]. Columns without recorded
+    * stats — older manifests, undeclared columns, all-null files — and
+    * literals whose type doesn't match the recorded domain always pass:
+    * pruning is advisory, the residual filter re-evaluates post-scan. */
+  def colsOk(filters: Array[Filter], colStats: Seq[GraftDocColStat]): Boolean = {
+    if (colStats.isEmpty) return true
+    val byCol = colStats.iterator.map(c => c.col -> c).toMap
+    // value inside the recorded range? None = type mismatch → no verdict
+    def inRange(st: GraftDocColStat, v: Any): Option[Boolean] = (st.t, v) match {
+      case ("s", s: String) =>
+        Some(cmp(s, st.min) >= 0 && cmp(s, st.max) <= 0)
+      case ("l", n: Number) =>
+        Some(n.longValue() >= st.min.toLong && n.longValue() <= st.max.toLong)
+      case _ => None
+    }
+    def above(st: GraftDocColStat, v: Any, strict: Boolean): Option[Boolean] =
+      (st.t, v) match { // can some value in the file sit above v?
+        case ("s", s: String) =>
+          Some(if (strict) cmp(st.max, s) > 0 else cmp(st.max, s) >= 0)
+        case ("l", n: Number) =>
+          Some(if (strict) st.max.toLong > n.longValue()
+          else st.max.toLong >= n.longValue())
+        case _ => None
+      }
+    def below(st: GraftDocColStat, v: Any, strict: Boolean): Option[Boolean] =
+      (st.t, v) match { // can some value in the file sit below v?
+        case ("s", s: String) =>
+          Some(if (strict) cmp(st.min, s) < 0 else cmp(st.min, s) <= 0)
+        case ("l", n: Number) =>
+          Some(if (strict) st.min.toLong < n.longValue()
+          else st.min.toLong <= n.longValue())
+        case _ => None
+      }
+    filters.forall {
+      case EqualTo(c, v) if c != Id && c != GraftDocLog.CommitCol =>
+        byCol.get(c).flatMap(inRange(_, v)).getOrElse(true)
+      case In(c, vs) if c != Id && c != GraftDocLog.CommitCol =>
+        byCol.get(c).map(st =>
+          vs.exists(v => inRange(st, v).getOrElse(true))).getOrElse(true)
+      case GreaterThan(c, v) if c != Id && c != GraftDocLog.CommitCol =>
+        byCol.get(c).flatMap(above(_, v, strict = true)).getOrElse(true)
+      case GreaterThanOrEqual(c, v) if c != Id && c != GraftDocLog.CommitCol =>
+        byCol.get(c).flatMap(above(_, v, strict = false)).getOrElse(true)
+      case LessThan(c, v) if c != Id && c != GraftDocLog.CommitCol =>
+        byCol.get(c).flatMap(below(_, v, strict = true)).getOrElse(true)
+      case LessThanOrEqual(c, v) if c != Id && c != GraftDocLog.CommitCol =>
+        byCol.get(c).flatMap(below(_, v, strict = false)).getOrElse(true)
+      case _ => true
+    }
+  }
 }
 
 class GraftDocScan(required: StructType, path: String, pushed: Array[Filter],
@@ -276,7 +333,8 @@ class GraftDocScan(required: StructType, path: String, pushed: Array[Filter],
   private def partitionsFor(fis: Seq[GraftDocLog.CommitFileInfo]): Array[InputPartition] =
     fis
       .filter(fi => GraftDocFilters.commitOk(pushed, fi.seq) &&
-        GraftDocFilters.idOk(pushed, fi.minId, fi.maxId))
+        GraftDocFilters.idOk(pushed, fi.minId, fi.maxId) &&
+        GraftDocFilters.colsOk(pushed, fi.colStats))
       .flatMap { fi =>
         val n = math.max(1L, (fi.bytes + splitBytes - 1) / splitBytes)
         (0L until n).map { i =>
@@ -286,11 +344,14 @@ class GraftDocScan(required: StructType, path: String, pushed: Array[Filter],
         }
       }.toArray
 
-  // `_id` min/max stats live in commit manifests; reading them is only
-  // worth a driver FS round-trip per commit when an `_id` predicate was
-  // actually pushed. Everything else — snapshot planning, CDC batches,
-  // full scans — plans from the root listing alone (ZERO manifest reads).
-  private val needsIdStats = pushed.exists(_.references.contains("_id"))
+  // `_id` and payload-column min/max stats live in commit manifests;
+  // reading them is only worth a driver FS round-trip per commit when a
+  // predicate that could prune against them was actually pushed
+  // (`_commit` prunes from the dir name alone). Everything else —
+  // snapshot planning, CDC batches, full scans — plans from the root
+  // listing alone (ZERO manifest reads).
+  private val needsIdStats = pushed.exists(
+    _.references.exists(_ != GraftDocLog.CommitCol))
 
   /** File-level skip on `_commit` (each file belongs to exactly one
     * commit, and the seq rides the dir name — pruned commits' files are
@@ -589,6 +650,10 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
     private val commitTag = Option(info.options.get(GraftDocLog.CommitTagOpt))
     private val tombstone =
       Option(info.options.get(GraftDocLog.TombstoneOpt)).exists(_.toBoolean)
+    private val statsColumns =
+      Option(info.options.get(GraftDocLog.StatsColumnsOpt))
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+        .getOrElse(Nil)
 
     override def toBatch: BatchWrite = new BatchWrite {
       private val writeId = UUID.randomUUID().toString
@@ -596,7 +661,7 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
       override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory =
         new GraftDocWriterFactory(
           GraftDocLog.stagingDir(path, writeId), info.schema().json, targetFileRows,
-          new SerializableHadoopConf(GraftDocLog.hadoopConf()))
+          new SerializableHadoopConf(GraftDocLog.hadoopConf()), statsColumns)
 
       override def commit(messages: Array[WriterCommitMessage]): Unit =
         GraftDocLog.finalizeCommit(path, GraftDocLog.stagingDir(path, writeId),
@@ -615,7 +680,7 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
       override def createStreamingWriterFactory(pInfo: PhysicalWriteInfo): StreamingDataWriterFactory =
         new GraftDocStreamingWriterFactory(
           GraftDocLog.stagingDir(path, writeId), info.schema().json, targetFileRows,
-          new SerializableHadoopConf(GraftDocLog.hadoopConf()))
+          new SerializableHadoopConf(GraftDocLog.hadoopConf()), statsColumns)
 
       private val autoCompactCommits =
         Option(info.options.get(GraftDocLog.AutoCompactCommitsOpt)).map(_.toInt)
@@ -647,26 +712,38 @@ class GraftDocWriteBuilder(info: LogicalWriteInfo, path: String)
 }
 
 class GraftDocWriterFactory(stagingDir: String, schemaJson: String,
-    targetFileRows: Option[Long], conf: SerializableHadoopConf)
+    targetFileRows: Option[Long], conf: SerializableHadoopConf,
+    statsColumns: Seq[String] = Nil)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDocDataWriter(stagingDir, partitionId, taskId, schemaJson,
-      targetFileRows, conf)
+      targetFileRows, conf, statsColumns)
 }
 
 class GraftDocStreamingWriterFactory(stagingDir: String, schemaJson: String,
-    targetFileRows: Option[Long], conf: SerializableHadoopConf)
+    targetFileRows: Option[Long], conf: SerializableHadoopConf,
+    statsColumns: Seq[String] = Nil)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new GraftDocDataWriter(s"$stagingDir/epoch_$epochId", partitionId, taskId,
-      schemaJson, targetFileRows, conf)
+      schemaJson, targetFileRows, conf, statsColumns)
 }
 
+/** Per-column min/max recorded in the commit manifest for a DECLARED
+  * payload column (`statsColumns` write option) — the Delta/Iceberg-class
+  * file-skip index for predicates on payload columns, not just `_id`.
+  * `t` is the comparison domain: "s" = UTF-8 binary string order (the
+  * order Spark's own string comparisons use), "l" = signed long. Values
+  * are serialized as strings either way (one manifest grammar). */
+case class GraftDocColStat(col: String, t: String, min: String, max: String)
+
 /** Per-part-file stats recorded in the commit manifest; the scan's
-  * file-skip index for `_id` point reads and range scans. */
+  * file-skip index for `_id` point reads and range scans (and, when the
+  * writer declared `statsColumns`, payload-column predicates). */
 case class GraftDocFileStat(name: String, rows: Long,
-    minId: Option[String], maxId: Option[String])
+    minId: Option[String], maxId: Option[String],
+    cols: Seq[GraftDocColStat] = Nil)
 
 /** Task-side writer: serializes rows to JSON lines, rolling to a new part
   * file every `targetFileRows` rows (small-files/large-files control with
@@ -674,7 +751,8 @@ case class GraftDocFileStat(name: String, rows: Long,
   * file's row count and `_id` min/max for the manifest. */
 class GraftDocDataWriter(stagingDir: String, partitionId: Int, taskId: Long,
     schemaJson: String, targetFileRows: Option[Long],
-    conf: SerializableHadoopConf) extends DataWriter[InternalRow] {
+    conf: SerializableHadoopConf,
+    statsColumns: Seq[String] = Nil) extends DataWriter[InternalRow] {
 
   private val schema = GraftDocLog.schemaFromJson(schemaJson)
   private val json = new docjson.RowJsonWriter(schema)
@@ -684,25 +762,56 @@ class GraftDocDataWriter(stagingDir: String, partitionId: Int, taskId: Long,
   private val idOrdinal =
     if (schema.fields.headOption.exists(f =>
       f.name == "_id" && f.dataType == StringType)) 0 else -1
+  // declared payload stats columns resolved to (name, ordinal, domain):
+  // strings track in UTF-8 binary order, int/long in signed-long order;
+  // other types (and names absent from the schema) are silently skipped
+  // — stats are a pure pruning aid, never a correctness surface
+  private val statCols: Array[(String, Int, Boolean)] =
+    statsColumns.flatMap { name =>
+      val i = schema.fieldNames.indexOf(name)
+      if (i < 0) None
+      else schema.fields(i).dataType match {
+        case StringType => Some((name, i, true))
+        case LongType | org.apache.spark.sql.types.IntegerType =>
+          Some((name, i, false))
+        case _ => None
+      }
+    }.toArray
   private var out: java.io.BufferedWriter = _
   private var curFile: Path = _
   private var fileIdx = 0
   private var rowsInFile = 0L
   private var minId: UTF8String = _
   private var maxId: UTF8String = _
+  private val colMinS = new Array[UTF8String](statCols.length)
+  private val colMaxS = new Array[UTF8String](statCols.length)
+  private val colMinL = new Array[Long](statCols.length)
+  private val colMaxL = new Array[Long](statCols.length)
+  private val colSeen = new Array[Boolean](statCols.length)
   private val stats = ArrayBuffer.empty[GraftDocFileStat]
   private val written = ArrayBuffer.empty[Path]
 
   private def sealFile(): Unit = {
     if (out != null) {
       out.close()
+      val cols = statCols.indices.collect {
+        case k if colSeen(k) =>
+          val (name, _, isStr) = statCols(k)
+          if (isStr)
+            GraftDocColStat(name, "s", colMinS(k).toString, colMaxS(k).toString)
+          else
+            GraftDocColStat(name, "l", colMinL(k).toString, colMaxL(k).toString)
+      }.toSeq
       stats += GraftDocFileStat(curFile.getName, rowsInFile,
-        Option(minId).map(_.toString), Option(maxId).map(_.toString))
+        Option(minId).map(_.toString), Option(maxId).map(_.toString), cols)
     }
     out = null
     rowsInFile = 0L
     minId = null
     maxId = null
+    java.util.Arrays.fill(colSeen, false)
+    java.util.Arrays.fill(colMinS.asInstanceOf[Array[AnyRef]], null)
+    java.util.Arrays.fill(colMaxS.asInstanceOf[Array[AnyRef]], null)
   }
 
   private def roll(): Unit = {
@@ -722,6 +831,26 @@ class GraftDocDataWriter(stagingDir: String, partitionId: Int, taskId: Long,
       val id = row.getUTF8String(idOrdinal).clone()
       if (minId == null || id.compareTo(minId) < 0) minId = id
       if (maxId == null || id.compareTo(maxId) > 0) maxId = id
+    }
+    var k = 0
+    while (k < statCols.length) {
+      val (_, ord, isStr) = statCols(k)
+      if (!row.isNullAt(ord)) {
+        if (isStr) {
+          val v = row.getUTF8String(ord).clone()
+          if (!colSeen(k) || v.compareTo(colMinS(k)) < 0) colMinS(k) = v
+          if (!colSeen(k) || v.compareTo(colMaxS(k)) > 0) colMaxS(k) = v
+        } else {
+          val v = schema.fields(ord).dataType match {
+            case LongType => row.getLong(ord)
+            case _ => row.getInt(ord).toLong
+          }
+          if (!colSeen(k) || v < colMinL(k)) colMinL(k) = v
+          if (!colSeen(k) || v > colMaxL(k)) colMaxL(k) = v
+        }
+        colSeen(k) = true
+      }
+      k += 1
     }
     out.write(json.toJson(row))
     out.write('\n')
@@ -783,6 +912,10 @@ object GraftDocLog {
   val FormatFile = "_format"
   val FormatVersion = "2"
   val TargetFileRowsOpt = "targetFileRows"
+  /** Comma-separated payload columns whose per-file min/max land in the
+    * commit manifest (string/int/long only; others silently skipped) —
+    * the Delta/Iceberg-class file-skip extension beyond `_id`. */
+  val StatsColumnsOpt = "statsColumns"
   val CommitTagOpt = "commitTag"
   val MaxSplitBytesOpt = "maxSplitBytes"
   val MaxCommitsPerTriggerOpt = "maxCommitsPerTrigger"
@@ -1006,9 +1139,23 @@ object GraftDocLog {
   private val QueryIdRe = ("\"queryId\":\"(" + QStr + ")\"").r
   private val EpochIdRe = "\"epochId\":(-?[0-9]+)".r
   private val TagRe = ("\"tag\":\"(" + QStr + ")\"").r
+  // one payload-column stat entry inside a file entry's "cols" array
+  private val ColEntryPat =
+    "\\{\"c\":\"" + QStr + "\",\"t\":\"[sl]\",\"min\":\"" + QStr +
+      "\",\"max\":\"" + QStr + "\"\\}"
+  private val ColEntryCapRe =
+    ("\\{\"c\":\"(" + QStr + ")\",\"t\":\"([sl])\",\"min\":\"(" + QStr +
+      ")\",\"max\":\"(" + QStr + ")\"\\}").r
   private val FileEntryRe =
     ("\\{\"name\":\"(" + QStr + ")\",\"rows\":([0-9]+)" +
-      "(?:,\"minId\":\"(" + QStr + ")\",\"maxId\":\"(" + QStr + ")\")?\\}").r
+      "(?:,\"minId\":\"(" + QStr + ")\",\"maxId\":\"(" + QStr + ")\")?" +
+      "(?:,\"cols\":\\[(" + ColEntryPat + "(?:," + ColEntryPat + ")*)\\])?\\}").r
+
+  private[connector] def parseColStats(blob: String): Seq[GraftDocColStat] =
+    ColEntryCapRe.findAllMatchIn(blob).map { m =>
+      GraftDocColStat(junstr(m.group(1)), m.group(2),
+        junstr(m.group(3)), junstr(m.group(4)))
+    }.toSeq
 
   private def manifestJson(queryId: String, epochId: Long, tag: Option[String],
       stats: Seq[GraftDocFileStat], tombstone: Boolean): String = {
@@ -1017,7 +1164,13 @@ object GraftDocLog {
         case (Some(lo), Some(hi)) => s""","minId":${jstr(lo)},"maxId":${jstr(hi)}"""
         case _ => ""
       }
-      s"""{"name":${jstr(f.name)},"rows":${f.rows}$ids}"""
+      val cols =
+        if (f.cols.isEmpty) ""
+        else f.cols.map(c =>
+          s"""{"c":${jstr(c.col)},"t":${jstr(c.t)},""" +
+            s""""min":${jstr(c.min)},"max":${jstr(c.max)}}""")
+          .mkString(""","cols":[""", ",", "]")
+      s"""{"name":${jstr(f.name)},"rows":${f.rows}$ids$cols}"""
     }.mkString("[", ",", "]")
     val tagPart = tag.map(t => s""","tag":${jstr(t)}""").getOrElse("")
     val tombPart = if (tombstone) ""","tombstone":true""" else ""
@@ -1031,7 +1184,8 @@ object GraftDocLog {
     listCommitFileInfos(tablePath).map(fi => fi.seq -> fi.path)
 
   case class CommitFileInfo(seq: Long, path: String, bytes: Long, rows: Long,
-      minId: Option[String], maxId: Option[String], tombstone: Boolean)
+      minId: Option[String], maxId: Option[String], tombstone: Boolean,
+      colStats: Seq[GraftDocColStat] = Nil)
 
   /** Every part file with its commit seq, byte length, and (when the
     * manifest recorded them) row count and `_id` min/max — the scan's
@@ -1069,17 +1223,20 @@ object GraftDocLog {
       .filter { case (seq, _, _) => seq > fromExcl && seq <= toIncl && seqOk(seq) }
       .map { case (seq, tomb, dir) =>
         val m = new Path(dir, ManifestFile)
-        val stat: Map[String, (Long, Option[String], Option[String])] =
+        val stat: Map[String, (Long, Option[String], Option[String], Seq[GraftDocColStat])] =
           if (!withStats || !fs.exists(m)) Map.empty
           else FileEntryRe.findAllMatchIn(readFile(fs, m)).map { mm =>
             junstr(mm.group(1)) -> ((mm.group(2).toLong,
-              Option(mm.group(3)).map(junstr), Option(mm.group(4)).map(junstr)))
+              Option(mm.group(3)).map(junstr), Option(mm.group(4)).map(junstr),
+              Option(mm.group(5)).map(parseColStats).getOrElse(Nil)))
           }.toMap
         seq -> fs.listStatus(dir).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".jsonl"))
           .map { s =>
-            val (rows, lo, hi) = stat.getOrElse(s.getPath.getName, (0L, None, None))
-            CommitFileInfo(seq, s.getPath.toString, s.getLen, rows, lo, hi, tomb)
+            val (rows, lo, hi, cs) = stat.getOrElse(s.getPath.getName,
+              (0L, None, None, Nil))
+            CommitFileInfo(seq, s.getPath.toString, s.getLen, rows, lo, hi,
+              tomb, cs)
           }
       }
   }

@@ -225,6 +225,37 @@ object FormatQueries {
         graft.connector.GraftDoc.delete(s, sinkPath,
           docs.filter(pmod(col("p_partkey"), lit(7)) === 0).select("p_partkey"))
         graft.connector.GraftDoc.snapshot(s, sinkPath).orderBy(col("_id"))
+      }),
+
+    // Payload-column file skipping (round 16): the writer declares
+    // `statsColumns`, so each part file's manifest entry carries per-
+    // column min/max for the declared payload columns — the Delta/
+    // Iceberg-class extension beyond `_id`. Documents land SORTED by
+    // lang with small target files (each file spans a narrow lang
+    // range), and the raw scan under a `lang = 'es'` predicate prunes
+    // every non-overlapping file at PLANNING time (PlanSpec pins the
+    // files-read drop and the PushedFilters surface; the predicate is
+    // also residual, so pruning can never change results — which is
+    // what this oracle certifies through the aggregate).
+    QueryDef(
+      "qd6_doc_payload_stats_skip",
+      Some("""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents WHERE lang = 'es' GROUP BY lang ORDER BY lang"""),
+      (s, dir) => {
+        val sinkPath = QueryDef.materializePath(dir, "qd6")
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy(col("lang"), col("doc_id"))
+        graft.connector.GraftDoc.write(docs, "doc_id", sinkPath,
+          overwrite = true, targetFileRows = Some(60L),
+          statsColumns = Seq("lang", "n_chars"))
+        s.read.format("graft-doc").load(sinkPath)
+          .filter(col("lang") === "es")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"))
+          .orderBy(col("lang"))
       })
   )
 }

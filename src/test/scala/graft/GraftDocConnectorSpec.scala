@@ -204,6 +204,59 @@ class GraftDocConnectorSpec extends SparkSpec {
     assert(pre.select("name").as[String].collect().toSet == Set("c", "d"))
   }
 
+  test("payload-column predicates prune files via declared statsColumns min/max") {
+    val dir = tmp()
+    // three single-file commits with disjoint lang AND n_chars ranges;
+    // the writer declares both columns, so each manifest entry carries
+    // their per-file min/max (string order for lang, long for n_chars)
+    def put(rows: Seq[(Long, String, Long)]): Unit =
+      GraftDoc.write(rows.toDF("k", "lang", "n_chars").coalesce(1), "k", dir,
+        statsColumns = Seq("lang", "n_chars"))
+    put(Seq((1L, "de", 10L), (2L, "en", 20L)))
+    put(Seq((3L, "es", 30L), (4L, "fr", 40L)))
+    put(Seq((5L, "ja", 50L), (6L, "zh", 60L)))
+    val all = spark.read.format("graft-doc").load(dir)
+    assert(batchScan(all).inputPartitions.length == 3)
+
+    // string equality: only the file whose [min,max] covers 'es' survives
+    val es = all.filter(col("lang") === "es")
+    val esScan = batchScan(es)
+    assert(esScan.scan.asInstanceOf[GraftDocScan].description()
+      .contains("EqualTo(lang,es)"), "payload filter must surface as pushed")
+    assert(esScan.inputPartitions.length == 1,
+      s"expected 1 surviving file, got ${esScan.inputPartitions.length}")
+    assert(es.select("_id").as[String].collect().toSeq == Seq("3"))
+
+    // long range: n_chars > 45 keeps only the third file
+    val big = all.filter(col("n_chars") > 45L)
+    assert(batchScan(big).inputPartitions.length == 1)
+    assert(big.select("_id").as[String].collect().sorted.toSeq == Seq("5", "6"))
+
+    // In() prunes to the union of matching files
+    val in2 = all.filter(col("lang").isin("de", "zh"))
+    assert(batchScan(in2).inputPartitions.length == 2)
+    assert(in2.count() == 2)
+
+    // conjunction across columns prunes to the intersection (empty here:
+    // the 'es' file's n_chars stop at 40)
+    val none = all.filter(col("lang") === "es" && col("n_chars") > 45L)
+    assert(batchScan(none).inputPartitions.isEmpty)
+    assert(none.count() == 0)
+  }
+
+  test("payload predicates on undeclared columns never prune (and stay correct)") {
+    val dir = tmp()
+    // no statsColumns declared: manifests carry only _id ranges, so a
+    // payload predicate must pass every file — pruning is advisory, the
+    // residual filter does the semantic work
+    GraftDoc.write(Seq((1L, "de"), (2L, "en")).toDF("k", "lang").coalesce(1), "k", dir)
+    GraftDoc.write(Seq((3L, "es"), (4L, "fr")).toDF("k", "lang").coalesce(1), "k", dir)
+    val q = spark.read.format("graft-doc").load(dir).filter(col("lang") === "es")
+    assert(batchScan(q).inputPartitions.length == 2,
+      "without recorded stats every file must survive planning")
+    assert(q.select("_id").as[String].collect().toSeq == Seq("3"))
+  }
+
   test("_commit predicate skips whole commits at planning time") {
     val dir = tmp()
     GraftDoc.write(Seq((1L, "v1")).toDF("k", "name"), "k", dir)

@@ -46,6 +46,29 @@ class PlanSpec extends SparkSpec {
       s"column pruning failed:\n$scan")
   }
 
+  test("qd6: payload predicate reaches the graft-doc scan and prunes files") {
+    import org.apache.spark.sql.functions.col
+    // run the oracle query once — it stages the lang-sorted table with
+    // declared statsColumns under the materialization root
+    q("qd6_doc_payload_stats_skip").collect()
+    val path = graft.queries.QueryDef.materializePath(dir, "qd6")
+    val all = spark.read.format("graft-doc").load(path)
+    val es = all.filter(col("lang") === "es")
+    val plan = executed(es).toString
+    assert(plan.contains("EqualTo(lang,es)"),
+      s"payload predicate must surface in the scan's PushedFilters:\n$plan")
+    // files-read drops: the lang-sorted layout puts 'es' rows in a strict
+    // subset of the part files, and the manifest min/max prunes the rest
+    def parts(df: DataFrame): Int = collectAll(executed(df)).collect {
+      case s: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => s
+    }.map(_.inputRDD.getNumPartitions).sum
+    val allParts = parts(all)
+    val esParts = parts(es)
+    assert(esParts < allParts,
+      s"expected a files-read drop under the payload predicate: " +
+        s"$esParts vs $allParts")
+  }
+
   test("dimension joins broadcast (q10 customer side)") {
     val plans = collectAll(executed(q("q10_join_inner")))
     assert(plans.exists(_.isInstanceOf[BroadcastHashJoinExec]),
