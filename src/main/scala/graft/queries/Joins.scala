@@ -537,6 +537,17 @@ object Joins {
     // cost-based planner does at plan time). Headroom (qam's rule):
     // pricing multiplies two int64 row counts before each div — fine to
     // ~3e9 rows per table, price in decimal(38,0) past that.
+    // WHERE THE MODEL AND AQE CAN DISAGREE (round-16, ScaleProbe
+    // `selingeraqe` at 8x/32x): the lattice prices C_out under
+    // shuffles-only costs (the 100 TB regime where nothing broadcasts);
+    // at runtime AQE re-plans the picked shape's exchanges — once C⋈N
+    // (or even O⋈C⋈N) measures under the broadcast threshold it
+    // broadcasts inside ANY shape, which compresses the bushy-vs-
+    // left-deep gap toward zero. The pick therefore only has to stay
+    // non-WORSE under AQE, and the probe confirms it does: the shapes
+    // converge to near-identical walls with the dimension joins
+    // broadcast, while in the shuffle regime (broadcasts disabled) the
+    // bushy pick keeps its measured ~21% win over the worst chain.
     QueryDef(
       "qd3_selinger_bushy",
       Some(selingerOracleSql),
@@ -887,6 +898,7 @@ object Joins {
         li.join(ord.join(b(cust), ck).join(b(nat), nk), ok)
       case "L(O(CN))" =>
         li.join(ord.join(b(cust.join(b(nat), nk)), ck), ok)
+      case other => sys.error(s"selingerJoinOn: unknown plan shape '$other'")
     }
     joined.groupBy(col("n_name"))
       .agg(count(lit(1)).as("n"),

@@ -35,7 +35,12 @@ package graft.tools
   *   - the suite TOTAL is held to the same 2× rule, computed over the
   *     INTERSECTION of query sets (per-query times summed on both
   *     sides), so new queries' time can never push the total comparison
-  *     past 2× against an older, smaller baseline.
+  *     past 2× against an older, smaller baseline;
+  *   - when both sides carry a speed index and this run's box is FASTER
+  *     than the baseline's (speed ratio < 1), the shared total re-priced
+  *     at baseline speed is held to the same 2× line — machine drift
+  *     must not mask a uniform regression (round 16; the slower-box
+  *     direction stays raw-gated: normalization never excuses a raw >2×).
   *
   * Usage: `sbt "runMain graft.tools.BenchGate [benchJson] [baselineMd]"`
   * (defaults: BENCH_LOCAL.json, BASELINE_LOCAL.md in the repo root).
@@ -307,8 +312,27 @@ object BenchGate {
     val normRatio = for {
       r <- rawRatio; s <- speedRatio if s > 0
     } yield r / s
+    // round-16: the speed-normalized total is BINDING in the MASKING
+    // direction. Two rounds of speed_index data showed the box drifting
+    // between ambient speed states; a run on a FASTER box (speed ratio
+    // < 1) deflates every raw timing, so a genuine uniform regression
+    // can sit under the raw 2x line purely on machine drift. When both
+    // sides carry a speed index and this run's box is faster, the
+    // shared total re-priced at baseline speed (gotSum / speedRatio)
+    // must still clear 2x — past it, the gate FAILS instead of
+    // footnoting. The opposite direction stays raw-gated: a slower box
+    // inflates raw and the raw arm already fires; normalization is
+    // never an excuse for a raw >2x total (a claimed slow box must be
+    // re-measured, not waved through).
+    val normTotalViolation = for {
+      (gotSum, baseSum) <- sums
+      if totalViolation.isEmpty // raw arm already reports this total
+      s <- speedRatio
+      if s > 0 && s < 1.0 && baseSum > 0
+      if gotSum / s > baseSum * 2.0
+    } yield Violation("TOTAL_speed_normalized", baseSum, gotSum / s)
     Right(GateResult(
-      violations ++ totalViolation,
+      violations ++ totalViolation ++ normTotalViolation,
       got.keys.filterNot(base.contains).toSeq.sorted,
       failed,
       base.keys.filterNot(got.contains).toSeq.sorted,

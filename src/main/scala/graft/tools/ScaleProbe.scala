@@ -880,6 +880,66 @@ object ScaleProbe {
       spark.stop(); return
     }
 
+    // "selingeraqe": round-16 verdict item — qd3's static pick is priced
+    // on catalog stats and executed verbatim; under AQE the picked
+    // shape's EXCHANGES can re-plan at runtime (a sub-threshold
+    // intermediate converts to broadcast, skewed partitions split), so
+    // the question is whether the model's ordering of plan shapes
+    // survives the broadcast-threshold regime shift as the corpus
+    // scales. Same staging as "selinger", but AQE ON with the DEFAULT
+    // broadcast threshold (the production regime), all five shapes
+    // timed + the picked plan's final adaptive plan summarized. Where
+    // the model and AQE can disagree: the lattice prices C_out with
+    // shuffles-only costs; once C⋈N (and even O⋈C⋈N) fit under the
+    // runtime threshold, AQE broadcasts them inside ANY shape, which
+    // compresses the bushy-vs-left-deep gap toward zero — the pick then
+    // only needs to stay non-WORSE, which is what this probe checks.
+    if (args.length > 1 && args(1) == "selingeraqe") {
+      import graft.queries.Joins
+      val off = 100000000L
+      val li = replicate(spark.read.parquet(s"$dir/lineitem.parquet")
+          .filter(col("l_extendedprice") <= 25000.0)
+          .select(col("l_orderkey"), col("l_extendedprice")),
+          "l_orderkey", copies, off).cache()
+      val ord0 = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select((col("o_orderkey") + col("copy") * off).as("o_orderkey"),
+          (col("o_custkey") + col("copy") * off).as("o_custkey"))
+        .cache()
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey"))
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .select((col("c_custkey") + col("copy") * off).as("c_custkey"),
+          col("c_nationkey"))
+        .cache()
+      val nat = spark.read.parquet(s"$dir/nation.parquet")
+        .select(col("n_nationkey"), col("n_name")).cache()
+      Seq(li, ord0, cust, nat).foreach(_.count())
+      def run(plan: String): Double = {
+        val t0 = System.nanoTime()
+        Joins.selingerJoinOn(li, ord0, cust, nat, plan,
+          hintBroadcast = false).count() // no hints: AQE decides
+        (System.nanoTime() - t0) / 1e9
+      }
+      for (plan <- Seq("(LO)(CN)", "((LO)C)N", "(L(OC))N",
+          "L((OC)N)", "L(O(CN))")) {
+        run(plan) // warm (codegen)
+        val t = (1 to 3).map(_ => run(plan)).min
+        println(f"[scale]   selingeraqe $plan%-10s $t%.2fs at ${copies}x (AQE on)")
+      }
+      val picked = Joins.selingerJoinOn(li, ord0, cust, nat, "(LO)(CN)",
+        hintBroadcast = false)
+      picked.count()
+      val fin = picked.queryExecution.executedPlan.toString
+      val bhj = "BroadcastHashJoin".r.findAllIn(fin).size
+      val smj = "SortMergeJoin".r.findAllIn(fin).size
+      val shj = "ShuffledHashJoin".r.findAllIn(fin).size
+      println(s"[scale]   selingeraqe picked-plan joins at ${copies}x: " +
+        s"broadcast=$bhj sortmerge=$smj shufflehash=$shj")
+      spark.stop(); return
+    }
+
     if (args.length > 1 && args(1) == "cbo") {
       // qad/qaf: do the planner estimates stay cheap AND trustworthy as
       // the corpus grows? Replication multiplies every day count on both

@@ -45,13 +45,59 @@ object SuffixPruneProbe {
       .orderBy(col("rnd"), col("doc_id"), col("pos"))
   }
 
+  /** The MOSTLY-UNIQUE corpus the round-15 probe could not stage (the
+    * driver's boilerplate corpus keeps 72% of positions in shared
+    * 16-char groups, so the adaptive gate folds the pruning away): 80%
+    * of docs get pseudo-random hex text of the SAME length (16-char
+    * chunks of xxhash64(doc_id, chunk) — no within- or cross-doc
+    * repetition, so their groups go singleton after round 1), 20% keep
+    * the boilerplate originals (the persistent active set). This is the
+    * real-text 100 TB shape: a bounded boilerplate core inside a
+    * mostly-unique corpus. */
+  private def uniqueText = expr(
+    """substring(concat_ws('', transform(
+         sequence(0, CAST(length(text) / 16 AS INT)),
+         c -> lpad(hex(xxhash64(doc_id * 1000003 + c)), 16, '0'))),
+       1, length(text))""")
+
+  /** Shape + 10×-style densify in one pass (the ScaleEvidence recipe,
+    * unique-aware): ids strided by max+1 so copies never collide;
+    * UNIQUE docs (orig id % 5 ≠ 0) derive hex text from their NEW id,
+    * so every copy is unique too; boilerplate docs salt a copy suffix,
+    * so cross-copy sharing matches the source's intra-copy sharing. */
+  private def shape(d: DataFrame, mode: String, copies: Int): DataFrame = {
+    val n = d.agg(coalesce(max(col("doc_id")), lit(-1L))).head.getLong(0) + 1L
+    val rep =
+      if (copies <= 1) d.withColumn("orig", col("doc_id"))
+        .withColumn("copy", lit(0))
+      else d.withColumn("orig", col("doc_id"))
+        .withColumn("copy", explode(sequence(lit(0), lit(copies - 1))))
+        .withColumn("doc_id", col("orig") + col("copy") * lit(n))
+    val boiler = pmod(col("orig"), lit(5)) === 0
+    val shaped =
+      if (mode == "unique")
+        rep.select(col("doc_id"), col("copy"), col("orig"),
+          when(boiler, col("text")).otherwise(uniqueText).as("text"),
+          boiler.as("b"))
+      else rep.select(col("doc_id"), col("copy"), col("orig"),
+        col("text"), lit(true).as("b"))
+    shaped.select(col("doc_id"),
+      when(col("b") && col("copy") > 0,
+        concat(col("text"), lit(" c"), col("copy")))
+        .otherwise(col("text")).as("text"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val passes = if (args.length > 1) args(1).toInt else 3
+    val mode = if (args.length > 2) args(2) else "boiler"
+    val copies = if (args.length > 3) args(3).toInt else 1
     val spark: SparkSession = GraftSession.local(32)
     spark.sparkContext.setLogLevel("WARN")
-    val d = spark.read.parquet(s"$sfDir/documents.parquet")
+    val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
+    val d = IterationCheckpoint.cut(shape(d0, mode, copies))
+    println(s"[prune] mode=$mode copies=$copies docs=${d.count()}")
     def time(label: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f

@@ -129,6 +129,56 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!r.pass, "raw numbers still gate: a 2x run must not pass")
   }
 
+  test("speed-normalized total is BINDING: a faster box cannot mask a uniform regression") {
+    // the masking direction (round 16): this box runs at HALF the
+    // baseline's speed index (0.100 vs 0.200 — lower probe = faster),
+    // so every raw timing is deflated ~2x. A uniform ~2.4x-at-baseline-
+    // speed regression reads raw 1.2x — under the raw 2x line, and no
+    // per-query violation either — but re-priced at baseline speed the
+    // shared total is 2.4x: the gate must FAIL, not footnote.
+    val fastBase = baseline +
+      "\nSpeed index: 0.200 s (median calibration probe).\n"
+    val json = bench(2.4, 3.6, 0.24)
+      .replace(""""contended":false""", """"speed_index":0.100,"contended":false""")
+    val Right(r) = BenchGate.check(json, fastBase)
+    assert(r.speedRatio.exists(s => math.abs(s - 0.5) < 1e-9), r.speedRatio)
+    assert(r.rawTotalRatio.exists(x => x > 1.1 && x < 1.3), r.rawTotalRatio)
+    assert(r.normalizedTotalRatio.exists(n => n > 2.3 && n < 2.5),
+      r.normalizedTotalRatio)
+    assert(r.violations.exists(_.query == "TOTAL_speed_normalized"),
+      s"normalized >2x on a faster box must be a violation: ${r.violations}")
+    assert(!r.pass)
+  }
+
+  test("speed-normalized total: under the line on a faster box still passes") {
+    // same faster box, but the work is genuinely healthy: raw 0.9x,
+    // normalized 1.8x — inside the 2x line both ways, no violation
+    val fastBase = baseline +
+      "\nSpeed index: 0.200 s (median calibration probe).\n"
+    val json = bench(1.8, 2.7, 0.18)
+      .replace(""""contended":false""", """"speed_index":0.100,"contended":false""")
+    val Right(r) = BenchGate.check(json, fastBase)
+    assert(r.normalizedTotalRatio.exists(n => n > 1.7 && n < 1.9),
+      r.normalizedTotalRatio)
+    assert(r.violations.isEmpty && r.pass,
+      s"normalized 1.8x must not trip the 2x line: ${r.violations}")
+  }
+
+  test("speed-normalized total: a SLOWER box never excuses and never double-reports") {
+    // slower box (speed ratio 2x): normalization DIVIDES the raw ratio,
+    // so it can only read lower — the raw arm keeps gating, and when raw
+    // itself exceeds 2x only the raw TOTAL violation appears (the
+    // normalized arm is masking-direction-only)
+    val slowBase = baseline +
+      "\nSpeed index: 0.100 s (median calibration probe).\n"
+    val json = bench(4.5, 6.8, 0.5)
+      .replace(""""contended":false""", """"speed_index":0.200,"contended":false""")
+    val Right(r) = BenchGate.check(json, slowBase)
+    assert(r.violations.count(_.query.startsWith("TOTAL")) == 1,
+      s"raw TOTAL only, no normalized double-report: ${r.violations}")
+    assert(r.violations.exists(_.query == "TOTAL"), r.violations)
+  }
+
   test("speed index: absent on either side -> no normalized ratio, gate unchanged") {
     val Right(r0) = BenchGate.check(bench(2.1, 3.4, 0.3), baseline)
     assert(r0.speedRatio.isEmpty && r0.normalizedTotalRatio.isEmpty)
