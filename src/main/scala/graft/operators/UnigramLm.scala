@@ -155,6 +155,80 @@ object UnigramLm {
     pieces.reduce(_ unionByName _)
   }
 
+  /** ROW-LOCAL Viterbi + backtrack — the same DP as [[viterbi]] +
+    * [[segments]] fused into ONE corpus-free pass: the whole per-word
+    * DP depends only on the word itself and the (piece → cost)
+    * vocabulary, which is vocab-sized (seed = [[SeedMulti]] multi-char
+    * pieces + the character alphabet; round-2 vocab ⊆ seed), so it
+    * folds to a single broadcast MAP row and the DP runs as integer
+    * HOFs inside the row — the [[encodeCols]] / bpeEncodeCols shape
+    * applied to TRAINING.
+    *
+    * Why: the relational unroll pays [[MaxWordLen]] eagerly
+    * checkpointed join+window stages per DP plus [[MaxWordLen]]
+    * backtrack joins, twice per EM round — ~200 driver jobs per train
+    * (JobProfile: qal = 208 jobs, 5.1 s of pure between-job driver
+    * time at cpus=32, occupancy 0.04). This form is ONE job. The
+    * algebra is identical step by step:
+    *   - dp[0] = (0, -1); dp[i] = min over j ∈ [max(0, i −
+    *     [[MaxPieceLen]]), i) with word[j..i) ∈ vocab and dp[j]
+    *     reachable of (dp[j].dc + cost, j), ties → smallest j
+    *     (ascending j + strict < IS the (tc, j) argmin);
+    *   - missing map key ≡ the relational inner join dropping the
+    *     candidate; unreachable dp[j] (NULL dc) ≡ the absent stage row;
+    *   - backtrack from pos = len emits (piece, st = bp + 1) until
+    *     pos = 0, stopping early on an unreachable pos exactly where
+    *     the relational backtrack join would drop the word.
+    * `UnigramLmSpec` pins this frame-for-frame equal to
+    * `segments(w, viterbi(w, costs))`; the qal/qap/qc3 oracles (which
+    * replay the relational unroll in SQL) stay hash-green on top. */
+  def segmentsLocal(w: DataFrame, costs: DataFrame): DataFrame = {
+    val cm = costs.agg(
+      map_from_entries(collect_list(struct(col("piece"), col("cost"))))
+        .as("cost_map"))
+    val dpExpr =
+      s"""aggregate(
+         |  sequence(1, length(word)),
+         |  array(named_struct('dc', CAST(0 AS BIGINT), 'bp', -1)),
+         |  (acc, i) -> concat(acc, array(
+         |    aggregate(
+         |      sequence(greatest(0, i - $MaxPieceLen), i - 1),
+         |      named_struct('dc', CAST(NULL AS BIGINT), 'bp', CAST(NULL AS INT)),
+         |      (b, j) -> CASE
+         |        WHEN element_at(acc, j + 1).dc IS NOT NULL
+         |         AND element_at(cost_map, substring(word, j + 1, i - j))
+         |               IS NOT NULL
+         |         AND (b.dc IS NULL OR
+         |              element_at(acc, j + 1).dc
+         |                + element_at(cost_map, substring(word, j + 1, i - j))
+         |                < b.dc)
+         |        THEN named_struct(
+         |          'dc', element_at(acc, j + 1).dc
+         |                  + element_at(cost_map, substring(word, j + 1, i - j)),
+         |          'bp', j)
+         |        ELSE b END))))""".stripMargin
+    val btExpr =
+      s"""aggregate(
+         |  sequence(1, length(word)),
+         |  named_struct('pos', length(word),
+         |    'segs', CAST(array() AS ARRAY<STRUCT<piece: STRING, st: INT>>)),
+         |  (s, x) -> CASE
+         |    WHEN s.pos > 0 AND element_at(__dp, s.pos + 1).bp IS NOT NULL
+         |    THEN named_struct(
+         |      'pos', element_at(__dp, s.pos + 1).bp,
+         |      'segs', concat(s.segs, array(named_struct(
+         |        'piece', substring(word, element_at(__dp, s.pos + 1).bp + 1,
+         |                   s.pos - element_at(__dp, s.pos + 1).bp),
+         |        'st', element_at(__dp, s.pos + 1).bp + 1))))
+         |    ELSE named_struct('pos', -1, 'segs', s.segs) END,
+         |  s -> s.segs)""".stripMargin
+    w.crossJoin(broadcast(cm))
+      .withColumn("__dp", expr(dpExpr))
+      .withColumn("__seg", explode(expr(btExpr)))
+      .select(col("word"), col("wfreq"),
+        col("__seg.piece").as("piece"), col("__seg.st").as("st"))
+  }
+
   /** E-step counts: piece → Σ word frequency over best segmentations. */
   def emCounts(segs: DataFrame): DataFrame =
     segs.groupBy(col("piece")).agg(sum(col("wfreq")).as("cnt"))
@@ -199,10 +273,10 @@ object UnigramLm {
   def train(docs: DataFrame): DataFrame = {
     val w = IterationCheckpoint.cut(words(docs))
     val seed = withCosts(seedVocab(w))
-    val segs1 = segments(w, viterbi(w, seed))
-    val counts1 = IterationCheckpoint.cut(emCounts(segs1))
+    val segs1 = IterationCheckpoint.cut(segmentsLocal(w, seed))
+    val counts1 = emCounts(segs1)
     val vocab2 = withCosts(mStep(counts1, w))
-    val segs2 = segments(w, viterbi(w, vocab2))
+    val segs2 = IterationCheckpoint.cut(segmentsLocal(w, vocab2))
     val counts2 = emCounts(segs2)
     report(counts1, segs1, w, 1)
       .unionByName(report(counts2, segs2, w, 2))
@@ -359,9 +433,9 @@ object UnigramLm {
     val w = IterationCheckpoint.cut(words(docs))
     val seed = withCosts(seedVocab(w))
     val counts1 = IterationCheckpoint.cut(
-      emCounts(segments(w, viterbi(w, seed))))
+      emCounts(segmentsLocal(w, seed)))
     val vocab2 = withCosts(mStep(counts1, w))
-    val wp = segments(w, viterbi(w, vocab2))
+    val wp = segmentsLocal(w, vocab2)
       .groupBy(col("word")).agg(count(lit(1)).as("np"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")).between(1, MaxWordLen))
@@ -383,9 +457,9 @@ object UnigramLm {
     val w = IterationCheckpoint.cut(words(docs))
     val seed = withCosts(seedVocab(w))
     val counts1 = IterationCheckpoint.cut(
-      emCounts(segments(w, viterbi(w, seed))))
+      emCounts(segmentsLocal(w, seed)))
     val vocab2 = withCosts(mStep(counts1, w))
-    segments(w, viterbi(w, vocab2))
+    segmentsLocal(w, vocab2)
       .groupBy(col("word")).agg(count(lit(1)).as("np"))
       .agg(map_from_entries(collect_list(struct(col("word"), col("np"))))
         .as("np_map"))

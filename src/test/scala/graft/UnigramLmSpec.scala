@@ -58,6 +58,35 @@ class UnigramLmSpec extends SparkSpec {
     assert(rebuilt.count() == nWords)
   }
 
+  test("segmentsLocal equals the relational viterbi+segments frame-for-frame") {
+    // the fused row-local DP (one broadcast cost map + HOFs) must land on
+    // exactly the relational unroll's segmentation — including argmin
+    // ties (smallest j), missing-piece candidates (inner-join drop) and
+    // multi-word corpora through the real seed/m-step vocabularies
+    val docs = Seq(
+      (1L, "banana bandana cabana"),
+      (2L, "the cat sat on the mat and the banana"),
+      (3L, "abab abab baba concatenation"),
+      (4L, "zz zz yyy xxxx qqqqqqqqqq")).toDF("doc_id", "text")
+    val w = UnigramLm.words(docs)
+    val round1 = UnigramLm.withCosts(UnigramLm.seedVocab(w))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("word", "wfreq", "piece", "st").count()
+        .orderBy("word", "st").collect().toSeq
+    assert(canon(UnigramLm.segmentsLocal(w, round1)) ==
+      canon(UnigramLm.segments(w, UnigramLm.viterbi(w, round1))))
+    // round 2: through the pruned/requantized vocabulary too
+    val counts1 = UnigramLm.emCounts(UnigramLm.segmentsLocal(w, round1))
+    val round2 = UnigramLm.withCosts(UnigramLm.mStep(counts1, w))
+    assert(canon(UnigramLm.segmentsLocal(w, round2)) ==
+      canon(UnigramLm.segments(w, UnigramLm.viterbi(w, round2))))
+    // the hand-built tie fixture (smallest backpointer wins)
+    val wt = wordsDF("ab" -> 1L)
+    val ct = costsDF("a" -> 100L, "b" -> 100L, "ab" -> 200L)
+    assert(UnigramLm.segmentsLocal(wt, ct)
+      .select("piece").as[String].collect().toSeq == Seq("ab"))
+  }
+
   test("m-step prunes unused multi-char pieces but never a character") {
     val docs = Seq((1L, "aa aa ab")).toDF("doc_id", "text")
     val w = UnigramLm.words(docs)
