@@ -54,6 +54,22 @@ object NnDescent {
       .select(col("vec_id"), col("nid"), col("c"))
   }
 
+  /** The family's recurring `∪ → dedup-max → per-owner top-k` tail with
+    * ONE exchange instead of two (guide §2.4: operations keyed the same
+    * way share an exchange): an explicit hash repartition on the OWNER
+    * column satisfies both the (owner, nid) dedup aggregate's clustering
+    * (owner ⊆ {owner, nid}) and the top-k window's partitioning, so
+    * EnsureRequirements inserts no second shuffle. The trade is losing
+    * map-side partial aggregation on the dedup — these frames are
+    * delta-/degree-bounded (≤(4K)² candidate pairs per node), so the
+    * extra shuffled rows are bounded while the removed exchange is a
+    * whole stage per call (JobProfile: the fold queries run 1-2-task
+    * stages at ~50 ms fixed cost each). AQE still right-sizes the one
+    * exchange. */
+  private def dedupTopK(pairs: DataFrame): DataFrame =
+    topK(pairs.repartition(col("vec_id"))
+      .groupBy(col("vec_id"), col("nid")).agg(max(col("c")).as("c")))
+
   private def score(pairs: DataFrame, e: DataFrame): DataFrame =
     pairs
       .join(e.select(col("vec_id"), col("embedding").as("ve")), Seq("vec_id"))
@@ -73,7 +89,9 @@ object NnDescent {
             + pmod(pmod(col("vec_id") * 2654435761L + col("j") * 40503L,
               lit(1000003L)), col("nn") - 1) + 1,
           col("nn")).as("nid"))
-      .distinct() // the id algebra may collide two j's onto one nid
+      // the id algebra may collide two j's onto one nid; partition by
+      // the owner so the dedup and the init top-k share one exchange
+      .repartition(col("vec_id")).distinct()
     var knn = IterationCheckpoint.cut(topK(score(init, e)))
     for (_ <- 1 to Rounds) {
       val fwd = knn.select(col("vec_id"), col("nid"))
@@ -83,20 +101,26 @@ object NnDescent {
       val rev = knn.withColumn("rn", row_number().over(wRev))
         .filter(col("rn") <= K)
         .select(col("nid").as("vec_id"), col("vec_id").as("nid"))
-      val b = fwd.unionByName(rev).distinct()
+      // no intermediate b.distinct(): sym's own distinct subsumes it
+      // (distinct over a union is idempotent), deleting one exchange per
+      // round; the ≤2x duplicate rows it carries into that exchange are
+      // degree-capped
+      val b = fwd.unionByName(rev)
       val sym = b.unionByName(
           b.select(col("nid").as("vec_id"), col("vec_id").as("nid")))
         .distinct()
       // neighbor-of-neighbor: one equi self-join on the shared pivot
+      // (both sides shuffle by w and are the same subtree — ReusedExchange
+      // executes it once); the candidate dedup partitions by the owner so
+      // the scoring joins (broadcast e) hand the final dedup+top-k an
+      // already-clustered frame
       val cand = sym.select(col("vec_id"), col("nid").as("w"))
         .join(sym.select(col("vec_id").as("w"), col("nid")), Seq("w"))
         .filter(col("vec_id") =!= col("nid"))
         .select(col("vec_id"), col("nid"))
-        .distinct()
-      val unioned = knn.unionByName(score(cand, e))
-        .groupBy(col("vec_id"), col("nid"))
-        .agg(max(col("c")).as("c")) // dedup: same pair scores identically
-      knn = IterationCheckpoint.cut(topK(unioned))
+        .repartition(col("vec_id")).distinct()
+      knn = IterationCheckpoint.cut(
+        dedupTopK(knn.unionByName(score(cand, e))))
     }
     knn
   }
@@ -190,8 +214,13 @@ object NnDescent {
           Seq("nid"))
         .select(col("qid"), col("nid"),
           round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
+      // one exchange for dedup + beam cut: hash by qid satisfies the
+      // (qid, nid) dedup clustering AND the window partitioning. The
+      // per-hop cut stays — the lazy variant measured strictly slower
+      // (see the insertDeltaOf loop's A/B note)
       beam = IterationCheckpoint.cut(
         cand.unionByName(beam)
+          .repartition(col("qid"))
           .groupBy(col("qid"), col("nid"))
           .agg(max(col("c")).as("c")) // dedup: same pair scores identically
           .withColumn("rn", row_number().over(wB))
@@ -688,6 +717,9 @@ object NnDescent {
       .select(col("qid"), col("nid"),
         round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
     var pool = entryCand.unionByName(probes)
+      // hash by qid once: the dedup aggregate, every per-hop beam window
+      // and the final fwd window all ride this one exchange per cut
+      .repartition(col("qid"))
       .groupBy(col("qid"), col("nid")).agg(max(col("c")).as("c"))
     var beam = pool.withColumn("rn", row_number().over(wB))
       .filter(col("rn") <= BeamWidth)
@@ -701,8 +733,13 @@ object NnDescent {
         .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
         .select(col("qid"), col("nid"),
           round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
+      // per-hop cut stays: an A/B of the lazy form (cut only after the
+      // loop, leaning on ReuseExchange for pool's two references) measured
+      // qc8 12.4 → 18.6 s and qb3 9.4 → 12.3 s — the duplicated-subtree
+      // planning/recompute costs MORE than the saved per-hop actions
       pool = IterationCheckpoint.cut(
         pool.unionByName(cand)
+          .repartition(col("qid"))
           .groupBy(col("qid"), col("nid")).agg(max(col("c")).as("c")))
       beam = pool.withColumn("rn", row_number().over(wB))
         .filter(col("rn") <= BeamWidth)
@@ -715,9 +752,8 @@ object NnDescent {
     val back = fwd.select(col("nid").as("vec_id"), col("vec_id").as("nid"),
       col("c"))
     val touched = back.select(col("vec_id")).distinct()
-    val mergedTouched = topK(
-      g0.join(touched, Seq("vec_id"), "left_semi").unionByName(back)
-        .groupBy(col("vec_id"), col("nid")).agg(max(col("c")).as("c")))
+    val mergedTouched = dedupTopK(
+      g0.join(touched, Seq("vec_id"), "left_semi").unionByName(back))
     val mergedBase = g0.join(touched, Seq("vec_id"), "left_anti")
       .unionByName(mergedTouched)
     // one local refinement round over the new nodes
@@ -739,9 +775,7 @@ object NnDescent {
       .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")), Seq("nid"))
       .select(col("qid").as("vec_id"), col("nid"),
         round(VectorFunctions.cosine_sim(col("qe"), col("ne")), 9).as("c"))
-    val refined = topK(
-      fwd.unionByName(refCand)
-        .groupBy(col("vec_id"), col("nid")).agg(max(col("c")).as("c")))
+    val refined = dedupTopK(fwd.unionByName(refCand))
     mergedBase.unionByName(refined)
   }
 
@@ -1014,10 +1048,9 @@ object NnDescent {
       .filter(col("w") =!= col("vec_id"))
       .select(col("vec_id"), col("w").as("nid"))
       .distinct()
-    val repaired = topK(
+    val repaired = dedupTopK(
       cleaned.join(touched, Seq("vec_id"), "left_semi")
-        .unionByName(score(cand, e))
-        .groupBy(col("vec_id"), col("nid")).agg(max(col("c")).as("c")))
+        .unionByName(score(cand, e)))
     cleaned.join(touched, Seq("vec_id"), "left_anti").unionByName(repaired)
   }
 
@@ -1042,10 +1075,9 @@ object NnDescent {
       .filter(col("w") =!= col("vec_id"))
       .select(col("vec_id"), col("w").as("nid"))
       .distinct()
-    val repaired = topK(
+    val repaired = dedupTopK(
       cleaned.join(touched, Seq("vec_id"), "left_semi")
-        .unionByName(score(cand, e))
-        .groupBy(col("vec_id"), col("nid")).agg(max(col("c")).as("c")))
+        .unionByName(score(cand, e)))
     cleaned.join(touched, Seq("vec_id"), "left_anti").unionByName(repaired)
   }
 
