@@ -32,6 +32,22 @@ object MultimodalQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
 
+  /** The id frame feeding every synthesize→decode mapPartitions seam,
+    * spread over the session's full parallelism. The scan side is a few
+    * parquet splits (documents is narrow), so without this the
+    * CPU-bound codec work runs on as many tasks as the scan produced —
+    * JobProfile measured qd2 at 7 tasks / 6.7 s in-job on 32 cores.
+    * One hash exchange of bare 8-byte ids (deterministic placement —
+    * not round-robin, so task retries are reproducible) buys decode
+    * parallelism equal to `defaultParallelism`, which scales with the
+    * cluster rather than the input split count (guide §2.5/§6: derive
+    * partitioning from the compute, not the 128 MB split accident). */
+  private def mediaIds(s: SparkSession, dir: String)(
+      implicit enc: org.apache.spark.sql.Encoder[Long]) =
+    docs(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .as[Long](enc)
+
   /** media row entering the decode stage: opaque payload + provenance. */
   final case class MediaIn(doc_id: Long, source: String, payload: Array[Byte])
 
@@ -1296,8 +1312,7 @@ object MultimodalQueries {
         FROM g ORDER BY doc_id"""),
       (s, dir) => {
         import s.implicits._
-        docs(s, dir)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, dir)
           .mapPartitions(_.map(id => MediaImage(id, synthesizePng(id))))
           .mapPartitions(decodeImages)
           .toDF()
@@ -1337,8 +1352,7 @@ object MultimodalQueries {
         FROM g ORDER BY doc_id"""),
       (s, dir) => {
         import s.implicits._
-        docs(s, dir)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, dir)
           .mapPartitions(_.map(id => MediaImage(id, synthesizePng(id))))
           .mapPartitions(resizeImages)
           .toDF()
@@ -1384,8 +1398,7 @@ object MultimodalQueries {
         FROM s ORDER BY doc_id"""),
       (s, dir) => {
         import s.implicits._
-        docs(s, dir)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, dir)
           .mapPartitions(_.map(id => MediaAudio(id, synthesizeWav(id))))
           .mapPartitions(decodeAudio)
           .toDF()
@@ -1427,8 +1440,7 @@ object MultimodalQueries {
         FROM g ORDER BY doc_id"""),
       (s, dir) => {
         import s.implicits._
-        docs(s, dir)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, dir)
           .mapPartitions(_.map(id => MediaVideo(id, synthesizeGif(id))))
           .mapPartitions(decodeVideo)
           .toDF()
@@ -1494,8 +1506,7 @@ object MultimodalQueries {
         FROM g JOIN a USING (doc_id) ORDER BY doc_id"""),
       (s, dir) => {
         import s.implicits._
-        docs(s, dir)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, dir)
           .mapPartitions(_.map(id => MediaVideo(id, synthesizeAnimGif(id))))
           .mapPartitions(decodeAnimComposited)
           .toDF()
@@ -1557,8 +1568,7 @@ object MultimodalQueries {
         ORDER BY g.doc_id"""),
       (s, dir) => {
         import s.implicits._
-        docs(s, dir)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, dir)
           .mapPartitions(_.map(id =>
             MediaAv(id, synthesizeGif(id), synthesizeWav(id))))
           .mapPartitions(extractAvFeatures)
@@ -1606,8 +1616,7 @@ object MultimodalQueries {
         FROM g ORDER BY doc_id"""),
       (s, dir) => {
         import s.implicits._
-        docs(s, dir)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, dir)
           .mapPartitions(_.map(id => MediaAviVideo(id, synthesizeAvi(id))))
           .mapPartitions(decodeAvi)
           .toDF()
@@ -1658,8 +1667,7 @@ object MultimodalQueries {
         FROM g ORDER BY doc_id"""),
       (s, dir) => {
         import s.implicits._
-        docs(s, dir)
-          .select(col("doc_id")).as[Long]
+        mediaIds(s, dir)
           .mapPartitions(_.map(id => MediaMjpegVideo(id, synthesizeMjpegAvi(id))))
           .mapPartitions(decodeMjpeg)
           .toDF()
@@ -1817,7 +1825,7 @@ object MultimodalQueries {
         ORDER BY id_a, id_b"""),
       (s, dir) => {
         import s.implicits._
-        val hs = docs(s, dir).select(col("doc_id")).as[Long]
+        val hs = mediaIds(s, dir)
           .mapPartitions(_.map(id => MediaImage(id, synthesizePng(id))))
           .mapPartitions(dhashImages)
           .toDF()
