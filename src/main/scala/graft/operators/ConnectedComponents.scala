@@ -48,6 +48,12 @@ object ConnectedComponents {
     * specs and ScaleProbe can assert the O(log N) bound (a 2^50-diameter
     * graph would be needed to hit the default cap). */
   def runCounted(edges: DataFrame, maxRounds: Int = 50): (DataFrame, Int) = {
+    // NOT wrapped in AqeConf.coalesceBySize: an A/B at sf0.1/cpus=32
+    // measured the size-targeted coalescing SLOWER for single-chain CC
+    // consumers (q6a 3.4→4.4 s, q8f 6.1→8.3 s, q6k 4.4→5.1 s) — a lone
+    // round chain wants its partitions spread over idle cores. It wins
+    // only when several chains run concurrently and share the cores
+    // (qb2's threshold sweep scopes it at ITS call site).
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .transform(IterationCheckpoint.cut)

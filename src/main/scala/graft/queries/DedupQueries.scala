@@ -1600,7 +1600,7 @@ object DedupQueries {
               .withColumn("jac", col("inter") * 1.0
                 / (col("na") + col("nb") - col("inter")))
               .select(col("id_a"), col("id_b"), col("jac")))
-          thresholds.map { t =>
+          def level(t: Int): DataFrame = {
             val e = pairs.filter(col("jac") >= lit(t) / 100.0)
               .select(col("id_a"), col("id_b"))
             val comp = graft.operators.ConnectedComponents.run(e)
@@ -1615,6 +1615,18 @@ object DedupQueries {
                 col("n_docs_linked").cast("long").as("n_docs_linked"),
                 col("n_clusters").cast("long").as("n_clusters"),
                 col("max_cluster").cast("long").as("max_cluster"))
+          }
+          // the five levels are INDEPENDENT CC chains of micro-stage jobs
+          // at ~0.1 task occupancy (BimodalProbe) — overlapping a few of
+          // them from driver threads back-fills each other's scheduling
+          // gaps (guide §2.6); each level's own rounds stay sequential,
+          // and the output union keeps the deterministic threshold order.
+          // With chains sharing the cores, size-targeted AQE coalescing
+          // stops them fighting over tiny partitions (measured 9.5→7.3 s;
+          // the same flag is a REGRESSION for lone chains — see
+          // ConnectedComponents.runCounted's note)
+          graft.operators.AqeConf.coalesceBySize(s) {
+            graft.operators.DriverPar.map(thresholds)(level)
           }.reduce(_ unionByName _).orderBy(col("thr_pct"))
         })
     }
@@ -1687,10 +1699,12 @@ object DedupQueries {
     * its size is Σ df over hot shingles, the hottest slice only). */
   private[graft] def buildMinhashIndex(s: SparkSession, base: DataFrame,
       idxPath: String, dfCap: Long = 200L): Unit = {
-    base.select(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$idxPath/members")
-    val basePosting = withShingles(base)
-      .select(col("doc_id"), explode(col("sh")).as("sh"))
+    // ONE shingle pass: the posting frame feeds three index files (dfs,
+    // dropped, sets) — materialize it once instead of re-running the
+    // corpus explode per consumer (guide §1.2: don't compute things
+    // three times)
+    val basePosting = graft.operators.IterationCheckpoint.cut(
+      withShingles(base).select(col("doc_id"), explode(col("sh")).as("sh")))
     // the FULL document-frequency table is part of the index (narrow:
     // shingle + count) — it is what lets a later merge decide which
     // shingles cross the cap without re-counting the snapshot (qa8)
@@ -1700,11 +1714,16 @@ object DedupQueries {
       .filter(col("df") > dfCap).select(col("sh"))
       .write.mode("overwrite").parquet(s"$idxPath/hot")
     val hotR = s.read.parquet(s"$idxPath/hot")
-    basePosting.join(broadcast(hotR), Seq("sh"), "left_semi")
-      .write.mode("overwrite").parquet(s"$idxPath/dropped")
-    basePosting.join(broadcast(hotR), Seq("sh"), "left_anti")
-      .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
-      .write.mode("overwrite").parquet(s"$idxPath/sets")
+    // members ⊥ dropped ⊥ sets once `hot` exists — overlap the three
+    // independent write chains (guide §2.6); buckets waits on sets
+    graft.operators.DriverPar.map(Seq(
+      () => base.select(col("doc_id"))
+        .write.mode("overwrite").parquet(s"$idxPath/members"),
+      () => basePosting.join(broadcast(hotR), Seq("sh"), "left_semi")
+        .write.mode("overwrite").parquet(s"$idxPath/dropped"),
+      () => basePosting.join(broadcast(hotR), Seq("sh"), "left_anti")
+        .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
+        .write.mode("overwrite").parquet(s"$idxPath/sets")))(_.apply())
     minhashBands(s.read.parquet(s"$idxPath/sets"), "mid")
       .write.mode("overwrite").parquet(s"$idxPath/buckets")
   }
@@ -1736,8 +1755,11 @@ object DedupQueries {
     s.read.parquet(s"$oldPath/members")
       .unionByName(delta.select(col("doc_id")))
       .write.mode("overwrite").parquet(s"$newPath/members")
-    val deltaPosting = withShingles(delta)
-      .select(col("doc_id"), explode(col("sh")).as("sh"))
+    // one shingle pass over the batch: the posting feeds the DF delta,
+    // the capped sets AND the dropped postings (was re-exploded per use)
+    val deltaPosting = graft.operators.IterationCheckpoint.cut(
+      withShingles(delta)
+        .select(col("doc_id"), explode(col("sh")).as("sh")))
     val deltaDf = deltaPosting.groupBy(col("sh")).agg(count(lit(1)).as("ddf"))
     s.read.parquet(s"$oldPath/dfs")
       .join(deltaDf, Seq("sh"), "full_outer")
@@ -1752,38 +1774,45 @@ object DedupQueries {
     val nhArr = hotR
       .join(s.read.parquet(s"$oldPath/hot"), Seq("sh"), "left_anti")
       .agg(sort_array(collect_list(col("sh"))).as("nh"))
-    val fixed = s.read.parquet(s"$oldPath/sets")
-      .crossJoin(broadcast(nhArr))
-      .select(col("doc_id"), array_except(col("sh"), col("nh")).as("sh"),
-        array_intersect(col("sh"), col("nh")).as("removed"))
-      .withColumn("changed", size(col("removed")) > 0)
+    // the row-local set fix feeds FOUR consumers (sets, dropped,
+    // changed-ids, re-sign) — one materialization instead of four
+    // re-reads of old sets + re-fixes
+    val fixed = graft.operators.IterationCheckpoint.cut(
+      s.read.parquet(s"$oldPath/sets")
+        .crossJoin(broadcast(nhArr))
+        .select(col("doc_id"), array_except(col("sh"), col("nh")).as("sh"),
+          array_intersect(col("sh"), col("nh")).as("removed"))
+        .withColumn("changed", size(col("removed")) > 0))
     val deltaSets = deltaPosting
       .join(broadcast(hotR), Seq("sh"), "left_anti")
       .groupBy(col("doc_id")).agg(collect_set(col("sh")).as("sh"))
-    fixed.filter(size(col("sh")) > 0).select(col("doc_id"), col("sh"))
-      .unionByName(deltaSets)
-      .write.mode("overwrite").parquet(s"$newPath/sets")
-    // complement postings stay exact across the merge: shingles the fix
-    // removed from existing sets move over (a row per (doc, newly-hot
-    // shingle) — emptied sets included), delta docs contribute their
-    // merged-hot shingles, and the old rows carry (merge is append-only,
-    // so a dropped shingle can never un-hot here)
-    s.read.parquet(s"$oldPath/dropped")
-      .unionByName(fixed.filter(col("changed"))
-        .select(col("doc_id"), explode(col("removed")).as("sh")))
-      .unionByName(deltaPosting.join(broadcast(hotR), Seq("sh"), "left_semi"))
-      .write.mode("overwrite").parquet(s"$newPath/dropped")
-    // re-sign only changed + new rows; keep unchanged bucket rows as-is
-    val changedIds = fixed.filter(col("changed"))
-      .select(col("doc_id").as("mid"))
-    val keptBuckets = s.read.parquet(s"$oldPath/buckets")
-      .join(broadcast(changedIds), Seq("mid"), "left_anti")
-    val resigned = minhashBands(
-      fixed.filter(col("changed") && size(col("sh")) > 0)
-        .select(col("doc_id"), col("sh"))
-        .unionByName(deltaSets), "mid")
-    keptBuckets.unionByName(resigned)
-      .write.mode("overwrite").parquet(s"$newPath/buckets")
+    // sets ⊥ dropped ⊥ buckets once `fixed`/`hotR` exist — overlap the
+    // three write chains (guide §2.6: independent actions back-fill each
+    // other's scheduling gaps; these are micro-stage jobs)
+    graft.operators.DriverPar.map(Seq(
+      () => fixed.filter(size(col("sh")) > 0).select(col("doc_id"), col("sh"))
+        .unionByName(deltaSets)
+        .write.mode("overwrite").parquet(s"$newPath/sets"),
+      // complement postings stay exact across the merge: shingles the fix
+      // removed from existing sets move over (a row per (doc, newly-hot
+      // shingle) — emptied sets included), delta docs contribute their
+      // merged-hot shingles, and the old rows carry (merge is append-only,
+      // so a dropped shingle can never un-hot here)
+      () => s.read.parquet(s"$oldPath/dropped")
+        .unionByName(fixed.filter(col("changed"))
+          .select(col("doc_id"), explode(col("removed")).as("sh")))
+        .unionByName(deltaPosting.join(broadcast(hotR), Seq("sh"), "left_semi"))
+        .write.mode("overwrite").parquet(s"$newPath/dropped"),
+      // re-sign only changed + new rows; keep unchanged bucket rows as-is
+      () => s.read.parquet(s"$oldPath/buckets")
+        .join(broadcast(fixed.filter(col("changed"))
+          .select(col("doc_id").as("mid"))), Seq("mid"), "left_anti")
+        .unionByName(minhashBands(
+          fixed.filter(col("changed") && size(col("sh")) > 0)
+            .select(col("doc_id"), col("sh"))
+            .unionByName(deltaSets), "mid"))
+        .write.mode("overwrite").parquet(s"$newPath/buckets")))(_.apply())
+    ()
   }
 
   /** qb7: fold tombstones OUT of a persisted index — the compaction qaa
@@ -1844,26 +1873,30 @@ object DedupQueries {
     val liveSets = Tombstones.antiJoin(
       s.read.parquet(s"$oldPath/sets"), "doc_id", tombIds, nTomb)
     // outer on doc_id: a gains-only row is a RESURRECTED doc (its capped
-    // set emptied at some merge's cut and every shingle sat in dropped)
-    val fixedSets = liveSets.join(gains, Seq("doc_id"), "outer")
-      .select(col("doc_id"),
-        when(col("gain").isNull, col("sh"))
-          .when(col("sh").isNull, col("gain"))
-          .otherwise(array_union(col("sh"), col("gain"))).as("sh"),
-        col("gain").isNotNull.as("changed"))
-    fixedSets.select(col("doc_id"), col("sh"))
-      .write.mode("overwrite").parquet(s"$newPath/sets")
-    liveDropped.join(broadcast(readmitted), Seq("sh"), "left_anti")
-      .write.mode("overwrite").parquet(s"$newPath/dropped")
-    val changedIds = fixedSets.filter(col("changed"))
-      .select(col("doc_id").as("mid"))
-    Tombstones.antiJoin(s.read.parquet(s"$oldPath/buckets"),
-        "mid", tombIds.select(col("doc_id").as("mid")), nTomb)
-      .join(broadcast(changedIds), Seq("mid"), "left_anti")
-      .unionByName(minhashBands(
-        fixedSets.filter(col("changed")).select(col("doc_id"), col("sh")),
-        "mid"))
-      .write.mode("overwrite").parquet(s"$newPath/buckets")
+    // set emptied at some merge's cut and every shingle sat in dropped).
+    // Materialized once — it feeds sets, changed-ids and the re-sign.
+    val fixedSets = graft.operators.IterationCheckpoint.cut(
+      liveSets.join(gains, Seq("doc_id"), "outer")
+        .select(col("doc_id"),
+          when(col("gain").isNull, col("sh"))
+            .when(col("sh").isNull, col("gain"))
+            .otherwise(array_union(col("sh"), col("gain"))).as("sh"),
+          col("gain").isNotNull.as("changed")))
+    // sets ⊥ dropped ⊥ buckets from here — overlap the write chains
+    graft.operators.DriverPar.map(Seq(
+      () => fixedSets.select(col("doc_id"), col("sh"))
+        .write.mode("overwrite").parquet(s"$newPath/sets"),
+      () => liveDropped.join(broadcast(readmitted), Seq("sh"), "left_anti")
+        .write.mode("overwrite").parquet(s"$newPath/dropped"),
+      () => Tombstones.antiJoin(s.read.parquet(s"$oldPath/buckets"),
+          "mid", tombIds.select(col("doc_id").as("mid")), nTomb)
+        .join(broadcast(fixedSets.filter(col("changed"))
+          .select(col("doc_id").as("mid"))), Seq("mid"), "left_anti")
+        .unionByName(minhashBands(
+          fixedSets.filter(col("changed")).select(col("doc_id"), col("sh")),
+          "mid"))
+        .write.mode("overwrite").parquet(s"$newPath/buckets")))(_.apply())
+    ()
   }
 
   /** qa5 SERVE half: screen an incoming (doc_id, text) batch against a
