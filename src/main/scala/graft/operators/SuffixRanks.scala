@@ -113,9 +113,15 @@ object SuffixRanks {
       val full = active.unionByName(settled)
       val shifted = full.select(col("doc_id"),
         (col("pos") - gap).as("pos"), col("r").as("r2"))
-      val keyedA = active.join(shifted, Seq("doc_id", "pos"), "left")
-        .select(col("doc_id"), col("pos"), col("r").as("r1"),
-          coalesce(col("r2"), lit(0L)).as("r2"))
+      // materialized once per round: the corpus-sized gap-shift join
+      // feeds BOTH the key aggregate (inside StableIds' eager cut) and
+      // the wide map-back join below — uncut, the join executed twice
+      // per round (JobProfile on qau: ~0.7 s planning+compute gaps, 2
+      // per round); one cut halves the round's corpus-sized work
+      val keyedA = IterationCheckpoint.cut(
+        active.join(shifted, Seq("doc_id", "pos"), "left")
+          .select(col("doc_id"), col("pos"), col("r").as("r1"),
+            coalesce(col("r2"), lit(0L)).as("r2")))
       val keyCnt = keyedA.groupBy(col("r1"), col("r2"))
         .agg(count(lit(1)).as("grp"))
       val keysS = settled.select(col("r").as("r1"), lit(0L).as("r2"),

@@ -1830,8 +1830,15 @@ object StreamPipelines {
             // generality (inserts before deletes — the qc0 order): each
             // half is the identity on an empty frame
             val nDel = del.count()
-            val inserted = NnDescent.insertDeltaOf(e, prev, nBase, ins,
-              Some(prevTomb), Some(tombTotal.get()))
+            // materialized once per batch: the merged graph feeds the
+            // touched-survivor write (2 joins) AND deleteRepairOf, which
+            // references its g0 argument four times (survivors/cleaned/
+            // lost-edges/dead-lists) — uncut, the whole insert fold's
+            // lazy tail (merge + refine over the checkpointed pool)
+            // re-executed per reference
+            val inserted = graft.operators.IterationCheckpoint.cut(
+              NnDescent.insertDeltaOf(e, prev, nBase, ins,
+                Some(prevTomb), Some(tombTotal.get())))
             // touched survivors recorded BEFORE the repair (qd1's
             // reporting set; empty on insert-only batches)
             inserted.join(broadcast(del), Seq("vec_id"), "left_anti")
