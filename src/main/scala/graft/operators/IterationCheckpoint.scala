@@ -30,16 +30,27 @@ object IterationCheckpoint {
     * executor-local checkpoint (fast, not fault-tolerant). */
   val ConfKey = "spark.graft.iteration.checkpointDir"
 
+  /** The [[ConfKey]] value the context's checkpoint dir was last set
+    * from. setCheckpointDir appends a UUID subdir, so re-setting on
+    * every call would spray directories — but setting only while
+    * `sc.getCheckpointDir.isEmpty` (the previous rule) made the FIRST
+    * configured dir sticky for the JVM's lifetime: re-pointing the conf
+    * (tests; a session re-targeted at new storage) silently kept
+    * writing checkpoints to the old path. Set once per configured
+    * VALUE instead. */
+  @volatile private var setFrom: Option[String] = None
+
   def cut(df: DataFrame): DataFrame =
     df.sparkSession.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = df.sparkSession.sparkContext
-        // setCheckpointDir appends a UUID subdir, so set once per
-        // session (re-setting per call would spray directories);
         // reliable checkpoint is eager for DataFrames (materializes
         // now, like localCheckpoint), so loop convergence probes stay
         // cheap
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        if (sc.getCheckpointDir.isEmpty || !setFrom.contains(dir)) {
+          sc.setCheckpointDir(dir)
+          setFrom = Some(dir)
+        }
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

@@ -104,7 +104,17 @@ object SuffixRanks {
     * count per round on the already-materialized round frame. */
   val PruneMinSettledFraction = 0.15
 
-  def roundsWithGroups(d: DataFrame): Seq[DataFrame] = {
+  def roundsWithGroups(d: DataFrame): Seq[DataFrame] =
+    roundsWithGroups(d, d.sparkSession.conf
+      .getOption(IterationCheckpoint.ConfKey).exists(_.nonEmpty))
+
+  /** [[roundsWithGroups]] with the pruning-decision read made explicit
+    * (`dictDecision` defaults to the checkpoint regime in the public
+    * method; the parameter exists so the spec can pin both decision
+    * paths frame-identical without touching the JVM-global checkpoint
+    * directory). */
+  private[graft] def roundsWithGroups(d: DataFrame,
+      dictDecision: Boolean): Seq[DataFrame] = {
     var active = IterationCheckpoint.cut(positions(d))
     var settled = active.filter(lit(false))
     val total = active.count().toDouble
@@ -136,7 +146,26 @@ object SuffixRanks {
         .join(allKeys, Seq("r1", "r2"))
         .select(col("doc_id"), col("pos"), col("nr").as("r"), col("grp"))
       val merged = IterationCheckpoint.cut(aNew.unionByName(sNew))
-      val nActive = merged.filter(col("grp") > 1).count()
+      // The pruning decision needs |positions in groups > 1|. Two
+      // provably-equal reads (SuffixRanksPropSpec pins them equal on
+      // random two-regime corpora): a corpus-frame count, or Σ grp
+      // over the dict-sized allKeys (every allKeys row matches exactly
+      // grp merged positions — keyCnt keys by construction, keysS
+      // exactly its one settled position, per the disjointness
+      // invariant above). Which is cheaper depends on the CHECKPOINT
+      // REGIME: with executor-local blocks (localCheckpoint — the
+      // local/bench default) the corpus count is one job over memory
+      // blocks and the dict sum costs MORE (3 micro-jobs re-running
+      // the StableIds tail: measured 14.8 vs 16.4 s on qau at sf0.1 —
+      // the dict-always variant was tried and reverted); with a
+      // DURABLE checkpoint dir (the 100 TB cluster conf) the corpus
+      // count re-reads the whole round frame from remote storage per
+      // round, and the dict sum reads only the key dictionary.
+      val nActive =
+        if (dictDecision)
+          allKeys.filter(col("grp") > 1)
+            .agg(coalesce(sum(col("grp")), lit(0L))).head.getLong(0)
+        else merged.filter(col("grp") > 1).count()
       if (total - nActive >= total * PruneMinSettledFraction) {
         active = merged.filter(col("grp") > 1)
           .select(col("doc_id"), col("pos"), col("r"))
