@@ -237,6 +237,28 @@ object SuffixRanks {
     StableIds.assign(keys.select(col("key")).distinct(),
       Seq(col("key")), Partitions, "r")
 
+  /** The q8x/qb8/qc5 serve-tail audit measure — sampled (doc_id, pos,
+    * rank, grp) rows with GLOBAL group sizes — computed without ever
+    * joining the full corpus-sized position frame to the dictionary:
+    * `counts` carries |live positions| per key (q8x derives it with one
+    * partial-aggregated pass; qb8/qc5 maintain it as index state), and
+    * dict's key↔r is a bijection (dense rank over distinct keys), so a
+    * rank's global group size IS its key's count. The corpus-sized
+    * frame is therefore touched only by the 1/[[SampleMod]] sample
+    * filter + two dict-sized joins, replacing the previous full-corpus
+    * pos⋈dict join that ran TWICE (once under groupBy(r) for group
+    * sizes, once for the sample rows) — guide §2.3 "shuffle keys and
+    * metadata instead of payloads" / §8.4 "decide with small rows".
+    * `SuffixServeTailSpec` pins this frame-identical to the join-then-
+    * groupBy(r) shape, staged and compacted structures both. */
+  def auditServe(pos: DataFrame, dict: DataFrame,
+      counts: DataFrame): DataFrame =
+    pos.filter(col("doc_id") % SampleMod === 0)
+      .join(dict, Seq("key"))
+      .join(counts.select(col("key"), col("n").as("grp")), Seq("key"))
+      .select(col("doc_id"), col("pos"), col("r").as("rank"), col("grp"))
+      .orderBy(col("doc_id"), col("pos"))
+
   // ------------------------------------------------ delete-compact (qb8)
 
   /** qb8: fold tombstoned documents OUT of the persisted suffix
@@ -276,17 +298,26 @@ object SuffixRanks {
     // write and the dead-key count debit) read the same blocks instead
     // of re-scanning the parquet per consumer.
     val pos = IterationCheckpoint.cut(s.read.parquet(s"$oldPath/pos"))
-    Tombstones.antiJoin(pos, "doc_id", tombIds, nTomb)
-      .write.mode("overwrite").parquet(s"$newPath/pos")
-    val deadCounts = Tombstones.semiJoin(pos, "doc_id", tombIds, nTomb)
-      .groupBy(col("key")).agg(count(lit(1)).as("dn"))
-    s.read.parquet(s"$oldPath/counts")
-      .join(deadCounts, Seq("key"), "left")
-      .select(col("key"), (col("n") - coalesce(col("dn"), lit(0L))).as("n"))
-      .filter(col("n") > 0) // a key no live position carries vanishes
-      .write.mode("overwrite").parquet(s"$newPath/counts")
-    rankDict(s.read.parquet(s"$newPath/counts"))
-      .write.mode("overwrite").parquet(s"$newPath/dict")
+    // the two consumers of the cut blocks — the survivor write and the
+    // count-debit → dict renumber chain — are independent job chains;
+    // overlap them so each back-fills the other's scheduling gaps
+    // (guide §2.6, the DriverPar idiom)
+    DriverPar.map(Seq(
+      () => Tombstones.antiJoin(pos, "doc_id", tombIds, nTomb)
+        .write.mode("overwrite").parquet(s"$newPath/pos"),
+      () => {
+        val deadCounts = Tombstones.semiJoin(pos, "doc_id", tombIds, nTomb)
+          .groupBy(col("key")).agg(count(lit(1)).as("dn"))
+        s.read.parquet(s"$oldPath/counts")
+          .join(deadCounts, Seq("key"), "left")
+          .select(col("key"),
+            (col("n") - coalesce(col("dn"), lit(0L))).as("n"))
+          .filter(col("n") > 0) // a key no live position carries vanishes
+          .write.mode("overwrite").parquet(s"$newPath/counts")
+        rankDict(s.read.parquet(s"$newPath/counts"))
+          .write.mode("overwrite").parquet(s"$newPath/dict")
+      }))(_())
+    ()
   }
 
   // --------------------------------------------------------------- oracle

@@ -1406,15 +1406,12 @@ object DedupQueries {
         val tomb = pos.select(col("doc_id")).distinct()
           .filter(pmod(col("doc_id"), lit(5)) === 3)
         SuffixRanks.compactDelete(s, tomb, p, s"$p/v1")
-        // the q8x audit measure, served from the compacted structure
-        val ranked = s.read.parquet(s"$p/v1/pos")
-          .join(s.read.parquet(s"$p/v1/dict"), Seq("key"))
-          .select(col("doc_id"), col("pos"), col("r"))
-        val grp = ranked.groupBy(col("r")).agg(count(lit(1)).as("grp"))
-        ranked.filter(col("doc_id") % SuffixRanks.SampleMod === 0)
-          .join(grp, Seq("r"))
-          .select(col("doc_id"), col("pos"), col("r").as("rank"), col("grp"))
-          .orderBy(col("doc_id"), col("pos"))
+        // the q8x audit measure, served from the compacted structure;
+        // group sizes come from the maintained counts table, so the
+        // corpus-sized pos frame is only touched by the sample filter
+        // (SuffixRanks.auditServe — the counts-invariant serve tail)
+        SuffixRanks.auditServe(s.read.parquet(s"$p/v1/pos"),
+          s.read.parquet(s"$p/v1/dict"), s.read.parquet(s"$p/v1/counts"))
       })
   } :+
     // Distributed suffix-array construction by prefix doubling (Manber

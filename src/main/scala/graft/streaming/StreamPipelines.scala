@@ -1271,13 +1271,12 @@ object StreamPipelines {
     } finally deleteRecursively(ckpt)
     val pos = s.read.parquet(s"$tmp/pos_b*")
     val dict = s.read.parquet(s"$tmp/dict_v${version.get()}")
-    val ranked = pos.join(dict, Seq("key"))
-      .select(col("doc_id"), col("pos"), col("r"))
-    val grp = ranked.groupBy(col("r")).agg(count(lit(1)).as("grp"))
-    ranked.filter(col("doc_id") % SuffixRanks.SampleMod === 0)
-      .join(grp, Seq("r"))
-      .select(col("doc_id"), col("pos"), col("r").as("rank"), col("grp"))
-      .orderBy(col("doc_id"), col("pos"))
+    // group sizes from ONE partial-aggregated pass over the narrow key
+    // column (this pipeline maintains no counts table — qb8/qc5 do);
+    // the corpus frame is then only touched by the sample filter
+    // (SuffixRanks.auditServe — the counts-invariant serve tail)
+    SuffixRanks.auditServe(pos, dict,
+      pos.groupBy(col("key")).agg(count(lit(1)).as("n")))
   }
 
   /** qc6: streaming IVF index MAINTENANCE — q5m's update verb on the
@@ -2327,13 +2326,12 @@ object StreamPipelines {
     val pos = s.read.parquet(s"$tmp/pos_b*")
       .join(lastDel, Seq("doc_id"), "left")
       .filter(col("gen") > coalesce(col("dgen"), lit(0L)))
-    val ranked = pos.join(s.read.parquet(s"$tmp/dict_v$fv"), Seq("key"))
-      .select(col("doc_id"), col("pos"), col("r"))
-    val grp = ranked.groupBy(col("r")).agg(count(lit(1)).as("grp"))
-    ranked.filter(col("doc_id") % SuffixRanks.SampleMod === 0)
-      .join(grp, Seq("r"))
-      .select(col("doc_id"), col("pos"), col("r").as("rank"), col("grp"))
-      .orderBy(col("doc_id"), col("pos"))
+    // group sizes from the maintained counts table — the fold's debit
+    // invariant says counts_v<fv>(key) IS |live positions of key|, so
+    // the corpus frame is only touched by the sample filter
+    // (SuffixRanks.auditServe — the counts-invariant serve tail)
+    SuffixRanks.auditServe(pos, s.read.parquet(s"$tmp/dict_v$fv"),
+      s.read.parquet(s"$tmp/counts_v$fv"))
   }
 
   /** q8z: streaming PQ-ADC serve from a PERSISTED product-quantization
